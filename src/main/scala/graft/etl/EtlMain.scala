@@ -1,0 +1,27 @@
+package graft.etl
+
+import org.apache.spark.sql.SparkSession
+
+/** E1 batch entry point (reference: preprocess_stocks.py __main__, :232-234):
+  * raw messy CSVs in, cleaned per-ticker + unified fact table out.
+  *
+  * Usage: runMain graft.etl.EtlMain <rawDir> <outDir>
+  */
+object EtlMain {
+  def main(args: Array[String]): Unit = {
+    val Array(rawDir, outDir) = args
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-etl")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val cleaned = CleanPipeline.clean(spark, rawDir)
+    CleanPipeline.writeCleaned(cleaned, outDir)
+    println(s"[etl] wrote ${cleaned.count()} rows to $outDir")
+    spark.stop()
+  }
+}
