@@ -1,13 +1,43 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.queries._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every operator in SURVEY §2 has a testdata twin registered here; each
+  * SQL-expressible one carries a DuckDB oracle (hash-compared by the driver
+  * at sf0.01). Catalogs keep each Spark query and its oracle side by side.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def catalogs: Seq[QueryDef] =
+    OlapCatalog.all ++ WindowCatalog.all ++ JoinCatalog.all ++
+      MiningCatalog.all
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * A1 quarterly-price pivot — the minimum end-to-end slice (SURVEY §7.3).
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+    OlapCatalog.a1QuarterlyPrice.query(spark, "/root/testdata/sf0.001")
+
+  /** One entry per implemented operator from SURVEY.md §2.
+    *
+    * Non-ANSI evaluation is pinned per call: DuckDB's aggregates (corr over
+    * a constant/1-row frame, x/0) yield NULL, while Spark 4's ANSI mode
+    * throws — non-ANSI restores the matching NULL semantics.
+    */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    catalogs.map { q =>
+      q.name -> { (s: SparkSession, dir: String) =>
+        s.conf.set("spark.sql.ansi.enabled", "false")
+        q.query(s, dir)
+      }
+    }.toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    catalogs.flatMap(q => q.oracle.map(q.name -> _)).toMap
 }

@@ -1,0 +1,140 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import QueryDef._
+
+/** Testdata twins of the reference's join/set family (SURVEY §2.4 J1–J4,
+  * §2.8) plus the standard join shapes a complete engine must cover
+  * (inner/semi/anti over the star schema).
+  *
+  * Scale notes: dimension sides (region/nation/supplier/customer-stats) are
+  * broadcast explicitly; the one fact⋈fact join (lineitem⋈orders) shuffles
+  * on the join key and AQE handles skew/size at runtime.
+  */
+object JoinCatalog {
+
+  /** J1 (datavisualization.py:760-766): per-group stats joined back onto
+    * rows to flag outliers — a broadcast left join of an aggregate.
+    */
+  val j1SpikeJoin = QueryDef(
+    "q_j1_spike_join",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      val stats = o.groupBy("o_custkey").agg(
+        avg("o_totalprice").as("mean_price"),
+        stddev_samp(col("o_totalprice")).as("std_price"))
+      o.join(broadcast(stats), Seq("o_custkey"), "left")
+        .select(col("o_orderkey"),
+          (col("o_totalprice") > col("mean_price") + col("std_price") * 2)
+            .cast("long").as("is_spike"))
+        .orderBy("o_orderkey")
+    },
+    Some("""
+      WITH stats AS (
+        SELECT o_custkey, avg(o_totalprice) AS mean_price,
+               stddev_samp(o_totalprice) AS std_price
+        FROM orders GROUP BY 1)
+      SELECT o.o_orderkey,
+             CAST(o.o_totalprice > s.mean_price + 2 * s.std_price AS BIGINT) AS is_spike
+      FROM orders o LEFT JOIN stats s ON o.o_custkey = s.o_custkey
+      ORDER BY o.o_orderkey""")
+  )
+
+  /** J2 (preprocess_stocks.py:211 pd.concat sort=False): union by name with
+    * missing columns null-filled.
+    */
+  val j2Union = QueryDef(
+    "q_j2_union",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      val a = o.filter(year(col("o_orderdate")) === 1995)
+        .select(col("o_orderkey"), col("o_totalprice"))
+      val b = o.filter(year(col("o_orderdate")) === 1996)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+      a.unionByName(b, allowMissingColumns = true).orderBy("o_orderkey")
+    },
+    Some("""
+      SELECT o_orderkey, o_totalprice, NULL AS o_orderpriority
+      FROM orders WHERE year(o_orderdate) = 1995
+      UNION ALL BY NAME
+      SELECT o_orderkey, o_totalprice, o_orderpriority
+      FROM orders WHERE year(o_orderdate) = 1996
+      ORDER BY o_orderkey""")
+  )
+
+  /** TPC-H Q5-shaped star join: revenue per nation for one region+year.
+    * region→nation→customer are broadcast; the lineitem⋈orders shuffle is
+    * the only large exchange.
+    */
+  val jStarRevenue = QueryDef(
+    "q_j5_star_revenue",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+      val o = t(s, dir, "orders")
+        .filter(year(col("o_orderdate")) === 1996)
+        .select("o_orderkey", "o_custkey")
+      val c = t(s, dir, "customer").select("c_custkey", "c_nationkey")
+      val n = t(s, dir, "nation").select("n_nationkey", "n_regionkey", "n_name")
+      val r = t(s, dir, "region").filter(col("r_name") === "ASIA")
+        .select("r_regionkey")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy("n_name")
+        .agg(r2(sumE(col("rev"))).as("revenue"), count(lit(1)).as("n_items"))
+        .orderBy(desc("revenue"), col("n_name"))
+    },
+    Some(s"""
+      SELECT n.n_name,
+             ${sqlR2(sqlSumE("l.l_extendedprice * (1 - l.l_discount)"))} AS revenue,
+             count(*) AS n_items
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      WHERE r.r_name = 'ASIA' AND year(o.o_orderdate) = 1996
+      GROUP BY 1 ORDER BY revenue DESC, n_name""")
+  )
+
+  /** Left-semi join: customers having at least one finished order. */
+  val jSemi = QueryDef(
+    "q_j_semi",
+    (s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+        .select(col("o_custkey").as("c_custkey"))
+      c.join(o, Seq("c_custkey"), "left_semi")
+        .select("c_custkey", "c_name").orderBy("c_custkey")
+    },
+    Some("""
+      SELECT c_custkey, c_name FROM customer c
+      WHERE EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+      ORDER BY c_custkey""")
+  )
+
+  /** Left-anti join: customers with no 1995 orders. */
+  val jAnti = QueryDef(
+    "q_j_anti",
+    (s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").filter(year(col("o_orderdate")) === 1995)
+        .select(col("o_custkey").as("c_custkey"))
+      c.join(o, Seq("c_custkey"), "left_anti")
+        .select("c_custkey", "c_name").orderBy("c_custkey")
+    },
+    Some("""
+      SELECT c_custkey, c_name FROM customer c
+      WHERE NOT EXISTS (SELECT 1 FROM orders o
+                        WHERE o.o_custkey = c.c_custkey
+                          AND year(o.o_orderdate) = 1995)
+      ORDER BY c_custkey""")
+  )
+
+  val all: Seq[QueryDef] = Seq(j1SpikeJoin, j2Union, jStarRevenue, jSemi, jAnti)
+}

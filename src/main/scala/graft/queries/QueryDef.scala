@@ -1,0 +1,51 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One catalog entry: a Spark query over the testdata star schema plus (where
+  * SQL-expressible) the equivalent DuckDB oracle SQL the driver hash-compares
+  * against (SURVEY §5 item 3). Column names/ordering must match exactly.
+  */
+final case class QueryDef(
+    name: String,
+    query: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+object QueryDef {
+  /** Load one testdata table. */
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Cross-engine deterministic rounding. Spark's round() goes through
+    * BigDecimal.valueOf (decimal-string semantics) while DuckDB rounds the
+    * binary double — they disagree on values like 2.675. floor(x*1eN+0.5)/1eN
+    * is the same IEEE op sequence in both engines, so results are
+    * bit-identical as long as the unrounded inputs agree to well below the
+    * rounding granularity. Pick N so granularity stays ≥ ~1e6× the expected
+    * cross-engine error: r2 for price-magnitude values (~1e4), r4/r6 for
+    * O(1) ratios.
+    */
+  def r2(c: Column): Column = floor(c * 1e2 + lit(0.5)) / 1e2
+  def r4(c: Column): Column = floor(c * 1e4 + lit(0.5)) / 1e4
+  def r6(c: Column): Column = floor(c * 1e6 + lit(0.5)) / 1e6
+
+  /** Same rounding, DuckDB spelling. */
+  def sqlR2(e: String): String = s"floor(($e)*1e2+0.5)/1e2"
+  def sqlR4(e: String): String = s"floor(($e)*1e4+0.5)/1e4"
+  def sqlR6(e: String): String = s"floor(($e)*1e6+0.5)/1e6"
+
+  /** Order-independent exact sum: per-row doubles are bit-identical across
+    * engines, casting them to DECIMAL(28,6) is deterministic, and decimal
+    * addition is exact — so the sum is bit-identical no matter how either
+    * engine partitions/orders the data. Cast back to double at the end.
+    */
+  def sumE(c: Column): Column =
+    sum(c.cast("decimal(28,6)")).cast("double")
+  def sqlSumE(e: String): String =
+    s"CAST(sum(CAST(($e) AS DECIMAL(28,6))) AS DOUBLE)"
+
+  /** Exact average: exact sum ÷ count, one double division in both engines. */
+  def avgE(c: Column): Column = sumE(c) / count(c)
+  def sqlAvgE(e: String): String = s"(${sqlSumE(e)} / count($e))"
+}

@@ -1,0 +1,232 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import QueryDef._
+
+/** Testdata twins of the reference's window family (SURVEY §2.6 W1–W10):
+  * every reference window is PARTITION BY Ticker ORDER BY Date; the twin is
+  * PARTITION BY o_custkey ORDER BY (o_orderdate, o_orderkey) — the unique
+  * key tiebreaker makes results deterministic across engines.
+  *
+  * Scale notes: one shuffle on the partition key per query; all frames are
+  * ROWS-based (streamable within a sorted partition, no re-sort per row).
+  * Partitions are per-customer (~10 rows at any SF) so no skew risk.
+  */
+object WindowCatalog {
+
+  private val w = Window.partitionBy("o_custkey")
+    .orderBy(col("o_orderdate"), col("o_orderkey"))
+  private val wAll = Window.partitionBy("o_custkey")
+  private val overCust = "OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey"
+
+  private def base(s: org.apache.spark.sql.SparkSession, dir: String) =
+    t(s, dir, "orders").select(
+      col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+      col("o_totalprice"))
+
+  /** W1 (datamining_analysis.py:70): next-row value per group. */
+  val w1Lead = QueryDef(
+    "q_w1_lead",
+    (s, dir) =>
+      base(s, dir)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          lead(col("o_totalprice"), 1).over(w).as("next_price"))
+        .orderBy("o_custkey", "o_orderkey"),
+    Some(s"""
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             lead(o_totalprice, 1) $overCust) AS next_price
+      FROM orders ORDER BY o_custkey, o_orderkey""")
+  )
+
+  /** W2 (datamining_analysis.py:107 pct_change): row-over-row fractional
+    * change; first row per group is null.
+    */
+  val w2PctChange = QueryDef(
+    "q_w2_pct_change",
+    (s, dir) =>
+      base(s, dir)
+        .select(col("o_custkey"), col("o_orderkey"),
+          r6(col("o_totalprice") / lag(col("o_totalprice"), 1).over(w) - 1)
+            .as("dod_change"))
+        .orderBy("o_custkey", "o_orderkey"),
+    Some(s"""
+      SELECT o_custkey, o_orderkey,
+             ${sqlR6(s"o_totalprice / lag(o_totalprice, 1) $overCust) - 1")} AS dod_change
+      FROM orders ORDER BY o_custkey, o_orderkey""")
+  )
+
+  /** W3 (datamining_analysis.py:127): whole-partition z-score (sample
+    * stddev) broadcast back to rows — an unordered partition window.
+    */
+  val w3Zscore = QueryDef(
+    "q_w3_zscore",
+    (s, dir) =>
+      base(s, dir)
+        .select(col("o_custkey"), col("o_orderkey"),
+          r6((col("o_totalprice") - avg(col("o_totalprice")).over(wAll))
+            / stddev_samp(col("o_totalprice")).over(wAll)).as("z"))
+        .orderBy("o_custkey", "o_orderkey"),
+    Some(s"""
+      SELECT o_custkey, o_orderkey,
+             ${sqlR6("(o_totalprice - avg(o_totalprice) OVER (PARTITION BY o_custkey)) / stddev_samp(o_totalprice) OVER (PARTITION BY o_custkey)")} AS z
+      FROM orders ORDER BY o_custkey, o_orderkey""")
+  )
+
+  /** W4/W5 (datavisualization.py:411-417, 640-644): rolling stddev + mean
+    * over the trailing 5 rows, with pandas min_periods=window semantics
+    * (null until the frame is full).
+    */
+  val w4w5Rolling = QueryDef(
+    "q_w4_rolling",
+    (s, dir) => {
+      val frame = w.rowsBetween(-4, 0)
+      val full = count(lit(1)).over(frame) === 5
+      base(s, dir)
+        .select(col("o_custkey"), col("o_orderkey"),
+          when(full, r2(stddev_samp(col("o_totalprice")).over(frame)))
+            .as("roll_std_5"),
+          when(full, r2(avg(col("o_totalprice")).over(frame)))
+            .as("roll_mean_5"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+    Some(s"""
+      WITH b AS (
+        SELECT o_custkey, o_orderkey,
+               stddev_samp(o_totalprice) $overCust ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS sd,
+               avg(o_totalprice) $overCust ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS mn,
+               count(*) $overCust ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS n
+        FROM orders)
+      SELECT o_custkey, o_orderkey,
+             CASE WHEN n = 5 THEN ${sqlR2("sd")} END AS roll_std_5,
+             CASE WHEN n = 5 THEN ${sqlR2("mn")} END AS roll_mean_5
+      FROM b ORDER BY o_custkey, o_orderkey""")
+  )
+
+  /** W6 (datavisualization.py:277-280): running cumulative sum per group
+    * (exact decimal accumulation for cross-engine determinism).
+    */
+  val w6Cumsum = QueryDef(
+    "q_w6_cumsum",
+    (s, dir) =>
+      base(s, dir)
+        .select(col("o_custkey"), col("o_orderkey"),
+          r2(sum(col("o_totalprice").cast("decimal(28,6)"))
+            .over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("double"))
+            .as("cum_spend"))
+        .orderBy("o_custkey", "o_orderkey"),
+    Some(s"""
+      SELECT o_custkey, o_orderkey,
+             ${sqlR2(s"CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) $overCust ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)")} AS cum_spend
+      FROM orders ORDER BY o_custkey, o_orderkey""")
+  )
+
+  /** W7 (datavisualization.py:606-610): running peak + drawdown, reduced to
+    * the per-group max drawdown.
+    */
+  val w7Drawdown = QueryDef(
+    "q_w7_drawdown",
+    (s, dir) => {
+      val cum = sum(col("o_totalprice").cast("decimal(28,6)"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("double")
+      val peak = max(col("cum")).over(w.rowsBetween(Window.unboundedPreceding, 0))
+      base(s, dir)
+        .withColumn("cum", cum)
+        .withColumn("dd", (col("cum") - peak) / peak)
+        .groupBy("o_custkey")
+        .agg(r6(min(col("dd"))).as("max_drawdown"))
+        .orderBy("o_custkey")
+    },
+    Some(s"""
+      WITH c AS (
+        SELECT o_custkey, o_orderdate, o_orderkey,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) $overCust ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum
+        FROM orders),
+      d AS (
+        SELECT o_custkey, cum,
+               max(cum) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+        FROM c)
+      SELECT o_custkey, ${sqlR6("min((cum - peak) / peak)")} AS max_drawdown
+      FROM d GROUP BY 1 ORDER BY 1""")
+  )
+
+  /** W8 (datavisualization.py:724-741): rolling pairwise correlation over a
+    * trailing 30-row frame, per supplier.
+    */
+  val w8RollingCorr = QueryDef(
+    "q_w8_rolling_corr",
+    (s, dir) => {
+      val ws = Window.partitionBy("l_suppkey")
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_extendedprice"))
+        .rowsBetween(-29, 0)
+      t(s, dir, "lineitem")
+        .select(col("l_suppkey"), col("l_orderkey"),
+          col("l_linenumber").cast("long").as("l_linenumber"),
+          when(count(lit(1)).over(ws) === 30,
+            r4(corr(col("l_quantity"), col("l_extendedprice")).over(ws)))
+            .as("roll_corr_30"))
+        .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+    },
+    Some(s"""
+      WITH b AS (
+        SELECT l_suppkey, l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+               corr(l_quantity, l_extendedprice) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity, l_extendedprice ROWS BETWEEN 29 PRECEDING AND CURRENT ROW) AS c,
+               count(*) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity, l_extendedprice ROWS BETWEEN 29 PRECEDING AND CURRENT ROW) AS n
+        FROM lineitem)
+      SELECT l_suppkey, l_orderkey, l_linenumber,
+             CASE WHEN n = 30 THEN ${sqlR4("c")} END AS roll_corr_30
+      FROM b ORDER BY l_suppkey, l_orderkey, l_linenumber""")
+  )
+
+  /** W9 (datamining_analysis.py:73-75): global standardization — sklearn
+    * StandardScaler uses population stddev, hence stddev_pop over an empty
+    * partition spec (one global window).
+    */
+  val w9Standardize = QueryDef(
+    "q_w9_standardize",
+    (s, dir) => {
+      val g = Window.partitionBy()
+      base(s, dir)
+        .select(col("o_orderkey"),
+          r6((col("o_totalprice") - avg(col("o_totalprice")).over(g))
+            / stddev_pop(col("o_totalprice")).over(g)).as("z_global"))
+        .orderBy("o_orderkey")
+    },
+    Some(s"""
+      SELECT o_orderkey,
+             ${sqlR6("(o_totalprice - avg(o_totalprice) OVER ()) / stddev_pop(o_totalprice) OVER ()")} AS z_global
+      FROM orders ORDER BY o_orderkey""")
+  )
+
+  /** W10 (datamining_analysis.py:84): chronological 80/20 split per group —
+    * sklearn puts ceil(0.2·n) rows in test, so train gets n − ceil(0.2·n).
+    * (0.2*n is evaluated in binary double in both engines, reproducing
+    * sklearn's own float behavior.)
+    */
+  val w10Split = QueryDef(
+    "q_w10_split",
+    (s, dir) =>
+      base(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .select(col("o_custkey"), col("o_orderkey"),
+          when(col("rn") <= col("n") - ceil(col("n") * 0.2), "train")
+            .otherwise("test").as("split"))
+        .orderBy("o_custkey", "o_orderkey"),
+    Some(s"""
+      WITH b AS (
+        SELECT o_custkey, o_orderkey,
+               row_number() $overCust) AS rn,
+               count(*) OVER (PARTITION BY o_custkey) AS n
+        FROM orders)
+      SELECT o_custkey, o_orderkey,
+             CASE WHEN rn <= n - ceil(n * 0.2) THEN 'train' ELSE 'test' END AS split
+      FROM b ORDER BY o_custkey, o_orderkey""")
+  )
+
+  val all: Seq[QueryDef] = Seq(
+    w1Lead, w2PctChange, w3Zscore, w4w5Rolling, w6Cumsum, w7Drawdown,
+    w8RollingCorr, w9Standardize, w10Split)
+}
