@@ -9,6 +9,10 @@ import org.apache.spark.sql.SparkSession
   */
 object EtlMain {
   def main(args: Array[String]): Unit = {
+    if (args.length != 2) {
+      System.err.println(s"usage: %s <rawDir> <outDir>".format(getClass.getName.stripSuffix("$")))
+      sys.exit(2)
+    }
     val Array(rawDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
