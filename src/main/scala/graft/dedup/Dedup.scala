@@ -1,0 +1,224 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.text.TextAnalysis
+
+/** Deduplication operators for a training-data pipeline (builder brief):
+  * exact (hash-groupBy), n-gram Jaccard, MinHash+LSH, SimHash, and
+  * embedding-cosine near-dup.
+  *
+  * Scale design:
+  *  - exact dedup is one hash shuffle on the fingerprint;
+  *  - candidate generation always goes through bounded-width keys
+  *    (shingles / LSH bands / simhash chunks), never an O(n²) cross join;
+  *  - hot shingles are frequency-capped (`maxShingleFreq`) so a stopword
+  *    shingle can't produce a quadratic bucket at 100 TB;
+  *  - verification (true Jaccard / hamming / cosine) runs only on candidate
+  *    pairs.
+  */
+object Dedup {
+
+  // ---- exact ----
+
+  /** Exact dedup: one keeper (min id) per normalized-content fingerprint. */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(TextAnalysis.fingerprint(col(textCol)).as("fp"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Exact dedup applied: rows whose id is the keeper of its group. */
+  def dropExactDups(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy(TextAnalysis.fingerprint(col(textCol)))
+      .orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  // ---- shingles ----
+
+  /** Distinct word n-gram shingles per document: (id, shingle). */
+  def shingles(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame = {
+    val toks = split(TextAnalysis.normText(lower(col(textCol))), " ")
+    // guard: sequence(0, negative) counts DOWN in Spark — short docs would
+    // otherwise explode into invalid indices
+    val idxs = when(size(toks) >= n, sequence(lit(0), size(toks) - n))
+      .otherwise(array().cast("array<int>"))
+    df.select(col(idCol).as("id"),
+        explode(transform(idxs,
+          i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k + 1)): _*)))
+          .as("shingle"))
+      .distinct()
+  }
+
+  /** n-gram Jaccard near-dup pairs: candidates share ≥1 shingle; exact
+    * Jaccard |A∩B| / |A∪B| ≥ threshold. `maxShingleFreq` drops shingles
+    * shared by more than that many docs (stopword-shingle skew guard).
+    */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.3,
+      maxShingleFreq: Int = 100): DataFrame = {
+    val sh = shingles(df, idCol, textCol, n)
+    val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxShingleFreq && col("df") >= 2)
+      .select("shingle")
+    val shF = sh.join(rare, Seq("shingle"))
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+    val common = shF.as("a").join(shF.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id1"), col("b.id").as("id2"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.withColumnRenamed("id", "id1").withColumnRenamed("sz", "sz1"), "id1")
+      .join(sizes.withColumnRenamed("id", "id2").withColumnRenamed("sz", "sz2"), "id2")
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("sz1") + col("sz2") - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select("id1", "id2", "jaccard")
+  }
+
+  // ---- MinHash + LSH ----
+
+  /** MinHash signature per doc: `numPerm` permutations approximated by
+    * seeded xxhash64 of the shingle; banded into `bands` LSH buckets.
+    * Returns candidate pairs with their verified exact Jaccard.
+    */
+  def minHashLshPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numPerm: Int = 32, bands: Int = 8,
+      threshold: Double = 0.3): DataFrame = {
+    require(numPerm % bands == 0, "bands must divide numPerm")
+    val rowsPerBand = numPerm / bands
+    val sh = shingles(df, idCol, textCol, n).cache()
+    // one aggregation computes all minhash components (map-side combined)
+    val minhashes = (0 until numPerm).map(i =>
+      min(xxhash64(col("shingle"), lit(i))).as(s"mh$i"))
+    val sig = sh.groupBy("id").agg(minhashes.head, minhashes.tail: _*)
+    // band hash = hash of the band's rows; explode to (id, band, bandHash)
+    val bandCols = (0 until bands).map { b =>
+      val cols = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"), xxhash64(cols: _*).as("bh"))
+    }
+    val buckets = sig.select(col("id"),
+        explode(array(bandCols: _*)).as("bb"))
+      .select(col("id"), col("bb.band"), col("bb.bh"))
+    val cand = buckets.as("a").join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"))
+      .distinct()
+    verifyJaccard(cand, sh, threshold)
+  }
+
+  /** Exact Jaccard for candidate pairs against the shingle set. */
+  private def verifyJaccard(cand: DataFrame, sh: DataFrame,
+      threshold: Double): DataFrame = {
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+    val common = cand
+      .join(sh.withColumnRenamed("id", "id1").withColumnRenamed("shingle", "s1"), "id1")
+      .join(sh.withColumnRenamed("id", "id2").withColumnRenamed("shingle", "s2"), "id2")
+      .filter(col("s1") === col("s2"))
+      .groupBy("id1", "id2").agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.withColumnRenamed("id", "id1").withColumnRenamed("sz", "sz1"), "id1")
+      .join(sizes.withColumnRenamed("id", "id2").withColumnRenamed("sz", "sz2"), "id2")
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("sz1") + col("sz2") - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select("id1", "id2", "jaccard")
+  }
+
+  // ---- SimHash ----
+
+  /** 64-bit SimHash per doc: sign of the per-bit sum of token hashes. */
+  def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol).as("id"),
+      explode(split(TextAnalysis.normText(lower(col(textCol))), " ")).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    // per-bit vote: +1 if bit set else −1; bit i of result = vote > 0
+    val bitVotes = (0 until 64).map(i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1)
+        .otherwise(-1)).as(s"v$i"))
+    val votes = tok.groupBy("id").agg(bitVotes.head, bitVotes.tail: _*)
+    val sim = (0 until 64).map(i =>
+      when(col(s"v$i") > 0, shiftleft(lit(1L), i)).otherwise(0L))
+      .reduce(_.bitwiseOR(_))
+    votes.select(col("id"), sim.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: 4×16-bit chunk banding (any identical chunk →
+    * candidate; hamming ≤ 3 guarantees a matching chunk), then exact
+    * hamming ≤ maxHamming via bit_count.
+    */
+  def simHashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sig = simHash(df, idCol, textCol).cache()
+    val chunks = sig.select(col("id"), col("simhash"),
+      explode(array((0 until 4).map(i =>
+        struct(lit(i).as("chunk"),
+          shiftright(col("simhash"), i * 16).bitwiseAND(0xFFFF).as("cv"))): _*))
+        .as("cb"))
+      .select(col("id"), col("simhash"), col("cb.chunk"), col("cb.cv"))
+    chunks.as("a").join(chunks.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.cv") === col("b.cv") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"),
+        col("a.simhash").as("h1"), col("b.simhash").as("h2"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("h1").bitwiseXOR(col("h2"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id1", "id2", "hamming")
+  }
+
+  // ---- embedding cosine ----
+
+  /** Cosine similarity of two double arrays (sequential fold — matches a
+    * scalar loop exactly).
+    */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), _ + _)
+    val na = sqrt(aggregate(transform(a, x => x * x), lit(0.0), _ + _))
+    val nb = sqrt(aggregate(transform(b, x => x * x), lit(0.0), _ + _))
+    dot / (na * nb)
+  }
+
+  /** Embedding near-dup pairs via random-hyperplane LSH: `numBits`-bit
+    * signature from seeded pseudo-random planes, `bands` chunk join, exact
+    * cosine ≥ threshold verification. No O(n²) stage.
+    */
+  def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.95, numBits: Int = 16, bands: Int = 4): DataFrame = {
+    val v = df.select(col(idCol).as("id"),
+      transform(col(vecCol), _.cast("double")).as("v"))
+    // deterministic pseudo-random plane component: hash(bit, dim) → ±1-ish
+    def planeDot(bit: Int): Column =
+      aggregate(
+        zip_with(col("v"),
+          sequence(lit(0), size(col("v")) - 1),
+          (x, i) => x * (pmod(xxhash64(lit(bit), i), lit(1000)).cast("double")
+            / 499.5 - 1.0)),
+        lit(0.0), _ + _)
+    val sig = v.withColumn("sig",
+      (0 until numBits).map(b =>
+        when(planeDot(b) > 0, shiftleft(lit(1L), b)).otherwise(0L))
+        .reduce(_.bitwiseOR(_)))
+    val bitsPerBand = numBits / bands
+    val mask = (1L << bitsPerBand) - 1
+    val chunks = sig.select(col("id"), col("v"),
+      explode(array((0 until bands).map(i =>
+        struct(lit(i).as("chunk"),
+          shiftright(col("sig"), i * bitsPerBand).bitwiseAND(mask).as("cv"))): _*))
+        .as("cb"))
+      .select(col("id"), col("v"), col("cb.chunk"), col("cb.cv"))
+    chunks.as("a").join(chunks.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.cv") === col("b.cv") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"),
+        col("a.v").as("v1"), col("b.v").as("v2"))
+      .distinct()
+      .withColumn("cos", cosine(col("v1"), col("v2")))
+      .filter(col("cos") >= threshold)
+      .select("id1", "id2", "cos")
+  }
+}

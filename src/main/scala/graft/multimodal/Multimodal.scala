@@ -1,0 +1,84 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal columns for a training-data pipeline (builder brief): media
+  * as opaque `binary` columns with typed metadata, processed partition-wise.
+  *
+  * The image/audio codec libraries are NOT in this environment, so the
+  * decode kernels are deterministic STUBS (clearly marked); everything
+  * around them — schema shape, binary column handling, partition-wise
+  * batched processing, the operator signatures — is the real Spark
+  * plumbing a production pipeline would keep while swapping the kernel.
+  */
+object Multimodal {
+
+  final case class MediaMeta(mime: String, width: Int, height: Int,
+      n_bytes: Long)
+  final case class MediaRow(media_id: Long, blob: Array[Byte], meta: MediaMeta)
+  final case class MediaFeatures(media_id: Long, feature: Array[Float])
+  final case class Frame(media_id: Long, frame_idx: Int, frame: Array[Byte])
+
+  /** Wrap any (id, string-payload) frame as a media table — the stand-in
+    * ingest for blobs (testdata has no real media; text bytes act as the
+    * payload).
+    */
+  def asMediaTable(df: DataFrame, idCol: String, payloadCol: String,
+      mime: String): DataFrame =
+    df.select(col(idCol).cast("long").as("media_id"),
+        encode(col(payloadCol), "UTF-8").as("blob"))
+      .withColumn("meta", struct(
+        lit(mime).as("mime"),
+        // STUB decode: real pipelines parse the container header here;
+        // dims derived deterministically from the payload hash instead
+        (pmod(xxhash64(col("blob")), lit(1024)) + 128).cast("int").as("width"),
+        (pmod(xxhash64(col("blob"), lit(1)), lit(1024)) + 128).cast("int").as("height"),
+        length(col("blob")).cast("long").as("n_bytes")))
+
+  /** Partition-wise batched feature extraction (the mapInPandas shape in
+    * Scala: one iterator pass per partition, no per-row task overhead).
+    * STUB kernel: 8 deterministic bytes-derived floats standing in for an
+    * image/audio embedding model.
+    */
+  def extractFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.select(col("media_id"), col("blob")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, blob) =>
+          // STUB: real kernel = decode + model forward pass, batched
+          val f = Array.tabulate(8) { i =>
+            var h = 1125899906842597L * (i + 1)
+            blob.foreach(b => h = h * 31 + b)
+            ((h % 1000).toFloat / 1000f)
+          }
+          MediaFeatures(id, f)
+        }
+      }
+  }
+
+  /** Frame sampling for video-like payloads: n evenly spaced byte-slices
+    * per blob (STUB for container-aware keyframe extraction), emitted as
+    * one row per frame — the explode-to-frames shape.
+    */
+  def sampleFrames(spark: SparkSession, media: DataFrame, n: Int): Dataset[Frame] = {
+    import spark.implicits._
+    media.select(col("media_id"), col("blob")).as[(Long, Array[Byte])]
+      .flatMap { case (id, blob) =>
+        val step = math.max(1, blob.length / n)
+        (0 until math.min(n, blob.length)).map { i =>
+          val from = i * step
+          val until = math.min(blob.length, from + step)
+          Frame(id, i, java.util.Arrays.copyOfRange(blob, from, until))
+        }
+      }
+  }
+
+  /** Resize metadata transform (STUB: real kernel re-encodes pixels; the
+    * catalyst-side contract — new dims, same blob schema — is real).
+    */
+  def resizeMeta(media: DataFrame, w: Int, h: Int): DataFrame =
+    media.withColumn("meta", struct(
+      col("meta.mime").as("mime"), lit(w).as("width"), lit(h).as("height"),
+      col("meta.n_bytes").as("n_bytes")))
+}

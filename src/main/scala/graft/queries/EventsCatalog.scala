@@ -1,0 +1,73 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import QueryDef._
+
+/** Event-time twins over the `events` table: tumbling-window aggregation
+  * (the batch shape of streaming.EventStreams' windowed OHLC) and 30-minute
+  * gap sessionization. Hour labels via strftime-style formatting; epoch
+  * milliseconds for gap math (identical truncation in both engines).
+  */
+object EventsCatalog {
+
+  val eventTypes: Seq[String] =
+    Seq("click", "error", "purchase", "signup", "view")
+
+  /** Hourly × event-type count/avg pivot — the tumbling-window aggregate. */
+  val eHourly = QueryDef(
+    "q_e_hourly",
+    (s, dir) => {
+      // events.ts is parquet TIMESTAMP(NANOS) — Spark 4 only reads it as a
+      // nanosecond long; truncate ns → µs exactly as DuckDB does on read
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val e = t(s, dir, "events")
+        .withColumn("hour",
+          date_format(timestamp_micros(expr("ts div 1000")), "yyyy-MM-dd HH"))
+      e.groupBy("hour")
+        .pivot("event_type", eventTypes)
+        .agg(count(lit(1)))
+        .na.fill(0L, eventTypes)
+        .orderBy("hour")
+    },
+    Some(s"""
+      SELECT strftime(ts, '%Y-%m-%d %H') AS hour,
+             ${eventTypes.map(et =>
+      s"""coalesce(count(*) FILTER (event_type = '$et'), 0) AS "$et"""")
+      .mkString(", ")}
+      FROM events GROUP BY 1 ORDER BY 1""")
+  )
+
+  /** Sessionization: a new session starts after a >30 min gap per user;
+    * output per-user session and event counts.
+    */
+  val eSessions = QueryDef(
+    "q_e_sessionize",
+    (s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val wu = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .withColumn("ms", expr("ts div 1000000"))
+        .withColumn("gap", col("ms") - lag(col("ms"), 1).over(wu))
+        .withColumn("brk", when(col("gap") > 30L * 60000, 1L).otherwise(0L))
+        .groupBy("user_id")
+        .agg((sum(col("brk")) + 1).as("n_sessions"),
+          count(lit(1)).as("n_events"))
+        .orderBy("user_id")
+    },
+    Some("""
+      WITH g AS (
+        SELECT user_id,
+               epoch_ms(ts) - lag(epoch_ms(ts), 1) OVER
+                 (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+        FROM events)
+      SELECT user_id,
+             sum(CASE WHEN gap > 30 * 60000 THEN 1 ELSE 0 END) + 1 AS n_sessions,
+             count(*) AS n_events
+      FROM g GROUP BY 1 ORDER BY 1""")
+  )
+
+  val all: Seq[QueryDef] = Seq(eHourly, eSessions)
+}

@@ -1,0 +1,99 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (builder brief): brute-force cosine top-k as the exact baseline, and an
+  * IVF-style coarse-quantizer variant as the scale path.
+  *
+  * Scale design: brute force is queries×corpus — fine when the query set is
+  * small and broadcast; the IVF path assigns corpus vectors to centroid
+  * cells ONCE (narrow scan), probes only `nProbe` cells per query, and
+  * re-ranks exactly within the probed cells.
+  */
+object Ann {
+
+  /** Exact top-k by cosine for each query vector (queries broadcast).
+    * Deterministic tie-break on corpus id.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, qidCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("nn_id"),
+      transform(col(vecCol), _.cast("double")).as("cv"))
+    val q = queries.select(col(qidCol).as("query_id"),
+      transform(col(vecCol), _.cast("double")).as("qv"))
+    val scored = c.crossJoin(broadcast(q))
+      .withColumn("cos", Dedup.cosine(col("cv"), col("qv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("cos"), col("nn_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "nn_id", "cos")
+  }
+
+  /** IVF coarse cells: assign every vector to its nearest of `centroids`
+    * (collected tiny list, broadcast as literal arrays).
+    */
+  def assignCells(vecs: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[(Int, Array[Double])]): DataFrame = {
+    val v = vecs.select(col(idCol).as("id"),
+      transform(col(vecCol), _.cast("double")).as("v"))
+    val best = centroids.map { case (cid, cv) =>
+      val litVec = array(cv.map(lit): _*)
+      struct(Dedup.cosine(col("v"), litVec).as("s"), lit(cid).as("c"))
+    }.reduce((a, b) => when(b.getField("s") > a.getField("s"), b).otherwise(a))
+    v.withColumn("cell", best.getField("c"))
+  }
+
+  /** Simple deterministic coarse centroids: per-cell means of a hash-based
+    * initial assignment (one aggregation; stand-in for a trained quantizer).
+    */
+  def hashCentroids(vecs: DataFrame, idCol: String, vecCol: String,
+      nCells: Int): Seq[(Int, Array[Double])] = {
+    val v = vecs.select(col(idCol).as("id"),
+      transform(col(vecCol), _.cast("double")).as("v"))
+      .withColumn("cell", pmod(xxhash64(col("id")), lit(nCells)).cast("int"))
+    val dim = v.select(size(col("v"))).first().getInt(0)
+    val sums = v.groupBy("cell").agg(
+      count(lit(1)).as("n"),
+      (0 until dim).map(i => sum(element_at(col("v"), i + 1)).as(s"s$i")): _*)
+    sums.collect().map { r =>
+      val n = r.getLong(1).toDouble
+      r.getInt(0) -> (0 until dim).map(i => r.getDouble(i + 2) / n).toArray
+    }.toSeq.sortBy(_._1)
+  }
+
+  /** IVF-style ANN: probe the query's `nProbe` best cells, exact re-rank
+    * inside them. Returns (query_id, rank, nn_id, cos).
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, qidCol: String, k: Int, nCells: Int = 16,
+      nProbe: Int = 4): DataFrame = {
+    val centroids = hashCentroids(corpus, idCol, vecCol, nCells)
+    val cells = assignCells(corpus, idCol, vecCol, centroids)
+      .select(col("id").as("nn_id"), col("v").as("cv"), col("cell"))
+    val q = queries.select(col(qidCol).as("query_id"),
+      transform(col(vecCol), _.cast("double")).as("qv"))
+    val qCells = q.select(col("query_id"), col("qv"),
+      explode(array(centroids.map { case (cid, cv) =>
+        struct(Dedup.cosine(col("qv"), array(cv.map(lit): _*)).as("s"),
+          lit(cid).as("c"))
+      }: _*)).as("sc"))
+      .withColumn("probe_rank",
+        row_number().over(Window.partitionBy("query_id")
+          .orderBy(desc("sc.s"), col("sc.c"))))
+      .filter(col("probe_rank") <= nProbe)
+      .select(col("query_id"), col("qv"), col("sc.c").as("cell"))
+    val scored = cells.join(broadcast(qCells), Seq("cell"))
+      .withColumn("cos", Dedup.cosine(col("cv"), col("qv")))
+    scored.withColumn("rank",
+        row_number().over(Window.partitionBy("query_id")
+          .orderBy(desc("cos"), col("nn_id"))))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "nn_id", "cos")
+  }
+}

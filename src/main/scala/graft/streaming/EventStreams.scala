@@ -1,0 +1,89 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming over the `events` table (SURVEY §2.10 notes the
+  * reference is batch-only; this is the capability-headroom extension —
+  * tumbling-window OHLC-style aggregation and stateful sessionization).
+  *
+  * Scale: watermarked windowed aggregation is Spark's standard incremental
+  * shuffle — state is bounded by (watermark horizon × #keys); the session
+  * operator keeps one small state object per user key.
+  */
+object EventStreams {
+
+  /** events.parquet schema with ts as nanosecond long (see EventsCatalog —
+    * Spark reads parquet TIMESTAMP(NANOS) only via nanosAsLong).
+    */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Tumbling-window per-type OHLC-ish aggregate as a streaming query. */
+  def windowedStats(spark: SparkSession, dir: String,
+      windowLen: String = "5 minutes",
+      watermark: String = "10 minutes"): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(eventSchema)
+      .parquet(s"$dir")
+      .withColumn("tsm", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("tsm", watermark)
+      .groupBy(window(col("tsm"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        first(col("value")).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        last(col("value")).as("close"),
+        sum(col("value")).as("volume"))
+  }
+
+  final case class SessionState(lastMs: Long, sessions: Long, events: Long)
+  final case class UserSessions(user_id: Long, n_sessions: Long, n_events: Long)
+
+  /** Stateful sessionization: a new session after a >30 min silence.
+    * One state record per user; update mode emits running totals.
+    */
+  def sessionize(spark: SparkSession, dir: String,
+      gapMs: Long = 30L * 60000): Dataset[UserSessions] = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val events = spark.readStream.schema(eventSchema).parquet(dir)
+      .select(col("user_id"), expr("ts div 1000000").as("ms"))
+      .as[(Long, Long)]
+    events.groupByKey(_._1)
+      .mapGroupsWithState[SessionState, UserSessions](
+        GroupStateTimeout.NoTimeout()) {
+        case (user, rows, state: GroupState[SessionState]) =>
+          val sorted = rows.map(_._2).toSeq.sorted
+          var st = state.getOption.getOrElse(SessionState(Long.MinValue, 0L, 0L))
+          sorted.foreach { ms =>
+            val newSession = st.lastMs == Long.MinValue || ms - st.lastMs > gapMs
+            st = SessionState(ms,
+              st.sessions + (if (newSession) 1 else 0), st.events + 1)
+          }
+          state.update(st)
+          UserSessions(user, st.sessions, st.events)
+      }
+  }
+
+  /** Drive a streaming frame to completion against static input (memory
+    * sink) and return the materialized result — the batch-driven smoke
+    * harness for local verification.
+    */
+  def runToMemory(spark: SparkSession, df: DataFrame, name: String,
+      outputMode: OutputMode = OutputMode.Append()): DataFrame = {
+    val q = df.writeStream.outputMode(outputMode)
+      .format("memory").queryName(name).start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(name)
+  }
+}

@@ -1,0 +1,149 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.multimodal.Multimodal
+import graft.similarity.Ann
+import graft.streaming.EventStreams
+import graft.text.TextAnalysis
+
+/** Unit semantics for the training-data-pipeline operators: dedup family,
+  * ANN, text analysis, multimodal plumbing, streaming.
+  */
+class PipelineOpsSpec extends SparkSpec {
+  import org.apache.spark.sql.Row
+
+  private lazy val nearDups = {
+    import spark.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy cat again and again"),
+      (3L, "completely different content about spark catalyst optimizer rules"),
+      (4L, "the quick brown fox jumps over the lazy dog again and again"),
+      (5L, "unrelated short text")
+    ).toDF("doc_id", "text")
+  }
+
+  test("exact dedup keeps min id per content group") {
+    val groups = Dedup.exactGroups(nearDups, "doc_id", "text").collect()
+    val dupGroup = groups.find(_.getLong(2) == 2)
+    assert(dupGroup.isDefined && dupGroup.get.getLong(1) == 1L)
+    assert(Dedup.dropExactDups(nearDups, "doc_id", "text").count() == 4)
+  }
+
+  test("ngram jaccard finds the near-dup pair, not the unrelated doc") {
+    val pairs = Dedup.jaccardPairs(nearDups, "doc_id", "text",
+        n = 3, threshold = 0.5, maxShingleFreq = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), s"expected (1,2) in $pairs")
+    assert(pairs.contains((1L, 4L)) && pairs.contains((2L, 4L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("minhash LSH agrees with exact jaccard on recalled pairs") {
+    val exact = Dedup.jaccardPairs(nearDups, "doc_id", "text",
+        n = 3, threshold = 0.5, maxShingleFreq = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = Dedup.minHashLshPairs(nearDups, "doc_id", "text",
+        n = 3, numPerm = 32, bands = 8, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(lsh.contains((1L, 4L)), "identical docs must always collide")
+    lsh.foreach { case (p, j) =>
+      assert(math.abs(exact(p) - j) < 1e-12, s"jaccard mismatch at $p")
+    }
+  }
+
+  test("simhash: identical docs hamming 0, near-dups small, distinct large") {
+    val sig = Dedup.simHash(nearDups, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sig(1L) == sig(4L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sig(1L), sig(2L)) < ham(sig(1L), sig(3L)))
+  }
+
+  test("brute-force ANN: self is rank 1 with cosine 1") {
+    val e = spark.read.parquet(s"$sfSmoke/embeddings.parquet")
+    val top = Ann.bruteForceTopK(e, e.filter(col("vec_id") < 3), "vec_id",
+        "embedding", "vec_id", k = 1).collect()
+    top.foreach { r =>
+      assert(r.getLong(2) == r.getLong(0), "rank-1 neighbor must be self")
+      assert(math.abs(r.getDouble(3) - 1.0) < 1e-12)
+    }
+  }
+
+  test("IVF ANN recall vs brute force (probed cells)") {
+    val e = spark.read.parquet(s"$sfSmoke/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 5)
+    val brute = Ann.bruteForceTopK(e, q, "vec_id", "embedding", "vec_id", 4)
+      .filter(col("nn_id") =!= col("query_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = Ann.ivfTopK(e, q, "vec_id", "embedding", "vec_id", 4,
+        nCells = 8, nProbe = 8) // all cells probed → must equal brute force
+      .filter(col("nn_id") =!= col("query_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(ivf == brute, s"full-probe IVF must match exact: ${brute -- ivf}")
+  }
+
+  test("language ID picks marker-dominant language deterministically") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the cat and the dog of the house is here"),
+      (2L, "der hund und die katze ist hier und der rest"),
+      (3L, "le chat et les chiens est ici et le reste")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.withLangId(df).select("doc_id", "lang_pred")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "en" && got(2L) == "de" && got(3L) == "fr")
+  }
+
+  // streaming file sources require a directory
+  private lazy val eventsDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_events")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfSmoke/events.parquet"),
+      d.resolve("events.parquet"))
+    d.toString
+  }
+
+  test("streaming windowed stats match batch aggregation") {
+    val stream = EventStreams.windowedStats(spark, eventsDir,
+      windowLen = "1 hour")
+    val got = EventStreams.runToMemory(spark, stream, "win_stats",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    // append mode emits only closed windows; compare a stable aggregate
+    val batch = spark.read.parquet(s"$sfSmoke/events.parquet")
+    assert(got.count() > 0)
+    val totalN = got.agg(sum("n")).first().getLong(0)
+    assert(totalN <= batch.count())
+  }
+
+  test("streaming sessionization matches the batch oracle query") {
+    val ds = EventStreams.sessionize(spark, eventsDir)
+    val got = EventStreams.runToMemory(spark, ds.toDF(), "sessions",
+        org.apache.spark.sql.streaming.OutputMode.Update())
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val want = SparkEntry.queries("q_e_sessionize")(spark, sfSmoke)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == want, s"diff: ${want.toSet -- got.toSet}")
+  }
+
+  test("multimodal plumbing: meta, features, frames") {
+    val docs = spark.read.parquet(s"$sfSmoke/documents.parquet").limit(10)
+    val media = Multimodal.asMediaTable(docs, "doc_id", "text", "text/plain")
+    val metas = media.select("media_id", "meta.width", "meta.height",
+      "meta.n_bytes").collect()
+    assert(metas.length == 10)
+    metas.foreach { r =>
+      assert(r.getInt(1) >= 128 && r.getInt(2) >= 128 && r.getLong(3) > 0)
+    }
+    val feats = Multimodal.extractFeatures(spark, media).collect()
+    assert(feats.length == 10 && feats.forall(_.feature.length == 8))
+    // deterministic: same blob → same features
+    val f2 = Multimodal.extractFeatures(spark, media).collect()
+    assert(feats.sortBy(_.media_id).zip(f2.sortBy(_.media_id))
+      .forall { case (a, b) => a.feature.sameElements(b.feature) })
+    val frames = Multimodal.sampleFrames(spark, media, 4)
+    assert(frames.count() == 40)
+  }
+}
