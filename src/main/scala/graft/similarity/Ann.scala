@@ -35,18 +35,34 @@ object Ann {
       .select("query_id", "rank", "nn_id", "cos")
   }
 
+  /** L2-normalize centroid vectors driver-side: argmax over cosine(v, c)
+    * equals argmax over dot(v, c/|c|) since |v| is constant per row — one
+    * looped dot per cell instead of three folds.
+    */
+  private def normalizedCentroidLit(centroids: Seq[(Int, Array[Double])]) = {
+    val normed = centroids.map { case (cid, cv) =>
+      val n = math.sqrt(cv.map(x => x * x).sum)
+      (cid, cv.map(_ / n))
+    }
+    (array(normed.map { case (_, cv) => array(cv.map(lit): _*) }: _*),
+      array(normed.map { case (cid, _) => lit(cid) }: _*))
+  }
+
+  private def dotLit(v: Column, p: Column): Column =
+    aggregate(zip_with(v, p, (x, w) => x * w), lit(0.0), _ + _)
+
   /** IVF coarse cells: assign every vector to its nearest of `centroids`
-    * (collected tiny list, broadcast as literal arrays).
+    * (collected tiny list, broadcast as one literal array-of-arrays; the
+    * scan is a single looped projection).
     */
   def assignCells(vecs: DataFrame, idCol: String, vecCol: String,
       centroids: Seq[(Int, Array[Double])]): DataFrame = {
+    val (centLit, cellIds) = normalizedCentroidLit(centroids)
     val v = vecs.select(col(idCol).as("id"),
       transform(col(vecCol), _.cast("double")).as("v"))
-    val best = centroids.map { case (cid, cv) =>
-      val litVec = array(cv.map(lit): _*)
-      struct(Dedup.cosine(col("v"), litVec).as("s"), lit(cid).as("c"))
-    }.reduce((a, b) => when(b.getField("s") > a.getField("s"), b).otherwise(a))
-    v.withColumn("cell", best.getField("c"))
+    val scores = transform(centLit, c => dotLit(col("v"), c))
+    v.withColumn("cell",
+      element_at(cellIds, array_position(scores, array_max(scores)).cast("int")))
   }
 
   /** Simple deterministic coarse centroids: per-cell means of a hash-based
@@ -76,13 +92,12 @@ object Ann {
     val centroids = hashCentroids(corpus, idCol, vecCol, nCells)
     val cells = assignCells(corpus, idCol, vecCol, centroids)
       .select(col("id").as("nn_id"), col("v").as("cv"), col("cell"))
+    val (centLit, cellIds) = normalizedCentroidLit(centroids)
     val q = queries.select(col(qidCol).as("query_id"),
       transform(col(vecCol), _.cast("double")).as("qv"))
     val qCells = q.select(col("query_id"), col("qv"),
-      explode(array(centroids.map { case (cid, cv) =>
-        struct(Dedup.cosine(col("qv"), array(cv.map(lit): _*)).as("s"),
-          lit(cid).as("c"))
-      }: _*)).as("sc"))
+        explode(zip_with(centLit, cellIds,
+          (c, cid) => struct(dotLit(col("qv"), c).as("s"), cid.as("c")))).as("sc"))
       .withColumn("probe_rank",
         row_number().over(Window.partitionBy("query_id")
           .orderBy(desc("sc.s"), col("sc.c"))))

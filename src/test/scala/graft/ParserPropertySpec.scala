@@ -1,0 +1,87 @@
+package graft
+
+import org.scalacheck.Gen
+
+import graft.etl.Parsers
+
+/** Property tests for the F1–F4 parsers (SURVEY §5 item 2): round-trips,
+  * suffix arithmetic, null tokens, day-first dates — generated with
+  * ScalaCheck Gens, evaluated through the real Column expressions.
+  */
+class ParserPropertySpec extends SparkSpec {
+  import org.apache.spark.sql.functions.col
+
+  private def runVolume(inputs: Seq[String]): Seq[Option[Long]] = {
+    import spark.implicits._
+    inputs.toDF("s").select(Parsers.parseVolume(col("s")).as("v"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0))).toSeq
+  }
+
+  private def runNumber(inputs: Seq[String]): Seq[Option[Double]] = {
+    import spark.implicits._
+    inputs.toDF("s").select(Parsers.parseNumber(col("s")).as("v"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0))).toSeq
+  }
+
+  private def runDate(inputs: Seq[String]): Seq[Option[String]] = {
+    import spark.implicits._
+    inputs.toDF("s").select(Parsers.parseDate(col("s")).as("v"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getDate(0).toString)).toSeq
+  }
+
+  test("volume suffix arithmetic: n.dK/M/B = n.d × 1e3/1e6/1e9 truncated") {
+    val cases = for {
+      whole <- Gen.choose(0, 999)
+      frac <- Gen.choose(0, 99)
+      suffix <- Gen.oneOf("K", "M", "B", "k", "m", "b", "")
+    } yield (whole, frac, suffix)
+    val sample = Gen.listOfN(200, cases).sample.get
+    val inputs = sample.map { case (w, f, s) => f"$w%d.$f%02d$s" }
+    val got = runVolume(inputs)
+    sample.zip(got).foreach { case ((w, f, s), v) =>
+      val mult = s.toUpperCase match {
+        case "K" => 1e3; case "M" => 1e6; case "B" => 1e9; case _ => 1.0
+      }
+      val expect = ((w + f / 100.0) * mult).toLong
+      assert(v.contains(expect), s"$w.$f$s → $v, want $expect")
+    }
+  }
+
+  test("number round-trip with thousands separators") {
+    val gen = Gen.choose(0L, 999999999L)
+    val nums = Gen.listOfN(200, gen).sample.get
+    val inputs = nums.map(n => f"$n%,d.5")
+    val got = runNumber(inputs)
+    nums.zip(got).foreach { case (n, v) =>
+      assert(v.contains(n + 0.5), s"$n → $v")
+    }
+  }
+
+  test("null tokens always parse to null in every parser") {
+    val tokens = Seq("", "-", "—", "nan", " ", " — ")
+    assert(runVolume(tokens).forall(_.isEmpty))
+    assert(runNumber(tokens).forall(_.isEmpty))
+    assert(runDate(tokens).forall(_.isEmpty))
+  }
+
+  test("garbage never throws, parses to null") {
+    val garbage = Gen.listOfN(100,
+      Gen.oneOf(Gen.alphaStr.map(_ + "X"), Gen.const("1.2.3K"),
+        Gen.const("12/34/"), Gen.const("KM"))).sample.get
+    assert(runVolume(garbage.map(_ + "Z")).forall(_.isEmpty))
+  }
+
+  test("day-first dates: dd/MM/yyyy for all valid calendar days") {
+    val cases = for {
+      d <- Gen.choose(1, 28)
+      m <- Gen.choose(1, 12)
+      y <- Gen.choose(1990, 2030)
+    } yield (d, m, y)
+    val sample = Gen.listOfN(200, cases).sample.get
+    val inputs = sample.map { case (d, m, y) => f"$d%02d/$m%02d/$y%04d" }
+    val got = runDate(inputs)
+    sample.zip(got).foreach { case ((d, m, y), v) =>
+      assert(v.contains(f"$y%04d-$m%02d-$d%02d"), s"$d/$m/$y → $v")
+    }
+  }
+}
