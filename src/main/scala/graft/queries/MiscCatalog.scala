@@ -88,5 +88,72 @@ object MiscCatalog {
       FROM events GROUP BY 1 ORDER BY 1""")
   )
 
-  val all: Seq[QueryDef] = Seq(oTopK, aSpikeSummary, eJson)
+  /** A14/F13 twin (datavisualization.py:582-631): per-priority
+    * "financial summary" — annualized return exp(μ·252)−1 from mean
+    * row-over-row change, annualized vol σ·√252, Sharpe vs a 3% risk-free
+    * rate.
+    */
+  val aSummary = QueryDef(
+    "q_a14_summary",
+    (s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("lr",
+          log(col("o_totalprice") / lag(col("o_totalprice"), 1).over(w)))
+        .filter(col("lr").isNotNull)
+        .groupBy("o_orderpriority")
+        .agg(
+          r6(exp(avg(col("lr")) * 252) - 1).as("ann_return"),
+          r6(stddev_samp(col("lr")) * math.sqrt(252)).as("ann_vol"),
+          r6(((exp(avg(col("lr")) * 252) - 1) - 0.03)
+            / (stddev_samp(col("lr")) * math.sqrt(252))).as("sharpe"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")
+    },
+    Some(s"""
+      WITH r AS (
+        SELECT o_orderpriority,
+               ln(o_totalprice / lag(o_totalprice, 1) OVER
+                 (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)) AS lr
+        FROM orders)
+      SELECT o_orderpriority,
+             ${sqlR6("exp(avg(lr) * 252) - 1")} AS ann_return,
+             ${sqlR6("stddev_samp(lr) * sqrt(252)")} AS ann_vol,
+             ${sqlR6("((exp(avg(lr) * 252) - 1) - 0.03) / (stddev_samp(lr) * sqrt(252))")} AS sharpe,
+             count(*) AS n
+      FROM r WHERE lr IS NOT NULL GROUP BY 1 ORDER BY 1""")
+  )
+
+  /** M3 twin (datamining_analysis.py:105-120): K-Means k=3 over per-group
+    * scaled (mean row-over-row change, mean price) features via spark.ml —
+    * not SQL-expressible → rows-only.
+    */
+  val mKmeans = QueryDef(
+    "q_m3_kmeans",
+    (s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val feats = t(s, dir, "orders")
+        .withColumn("chg",
+          col("o_totalprice") / lag(col("o_totalprice"), 1).over(w) - 1)
+        .groupBy("o_custkey")
+        .agg(avg("chg").as("Return"), avg("o_totalprice").as("Volume"))
+        .na.drop()
+      val scaled = graft.mining.Scaling.standardize(feats, Seq("Return", "Volume"))
+      val assembled = new org.apache.spark.ml.feature.VectorAssembler()
+        .setInputCols(Array("Return_z", "Volume_z")).setOutputCol("fv")
+        .transform(scaled)
+      new org.apache.spark.ml.clustering.KMeans()
+        .setK(3).setSeed(42L).setFeaturesCol("fv").setPredictionCol("Cluster")
+        .fit(assembled).transform(assembled)
+        .select(col("o_custkey"),
+          col("Return"), col("Volume"), col("Cluster").cast("long").as("Cluster"))
+        .orderBy("o_custkey")
+    },
+    None
+  )
+
+  val all: Seq[QueryDef] = Seq(oTopK, aSpikeSummary, eJson, aSummary, mKmeans)
 }
+
