@@ -1,0 +1,175 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Distributed sequence operators for LOW-CARDINALITY groups.
+  *
+  * Spark's `Window.partitionBy(g).orderBy(t)` funnels each group through a
+  * single task — with 3 groups, a cluster of any size runs 3-wide (measured
+  * 5.5× degradation at 10× data in tools.Soak). This operator instead
+  * range-partitions by (group ++ order) — one GROUP SPANS MANY partitions —
+  * and computes lead/row_number with two passes and a tiny driver-side
+  * boundary exchange:
+  *
+  *   pass 1 (parallel): per partition, count rows per group and capture the
+  *     partition's first row (group key + lead-source value);
+  *   driver: prefix-sum the counts into per-(partition, group) row-number
+  *     offsets; map each partition to its successor's first row;
+  *   pass 2 (parallel): walk the sorted partition, assigning row numbers
+  *     from the offset and lead values from the next row (or the successor
+  *     partition's first row at the tail).
+  *
+  * Exact same semantics as the window functions (proven by SequenceOpsSpec
+  * and the unchanged q_m2_ols_next DuckDB oracle) with P-way parallelism.
+  * This is the charter's case (d): genuine per-partition imperative logic
+  * that the built-in operators cannot express scalably.
+  */
+object SequenceOps {
+
+  /** Adaptive front door: when the group count already saturates the
+    * target parallelism, the plain window (no row-conversion overhead) is
+    * the right plan; below that, the range-partitioned two-pass takes over.
+    * Semantics are identical either way.
+    */
+  def leadAndRowNumber(
+      df: DataFrame,
+      groupCols: Seq[String],
+      orderCols: Seq[String],
+      leadSrc: Option[String] = None,
+      leadOut: String = "lead",
+      rnCol: Option[String] = None,
+      numPartitions: Option[Int] = None): DataFrame = {
+    val p = numPartitions.getOrElse(
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+    val nGroups = df.select(groupCols.map(col): _*).distinct().limit(p).count()
+    if (nGroups >= p) {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(groupCols.map(col): _*)
+        .orderBy(orderCols.map(col): _*)
+      val withLead = leadSrc match {
+        case Some(src) => df.withColumn(leadOut, lead(col(src), 1).over(w))
+        case None => df
+      }
+      rnCol match {
+        case Some(rc) => withLead.withColumn(rc, row_number().over(w).cast("long"))
+        case None => withLead
+      }
+    } else {
+      withSequenceCols(df, groupCols, orderCols, leadSrc, leadOut, rnCol,
+        Some(p))
+    }
+  }
+
+  /** Append a row_number column (`rnCol`) and/or a lead-by-1 column
+    * (`leadOut` of `leadSrc`) over PARTITION BY `groupCols` ORDER BY
+    * `orderCols` — order must be total within each group (include a unique
+    * tiebreaker).
+    */
+  def withSequenceCols(
+      df: DataFrame,
+      groupCols: Seq[String],
+      orderCols: Seq[String],
+      leadSrc: Option[String] = None,
+      leadOut: String = "lead",
+      rnCol: Option[String] = None,
+      numPartitions: Option[Int] = None): DataFrame = {
+    val spark = df.sparkSession
+    val p = numPartitions.getOrElse(
+      spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+    val keys = (groupCols ++ orderCols).map(col)
+    val sorted = df.repartitionByRange(p, keys: _*)
+      .sortWithinPartitions(keys: _*)
+    val schema = sorted.schema
+    val gIdx = groupCols.map(schema.fieldIndex)
+    val srcIdx = leadSrc.map(schema.fieldIndex)
+
+    // The cache is REQUIRED for correctness, not speed: pass 2's offsets
+    // are keyed to pass 1's exact partition boundaries, and re-executing
+    // the range-partitioner re-samples (rdd.id seeds) — uncached, the two
+    // passes could see different partitionings. Freed lazily by Spark's
+    // LRU; callers doing many calls can spark.sparkContext.getPersistentRDDs
+    // to manage.
+    val rdd = sorted.rdd.cache()
+    locally {
+      // pass 1: per-partition group counts (in group-encounter order) and
+      // the first row's (group key, lead-source value)
+      final case class PartSummary(
+          idx: Int,
+          groupCounts: Seq[(Seq[Any], Long)],
+          firstRow: Option[(Seq[Any], Any)])
+      val summaries = rdd.mapPartitionsWithIndex { (idx, it) =>
+        val counts = scala.collection.mutable.LinkedHashMap[Seq[Any], Long]()
+        var first: Option[(Seq[Any], Any)] = None
+        it.foreach { r =>
+          val g = gIdx.map(r.get)
+          if (first.isEmpty)
+            first = Some((g, srcIdx.map(r.get).orNull))
+          counts(g) = counts.getOrElse(g, 0L) + 1L
+        }
+        Iterator.single(PartSummary(idx, counts.toSeq, first))
+      }.collect().sortBy(_.idx)
+
+      // driver: prefix offsets per (partition, group); successor first rows
+      val running = scala.collection.mutable.Map[Seq[Any], Long]()
+      val offsets: Array[Map[Seq[Any], Long]] = summaries.map { s =>
+        val snapshot = s.groupCounts.map { case (g, c) =>
+          val off = running.getOrElse(g, 0L)
+          running(g) = off + c
+          g -> off
+        }.toMap
+        snapshot
+      }
+      // successor = first row of the next NON-EMPTY partition (range bounds
+      // can produce empty partitions between two partitions of one group)
+      val successorFirst: Array[Option[(Seq[Any], Any)]] = {
+        val out = Array.fill[Option[(Seq[Any], Any)]](summaries.length)(None)
+        var carry: Option[(Seq[Any], Any)] = None
+        for (i <- summaries.length - 1 to 0 by -1) {
+          out(i) = carry
+          if (summaries(i).firstRow.isDefined) carry = summaries(i).firstRow
+        }
+        out
+      }
+
+      val bOffsets = spark.sparkContext.broadcast(offsets)
+      val bSucc = spark.sparkContext.broadcast(successorFirst)
+
+      // pass 2: assign
+      val outRdd = rdd.mapPartitionsWithIndex { (idx, it) =>
+        val offs = scala.collection.mutable.Map[Seq[Any], Long]() ++=
+          bOffsets.value(idx)
+        val succ = bSucc.value(idx)
+        // one-ahead state machine (plain vars — BufferedIterator recurses
+        // against Spark's iterator wrappers)
+        new Iterator[Row] {
+          private var cur: Row = if (it.hasNext) it.next() else null
+          override def hasNext: Boolean = cur != null
+          override def next(): Row = {
+            val r = cur
+            cur = if (it.hasNext) it.next() else null
+            val g = gIdx.map(r.get)
+            val rn = offs.getOrElse(g, 0L) + 1L
+            offs(g) = rn
+            val leadVal: Any = srcIdx.map { si =>
+              if (cur != null) {
+                if (gIdx.map(cur.get) == g) cur.get(si) else null
+              } else succ match {
+                case Some((sg, sv)) if sg == g => sv
+                case _ => null
+              }
+            }.orNull
+            val extra = (leadSrc.map(_ => leadVal).toSeq ++
+              rnCol.map(_ => rn: Any).toSeq)
+            Row.fromSeq(r.toSeq ++ extra)
+          }
+        }
+      }
+      val outSchema = StructType(schema.fields.toSeq ++
+        leadSrc.map(s => StructField(leadOut, schema(s).dataType)).toSeq ++
+        rnCol.map(StructField(_, LongType, nullable = false)).toSeq)
+      spark.createDataFrame(outRdd, outSchema)
+    }
+  }
+}

@@ -53,21 +53,34 @@ object MiningCatalog {
   val m2OlsNextDay = QueryDef(
     "q_m2_ols_next",
     (s, dir) => {
-      val g = Window.partitionBy()
-      val wf = Window.partitionBy("l_returnflag")
-        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
-          col("l_quantity"), col("l_extendedprice"))
-      val wfAll = Window.partitionBy("l_returnflag")
-      val base = t(s, dir, "lineitem")
-        .select(col("l_returnflag"), col("l_shipdate"), col("l_orderkey"),
-          col("l_linenumber"), col("l_quantity"), col("l_extendedprice"))
-        .withColumn("x",
-          (col("l_quantity") - avg(col("l_quantity")).over(g))
-            / stddev_pop(col("l_quantity")).over(g))
-        .withColumn("y", lead(col("l_extendedprice"), 1).over(wf))
+      // Scale note: the natural Window.partitionBy("l_returnflag") version
+      // runs 3-wide (3 groups) and a Window.partitionBy() scaler runs
+      // 1-wide — measured 5.5× degradation at 10× data (tools.Soak). The
+      // scaler is a 1-row aggregate broadcast back; lead/row_number go
+      // through plans.SequenceOps (range-partitioned two-pass, equal
+      // semantics, P-way parallel). The DuckDB oracle is unchanged.
+      val seqKeys = Seq("l_shipdate", "l_orderkey", "l_linenumber",
+        "l_quantity", "l_extendedprice")
+      val li = t(s, dir, "lineitem")
+        .select(col("l_returnflag") +: seqKeys.map(col): _*)
+      val stats = li.agg(avg(col("l_quantity")).as("__mu"),
+        stddev_pop(col("l_quantity")).as("__sd"))
+      val withX = li.crossJoin(broadcast(stats))
+        .withColumn("x", (col("l_quantity") - col("__mu")) / col("__sd"))
+        .drop("__mu", "__sd")
+      // one sequence pass computes both: the only dropped row (y null) is
+      // each group's LAST row, so row numbers over the unfiltered set equal
+      // row numbers over the filtered set for every kept row
+      val withRn = graft.plans.SequenceOps.withSequenceCols(withX,
+          Seq("l_returnflag"), seqKeys,
+          leadSrc = Some("l_extendedprice"), leadOut = "y",
+          rnCol = Some("rn"))
         .filter(col("y").isNotNull)
-        .withColumn("rn", row_number().over(wf))
-        .withColumn("n", count(lit(1)).over(wfAll))
+      // the train/test branches below both consume this frame; Spark plans
+      // common subtrees twice, so materialize the sequence output once
+      val withRnC = withRn.cache()
+      val counts = withRnC.groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+      val base = withRnC.join(broadcast(counts), Seq("l_returnflag"))
         .withColumn("is_train", col("rn") <= col("n") - ceil(col("n") * 0.2))
       val coefs = base.filter(col("is_train"))
         .groupBy("l_returnflag")
@@ -75,10 +88,12 @@ object MiningCatalog {
           (covar_samp(col("y"), col("x")) / var_samp(col("x"))).as("b"),
           (avg(col("y")) - covar_samp(col("y"), col("x"))
             / var_samp(col("x")) * avg(col("x"))).as("a"))
-      base.filter(!col("is_train"))
+      val test = base.filter(!col("is_train"))
         .join(broadcast(coefs), Seq("l_returnflag"))
         .withColumn("resid", col("y") - (col("a") + col("b") * col("x")))
-        .withColumn("ybar", avg(col("y")).over(wfAll))
+      val ybars = test.groupBy("l_returnflag").agg(avg(col("y")).as("ybar"))
+      test
+        .join(broadcast(ybars), Seq("l_returnflag"))
         .groupBy("l_returnflag")
         .agg(
           r6(lit(1) - sum(col("resid") * col("resid"))

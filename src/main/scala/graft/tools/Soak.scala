@@ -1,0 +1,75 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.SparkEntry
+
+/** Scale soak: synthesize an ~N×-sf0.1 star schema by unioning key-shifted
+  * copies (keys stay consistent across tables, so joins/windows behave like
+  * genuinely larger data), write it as parquet, and time the headline
+  * queries — evidence that the plans scale linearly rather than
+  * combinatorially.
+  *
+  * Usage: runMain graft.tools.Soak [copies] [outDir]
+  */
+object Soak {
+  def main(args: Array[String]): Unit = {
+    val copies = if (args.length > 0) args(0).toInt else 10
+    val outDir = if (args.length > 1) args(1)
+      else "target/soak_sf1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-soak")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val src = "/root/testdata/sf0.1"
+
+    def scaleUp(name: String, keyCols: Seq[String], shift: Long): Unit = {
+      val base = spark.read.parquet(s"$src/$name.parquet")
+      val scaled = (0 until copies).map { i =>
+        keyCols.foldLeft(base)((d, k) =>
+          d.withColumn(k, col(k) + lit(i * shift)))
+      }.reduce(_ unionByName _)
+      scaled.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+    }
+    // key shift keeps referential integrity within each copy
+    val t0 = System.nanoTime()
+    scaleUp("lineitem", Seq("l_orderkey"), 10000000L)
+    scaleUp("orders", Seq("o_orderkey", "o_custkey"), 10000000L)
+    scaleUp("customer", Seq("c_custkey"), 10000000L)
+    // small dims unchanged
+    Seq("supplier", "part", "nation", "region", "events", "documents",
+      "embeddings").foreach { n =>
+      spark.read.parquet(s"$src/$n.parquet").write.mode("overwrite")
+        .parquet(s"$outDir/$n.parquet")
+    }
+    println(f"[soak] built ${copies}x sf0.1 in ${(System.nanoTime()-t0)/1e9}%.1f s")
+
+    val headline = Seq("q1_pricing_summary", "q_a1_quarterly_price",
+      "q_j5_star_revenue", "q_w3_zscore", "q_m4_anomalies", "q_m2_ols_next",
+      "q_w8_rolling_corr", "q_d_exact", "q_m1_ols")
+    // warm once at sf0.1 so soak timings measure data volume, not codegen
+    headline.foreach(n => SparkEntry.queries(n)(spark, src).count())
+    val results = headline.map { n =>
+      val s0 = System.nanoTime()
+      val small = SparkEntry.queries(n)(spark, src).count()
+      val sMid = System.nanoTime()
+      val big = SparkEntry.queries(n)(spark, outDir).count()
+      val sEnd = System.nanoTime()
+      val tSmall = (sMid - s0) / 1e9
+      val tBig = (sEnd - sMid) / 1e9
+      println(f"[soak] $n%-24s sf0.1 $tSmall%6.2fs ($small%9d rows)  ${copies}x $tBig%6.2fs ($big%9d rows)  ratio ${tBig / tSmall}%5.2f")
+      (n, tSmall, tBig)
+    }
+    val worst = results.maxBy(r => r._3 / r._2)
+    println(f"[soak] worst scaling: ${worst._1} ${(worst._3 / worst._2)}%.2fx time at ${copies}x data")
+    spark.stop()
+  }
+}

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.plans.SequenceOps
+
+/** SequenceOps must equal the window functions exactly — including at
+  * partition boundaries, which is the whole point: with many range
+  * partitions and few groups, every group spans partitions.
+  */
+class SequenceOpsSpec extends SparkSpec {
+
+  test("lead + row_number equal window results on low-cardinality groups") {
+    val orders = spark.read.parquet(s"$sfCorrect/orders.parquet")
+      .withColumn("g", (col("o_orderkey") % 3).cast("int")) // 3 groups, 15k rows
+    val w = Window.partitionBy("g").orderBy(col("o_orderdate"), col("o_orderkey"))
+    val want = orders
+      .withColumn("lead_w", lead(col("o_totalprice"), 1).over(w))
+      .withColumn("rn_w", row_number().over(w).cast("long"))
+      .select("o_orderkey", "lead_w", "rn_w")
+    val got = SequenceOps.withSequenceCols(orders,
+        groupCols = Seq("g"),
+        orderCols = Seq("o_orderdate", "o_orderkey"),
+        leadSrc = Some("o_totalprice"), leadOut = "lead_s",
+        rnCol = Some("rn_s"),
+        numPartitions = Some(16)) // 3 groups across 16 partitions
+      .select("o_orderkey", "lead_s", "rn_s")
+    val j = want.join(got, "o_orderkey")
+    assert(j.count() == orders.count())
+    val bad = j.filter(
+      !(col("rn_w") === col("rn_s")) ||
+        (col("lead_w").isNull =!= col("lead_s").isNull) ||
+        (col("lead_w").isNotNull && col("lead_w") =!= col("lead_s")))
+    assert(bad.count() == 0, s"mismatches: ${bad.take(5).mkString(";")}")
+  }
+
+  test("single group spanning all partitions") {
+    import spark.implicits._
+    val df = (1 to 1000).map(i => (1, i, i * 10.0)).toDF("g", "t", "v")
+    val got = SequenceOps.withSequenceCols(df, Seq("g"), Seq("t"),
+        leadSrc = Some("v"), leadOut = "nxt", rnCol = Some("rn"),
+        numPartitions = Some(13))
+      .orderBy("t").collect()
+    got.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getLong(r.fieldIndex("rn")) == i + 1)
+      if (i < 999)
+        assert(r.getDouble(r.fieldIndex("nxt")) == (i + 2) * 10.0)
+      else assert(r.isNullAt(r.fieldIndex("nxt")))
+    }
+  }
+
+  test("empty partitions and tiny data") {
+    import spark.implicits._
+    val df = Seq((1, 1, 1.0), (2, 1, 2.0)).toDF("g", "t", "v")
+    val got = SequenceOps.withSequenceCols(df, Seq("g"), Seq("t"),
+        leadSrc = Some("v"), rnCol = Some("rn"), numPartitions = Some(8))
+      .collect()
+    assert(got.length == 2)
+    got.foreach { r =>
+      assert(r.getLong(r.fieldIndex("rn")) == 1L)
+      assert(r.isNullAt(r.fieldIndex("lead")))
+    }
+  }
+}
