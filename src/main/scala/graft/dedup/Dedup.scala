@@ -7,8 +7,10 @@ import org.apache.spark.sql.functions._
 import graft.text.TextAnalysis
 
 /** Deduplication operators for a training-data pipeline (builder brief):
-  * exact (hash-groupBy), n-gram Jaccard, MinHash+LSH, SimHash, and
-  * embedding-cosine near-dup.
+  * exact (hash-groupBy), n-gram Jaccard, MinHash+LSH (Broder, "On the
+  * resemblance and containment of documents", 1997), SimHash (Charikar,
+  * "Similarity estimation techniques from rounding algorithms", 2002), and
+  * embedding-cosine near-dup via random-hyperplane LSH (same paper).
   *
   * Scale design:
   *  - exact dedup is one hash shuffle on the fingerprint;
