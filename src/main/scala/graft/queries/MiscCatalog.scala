@@ -154,6 +154,72 @@ object MiscCatalog {
     None
   )
 
-  val all: Seq[QueryDef] = Seq(oTopK, aSpikeSummary, eJson, aSummary, mKmeans)
+  /** As-of join twin: each purchase event picks up the user's most recent
+    * click value at-or-before the purchase time. The oracle is DuckDB's
+    * NATIVE `ASOF LEFT JOIN` — the Spark union+carry-forward formulation
+    * (plans.AsOfJoin) must reproduce it exactly. Right side is
+    * pre-aggregated unique per (user, ms) with arg_max tie-breaking so
+    * both engines see one candidate per instant.
+    */
+  val qAsof = QueryDef(
+    "q_asof_join",
+    (s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val e = t(s, dir, "events")
+        .withColumn("ms", expr("ts div 1000000"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select("user_id", "ms", "event_id", "value")
+      val clicks = e.filter(col("event_type") === "click")
+        .groupBy("user_id", "ms")
+        .agg(max_by(col("value"), col("event_id")).as("click_value"))
+      graft.plans.AsOfJoin.asofJoin(purchases, clicks, Seq("user_id"),
+          "ms", "ms", Seq("click_value"))
+        .select(col("user_id"), col("event_id"), col("value"),
+          col("asof_click_value"))
+        .orderBy("user_id", "event_id")
+    },
+    Some("""
+      WITH p AS (
+        SELECT user_id, epoch_ms(ts) AS ms, event_id, value
+        FROM events WHERE event_type = 'purchase'),
+      c AS (
+        SELECT user_id, epoch_ms(ts) AS ms,
+               arg_max(value, event_id) AS click_value
+        FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+      SELECT p.user_id, p.event_id, p.value,
+             c.click_value AS asof_click_value
+      FROM p ASOF LEFT JOIN c
+        ON p.user_id = c.user_id AND p.ms >= c.ms
+      ORDER BY p.user_id, p.event_id""")
+  )
+
+  /** Range-join twin: customers whose account balance falls inside a
+    * ±50 band around each part's retail price. The oracle is DuckDB's
+    * native inequality join (IEJoin); the Spark side runs the bucketed
+    * equi-join formulation (plans.RangeJoin) — exact same matches.
+    */
+  val qRange = QueryDef(
+    "q_range_join",
+    (s, dir) => {
+      val points = t(s, dir, "customer").select("c_custkey", "c_acctbal")
+      val intervals = t(s, dir, "part").select(
+        col("p_partkey"),
+        (col("p_retailprice") - 50).as("lo"),
+        (col("p_retailprice") + 50).as("hi"))
+      graft.plans.RangeJoin
+        .bucketedRangeJoin(points, "c_acctbal", intervals, "lo", "hi", 100.0)
+        .select("c_custkey", "p_partkey", "c_acctbal")
+        .orderBy("c_custkey", "p_partkey")
+    },
+    Some("""
+      SELECT c.c_custkey, p.p_partkey, c.c_acctbal
+      FROM customer c JOIN part p
+        ON c.c_acctbal >= p.p_retailprice - 50
+       AND c.c_acctbal <  p.p_retailprice + 50
+      ORDER BY c_custkey, p_partkey""")
+  )
+
+  val all: Seq[QueryDef] =
+    Seq(oTopK, aSpikeSummary, eJson, aSummary, mKmeans, qAsof, qRange)
 }
 
