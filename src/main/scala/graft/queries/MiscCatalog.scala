@@ -219,7 +219,29 @@ object MiscCatalog {
       ORDER BY c_custkey, p_partkey""")
   )
 
+  /** Rollup capability (beyond the reference — no grouping sets appear in
+    * it, SURVEY §2.5): year × priority subtotals and grand total in one
+    * pass. Note both engines emit NULL group keys for subtotal rows but
+    * default null ORDERING differs (Spark NULLS FIRST asc, DuckDB NULLS
+    * LAST) — pinned explicitly.
+    */
+  val qRollup = QueryDef(
+    "q_rollup",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .withColumn("Year", year(col("o_orderdate")).cast("long"))
+        .rollup("Year", "o_orderpriority")
+        .agg(r2(avg(col("o_totalprice"))).as("avg_price"),
+          count(lit(1)).as("n"))
+        .orderBy(asc_nulls_first("Year"), asc_nulls_first("o_orderpriority")),
+    Some(s"""
+      SELECT year(o_orderdate) AS "Year", o_orderpriority,
+             ${sqlR2("avg(o_totalprice)")} AS avg_price, count(*) AS n
+      FROM orders GROUP BY ROLLUP ("Year", o_orderpriority)
+      ORDER BY "Year" ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""")
+  )
+
   val all: Seq[QueryDef] =
-    Seq(oTopK, aSpikeSummary, eJson, aSummary, mKmeans, qAsof, qRange)
+    Seq(oTopK, aSpikeSummary, eJson, aSummary, mKmeans, qAsof, qRange, qRollup)
 }
 
