@@ -44,8 +44,9 @@ object Soak {
     scaleUp("lineitem", Seq("l_orderkey"), 10000000L)
     scaleUp("orders", Seq("o_orderkey", "o_custkey"), 10000000L)
     scaleUp("customer", Seq("c_custkey"), 10000000L)
+    scaleUp("documents", Seq("doc_id"), 10000000L)
     // small dims unchanged
-    Seq("supplier", "part", "nation", "region", "events", "documents",
+    Seq("supplier", "part", "nation", "region", "events",
       "embeddings").foreach { n =>
       spark.read.parquet(s"$src/$n.parquet").write.mode("overwrite")
         .parquet(s"$outDir/$n.parquet")
@@ -54,7 +55,8 @@ object Soak {
 
     val headline = Seq("q1_pricing_summary", "q_a1_quarterly_price",
       "q_j5_star_revenue", "q_w3_zscore", "q_m4_anomalies", "q_m2_ols_next",
-      "q_w8_rolling_corr", "q_d_exact", "q_m1_ols")
+      "q_w8_rolling_corr", "q_d_exact", "q_m1_ols", "q_t_quality",
+      "q_d_minhash_lsh", "q_d_simhash", "q_asof_join", "q_range_join")
     // warm once at sf0.1 so soak timings measure data volume, not codegen
     headline.foreach(n => SparkEntry.queries(n)(spark, src).count())
     val results = headline.map { n =>
