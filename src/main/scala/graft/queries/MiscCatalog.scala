@@ -141,9 +141,12 @@ object MiscCatalog {
         .agg(avg("chg").as("Return"), avg("o_totalprice").as("Volume"))
         .na.drop()
       val scaled = graft.mining.Scaling.standardize(feats, Seq("Return", "Volume"))
+      // fit and transform each re-execute the feature lineage (window +
+      // aggregate + scaler) — materialize it once
       val assembled = new org.apache.spark.ml.feature.VectorAssembler()
         .setInputCols(Array("Return_z", "Volume_z")).setOutputCol("fv")
         .transform(scaled)
+        .cache()
       new org.apache.spark.ml.clustering.KMeans()
         .setK(3).setSeed(42L).setFeaturesCol("fv").setPredictionCol("Cluster")
         .fit(assembled).transform(assembled)

@@ -18,16 +18,23 @@ import graft.dedup.Dedup
 object Ann {
 
   /** Exact top-k by cosine for each query vector (queries broadcast).
-    * Deterministic tie-break on corpus id.
+    * Deterministic tie-break on corpus id. Both sides are L2-normalized
+    * once up front so each pair costs ONE dot-product fold — at corpus×k
+    * scale the per-pair work is the whole cost.
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, qidCol: String, k: Int): DataFrame = {
-    val c = corpus.select(col(idCol).as("nn_id"),
-      transform(col(vecCol), _.cast("double")).as("cv"))
-    val q = queries.select(col(qidCol).as("query_id"),
-      transform(col(vecCol), _.cast("double")).as("qv"))
+    def normed(df: DataFrame, id: String, outId: String, outVec: String) = {
+      val v = transform(col(vecCol), _.cast("double"))
+      val n = sqrt(aggregate(transform(v, x => x * x), lit(0.0), _ + _))
+      df.select(col(id).as(outId), transform(v, _ / n).as(outVec))
+    }
+    val c = normed(corpus, idCol, "nn_id", "cv")
+    val q = normed(queries, qidCol, "query_id", "qv")
     val scored = c.crossJoin(broadcast(q))
-      .withColumn("cos", Dedup.cosine(col("cv"), col("qv")))
+      .withColumn("cos",
+        aggregate(zip_with(col("cv"), col("qv"), (x, y) => x * y),
+          lit(0.0), _ + _))
     val w = Window.partitionBy("query_id")
       .orderBy(desc("cos"), col("nn_id"))
     scored.withColumn("rank", row_number().over(w))
