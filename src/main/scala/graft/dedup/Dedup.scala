@@ -219,9 +219,9 @@ object Dedup {
     // all bits in ONE nested higher-order expression (a loop in codegen,
     // not numBits unrolled aggregates — 64 separate folds compile slowly)
     val planesLit = array(planes.map(p => array(p.map(lit): _*)): _*)
+    graft.functions.VectorFunctions.register(df.sparkSession)
     val bitValues = transform(planesLit, p => when(
-      aggregate(zip_with(col("vn"), p, (x, w) => x * w), lit(0.0), _ + _) > 0,
-      lit(1L)).otherwise(0L))
+      call_function("graft_dot", col("vn"), p) > 0, lit(1L)).otherwise(0L))
     // pack bits with a left fold (first plane = highest bit) — any
     // deterministic packing works, banding only needs equal bits to agree
     val sig = v.withColumn("sig",
@@ -246,9 +246,7 @@ object Dedup {
     cand
       .join(vn.select(col("id").as("id1"), col("vn").as("v1")), "id1")
       .join(vn.select(col("id").as("id2"), col("vn").as("v2")), "id2")
-      .withColumn("cos",
-        aggregate(zip_with(col("v1"), col("v2"), (x, y) => x * y),
-          lit(0.0), _ + _))
+      .withColumn("cos", call_function("graft_dot", col("v1"), col("v2")))
       .filter(col("cos") >= threshold)
       .select("id1", "id2", "cos")
   }

@@ -244,7 +244,24 @@ object MiscCatalog {
       ORDER BY "Year" ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""")
   )
 
-  val all: Seq[QueryDef] =
-    Seq(oTopK, aSpikeSummary, eJson, aSummary, mKmeans, qAsof, qRange, qRollup)
+  /** Cube capability: all 2² grouping sets of (year, status) in one pass. */
+  val qCube = QueryDef(
+    "q_cube",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .withColumn("Year", year(col("o_orderdate")).cast("long"))
+        .cube("Year", "o_orderstatus")
+        .agg(r2(avg(col("o_totalprice"))).as("avg_price"),
+          count(lit(1)).as("n"))
+        .orderBy(asc_nulls_first("Year"), asc_nulls_first("o_orderstatus")),
+    Some(s"""
+      SELECT year(o_orderdate) AS "Year", o_orderstatus,
+             ${sqlR2("avg(o_totalprice)")} AS avg_price, count(*) AS n
+      FROM orders GROUP BY CUBE ("Year", o_orderstatus)
+      ORDER BY "Year" ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST""")
+  )
+
+  val all: Seq[QueryDef] = Seq(oTopK, aSpikeSummary, eJson, aSummary,
+    mKmeans, qAsof, qRange, qRollup, qCube)
 }
 

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.dedup.Dedup
+import graft.functions.VectorFunctions
 
 /** Approximate-nearest-neighbor search over an embedding column
   * (builder brief): brute-force cosine top-k as the exact baseline, and an
@@ -29,12 +30,11 @@ object Ann {
       val n = sqrt(aggregate(transform(v, x => x * x), lit(0.0), _ + _))
       df.select(col(id).as(outId), transform(v, _ / n).as(outVec))
     }
+    VectorFunctions.register(corpus.sparkSession)
     val c = normed(corpus, idCol, "nn_id", "cv")
     val q = normed(queries, qidCol, "query_id", "qv")
     val scored = c.crossJoin(broadcast(q))
-      .withColumn("cos",
-        aggregate(zip_with(col("cv"), col("qv"), (x, y) => x * y),
-          lit(0.0), _ + _))
+      .withColumn("cos", call_function("graft_dot", col("cv"), col("qv")))
     val w = Window.partitionBy("query_id")
       .orderBy(desc("cos"), col("nn_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -56,7 +56,7 @@ object Ann {
   }
 
   private def dotLit(v: Column, p: Column): Column =
-    aggregate(zip_with(v, p, (x, w) => x * w), lit(0.0), _ + _)
+    call_function("graft_dot", v, p)
 
   /** IVF coarse cells: assign every vector to its nearest of `centroids`
     * (collected tiny list, broadcast as one literal array-of-arrays; the
@@ -64,6 +64,7 @@ object Ann {
     */
   def assignCells(vecs: DataFrame, idCol: String, vecCol: String,
       centroids: Seq[(Int, Array[Double])]): DataFrame = {
+    VectorFunctions.register(vecs.sparkSession)
     val (centLit, cellIds) = normalizedCentroidLit(centroids)
     val v = vecs.select(col(idCol).as("id"),
       transform(col(vecCol), _.cast("double")).as("v"))
@@ -96,6 +97,7 @@ object Ann {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, qidCol: String, k: Int, nCells: Int = 16,
       nProbe: Int = 4): DataFrame = {
+    VectorFunctions.register(corpus.sparkSession)
     val centroids = hashCentroids(corpus, idCol, vecCol, nCells)
     val cells = assignCells(corpus, idCol, vecCol, centroids)
       .select(col("id").as("nn_id"), col("v").as("cv"), col("cell"))

@@ -74,6 +74,19 @@ object EventStreams {
       }
   }
 
+  /** Streaming exact-dedup at ingest: drop events whose dedup key was
+    * already seen within the watermark horizon — the streaming form of
+    * dedup.Dedup.exactGroups (state bounded by horizon × key cardinality).
+    */
+  def dedupStream(spark: SparkSession, dir: String,
+      keyCols: Seq[String], watermark: String = "1 hour"): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream.schema(eventSchema).parquet(dir)
+      .withColumn("tsm", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("tsm", watermark)
+      .dropDuplicates(keyCols :+ "tsm")
+  }
+
   /** Drive a streaming frame to completion against static input (memory
     * sink) and return the materialized result — the batch-driven smoke
     * harness for local verification.

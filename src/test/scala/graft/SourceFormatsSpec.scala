@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Source/sink breadth: the engine round-trips its tables through every
+  * bundled columnar/text format (parquet is the native path; ORC, JSON and
+  * CSV must preserve the data exactly too).
+  */
+class SourceFormatsSpec extends SparkSpec {
+
+  private lazy val li = spark.read.parquet(s"$sfSmoke/lineitem.parquet")
+    .limit(500).cache()
+
+  private def roundTrip(fmt: String, writeOpts: Map[String, String] = Map(),
+      readOpts: Map[String, String] = Map()): Unit = {
+    val dir = java.nio.file.Files
+      .createTempDirectory(s"graft_$fmt").toString
+    li.write.mode("overwrite").options(writeOpts).format(fmt).save(dir)
+    var reader = spark.read.options(readOpts).format(fmt)
+    if (fmt == "csv" || fmt == "json") reader = reader.schema(li.schema)
+    val back = reader.load(dir)
+    assertSameData(back, li, Seq("l_orderkey", "l_linenumber", "l_quantity",
+      "l_extendedprice"))
+  }
+
+  test("ORC round-trip")  { roundTrip("orc") }
+  test("JSON round-trip") { roundTrip("json") }
+  test("CSV round-trip") {
+    roundTrip("csv",
+      writeOpts = Map("header" -> "true",
+        "timestampFormat" -> "yyyy-MM-dd'T'HH:mm:ss.SSSXXX"),
+      readOpts = Map("header" -> "true",
+        "timestampFormat" -> "yyyy-MM-dd'T'HH:mm:ss.SSSXXX"))
+  }
+
+  test("streaming dedup drops the planted duplicate batch") {
+    import graft.streaming.EventStreams
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val d = java.nio.file.Files.createTempDirectory("graft_dedup_stream")
+    val src = spark.read
+      .parquet(s"$sfSmoke/events.parquet")
+    src.limit(200).write.mode("overwrite")
+      .parquet(d.resolve("batch1").toString)
+    // same 200 events again = exact duplicates
+    val dedupDir = d.resolve("in")
+    java.nio.file.Files.createDirectory(dedupDir)
+    src.limit(200).coalesce(1).write.mode("append").parquet(dedupDir.toString)
+    src.limit(200).coalesce(1).write.mode("append").parquet(dedupDir.toString)
+    val deduped = EventStreams.dedupStream(spark, dedupDir.toString,
+      Seq("event_id"))
+    val got = EventStreams.runToMemory(spark, deduped, "dedup_stream")
+    assert(got.count() == 200,
+      s"expected 200 unique events, got ${got.count()}")
+  }
+}
