@@ -261,7 +261,29 @@ object MiscCatalog {
       ORDER BY "Year" ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST""")
   )
 
+  /** Exact quantiles per group: Spark's `percentile` and DuckDB's
+    * `quantile_cont` share the linear-interpolation definition (verified
+    * to agree to the last bits on this data).
+    */
+  val qPercentile = QueryDef(
+    "q_percentile",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+          r2(expr("percentile(o_totalprice, 0.5)")).as("median_price"),
+          r2(expr("percentile(o_totalprice, 0.95)")).as("p95_price"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderpriority"),
+    Some(s"""
+      SELECT o_orderpriority,
+             ${sqlR2("quantile_cont(o_totalprice, 0.5)")} AS median_price,
+             ${sqlR2("quantile_cont(o_totalprice, 0.95)")} AS p95_price,
+             count(*) AS n
+      FROM orders GROUP BY 1 ORDER BY 1""")
+  )
+
   val all: Seq[QueryDef] = Seq(oTopK, aSpikeSummary, eJson, aSummary,
-    mKmeans, qAsof, qRange, qRollup, qCube)
+    mKmeans, qAsof, qRange, qRollup, qCube, qPercentile)
 }
 
