@@ -89,9 +89,12 @@ object MiscCatalog {
   )
 
   /** A14/F13 twin (datavisualization.py:582-631): per-priority
-    * "financial summary" — annualized return exp(μ·252)−1 from mean
-    * row-over-row change, annualized vol σ·√252, Sharpe vs a 3% risk-free
-    * rate.
+    * "financial summary" — LOG-annualized return μ·252 from mean
+    * row-over-row log change, annualized vol σ·√252, Sharpe vs a 3%
+    * risk-free rate. (The reference's exp(μ·252)−1 form lives in
+    * analytics.RiskStats for the stock schema; here exp explodes past
+    * the r6 rounding domain at tiny SFs — Spark's floor→Long saturates
+    * at ~9.2e18 where DuckDB's floor→double doesn't.)
     */
   val aSummary = QueryDef(
     "q_a14_summary",
@@ -104,9 +107,9 @@ object MiscCatalog {
         .filter(col("lr").isNotNull)
         .groupBy("o_orderpriority")
         .agg(
-          r6(exp(avg(col("lr")) * 252) - 1).as("ann_return"),
+          r6(avg(col("lr")) * 252).as("ann_log_return"),
           r6(stddev_samp(col("lr")) * math.sqrt(252)).as("ann_vol"),
-          r6(((exp(avg(col("lr")) * 252) - 1) - 0.03)
+          r6((avg(col("lr")) * 252 - 0.03)
             / (stddev_samp(col("lr")) * math.sqrt(252))).as("sharpe"),
           count(lit(1)).as("n"))
         .orderBy("o_orderpriority")
@@ -118,9 +121,9 @@ object MiscCatalog {
                  (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)) AS lr
         FROM orders)
       SELECT o_orderpriority,
-             ${sqlR6("exp(avg(lr) * 252) - 1")} AS ann_return,
+             ${sqlR6("avg(lr) * 252")} AS ann_log_return,
              ${sqlR6("stddev_samp(lr) * sqrt(252)")} AS ann_vol,
-             ${sqlR6("((exp(avg(lr) * 252) - 1) - 0.03) / (stddev_samp(lr) * sqrt(252))")} AS sharpe,
+             ${sqlR6("(avg(lr) * 252 - 0.03) / (stddev_samp(lr) * sqrt(252))")} AS sharpe,
              count(*) AS n
       FROM r WHERE lr IS NOT NULL GROUP BY 1 ORDER BY 1""")
   )

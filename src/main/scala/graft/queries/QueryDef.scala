@@ -25,6 +25,11 @@ object QueryDef {
     * rounding granularity. Pick N so granularity stays ≥ ~1e6× the expected
     * cross-engine error: r2 for price-magnitude values (~1e4), r4/r6 for
     * O(1) ratios.
+    *
+    * Domain: |x|·10^N must stay below ~9.2e18 — Spark's floor returns LONG
+    * and saturates there, while DuckDB's floor stays double (observed on an
+    * exp() blow-up at sf0.001). Keep rounded expressions numerically
+    * bounded.
     */
   def r2(c: Column): Column = floor(c * 1e2 + lit(0.5)) / 1e2
   def r4(c: Column): Column = floor(c * 1e4 + lit(0.5)) / 1e4

@@ -88,5 +88,28 @@ object TextCatalog {
     }
   )
 
-  val all: Seq[QueryDef] = Seq(tQuality, tTokens, tFingerprint, tLangId)
+  /** Generator/UDTF surface (SURVEY §2.11 notes the reference has none —
+    * capability headroom): positional token explosion, one row per token.
+    */
+  val tExplode = QueryDef(
+    "q_t_posexplode",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .filter(col("doc_id") < 50)
+        .select(col("doc_id"),
+          posexplode(split(TextAnalysis.normText(col("text")), " "))
+            .as(Seq("pos", "token")))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"), col("token"))
+        .orderBy("doc_id", "pos"),
+    Some(s"""
+      WITH t AS (
+        SELECT doc_id, string_split($sqlNorm, ' ') AS tk
+        FROM documents WHERE doc_id < 50)
+      SELECT doc_id, generate_subscripts(tk, 1) - 1 AS pos,
+             unnest(tk) AS token
+      FROM t ORDER BY doc_id, pos""")
+  )
+
+  val all: Seq[QueryDef] =
+    Seq(tQuality, tTokens, tFingerprint, tLangId, tExplode)
 }
