@@ -38,7 +38,15 @@ object SparkEntry {
     }.toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
+    * the same parquet tables. Omit for non-SQL-expressible ops. SQL may
+    * reference Spark-computed aux dumps (below) via the `__VERIFY_OUT__`
+    * placeholder, which Verify substitutes with the absolute out dir. */
   def oracleSql: Map[String, String] =
     catalogs.flatMap(q => q.oracle.map(q.name -> _)).toMap
+
+  /** Spark-computed intermediates (LSH signatures/buckets/shingles) that
+    * Verify writes under `<outDir>/aux/<name>` so the engine-specific-hash
+    * oracles can replay banding + verification in DuckDB. */
+  def auxDumps: Map[String, (SparkSession, String) => DataFrame] =
+    DedupCatalog.auxDumps
 }

@@ -89,16 +89,16 @@ object Dedup {
 
   // ---- MinHash + LSH ----
 
-  /** MinHash signature per doc: `numPerm` permutations approximated by
-    * seeded xxhash64 of the shingle; banded into `bands` LSH buckets.
-    * Returns candidate pairs with their verified exact Jaccard.
+  /** (id, band, bh) LSH band buckets of the MinHash signature computed from
+    * a (id, shingle) DataFrame: `numPerm` permutations approximated by
+    * seeded xxhash64 of the shingle, banded into `bands` buckets.
+    * Exposed so the banding join can be re-derived (and oracle-checked)
+    * from a dump of the buckets themselves.
     */
-  def minHashLshPairs(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, numPerm: Int = 32, bands: Int = 8,
-      threshold: Double = 0.3): DataFrame = {
+  def minHashBuckets(sh: DataFrame, numPerm: Int = 32,
+      bands: Int = 8): DataFrame = {
     require(numPerm % bands == 0, "bands must divide numPerm")
     val rowsPerBand = numPerm / bands
-    val sh = shingles(df, idCol, textCol, n).cache()
     // one aggregation computes all minhash components (map-side combined)
     val minhashes = (0 until numPerm).map(i =>
       min(xxhash64(col("shingle"), lit(i))).as(s"mh$i"))
@@ -108,9 +108,19 @@ object Dedup {
       val cols = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))
       struct(lit(b).as("band"), xxhash64(cols: _*).as("bh"))
     }
-    val buckets = sig.select(col("id"),
-        explode(array(bandCols: _*)).as("bb"))
+    sig.select(col("id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("id"), col("bb.band"), col("bb.bh"))
+  }
+
+  /** MinHash signature per doc: `numPerm` permutations approximated by
+    * seeded xxhash64 of the shingle; banded into `bands` LSH buckets.
+    * Returns candidate pairs with their verified exact Jaccard.
+    */
+  def minHashLshPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numPerm: Int = 32, bands: Int = 8,
+      threshold: Double = 0.3): DataFrame = {
+    val sh = shingles(df, idCol, textCol, n).cache()
+    val buckets = minHashBuckets(sh, numPerm, bands)
     val cand = buckets.as("a").join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.id") < col("b.id"))
@@ -141,36 +151,61 @@ object Dedup {
 
   // ---- SimHash ----
 
-  /** 64-bit SimHash per doc: sign of the per-bit sum of token hashes. */
+  /** 64-bit SimHash per doc: sign of the per-bit sum of token hashes.
+    *
+    * The 64 per-bit votes are built as ONE 64-wide vector per token and
+    * summed by a single `Summarizer.sum` vector aggregate (map-side
+    * combined) — not 64 unrolled `sum(when(...))` aggregates, whose codegen
+    * compile time dominates the query at small SFs. ±1 sums stay exact in
+    * double far past any real per-doc token count (< 2^53), so the votes —
+    * and the packed signature — are bit-identical to integer sums.
+    */
   def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+    import org.apache.spark.ml.stat.Summarizer
     val tok = df.select(col(idCol).as("id"),
       explode(split(TextAnalysis.normText(lower(col(textCol))), " ")).as("tok"))
       .withColumn("h", xxhash64(col("tok")))
     // per-bit vote: +1 if bit set else −1; bit i of result = vote > 0
-    val bitVotes = (0 until 64).map(i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1)
-        .otherwise(-1)).as(s"v$i"))
-    val votes = tok.groupBy("id").agg(bitVotes.head, bitVotes.tail: _*)
-    val sim = (0 until 64).map(i =>
-      when(col(s"v$i") > 0, shiftleft(lit(1L), i)).otherwise(0L))
-      .reduce(_.bitwiseOR(_))
-    votes.select(col("id"), sim.as("simhash"))
+    val votes = transform(sequence(lit(0), lit(63)), i =>
+      when(call_function("shiftright", col("h"), i).bitwiseAND(lit(1)) === 1,
+        lit(1.0)).otherwise(lit(-1.0)))
+    val agg = tok.groupBy("id")
+      .agg(vector_to_array(Summarizer.sum(array_to_vector(votes))).as("v"))
+    val sim = aggregate(
+      zip_with(col("v"), sequence(lit(0), lit(63)), (vote, i) =>
+        when(vote > 0, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+    agg.select(col("id"), sim.as("simhash"))
   }
 
-  /** SimHash near-dup pairs: 4×16-bit chunk banding (any identical chunk →
-    * candidate; hamming ≤ 3 guarantees a matching chunk), then exact
-    * hamming ≤ maxHamming via bit_count.
+  /** SimHash near-dup pairs: `chunks`-way banding of the 64-bit signature
+    * (any identical chunk → candidate), then exact hamming ≤ maxHamming via
+    * bit_count.
+    *
+    * Recall guarantee (pigeonhole): a pair with hamming ≤ chunks−1 always
+    * shares at least one chunk. With the default 4×16-bit chunks that means
+    * full recall only up to hamming 3; `maxHamming` > chunks−1 yields
+    * APPROXIMATE recall — pairs whose differing bits touch every chunk are
+    * missed. Raising `chunks` toward maxHamming+1 restores the guarantee
+    * but shrinks chunk width (64/chunks bits), multiplying random bucket
+    * collisions by ~2^Δwidth per chunk — at 100 TB prefer a tight radius
+    * (the Manku-et-al. web-dedup setting is hamming ≤ 3 on 64 bits) over
+    * wide-radius guaranteed banding.
     */
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, chunks: Int = 4): DataFrame = {
+    require(chunks > 0 && 64 % chunks == 0, "chunks must divide 64")
+    val width = 64 / chunks
+    val mask = if (width == 64) -1L else (1L << width) - 1
     val sig = simHash(df, idCol, textCol).cache()
-    val chunks = sig.select(col("id"), col("simhash"),
-      explode(array((0 until 4).map(i =>
+    val chunked = sig.select(col("id"), col("simhash"),
+      explode(array((0 until chunks).map(i =>
         struct(lit(i).as("chunk"),
-          shiftright(col("simhash"), i * 16).bitwiseAND(0xFFFF).as("cv"))): _*))
+          shiftright(col("simhash"), i * width).bitwiseAND(mask).as("cv"))): _*))
         .as("cb"))
       .select(col("id"), col("simhash"), col("cb.chunk"), col("cb.cv"))
-    chunks.as("a").join(chunks.as("b"),
+    chunked.as("a").join(chunked.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.cv") === col("b.cv") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id1"), col("b.id").as("id2"),
@@ -203,18 +238,24 @@ object Dedup {
     * bits-per-band: 8 bits/band keeps random-pair collisions ~0.4% per
     * band — no O(n²) stage.
     */
-  def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double = 0.95, numBits: Int = 64, bands: Int = 8): DataFrame = {
-    require(numBits % bands == 0 && numBits <= 64, "bands must divide numBits ≤ 64")
+  /** (id, vn, sig) hyperplane-LSH signatures: L2-normalized vector plus the
+    * packed `numBits`-bit signature from deterministic (LCG-seeded) literal
+    * plane vectors. Exposed so banding + cosine verification can be
+    * re-derived (and oracle-checked) from a dump of the signatures.
+    * `dim` avoids the driver-side probe job when the caller knows it.
+    */
+  def embeddingSignatures(df: DataFrame, idCol: String, vecCol: String,
+      numBits: Int = 64, dim: Int = -1): DataFrame = {
+    require(numBits <= 64, "numBits must be ≤ 64")
     val v0 = df.select(col(idCol).as("id"),
       transform(col(vecCol), _.cast("double")).as("v"))
-    val dim = v0.select(size(col("v"))).first().getInt(0)
+    val d = if (dim > 0) dim else v0.select(size(col("v"))).first().getInt(0)
     val norm = sqrt(aggregate(transform(col("v"), x => x * x), lit(0.0), _ + _))
     val v = v0.select(col("id"), transform(col("v"), _ / norm).as("vn"))
     // deterministic pseudo-random unit-free planes (components in [-1, 1])
     def lcg(seed: Long): Long = seed * 6364136223846793005L + 1442695040888963407L
-    val planes: Array[Array[Double]] = Array.tabulate(numBits, dim) { (b, d) =>
-      (math.floorMod(lcg(lcg(b * 1315423911L + d)), 2000001L) - 1000000L) / 1e6
+    val planes: Array[Array[Double]] = Array.tabulate(numBits, d) { (b, i) =>
+      (math.floorMod(lcg(lcg(b * 1315423911L + i)), 2000001L) - 1000000L) / 1e6
     }
     // all bits in ONE nested higher-order expression (a loop in codegen,
     // not numBits unrolled aggregates — 64 separate folds compile slowly)
@@ -224,11 +265,16 @@ object Dedup {
       call_function("graft_dot", col("vn"), p) > 0, lit(1L)).otherwise(0L))
     // pack bits with a left fold (first plane = highest bit) — any
     // deterministic packing works, banding only needs equal bits to agree
-    val sig = v.withColumn("sig",
-      aggregate(bitValues, lit(0L), (acc, x) => acc * 2 + x))
+    v.withColumn("sig", aggregate(bitValues, lit(0L), (acc, x) => acc * 2 + x))
+  }
+
+  def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.95, numBits: Int = 64, bands: Int = 8,
+      dim: Int = -1): DataFrame = {
+    require(numBits % bands == 0 && numBits <= 64, "bands must divide numBits ≤ 64")
     val bitsPerBand = numBits / bands
     val mask = if (bitsPerBand == 64) -1L else (1L << bitsPerBand) - 1
-    val sigC = sig.cache()
+    val sigC = embeddingSignatures(df, idCol, vecCol, numBits, dim).cache()
     // dedup candidate IDs first — the distinct shuffles narrow (id, id)
     // rows, not 2×dim doubles; vectors re-attach after
     val chunks = sigC.select(col("id"),

@@ -6,11 +6,40 @@ import QueryDef._
 import graft.dedup.Dedup
 
 /** Dedup twins over the `documents` table (builder brief). The exact and
-  * n-gram-Jaccard paths are SQL-expressible → oracle-checked; MinHash+LSH,
-  * SimHash, and embedding near-dup use engine-specific hashing (xxhash64)
-  * → registered rows-only.
+  * n-gram-Jaccard paths are SQL-expressible → oracle-checked directly.
+  * MinHash+LSH, SimHash, and embedding near-dup use engine-specific hashing
+  * (xxhash64 / seeded hyperplanes) that DuckDB can't recompute — but it CAN
+  * re-derive everything downstream of the hashes: Verify dumps the
+  * Spark-computed shingles / band buckets / signatures under
+  * `<outDir>/aux/`, and the oracles replay the banding join + exact
+  * verification (Jaccard / bit_count hamming / list dot product) in SQL
+  * from those tables. Only the hash values themselves go unchecked (they
+  * are pinned by unit specs instead).
   */
 object DedupCatalog {
+
+  import org.apache.spark.sql.{DataFrame, SparkSession}
+
+  /** Spark-computed intermediates the LSH oracles replay; Verify writes
+    * each to `<outDir>/aux/<name>` and substitutes `__VERIFY_OUT__` in the
+    * oracle SQL with the absolute outDir. Parameters MUST mirror the
+    * corresponding catalog queries.
+    */
+  val auxDumps: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "doc_shingles" -> ((s, dir) =>
+      Dedup.shingles(t(s, dir, "documents"), "doc_id", "text", n = 3)),
+    "minhash_buckets" -> ((s, dir) =>
+      Dedup.minHashBuckets(
+        Dedup.shingles(t(s, dir, "documents"), "doc_id", "text", n = 3),
+        numPerm = 32, bands = 8)),
+    "simhash_sigs" -> ((s, dir) =>
+      Dedup.simHash(t(s, dir, "documents"), "doc_id", "text")),
+    "embed_sigs" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val planted = e.unionByName(
+        e.select((col("vec_id") + 1000000).as("vec_id"), col("embedding")))
+      Dedup.embeddingSignatures(planted, "vec_id", "embedding", numBits = 64)
+    }))
 
   private val sqlNorm =
     "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
@@ -77,8 +106,9 @@ object DedupCatalog {
       ORDER BY id1, id2""")
   )
 
-  /** MinHash + banded LSH near-dup pairs, verified by exact Jaccard
-    * (engine-specific hashing → rows-only check).
+  /** MinHash + banded LSH near-dup pairs, verified by exact Jaccard. The
+    * oracle replays the band-bucket join and the exact-Jaccard verification
+    * in DuckDB from the dumped buckets + shingles (aux tables above).
     */
   val dMinHash = QueryDef(
     "q_d_minhash_lsh",
@@ -87,23 +117,67 @@ object DedupCatalog {
           n = 3, numPerm = 32, bands = 8, threshold = 0.3)
         .select(col("id1"), col("id2"), r6(col("jaccard")).as("jaccard"))
         .orderBy("id1", "id2"),
-    None
+    Some(s"""
+      WITH b AS (SELECT * FROM
+        read_parquet('__VERIFY_OUT__/aux/minhash_buckets/*.parquet')),
+      sh AS (SELECT * FROM
+        read_parquet('__VERIFY_OUT__/aux/doc_shingles/*.parquet')),
+      cand AS (
+        SELECT DISTINCT a.id AS id1, b2.id AS id2
+        FROM b a JOIN b b2
+          ON a.band = b2.band AND a.bh = b2.bh AND a.id < b2.id),
+      sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY 1),
+      common AS (
+        SELECT c.id1, c.id2, count(*) AS cn
+        FROM cand c
+        JOIN sh s1 ON s1.id = c.id1
+        JOIN sh s2 ON s2.id = c.id2 AND s2.shingle = s1.shingle
+        GROUP BY 1, 2)
+      SELECT id1, id2,
+             ${sqlR6("cn / CAST(z1.sz + z2.sz - cn AS DOUBLE)")} AS jaccard
+      FROM common
+      JOIN sizes z1 ON z1.id = id1
+      JOIN sizes z2 ON z2.id = id2
+      WHERE cn / CAST(z1.sz + z2.sz - cn AS DOUBLE) >= 0.3
+      ORDER BY id1, id2""")
   )
 
-  /** SimHash near-dup pairs (hamming ≤ 12 of 64 bits; rows-only). */
+  /** SimHash near-dup pairs (4×16-bit banding, hamming ≤ 12 of 64 bits —
+    * approximate recall past hamming 3, see Dedup.simHashPairs). The oracle
+    * replays the chunk-banding join and the bit_count(xor) hamming filter
+    * from the dumped signatures.
+    */
   val dSimHash = QueryDef(
     "q_d_simhash",
     (s, dir) =>
       Dedup.simHashPairs(t(s, dir, "documents"), "doc_id", "text",
           maxHamming = 12)
+        .select(col("id1"), col("id2"), col("hamming").cast("long").as("hamming"))
         .orderBy("id1", "id2"),
-    None
+    Some("""
+      WITH s AS (SELECT id, simhash FROM
+        read_parquet('__VERIFY_OUT__/aux/simhash_sigs/*.parquet')),
+      c AS (
+        SELECT id, simhash, r.i AS chunk,
+               (simhash >> (r.i * 16)) & 65535 AS cv
+        FROM s, range(4) AS r(i)),
+      cand AS (
+        SELECT DISTINCT a.id AS id1, b.id AS id2,
+               a.simhash AS h1, b.simhash AS h2
+        FROM c a JOIN c b
+          ON a.chunk = b.chunk AND a.cv = b.cv AND a.id < b.id)
+      SELECT id1, id2, CAST(bit_count(xor(h1, h2)) AS BIGINT) AS hamming
+      FROM cand WHERE bit_count(xor(h1, h2)) <= 12
+      ORDER BY id1, id2""")
   )
 
   /** Embedding-cosine near-dup pairs via hyperplane LSH over a corpus with
     * planted duplicates (the synthetic embeddings are well-separated — max
     * pairwise cosine 0.51 — so a copy with shifted ids provides the
-    * realistic ≥0.95 near-dup regime; rows-only).
+    * realistic ≥0.95 near-dup regime). The oracle replays the 8×8-bit
+    * banding join and the exact-cosine verification (both engines fold the
+    * dot product over the pre-normalized vectors sequentially in double)
+    * from the dumped signatures.
     */
   val dEmbed = QueryDef(
     "q_d_embed_neardup",
@@ -116,7 +190,26 @@ object DedupCatalog {
         .select(col("id1"), col("id2"), r6(col("cos")).as("cos"))
         .orderBy("id1", "id2")
     },
-    None
+    Some(s"""
+      WITH s AS (SELECT id, sig, vn FROM
+        read_parquet('__VERIFY_OUT__/aux/embed_sigs/*.parquet')),
+      c AS (
+        SELECT id, r.i AS chunk, (sig >> (r.i * 8)) & 255 AS cv
+        FROM s, range(8) AS r(i)),
+      cand AS (
+        SELECT DISTINCT a.id AS id1, b.id AS id2
+        FROM c a JOIN c b
+          ON a.chunk = b.chunk AND a.cv = b.cv AND a.id < b.id),
+      scored AS (
+        SELECT id1, id2,
+               list_sum(list_transform(list_zip(s1.vn, s2.vn),
+                 p -> p[1] * p[2])) AS cos
+        FROM cand
+        JOIN s s1 ON s1.id = cand.id1
+        JOIN s s2 ON s2.id = cand.id2)
+      SELECT id1, id2, ${sqlR6("cos")} AS cos
+      FROM scored WHERE cos >= 0.95
+      ORDER BY id1, id2""")
   )
 
   val all: Seq[QueryDef] = Seq(dExact, dJaccard, dMinHash, dSimHash, dEmbed)

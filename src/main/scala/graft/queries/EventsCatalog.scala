@@ -64,7 +64,7 @@ object EventsCatalog {
                  (PARTITION BY user_id ORDER BY ts, event_id) AS gap
         FROM events)
       SELECT user_id,
-             sum(CASE WHEN gap > 30 * 60000 THEN 1 ELSE 0 END) + 1 AS n_sessions,
+             CAST(sum(CASE WHEN gap > 30 * 60000 THEN 1 ELSE 0 END) + 1 AS BIGINT) AS n_sessions,
              count(*) AS n_events
       FROM g GROUP BY 1 ORDER BY 1""")
   )

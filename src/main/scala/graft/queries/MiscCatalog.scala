@@ -82,7 +82,7 @@ object MiscCatalog {
     },
     Some(s"""
       SELECT event_type,
-             sum(CAST(json_extract_string(props, '$$.k') AS BIGINT)) AS sum_k,
+             CAST(sum(CAST(json_extract_string(props, '$$.k') AS BIGINT)) AS BIGINT) AS sum_k,
              ${sqlR6("avg(CAST(json_extract_string(props, '$.k') AS BIGINT))")} AS avg_k,
              count(*) AS n
       FROM events GROUP BY 1 ORDER BY 1""")

@@ -73,9 +73,17 @@ def main(sf_dir: str, out_dir: str) -> int:
             print(f"FAIL {name}: {err[:400]}")
         else:
             n_ok += 1
-            print(f"ok   {name}")
+            # the driver hash-compares VALUES incl. their width (r1: DuckDB
+            # HUGEINT vs Spark BIGINT hashed differently with equal values)
+            # — surface dtype divergence the tol-compare can't see
+            dt = [f"{c}: {spark_df[c].dtype} vs {duck_df[c].dtype}"
+                  for c in spark_df.columns
+                  if str(spark_df[c].dtype) != str(duck_df[c].dtype)]
+            print(f"ok   {name}" + (f"  [DTYPE {'; '.join(dt)}]" if dt else ""))
     # queries without oracles: just check rows exist
     for d in sorted(Path(out_dir).iterdir()):
+        if d.name == "aux":
+            continue
         if d.is_dir() and d.name not in oracle:
             n = len(pd.read_parquet(d))
             print(f"rows {d.name}: {n}{'' if n > 0 else '  <-- EMPTY'}")
