@@ -10,15 +10,40 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // optional comma-separated filter for targeted iteration
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // deterministic order: hash-Map iteration reshuffles whenever an entry
+    // is added, silently reassigning the first-query warm-up tax to a
+    // different query each round (the r1→r2 "drift on untouched queries")
+    val selected = SparkEntry.queries.toSeq
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .sortBy(_._1)
+    // drop caches the query pinned once it materializes: operators cache
+    // intermediates for reuse within their own plan, and 50 queries sharing
+    // one JVM would otherwise accumulate storage-memory pressure
+    def clearCaches(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
+    def pass(): Seq[(String, Double)] = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      clearCaches()
+      name -> dt
     }
+    // cold pass = JVM/codegen warm-up included; timed pass = steady-state
+    // throughput, the number that extrapolates to a long-running cluster.
+    // Both totals are reported. SPARK_GRAFT_NO_WARMUP=1 → single cold pass.
+    val warm = !sys.env.contains("SPARK_GRAFT_NO_WARMUP")
+    val cold = pass()
+    val results = if (warm) pass() else cold
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val coldTotal = cold.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","cold_total_sec":$coldTotal,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -15,22 +15,30 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // drop caches a query pinned once its output is written — 50 queries
+    // share this JVM and un-freed caches skew heap/storage for later ones
+    def clearCaches(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      clearCaches()
     }
     // Spark-computed intermediates the LSH oracles replay in DuckDB
+    spark.conf.set("spark.sql.ansi.enabled", "false")
     SparkEntry.auxDumps.foreach { case (name, fn) =>
-      try {
-        spark.conf.set("spark.sql.ansi.enabled", "false")
-        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/aux/$name")
-      } catch { case e: Throwable =>
+      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/aux/$name")
+      catch { case e: Throwable =>
         System.err.println(s"[verify] aux $name failed: ${e.getMessage}")
       }
+      clearCaches()
     }
     val outAbs = new java.io.File(outDir).getAbsolutePath
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -153,29 +153,25 @@ object Dedup {
 
   /** 64-bit SimHash per doc: sign of the per-bit sum of token hashes.
     *
-    * The 64 per-bit votes are built as ONE 64-wide vector per token and
-    * summed by a single `Summarizer.sum` vector aggregate (map-side
-    * combined) — not 64 unrolled `sum(when(...))` aggregates, whose codegen
-    * compile time dominates the query at small SFs. ±1 sums stay exact in
-    * double far past any real per-doc token count (< 2^53), so the votes —
-    * and the packed signature — are bit-identical to integer sums.
+    * Implemented as 64 plain integer aggregates — `ones_i =
+    * sum((h >> i) & 1)` plus one `count(*)` — all fused into a single
+    * codegen'd HashAggregate with map-side combine. The ±1 vote sum for bit
+    * i is `2·ones_i − n`, so bit i is set iff `2·ones_i > n`: bit-identical
+    * to the vote formulation with no per-row allocation. (A prior
+    * `Summarizer.sum` vector-aggregate variant built a 64-element array +
+    * ml.Vector object per TOKEN row — an ObjectHashAggregate outside
+    * whole-stage codegen that benched 33× slower at sf0.1.)
     */
   def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
-    import org.apache.spark.ml.stat.Summarizer
     val tok = df.select(col(idCol).as("id"),
       explode(split(TextAnalysis.normText(lower(col(textCol))), " ")).as("tok"))
       .withColumn("h", xxhash64(col("tok")))
-    // per-bit vote: +1 if bit set else −1; bit i of result = vote > 0
-    val votes = transform(sequence(lit(0), lit(63)), i =>
-      when(call_function("shiftright", col("h"), i).bitwiseAND(lit(1)) === 1,
-        lit(1.0)).otherwise(lit(-1.0)))
-    val agg = tok.groupBy("id")
-      .agg(vector_to_array(Summarizer.sum(array_to_vector(votes))).as("v"))
-    val sim = aggregate(
-      zip_with(col("v"), sequence(lit(0), lit(63)), (vote, i) =>
-        when(vote > 0, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
-      lit(0L), (acc, x) => acc.bitwiseOR(x))
+    val ones = (0 until 64).map(i =>
+      sum(shiftright(col("h"), i).bitwiseAND(lit(1L))).as(s"b$i"))
+    val agg = tok.groupBy("id").agg(count(lit(1)).as("n"), ones: _*)
+    val sim = (0 until 64).map(i =>
+      when(col(s"b$i") * 2 > col("n"), lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_.bitwiseOR(_))
     agg.select(col("id"), sim.as("simhash"))
   }
 
