@@ -44,9 +44,10 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     catalogs.flatMap(q => q.oracle.map(q.name -> _)).toMap
 
-  /** Spark-computed intermediates (LSH signatures/buckets/shingles) that
-    * Verify writes under `<outDir>/aux/<name>` so the engine-specific-hash
-    * oracles can replay banding + verification in DuckDB. */
+  /** Spark-computed intermediates (LSH signatures/buckets/shingles, IVF
+    * cells/centroids) that Verify writes under `<outDir>/aux/<name>` so the
+    * engine-specific-hash oracles can replay banding/probing + verification
+    * in DuckDB. */
   def auxDumps: Map[String, (SparkSession, String) => DataFrame] =
-    DedupCatalog.auxDumps
+    DedupCatalog.auxDumps ++ SimilarityCatalog.auxDumps
 }

@@ -234,11 +234,13 @@ object Dedup {
     * bits-per-band: 8 bits/band keeps random-pair collisions ~0.4% per
     * band — no O(n²) stage.
     */
-  /** (id, vn, sig) hyperplane-LSH signatures: L2-normalized vector plus the
-    * packed `numBits`-bit signature from deterministic (LCG-seeded) literal
-    * plane vectors. Exposed so banding + cosine verification can be
-    * re-derived (and oracle-checked) from a dump of the signatures.
-    * `dim` avoids the driver-side probe job when the caller knows it.
+  /** (id, v, vn, sig) hyperplane-LSH signatures: the raw cast-to-double
+    * vector, its L2-normalized form, and the packed `numBits`-bit signature
+    * from deterministic (LCG-seeded) literal plane vectors. Exposed so the
+    * normalization, banding, and cosine verification can ALL be re-derived
+    * (and oracle-checked) from a dump — only the plane hashes themselves go
+    * unchecked. `dim` avoids the driver-side probe job when the caller
+    * knows it.
     */
   def embeddingSignatures(df: DataFrame, idCol: String, vecCol: String,
       numBits: Int = 64, dim: Int = -1): DataFrame = {
@@ -247,7 +249,7 @@ object Dedup {
       transform(col(vecCol), _.cast("double")).as("v"))
     val d = if (dim > 0) dim else v0.select(size(col("v"))).first().getInt(0)
     val norm = sqrt(aggregate(transform(col("v"), x => x * x), lit(0.0), _ + _))
-    val v = v0.select(col("id"), transform(col("v"), _ / norm).as("vn"))
+    val v = v0.select(col("id"), col("v"), transform(col("v"), _ / norm).as("vn"))
     // deterministic pseudo-random unit-free planes (components in [-1, 1])
     def lcg(seed: Long): Long = seed * 6364136223846793005L + 1442695040888963407L
     val planes: Array[Array[Double]] = Array.tabulate(numBits, d) { (b, i) =>

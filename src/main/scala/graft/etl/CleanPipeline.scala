@@ -57,8 +57,13 @@ object CleanPipeline {
     * one partitioned write, not N driver-side loops.
     */
   def writeCleaned(df: DataFrame, outDir: String): Unit = {
-    df.write.mode("overwrite")
-      .partitionBy("Ticker")
+    // partitionBy drops the partition column from the data files, but the
+    // reference's per-ticker CSVs keep Ticker as a data column
+    // (preprocess_stocks.py:183-184) — partition on a duplicate so each
+    // per-ticker file carries the full reference schema
+    df.withColumn("__ticker_dir", col("Ticker"))
+      .write.mode("overwrite")
+      .partitionBy("__ticker_dir")
       .option("header", "true")
       .csv(s"$outDir/per_ticker")
     df.coalesce(1).write.mode("overwrite")

@@ -18,7 +18,11 @@ object Scaling {
     val stats = df.agg(aggs.head, aggs.tail: _*)
     val joined = df.crossJoin(broadcast(stats))
     val scaled = cols.foldLeft(joined) { (d, c) =>
-      d.withColumn(s"$c$suffix", (col(c) - col(s"__mu_$c")) / col(s"__sd_$c"))
+      // sklearn's _handle_zeros_in_scale: a zero-variance feature divides
+      // by 1, not 0 — constant columns standardize to 0.0, never NaN/null
+      val sd = when(col(s"__sd_$c") === 0, lit(1.0))
+        .otherwise(col(s"__sd_$c"))
+      d.withColumn(s"$c$suffix", (col(c) - col(s"__mu_$c")) / sd)
     }
     scaled.drop(cols.flatMap(c => Seq(s"__mu_$c", s"__sd_$c")): _*)
   }

@@ -20,29 +20,49 @@ object DedupCatalog {
 
   import org.apache.spark.sql.{DataFrame, SparkSession}
 
+  // Shared parameters, interpolated into BOTH the Spark calls and the
+  // oracle SQL so the aux dumps can never drift from the catalog queries.
+  private val ShingleN = 3
+  private val JaccardThreshold = 0.3
+  private val MaxShingleFreq = 100
+  private val NumPerm = 32
+  private val MinHashBands = 8
+  private val SimChunks = 4
+  private val SimChunkWidth = 64 / SimChunks
+  private val SimChunkMask = (1L << SimChunkWidth) - 1
+  private val SimMaxHamming = 12
+  private val EmbedBits = 64
+  private val EmbedBands = 8
+  private val EmbedBandBits = EmbedBits / EmbedBands
+  private val EmbedBandMask = (1L << EmbedBandBits) - 1
+  private val EmbedThreshold = 0.95
+  private val PlantShift = 1000000
+
   /** Spark-computed intermediates the LSH oracles replay; Verify writes
     * each to `<outDir>/aux/<name>` and substitutes `__VERIFY_OUT__` in the
-    * oracle SQL with the absolute outDir. Parameters MUST mirror the
-    * corresponding catalog queries.
+    * oracle SQL with the absolute outDir. Parameters are the shared
+    * constants above — the same values the catalog queries pass.
     */
   val auxDumps: Map[String, (SparkSession, String) => DataFrame] = Map(
     "doc_shingles" -> ((s, dir) =>
-      Dedup.shingles(t(s, dir, "documents"), "doc_id", "text", n = 3)),
+      Dedup.shingles(t(s, dir, "documents"), "doc_id", "text", n = ShingleN)),
     "minhash_buckets" -> ((s, dir) =>
       Dedup.minHashBuckets(
-        Dedup.shingles(t(s, dir, "documents"), "doc_id", "text", n = 3),
-        numPerm = 32, bands = 8)),
+        Dedup.shingles(t(s, dir, "documents"), "doc_id", "text", n = ShingleN),
+        numPerm = NumPerm, bands = MinHashBands)),
     "simhash_sigs" -> ((s, dir) =>
       Dedup.simHash(t(s, dir, "documents"), "doc_id", "text")),
     "embed_sigs" -> ((s, dir) => {
       val e = t(s, dir, "embeddings").select("vec_id", "embedding")
       val planted = e.unionByName(
-        e.select((col("vec_id") + 1000000).as("vec_id"), col("embedding")))
-      Dedup.embeddingSignatures(planted, "vec_id", "embedding", numBits = 64)
+        e.select((col("vec_id") + PlantShift).as("vec_id"), col("embedding")))
+      Dedup.embeddingSignatures(planted, "vec_id", "embedding",
+        numBits = EmbedBits)
     }))
 
+  // collapse-then-trim, mirroring TextAnalysis.normText (see TextCatalog)
   private val sqlNorm =
-    "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
+    "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 
   /** Exact dedup over a deliberately doubled corpus (documents ∪ shifted
     * copy) — every group has exactly one keeper and two copies.
@@ -52,18 +72,18 @@ object DedupCatalog {
     (s, dir) => {
       val d = t(s, dir, "documents").select("doc_id", "text")
       val doubled = d.unionByName(
-        d.select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+        d.select((col("doc_id") + PlantShift).as("doc_id"), col("text")))
       Dedup.exactGroups(doubled, "doc_id", "text")
         .orderBy("keep_id")
         .select("fp", "keep_id", "n_copies")
     },
-    Some("""
+    Some(s"""
       WITH doubled AS (
         SELECT doc_id, text FROM documents
         UNION ALL
-        SELECT doc_id + 1000000, text FROM documents),
+        SELECT doc_id + $PlantShift, text FROM documents),
       g AS (
-        SELECT md5(regexp_replace(trim(text), '\s+', ' ', 'g')) AS fp,
+        SELECT md5(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp,
                min(doc_id) AS keep_id, count(*) AS n_copies
         FROM doubled GROUP BY 1)
       SELECT fp, keep_id, n_copies FROM g ORDER BY keep_id""")
@@ -76,7 +96,8 @@ object DedupCatalog {
     "q_d_ngram_jaccard",
     (s, dir) =>
       Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
-          n = 3, threshold = 0.3, maxShingleFreq = 100)
+          n = ShingleN, threshold = JaccardThreshold,
+          maxShingleFreq = MaxShingleFreq)
         .select(col("id1"), col("id2"), r6(col("jaccard")).as("jaccard"))
         .orderBy("id1", "id2"),
     Some(s"""
@@ -84,12 +105,12 @@ object DedupCatalog {
         SELECT doc_id, string_split($sqlNorm, ' ') AS tk FROM documents),
       sh AS (
         SELECT DISTINCT doc_id,
-               unnest(list_transform(range(1, len(tk) - 1),
-                 i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS shingle
-        FROM toks WHERE len(tk) >= 3),
+               unnest(list_transform(range(1, len(tk) - ${ShingleN - 2}),
+                 i -> ${(0 until ShingleN).map(k => s"tk[i+$k]").mkString(" || ' ' || ")})) AS shingle
+        FROM toks WHERE len(tk) >= $ShingleN),
       rare AS (
         SELECT shingle FROM sh GROUP BY 1
-        HAVING count(*) BETWEEN 2 AND 100),
+        HAVING count(*) BETWEEN 2 AND $MaxShingleFreq),
       shf AS (SELECT sh.* FROM sh JOIN rare USING (shingle)),
       sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
       common AS (
@@ -102,7 +123,7 @@ object DedupCatalog {
       FROM common
       JOIN sizes s1 ON s1.doc_id = id1
       JOIN sizes s2 ON s2.doc_id = id2
-      WHERE c / CAST(s1.sz + s2.sz - c AS DOUBLE) >= 0.3
+      WHERE c / CAST(s1.sz + s2.sz - c AS DOUBLE) >= $JaccardThreshold
       ORDER BY id1, id2""")
   )
 
@@ -114,7 +135,8 @@ object DedupCatalog {
     "q_d_minhash_lsh",
     (s, dir) =>
       Dedup.minHashLshPairs(t(s, dir, "documents"), "doc_id", "text",
-          n = 3, numPerm = 32, bands = 8, threshold = 0.3)
+          n = ShingleN, numPerm = NumPerm, bands = MinHashBands,
+          threshold = JaccardThreshold)
         .select(col("id1"), col("id2"), r6(col("jaccard")).as("jaccard"))
         .orderBy("id1", "id2"),
     Some(s"""
@@ -138,7 +160,7 @@ object DedupCatalog {
       FROM common
       JOIN sizes z1 ON z1.id = id1
       JOIN sizes z2 ON z2.id = id2
-      WHERE cn / CAST(z1.sz + z2.sz - cn AS DOUBLE) >= 0.3
+      WHERE cn / CAST(z1.sz + z2.sz - cn AS DOUBLE) >= $JaccardThreshold
       ORDER BY id1, id2""")
   )
 
@@ -151,23 +173,23 @@ object DedupCatalog {
     "q_d_simhash",
     (s, dir) =>
       Dedup.simHashPairs(t(s, dir, "documents"), "doc_id", "text",
-          maxHamming = 12)
+          maxHamming = SimMaxHamming, chunks = SimChunks)
         .select(col("id1"), col("id2"), col("hamming").cast("long").as("hamming"))
         .orderBy("id1", "id2"),
-    Some("""
+    Some(s"""
       WITH s AS (SELECT id, simhash FROM
         read_parquet('__VERIFY_OUT__/aux/simhash_sigs/*.parquet')),
       c AS (
         SELECT id, simhash, r.i AS chunk,
-               (simhash >> (r.i * 16)) & 65535 AS cv
-        FROM s, range(4) AS r(i)),
+               (simhash >> (r.i * $SimChunkWidth)) & $SimChunkMask AS cv
+        FROM s, range($SimChunks) AS r(i)),
       cand AS (
         SELECT DISTINCT a.id AS id1, b.id AS id2,
                a.simhash AS h1, b.simhash AS h2
         FROM c a JOIN c b
           ON a.chunk = b.chunk AND a.cv = b.cv AND a.id < b.id)
       SELECT id1, id2, CAST(bit_count(xor(h1, h2)) AS BIGINT) AS hamming
-      FROM cand WHERE bit_count(xor(h1, h2)) <= 12
+      FROM cand WHERE bit_count(xor(h1, h2)) <= $SimMaxHamming
       ORDER BY id1, id2""")
   )
 
@@ -184,18 +206,25 @@ object DedupCatalog {
     (s, dir) => {
       val e = t(s, dir, "embeddings").select("vec_id", "embedding")
       val planted = e.unionByName(
-        e.select((col("vec_id") + 1000000).as("vec_id"), col("embedding")))
+        e.select((col("vec_id") + PlantShift).as("vec_id"), col("embedding")))
       Dedup.embeddingNearDups(planted, "vec_id", "embedding",
-          threshold = 0.95, numBits = 64, bands = 8)
+          threshold = EmbedThreshold, numBits = EmbedBits, bands = EmbedBands)
         .select(col("id1"), col("id2"), r6(col("cos")).as("cos"))
         .orderBy("id1", "id2")
     },
+    // the oracle re-derives the L2 normalization from the dumped RAW
+    // vectors (sequential double sum, like the Spark fold) — vn is dumped
+    // too but unused here, so only the plane hashes themselves go untested
     Some(s"""
-      WITH s AS (SELECT id, sig, vn FROM
-        read_parquet('__VERIFY_OUT__/aux/embed_sigs/*.parquet')),
+      WITH s AS (
+        SELECT id, sig,
+               list_transform(v, x ->
+                 x / sqrt(list_sum(list_transform(v, y -> y * y)))) AS vn
+        FROM read_parquet('__VERIFY_OUT__/aux/embed_sigs/*.parquet')),
       c AS (
-        SELECT id, r.i AS chunk, (sig >> (r.i * 8)) & 255 AS cv
-        FROM s, range(8) AS r(i)),
+        SELECT id, r.i AS chunk,
+               (sig >> (r.i * $EmbedBandBits)) & $EmbedBandMask AS cv
+        FROM s, range($EmbedBands) AS r(i)),
       cand AS (
         SELECT DISTINCT a.id AS id1, b.id AS id2
         FROM c a JOIN c b
@@ -208,7 +237,7 @@ object DedupCatalog {
         JOIN s s1 ON s1.id = cand.id1
         JOIN s s2 ON s2.id = cand.id2)
       SELECT id1, id2, ${sqlR6("cos")} AS cos
-      FROM scored WHERE cos >= 0.95
+      FROM scored WHERE cos >= $EmbedThreshold
       ORDER BY id1, id2""")
   )
 

@@ -8,9 +8,43 @@ import graft.similarity.Ann
 /** Similarity-search twins over the `embeddings` table (builder brief):
   * exact brute-force cosine top-k (oracle-checked — both engines fold the
   * dot product sequentially in double, so scores match bit-for-bit) and the
-  * IVF-bucketed scale path (engine-specific hashing → rows-only).
+  * IVF-bucketed scale path, whose oracle replays probe-selection + exact
+  * re-rank in DuckDB from dumped cell assignments and centroids (the
+  * hashCentroids decimal-sum aggregation makes the centroids bit-identical
+  * across the dump and the gated query, so no state is shared).
   */
 object SimilarityCatalog {
+
+  import org.apache.spark.sql.{DataFrame, SparkSession}
+  import graft.similarity.Ann.{hashCentroids, normalizeCentroids, assignCells}
+
+  // Shared IVF parameters, interpolated into both the Spark call and the
+  // oracle SQL (and used by the aux dumps) so they can never drift.
+  private val IvfCells = 8
+  private val IvfProbe = 3
+  private val TopK = 4
+  private val QueryIdMax = 5
+
+  /** Spark-computed intermediates the IVF oracle replays: corpus→cell
+    * assignments and the L2-normalized centroids the probe ranking scored
+    * against.
+    */
+  val auxDumps: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ivf_cells" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      assignCells(e, "vec_id", "embedding",
+          hashCentroids(e, "vec_id", "embedding", IvfCells))
+        .select("id", "cell")
+    }),
+    "ivf_centroids" -> ((s, dir) => {
+      val sp = s
+      import sp.implicits._
+      normalizeCentroids(
+          hashCentroids(t(s, dir, "embeddings"), "vec_id", "embedding",
+            IvfCells))
+        .map { case (cell, c) => (cell, c.toSeq) }
+        .toDF("cell", "c")
+    }))
 
   /** Exact top-3 neighbors (excluding self) for query vectors vec_id < 5. */
   val sBrute = QueryDef(
@@ -46,20 +80,61 @@ object SimilarityCatalog {
   )
 
   /** IVF-style bucketed ANN (deterministic hash-seeded coarse cells,
-    * nProbe re-rank; rows-only check).
+    * nProbe re-rank). The oracle replays, from the aux dumps: (1) probe
+    * ranking — dot(query, normalized centroid), top `IvfProbe` cells per
+    * query; (2) exact cosine re-rank within the probed cells, ranks
+    * computed BEFORE dropping self-matches, exactly like the Spark plan.
     */
   val sIvf = QueryDef(
     "q_s_ivf_topk",
     (s, dir) => {
       val e = t(s, dir, "embeddings")
-      Ann.ivfTopK(e, e.filter(col("vec_id") < 5), "vec_id", "embedding",
-          "vec_id", k = 4, nCells = 8, nProbe = 3)
+      Ann.ivfTopK(e, e.filter(col("vec_id") < QueryIdMax), "vec_id",
+          "embedding", "vec_id", k = TopK, nCells = IvfCells, nProbe = IvfProbe)
         .filter(col("nn_id") =!= col("query_id"))
         .select(col("query_id"), col("rank").cast("long").as("rank"),
           col("nn_id"), r6(col("cos")).as("cos"))
         .orderBy("query_id", "rank")
     },
-    None
+    Some(s"""
+      WITH cells AS (SELECT id, cell FROM
+        read_parquet('__VERIFY_OUT__/aux/ivf_cells/*.parquet')),
+      cents AS (SELECT cell, c FROM
+        read_parquet('__VERIFY_OUT__/aux/ivf_centroids/*.parquet')),
+      q AS (SELECT vec_id AS query_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+            FROM embeddings WHERE vec_id < $QueryIdMax),
+      probes AS (
+        SELECT query_id, qv, cell,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY s DESC, cell) AS probe_rank
+        FROM (SELECT q.query_id, q.qv, cents.cell,
+                     list_sum(list_transform(list_zip(q.qv, cents.c),
+                       p -> p[1] * p[2])) AS s
+              FROM q CROSS JOIN cents)),
+      pq AS (SELECT query_id, qv, cell FROM probes
+             WHERE probe_rank <= $IvfProbe),
+      corpus AS (
+        SELECT e.vec_id AS nn_id,
+               list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS cv,
+               cells.cell
+        FROM embeddings e JOIN cells ON cells.id = e.vec_id),
+      scored AS (
+        SELECT pq.query_id, corpus.nn_id,
+               list_sum(list_transform(list_zip(corpus.cv, pq.qv),
+                 p -> p[1] * p[2]))
+               / (sqrt(list_sum(list_transform(corpus.cv, x -> x * x)))
+                  * sqrt(list_sum(list_transform(pq.qv, x -> x * x)))) AS cos
+        FROM corpus JOIN pq ON corpus.cell = pq.cell),
+      ranked AS (
+        SELECT query_id, nn_id, cos,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos DESC, nn_id) AS rank
+        FROM scored)
+      SELECT query_id, CAST(rank AS BIGINT) AS rank, nn_id,
+             ${sqlR6("cos")} AS cos
+      FROM ranked WHERE rank <= $TopK AND nn_id <> query_id
+      ORDER BY query_id, rank""")
   )
 
   val all: Seq[QueryDef] = Seq(sBrute, sIvf)

@@ -15,7 +15,16 @@ import graft.text.TextAnalysis
   */
 object TextCatalog {
 
-  private val sqlNorm = "regexp_replace(trim(text), '\\s+', ' ', 'g')"
+  // collapse-then-trim, mirroring TextAnalysis.normText (both engines'
+  // trim strips only ' ', so the order is load-bearing for \t/\n edges)
+  private val sqlNorm = "trim(regexp_replace(text, '\\s+', ' ', 'g'))"
+
+  /** DuckDB twin of TextAnalysis.wsTokenCount: string_split('') yields ['']
+    * (len 1), while the Spark side pins empty text to 0 — mirror the guard
+    * so the engines agree on empty/whitespace-only documents too.
+    */
+  private val sqlWsTokens =
+    s"CASE WHEN length($sqlNorm) = 0 THEN 0 ELSE len(string_split($sqlNorm, ' ')) END"
 
   val tQuality = QueryDef(
     "q_t_quality",
@@ -29,7 +38,7 @@ object TextCatalog {
     Some(s"""
       WITH b AS (
         SELECT doc_id, $sqlNorm AS nt,
-               len(string_split($sqlNorm, ' ')) AS n_tokens
+               $sqlWsTokens AS n_tokens
         FROM documents)
       SELECT doc_id, CAST(length(nt) AS BIGINT) AS n_chars_calc,
              CAST(n_tokens AS BIGINT) AS n_tokens,
@@ -51,7 +60,7 @@ object TextCatalog {
         .orderBy("doc_id"),
     Some(s"""
       SELECT doc_id,
-             CAST(len(string_split($sqlNorm, ' ')) AS BIGINT) AS ws_tokens,
+             CAST($sqlWsTokens AS BIGINT) AS ws_tokens,
              CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]', 0)) AS BIGINT) AS subword_tokens
       FROM documents ORDER BY doc_id""")
   )

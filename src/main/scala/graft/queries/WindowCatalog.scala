@@ -181,19 +181,22 @@ object WindowCatalog {
   )
 
   /** W9 (datamining_analysis.py:73-75): global standardization — sklearn
-    * StandardScaler uses population stddev, hence stddev_pop over an empty
-    * partition spec (one global window).
+    * StandardScaler uses population stddev. Expressed as a 1-row aggregate
+    * broadcast back over the rows (Scaling.standardize), NOT an
+    * empty-partition window: `OVER ()` funnels every row through one task
+    * (the repo measured 5.5× degradation from exactly that shape in the M2
+    * scaler), while the agg+broadcast plan keeps the scan fully parallel.
+    * The oracle keeps the window formulation — same values.
     */
   val w9Standardize = QueryDef(
     "q_w9_standardize",
-    (s, dir) => {
-      val g = Window.partitionBy()
-      base(s, dir)
+    (s, dir) =>
+      graft.mining.Scaling.standardize(
+          base(s, dir).select("o_orderkey", "o_totalprice"),
+          Seq("o_totalprice"))
         .select(col("o_orderkey"),
-          r6((col("o_totalprice") - avg(col("o_totalprice")).over(g))
-            / stddev_pop(col("o_totalprice")).over(g)).as("z_global"))
-        .orderBy("o_orderkey")
-    },
+          r6(col("o_totalprice_z")).as("z_global"))
+        .orderBy("o_orderkey"),
     Some(s"""
       SELECT o_orderkey,
              ${sqlR6("(o_totalprice - avg(o_totalprice) OVER ()) / stddev_pop(o_totalprice) OVER ()")} AS z_global

@@ -44,13 +44,18 @@ object Ann {
 
   /** L2-normalize centroid vectors driver-side: argmax over cosine(v, c)
     * equals argmax over dot(v, c/|c|) since |v| is constant per row — one
-    * looped dot per cell instead of three folds.
+    * looped dot per cell instead of three folds. Public so the centroids a
+    * query actually probed can be dumped for the DuckDB oracle replay.
     */
-  private def normalizedCentroidLit(centroids: Seq[(Int, Array[Double])]) = {
-    val normed = centroids.map { case (cid, cv) =>
+  def normalizeCentroids(
+      centroids: Seq[(Int, Array[Double])]): Seq[(Int, Array[Double])] =
+    centroids.map { case (cid, cv) =>
       val n = math.sqrt(cv.map(x => x * x).sum)
       (cid, cv.map(_ / n))
     }
+
+  private def normalizedCentroidLit(centroids: Seq[(Int, Array[Double])]) = {
+    val normed = normalizeCentroids(centroids)
     (array(normed.map { case (_, cv) => array(cv.map(lit): _*) }: _*),
       array(normed.map { case (cid, _) => lit(cid) }: _*))
   }
@@ -75,6 +80,13 @@ object Ann {
 
   /** Simple deterministic coarse centroids: per-cell means of a hash-based
     * initial assignment (one aggregation; stand-in for a trained quantizer).
+    *
+    * Component sums go through DECIMAL(38,18) — double addition is
+    * order-sensitive and shuffle-merge order is not guaranteed, so a plain
+    * double sum could differ in the last ulp between two executions.
+    * Decimal addition is exact, making the centroids bit-identical across
+    * runs — the property the oracle replay relies on (the aux dump and the
+    * gated query compute them independently).
     */
   def hashCentroids(vecs: DataFrame, idCol: String, vecCol: String,
       nCells: Int): Seq[(Int, Array[Double])] = {
@@ -84,7 +96,9 @@ object Ann {
     val dim = v.select(size(col("v"))).first().getInt(0)
     val sums = v.groupBy("cell").agg(
       count(lit(1)).as("n"),
-      (0 until dim).map(i => sum(element_at(col("v"), i + 1)).as(s"s$i")): _*)
+      (0 until dim).map(i =>
+        sum(element_at(col("v"), i + 1).cast("decimal(38,18)"))
+          .cast("double").as(s"s$i")): _*)
     sums.collect().map { r =>
       val n = r.getLong(1).toDouble
       r.getInt(0) -> (0 until dim).map(i => r.getDouble(i + 2) / n).toArray

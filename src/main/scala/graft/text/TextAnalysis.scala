@@ -10,9 +10,14 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** Whitespace-normalized text: trim + collapse runs of whitespace. */
+  /** Whitespace-normalized text: collapse runs of whitespace to single
+    * spaces, THEN trim. Order matters: both Spark's and DuckDB's `trim`
+    * strip only ' ' (0x20), so trim-first would leave a leading/trailing
+    * tab or newline behind as a stray space and count phantom tokens on
+    * whitespace-only input.
+    */
   def normText(c: Column): Column =
-    regexp_replace(trim(c), "\\s+", " ")
+    trim(regexp_replace(c, "\\s+", " "))
 
   /** Whitespace token count. */
   def wsTokenCount(c: Column): Column =
