@@ -125,6 +125,31 @@ object OlapCatalog {
       GROUP BY 1 ORDER BY avg_price DESC, o_orderpriority""")
   )
 
+  /** A5/A6 twin (olap_analysis.py:84,99,116; OlapQueries.quarterlyMeanStd):
+    * one group's quarterly chart feed — mean price, sample stddev, and a
+    * millions-scaled exact volume sum. Single filtered hash-aggregate.
+    */
+  val a5ChartFeed = QueryDef(
+    "q_a5_chart_feed",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .groupBy(year(col("o_orderdate")).cast("long").as("Year"),
+          quarter(col("o_orderdate")).cast("long").as("Quarter"))
+        .agg(
+          r2(avg("o_totalprice")).as("mean_price"),
+          r2(stddev_samp(col("o_totalprice"))).as("std_price"),
+          r6(sumE(col("o_totalprice")) / 1e6).as("volume_m"))
+        .orderBy("Year", "Quarter"),
+    Some(s"""
+      SELECT year(o_orderdate) AS "Year", quarter(o_orderdate) AS "Quarter",
+             ${sqlR2("avg(o_totalprice)")} AS mean_price,
+             ${sqlR2("stddev_samp(o_totalprice)")} AS std_price,
+             ${sqlR6(s"${sqlSumE("o_totalprice")} / 1e6")} AS volume_m
+      FROM orders WHERE o_orderpriority = '1-URGENT'
+      GROUP BY 1, 2 ORDER BY 1, 2""")
+  )
+
   /** A7 twin (olap_analysis.py:152): monthly label ("yyyy-MM") × priority
     * avg price pivot — the combined-trend chart feed.
     */
@@ -230,6 +255,6 @@ object OlapCatalog {
   )
 
   val all: Seq[QueryDef] = Seq(
-    a1QuarterlyPrice, a2YearlyGrowth, a3MonthlyVolume, a4Stats,
+    a1QuarterlyPrice, a2YearlyGrowth, a3MonthlyVolume, a4Stats, a5ChartFeed,
     a7MonthlyTrend, a11Corr, a12Cov, a15Distinct, q1Pricing)
 }
