@@ -26,6 +26,14 @@ object EtlMain {
     spark.sparkContext.setLogLevel("WARN")
     val cleaned = CleanPipeline.clean(spark, rawDir)
     CleanPipeline.writeCleaned(cleaned, outDir)
+    // S8: JDBC fact-table persistence -- dormant unless a URL is provided,
+    // mirroring the reference's commented-out MySQL block
+    // (preprocess_stocks.py:221-225)
+    sys.env.get("SPARK_GRAFT_JDBC_URL").foreach { url =>
+      JdbcSink.writeTable(cleaned, url,
+        sys.env.getOrElse("SPARK_GRAFT_JDBC_TABLE", "stock_fact"))
+      println(s"[etl] persisted stock_fact via JDBC to $url")
+    }
     println(s"[etl] wrote ${cleaned.count()} rows to $outDir")
     spark.stop()
   }

@@ -42,7 +42,11 @@ class ParserPropertySpec extends SparkSpec {
       val mult = s.toUpperCase match {
         case "K" => 1e3; case "M" => 1e6; case "B" => 1e9; case _ => 1.0
       }
-      val expect = ((w + f / 100.0) * mult).toLong
+      // parse the SAME decimal string the engine sees: `w + f/100.0` is
+      // double-rounded differently than parsing "w.ff" and can land 1 ulp
+      // away — after *1e3 and truncation that ulp crosses the integer
+      // boundary (observed as a rare seed-dependent flake)
+      val expect = (f"$w%d.$f%02d".toDouble * mult).toLong
       assert(v.contains(expect), s"$w.$f$s → $v, want $expect")
     }
   }
