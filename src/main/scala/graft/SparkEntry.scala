@@ -49,5 +49,6 @@ object SparkEntry {
     * engine-specific-hash oracles can replay banding/probing + verification
     * in DuckDB. */
   def auxDumps: Map[String, (SparkSession, String) => DataFrame] =
-    DedupCatalog.auxDumps ++ SimilarityCatalog.auxDumps
+    DedupCatalog.auxDumps ++ SimilarityCatalog.auxDumps ++
+      MiscCatalog.auxDumps
 }

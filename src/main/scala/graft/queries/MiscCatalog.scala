@@ -128,36 +128,104 @@ object MiscCatalog {
       FROM r WHERE lr IS NOT NULL GROUP BY 1 ORDER BY 1""")
   )
 
+  /** Shared M3 pipeline: per-customer (mean row-over-row change, mean
+    * price) features, population-std scaled, assembled for spark.ml. Used
+    * by both the gated query and the centers aux dump so the two fits see
+    * byte-identical input plans.
+    */
+  private def kmeansAssembled(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    // Return/Volume feed the scaler+model as plain doubles; ReturnE/VolumeE
+    // are order-independent exact-decimal twins of the SAME averages, used
+    // only for the displayed output — per-customer avg(price) lands exactly
+    // on half-cent r2 boundaries (prices have 2 decimals), where a
+    // shuffle-order ulp would flip the rounded value between engines
+    val feats = t(s, dir, "orders")
+      .withColumn("chg",
+        col("o_totalprice") / lag(col("o_totalprice"), 1).over(w) - 1)
+      .groupBy("o_custkey")
+      .agg(avg("chg").as("Return"), avg("o_totalprice").as("Volume"),
+        avgE18(col("chg")).as("ReturnE"), avgE(col("o_totalprice")).as("VolumeE"))
+      .na.drop()
+    val scaled = graft.mining.Scaling.standardize(feats, Seq("Return", "Volume"))
+    // fit and transform each re-execute the feature lineage (window +
+    // aggregate + scaler) — materialize it once
+    new org.apache.spark.ml.feature.VectorAssembler()
+      .setInputCols(Array("Return_z", "Volume_z")).setOutputCol("fv")
+      .transform(scaled)
+      .cache()
+  }
+
+  private def kmeansFit(assembled: org.apache.spark.sql.DataFrame) =
+    new org.apache.spark.ml.clustering.KMeans()
+      .setK(3).setSeed(42L).setFeaturesCol("fv").setPredictionCol("Cluster")
+      .fit(assembled)
+
+  /** Centers aux dump: (idx, c1, c2) of the fitted model — the one
+    * non-SQL-expressible piece (Lloyd iterations). The oracle replays
+    * everything around it: the feature pipeline, the scaling, and the
+    * nearest-center assignment.
+    */
+  val auxDumps: Map[String, (org.apache.spark.sql.SparkSession, String) =>
+      org.apache.spark.sql.DataFrame] = Map(
+    "kmeans_centers" -> ((s, dir) => {
+      val sp = s
+      import sp.implicits._
+      kmeansFit(kmeansAssembled(s, dir)).clusterCenters.zipWithIndex
+        .map { case (c, i) => (i, c(0), c(1)) }.toSeq
+        .toDF("idx", "c1", "c2")
+    }))
+
   /** M3 twin (datamining_analysis.py:105-120): K-Means k=3 over per-group
-    * scaled (mean row-over-row change, mean price) features via spark.ml —
-    * not SQL-expressible → rows-only.
+    * scaled features via spark.ml. The oracle recomputes the ENTIRE feature
+    * pipeline in SQL (lag-change aggregation, population-std scaling) and
+    * assigns each point to the nearest dumped center (squared euclidean,
+    * lowest index on ties — spark.ml transform's exact rule), so only the
+    * center-finding iterations themselves go unchecked.
     */
   val mKmeans = QueryDef(
     "q_m3_kmeans",
     (s, dir) => {
-      val w = Window.partitionBy("o_custkey")
-        .orderBy(col("o_orderdate"), col("o_orderkey"))
-      val feats = t(s, dir, "orders")
-        .withColumn("chg",
-          col("o_totalprice") / lag(col("o_totalprice"), 1).over(w) - 1)
-        .groupBy("o_custkey")
-        .agg(avg("chg").as("Return"), avg("o_totalprice").as("Volume"))
-        .na.drop()
-      val scaled = graft.mining.Scaling.standardize(feats, Seq("Return", "Volume"))
-      // fit and transform each re-execute the feature lineage (window +
-      // aggregate + scaler) — materialize it once
-      val assembled = new org.apache.spark.ml.feature.VectorAssembler()
-        .setInputCols(Array("Return_z", "Volume_z")).setOutputCol("fv")
-        .transform(scaled)
-        .cache()
-      new org.apache.spark.ml.clustering.KMeans()
-        .setK(3).setSeed(42L).setFeaturesCol("fv").setPredictionCol("Cluster")
-        .fit(assembled).transform(assembled)
+      val assembled = kmeansAssembled(s, dir)
+      kmeansFit(assembled).transform(assembled)
         .select(col("o_custkey"),
-          col("Return"), col("Volume"), col("Cluster").cast("long").as("Cluster"))
+          r6(col("ReturnE")).as("Return"), r2(col("VolumeE")).as("Volume"),
+          col("Cluster").cast("long").as("Cluster"))
         .orderBy("o_custkey")
     },
-    None
+    Some(s"""
+      WITH chg AS (
+        SELECT o_custkey, o_totalprice,
+               o_totalprice / lag(o_totalprice, 1) OVER
+                 (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) - 1
+                 AS chg
+        FROM orders),
+      f AS (
+        SELECT o_custkey, avg(chg) AS r, avg(o_totalprice) AS v,
+               ${sqlAvgE18("chg")} AS re, ${sqlAvgE("o_totalprice")} AS ve
+        FROM chg GROUP BY 1 HAVING avg(chg) IS NOT NULL),
+      stats AS (
+        SELECT avg(r) AS mr, stddev_pop(r) AS sr,
+               avg(v) AS mv, stddev_pop(v) AS sv
+        FROM f),
+      z AS (
+        SELECT o_custkey, re, ve,
+               (r - mr) / sr AS rz, (v - mv) / sv AS vz
+        FROM f CROSS JOIN stats),
+      cents AS (SELECT idx, c1, c2 FROM
+        read_parquet('__VERIFY_OUT__/aux/kmeans_centers/*.parquet')),
+      d AS (
+        SELECT z.o_custkey, z.re, z.ve, cents.idx,
+               row_number() OVER (PARTITION BY z.o_custkey
+                 ORDER BY (z.rz - cents.c1) * (z.rz - cents.c1)
+                        + (z.vz - cents.c2) * (z.vz - cents.c2), cents.idx)
+                 AS rk
+        FROM z CROSS JOIN cents)
+      SELECT o_custkey, ${sqlR6("re")} AS "Return", ${sqlR2("ve")} AS "Volume",
+             CAST(idx AS BIGINT) AS "Cluster"
+      FROM d WHERE rk = 1 ORDER BY o_custkey""")
   )
 
   /** As-of join twin: each purchase event picks up the user's most recent

@@ -53,4 +53,14 @@ object QueryDef {
   /** Exact average: exact sum ÷ count, one double division in both engines. */
   def avgE(c: Column): Column = sumE(c) / count(c)
   def sqlAvgE(e: String): String = s"(${sqlSumE(e)} / count($e))"
+
+  /** High-precision variant for O(1) ratio values, where DECIMAL(28,6)'s
+    * 1e-6 granularity would visibly truncate: DECIMAL(38,18) keeps the
+    * order-independence (decimal addition is exact) with 1e-18 granularity,
+    * far below any rounding the result feeds.
+    */
+  def avgE18(c: Column): Column =
+    sum(c.cast("decimal(38,18)")).cast("double") / count(c)
+  def sqlAvgE18(e: String): String =
+    s"(CAST(sum(CAST(($e) AS DECIMAL(38,18))) AS DOUBLE) / count($e))"
 }
