@@ -65,7 +65,10 @@ object SequenceOps {
   /** Append a row_number column (`rnCol`) and/or a lead-by-1 column
     * (`leadOut` of `leadSrc`) over PARTITION BY `groupCols` ORDER BY
     * `orderCols` — order must be total within each group (include a unique
-    * tiebreaker).
+    * tiebreaker). `totalOut` additionally attaches each group's TOTAL row
+    * count to every row — pass 1 already computes it, so callers that need
+    * `count(*) OVER (PARTITION BY group)` (e.g. chronological split
+    * boundaries) get it without another shuffle + join.
     */
   def withSequenceCols(
       df: DataFrame,
@@ -74,7 +77,8 @@ object SequenceOps {
       leadSrc: Option[String] = None,
       leadOut: String = "lead",
       rnCol: Option[String] = None,
-      numPartitions: Option[Int] = None): DataFrame = {
+      numPartitions: Option[Int] = None,
+      totalOut: Option[String] = None): DataFrame = {
     val spark = df.sparkSession
     val p = numPartitions.getOrElse(
       spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
@@ -135,12 +139,16 @@ object SequenceOps {
 
       val bOffsets = spark.sparkContext.broadcast(offsets)
       val bSucc = spark.sparkContext.broadcast(successorFirst)
+      // after the offsets fold, `running` holds each group's total count
+      val bTotals = spark.sparkContext.broadcast(
+        if (totalOut.isDefined) running.toMap else Map.empty[Seq[Any], Long])
 
       // pass 2: assign
       val outRdd = rdd.mapPartitionsWithIndex { (idx, it) =>
         val offs = scala.collection.mutable.Map[Seq[Any], Long]() ++=
           bOffsets.value(idx)
         val succ = bSucc.value(idx)
+        val totals = bTotals.value
         // one-ahead state machine (plain vars — BufferedIterator recurses
         // against Spark's iterator wrappers)
         new Iterator[Row] {
@@ -161,14 +169,16 @@ object SequenceOps {
               }
             }.orNull
             val extra = (leadSrc.map(_ => leadVal).toSeq ++
-              rnCol.map(_ => rn: Any).toSeq)
+              rnCol.map(_ => rn: Any).toSeq ++
+              totalOut.map(_ => totals.getOrElse(g, 0L): Any).toSeq)
             Row.fromSeq(r.toSeq ++ extra)
           }
         }
       }
       val outSchema = StructType(schema.fields.toSeq ++
         leadSrc.map(s => StructField(leadOut, schema(s).dataType)).toSeq ++
-        rnCol.map(StructField(_, LongType, nullable = false)).toSeq)
+        rnCol.map(StructField(_, LongType, nullable = false)).toSeq ++
+        totalOut.map(StructField(_, LongType, nullable = false)).toSeq)
       spark.createDataFrame(outRdd, outSchema)
     }
   }

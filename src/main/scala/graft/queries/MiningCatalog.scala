@@ -53,12 +53,21 @@ object MiningCatalog {
   val m2OlsNextDay = QueryDef(
     "q_m2_ols_next",
     (s, dir) => {
-      // Scale note: the natural Window.partitionBy("l_returnflag") version
-      // runs 3-wide (3 groups) and a Window.partitionBy() scaler runs
-      // 1-wide — measured 5.5× degradation at 10× data (tools.Soak). The
-      // scaler is a 1-row aggregate broadcast back; lead/row_number go
-      // through plans.SequenceOps (range-partitioned two-pass, equal
-      // semantics, P-way parallel). The DuckDB oracle is unchanged.
+      // Scale notes: (1) the natural Window.partitionBy("l_returnflag")
+      // version runs 3-wide (3 groups) and a Window.partitionBy() scaler
+      // runs 1-wide — measured 5.5× degradation at 10× data (tools.Soak);
+      // the scaler is a 1-row aggregate broadcast back and lead/row_number
+      // go through plans.SequenceOps (range-partitioned two-pass, equal
+      // semantics, P-way parallel), which also attaches the per-group total
+      // (totalOut) so the split boundary needs no count+join pass.
+      // (2) The fit AND the test metrics reduce to per-(group, is_train)
+      // SUFFICIENT STATISTICS — one aggregation pass over the sequence
+      // output instead of cache + three separate train/test jobs:
+      //   b = (Σxy − ΣxΣy/n) / (Σx² − (Σx)²/n),  a = ȳ − b·x̄,
+      //   SSres = Σy² + n·a² + b²Σx² − 2aΣy − 2bΣxy + 2abΣx,
+      //   SStot = Σy² − n·ȳ².
+      // Sums go through exact decimal accumulation (order-independent), so
+      // the DuckDB oracle — the same moment formulas — matches bit-for-bit.
       val seqKeys = Seq("l_shipdate", "l_orderkey", "l_linenumber",
         "l_quantity", "l_extendedprice")
       val li = t(s, dir, "lineitem")
@@ -68,39 +77,48 @@ object MiningCatalog {
       val withX = li.crossJoin(broadcast(stats))
         .withColumn("x", (col("l_quantity") - col("__mu")) / col("__sd"))
         .drop("__mu", "__sd")
-      // one sequence pass computes both: the only dropped row (y null) is
-      // each group's LAST row, so row numbers over the unfiltered set equal
-      // row numbers over the filtered set for every kept row
-      val withRn = graft.plans.SequenceOps.withSequenceCols(withX,
+      // one sequence pass computes lead, row number, and group total; the
+      // only dropped row (y null) is each group's LAST row, so row numbers
+      // over the unfiltered set equal row numbers over the filtered set for
+      // every kept row, and the post-filter group size is total − 1
+      val withSplit = graft.plans.SequenceOps.withSequenceCols(withX,
           Seq("l_returnflag"), seqKeys,
           leadSrc = Some("l_extendedprice"), leadOut = "y",
-          rnCol = Some("rn"))
+          rnCol = Some("rn"), totalOut = Some("ntot"))
         .filter(col("y").isNotNull)
-      // the train/test branches below both consume this frame; Spark plans
-      // common subtrees twice, so materialize the sequence output once
-      val withRnC = withRn.cache()
-      val counts = withRnC.groupBy("l_returnflag").agg(count(lit(1)).as("n"))
-      val base = withRnC.join(broadcast(counts), Seq("l_returnflag"))
+        .withColumn("n", col("ntot") - 1)
         .withColumn("is_train", col("rn") <= col("n") - ceil(col("n") * 0.2))
-      val coefs = base.filter(col("is_train"))
-        .groupBy("l_returnflag")
-        .agg(
-          (covar_samp(col("y"), col("x")) / var_samp(col("x"))).as("b"),
-          (avg(col("y")) - covar_samp(col("y"), col("x"))
-            / var_samp(col("x")) * avg(col("x"))).as("a"))
-      val test = base.filter(!col("is_train"))
-        .join(broadcast(coefs), Seq("l_returnflag"))
-        .withColumn("resid", col("y") - (col("a") + col("b") * col("x")))
-      val ybars = test.groupBy("l_returnflag").agg(avg(col("y")).as("ybar"))
-      test
-        .join(broadcast(ybars), Seq("l_returnflag"))
-        .groupBy("l_returnflag")
-        .agg(
-          r6(lit(1) - sum(col("resid") * col("resid"))
-            / sum((col("y") - col("ybar")) * (col("y") - col("ybar"))))
-            .as("r2_test"),
-          r2(avg(col("resid") * col("resid"))).as("mse_test"),
-          count(lit(1)).as("n_test"))
+      val moments = withSplit.groupBy("l_returnflag", "is_train").agg(
+        count(lit(1)).as("n"),
+        sum(col("x").cast("decimal(38,18)")).cast("double").as("sx"),
+        sum(col("y").cast("decimal(28,6)")).cast("double").as("sy"),
+        sum((col("x") * col("y")).cast("decimal(38,12)")).cast("double").as("sxy"),
+        sum((col("x") * col("x")).cast("decimal(38,18)")).cast("double").as("sxx"),
+        sum((col("y") * col("y")).cast("decimal(38,6)")).cast("double").as("syy"))
+      // ≤ 2×|groups| rows (6 here) — bounded driver-side collect, so the
+      // expensive sequence pipeline executes exactly once
+      val mLocal = s.createDataFrame(
+        java.util.Arrays.asList(moments.collect(): _*), moments.schema)
+      val tr = mLocal.filter(col("is_train")).select(col("l_returnflag"),
+        col("n").as("n_t"), col("sx").as("sx_t"), col("sy").as("sy_t"),
+        col("sxy").as("sxy_t"), col("sxx").as("sxx_t"))
+      val te = mLocal.filter(!col("is_train")).select(col("l_returnflag"),
+        col("n").as("n_e"), col("sx").as("sx_e"), col("sy").as("sy_e"),
+        col("sxy").as("sxy_e"), col("sxx").as("sxx_e"), col("syy").as("syy_e"))
+      te.join(tr, "l_returnflag")
+        .withColumn("b", (col("sxy_t") - col("sx_t") * col("sy_t") / col("n_t"))
+          / (col("sxx_t") - col("sx_t") * col("sx_t") / col("n_t")))
+        .withColumn("a", col("sy_t") / col("n_t") - col("b") * (col("sx_t") / col("n_t")))
+        .withColumn("ssres", col("syy_e") + col("n_e") * col("a") * col("a")
+          + col("b") * col("b") * col("sxx_e") - lit(2) * col("a") * col("sy_e")
+          - lit(2) * col("b") * col("sxy_e")
+          + lit(2) * col("a") * col("b") * col("sx_e"))
+        .withColumn("sstot", col("syy_e")
+          - col("n_e") * (col("sy_e") / col("n_e")) * (col("sy_e") / col("n_e")))
+        .select(col("l_returnflag"),
+          r6(lit(1) - col("ssres") / col("sstot")).as("r2_test"),
+          r2(col("ssres") / col("n_e")).as("mse_test"),
+          col("n_e").as("n_test"))
         .orderBy(desc("r2_test"), col("l_returnflag"))
     },
     Some(s"""
@@ -108,31 +126,45 @@ object MiningCatalog {
         SELECT l_returnflag,
                (l_quantity - avg(l_quantity) OVER ()) / stddev_pop(l_quantity) OVER () AS x,
                lead(l_extendedprice, 1) OVER (PARTITION BY l_returnflag ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity, l_extendedprice) AS y,
-               row_number() OVER (PARTITION BY l_returnflag ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity, l_extendedprice) AS rn,
-               count(*) OVER (PARTITION BY l_returnflag) AS n0
+               row_number() OVER (PARTITION BY l_returnflag ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity, l_extendedprice) AS rn
         FROM lineitem),
       f AS (
-        SELECT l_returnflag, x, y,
-               row_number() OVER (PARTITION BY l_returnflag ORDER BY rn) AS rn2,
+        SELECT l_returnflag, x, y, rn,
                count(*) OVER (PARTITION BY l_returnflag) AS n
         FROM base WHERE y IS NOT NULL),
       s AS (
-        SELECT *, rn2 <= n - ceil(n * 0.2) AS is_train FROM f),
-      coefs AS (
-        SELECT l_returnflag,
-               covar_samp(y, x) / var_samp(x) AS b,
-               avg(y) - covar_samp(y, x) / var_samp(x) * avg(x) AS a
-        FROM s WHERE is_train GROUP BY 1),
-      test AS (
-        SELECT s.l_returnflag, s.y, s.y - (c.a + c.b * s.x) AS resid,
-               avg(s.y) OVER (PARTITION BY s.l_returnflag) AS ybar
-        FROM s JOIN coefs c ON s.l_returnflag = c.l_returnflag
-        WHERE NOT s.is_train)
+        SELECT *, rn <= n - ceil(n * 0.2) AS is_train FROM f),
+      m AS (
+        SELECT l_returnflag, is_train, count(*) AS n,
+               CAST(sum(CAST(x AS DECIMAL(38,18))) AS DOUBLE) AS sx,
+               CAST(sum(CAST(y AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+               CAST(sum(CAST(x * y AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
+               CAST(sum(CAST(x * x AS DECIMAL(38,18))) AS DOUBLE) AS sxx,
+               CAST(sum(CAST(y * y AS DECIMAL(38,6))) AS DOUBLE) AS syy
+        FROM s GROUP BY 1, 2),
+      j AS (
+        SELECT t.l_returnflag,
+               t.n AS n_t, t.sx AS sx_t, t.sy AS sy_t, t.sxy AS sxy_t,
+               t.sxx AS sxx_t,
+               e.n AS n_e, e.sx AS sx_e, e.sy AS sy_e, e.sxy AS sxy_e,
+               e.sxx AS sxx_e, e.syy AS syy_e
+        FROM m t JOIN m e ON t.l_returnflag = e.l_returnflag
+          AND t.is_train AND NOT e.is_train),
+      c AS (
+        SELECT *, (sxy_t - sx_t * sy_t / n_t) / (sxx_t - sx_t * sx_t / n_t) AS b
+        FROM j),
+      c2 AS (SELECT *, sy_t / n_t - b * (sx_t / n_t) AS a FROM c),
+      r AS (
+        SELECT l_returnflag, n_e,
+               syy_e + n_e * a * a + b * b * sxx_e - 2 * a * sy_e
+                 - 2 * b * sxy_e + 2 * a * b * sx_e AS ssres,
+               syy_e - n_e * (sy_e / n_e) * (sy_e / n_e) AS sstot
+        FROM c2)
       SELECT l_returnflag,
-             ${sqlR6("1 - sum(resid * resid) / sum((y - ybar) * (y - ybar))")} AS r2_test,
-             ${sqlR2("avg(resid * resid)")} AS mse_test,
-             count(*) AS n_test
-      FROM test GROUP BY 1 ORDER BY r2_test DESC, l_returnflag""")
+             ${sqlR6("1 - ssres / sstot")} AS r2_test,
+             ${sqlR2("ssres / n_e")} AS mse_test,
+             n_e AS n_test
+      FROM r ORDER BY r2_test DESC, l_returnflag""")
   )
 
   /** M4 (datamining_analysis.py:125-131): per-group z-score anomalies,

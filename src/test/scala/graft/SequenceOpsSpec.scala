@@ -35,6 +35,23 @@ class SequenceOpsSpec extends SparkSpec {
     assert(bad.count() == 0, s"mismatches: ${bad.take(5).mkString(";")}")
   }
 
+  test("totalOut equals count(*) over the group partition") {
+    val orders = spark.read.parquet(s"$sfCorrect/orders.parquet")
+      .withColumn("g", (col("o_orderkey") % 3).cast("int"))
+    val want = orders
+      .withColumn("n_w", count(lit(1)).over(Window.partitionBy("g")))
+      .select("o_orderkey", "n_w")
+    val got = SequenceOps.withSequenceCols(orders,
+        groupCols = Seq("g"),
+        orderCols = Seq("o_orderdate", "o_orderkey"),
+        totalOut = Some("n_s"),
+        numPartitions = Some(16))
+      .select("o_orderkey", "n_s")
+    val j = want.join(got, "o_orderkey")
+    assert(j.count() == orders.count())
+    assert(j.filter(col("n_w") =!= col("n_s")).count() == 0)
+  }
+
   test("single group spanning all partitions") {
     import spark.implicits._
     val df = (1 to 1000).map(i => (1, i, i * 10.0)).toDF("g", "t", "v")
