@@ -87,6 +87,35 @@ object EventStreams {
       .dropDuplicates(keyCols :+ "tsm")
   }
 
+  /** Watermarked stream-stream inner join: each purchase event joins the
+    * same user's click events from the preceding `lagMinutes`. Both sides
+    * carry watermarks AND the join condition bounds event time on both
+    * sides — the two requirements that let Spark evict buffered state
+    * (without them a stream-stream join accumulates state forever, the
+    * classic scale pitfall).
+    */
+  def purchaseClickJoin(spark: SparkSession, dir: String,
+      lagMinutes: Int = 30, watermark: String = "1 hour"): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    def side(t: String, ts: String, v: String): DataFrame =
+      spark.readStream.schema(eventSchema).parquet(dir)
+        .filter(col("event_type") === t)
+        .select(col("user_id"),
+          timestamp_micros(expr("ts div 1000")).as(ts),
+          col("value").as(v))
+        .withWatermark(ts, watermark)
+    val purchases = side("purchase", "purchase_ts", "purchase_value")
+    val clicks = side("click", "click_ts", "click_value")
+      .withColumnRenamed("user_id", "click_user")
+    purchases.join(clicks,
+      col("user_id") === col("click_user") &&
+        col("click_ts") >= col("purchase_ts")
+          - expr(s"INTERVAL $lagMinutes MINUTES") &&
+        col("click_ts") <= col("purchase_ts"))
+      .select("user_id", "purchase_ts", "purchase_value",
+        "click_ts", "click_value")
+  }
+
   /** Drive a streaming frame to completion against static input (memory
     * sink) and return the materialized result — the batch-driven smoke
     * harness for local verification.

@@ -128,6 +128,34 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got == want, s"diff: ${want.toSet -- got.toSet}")
   }
 
+  test("stream-stream interval join matches the batch join exactly") {
+    val got = EventStreams.runToMemory(spark,
+        EventStreams.purchaseClickJoin(spark, eventsDir, lagMinutes = 30),
+        "ss_join")
+      .collect().map(_.toSeq).toSet
+    val ev = spark.read.schema(EventStreams.eventSchema)
+      .parquet(s"$sfSmoke/events.parquet")
+      .withColumn("tsm", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("tsm").as("purchase_ts"),
+        col("value").as("purchase_value"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("click_user"), col("tsm").as("click_ts"),
+        col("value").as("click_value"))
+    val want = p.join(c,
+        col("user_id") === col("click_user") &&
+          col("click_ts") >= col("purchase_ts")
+            - org.apache.spark.sql.functions.expr("INTERVAL 30 MINUTES") &&
+          col("click_ts") <= col("purchase_ts"))
+      .select("user_id", "purchase_ts", "purchase_value",
+        "click_ts", "click_value")
+      .collect().map(_.toSeq).toSet
+    assert(want.nonEmpty, "batch interval join must produce rows")
+    assert(got == want,
+      s"stream/batch diff: ${(want -- got).take(3)} / ${(got -- want).take(3)}")
+  }
+
   test("multimodal plumbing: meta, features, frames") {
     val docs = spark.read.parquet(s"$sfSmoke/documents.parquet").limit(10)
     val media = Multimodal.asMediaTable(docs, "doc_id", "text", "text/plain")
