@@ -23,6 +23,25 @@ import graft.text.TextAnalysis
   */
 object Dedup {
 
+  /** Eager one-shot materialization for intermediates consumed by several
+    * plan subtrees (self-joins, doc-size tables, verification re-attach).
+    * `localCheckpoint(eager = true)` computes the blocks ONCE, up front:
+    *
+    *  - no first-materialization contention: a lazy `.cache()` shared by
+    *    four consumer subtrees makes concurrently-scheduled stages race
+    *    per-partition compute locks — under ambient machine load that
+    *    serialization inflates wall time several-fold (BENCH_r03 measured
+    *    q_d_ngram_jaccard at 15.3 s in-suite vs 2.9 s isolated);
+    *  - no CacheManager entry: blocks free themselves via the
+    *    ContextCleaner once the frame is unreachable, so library callers
+    *    need no `clearCache()` hygiene to stay flat;
+    *  - truncated lineage: on a cluster, a lost block fails the job loudly
+    *    (inputs are deterministic, so a job-level retry is safe) instead
+    *    of silently recomputing one partition mid-query.
+    */
+  private def materialize(df: DataFrame): DataFrame =
+    df.localCheckpoint(eager = true)
+
   // ---- exact ----
 
   /** Exact dedup: one keeper (min id) per normalized-content fingerprint. */
@@ -68,7 +87,7 @@ object Dedup {
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.3,
       maxShingleFreq: Int = 100): DataFrame = {
-    val sh = shingles(df, idCol, textCol, n).cache()
+    val sh = materialize(shingles(df, idCol, textCol, n))
     val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxShingleFreq && col("df") >= 2)
       .select("shingle")
@@ -119,7 +138,7 @@ object Dedup {
   def minHashLshPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numPerm: Int = 32, bands: Int = 8,
       threshold: Double = 0.3): DataFrame = {
-    val sh = shingles(df, idCol, textCol, n).cache()
+    val sh = materialize(shingles(df, idCol, textCol, n))
     val buckets = minHashBuckets(sh, numPerm, bands)
     val cand = buckets.as("a").join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
@@ -194,7 +213,7 @@ object Dedup {
     require(chunks > 0 && 64 % chunks == 0, "chunks must divide 64")
     val width = 64 / chunks
     val mask = if (width == 64) -1L else (1L << width) - 1
-    val sig = simHash(df, idCol, textCol).cache()
+    val sig = materialize(simHash(df, idCol, textCol))
     val chunked = sig.select(col("id"), col("simhash"),
       explode(array((0 until chunks).map(i =>
         struct(lit(i).as("chunk"),
@@ -272,7 +291,7 @@ object Dedup {
     require(numBits % bands == 0 && numBits <= 64, "bands must divide numBits ≤ 64")
     val bitsPerBand = numBits / bands
     val mask = if (bitsPerBand == 64) -1L else (1L << bitsPerBand) - 1
-    val sigC = embeddingSignatures(df, idCol, vecCol, numBits, dim).cache()
+    val sigC = materialize(embeddingSignatures(df, idCol, vecCol, numBits, dim))
     // dedup candidate IDs first — the distinct shuffles narrow (id, id)
     // rows, not 2×dim doubles; vectors re-attach after
     val chunks = sigC.select(col("id"),

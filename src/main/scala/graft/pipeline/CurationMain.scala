@@ -25,15 +25,22 @@ object CurationMain {
     val stages = scala.collection.mutable.ArrayBuffer[StageCount]()
     stages += StageCount("input", docs.count())
 
-    // 1. exact dedup (content fingerprint, keep min id)
-    val exact = Dedup.dropExactDups(docs, "doc_id", "text").cache()
+    // 1. exact dedup (content fingerprint, keep min id). Each stage is
+    // materialized eagerly via localCheckpoint: downstream stages read the
+    // blocks instead of re-running the lineage, and the blocks self-free
+    // through the ContextCleaner once unreachable — callers never need
+    // clearCache() to keep the storage tab flat (PipelineOpsSpec asserts
+    // this empties after GC).
+    val exact = Dedup.dropExactDups(docs, "doc_id", "text")
+      .localCheckpoint(true)
     stages += StageCount("exact_dedup", exact.count())
 
     // 2. near-dup pruning: drop the higher id of each MinHash-verified pair
     val nearPairs = Dedup.minHashLshPairs(exact, "doc_id", "text",
       n = 3, numPerm = 32, bands = 8, threshold = jaccardThreshold)
     val losers = nearPairs.select(col("id2").as("doc_id")).distinct()
-    val deduped = exact.join(losers, Seq("doc_id"), "left_anti").cache()
+    val deduped = exact.join(losers, Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
     stages += StageCount("near_dedup", deduped.count())
 
     // 3. quality gate + language ID + token accounting

@@ -94,16 +94,19 @@ object SequenceOps {
     val p = numPartitions.getOrElse(
       spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
     val keys = (groupCols ++ orderCols).map(col)
-    // The persist is REQUIRED for correctness, not speed: the boundary job
-    // and the stitch job must see the IDENTICAL partitioning, and a fresh
-    // execution of repartitionByRange re-samples its bounds. MEMORY_AND_DISK
-    // (columnar, compressed) spills instead of evicting — eviction would
-    // silently recompute with different bounds. Callers' harnesses free it
-    // via spark.catalog.clearCache once the output materializes.
+    // The eager localCheckpoint is REQUIRED for correctness, not speed: the
+    // boundary job and the stitch job must see the IDENTICAL partitioning,
+    // and a fresh execution of repartitionByRange re-samples its bounds.
+    // Truncating the lineage makes re-derivation impossible by
+    // construction — a lost block fails the job loudly instead of silently
+    // re-partitioning with different bounds (the failure mode a plain
+    // persist left open on eviction/executor loss). The blocks carry no
+    // CacheManager entry and free themselves via the ContextCleaner once
+    // the returned frame is unreachable — no caller-side clearCache needed.
     val sorted = df.repartitionByRange(p, keys: _*)
       .sortWithinPartitions(keys: _*)
       .withColumn("__seq_pid", spark_partition_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val schema = df.schema
 
     // boundary job: per (pid, group) count + the in-order first lead value.
@@ -171,7 +174,15 @@ object SequenceOps {
         sorted.withColumn("__seq_rnl", row_number().over(lw))) { (d, src) =>
       d.withColumn("__seq_leadl", lead(col(src), 1).over(lw))
     }
-    val local = windowed.join(broadcast(small), "__seq_pid" +: groupCols)
+    // null-safe equality on the group columns: a null-keyed group
+    // aggregates into a null-keyed boundary row, and plain `=` would never
+    // match it back (null = null is false), silently dropping those rows —
+    // `<=>` keeps null-group rows intact (SequenceOpsSpec pins this).
+    val joinCond = (windowed("__seq_pid") === small("__seq_pid")) +:
+      groupCols.map(c => windowed(c) <=> small(c))
+    val local = groupCols.foldLeft(
+        windowed.join(broadcast(small), joinCond.reduce(_ && _))
+          .drop(small("__seq_pid"))) { (d, c) => d.drop(small(c)) }
     val withLead = leadSrc match {
       case Some(_) =>
         local.withColumn(leadOut,

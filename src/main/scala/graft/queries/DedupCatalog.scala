@@ -36,6 +36,9 @@ object DedupCatalog {
   private val EmbedBandBits = EmbedBits / EmbedBands
   private val EmbedBandMask = (1L << EmbedBandBits) - 1
   private val EmbedThreshold = 0.95
+  // testdata embeddings are 64-dim at every SF; passing the known dim lets
+  // embeddingSignatures skip its driver-side first() dimension-probe job
+  private val EmbedDim = 64
   private val PlantShift = 1000000
 
   /** Spark-computed intermediates the LSH oracles replay; Verify writes
@@ -57,7 +60,7 @@ object DedupCatalog {
       val planted = e.unionByName(
         e.select((col("vec_id") + PlantShift).as("vec_id"), col("embedding")))
       Dedup.embeddingSignatures(planted, "vec_id", "embedding",
-        numBits = EmbedBits)
+        numBits = EmbedBits, dim = EmbedDim)
     }))
 
   // collapse-then-trim, mirroring TextAnalysis.normText (see TextCatalog)
@@ -208,7 +211,8 @@ object DedupCatalog {
       val planted = e.unionByName(
         e.select((col("vec_id") + PlantShift).as("vec_id"), col("embedding")))
       Dedup.embeddingNearDups(planted, "vec_id", "embedding",
-          threshold = EmbedThreshold, numBits = EmbedBits, bands = EmbedBands)
+          threshold = EmbedThreshold, numBits = EmbedBits, bands = EmbedBands,
+          dim = EmbedDim)
         .select(col("id1"), col("id2"), r6(col("cos")).as("cos"))
         .orderBy("id1", "id2")
     },

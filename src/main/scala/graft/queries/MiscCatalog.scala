@@ -133,7 +133,7 @@ object MiscCatalog {
     * by both the gated query and the centers aux dump so the two fits see
     * byte-identical input plans.
     */
-  private def kmeansAssembled(s: org.apache.spark.sql.SparkSession,
+  private[graft] def kmeansAssembled(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
     val w = Window.partitionBy("o_custkey")
       .orderBy(col("o_orderdate"), col("o_orderkey"))
@@ -151,14 +151,16 @@ object MiscCatalog {
       .na.drop()
     val scaled = graft.mining.Scaling.standardize(feats, Seq("Return", "Volume"))
     // fit and transform each re-execute the feature lineage (window +
-    // aggregate + scaler) — materialize it once
+    // aggregate + scaler) — materialize it once, eagerly, with no
+    // CacheManager entry (blocks self-free via the ContextCleaner; one
+    // per-customer row each, so the footprint is tiny)
     new org.apache.spark.ml.feature.VectorAssembler()
       .setInputCols(Array("Return_z", "Volume_z")).setOutputCol("fv")
       .transform(scaled)
-      .cache()
+      .localCheckpoint(true)
   }
 
-  private def kmeansFit(assembled: org.apache.spark.sql.DataFrame) =
+  private[graft] def kmeansFit(assembled: org.apache.spark.sql.DataFrame) =
     new org.apache.spark.ml.clustering.KMeans()
       .setK(3).setSeed(42L).setFeaturesCol("fv").setPredictionCol("Cluster")
       .fit(assembled)

@@ -62,6 +62,39 @@ class PipelineOpsSpec extends SparkSpec {
     assert(ham(sig(1L), sig(2L)) < ham(sig(1L), sig(3L)))
   }
 
+  test("curation pipeline prunes planted dups and self-frees its blocks") {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val docs = spark.read.parquet(s"$sfCorrect/documents.parquet")
+    // plant exact dups: a full shifted copy of the corpus
+    val doubled = docs.unionByName(
+      docs.withColumn("doc_id", col("doc_id") + 1000000))
+    var res = graft.pipeline.CurationMain.curate(spark, doubled,
+      jaccardThreshold = 0.85)
+    val counts = res._2.map(s => s.stage -> s.docs).toMap
+    assert(counts("input") == docs.count() * 2)
+    assert(counts("exact_dedup") == docs.count(),
+      "exact dedup must remove exactly the planted copies")
+    assert(counts("near_dedup") <= counts("exact_dedup"))
+    assert(counts("quality_gate") <= counts("near_dedup"))
+    assert(res._1.count() == counts("quality_gate"))
+    // lifecycle: every block the pipeline materialized must free itself
+    // via the ContextCleaner once the results are unreachable — no
+    // clearCache() from the caller (forked test JVM runs suites
+    // sequentially, so no other suite races this set)
+    val during = sc.getPersistentRDDs.keySet -- before
+    assert(during.nonEmpty, "pipeline should have checkpointed stages")
+    res = null
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    var leftover = during
+    while (leftover.nonEmpty && System.nanoTime() < deadline) {
+      System.gc()
+      Thread.sleep(250)
+      leftover = sc.getPersistentRDDs.keySet.intersect(during)
+    }
+    assert(leftover.isEmpty, s"persistent blocks not self-freed: $leftover")
+  }
+
   test("brute-force ANN: self is rank 1 with cosine 1") {
     val e = spark.read.parquet(s"$sfSmoke/embeddings.parquet")
     val top = Ann.bruteForceTopK(e, e.filter(col("vec_id") < 3), "vec_id",

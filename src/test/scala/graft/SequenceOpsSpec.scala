@@ -67,6 +67,30 @@ class SequenceOpsSpec extends SparkSpec {
     }
   }
 
+  test("null group keys are kept and sequenced (null-safe stitch join)") {
+    import spark.implicits._
+    // window partitionBy treats NULL as its own group; the stitch join
+    // must too (<=> in the boundary join) — a plain `=` join silently
+    // dropped these rows
+    val df = Seq(
+      (Option(1), 1, 10.0), (Option(1), 2, 20.0),
+      (Option.empty[Int], 1, 1.0), (Option.empty[Int], 2, 2.0),
+      (Option.empty[Int], 3, 3.0),
+      (Option(2), 1, 30.0)
+    ).toDF("g", "t", "v")
+    val got = SequenceOps.withSequenceCols(df, Seq("g"), Seq("t"),
+      leadSrc = Some("v"), leadOut = "nxt", rnCol = Some("rn"),
+      numPartitions = Some(4))
+    assert(got.count() == 6, "no rows may be dropped")
+    val nulls = got.filter(col("g").isNull).orderBy("t").collect()
+    assert(nulls.length == 3)
+    assert(nulls.map(r => r.getLong(r.fieldIndex("rn"))).toSeq ==
+      Seq(1L, 2L, 3L))
+    assert(nulls(0).getDouble(nulls(0).fieldIndex("nxt")) == 2.0)
+    assert(nulls(1).getDouble(nulls(1).fieldIndex("nxt")) == 3.0)
+    assert(nulls(2).isNullAt(nulls(2).fieldIndex("nxt")))
+  }
+
   test("empty partitions and tiny data") {
     import spark.implicits._
     val df = Seq((1, 1, 1.0), (2, 1, 2.0)).toDF("g", "t", "v")
