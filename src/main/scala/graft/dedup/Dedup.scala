@@ -32,9 +32,14 @@ object Dedup {
     *    per-partition compute locks — under ambient machine load that
     *    serialization inflates wall time several-fold (BENCH_r03 measured
     *    q_d_ngram_jaccard at 15.3 s in-suite vs 2.9 s isolated);
-    *  - no CacheManager entry: blocks free themselves via the
-    *    ContextCleaner once the frame is unreachable, so library callers
-    *    need no `clearCache()` hygiene to stay flat;
+    *  - no CacheManager entry, so `spark.catalog.clearCache()` is not
+    *    required — but the blocks DO stay registered with the session
+    *    until unpersisted (verified empirically on Spark 4.1: GC never
+    *    reclaims a locally-checkpointed RDD). Lifecycle contract: Bench/
+    *    Verify unpersist via `getPersistentRDDs` between queries; long-
+    *    lived callers should do the same once the operator's output is
+    *    consumed (pipeline.CurationMain shows the pattern — it frees each
+    *    stage's blocks as the next stage materializes);
     *  - truncated lineage: on a cluster, a lost block fails the job loudly
     *    (inputs are deterministic, so a job-level retry is safe) instead
     *    of silently recomputing one partition mid-query.

@@ -24,6 +24,20 @@ object Schemas {
     "% Thay đổi"  -> "ChangePercent"
   )
 
+  /** `events` testdata table. `ts` is parquet TIMESTAMP(NANOS), which
+    * Spark 4 has no timestamp type for — declaring it LongType reads the
+    * raw nanosecond count directly, per read, with no session-wide
+    * `spark.sql.legacy.parquet.nanosAsLong` switch (schema inference is
+    * what needed that conf; an explicit schema never infers).
+    */
+  val events: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
   /** Cleaned fact table (reference: cleaned/All.csv; SURVEY §1.2). */
   val stockFact: StructType = StructType(Seq(
     StructField("Date", DateType, nullable = true),

@@ -19,28 +19,50 @@ object CurationMain {
 
   final case class StageCount(stage: String, docs: Long)
 
+  /** Curated corpus + per-stage counts + an explicit release for the
+    * blocks backing `curated`. The pipeline frees every UPSTREAM
+    * intermediate as soon as the next stage materializes; only the final
+    * stage's blocks survive (the `curated` frame reads them), so the
+    * caller closes once done consuming. A locally-checkpointed RDD stays
+    * registered with the session until unpersisted (verified empirically
+    * on Spark 4.1 — GC does not reclaim it), so the lifecycle must be
+    * explicit, not garbage-collected.
+    */
+  final case class CurationResult(curated: DataFrame, stages: Seq[StageCount],
+      private val blocks: Seq[org.apache.spark.rdd.RDD[_]])
+      extends AutoCloseable {
+    override def close(): Unit = blocks.foreach(_.unpersist(blocking = true))
+  }
+
   def curate(spark: SparkSession, docs: DataFrame,
       minTokens: Long = 8, maxStopwordRatio: Double = 0.9,
-      jaccardThreshold: Double = 0.85): (DataFrame, Seq[StageCount]) = {
+      jaccardThreshold: Double = 0.85): CurationResult = {
+    val sc = spark.sparkContext
+    def persisted(): collection.Map[Int, org.apache.spark.rdd.RDD[_]] =
+      sc.getPersistentRDDs
+    val base = persisted().keySet
     val stages = scala.collection.mutable.ArrayBuffer[StageCount]()
     stages += StageCount("input", docs.count())
 
     // 1. exact dedup (content fingerprint, keep min id). Each stage is
-    // materialized eagerly via localCheckpoint: downstream stages read the
-    // blocks instead of re-running the lineage, and the blocks self-free
-    // through the ContextCleaner once unreachable — callers never need
-    // clearCache() to keep the storage tab flat (PipelineOpsSpec asserts
-    // this empties after GC).
+    // materialized eagerly via localCheckpoint so downstream stages read
+    // blocks instead of re-running the lineage.
     val exact = Dedup.dropExactDups(docs, "doc_id", "text")
       .localCheckpoint(true)
     stages += StageCount("exact_dedup", exact.count())
 
-    // 2. near-dup pruning: drop the higher id of each MinHash-verified pair
+    // 2. near-dup pruning: drop the higher id of each MinHash-verified
+    // pair (the operator eagerly materializes its shingle table here too)
     val nearPairs = Dedup.minHashLshPairs(exact, "doc_id", "text",
       n = 3, numPerm = 32, bands = 8, threshold = jaccardThreshold)
     val losers = nearPairs.select(col("id2").as("doc_id")).distinct()
+    val mid = persisted()
     val deduped = exact.join(losers, Seq("doc_id"), "left_anti")
       .localCheckpoint(true)
+    // deduped's blocks now carry everything downstream needs — free the
+    // exact-dedup stage and the operator-internal shingle blocks
+    (mid.keySet -- base).foreach(id =>
+      mid(id).unpersist(blocking = false))
     stages += StageCount("near_dedup", deduped.count())
 
     // 3. quality gate + language ID + token accounting
@@ -51,7 +73,8 @@ object CurationMain {
         col("stopword_ratio") <= maxStopwordRatio)
       .withColumn("fp", TextAnalysis.fingerprint(col("text")))
     stages += StageCount("quality_gate", curated.count())
-    (curated, stages.toSeq)
+    val live = persisted().filterNot { case (id, _) => base(id) }
+    CurationResult(curated, stages.toSeq, live.values.toSeq)
   }
 
   def main(args: Array[String]): Unit = {
@@ -72,14 +95,15 @@ object CurationMain {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
-    val (curated, stages) = curate(spark, spark.read.parquet(in))
-    curated.write.mode("overwrite").parquet(s"$outDir/curated")
-    stages.toDF().coalesce(1).write.mode("overwrite")
+    val res = curate(spark, spark.read.parquet(in))
+    res.curated.write.mode("overwrite").parquet(s"$outDir/curated")
+    res.stages.toDF().coalesce(1).write.mode("overwrite")
       .option("header", "true").csv(s"$outDir/report")
-    stages.foreach(s => println(f"[curate] ${s.stage}%-14s ${s.docs}%8d docs"))
-    val langs = curated.groupBy("lang_pred").count().orderBy("lang_pred")
+    res.stages.foreach(s => println(f"[curate] ${s.stage}%-14s ${s.docs}%8d docs"))
+    val langs = res.curated.groupBy("lang_pred").count().orderBy("lang_pred")
       .collect().map(r => s"${r.getString(0)}:${r.getLong(1)}").mkString(" ")
     println(s"[curate] languages: $langs")
+    res.close()
     spark.stop()
   }
 }

@@ -100,9 +100,11 @@ object SequenceOps {
     // Truncating the lineage makes re-derivation impossible by
     // construction — a lost block fails the job loudly instead of silently
     // re-partitioning with different bounds (the failure mode a plain
-    // persist left open on eviction/executor loss). The blocks carry no
-    // CacheManager entry and free themselves via the ContextCleaner once
-    // the returned frame is unreachable — no caller-side clearCache needed.
+    // persist left open on eviction/executor loss). Lifecycle: the blocks
+    // stay registered until unpersisted (Spark 4.1 GC never reclaims a
+    // locally-checkpointed RDD); Bench/Verify free them between queries
+    // via getPersistentRDDs, and long-lived callers should unpersist the
+    // same way once the returned frame is consumed.
     val sorted = df.repartitionByRange(p, keys: _*)
       .sortWithinPartitions(keys: _*)
       .withColumn("__seq_pid", spark_partition_id())

@@ -19,9 +19,8 @@ object EventsCatalog {
   val eHourly = QueryDef(
     "q_e_hourly",
     (s, dir) => {
-      // events.ts is parquet TIMESTAMP(NANOS) — Spark 4 only reads it as a
-      // nanosecond long; truncate ns → µs exactly as DuckDB does on read
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // events.ts reads as a nanosecond long (explicit schema, see
+      // QueryDef.events); truncate ns → µs exactly as DuckDB does on read
       val e = t(s, dir, "events")
         .withColumn("hour",
           date_format(timestamp_micros(expr("ts div 1000")), "yyyy-MM-dd HH"))
@@ -45,7 +44,6 @@ object EventsCatalog {
   val eSessions = QueryDef(
     "q_e_sessionize",
     (s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val wu = Window.partitionBy("user_id")
         .orderBy(col("ts"), col("event_id"))
       t(s, dir, "events")

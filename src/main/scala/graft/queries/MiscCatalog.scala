@@ -72,7 +72,6 @@ object MiscCatalog {
   val eJson = QueryDef(
     "q_e_json",
     (s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       t(s, dir, "events")
         .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
         .groupBy("event_type")
@@ -151,9 +150,9 @@ object MiscCatalog {
       .na.drop()
     val scaled = graft.mining.Scaling.standardize(feats, Seq("Return", "Volume"))
     // fit and transform each re-execute the feature lineage (window +
-    // aggregate + scaler) — materialize it once, eagerly, with no
-    // CacheManager entry (blocks self-free via the ContextCleaner; one
-    // per-customer row each, so the footprint is tiny)
+    // aggregate + scaler) — materialize it once, eagerly (one per-customer
+    // row, so the footprint is tiny; the Bench/Verify harness unpersists
+    // it between queries — see Dedup.materialize for the contract)
     new org.apache.spark.ml.feature.VectorAssembler()
       .setInputCols(Array("Return_z", "Volume_z")).setOutputCol("fv")
       .transform(scaled)
@@ -240,7 +239,6 @@ object MiscCatalog {
   val qAsof = QueryDef(
     "q_asof_join",
     (s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val e = t(s, dir, "events")
         .withColumn("ms", expr("ts div 1000000"))
       val purchases = e.filter(col("event_type") === "purchase")

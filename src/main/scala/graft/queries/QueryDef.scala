@@ -15,7 +15,17 @@ final case class QueryDef(
 object QueryDef {
   /** Load one testdata table. */
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") events(spark, dir)
+    else spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Load the events table with its explicit schema (ts = nanosecond
+    * long). Inference on parquet TIMESTAMP(NANOS) would need the
+    * session-wide legacy nanosAsLong conf; the explicit schema keeps the
+    * read self-contained (see model.Schemas.events).
+    */
+  def events(spark: SparkSession, dir: String): DataFrame =
+    spark.read.schema(graft.model.Schemas.events)
+      .parquet(s"$dir/events.parquet")
 
   /** Cross-engine deterministic rounding. Spark's round() goes through
     * BigDecimal.valueOf (decimal-string semantics) while DuckDB rounds the

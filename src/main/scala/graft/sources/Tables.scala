@@ -13,13 +13,14 @@ object Tables {
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events")
+      // explicit schema: ts is parquet TIMESTAMP(NANOS), declared LongType
+      // (raw nanos) so no session-wide legacy-conf switch is needed
+      spark.read.schema(graft.model.Schemas.events)
+        .parquet(s"$dir/$name.parquet")
+    else spark.read.parquet(s"$dir/$name.parquet")
 
-  /** Register all tables of `dir` as temp views (events needs the
-    * nanosecond-timestamp read mode; see queries.EventsCatalog).
-    */
-  def registerAll(spark: SparkSession, dir: String): Unit = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  /** Register all tables of `dir` as temp views. */
+  def registerAll(spark: SparkSession, dir: String): Unit =
     names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
-  }
 }

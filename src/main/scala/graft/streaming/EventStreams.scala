@@ -15,22 +15,18 @@ import org.apache.spark.sql.types._
   */
 object EventStreams {
 
-  /** events.parquet schema with ts as nanosecond long (see EventsCatalog —
-    * Spark reads parquet TIMESTAMP(NANOS) only via nanosAsLong).
+  /** events.parquet schema with ts as nanosecond long. The explicit schema
+    * makes every read self-contained — no session-wide
+    * `spark.sql.legacy.parquet.nanosAsLong` switch (that conf exists for
+    * schema INFERENCE of parquet TIMESTAMP(NANOS); a declared LongType
+    * reads the raw nanos directly).
     */
-  val eventSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
+  val eventSchema: StructType = graft.model.Schemas.events
 
   /** Tumbling-window per-type OHLC-ish aggregate as a streaming query. */
   def windowedStats(spark: SparkSession, dir: String,
       windowLen: String = "5 minutes",
       watermark: String = "10 minutes"): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.readStream
       .schema(eventSchema)
       .parquet(s"$dir")
@@ -54,7 +50,6 @@ object EventStreams {
   def sessionize(spark: SparkSession, dir: String,
       gapMs: Long = 30L * 60000): Dataset[UserSessions] = {
     import spark.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val events = spark.readStream.schema(eventSchema).parquet(dir)
       .select(col("user_id"), expr("ts div 1000000").as("ms"))
       .as[(Long, Long)]
@@ -80,7 +75,6 @@ object EventStreams {
     */
   def dedupStream(spark: SparkSession, dir: String,
       keyCols: Seq[String], watermark: String = "1 hour"): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.readStream.schema(eventSchema).parquet(dir)
       .withColumn("tsm", timestamp_micros(expr("ts div 1000")))
       .withWatermark("tsm", watermark)
@@ -96,7 +90,6 @@ object EventStreams {
     */
   def purchaseClickJoin(spark: SparkSession, dir: String,
       lagMinutes: Int = 30, watermark: String = "1 hour"): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     def side(t: String, ts: String, v: String): DataFrame =
       spark.readStream.schema(eventSchema).parquet(dir)
         .filter(col("event_type") === t)

@@ -69,30 +69,25 @@ class PipelineOpsSpec extends SparkSpec {
     // plant exact dups: a full shifted copy of the corpus
     val doubled = docs.unionByName(
       docs.withColumn("doc_id", col("doc_id") + 1000000))
-    var res = graft.pipeline.CurationMain.curate(spark, doubled,
+    val res = graft.pipeline.CurationMain.curate(spark, doubled,
       jaccardThreshold = 0.85)
-    val counts = res._2.map(s => s.stage -> s.docs).toMap
+    val counts = res.stages.map(s => s.stage -> s.docs).toMap
     assert(counts("input") == docs.count() * 2)
     assert(counts("exact_dedup") == docs.count(),
       "exact dedup must remove exactly the planted copies")
     assert(counts("near_dedup") <= counts("exact_dedup"))
     assert(counts("quality_gate") <= counts("near_dedup"))
-    assert(res._1.count() == counts("quality_gate"))
-    // lifecycle: every block the pipeline materialized must free itself
-    // via the ContextCleaner once the results are unreachable — no
-    // clearCache() from the caller (forked test JVM runs suites
-    // sequentially, so no other suite races this set)
+    assert(res.curated.count() == counts("quality_gate"))
+    // lifecycle: mid-pipeline intermediates are freed as stages
+    // materialize; close() releases the final stage's blocks — after it,
+    // the pipeline has left nothing registered (deterministic, no GC)
     val during = sc.getPersistentRDDs.keySet -- before
-    assert(during.nonEmpty, "pipeline should have checkpointed stages")
-    res = null
-    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
-    var leftover = during
-    while (leftover.nonEmpty && System.nanoTime() < deadline) {
-      System.gc()
-      Thread.sleep(250)
-      leftover = sc.getPersistentRDDs.keySet.intersect(during)
-    }
-    assert(leftover.isEmpty, s"persistent blocks not self-freed: $leftover")
+    assert(during.nonEmpty, "pipeline should hold its final-stage blocks")
+    assert(during.size <= 2,
+      s"only the final stage may stay materialized, got $during")
+    res.close()
+    val leftover = sc.getPersistentRDDs.keySet -- before
+    assert(leftover.isEmpty, s"blocks not freed by close(): $leftover")
   }
 
   test("brute-force ANN: self is rank 1 with cosine 1") {
@@ -145,7 +140,8 @@ class PipelineOpsSpec extends SparkSpec {
     val got = EventStreams.runToMemory(spark, stream, "win_stats",
       org.apache.spark.sql.streaming.OutputMode.Append())
     // append mode emits only closed windows; compare a stable aggregate
-    val batch = spark.read.parquet(s"$sfSmoke/events.parquet")
+    val batch = spark.read.schema(EventStreams.eventSchema)
+      .parquet(s"$sfSmoke/events.parquet")
     assert(got.count() > 0)
     val totalN = got.agg(sum("n")).first().getLong(0)
     assert(totalN <= batch.count())
@@ -161,13 +157,17 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got == want, s"diff: ${want.toSet -- got.toSet}")
   }
 
-  test("stream-stream interval join matches the batch join exactly") {
+  /** Stream-stream interval join vs its batch twin: exact row-set
+    * equality. Shared by the smoke-scale and sf0.1 gates.
+    */
+  private def assertStreamJoinMatchesBatch(streamDir: String,
+      sfDir: String, name: String): Unit = {
     val got = EventStreams.runToMemory(spark,
-        EventStreams.purchaseClickJoin(spark, eventsDir, lagMinutes = 30),
-        "ss_join")
+        EventStreams.purchaseClickJoin(spark, streamDir, lagMinutes = 30),
+        name)
       .collect().map(_.toSeq).toSet
     val ev = spark.read.schema(EventStreams.eventSchema)
-      .parquet(s"$sfSmoke/events.parquet")
+      .parquet(s"$sfDir/events.parquet")
       .withColumn("tsm", org.apache.spark.sql.functions.timestamp_micros(
         org.apache.spark.sql.functions.expr("ts div 1000")))
     val p = ev.filter(col("event_type") === "purchase")
@@ -185,8 +185,21 @@ class PipelineOpsSpec extends SparkSpec {
         "click_ts", "click_value")
       .collect().map(_.toSeq).toSet
     assert(want.nonEmpty, "batch interval join must produce rows")
-    assert(got == want,
+    assert(got.size == want.size && got == want,
       s"stream/batch diff: ${(want -- got).take(3)} / ${(got -- want).take(3)}")
+  }
+
+  test("stream-stream interval join matches the batch join exactly") {
+    assertStreamJoinMatchesBatch(eventsDir, sfSmoke, "ss_join")
+  }
+
+  test("stream-stream interval join matches batch at sf0.1 (100k events)") {
+    val sf01 = "/root/testdata/sf0.1"
+    val d = java.nio.file.Files.createTempDirectory("graft_events_sf01")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf01/events.parquet"),
+      d.resolve("events.parquet"))
+    assertStreamJoinMatchesBatch(d.toString, sf01, "ss_join_sf01")
   }
 
   test("multimodal plumbing: meta, features, frames") {

@@ -35,9 +35,8 @@ class SourceFormatsSpec extends SparkSpec {
 
   test("streaming dedup drops the planted duplicate batch") {
     import graft.streaming.EventStreams
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val d = java.nio.file.Files.createTempDirectory("graft_dedup_stream")
-    val src = spark.read
+    val src = spark.read.schema(EventStreams.eventSchema)
       .parquet(s"$sfSmoke/events.parquet")
     src.limit(200).write.mode("overwrite")
       .parquet(d.resolve("batch1").toString)
