@@ -36,24 +36,42 @@ object Multimodal {
         (pmod(xxhash64(col("blob"), lit(1)), lit(1024)) + 128).cast("int").as("height"),
         length(col("blob")).cast("long").as("n_bytes")))
 
-  /** Partition-wise batched feature extraction (the mapInPandas shape in
-    * Scala: one iterator pass per partition, no per-row task overhead).
-    * STUB kernel: 8 deterministic bytes-derived floats standing in for an
-    * image/audio embedding model.
+  /** The decode/featurize kernel seam: production swaps in a real
+    * codec + model (decode the container, run a forward pass) without
+    * touching the Spark plumbing. Instances ship to executors
+    * (Serializable); `open()` runs once per partition — the place to load
+    * codec handles / model weights so per-row work stays cheap (the same
+    * once-per-batch shape `mapInPandas` gives a Python kernel).
     */
-  def extractFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
+  trait MediaKernel extends Serializable {
+    /** Called once per non-empty partition before any `featurize`. */
+    def open(): Unit = ()
+    def featurize(blob: Array[Byte]): Array[Float]
+  }
+
+  /** STUB kernel (no codec libraries in this environment): 8 deterministic
+    * bytes-derived floats standing in for an image/audio embedding model.
+    */
+  object StubKernel extends MediaKernel {
+    override def featurize(blob: Array[Byte]): Array[Float] =
+      Array.tabulate(8) { i =>
+        var h = 1125899906842597L * (i + 1)
+        blob.foreach(b => h = h * 31 + b)
+        (h % 1000).toFloat / 1000f
+      }
+  }
+
+  /** Partition-wise batched feature extraction (the mapInPandas shape in
+    * Scala: one iterator pass per partition, no per-row task overhead;
+    * kernel state initialized once per partition via `open()`).
+    */
+  def extractFeatures(spark: SparkSession, media: DataFrame,
+      kernel: MediaKernel = StubKernel): Dataset[MediaFeatures] = {
     import spark.implicits._
     media.select(col("media_id"), col("blob")).as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        it.map { case (id, blob) =>
-          // STUB: real kernel = decode + model forward pass, batched
-          val f = Array.tabulate(8) { i =>
-            var h = 1125899906842597L * (i + 1)
-            blob.foreach(b => h = h * 31 + b)
-            ((h % 1000).toFloat / 1000f)
-          }
-          MediaFeatures(id, f)
-        }
+        if (it.hasNext) kernel.open()
+        it.map { case (id, blob) => MediaFeatures(id, kernel.featurize(blob)) }
       }
   }
 

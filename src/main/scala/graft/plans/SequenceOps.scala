@@ -105,10 +105,14 @@ object SequenceOps {
     // locally-checkpointed RDD); Bench/Verify free them between queries
     // via getPersistentRDDs, and long-lived callers should unpersist the
     // same way once the returned frame is consumed.
+    // lazy (eager = false): the boundary job is the single first consumer,
+    // so it materializes the blocks while it runs — one pass, not a
+    // separate materialization job ahead of it (measured 7.9 s vs 9.1 s
+    // steady at 10×-sf0.1 on q_m2_ols_next)
     val sorted = df.repartitionByRange(p, keys: _*)
       .sortWithinPartitions(keys: _*)
       .withColumn("__seq_pid", spark_partition_id())
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val schema = df.schema
 
     // boundary job: per (pid, group) count + the in-order first lead value.

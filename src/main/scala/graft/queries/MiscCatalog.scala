@@ -159,25 +159,35 @@ object MiscCatalog {
       .localCheckpoint(true)
   }
 
-  private[graft] def kmeansFit(assembled: org.apache.spark.sql.DataFrame) =
+  private[graft] def kmeansFit(assembled: org.apache.spark.sql.DataFrame,
+      maxIter: Int = 20) =
     new org.apache.spark.ml.clustering.KMeans()
-      .setK(3).setSeed(42L).setFeaturesCol("fv").setPredictionCol("Cluster")
+      .setK(3).setSeed(42L).setMaxIter(maxIter)
+      .setFeaturesCol("fv").setPredictionCol("Cluster")
       .fit(assembled)
 
-  /** Centers aux dump: (idx, c1, c2) of the fitted model — the one
-    * non-SQL-expressible piece (Lloyd iterations). The oracle replays
-    * everything around it: the feature pipeline, the scaling, and the
-    * nearest-center assignment.
+  private def centersDf(s: org.apache.spark.sql.SparkSession,
+      model: org.apache.spark.ml.clustering.KMeansModel) = {
+    val sp = s
+    import sp.implicits._
+    model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c(0), c(1)) }.toSeq
+      .toDF("idx", "c1", "c2")
+  }
+
+  /** Centers aux dumps: (idx, c1, c2) of the converged fit (the q_m3
+    * oracle replays the nearest-center assignment from it) and of the
+    * maxIter=0 fit — i.e. the k-means|| INITIAL centers before any Lloyd
+    * update — from which q_m3_lloyd_step's oracle replays one full Lloyd
+    * iteration in SQL. Both fits share seed 42 and the byte-identical
+    * assembled-features plan, so their initialization is the same.
     */
   val auxDumps: Map[String, (org.apache.spark.sql.SparkSession, String) =>
       org.apache.spark.sql.DataFrame] = Map(
-    "kmeans_centers" -> ((s, dir) => {
-      val sp = s
-      import sp.implicits._
-      kmeansFit(kmeansAssembled(s, dir)).clusterCenters.zipWithIndex
-        .map { case (c, i) => (i, c(0), c(1)) }.toSeq
-        .toDF("idx", "c1", "c2")
-    }))
+    "kmeans_centers" -> ((s, dir) =>
+      centersDf(s, kmeansFit(kmeansAssembled(s, dir)))),
+    "kmeans_centers_init" -> ((s, dir) =>
+      centersDf(s, kmeansFit(kmeansAssembled(s, dir), maxIter = 0))))
 
   /** M3 twin (datamining_analysis.py:105-120): K-Means k=3 over per-group
     * scaled features via spark.ml. The oracle recomputes the ENTIRE feature
@@ -227,6 +237,62 @@ object MiscCatalog {
       SELECT o_custkey, ${sqlR6("re")} AS "Return", ${sqlR2("ve")} AS "Volume",
              CAST(idx AS BIGINT) AS "Cluster"
       FROM d WHERE rk = 1 ORDER BY o_custkey""")
+  )
+
+  /** One full Lloyd iteration, oracle-replayed: the Spark side fits with
+    * maxIter = 1 (k-means|| init + exactly one assign/mean-update step);
+    * the oracle starts from the dumped INITIAL centers (maxIter = 0 fit,
+    * same seed and input plan → identical init), assigns every point to
+    * its nearest init center in SQL, and averages each cluster's points —
+    * arriving at the same updated centers. Extends oracle coverage one
+    * step INTO the Lloyd iterations (previously only the converged fixed
+    * point was checked, via q_m3_kmeans + KMeansLloydSpec); an empty
+    * cluster keeps its init center (spark.ml only updates clusters that
+    * received points — the COALESCE mirrors that).
+    */
+  val mLloydStep = QueryDef(
+    "q_m3_lloyd_step",
+    (s, dir) => {
+      val m = kmeansFit(kmeansAssembled(s, dir), maxIter = 1)
+      centersDf(s, m)
+        .select(col("idx"), r6(col("c1")).as("c1"), r6(col("c2")).as("c2"))
+        .orderBy("idx")
+    },
+    Some(s"""
+      WITH chg AS (
+        SELECT o_custkey, o_totalprice,
+               o_totalprice / lag(o_totalprice, 1) OVER
+                 (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) - 1
+                 AS chg
+        FROM orders),
+      f AS (
+        SELECT o_custkey, avg(chg) AS r, avg(o_totalprice) AS v
+        FROM chg GROUP BY 1 HAVING avg(chg) IS NOT NULL),
+      stats AS (
+        SELECT avg(r) AS mr, stddev_pop(r) AS sr,
+               avg(v) AS mv, stddev_pop(v) AS sv
+        FROM f),
+      z AS (
+        SELECT o_custkey,
+               (r - mr) / sr AS rz, (v - mv) / sv AS vz
+        FROM f CROSS JOIN stats),
+      init AS (SELECT idx, c1, c2 FROM
+        read_parquet('__VERIFY_OUT__/aux/kmeans_centers_init/*.parquet')),
+      d AS (
+        SELECT z.o_custkey, z.rz, z.vz, init.idx,
+               row_number() OVER (PARTITION BY z.o_custkey
+                 ORDER BY (z.rz - init.c1) * (z.rz - init.c1)
+                        + (z.vz - init.c2) * (z.vz - init.c2), init.idx)
+                 AS rk
+        FROM z CROSS JOIN init),
+      upd AS (
+        SELECT idx, avg(rz) AS c1u, avg(vz) AS c2u
+        FROM d WHERE rk = 1 GROUP BY 1)
+      SELECT init.idx AS idx,
+             ${sqlR6("coalesce(upd.c1u, init.c1)")} AS c1,
+             ${sqlR6("coalesce(upd.c2u, init.c2)")} AS c2
+      FROM init LEFT JOIN upd ON upd.idx = init.idx
+      ORDER BY idx""")
   )
 
   /** As-of join twin: each purchase event picks up the user's most recent
@@ -355,6 +421,6 @@ object MiscCatalog {
   )
 
   val all: Seq[QueryDef] = Seq(oTopK, aSpikeSummary, eJson, aSummary,
-    mKmeans, qAsof, qRange, qRollup, qCube, qPercentile)
+    mKmeans, mLloydStep, qAsof, qRange, qRollup, qCube, qPercentile)
 }
 

@@ -56,7 +56,8 @@ object Soak {
     val headline = Seq("q1_pricing_summary", "q_a1_quarterly_price",
       "q_j5_star_revenue", "q_w3_zscore", "q_m4_anomalies", "q_m2_ols_next",
       "q_w8_rolling_corr", "q_d_exact", "q_m1_ols", "q_t_quality",
-      "q_d_minhash_lsh", "q_d_simhash", "q_asof_join", "q_range_join")
+      "q_d_minhash_lsh", "q_d_simhash", "q_d_ngram_jaccard",
+      "q_asof_join", "q_range_join")
     // warm once at sf0.1 so soak timings measure data volume, not codegen
     headline.foreach(n => SparkEntry.queries(n)(spark, src).count())
     val results = headline.map { n =>

@@ -220,4 +220,35 @@ class PipelineOpsSpec extends SparkSpec {
     val frames = Multimodal.sampleFrames(spark, media, 4)
     assert(frames.count() == 40)
   }
+
+  test("multimodal kernel seam: an injected codec replaces the stub") {
+    // the strongest statement a codec-free environment allows: a fake
+    // "codec" swaps in through the MediaKernel seam, its open() runs once
+    // per non-empty partition (where a real kernel loads codec handles /
+    // model weights), and the distributed result is exactly the kernel
+    // applied to every blob
+    val opens = spark.sparkContext.longAccumulator("kernel_opens")
+    class FakeCodec extends Multimodal.MediaKernel {
+      override def open(): Unit = opens.add(1)
+      override def featurize(blob: Array[Byte]): Array[Float] = {
+        // "decode": 4-dim vector of byte statistics
+        val n = math.max(1, blob.length)
+        Array(blob.length.toFloat, blob.map(_ & 0xff).sum.toFloat / n,
+          blob.headOption.map(_.toFloat).getOrElse(0f),
+          blob.lastOption.map(_.toFloat).getOrElse(0f))
+      }
+    }
+    val kernel = new FakeCodec
+    val docs = spark.read.parquet(s"$sfSmoke/documents.parquet").limit(50)
+      .repartition(4)
+    val media = Multimodal.asMediaTable(docs, "doc_id", "text", "text/plain")
+    val got = Multimodal.extractFeatures(spark, media, kernel)
+      .collect().map(f => f.media_id -> f.feature.toSeq).toMap
+    val want = media.select("media_id", "blob").collect()
+      .map(r => r.getLong(0) -> kernel.featurize(r.getAs[Array[Byte]](1)).toSeq)
+      .toMap
+    assert(got == want, "distributed features must equal the kernel's output")
+    assert(opens.value >= 1 && opens.value <= 4,
+      s"open() must run once per non-empty partition, ran ${opens.value}×")
+  }
 }
