@@ -119,6 +119,92 @@ object TextCatalog {
       FROM t ORDER BY doc_id, pos""")
   )
 
+  /** Repetition signals (Gopher-rule family): the oracle rebuilds the
+    * non-distinct 1/2/3-gram instance table with positional self-joins,
+    * counts per (doc, n, gram), and derives the same three ratios. All
+    * ratios are exact rationals (long/long division), so r6 rounding is
+    * bit-stable across engines.
+    */
+  val tRepetition = QueryDef(
+    "q_t_repetition",
+    (s, dir) =>
+      TextAnalysis.repetitionSignals(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"),
+          r6(col("distinct_token_ratio")).as("distinct_token_ratio"),
+          r6(col("top_bigram_ratio")).as("top_bigram_ratio"),
+          r6(col("dup_trigram_ratio")).as("dup_trigram_ratio"))
+        .orderBy("doc_id"),
+    Some(s"""
+      WITH t AS (
+        SELECT doc_id, string_split($sqlNorm, ' ') AS tk
+        FROM documents WHERE length($sqlNorm) > 0),
+      tok AS (
+        SELECT doc_id, generate_subscripts(tk, 1) AS pos, unnest(tk) AS w
+        FROM t),
+      g AS (
+        SELECT doc_id, 1 AS n, w AS gram FROM tok
+        UNION ALL
+        SELECT a.doc_id, 2, a.w || ' ' || b.w
+        FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        UNION ALL
+        SELECT a.doc_id, 3, a.w || ' ' || b.w || ' ' || c.w
+        FROM tok a
+        JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        JOIN tok c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2),
+      cnt AS (
+        SELECT doc_id, n, gram, count(*) AS c FROM g GROUP BY 1, 2, 3),
+      per AS (
+        SELECT doc_id, n, sum(c) AS total, count(*) AS dist, max(c) AS topc,
+               coalesce(sum(c) FILTER (WHERE c >= 2), 0) AS dup
+        FROM cnt GROUP BY 1, 2),
+      sig AS (
+        SELECT doc_id,
+               max(CASE WHEN n = 1 THEN dist / CAST(total AS DOUBLE) END) AS dtr,
+               max(CASE WHEN n = 2 THEN topc / CAST(total AS DOUBLE) END) AS tbr,
+               max(CASE WHEN n = 3 THEN dup / CAST(total AS DOUBLE) END) AS dgr
+        FROM per GROUP BY 1)
+      SELECT d.doc_id, ${sqlR6("dtr")} AS distinct_token_ratio,
+             ${sqlR6("tbr")} AS top_bigram_ratio,
+             ${sqlR6("dgr")} AS dup_trigram_ratio
+      FROM documents d LEFT JOIN sig ON sig.doc_id = d.doc_id
+      ORDER BY d.doc_id""")
+  )
+
+  /** Corpus unigram-LM scoring (CCNet-style perplexity filtering, LM =
+    * the corpus's own add-one-smoothed unigram model). The per-doc mean
+    * log-prob goes through exact decimal summation in both engines, so
+    * only the per-token ln() ulp differs — far below the r6 granularity.
+    */
+  val tLmScore = QueryDef(
+    "q_t_lm_score",
+    (s, dir) =>
+      TextAnalysis.lmScore(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"),
+          r6(col("lm_logprob")).as("lm_logprob"),
+          col("n_tokens_scored"))
+        .orderBy("doc_id"),
+    Some(s"""
+      WITH t AS (
+        SELECT doc_id, lower($sqlNorm) AS nt
+        FROM documents WHERE length($sqlNorm) > 0),
+      tok AS (
+        SELECT doc_id, unnest(string_split(nt, ' ')) AS w FROM t),
+      cnt AS (SELECT w, count(*) AS c FROM tok GROUP BY 1),
+      st AS (SELECT sum(c) AS nn, count(*) AS vv FROM cnt),
+      lp AS (
+        SELECT tok.doc_id, ln((c + 1) / CAST(nn + vv AS DOUBLE)) AS lp
+        FROM tok JOIN cnt USING (w) CROSS JOIN st),
+      per AS (
+        SELECT doc_id, ${sqlAvgE18("lp")} AS lm_logprob,
+               count(*) AS n_tokens_scored
+        FROM lp GROUP BY 1)
+      SELECT d.doc_id, ${sqlR6("lm_logprob")} AS lm_logprob,
+             CAST(n_tokens_scored AS BIGINT) AS n_tokens_scored
+      FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
+      ORDER BY d.doc_id""")
+  )
+
   val all: Seq[QueryDef] =
-    Seq(tQuality, tTokens, tFingerprint, tLangId, tExplode)
+    Seq(tQuality, tTokens, tFingerprint, tLangId, tExplode,
+      tRepetition, tLmScore)
 }

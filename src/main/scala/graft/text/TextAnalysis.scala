@@ -88,4 +88,92 @@ object TextAnalysis {
   def fingerprint(c: Column): Column = md5(normText(c))
 
   def fingerprint64(c: Column): Column = xxhash64(normText(c))
+
+  /** Word n-grams per document — NON-distinct, position dropped: the
+    * repetition-signal feed (cf. Dedup.shingles, which dedups for LSH).
+    * Empty/whitespace-only docs yield no rows. The explode is the same
+    * deliberate generator barrier as in shingles: post-explode,
+    * element_at reads the materialized token array instead of re-running
+    * the regex split per gram.
+    */
+  private def grams(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    val idxs = when(size(col("tk")) >= n,
+      sequence(lit(0), size(col("tk")) - n))
+      .otherwise(array().cast("array<int>"))
+    df.select(col(idCol).as("id"), normText(col(textCol)).as("nt"))
+      .filter(length(col("nt")) > 0)
+      .select(col("id"), split(col("nt"), " ").as("tk"))
+      .select(col("id"), col("tk"), explode(idxs).as("i"))
+      .select(col("id"), lit(n).as("n"),
+        concat_ws(" ", (0 until n).map(k =>
+          element_at(col("tk"), col("i") + k + 1)): _*).as("gram"))
+  }
+
+  /** Repetition signals (the Gopher-rule family: Rae et al. 2021,
+    * "Scaling Language Models", repetition filters §A1.1): per document,
+    *  - distinct_token_ratio = |distinct tokens| / |tokens|  (low → loops)
+    *  - top_bigram_ratio     = occurrences of the most frequent bigram /
+    *    |bigrams|                                            (high → loops)
+    *  - dup_trigram_ratio    = fraction of trigram INSTANCES whose trigram
+    *    occurs ≥ 2 times in the doc                          (high → loops)
+    * NULL where the doc is too short to have the gram (empty docs / <2 /
+    * <3 tokens).
+    *
+    * Scale: one explode to (id, n, gram) instances, one count shuffle on
+    * (id, n, gram), one per-doc aggregate — linear, no per-row quadratic
+    * array scans (an `array_distinct`/`filter` formulation would be
+    * shuffle-free but O(distinct×len) per row, which dies on long docs).
+    */
+  def repetitionSignals(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val g = (1 to 3).map(grams(df, idCol, textCol, _))
+      .reduce(_ unionByName _)
+    val cnt = g.groupBy("id", "n", "gram").agg(count(lit(1)).as("c"))
+    val per = cnt.groupBy("id", "n").agg(
+      sum("c").as("total"), count(lit(1)).as("dist"), max("c").as("topc"),
+      sum(when(col("c") >= 2, col("c")).otherwise(0L)).as("dup"))
+    val sig = per.groupBy("id").agg(
+      max(when(col("n") === 1,
+        col("dist").cast("double") / col("total"))).as("distinct_token_ratio"),
+      max(when(col("n") === 2,
+        col("topc").cast("double") / col("total"))).as("top_bigram_ratio"),
+      max(when(col("n") === 3,
+        col("dup").cast("double") / col("total"))).as("dup_trigram_ratio"))
+    df.select(col(idCol).as("id"))
+      .join(sig, Seq("id"), "left")
+      .withColumnRenamed("id", idCol)
+  }
+
+  /** Corpus-conditioned unigram-LM quality score (the CCNet/perplexity
+    * filtering shape — Wenzek et al. 2020 — with the LM reduced to the
+    * corpus's own add-one-smoothed unigram model, the strongest model
+    * expressible without external artifacts): per document, the mean
+    * natural-log probability of its tokens under
+    * p(w) = (count(w) + 1) / (N + V). Low score → unusual token mix.
+    *
+    * Scale: token explode → vocab count shuffle → token⋈vocab equi-join
+    * (vocab-sized right side: broadcast-able for small corpora, plain
+    * shuffle join at web scale) → per-doc aggregate. The mean uses exact
+    * decimal summation so it is order-independent (oracle-comparable).
+    */
+  def lmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df
+      .select(col(idCol).as("id"), lower(normText(col(textCol))).as("nt"))
+      .filter(length(col("nt")) > 0)
+      .select(col("id"), explode(split(col("nt"), " ")).as("w"))
+    val counts = toks.groupBy("w").agg(count(lit(1)).as("c"))
+    val stats = counts.agg(sum("c").as("N"), count(lit(1)).as("V"))
+    val per = toks.join(counts, "w")
+      .crossJoin(broadcast(stats))
+      .withColumn("lp",
+        log((col("c") + 1).cast("double") / (col("N") + col("V")).cast("double")))
+      .groupBy("id")
+      .agg((sum(col("lp").cast("decimal(38,18)")).cast("double") / count(lit(1)))
+        .as("lm_logprob"),
+        count(lit(1)).as("n_tokens_scored"))
+    df.select(col(idCol).as("id"))
+      .join(per, Seq("id"), "left")
+      .withColumnRenamed("id", idCol)
+  }
 }

@@ -113,6 +113,44 @@ class PipelineOpsSpec extends SparkSpec {
     assert(ivf == brute, s"full-probe IVF must match exact: ${brute -- ivf}")
   }
 
+  test("repetition signals separate looping text from varied text") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "spam spam spam spam spam spam"),           // pure loop
+      (2L, "one two three four five six seven eight"), // all distinct
+      (3L, "ab"),                                      // 1 token: no bigrams
+      (4L, "")                                         // empty: all null
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionSignals(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val loop = got(1L)
+    assert(loop.getDouble(1) == 1.0 / 6)  // 1 distinct token of 6
+    assert(loop.getDouble(2) == 1.0)      // one bigram dominates
+    assert(loop.getDouble(3) == 1.0)      // every trigram repeats
+    val varied = got(2L)
+    assert(varied.getDouble(1) == 1.0)
+    assert(varied.getDouble(2) == 1.0 / 7) // 7 bigrams, all unique
+    assert(varied.getDouble(3) == 0.0)     // no repeated trigram
+    assert(got(3L).getDouble(1) == 1.0 && got(3L).isNullAt(2)
+      && got(3L).isNullAt(3))
+    assert(got(4L).isNullAt(1) && got(4L).isNullAt(2) && got(4L).isNullAt(3))
+  }
+
+  test("unigram LM score ranks common-token docs above rare-token docs") {
+    import spark.implicits._
+    val common = Seq.fill(20)((0L, "the cat sat on the mat"))
+    val df = (common :+ (100L, "zyzzyva qwertyuiop")).zipWithIndex
+      .map { case ((_, t), i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.lmScore(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // every common doc shares the same score; the rare-token doc is lower
+    val commonScores = (0L until 20L).map(got)
+    assert(commonScores.distinct.size == 1)
+    assert(got(20L) < commonScores.head,
+      s"rare-token doc must score lower: ${got(20L)} vs ${commonScores.head}")
+  }
+
   test("language ID picks marker-dominant language deterministically") {
     import spark.implicits._
     val df = Seq(
