@@ -365,6 +365,35 @@ object MiscCatalog {
     * default null ORDERING differs (Spark NULLS FIRST asc, DuckDB NULLS
     * LAST) — pinned explicitly.
     */
+  /** GROUPING SETS twin (beyond the reference, alongside rollup/cube):
+    * explicit set list {(flag, status), (flag), (status)} — the shape
+    * rollup/cube can't express — plus grouping_id to disambiguate real
+    * NULL keys from subtotal rows.
+    */
+  val qGroupingSets = QueryDef(
+    "q_grouping_sets",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).cast("double").as("sum_qty"),
+          count(lit(1)).as("n"),
+          grouping_id().as("gid"))
+        .orderBy(col("gid"), asc_nulls_first("l_returnflag"),
+          asc_nulls_first("l_linestatus")),
+    Some("""
+      SELECT l_returnflag, l_linestatus,
+             CAST(sum(l_quantity) AS DOUBLE) AS sum_qty, count(*) AS n,
+             CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+      FROM lineitem
+      GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                              (l_returnflag), (l_linestatus))
+      ORDER BY gid, l_returnflag ASC NULLS FIRST,
+               l_linestatus ASC NULLS FIRST""")
+  )
+
   val qRollup = QueryDef(
     "q_rollup",
     (s, dir) =>
@@ -421,6 +450,7 @@ object MiscCatalog {
   )
 
   val all: Seq[QueryDef] = Seq(oTopK, aSpikeSummary, eJson, aSummary,
-    mKmeans, mLloydStep, qAsof, qRange, qRollup, qCube, qPercentile)
+    mKmeans, mLloydStep, qAsof, qRange, qRollup, qCube, qGroupingSets,
+    qPercentile)
 }
 

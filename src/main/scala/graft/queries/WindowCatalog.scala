@@ -229,7 +229,33 @@ object WindowCatalog {
       FROM b ORDER BY o_custkey, o_orderkey""")
   )
 
+  /** Ranking-family coverage beyond the reference (SQL-standard
+    * semantics, identical in both engines): ntile quartiles,
+    * percent_rank, cume_dist, dense_rank per customer sequence. The
+    * order key is total (o_orderkey unique), so every rank is
+    * deterministic; percent_rank/cume_dist are exact rationals → r6
+    * rounding is bit-stable.
+    */
+  val w11RankFamily = QueryDef(
+    "q_w11_rank_family",
+    (s, dir) =>
+      base(s, dir)
+        .select(col("o_custkey"), col("o_orderkey"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          r6(percent_rank().over(w)).as("pr"),
+          r6(cume_dist().over(w)).as("cd"),
+          dense_rank().over(w).cast("long").as("dr"))
+        .orderBy("o_custkey", "o_orderkey"),
+    Some(s"""
+      SELECT o_custkey, o_orderkey,
+             CAST(ntile(4) $overCust) AS BIGINT) AS quartile,
+             ${sqlR6(s"percent_rank() $overCust)")} AS pr,
+             ${sqlR6(s"cume_dist() $overCust)")} AS cd,
+             CAST(dense_rank() $overCust) AS BIGINT) AS dr
+      FROM orders ORDER BY o_custkey, o_orderkey""")
+  )
+
   val all: Seq[QueryDef] = Seq(
     w1Lead, w2PctChange, w3Zscore, w4w5Rolling, w6Cumsum, w7Drawdown,
-    w8RollingCorr, w9Standardize, w10Split)
+    w8RollingCorr, w9Standardize, w10Split, w11RankFamily)
 }
