@@ -8,7 +8,8 @@ import graft.text.TextAnalysis
 
 /** Capstone batch job: the training-data curation pipeline composed from
   * the engine's operators — exact dedup → near-dup pruning (MinHash+LSH)
-  * → quality filtering → language ID → token accounting — writing a
+  * → quality filtering (with language ID + token accounting) → repetition
+  * gate (Gopher-rule family) → corpus-LM score gate (CCNet shape) — writing a
   * curated corpus plus a per-stage report. Every stage is the same
   * shuffle-bounded operator the catalog gates; this main is the "run your
   * 100 TB corpus through it" entry point.
@@ -36,7 +37,10 @@ object CurationMain {
 
   def curate(spark: SparkSession, docs: DataFrame,
       minTokens: Long = 8, maxStopwordRatio: Double = 0.9,
-      jaccardThreshold: Double = 0.85): CurationResult = {
+      jaccardThreshold: Double = 0.85,
+      minDistinctTokenRatio: Double = 0.1,
+      maxTopBigramRatio: Double = 0.9,
+      lmScoreQuantile: Double = 0.01): CurationResult = {
     val sc = spark.sparkContext
     def persisted(): collection.Map[Int, org.apache.spark.rdd.RDD[_]] =
       sc.getPersistentRDDs
@@ -65,14 +69,49 @@ object CurationMain {
       mid(id).unpersist(blocking = false))
     stages += StageCount("near_dedup", deduped.count())
 
-    // 3. quality gate + language ID + token accounting
+    // 3. quality gate + language ID + token accounting. Checkpointed so
+    // the two downstream gates (each of which scans the text several
+    // times: gram explode, join-back, lm passes) read blocks, not lineage.
     val scored = TextAnalysis.withLangId(
       TextAnalysis.withQuality(deduped))
-    val curated = scored
+    val beforeQuality = persisted()
+    val quality = scored
       .filter(col("n_tokens") >= minTokens &&
         col("stopword_ratio") <= maxStopwordRatio)
+      .localCheckpoint(true)
+    (beforeQuality.keySet -- base).foreach(id =>
+      beforeQuality(id).unpersist(blocking = false))
+    stages += StageCount("quality_gate", quality.count())
+
+    // 4. repetition gate (Gopher-rule family): drop looping documents
+    val rep = TextAnalysis.repetitionSignals(quality, "doc_id", "text")
+      .filter(col("distinct_token_ratio") >= minDistinctTokenRatio &&
+        (col("top_bigram_ratio").isNull ||
+          col("top_bigram_ratio") <= maxTopBigramRatio))
+      .select("doc_id")
+    val beforeRep = persisted()
+    val repGated = quality.join(rep, Seq("doc_id")).localCheckpoint(true)
+    (beforeRep.keySet -- base).foreach(id =>
+      beforeRep(id).unpersist(blocking = false))
+    stages += StageCount("repetition_gate", repGated.count())
+
+    // 5. LM-score gate (CCNet shape): drop the lowest `lmScoreQuantile`
+    // tail by mean unigram log-prob — the model is the surviving corpus
+    // itself, so the threshold is a 1-value aggregate broadcast, not a
+    // driver-side sort. The narrow (doc_id, lm_logprob) frame is
+    // checkpointed because both the cut aggregate and the keep-filter
+    // consume it.
+    val lm = TextAnalysis.lmScore(repGated, "doc_id", "text")
+      .select(col("doc_id"), col("lm_logprob"))
+      .localCheckpoint(true)
+    val cut = lm.agg(expr(
+      s"percentile_approx(lm_logprob, $lmScoreQuantile, 10000)").as("cut"))
+    val lmKeep = lm.crossJoin(broadcast(cut))
+      .filter(col("lm_logprob").isNull || col("lm_logprob") >= col("cut"))
+      .select("doc_id")
+    val curated = repGated.join(lmKeep, Seq("doc_id"))
       .withColumn("fp", TextAnalysis.fingerprint(col("text")))
-    stages += StageCount("quality_gate", curated.count())
+    stages += StageCount("lm_gate", curated.count())
     val live = persisted().filterNot { case (id, _) => base(id) }
     CurationResult(curated, stages.toSeq, live.values.toSeq)
   }

@@ -77,7 +77,10 @@ class PipelineOpsSpec extends SparkSpec {
       "exact dedup must remove exactly the planted copies")
     assert(counts("near_dedup") <= counts("exact_dedup"))
     assert(counts("quality_gate") <= counts("near_dedup"))
-    assert(res.curated.count() == counts("quality_gate"))
+    assert(counts("repetition_gate") <= counts("quality_gate"))
+    assert(counts("lm_gate") <= counts("repetition_gate"))
+    assert(counts("lm_gate") > 0, "gates must not wipe the real corpus")
+    assert(res.curated.count() == counts("lm_gate"))
     // lifecycle: mid-pipeline intermediates are freed as stages
     // materialize; close() releases the final stage's blocks — after it,
     // the pipeline has left nothing registered (deterministic, no GC)
