@@ -318,4 +318,73 @@ object Dedup {
       .filter(col("cos") >= threshold)
       .select("id1", "id2", "cos")
   }
+
+  // ---- connected components ----
+
+  /** Connected components over a near-dup pair graph: every vertex's
+    * `comp` is the minimum vertex id reachable from it, so one document
+    * per duplicate CLUSTER survives — the production dedup semantics when
+    * similarity chains (a~b, b~c with a!~c must still collapse to one
+    * keeper, which per-pair loser-dropping gets wrong in both directions).
+    *
+    * Distributed min-label propagation: labels start at min(self,
+    * neighbors); each iteration joins labels across edges and takes the
+    * min; a vertex's label strictly decreases until it reaches the
+    * component minimum. Converges in O(graph diameter) rounds — near-dup
+    * graphs are cliques and short chains, so the diameter stays small
+    * independent of corpus size (the adversarial-deep-graph alternative is
+    * large-star/small-star, Kiveris et al., "Connected components in
+    * MapReduce and beyond", 2014 — O(log² n) rounds; not needed for dedup
+    * shapes). Per round: one equi-join + one min-aggregate, both
+    * shuffling on vertex id; state is checkpoint-truncated every round so
+    * lineage stays flat and prior-round blocks are freed immediately; the
+    * driver-side convergence check is a 1-value count. Throws if the graph
+    * hasn't converged within `maxIter` (loud, not silently wrong).
+    *
+    * Returns (id, comp) for vertices that appear in `pairs`; singletons
+    * are absent (callers attach them with a left join + coalesce).
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 30): DataFrame = {
+    val sc = pairs.sparkSession.sparkContext
+    def ids(): Set[Int] = sc.getPersistentRDDs.keySet.toSet
+    def free(blockIds: Set[Int]): Unit = {
+      val reg = sc.getPersistentRDDs
+      blockIds.foreach(id => reg.get(id).foreach(_.unpersist(blocking = false)))
+    }
+    val base = ids()
+    val half = pairs.select(col(aCol).cast("long").as("src"),
+      col(bCol).cast("long").as("dst"))
+    val edges = materialize(half.unionByName(
+      half.select(col("dst").as("src"), col("src").as("dst"))).distinct())
+    val edgeIds = ids() -- base
+    var labels = materialize(edges.groupBy("src").agg(min("dst").as("m"))
+      .select(col("src").as("id"), least(col("src"), col("m")).as("comp")))
+    var labelIds = ids() -- base -- edgeIds
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIter) {
+      val pre = ids()
+      val nbrMin = edges.select(col("src"), col("dst").as("id"))
+        .join(labels, Seq("id"))
+        .groupBy("src").agg(min("comp").as("ncomp"))
+      val next = materialize(labels
+        .join(nbrMin.select(col("src").as("id"), col("ncomp")), Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"),
+          (col("ncomp") < col("comp")).as("chg")))
+      changed = next.filter(col("chg")).count()
+      free(labelIds)
+      labels = next.select("id", "comp")
+      labelIds = ids() -- pre
+      it += 1
+    }
+    free(edgeIds)
+    if (changed > 0) {
+      free(labelIds)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter iterations")
+    }
+    labels
+  }
 }

@@ -92,19 +92,11 @@ object DedupCatalog {
       SELECT fp, keep_id, n_copies FROM g ORDER BY keep_id""")
   )
 
-  /** n-gram Jaccard near-dup pairs (3-gram shingles, J ≥ 0.3, shingle
-    * document-frequency cap 100).
-    */
-  val dJaccard = QueryDef(
-    "q_d_ngram_jaccard",
-    (s, dir) =>
-      Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
-          n = ShingleN, threshold = JaccardThreshold,
-          maxShingleFreq = MaxShingleFreq)
-        .select(col("id1"), col("id2"), r6(col("jaccard")).as("jaccard"))
-        .orderBy("id1", "id2"),
-    Some(s"""
-      WITH toks AS (
+  // Shared oracle CTE chain producing the n-gram-Jaccard candidate table
+  // (`common` + `sizes`), used by both the pair query and the
+  // connected-components query so their oracles can never drift.
+  private val jaccardCtes = s"""
+      toks AS (
         SELECT doc_id, string_split($sqlNorm, ' ') AS tk FROM documents),
       sh AS (
         SELECT DISTINCT doc_id,
@@ -120,7 +112,21 @@ object DedupCatalog {
         SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c
         FROM shf a JOIN shf b
           ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        GROUP BY 1, 2)
+        GROUP BY 1, 2)"""
+
+  /** n-gram Jaccard near-dup pairs (3-gram shingles, J ≥ 0.3, shingle
+    * document-frequency cap 100).
+    */
+  val dJaccard = QueryDef(
+    "q_d_ngram_jaccard",
+    (s, dir) =>
+      Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+          n = ShingleN, threshold = JaccardThreshold,
+          maxShingleFreq = MaxShingleFreq)
+        .select(col("id1"), col("id2"), r6(col("jaccard")).as("jaccard"))
+        .orderBy("id1", "id2"),
+    Some(s"""
+      WITH $jaccardCtes
       SELECT id1, id2,
              ${sqlR6("c / CAST(s1.sz + s2.sz - c AS DOUBLE)")} AS jaccard
       FROM common
@@ -128,6 +134,52 @@ object DedupCatalog {
       JOIN sizes s2 ON s2.doc_id = id2
       WHERE c / CAST(s1.sz + s2.sz - c AS DOUBLE) >= $JaccardThreshold
       ORDER BY id1, id2""")
+  )
+
+  /** Near-dup CLUSTERS: connected components over the n-gram-Jaccard pair
+    * graph (same parameters as q_d_ngram_jaccard), every document labeled
+    * with its cluster's minimum doc_id — the production dedup semantics
+    * when similarity chains (a~b~c with a!~c must still collapse to one
+    * keeper). The oracle recomputes the pairs in SQL and closes them
+    * transitively with a recursive CTE, so the distributed label
+    * propagation is checked end-to-end against an exact transitive
+    * closure.
+    */
+  val dComponents = QueryDef(
+    "q_d_components",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", n = ShingleN,
+        threshold = JaccardThreshold, maxShingleFreq = MaxShingleFreq)
+      val comp = Dedup.connectedComponents(pairs, "id1", "id2")
+        .withColumnRenamed("id", "doc_id")
+      docs.select("doc_id")
+        .join(comp, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("comp"), col("doc_id")).as("component"))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH RECURSIVE $jaccardCtes,
+      pairs AS (
+        SELECT id1, id2 FROM common
+        JOIN sizes s1 ON s1.doc_id = id1
+        JOIN sizes s2 ON s2.doc_id = id2
+        WHERE c / CAST(s1.sz + s2.sz - c AS DOUBLE) >= $JaccardThreshold),
+      edges AS (
+        SELECT id1 AS a, id2 AS b FROM pairs
+        UNION
+        SELECT id2, id1 FROM pairs),
+      walk(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT w.a, e.b FROM walk w JOIN edges e ON w.b = e.a),
+      comp AS (
+        SELECT a AS doc_id, least(a, min(b)) AS component
+        FROM walk GROUP BY a)
+      SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
+      FROM documents d LEFT JOIN comp c USING (doc_id)
+      ORDER BY doc_id""")
   )
 
   /** MinHash + banded LSH near-dup pairs, verified by exact Jaccard. The
@@ -245,5 +297,6 @@ object DedupCatalog {
       ORDER BY id1, id2""")
   )
 
-  val all: Seq[QueryDef] = Seq(dExact, dJaccard, dMinHash, dSimHash, dEmbed)
+  val all: Seq[QueryDef] =
+    Seq(dExact, dJaccard, dComponents, dMinHash, dSimHash, dEmbed)
 }

@@ -41,6 +41,35 @@ class PipelineOpsSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("connected components: chains collapse to min id, blocks self-free") {
+    import spark.implicits._
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    // clique {1,2,3} given as a chain, pair {10,11}, long path {20..25}
+    // (forces several propagation rounds), cycle {30,31,32}
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (22L, 23L), (23L, 24L), (24L, 25L),
+      (30L, 31L), (31L, 32L), (32L, 30L)).toDF("id1", "id2")
+    val comp = Dedup.connectedComponents(pairs, "id1", "id2")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L, 24L -> 20L, 25L -> 20L,
+      30L -> 30L, 31L -> 30L, 32L -> 30L))
+    // only the final labels stay materialized; everything per-round is freed
+    val leftover = sc.getPersistentRDDs.keySet -- before
+    assert(leftover.size <= 1, s"operator leaked blocks: $leftover")
+    val reg = sc.getPersistentRDDs
+    leftover.foreach(id => reg.get(id).foreach(_.unpersist(blocking = true)))
+    // a too-small iteration budget must fail loudly, not return wrong labels
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(pairs, "id1", "id2", maxIter = 1).collect()
+    }
+    val reg2 = sc.getPersistentRDDs
+    (reg2.keySet -- before).foreach(id =>
+      reg2.get(id).foreach(_.unpersist(blocking = true)))
+  }
+
   test("minhash LSH agrees with exact jaccard on recalled pairs") {
     val exact = Dedup.jaccardPairs(nearDups, "doc_id", "text",
         n = 3, threshold = 0.5, maxShingleFreq = 100)
