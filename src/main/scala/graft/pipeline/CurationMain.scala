@@ -55,11 +55,15 @@ object CurationMain {
       .localCheckpoint(true)
     stages += StageCount("exact_dedup", exact.count())
 
-    // 2. near-dup pruning: drop the higher id of each MinHash-verified
-    // pair (the operator eagerly materializes its shingle table here too)
+    // 2. near-dup pruning: close the MinHash-verified pairs into clusters
+    // (connected components) and keep each cluster's min-id representative
+    // — per-pair loser-dropping mis-handles chains a~b~c with a!~c (the
+    // operator eagerly materializes its shingle table here too)
     val nearPairs = Dedup.minHashLshPairs(exact, "doc_id", "text",
       n = 3, numPerm = 32, bands = 8, threshold = jaccardThreshold)
-    val losers = nearPairs.select(col("id2").as("doc_id")).distinct()
+    val losers = Dedup.connectedComponents(nearPairs, "id1", "id2")
+      .filter(col("id") =!= col("comp"))
+      .select(col("id").as("doc_id"))
     val mid = persisted()
     val deduped = exact.join(losers, Seq("doc_id"), "left_anti")
       .localCheckpoint(true)
