@@ -204,7 +204,92 @@ object TextCatalog {
       ORDER BY d.doc_id""")
   )
 
+  // md5-prefix hash bucket, the engine-portable deterministic sampler —
+  // Spark's conv(hex,16,10) and DuckDB's '0x'-cast agree on the unsigned
+  // 60-bit value, so both engines assign identical buckets
+  private def sqlBucket(m: Int) =
+    s"CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 15)) AS BIGINT) % $m"
+
+  /** Deterministic train/val/test split (80/10/10 by md5 bucket) — split
+    * membership is content-addressed, so it survives re-runs,
+    * repartitioning, and engine migration.
+    */
+  val tSplit = QueryDef(
+    "q_t_split",
+    (s, dir) =>
+      TextAnalysis.withSplit(t(s, dir, "documents"), "doc_id")
+        .select("doc_id", "bucket", "split")
+        .orderBy("doc_id"),
+    Some(s"""
+      SELECT doc_id, ${sqlBucket(100)} AS bucket,
+             CASE WHEN ${sqlBucket(100)} < 80 THEN 'train'
+                  WHEN ${sqlBucket(100)} < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents ORDER BY doc_id""")
+  )
+
+  // per-language keep-rates (per-mille) for the stratified sample twin:
+  // downsample the dominant languages, keep the tail — corpus rebalancing
+  private val StratRates = Map("en" -> 250, "es" -> 500)
+  private val StratDefault = 800
+
+  /** Stratified deterministic sample over the real `lang` column —
+    * one shuffle-free codegen'd scan, per-stratum rates as data.
+    */
+  val tStratSample = QueryDef(
+    "q_t_strat_sample",
+    (s, dir) =>
+      TextAnalysis.stratifiedSample(t(s, dir, "documents"), "doc_id",
+          "lang", StratRates, StratDefault)
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.hashBucket(col("doc_id"), 1000).as("bucket"))
+        .orderBy("doc_id"),
+    Some(s"""
+      SELECT doc_id, lang, ${sqlBucket(1000)} AS bucket
+      FROM documents
+      WHERE ${sqlBucket(1000)} <
+            CASE ${StratRates.toSeq.sortBy(_._1).map { case (l, r) =>
+      s"WHEN lang = '$l' THEN $r" }.mkString(" ")}
+                 ELSE $StratDefault END
+      ORDER BY doc_id""")
+  )
+
+  /** Top-5 characteristic terms per document by corpus tf-idf; ranking
+    * ties (identical rationals) break by term ascending in both engines.
+    */
+  val tTfIdf = QueryDef(
+    "q_t_tfidf",
+    (s, dir) =>
+      TextAnalysis.tfIdfTopTerms(t(s, dir, "documents"), "doc_id", "text",
+          k = 5)
+        .select(col("id").as("doc_id"), col("rnk"), col("term"),
+          r6(col("tfidf")).as("tfidf"))
+        .orderBy("doc_id", "rnk"),
+    Some(s"""
+      WITH t AS (
+        SELECT doc_id, lower($sqlNorm) AS nt
+        FROM documents WHERE length($sqlNorm) > 0),
+      tok AS (
+        SELECT doc_id, unnest(string_split(nt, ' ')) AS w FROM t),
+      tf AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY 1, 2),
+      tot AS (SELECT doc_id, sum(c) AS total FROM tf GROUP BY 1),
+      dfq AS (SELECT w, count(*) AS dfc FROM tf GROUP BY 1),
+      n AS (SELECT count(DISTINCT doc_id) AS n FROM tf),
+      scored AS (
+        SELECT tf.doc_id, tf.w,
+               (c / CAST(total AS DOUBLE)) * ln(n / CAST(dfc AS DOUBLE)) AS tfidf
+        FROM tf JOIN tot USING (doc_id) JOIN dfq USING (w) CROSS JOIN n),
+      rk AS (
+        SELECT doc_id, w, tfidf,
+               row_number() OVER (PARTITION BY doc_id
+                 ORDER BY tfidf DESC, w ASC) AS rnk
+        FROM scored)
+      SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, w AS term,
+             ${sqlR6("tfidf")} AS tfidf
+      FROM rk WHERE rnk <= 5 ORDER BY doc_id, rnk""")
+  )
+
   val all: Seq[QueryDef] =
     Seq(tQuality, tTokens, tFingerprint, tLangId, tExplode,
-      tRepetition, tLmScore)
+      tRepetition, tLmScore, tSplit, tStratSample, tTfIdf)
 }

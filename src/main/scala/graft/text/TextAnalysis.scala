@@ -157,6 +157,79 @@ object TextAnalysis {
     * shuffle join at web scale) → per-doc aggregate. The mean uses exact
     * decimal summation so it is order-independent (oracle-comparable).
     */
+  // ---- deterministic sampling / splits ----
+
+  /** Content-stable [0, buckets) bucket of an id: the first 60 bits of
+    * md5(id as string), mod buckets. Engine-portable (any system with md5
+    * reproduces it bit-for-bit) and independent of partitioning, run
+    * order, and cluster size — the property train/val/test membership
+    * needs to survive re-runs and engine migrations, which `rand(seed)`
+    * (partitioning-sensitive) and xxhash64 (Spark-specific) both lack.
+    * Codegen'd built-ins only; shuffle-free.
+    */
+  def hashBucket(id: Column, buckets: Int = 1000): Column =
+    conv(substring(md5(id.cast("string")), 1, 15), 16, 10)
+      .cast("long") % buckets
+
+  /** Deterministic train/val/test assignment by hash bucket:
+    * [0,trainPct) → train, [trainPct,trainPct+valPct) → val, rest → test.
+    */
+  def withSplit(df: DataFrame, idCol: String,
+      trainPct: Int = 80, valPct: Int = 10): DataFrame =
+    df.withColumn("bucket", hashBucket(col(idCol), 100))
+      .withColumn("split",
+        when(col("bucket") < trainPct, "train")
+          .when(col("bucket") < trainPct + valPct, "val")
+          .otherwise("test"))
+
+  /** Stratified deterministic sample (corpus mixing / rebalancing): keep a
+    * row iff its hash bucket (per-mille) falls under its stratum's rate.
+    * Rates are data, not a shuffle key — the filter is a codegen'd scan,
+    * so re-weighting a 100 TB corpus is one pass with zero shuffles.
+    */
+  def stratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
+      ratesPerMille: Map[String, Int], defaultPerMille: Int): DataFrame = {
+    val rate = ratesPerMille.foldLeft(lit(defaultPerMille)) {
+      case (acc, (k, v)) => when(col(stratumCol) === k, lit(v)).otherwise(acc)
+    }
+    df.filter(hashBucket(col(idCol), 1000) < rate)
+  }
+
+  // ---- tf-idf ----
+
+  /** Top-k characteristic terms per document by tf-idf over the corpus
+    * itself: tf = termCount/docLength, idf = ln(nDocs/docFreq), ties (and
+    * only true ties — identical rationals) broken by term ascending.
+    *
+    * Scale: token explode → (doc,term) count shuffle → doc-total and
+    * term-docfreq aggregates joined back (docfreq is vocab-sized:
+    * broadcast-able for modest vocab, plain shuffle join at web scale) →
+    * per-doc top-k window (partitioned by doc id — no funnel).
+    */
+  def tfIdfTopTerms(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df
+      .select(col(idCol).as("id"), lower(normText(col(textCol))).as("nt"))
+      .filter(length(col("nt")) > 0)
+      .select(col("id"), explode(split(col("nt"), " ")).as("w"))
+    val tf = toks.groupBy("id", "w").agg(count(lit(1)).as("c"))
+    val tot = tf.groupBy("id").agg(sum("c").as("total"))
+    val dfreq = tf.groupBy("w").agg(count(lit(1)).as("dfc"))
+    val n = tf.agg(count_distinct(col("id")).as("n"))
+    val scored = tf.join(tot, "id").join(dfreq, "w")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        (col("c").cast("double") / col("total")) *
+          log(col("n").cast("double") / col("dfc")))
+    val byDoc = Window.partitionBy("id")
+      .orderBy(col("tfidf").desc, col("w").asc)
+    scored.withColumn("rnk", row_number().over(byDoc))
+      .filter(col("rnk") <= k)
+      .select(col("id"), col("rnk").cast("long").as("rnk"),
+        col("w").as("term"), col("tfidf"))
+  }
+
   def lmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = df
       .select(col(idCol).as("id"), lower(normText(col(textCol))).as("nt"))

@@ -70,6 +70,51 @@ class PipelineOpsSpec extends SparkSpec {
       reg2.get(id).foreach(_.unpersist(blocking = true)))
   }
 
+  test("hash split: deterministic, complete, roughly 80/10/10") {
+    val ids = spark.range(10000).toDF("doc_id")
+    val s1 = TextAnalysis.withSplit(ids, "doc_id")
+    val s2 = TextAnalysis.withSplit(ids.repartition(7), "doc_id")
+    // membership is content-addressed: identical under repartitioning
+    assert(s1.select("doc_id", "split").exceptAll(
+      s2.select("doc_id", "split")).isEmpty)
+    val frac = s1.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1) / 10000.0).toMap
+    assert(math.abs(frac("train") - 0.8) < 0.02, s"train=${frac("train")}")
+    assert(math.abs(frac("val") - 0.1) < 0.02)
+    assert(math.abs(frac("test") - 0.1) < 0.02)
+  }
+
+  test("stratified sample honors per-stratum rates") {
+    import spark.implicits._
+    val docs = spark.range(4000)
+      .select(col("id").as("doc_id"),
+        when(col("id") % 2 === 0, "en").otherwise("de").as("lang"))
+    val none = TextAnalysis.stratifiedSample(docs, "doc_id", "lang",
+      Map("en" -> 0), 0)
+    assert(none.count() == 0)
+    val all = TextAnalysis.stratifiedSample(docs, "doc_id", "lang",
+      Map("en" -> 1000), 1000)
+    assert(all.count() == 4000)
+    val mixed = TextAnalysis.stratifiedSample(docs, "doc_id", "lang",
+      Map("en" -> 100), 1000)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(mixed("de") == 2000L, "default rate 1000 keeps every de doc")
+    assert(mixed("en") < 400, s"en downsampled to ~10%, got ${mixed("en")}")
+  }
+
+  test("tf-idf: the distinguishing term outranks corpus-wide terms") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma epsilon"),
+      (3L, "alpha beta gamma zeta")
+    ).toDF("doc_id", "text")
+    val top = TextAnalysis.tfIdfTopTerms(corpus, "doc_id", "text", k = 1)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(top == Map(1L -> "delta", 2L -> "epsilon", 3L -> "zeta"))
+  }
+
   test("minhash LSH agrees with exact jaccard on recalled pairs") {
     val exact = Dedup.jaccardPairs(nearDups, "doc_id", "text",
         n = 3, threshold = 0.5, maxShingleFreq = 100)
