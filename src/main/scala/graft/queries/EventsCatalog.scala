@@ -67,5 +67,46 @@ object EventsCatalog {
       FROM g GROUP BY 1 ORDER BY 1""")
   )
 
-  val all: Seq[QueryDef] = Seq(eHourly, eSessions)
+  /** The SAME hourly pivot computed by the STREAMING engine: readStream →
+    * incremental windowless groupBy aggregation → complete-mode memory
+    * sink, then a batch reshape of the sink table (pivot isn't allowed on
+    * a streaming aggregate). Gated by the identical oracle SQL as
+    * q_e_hourly, so the Structured Streaming execution path itself is
+    * driver-hash-checked — not just spec-asserted equal to batch.
+    */
+  // FileStreamSource requires a directory; the testdata tables are single
+  // files, so stage events.parquet into a temp dir once per sf dir
+  private val streamDirCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def streamableEventsDir(dir: String): String =
+    streamDirCache.getOrElseUpdate(dir, {
+      val d = java.nio.file.Files.createTempDirectory("graft_stream_events")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        d.resolve("events.parquet"))
+      d.toString
+    })
+
+  val eHourlyStream = QueryDef(
+    "q_e_hourly_stream",
+    (s, dir) => {
+      val sink = "graft_hourly_stream_sink"
+      s.catalog.dropTempView(sink) // idempotent across bench warm-up reps
+      val q = s.readStream.schema(graft.model.Schemas.events)
+        .parquet(streamableEventsDir(dir))
+        .withColumn("hour",
+          date_format(timestamp_micros(expr("ts div 1000")), "yyyy-MM-dd HH"))
+        .groupBy("hour", "event_type").agg(count(lit(1)).as("n"))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("complete").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(sink).groupBy("hour")
+        .pivot("event_type", eventTypes)
+        .agg(sum("n"))
+        .na.fill(0L, eventTypes)
+        .orderBy("hour")
+    },
+    eHourly.oracle)
+
+  val all: Seq[QueryDef] = Seq(eHourly, eSessions, eHourlyStream)
 }

@@ -136,5 +136,34 @@ object JoinCatalog {
       ORDER BY c_custkey""")
   )
 
-  val all: Seq[QueryDef] = Seq(j1SpikeJoin, j2Union, jStarRevenue, jSemi, jAnti)
+  /** Salted skew join (plans.SkewJoin): lineitem ⋈ part fanned out over 8
+    * salt sub-keys — the explicit-salting path for keys too hot for AQE's
+    * skew split. The oracle is the plain equi-join, so the gate proves
+    * salting is result-invariant (spread + replicate changes the shuffle
+    * layout, never the join semantics).
+    */
+  val jSalted = QueryDef(
+    "q_j_salted",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_orderkey"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+      val p = t(s, dir, "part")
+        .select(col("p_partkey").as("l_partkey"), col("p_brand"))
+      graft.plans.SkewJoin.saltedJoin(li, p, "l_partkey", "l_orderkey",
+          saltCount = 8)
+        .groupBy("p_brand")
+        .agg(r2(sumE(col("rev"))).as("revenue"), count(lit(1)).as("n_items"))
+        .orderBy("p_brand")
+    },
+    Some(s"""
+      SELECT p.p_brand,
+             ${sqlR2(sqlSumE("l.l_extendedprice * (1 - l.l_discount)"))} AS revenue,
+             count(*) AS n_items
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY 1 ORDER BY p_brand""")
+  )
+
+  val all: Seq[QueryDef] =
+    Seq(j1SpikeJoin, j2Union, jStarRevenue, jSemi, jAnti, jSalted)
 }
