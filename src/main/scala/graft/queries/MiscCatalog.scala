@@ -449,8 +449,25 @@ object MiscCatalog {
       FROM orders GROUP BY 1 ORDER BY 1""")
   )
 
+  /** Fixed-width histogram: distribution profiling as one count shuffle on
+    * the bin key (integer bin arithmetic — exact in both engines).
+    */
+  val qHistogram = QueryDef(
+    "q_histogram",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .select((floor(col("l_extendedprice") / 5000) * 5000)
+          .cast("long").as("bin_lo"))
+        .groupBy("bin_lo").agg(count(lit(1)).as("n"))
+        .orderBy("bin_lo"),
+    Some("""
+      SELECT CAST(floor(l_extendedprice / 5000) * 5000 AS BIGINT) AS bin_lo,
+             count(*) AS n
+      FROM lineitem GROUP BY 1 ORDER BY 1""")
+  )
+
   val all: Seq[QueryDef] = Seq(oTopK, aSpikeSummary, eJson, aSummary,
     mKmeans, mLloydStep, qAsof, qRange, qRollup, qCube, qGroupingSets,
-    qPercentile)
+    qPercentile, qHistogram)
 }
 

@@ -289,7 +289,46 @@ object TextCatalog {
       FROM rk WHERE rnk <= 5 ORDER BY doc_id, rnk""")
   )
 
+  /** Top-20 corpus bigram collocations by PMI (min count 5) — phrase
+    * mining over the whole corpus, reduced to count shuffles + two
+    * broadcast totals.
+    */
+  val tPmi = QueryDef(
+    "q_t_pmi",
+    (s, dir) =>
+      TextAnalysis.pmiCollocations(t(s, dir, "documents"), "doc_id", "text",
+          minCount = 5, k = 20)
+        .select(col("w1"), col("w2"), col("c12"), r6(col("pmi")).as("pmi")),
+    Some(s"""
+      WITH t AS (
+        SELECT doc_id, lower($sqlNorm) AS nt
+        FROM documents WHERE length($sqlNorm) > 0),
+      tok AS (
+        SELECT doc_id, generate_subscripts(tk, 1) AS pos, unnest(tk) AS w
+        FROM (SELECT doc_id, string_split(nt, ' ') AS tk FROM t)),
+      uni AS (SELECT w, count(*) AS c FROM tok GROUP BY 1),
+      nu AS (SELECT sum(c) AS nu FROM uni),
+      pairs AS (
+        SELECT a.w AS w1, b.w AS w2
+        FROM tok a JOIN tok b
+          ON b.doc_id = a.doc_id AND b.pos = a.pos + 1),
+      bigall AS (SELECT w1, w2, count(*) AS c12 FROM pairs GROUP BY 1, 2),
+      nb AS (SELECT sum(c12) AS nb FROM bigall),
+      scored AS (
+        SELECT w1, w2, c12,
+               ln((CAST(c12 AS DOUBLE) / nb.nb) /
+                  ((CAST(u1.c AS DOUBLE) / nu.nu) *
+                   (CAST(u2.c AS DOUBLE) / nu.nu))) AS pmi
+        FROM bigall
+        JOIN uni u1 ON u1.w = bigall.w1
+        JOIN uni u2 ON u2.w = bigall.w2
+        CROSS JOIN nb CROSS JOIN nu
+        WHERE c12 >= 5)
+      SELECT w1, w2, CAST(c12 AS BIGINT) AS c12, ${sqlR6("pmi")} AS pmi
+      FROM scored ORDER BY pmi DESC, w1, w2 LIMIT 20""")
+  )
+
   val all: Seq[QueryDef] =
     Seq(tQuality, tTokens, tFingerprint, tLangId, tExplode,
-      tRepetition, tLmScore, tSplit, tStratSample, tTfIdf)
+      tRepetition, tLmScore, tSplit, tStratSample, tTfIdf, tPmi)
 }

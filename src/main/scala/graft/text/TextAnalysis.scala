@@ -195,6 +195,45 @@ object TextAnalysis {
     df.filter(hashBucket(col(idCol), 1000) < rate)
   }
 
+  // ---- collocations ----
+
+  /** Corpus-wide top-k bigram collocations by pointwise mutual
+    * information, PMI = ln( p(w1,w2) / (p(w1)·p(w2)) ), over adjacent
+    * token pairs within documents; bigrams below `minCount` are noise and
+    * dropped. Ties (identical rationals) break by (w1, w2) ascending.
+    *
+    * Scale: token explode → per-doc lead() window (partitioned by doc id —
+    * no funnel) → bigram/unigram count shuffles → two vocab-sized joins +
+    * two broadcast 1-row totals. No quadratic stage.
+    */
+  def pmiCollocations(df: DataFrame, idCol: String, textCol: String,
+      minCount: Long = 5, k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = df
+      .select(col(idCol).as("id"), lower(normText(col(textCol))).as("nt"))
+      .filter(length(col("nt")) > 0)
+      .select(col("id"), posexplode(split(col("nt"), " ")).as(Seq("pos", "w")))
+    val uni = tok.groupBy("w").agg(count(lit(1)).as("c"))
+    val nu = uni.agg(sum("c").as("nu"))
+    val byDoc = Window.partitionBy("id").orderBy("pos")
+    val pairs = tok.withColumn("w2", lead("w", 1).over(byDoc))
+      .filter(col("w2").isNotNull)
+      .select(col("w").as("w1"), col("w2"))
+    val bigAll = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val nb = bigAll.agg(sum("c12").as("nb"))
+    bigAll.filter(col("c12") >= minCount)
+      .join(uni.select(col("w").as("w1"), col("c").as("c1")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c").as("c2")), "w2")
+      .crossJoin(broadcast(nb)).crossJoin(broadcast(nu))
+      .withColumn("pmi",
+        log((col("c12").cast("double") / col("nb")) /
+          ((col("c1").cast("double") / col("nu")) *
+            (col("c2").cast("double") / col("nu")))))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(k)
+      .select("w1", "w2", "c12", "pmi")
+  }
+
   // ---- tf-idf ----
 
   /** Top-k characteristic terms per document by tf-idf over the corpus

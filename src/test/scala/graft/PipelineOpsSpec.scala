@@ -115,6 +115,19 @@ class PipelineOpsSpec extends SparkSpec {
     assert(top == Map(1L -> "delta", 2L -> "epsilon", 3L -> "zeta"))
   }
 
+  test("pmi: an exclusive bigram outranks promiscuous pairs") {
+    import spark.implicits._
+    // "san" and "francisco" occur ONLY in their bigram; every other
+    // bigram shares a word with higher marginal count ("is" ×3, "and" ×2
+    // per doc), so (san, francisco) has the strictly largest PMI
+    val docs = (1 to 10).map(i =>
+      (i.toLong, "san francisco is nice and is fun and is cool")).toDF("doc_id", "text")
+    val top = TextAnalysis.pmiCollocations(docs, "doc_id", "text",
+      minCount = 5, k = 3).collect()
+    assert(top.head.getString(0) == "san" && top.head.getString(1) == "francisco",
+      s"expected (san, francisco) first, got ${top.head}")
+  }
+
   test("minhash LSH agrees with exact jaccard on recalled pairs") {
     val exact = Dedup.jaccardPairs(nearDups, "doc_id", "text",
         n = 3, threshold = 0.5, maxShingleFreq = 100)
