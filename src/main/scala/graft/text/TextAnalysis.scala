@@ -195,6 +195,18 @@ object TextAnalysis {
     df.filter(hashBucket(col(idCol), 1000) < rate)
   }
 
+  /** Eager one-shot materialization for an intermediate consumed by
+    * several plan subtrees — Spark plans each consumer independently (no
+    * cross-subtree CSE; ReuseExchange only collapses identical physical
+    * exchanges, which distinct downstream aggregates are not), so without
+    * this the corpus scan + token explode would run once PER consumer.
+    * Same idiom and lifecycle contract as dedup.Dedup.materialize: blocks
+    * stay registered until the caller unpersists (Bench/Verify free
+    * between queries via getPersistentRDDs).
+    */
+  private def materialize(df: DataFrame): DataFrame =
+    df.localCheckpoint(eager = true)
+
   // ---- collocations ----
 
   /** Corpus-wide top-k bigram collocations by pointwise mutual
@@ -209,17 +221,20 @@ object TextAnalysis {
   def pmiCollocations(df: DataFrame, idCol: String, textCol: String,
       minCount: Long = 5, k: Int = 20): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val tok = df
+    // one corpus scan + explode; uni and the bigram window both read blocks
+    val tok = materialize(df
       .select(col(idCol).as("id"), lower(normText(col(textCol))).as("nt"))
       .filter(length(col("nt")) > 0)
-      .select(col("id"), posexplode(split(col("nt"), " ")).as(Seq("pos", "w")))
+      .select(col("id"), posexplode(split(col("nt"), " ")).as(Seq("pos", "w"))))
     val uni = tok.groupBy("w").agg(count(lit(1)).as("c"))
     val nu = uni.agg(sum("c").as("nu"))
     val byDoc = Window.partitionBy("id").orderBy("pos")
     val pairs = tok.withColumn("w2", lead("w", 1).over(byDoc))
       .filter(col("w2").isNotNull)
       .select(col("w").as("w1"), col("w2"))
-    val bigAll = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    // consumed by both the total and the min-count filter
+    val bigAll = materialize(
+      pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12")))
     val nb = bigAll.agg(sum("c12").as("nb"))
     bigAll.filter(col("c12") >= minCount)
       .join(uni.select(col("w").as("w1"), col("c").as("c1")), "w1")
@@ -252,7 +267,10 @@ object TextAnalysis {
       .select(col(idCol).as("id"), lower(normText(col(textCol))).as("nt"))
       .filter(length(col("nt")) > 0)
       .select(col("id"), explode(split(col("nt"), " ")).as("w"))
-    val tf = toks.groupBy("id", "w").agg(count(lit(1)).as("c"))
+    // (doc,term) counts feed four consumers (join base, doc totals, doc
+    // freqs, corpus size) — materialize so the corpus scan + explode +
+    // count shuffle run once, not once per consumer
+    val tf = materialize(toks.groupBy("id", "w").agg(count(lit(1)).as("c")))
     val tot = tf.groupBy("id").agg(sum("c").as("total"))
     val dfreq = tf.groupBy("w").agg(count(lit(1)).as("dfc"))
     val n = tf.agg(count_distinct(col("id")).as("n"))
