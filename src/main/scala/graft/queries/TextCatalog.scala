@@ -328,7 +328,78 @@ object TextCatalog {
       FROM scored ORDER BY pmi DESC, w1, w2 LIMIT 20""")
   )
 
+  // appended to docs 0–49 in BOTH engines so the PII gate has real hits
+  // (the synthetic corpus contains none) — single-quoted verbatim in SQL
+  private val PiiTail =
+    " contact me at jane.doe@example.com or https://example.com/u?id=9 " +
+      "or +1 (415) 555-0101"
+
+  /** PII detection + reproducible scrubbing over a corpus with planted
+    * PII. The scrub equality is gated via md5 of the scrubbed text (both
+    * engines replay the same URL→email→phone replacement order), so the
+    * redaction itself is hash-checked byte-for-byte, not just counted.
+    */
+  val tPii = QueryDef(
+    "q_t_pii",
+    (s, dir) => {
+      val d = t(s, dir, "documents").select("doc_id", "text")
+      val planted = d.unionByName(
+        d.filter(col("doc_id") < 50)
+          .select((col("doc_id") + 1000000).as("doc_id"),
+            concat(col("text"), lit(PiiTail)).as("text")))
+      TextAnalysis.withPiiSignals(planted)
+        .select(col("doc_id"), col("n_emails"), col("n_urls"),
+          col("n_phones"),
+          md5(TextAnalysis.scrubPii(col("text"))).as("scrubbed_fp"))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH planted AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, text || '$PiiTail' FROM documents
+        WHERE doc_id < 50)
+      , cascade AS (
+        SELECT doc_id, text,
+               regexp_replace(text, '${TextAnalysis.UrlRe}', '[URL]', 'g') AS no_url
+        FROM planted),
+      cascade2 AS (
+        SELECT *, regexp_replace(no_url, '${TextAnalysis.EmailRe}', '[EMAIL]', 'g') AS no_email
+        FROM cascade)
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(no_url, '${TextAnalysis.EmailRe}', 0)) AS BIGINT) AS n_emails,
+             CAST(len(regexp_extract_all(text, '${TextAnalysis.UrlRe}', 0)) AS BIGINT) AS n_urls,
+             CAST(len(regexp_extract_all(no_email, '${TextAnalysis.PhoneRe}', 0)) AS BIGINT) AS n_phones,
+             md5(regexp_replace(no_email,
+               '${TextAnalysis.PhoneRe}', '[PHONE]', 'g')) AS scrubbed_fp
+      FROM cascade2 ORDER BY doc_id""")
+  )
+
+  /** Corpus vocabulary head: top-100 tokens by frequency (exact integer
+    * ordering, ties by token) — the Zipf-head table a tokenizer/mixture
+    * audit starts from.
+    */
+  val tVocab = QueryDef(
+    "q_t_vocab",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .select(lower(TextAnalysis.normText(col("text"))).as("nt"))
+        .filter(length(col("nt")) > 0)
+        .select(explode(split(col("nt"), " ")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c"))
+        .orderBy(desc("c"), col("w"))
+        .limit(100),
+    Some(s"""
+      WITH t AS (
+        SELECT lower($sqlNorm) AS nt FROM documents
+        WHERE length($sqlNorm) > 0),
+      tok AS (SELECT unnest(string_split(nt, ' ')) AS w FROM t)
+      SELECT w, count(*) AS c FROM tok GROUP BY 1
+      ORDER BY c DESC, w LIMIT 100""")
+  )
+
   val all: Seq[QueryDef] =
     Seq(tQuality, tTokens, tFingerprint, tLangId, tExplode,
-      tRepetition, tLmScore, tSplit, tStratSample, tTfIdf, tPmi)
+      tRepetition, tLmScore, tSplit, tStratSample, tTfIdf, tPmi,
+      tPii, tVocab)
 }

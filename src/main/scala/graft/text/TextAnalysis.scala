@@ -157,6 +157,46 @@ object TextAnalysis {
     * shuffle join at web scale) → per-doc aggregate. The mean uses exact
     * decimal summation so it is order-independent (oracle-comparable).
     */
+  // ---- PII detection / scrubbing ----
+
+  /** RE2-safe patterns (no backrefs/lookaround) so Spark's Java regex and
+    * other engines' RE2 match identically — required for cross-engine
+    * reproducible scrubbing.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val UrlRe = "https?://[^\\s]+"
+  val PhoneRe = "\\+?[0-9][0-9 ()-]{6,}[0-9]"
+
+  /** Per-document PII hit counts (emails, URLs, phone-shaped digit runs) —
+    * one codegen'd shuffle-free scan. Counts follow the same URL → email →
+    * phone cascade as [[scrubPii]] (each pattern counts on text with the
+    * earlier patterns already redacted), so a URL's digit path never
+    * double-counts as a phone and every count equals the number of
+    * redactions the scrub would make.
+    */
+  def withPiiSignals(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val noUrl = regexp_replace(col(textCol), UrlRe, "[URL]")
+    val noEmail = regexp_replace(noUrl, EmailRe, "[EMAIL]")
+    df.withColumn("n_emails",
+        size(regexp_extract_all(noUrl, lit(EmailRe), lit(0))).cast("long"))
+      .withColumn("n_urls",
+        size(regexp_extract_all(col(textCol), lit(UrlRe), lit(0))).cast("long"))
+      .withColumn("n_phones",
+        size(regexp_extract_all(noEmail, lit(PhoneRe), lit(0))).cast("long"))
+  }
+
+  /** Redact PII in place. Order is load-bearing and part of the contract:
+    * URLs first (so a URL's digit path can't half-match as a phone), then
+    * emails, then phones — any engine replaying the same order produces
+    * byte-identical scrubbed text.
+    */
+  def scrubPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, UrlRe, "[URL]"),
+        EmailRe, "[EMAIL]"),
+      PhoneRe, "[PHONE]")
+
   // ---- deterministic sampling / splits ----
 
   /** Content-stable [0, buckets) bucket of an id: the first 60 bits of

@@ -128,6 +128,21 @@ class PipelineOpsSpec extends SparkSpec {
       s"expected (san, francisco) first, got ${top.head}")
   }
 
+  test("pii scrub: counts hit the planted pii, redaction order holds") {
+    import spark.implicits._
+    val doc = Seq((1L,
+      "mail a.b@x.io, see https://x.io/a?n=1234567890 or call +1 415-555-0101"
+    )).toDF("doc_id", "text")
+    val row = TextAnalysis.withPiiSignals(doc)
+      .select(col("n_emails"), col("n_urls"), col("n_phones"),
+        TextAnalysis.scrubPii(col("text")).as("scrubbed"))
+      .head()
+    assert((row.getLong(0), row.getLong(1), row.getLong(2)) == ((1L, 1L, 1L)))
+    assert(row.getString(3) ==
+      "mail [EMAIL], see [URL] or call [PHONE]",
+      s"got: ${row.getString(3)}")
+  }
+
   test("minhash LSH agrees with exact jaccard on recalled pairs") {
     val exact = Dedup.jaccardPairs(nearDups, "doc_id", "text",
         n = 3, threshold = 0.5, maxShingleFreq = 100)
