@@ -9,7 +9,8 @@ import graft.text.TextAnalysis
 /** Capstone batch job: the training-data curation pipeline composed from
   * the engine's operators — exact dedup → near-dup pruning (MinHash+LSH)
   * → quality filtering (with language ID + token accounting) → repetition
-  * gate (Gopher-rule family) → corpus-LM score gate (CCNet shape) — writing a
+  * gate (Gopher-rule family) → corpus-LM score gate (CCNet shape) → PII
+  * scrub — writing a
   * curated corpus plus a per-stage report. Every stage is the same
   * shuffle-bounded operator the catalog gates; this main is the "run your
   * 100 TB corpus through it" entry point.
@@ -113,7 +114,10 @@ object CurationMain {
     val lmKeep = lm.crossJoin(broadcast(cut))
       .filter(col("lm_logprob").isNull || col("lm_logprob") >= col("cut"))
       .select("doc_id")
+    // 6. PII scrub on the survivors (URL → email → phone cascade), then
+    // fingerprint the text actually shipped
     val curated = repGated.join(lmKeep, Seq("doc_id"))
+      .withColumn("text", TextAnalysis.scrubPii(col("text")))
       .withColumn("fp", TextAnalysis.fingerprint(col("text")))
     stages += StageCount("lm_gate", curated.count())
     val live = persisted().filterNot { case (id, _) => base(id) }
