@@ -353,10 +353,15 @@ object Dedup {
       blockIds.foreach(id => reg.get(id).foreach(_.unpersist(blocking = false)))
     }
     val base = ids()
-    val half = pairs.select(col(aCol).cast("long").as("src"),
-      col(bCol).cast("long").as("dst"))
+    // the symmetrization consumes the pair input twice (both union
+    // branches); materialize the narrow projection first so an expensive
+    // candidate-generation lineage (e.g. an LSH pair join) runs once
+    val half = materialize(pairs.select(col(aCol).cast("long").as("src"),
+      col(bCol).cast("long").as("dst")))
+    val halfIds = ids() -- base
     val edges = materialize(half.unionByName(
       half.select(col("dst").as("src"), col("src").as("dst"))).distinct())
+    free(halfIds)
     val edgeIds = ids() -- base
     var labels = materialize(edges.groupBy("src").agg(min("dst").as("m"))
       .select(col("src").as("id"), least(col("src"), col("m")).as("comp")))

@@ -57,14 +57,27 @@ object Soak {
       "q_j5_star_revenue", "q_w3_zscore", "q_m4_anomalies", "q_m2_ols_next",
       "q_w8_rolling_corr", "q_d_exact", "q_m1_ols", "q_t_quality",
       "q_d_minhash_lsh", "q_d_simhash", "q_d_ngram_jaccard",
+      "q_d_components", "q_t_repetition", "q_t_lm_score", "q_t_tfidf",
+      "q_t_pmi", "q_t_pii", "q_j_salted",
       "q_asof_join", "q_range_join")
+    // operators self-materialize shared intermediates (localCheckpoint);
+    // free them between runs so timings don't pay earlier queries' blocks
+    def clear(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
     // warm once at sf0.1 so soak timings measure data volume, not codegen
-    headline.foreach(n => SparkEntry.queries(n)(spark, src).count())
+    headline.foreach { n =>
+      SparkEntry.queries(n)(spark, src).count(); clear()
+    }
     val results = headline.map { n =>
       val s0 = System.nanoTime()
       val small = SparkEntry.queries(n)(spark, src).count()
+      clear()
       val sMid = System.nanoTime()
       val big = SparkEntry.queries(n)(spark, outDir).count()
+      clear()
       val sEnd = System.nanoTime()
       val tSmall = (sMid - s0) / 1e9
       val tBig = (sEnd - sMid) / 1e9
