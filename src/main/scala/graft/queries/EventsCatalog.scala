@@ -108,5 +108,38 @@ object EventsCatalog {
     },
     eHourly.oracle)
 
-  val all: Seq[QueryDef] = Seq(eHourly, eSessions, eHourlyStream)
+  /** Funnel conversion: per user, the first timestamp of each stage;
+    * a user converts a stage only if it happens strictly after the
+    * previous one. Exact integer/timestamp comparisons — one aggregate
+    * shuffle on user_id, one 1-row reduce.
+    */
+  val eFunnel = QueryDef(
+    "q_e_funnel",
+    (s, dir) => {
+      val firsts = t(s, dir, "events")
+        .groupBy("user_id")
+        .agg(
+          min(when(col("event_type") === "view", col("ts"))).as("t_view"),
+          min(when(col("event_type") === "click", col("ts"))).as("t_click"),
+          min(when(col("event_type") === "purchase", col("ts"))).as("t_buy"))
+      firsts.agg(
+        count(col("t_view")).as("n_view"),
+        count(when(col("t_click") > col("t_view"), lit(1))).as("n_view_click"),
+        count(when(col("t_click") > col("t_view") &&
+          col("t_buy") > col("t_click"), lit(1))).as("n_full_funnel"))
+    },
+    Some("""
+      WITH firsts AS (
+        SELECT user_id,
+               min(ts) FILTER (event_type = 'view') AS t_view,
+               min(ts) FILTER (event_type = 'click') AS t_click,
+               min(ts) FILTER (event_type = 'purchase') AS t_buy
+        FROM events GROUP BY 1)
+      SELECT count(t_view) AS n_view,
+             count(*) FILTER (t_click > t_view) AS n_view_click,
+             count(*) FILTER (t_click > t_view AND t_buy > t_click) AS n_full_funnel
+      FROM firsts""")
+  )
+
+  val all: Seq[QueryDef] = Seq(eHourly, eSessions, eHourlyStream, eFunnel)
 }
