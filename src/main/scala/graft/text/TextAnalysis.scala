@@ -177,12 +177,13 @@ object TextAnalysis {
   def withPiiSignals(df: DataFrame, textCol: String = "text"): DataFrame = {
     val noUrl = regexp_replace(col(textCol), UrlRe, "[URL]")
     val noEmail = regexp_replace(noUrl, EmailRe, "[EMAIL]")
-    df.withColumn("n_emails",
-        size(regexp_extract_all(noUrl, lit(EmailRe), lit(0))).cast("long"))
-      .withColumn("n_urls",
-        size(regexp_extract_all(col(textCol), lit(UrlRe), lit(0))).cast("long"))
-      .withColumn("n_phones",
-        size(regexp_extract_all(noEmail, lit(PhoneRe), lit(0))).cast("long"))
+    // size(null) is -1 in Spark; null text must yield null counts
+    def cnt(c: Column, re: String): Column =
+      when(c.isNull, lit(null).cast("long"))
+        .otherwise(size(regexp_extract_all(c, lit(re), lit(0))).cast("long"))
+    df.withColumn("n_emails", cnt(noUrl, EmailRe))
+      .withColumn("n_urls", cnt(col(textCol), UrlRe))
+      .withColumn("n_phones", cnt(noEmail, PhoneRe))
   }
 
   /** Redact PII in place. Order is load-bearing and part of the contract:

@@ -39,6 +39,33 @@ class EdgeCasesSpec extends SparkSpec {
     assert(got == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L, 5L -> 2L))
   }
 
+  test("text/corpus operators tolerate null and empty text") {
+    import spark.implicits._
+    import graft.text.TextAnalysis
+    val docs = Seq((1L, null: String), (2L, ""), (3L, "   "),
+      (4L, "real content here")).toDF("doc_id", "text")
+    // tf-idf / pmi: null/empty/whitespace docs are excluded, no throw
+    assert(TextAnalysis.tfIdfTopTerms(docs, "doc_id", "text")
+      .select("id").distinct().collect().map(_.getLong(0)).toSet == Set(4L))
+    assert(TextAnalysis.pmiCollocations(docs, "doc_id", "text",
+      minCount = 1, k = 10).count() >= 1)
+    // pii: null text yields null counts/scrub, not an exception
+    val pii = TextAnalysis.withPiiSignals(docs)
+      .filter(col("doc_id") === 1L).head()
+    assert(pii.isNullAt(pii.fieldIndex("n_emails")))
+    // splits: every row (null hash or not) lands in exactly one split
+    val splits = TextAnalysis.withSplit(docs, "doc_id")
+      .select("split").collect().map(_.getString(0))
+    assert(splits.forall(Set("train", "val", "test")))
+    // empty corpus: all corpus-level operators return empty, no throw
+    val none = docs.filter(col("doc_id") < 0)
+    assert(TextAnalysis.tfIdfTopTerms(none, "doc_id", "text").count() == 0)
+    assert(TextAnalysis.pmiCollocations(none, "doc_id", "text").count() == 0)
+    assert(graft.dedup.Dedup.connectedComponents(
+      none.select(col("doc_id").as("id1"), col("doc_id").as("id2")),
+      "id1", "id2").count() == 0)
+  }
+
   test("per-ticker CSV sink keeps Ticker as a data column") {
     val out = java.nio.file.Files.createTempDirectory("etl_sink").toString
     val cleaned = graft.etl.CleanPipeline.clean(spark, s"$refDir/stock_data")
