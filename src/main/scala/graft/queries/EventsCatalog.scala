@@ -141,5 +141,31 @@ object EventsCatalog {
       FROM firsts""")
   )
 
-  val all: Seq[QueryDef] = Seq(eHourly, eSessions, eHourlyStream, eFunnel)
+  /** Batch twin of streaming.EventStreams.dedupStream's semantics: keep
+    * the first event (by ts, then event_id) per (user_id, event_type)
+    * key. One window shuffle on the dedup key.
+    */
+  val eDedup = QueryDef(
+    "q_e_dedup",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("event_id", "user_id", "event_type")
+        .orderBy("event_id")
+    },
+    Some("""
+      WITH r AS (
+        SELECT event_id, user_id, event_type,
+               row_number() OVER (PARTITION BY user_id, event_type
+                 ORDER BY ts, event_id) AS rn
+        FROM events)
+      SELECT event_id, user_id, event_type FROM r
+      WHERE rn = 1 ORDER BY event_id""")
+  )
+
+  val all: Seq[QueryDef] =
+    Seq(eHourly, eSessions, eHourlyStream, eFunnel, eDedup)
 }

@@ -16,7 +16,8 @@ object PlanAudit {
     val names = if (args.nonEmpty) args.toSeq
       else Seq("q1_pricing_summary", "q_a1_quarterly_price",
         "q_j5_star_revenue", "q_w3_zscore", "q_m4_anomalies",
-        "q_d_exact", "q_s_cosine_topk")
+        "q_d_exact", "q_s_cosine_topk", "q_d_components", "q_t_tfidf",
+        "q_t_pmi", "q_j_salted", "q_t_split")
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
