@@ -327,15 +327,14 @@ object Dedup {
     * similarity chains (a~b, b~c with a!~c must still collapse to one
     * keeper, which per-pair loser-dropping gets wrong in both directions).
     *
-    * Distributed min-label propagation: labels start at min(self,
-    * neighbors); each iteration joins labels across edges and takes the
-    * min; a vertex's label strictly decreases until it reaches the
-    * component minimum. Converges in O(graph diameter) rounds — near-dup
-    * graphs are cliques and short chains, so the diameter stays small
-    * independent of corpus size (the adversarial-deep-graph alternative is
-    * large-star/small-star, Kiveris et al., "Connected components in
-    * MapReduce and beyond", 2014 — O(log² n) rounds; not needed for dedup
-    * shapes). Per round: one equi-join + one min-aggregate, both
+    * Distributed min-label propagation with path halving: labels start at
+    * min(self, neighbors); each round (a) relaxes every label to the min
+    * of its neighbors' labels, then (b) pointer-jumps comp(v) ←
+    * comp(comp(v)). The halving step turns O(diameter) convergence into
+    * O(log diameter) — a 200-document template-drift chain converges in a
+    * handful of rounds instead of 200 (same effect as large-star/
+    * small-star, Kiveris et al., "Connected components in MapReduce and
+    * beyond", 2014). Per round: two equi-joins + one min-aggregate, all
     * shuffling on vertex id; state is checkpoint-truncated every round so
     * lineage stays flat and prior-round blocks are freed immediately; the
     * driver-side convergence check is a 1-value count. Throws if the graph
@@ -370,14 +369,25 @@ object Dedup {
     var it = 0
     while (changed > 0 && it < maxIter) {
       val pre = ids()
+      // (a) neighbor relaxation: comp(v) ← min over v's neighbors
       val nbrMin = edges.select(col("src"), col("dst").as("id"))
         .join(labels, Seq("id"))
         .groupBy("src").agg(min("comp").as("ncomp"))
+      // (b) path halving (pointer jumping): comp(v) ← comp(comp(v)),
+      // looked up in the PREVIOUS round's materialized labels (standard
+      // synchronized pointer jumping) — turns O(diameter) convergence
+      // into O(log diameter), so a long near-dup chain (template drift)
+      // converges within maxIter. One plan, one materialization per round.
       val next = materialize(labels
         .join(nbrMin.select(col("src").as("id"), col("ncomp")), Seq("id"), "left")
+        .select(col("id"), col("comp"),
+          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("c1"))
+        .join(labels.select(col("id").as("c1"), col("comp").as("cc")),
+          Seq("c1"), "left")
         .select(col("id"),
-          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"),
-          (col("ncomp") < col("comp")).as("chg")))
+          least(col("c1"), coalesce(col("cc"), col("c1"))).as("comp"),
+          (least(col("c1"), coalesce(col("cc"), col("c1"))) < col("comp"))
+            .as("chg")))
       changed = next.filter(col("chg")).count()
       free(labelIds)
       labels = next.select("id", "comp")

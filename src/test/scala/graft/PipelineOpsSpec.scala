@@ -115,6 +115,17 @@ class PipelineOpsSpec extends SparkSpec {
     assert(top == Map(1L -> "delta", 2L -> "epsilon", 3L -> "zeta"))
   }
 
+  test("connected components: a 200-node path converges via path halving") {
+    import spark.implicits._
+    val chain = (0 until 200).map(i => (i.toLong, i.toLong + 1)).toDF("id1", "id2")
+    val comp = Dedup.connectedComponents(chain, "id1", "id2")
+    assert(comp.select(countDistinct("comp")).head().getLong(0) == 1L)
+    assert(comp.agg(max("comp")).head().getLong(0) == 0L)
+    val sc = spark.sparkContext
+    val reg = sc.getPersistentRDDs
+    reg.values.foreach(_.unpersist(blocking = true))
+  }
+
   test("pmi: an exclusive bigram outranks promiscuous pairs") {
     import spark.implicits._
     // "san" and "francisco" occur ONLY in their bigram; every other
