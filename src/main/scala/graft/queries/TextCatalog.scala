@@ -398,8 +398,39 @@ object TextCatalog {
       ORDER BY c DESC, w LIMIT 100""")
   )
 
+  /** Corpus composition: per (source, lang) document and token counts
+    * plus each cell's share of total tokens — the mixture-weights table a
+    * pretraining data recipe starts from. One aggregate shuffle + a
+    * broadcast 1-row total; the share is an exact long/long rational.
+    */
+  val tComposition = QueryDef(
+    "q_t_composition",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("source"), col("lang"),
+          TextAnalysis.wsTokenCount(col("text")).as("tk"))
+      val cells = d.groupBy("source", "lang")
+        .agg(count(lit(1)).as("n_docs"), sum("tk").as("n_tokens"))
+      val total = cells.agg(sum("n_tokens").as("tot"))
+      cells.crossJoin(broadcast(total))
+        .select(col("source"), col("lang"), col("n_docs"), col("n_tokens"),
+          r6(col("n_tokens").cast("double") / col("tot")).as("token_share"))
+        .orderBy("source", "lang")
+    },
+    Some(s"""
+      WITH cells AS (
+        SELECT source, lang, count(*) AS n_docs,
+               sum($sqlWsTokens) AS n_tokens
+        FROM documents GROUP BY 1, 2),
+      total AS (SELECT sum(n_tokens) AS tot FROM cells)
+      SELECT source, lang, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
+             ${sqlR6("CAST(n_tokens AS DOUBLE) / tot")} AS token_share
+      FROM cells CROSS JOIN total
+      ORDER BY source, lang""")
+  )
+
   val all: Seq[QueryDef] =
     Seq(tQuality, tTokens, tFingerprint, tLangId, tExplode,
       tRepetition, tLmScore, tSplit, tStratSample, tTfIdf, tPmi,
-      tPii, tVocab)
+      tPii, tVocab, tComposition)
 }
