@@ -297,6 +297,45 @@ object DedupCatalog {
       ORDER BY id1, id2""")
   )
 
+  /** Dedup audit table: per near-dup cluster, its representative (min
+    * doc_id) and member count — the number a curation run reports per
+    * cluster before pruning. Same pair graph and closure as
+    * q_d_components, aggregated per component.
+    */
+  val dClusterSizes = QueryDef(
+    "q_d_cluster_sizes",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", n = ShingleN,
+        threshold = JaccardThreshold, maxShingleFreq = MaxShingleFreq)
+      Dedup.connectedComponents(pairs, "id1", "id2")
+        .groupBy("comp").agg(count(lit(1)).as("n_members"))
+        .select(col("comp").as("component"), col("n_members"))
+        .orderBy("component")
+    },
+    Some(s"""
+      WITH RECURSIVE $jaccardCtes,
+      pairs AS (
+        SELECT id1, id2 FROM common
+        JOIN sizes s1 ON s1.doc_id = id1
+        JOIN sizes s2 ON s2.doc_id = id2
+        WHERE c / CAST(s1.sz + s2.sz - c AS DOUBLE) >= $JaccardThreshold),
+      edges AS (
+        SELECT id1 AS a, id2 AS b FROM pairs
+        UNION
+        SELECT id2, id1 FROM pairs),
+      walk(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT w.a, e.b FROM walk w JOIN edges e ON w.b = e.a),
+      comp AS (
+        SELECT a AS doc_id, least(a, min(b)) AS component
+        FROM walk GROUP BY a)
+      SELECT component, count(*) AS n_members
+      FROM comp GROUP BY 1 ORDER BY 1""")
+  )
+
   val all: Seq[QueryDef] =
-    Seq(dExact, dJaccard, dComponents, dMinHash, dSimHash, dEmbed)
+    Seq(dExact, dJaccard, dComponents, dClusterSizes, dMinHash, dSimHash,
+      dEmbed)
 }
