@@ -47,6 +47,32 @@ object Dedup {
   private def materialize(df: DataFrame): DataFrame =
     df.localCheckpoint(eager = true)
 
+  /** Like [[materialize]], but also returns a DIRECT handle on the
+    * persisted RDD backing the checkpoint, so the caller can free exactly
+    * the block it created — no set-differencing of the session-global
+    * `sc.getPersistentRDDs` registry, which would mis-attribute (and
+    * wrongly unpersist) blocks registered concurrently by unrelated
+    * queries on the same session. The checkpointed Dataset's plan is a
+    * scan over the persisted internal RDD, so walking the short lineage of
+    * `cp.rdd` to the first node with a non-NONE storage level finds it.
+    * Throws if no persisted node is found (loud, spec-covered) rather
+    * than silently leaking the block.
+    */
+  private def materializeTracked(
+      df: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[_]) = {
+    val cp = df.localCheckpoint(eager = true)
+    def find(r: org.apache.spark.rdd.RDD[_],
+        depth: Int): Option[org.apache.spark.rdd.RDD[_]] =
+      if (r.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE)
+        Some(r)
+      else if (depth == 0) None
+      else r.dependencies.iterator
+        .flatMap(d => find(d.rdd, depth - 1)).nextOption()
+    val backing = find(cp.rdd, 8).getOrElse(throw new IllegalStateException(
+      "localCheckpoint produced no persisted RDD within lineage depth 8"))
+    (cp, backing)
+  }
+
   // ---- exact ----
 
   /** Exact dedup: one keeper (min id) per normalized-content fingerprint. */
@@ -345,30 +371,24 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 30): DataFrame = {
-    val sc = pairs.sparkSession.sparkContext
-    def ids(): Set[Int] = sc.getPersistentRDDs.keySet.toSet
-    def free(blockIds: Set[Int]): Unit = {
-      val reg = sc.getPersistentRDDs
-      blockIds.foreach(id => reg.get(id).foreach(_.unpersist(blocking = false)))
-    }
-    val base = ids()
+    // every intermediate is tracked by a direct RDD handle (see
+    // materializeTracked) so freeing is exact even if unrelated queries
+    // persist blocks on the same session concurrently
     // the symmetrization consumes the pair input twice (both union
     // branches); materialize the narrow projection first so an expensive
     // candidate-generation lineage (e.g. an LSH pair join) runs once
-    val half = materialize(pairs.select(col(aCol).cast("long").as("src"),
-      col(bCol).cast("long").as("dst")))
-    val halfIds = ids() -- base
-    val edges = materialize(half.unionByName(
+    val (half, halfRdd) = materializeTracked(
+      pairs.select(col(aCol).cast("long").as("src"),
+        col(bCol).cast("long").as("dst")))
+    val (edges, edgesRdd) = materializeTracked(half.unionByName(
       half.select(col("dst").as("src"), col("src").as("dst"))).distinct())
-    free(halfIds)
-    val edgeIds = ids() -- base
-    var labels = materialize(edges.groupBy("src").agg(min("dst").as("m"))
-      .select(col("src").as("id"), least(col("src"), col("m")).as("comp")))
-    var labelIds = ids() -- base -- edgeIds
+    halfRdd.unpersist(blocking = false)
+    var (labels, labelsRdd) = materializeTracked(
+      edges.groupBy("src").agg(min("dst").as("m"))
+        .select(col("src").as("id"), least(col("src"), col("m")).as("comp")))
     var changed = 1L
     var it = 0
     while (changed > 0 && it < maxIter) {
-      val pre = ids()
       // (a) neighbor relaxation: comp(v) ← min over v's neighbors
       val nbrMin = edges.select(col("src"), col("dst").as("id"))
         .join(labels, Seq("id"))
@@ -378,7 +398,7 @@ object Dedup {
       // synchronized pointer jumping) — turns O(diameter) convergence
       // into O(log diameter), so a long near-dup chain (template drift)
       // converges within maxIter. One plan, one materialization per round.
-      val next = materialize(labels
+      val (next, nextRdd) = materializeTracked(labels
         .join(nbrMin.select(col("src").as("id"), col("ncomp")), Seq("id"), "left")
         .select(col("id"), col("comp"),
           least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("c1"))
@@ -389,14 +409,14 @@ object Dedup {
           (least(col("c1"), coalesce(col("cc"), col("c1"))) < col("comp"))
             .as("chg")))
       changed = next.filter(col("chg")).count()
-      free(labelIds)
+      labelsRdd.unpersist(blocking = false)
       labels = next.select("id", "comp")
-      labelIds = ids() -- pre
+      labelsRdd = nextRdd
       it += 1
     }
-    free(edgeIds)
+    edgesRdd.unpersist(blocking = false)
     if (changed > 0) {
-      free(labelIds)
+      labelsRdd.unpersist(blocking = false)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter iterations")
     }

@@ -36,6 +36,19 @@ object CurationMain {
     override def close(): Unit = blocks.foreach(_.unpersist(blocking = true))
   }
 
+  /** Runs the full curation pipeline. NOT safe to run concurrently with
+    * other queries on the same SparkSession: stage cleanup frees the
+    * blocks each stage created by set-differencing the session-global
+    * `sc.getPersistentRDDs` registry (some of those blocks are internal to
+    * the dedup operators, so no direct handle exists), and a block
+    * registered by an unrelated concurrent query between two snapshots
+    * would be mis-attributed and unpersisted. Fine as the terminal batch
+    * job this main is (one driver, one job at a time); give the pipeline
+    * its own session (`SparkSession.newSession()` shares the context but
+    * NOT the registry — the registry is context-global, so a dedicated
+    * SparkContext is required for true isolation) if embedding it in a
+    * concurrent service.
+    */
   def curate(spark: SparkSession, docs: DataFrame,
       minTokens: Long = 8, maxStopwordRatio: Double = 0.9,
       jaccardThreshold: Double = 0.85,

@@ -75,17 +75,32 @@ object EventsCatalog {
     * driver-hash-checked — not just spec-asserted equal to batch.
     */
   // FileStreamSource requires a directory; the testdata tables are single
-  // files, so stage events.parquet into a temp dir once per sf dir
+  // files, so stage events.parquet into a temp dir once per (path, mtime,
+  // size) — keying on the file's identity, not just the path, so a
+  // regenerated events.parquet invalidates the staged copy instead of the
+  // stream silently reading stale data while the batch twin reads fresh.
+  // Staged dirs are deleted on JVM exit.
   private val streamDirCache =
-    scala.collection.concurrent.TrieMap.empty[String, String]
-  private def streamableEventsDir(dir: String): String =
-    streamDirCache.getOrElseUpdate(dir, {
+    scala.collection.concurrent.TrieMap.empty[(String, Long, Long), String]
+  private lazy val streamDirCleanup = sys.addShutdownHook {
+    streamDirCache.values.foreach { p =>
+      val d = java.nio.file.Paths.get(p)
+      java.nio.file.Files.deleteIfExists(d.resolve("events.parquet"))
+      java.nio.file.Files.deleteIfExists(d)
+    }
+  }
+  private def streamableEventsDir(dir: String): String = {
+    val src = java.nio.file.Paths.get(s"$dir/events.parquet")
+    val key = (src.toString,
+      java.nio.file.Files.getLastModifiedTime(src).toMillis,
+      java.nio.file.Files.size(src))
+    streamDirCache.getOrElseUpdate(key, {
+      streamDirCleanup // register the shutdown hook once, on first staging
       val d = java.nio.file.Files.createTempDirectory("graft_stream_events")
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$dir/events.parquet"),
-        d.resolve("events.parquet"))
+      java.nio.file.Files.copy(src, d.resolve("events.parquet"))
       d.toString
     })
+  }
 
   val eHourlyStream = QueryDef(
     "q_e_hourly_stream",

@@ -145,26 +145,17 @@ object TextAnalysis {
       .withColumnRenamed("id", idCol)
   }
 
-  /** Corpus-conditioned unigram-LM quality score (the CCNet/perplexity
-    * filtering shape — Wenzek et al. 2020 — with the LM reduced to the
-    * corpus's own add-one-smoothed unigram model, the strongest model
-    * expressible without external artifacts): per document, the mean
-    * natural-log probability of its tokens under
-    * p(w) = (count(w) + 1) / (N + V). Low score → unusual token mix.
-    *
-    * Scale: token explode → vocab count shuffle → token⋈vocab equi-join
-    * (vocab-sized right side: broadcast-able for small corpora, plain
-    * shuffle join at web scale) → per-doc aggregate. The mean uses exact
-    * decimal summation so it is order-independent (oracle-comparable).
-    */
   // ---- PII detection / scrubbing ----
 
   /** RE2-safe patterns (no backrefs/lookaround) so Spark's Java regex and
     * other engines' RE2 match identically — required for cross-engine
-    * reproducible scrubbing.
+    * reproducible scrubbing. Whitespace is spelled as the explicit class
+    * `[ \t\n\f\r]` rather than `\s`: Java's `\s` includes `\x0B` (vertical
+    * tab) while RE2's does not, so `[^\s]+` would tokenize differently
+    * between the engines on text containing `\x0B`.
     */
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  val UrlRe = "https?://[^\\s]+"
+  val UrlRe = "https?://[^ \\t\\n\\f\\r]+"
   val PhoneRe = "\\+?[0-9][0-9 ()-]{6,}[0-9]"
 
   /** Per-document PII hit counts (emails, URLs, phone-shaped digit runs) —
@@ -328,6 +319,18 @@ object TextAnalysis {
         col("w").as("term"), col("tfidf"))
   }
 
+  /** Corpus-conditioned unigram-LM quality score (the CCNet/perplexity
+    * filtering shape — Wenzek et al. 2020 — with the LM reduced to the
+    * corpus's own add-one-smoothed unigram model, the strongest model
+    * expressible without external artifacts): per document, the mean
+    * natural-log probability of its tokens under
+    * p(w) = (count(w) + 1) / (N + V). Low score → unusual token mix.
+    *
+    * Scale: token explode → vocab count shuffle → token⋈vocab equi-join
+    * (vocab-sized right side: broadcast-able for small corpora, plain
+    * shuffle join at web scale) → per-doc aggregate. The mean uses exact
+    * decimal summation so it is order-independent (oracle-comparable).
+    */
   def lmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = df
       .select(col(idCol).as("id"), lower(normText(col(textCol))).as("nt"))

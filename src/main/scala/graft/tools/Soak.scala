@@ -25,7 +25,6 @@ object Soak {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -46,11 +45,17 @@ object Soak {
     scaleUp("customer", Seq("c_custkey"), 10000000L)
     scaleUp("documents", Seq("doc_id"), 10000000L)
     // small dims unchanged
-    Seq("supplier", "part", "nation", "region", "events",
+    Seq("supplier", "part", "nation", "region",
       "embeddings").foreach { n =>
       spark.read.parquet(s"$src/$n.parquet").write.mode("overwrite")
         .parquet(s"$outDir/$n.parquet")
     }
+    // events carries a TIMESTAMP(NANOS) column Spark can't infer — read it
+    // with the explicit schema like every other events consumer (the soak
+    // copy lands as plain int64 nanos, which Schemas.events reads the same)
+    spark.read.schema(graft.model.Schemas.events)
+      .parquet(s"$src/events.parquet").write.mode("overwrite")
+      .parquet(s"$outDir/events.parquet")
     println(f"[soak] built ${copies}x sf0.1 in ${(System.nanoTime()-t0)/1e9}%.1f s")
 
     val headline = Seq("q1_pricing_summary", "q_a1_quarterly_price",
