@@ -68,8 +68,20 @@ object Dedup {
       else if (depth == 0) None
       else r.dependencies.iterator
         .flatMap(d => find(d.rdd, depth - 1)).nextOption()
-    val backing = find(cp.rdd, 8).getOrElse(throw new IllegalStateException(
-      "localCheckpoint produced no persisted RDD within lineage depth 8"))
+    val backing = find(cp.rdd, 8).getOrElse {
+      // loud and diagnosable: if a Spark upgrade re-layers Dataset.rdd's
+      // wrappers past depth 8, the walked lineage in the message shows the
+      // new shape immediately instead of forcing a debugger session
+      def render(r: org.apache.spark.rdd.RDD[_], depth: Int): Seq[String] = {
+        val line = s"${"  " * (8 - depth)}${r.getClass.getSimpleName}" +
+          s"[${r.id}] storage=${r.getStorageLevel.description}"
+        line +: (if (depth == 0) Seq.empty[String]
+                 else r.dependencies.flatMap(d => render(d.rdd, depth - 1)).toSeq)
+      }
+      throw new IllegalStateException(
+        "localCheckpoint produced no persisted RDD within lineage depth 8; " +
+          "walked lineage:\n" + render(cp.rdd, 8).mkString("\n"))
+    }
     (cp, backing)
   }
 
@@ -373,17 +385,41 @@ object Dedup {
       maxIter: Int = 30): DataFrame = {
     // every intermediate is tracked by a direct RDD handle (see
     // materializeTracked) so freeing is exact even if unrelated queries
-    // persist blocks on the same session concurrently
+    // persist blocks on the same session concurrently; `live` mirrors the
+    // currently-persisted handles so an exceptional exit anywhere in the
+    // loop (job failure, OOM, lookup miss) frees them instead of leaking
+    // blocks for the rest of the JVM — the same guarantee the happy path
+    // gets from its explicit unpersists
+    val live = scala.collection.mutable.Set.empty[org.apache.spark.rdd.RDD[_]]
+    def tracked(df: DataFrame) = {
+      val r = materializeTracked(df); live += r._2; r
+    }
+    def release(rdd: org.apache.spark.rdd.RDD[_]): Unit = {
+      rdd.unpersist(blocking = false); live -= rdd
+    }
+    try {
+      connectedComponentsImpl(pairs, aCol, bCol, maxIter, tracked, release)
+    } catch {
+      case t: Throwable =>
+        live.foreach(_.unpersist(blocking = false))
+        throw t
+    }
+  }
+
+  private def connectedComponentsImpl(pairs: DataFrame, aCol: String,
+      bCol: String, maxIter: Int,
+      tracked: DataFrame => (DataFrame, org.apache.spark.rdd.RDD[_]),
+      release: org.apache.spark.rdd.RDD[_] => Unit): DataFrame = {
     // the symmetrization consumes the pair input twice (both union
     // branches); materialize the narrow projection first so an expensive
     // candidate-generation lineage (e.g. an LSH pair join) runs once
-    val (half, halfRdd) = materializeTracked(
+    val (half, halfRdd) = tracked(
       pairs.select(col(aCol).cast("long").as("src"),
         col(bCol).cast("long").as("dst")))
-    val (edges, edgesRdd) = materializeTracked(half.unionByName(
+    val (edges, edgesRdd) = tracked(half.unionByName(
       half.select(col("dst").as("src"), col("src").as("dst"))).distinct())
-    halfRdd.unpersist(blocking = false)
-    var (labels, labelsRdd) = materializeTracked(
+    release(halfRdd)
+    var (labels, labelsRdd) = tracked(
       edges.groupBy("src").agg(min("dst").as("m"))
         .select(col("src").as("id"), least(col("src"), col("m")).as("comp")))
     var changed = 1L
@@ -398,7 +434,7 @@ object Dedup {
       // synchronized pointer jumping) — turns O(diameter) convergence
       // into O(log diameter), so a long near-dup chain (template drift)
       // converges within maxIter. One plan, one materialization per round.
-      val (next, nextRdd) = materializeTracked(labels
+      val (next, nextRdd) = tracked(labels
         .join(nbrMin.select(col("src").as("id"), col("ncomp")), Seq("id"), "left")
         .select(col("id"), col("comp"),
           least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("c1"))
@@ -409,14 +445,14 @@ object Dedup {
           (least(col("c1"), coalesce(col("cc"), col("c1"))) < col("comp"))
             .as("chg")))
       changed = next.filter(col("chg")).count()
-      labelsRdd.unpersist(blocking = false)
+      release(labelsRdd)
       labels = next.select("id", "comp")
       labelsRdd = nextRdd
       it += 1
     }
-    edgesRdd.unpersist(blocking = false)
+    release(edgesRdd)
     if (changed > 0) {
-      labelsRdd.unpersist(blocking = false)
+      release(labelsRdd)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter iterations")
     }

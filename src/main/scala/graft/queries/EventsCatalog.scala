@@ -75,31 +75,52 @@ object EventsCatalog {
     * driver-hash-checked — not just spec-asserted equal to batch.
     */
   // FileStreamSource requires a directory; the testdata tables are single
-  // files, so stage events.parquet into a temp dir once per (path, mtime,
-  // size) — keying on the file's identity, not just the path, so a
+  // files, so stage events.parquet into a temp dir once per source file
+  // IDENTITY — filesystem file key (inode) + mtime + size — so a
   // regenerated events.parquet invalidates the staged copy instead of the
   // stream silently reading stale data while the batch twin reads fresh.
-  // Staged dirs are deleted on JVM exit.
+  // (mtime+size alone can collide when a same-sized rewrite lands within
+  // the same millisecond; the file key disambiguates.) One staged dir per
+  // source path: a superseded identity's dir is deleted on replacement, so
+  // stale copies don't accumulate on disk. All staged dirs go on JVM exit.
   private val streamDirCache =
-    scala.collection.concurrent.TrieMap.empty[(String, Long, Long), String]
-  private lazy val streamDirCleanup = sys.addShutdownHook {
-    streamDirCache.values.foreach { p =>
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+  private def deleteStagedDir(p: String): Unit = {
+    // defensive recursive delete: one surprise file (e.g. an OS metadata
+    // drop-in) must not abort cleanup of the remaining dirs
+    try {
       val d = java.nio.file.Paths.get(p)
-      java.nio.file.Files.deleteIfExists(d.resolve("events.parquet"))
-      java.nio.file.Files.deleteIfExists(d)
-    }
+      if (java.nio.file.Files.exists(d)) {
+        val s = java.nio.file.Files.walk(d)
+        try s.sorted(java.util.Comparator.reverseOrder())
+          .forEach { f =>
+            try java.nio.file.Files.deleteIfExists(f)
+            catch { case _: java.io.IOException => () }
+          }
+        finally s.close()
+      }
+    } catch { case _: java.io.IOException => () }
+  }
+  private lazy val streamDirCleanup = sys.addShutdownHook {
+    streamDirCache.values.forEach { case (_, p) => deleteStagedDir(p) }
   }
   private def streamableEventsDir(dir: String): String = {
     val src = java.nio.file.Paths.get(s"$dir/events.parquet")
-    val key = (src.toString,
-      java.nio.file.Files.getLastModifiedTime(src).toMillis,
-      java.nio.file.Files.size(src))
-    streamDirCache.getOrElseUpdate(key, {
-      streamDirCleanup // register the shutdown hook once, on first staging
-      val d = java.nio.file.Files.createTempDirectory("graft_stream_events")
-      java.nio.file.Files.copy(src, d.resolve("events.parquet"))
-      d.toString
-    })
+    val attrs = java.nio.file.Files.readAttributes(
+      src, classOf[java.nio.file.attribute.BasicFileAttributes])
+    val identity = Seq(
+      Option(attrs.fileKey).map(_.toString).getOrElse(""),
+      attrs.lastModifiedTime.toMillis.toString,
+      attrs.size.toString).mkString("|")
+    streamDirCache.compute(src.toString, (_, prev) => prev match {
+      case (id, p) if id == identity => (id, p)
+      case other =>
+        if (other != null) deleteStagedDir(other._2) // evict superseded copy
+        streamDirCleanup // register the shutdown hook once, on first staging
+        val d = java.nio.file.Files.createTempDirectory("graft_stream_events")
+        java.nio.file.Files.copy(src, d.resolve("events.parquet"))
+        (identity, d.toString)
+    })._2
   }
 
   val eHourlyStream = QueryDef(
