@@ -144,6 +144,33 @@ object EventsCatalog {
     },
     eHourly.oracle)
 
+  /** The SAME sessionization computed by the STREAMING engine:
+    * readStream → mapGroupsWithState (streaming.EventStreams.sessionize,
+    * one small state record per user) → update-mode memory sink. The sink
+    * holds cumulative per-user totals after each micro-batch; both
+    * counters are nondecreasing, so max() per user is the final state —
+    * robust even if the source ever splits into multiple batches. Gated
+    * by the identical oracle SQL as q_e_sessionize, so the stateful
+    * streaming path itself is driver-hash-checked.
+    */
+  val eSessionizeStream = QueryDef(
+    "q_e_sessionize_stream",
+    (s, dir) => {
+      val sink = "graft_sessionize_stream_sink"
+      s.catalog.dropTempView(sink) // idempotent across bench warm-up reps
+      val q = graft.streaming.EventStreams
+        .sessionize(s, streamableEventsDir(dir))
+        .toDF()
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("update").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(sink).groupBy("user_id")
+        .agg(max("n_sessions").as("n_sessions"),
+          max("n_events").as("n_events"))
+        .orderBy("user_id")
+    },
+    eSessions.oracle)
+
   /** Funnel conversion: per user, the first timestamp of each stage;
     * a user converts a stage only if it happens strictly after the
     * previous one. Exact integer/timestamp comparisons — one aggregate
@@ -203,5 +230,5 @@ object EventsCatalog {
   )
 
   val all: Seq[QueryDef] =
-    Seq(eHourly, eSessions, eHourlyStream, eFunnel, eDedup)
+    Seq(eHourly, eSessions, eHourlyStream, eSessionizeStream, eFunnel, eDedup)
 }

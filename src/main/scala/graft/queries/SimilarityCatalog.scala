@@ -25,6 +25,13 @@ object SimilarityCatalog {
   private val TopK = 4
   private val QueryIdMax = 5
 
+  // PQ parameters: 64-dim embeddings (TESTDATA.md) → 8 subspaces × 8 dims,
+  // 16-centroid codebooks ⇒ 8-byte codes, 32× compression of float[64].
+  private val PqDim = 64
+  private val PqM = 8
+  private val PqSub = PqDim / PqM
+  private val PqK = 16
+
   /** Spark-computed intermediates the IVF oracle replays: corpus→cell
     * assignments and the L2-normalized centroids the probe ranking scored
     * against.
@@ -44,6 +51,19 @@ object SimilarityCatalog {
             IvfCells))
         .map { case (cell, c) => (cell, c.toSeq) }
         .toDF("cell", "c")
+    }),
+    // PQ codebooks (subspace m, dense code k, centroid c): the decimal-sum
+    // training makes these bit-identical to the codebooks the gated query
+    // trains independently, so the oracle replays encoding + the full ADC
+    // search from this dump and the raw embeddings alone.
+    "pq_codebooks" -> ((s, dir) => {
+      val sp = s
+      import sp.implicits._
+      graft.similarity.Pq
+        .trainCodebooks(t(s, dir, "embeddings"), "vec_id", "embedding",
+          PqDim, PqM, PqK)
+        .map { case (m, k, c) => (m, k, c.toSeq) }
+        .toDF("m", "k", "c")
     }))
 
   /** Exact top-3 neighbors (excluding self) for query vectors vec_id < 5. */
@@ -137,5 +157,66 @@ object SimilarityCatalog {
       ORDER BY query_id, rank""")
   )
 
-  val all: Seq[QueryDef] = Seq(sBrute, sIvf)
+  /** Product-quantization ADC top-k (similarity.Pq). The oracle replays
+    * THE WHOLE SEARCH in DuckDB from the dumped codebooks and the raw
+    * embeddings: (1) per-(vector, subspace, code) squared distances —
+    * the same sequential double fold as the Spark plan; (2) encoding =
+    * argmin with (distance, code) tie-break; (3) the query ADC tables are
+    * the query rows of the same distance relation; (4) each corpus
+    * vector's approximate distance sums its m looked-up table entries in
+    * subspace order (`list_sum(list(d ORDER BY m))` ≡ Spark's ordered
+    * fold); (5) rank by (adc, nn_id) before dropping self-matches,
+    * exactly like the Spark plan.
+    */
+  val sPq = QueryDef(
+    "q_s_pq_topk",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      graft.similarity.Pq.adcTopK(e, e.filter(col("vec_id") < QueryIdMax),
+          "vec_id", "embedding", "vec_id", topK = TopK, dim = PqDim,
+          m = PqM, k = PqK)
+        .filter(col("nn_id") =!= col("query_id"))
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("nn_id"), r6(col("adc")).as("adc"))
+        .orderBy("query_id", "rank")
+    },
+    Some(s"""
+      WITH cb AS (SELECT m, k, c FROM
+        read_parquet('__VERIFY_OUT__/aux/pq_codebooks/*.parquet')),
+      corpus AS (SELECT vec_id,
+                        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                 FROM embeddings),
+      vd AS (
+        SELECT corpus.vec_id, cb.m, cb.k,
+               list_sum(list_transform(
+                 list_zip(list_slice(corpus.v, cb.m*$PqSub + 1,
+                                     cb.m*$PqSub + $PqSub), cb.c),
+                 p -> (p[1]-p[2])*(p[1]-p[2]))) AS d
+        FROM corpus CROSS JOIN cb),
+      codes AS (
+        SELECT vec_id, m, k AS code FROM (
+          SELECT vec_id, m, k,
+                 row_number() OVER (PARTITION BY vec_id, m
+                   ORDER BY d, k) AS rn
+          FROM vd)
+        WHERE rn = 1),
+      qd AS (SELECT vec_id AS query_id, m, k, d FROM vd
+             WHERE vec_id < $QueryIdMax),
+      adc AS (
+        SELECT qd.query_id, codes.vec_id AS nn_id,
+               list_sum(list(qd.d ORDER BY qd.m)) AS adc
+        FROM codes JOIN qd ON codes.m = qd.m AND codes.code = qd.k
+        GROUP BY 1, 2),
+      ranked AS (
+        SELECT query_id, nn_id, adc,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY adc, nn_id) AS rank
+        FROM adc)
+      SELECT query_id, CAST(rank AS BIGINT) AS rank, nn_id,
+             ${sqlR6("adc")} AS adc
+      FROM ranked WHERE rank <= $TopK AND nn_id <> query_id
+      ORDER BY query_id, rank""")
+  )
+
+  val all: Seq[QueryDef] = Seq(sBrute, sIvf, sPq)
 }
