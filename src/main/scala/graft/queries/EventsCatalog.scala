@@ -171,6 +171,53 @@ object EventsCatalog {
     },
     eSessions.oracle)
 
+  /** Spark's NATIVE session_window operator (batch form): per-user gap
+    * sessions as first-class windows — sessions merge while consecutive
+    * events are under `gap` apart (new session at diff >= gap, the
+    * window-overlap rule, unlike eSessions' strictly-greater break), and
+    * the window end is last-event + gap. The oracle rebuilds the merge
+    * with a lag/cumulative-sum pass. Timestamps compared as exact epoch
+    * microseconds (both engines truncate the nanos identically).
+    */
+  val eSessionWindow = QueryDef(
+    "q_e_session_window",
+    (s, dir) => {
+      val gap = "30 minutes"
+      t(s, dir, "events")
+        .withColumn("tsm", timestamp_micros(expr("ts div 1000")))
+        .groupBy(session_window(col("tsm"), gap), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          unix_micros(col("session_window.start")).as("start_us"),
+          unix_micros(col("session_window.end")).as("end_us"),
+          col("n_events"))
+        .orderBy("user_id", "start_us")
+    },
+    Some("""
+      WITH g AS (
+        SELECT user_id, ts, event_id, epoch_us(ts) AS us,
+               CASE WHEN lag(epoch_us(ts)) OVER
+                      (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    OR epoch_us(ts) - lag(epoch_us(ts)) OVER
+                      (PARTITION BY user_id ORDER BY ts, event_id)
+                      >= 1800000000
+                    THEN 1 ELSE 0 END AS brk
+        FROM events),
+      sid AS (
+        -- the running sum MUST use the same total order as the lag above,
+        -- or a brk=1 row tied on us with a brk=0 row could swap and split
+        -- sessions differently
+        SELECT user_id, us,
+               sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM g)
+      SELECT user_id, min(us) AS start_us,
+             max(us) + 1800000000 AS end_us,
+             count(*) AS n_events
+      FROM sid GROUP BY user_id, session_id
+      ORDER BY user_id, start_us""")
+  )
+
   /** Funnel conversion: per user, the first timestamp of each stage;
     * a user converts a stage only if it happens strictly after the
     * previous one. Exact integer/timestamp comparisons — one aggregate
@@ -230,5 +277,6 @@ object EventsCatalog {
   )
 
   val all: Seq[QueryDef] =
-    Seq(eHourly, eSessions, eHourlyStream, eSessionizeStream, eFunnel, eDedup)
+    Seq(eHourly, eSessions, eHourlyStream, eSessionizeStream,
+      eSessionWindow, eFunnel, eDedup)
 }

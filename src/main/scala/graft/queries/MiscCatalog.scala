@@ -466,8 +466,80 @@ object MiscCatalog {
       FROM lineitem GROUP BY 1 ORDER BY 1""")
   )
 
+  /** Z-order layout tiles (plans.ZOrder): Morton-interleave
+    * (l_partkey, l_suppkey), bucket by the top 6 z-bits (64 quadtree
+    * tiles), report each tile's row count and per-column min/max — the
+    * min/max rectangles a lakehouse file-skipping index would store. The
+    * whole computation is shift/mask arithmetic, generated from one set
+    * of constants for BOTH engines (ZOrder.zValue / ZOrder.sqlZValue).
+    */
+  private val ZBits = 16
+  private val ZCols = Seq("l_partkey", "l_suppkey")
+  val qZOrder = QueryDef(
+    "q_zorder_tiles",
+    (s, dir) => {
+      import graft.plans.ZOrder
+      t(s, dir, "lineitem")
+        .withColumn("z", ZOrder.zValue(ZCols.map(col), ZBits))
+        .withColumn("tile", shiftright(col("z"), ZBits * ZCols.size - 6))
+        .groupBy("tile")
+        .agg(count(lit(1)).as("n"),
+          min("l_partkey").as("min_part"), max("l_partkey").as("max_part"),
+          min("l_suppkey").as("min_supp"), max("l_suppkey").as("max_supp"))
+        .orderBy("tile")
+    },
+    Some(s"""
+      WITH z AS (
+        SELECT l_partkey, l_suppkey,
+               ${graft.plans.ZOrder.sqlZValue(ZCols, ZBits)} AS z
+        FROM lineitem)
+      SELECT (z >> ${ZBits * ZCols.size - 6}) AS tile, count(*) AS n,
+             min(l_partkey) AS min_part, max(l_partkey) AS max_part,
+             min(l_suppkey) AS min_supp, max(l_suppkey) AS max_supp
+      FROM z GROUP BY 1 ORDER BY 1""")
+  )
+
+  /** SCD2 merge (etl.Scd2): seed a type-2 customer dimension at t=0, apply
+    * a deterministic change batch (every 7th key gets +100 balance) at
+    * t=100, and return the full version history — closed rows carry
+    * valid_to = 100, new versions are open. The oracle replays the merge
+    * as the equivalent three-way union in SQL.
+    */
+  val qScd2 = QueryDef(
+    "q_scd2_merge",
+    (s, dir) => {
+      val dim0 = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_acctbal"))
+        .withColumn("valid_from", lit(0L))
+        .withColumn("valid_to", lit(null).cast("long"))
+      val changes = t(s, dir, "customer")
+        .filter(col("c_custkey") % 7 === 0)
+        .select(col("c_custkey"), (col("c_acctbal") + 100.0).as("c_acctbal"))
+      graft.etl.Scd2.applyChanges(dim0, changes, Seq("c_custkey"), ts = 100L)
+        .orderBy(col("c_custkey"), col("valid_from"))
+    },
+    Some("""
+      WITH dim0 AS (
+        SELECT c_custkey, c_acctbal, CAST(0 AS BIGINT) AS valid_from,
+               CAST(NULL AS BIGINT) AS valid_to
+        FROM customer),
+      changes AS (
+        SELECT c_custkey, c_acctbal + 100.0 AS c_acctbal
+        FROM customer WHERE c_custkey % 7 = 0)
+      SELECT * FROM (
+        SELECT d.c_custkey, d.c_acctbal, d.valid_from,
+               CASE WHEN ch.c_custkey IS NOT NULL THEN CAST(100 AS BIGINT)
+                    ELSE NULL END AS valid_to
+        FROM dim0 d LEFT JOIN changes ch ON d.c_custkey = ch.c_custkey
+        UNION ALL
+        SELECT c_custkey, c_acctbal, CAST(100 AS BIGINT) AS valid_from,
+               CAST(NULL AS BIGINT) AS valid_to
+        FROM changes)
+      ORDER BY c_custkey, valid_from""")
+  )
+
   val all: Seq[QueryDef] = Seq(oTopK, aSpikeSummary, eJson, aSummary,
     mKmeans, mLloydStep, qAsof, qRange, qRollup, qCube, qGroupingSets,
-    qPercentile, qHistogram)
+    qPercentile, qHistogram, qZOrder, qScd2)
 }
 

@@ -1,0 +1,93 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import QueryDef._
+import graft.multimodal.Multimodal
+
+/** Multimodal binary-column twins (builder brief). The decode kernels in
+  * multimodal.Multimodal are environment-stubbed (no codec libraries
+  * here), but the binary PLUMBING — blob columns, bytewise slicing, frame
+  * explode, metadata aggregation — is real Spark surface, and these gates
+  * hash-check it against DuckDB byte-for-byte (frames compared as hex of
+  * the raw bytes, not via any engine hash).
+  *
+  * documents.text stands in for the media payload (testdata ships no real
+  * media); the UTF-8 encoding step is identical in both engines, so every
+  * downstream byte offset matches.
+  */
+object MultimodalCatalog {
+
+  private val NFrames = 4
+
+  /** Frame sampling through the typed operator (Multimodal.sampleFrames —
+    * the explode-to-frames flatMap a video pipeline uses), gated on exact
+    * frame bytes: step = max(1, len/n), n evenly spaced byte slices,
+    * trailing remainder dropped. Docs with under `NFrames` bytes yield one
+    * frame per byte; empty payloads yield none.
+    */
+  val mmFrames = QueryDef(
+    "q_mm_frames",
+    (s, dir) => {
+      val media = Multimodal.asMediaTable(
+        t(s, dir, "documents").filter(col("text").isNotNull),
+        "doc_id", "text", "text/plain")
+      Multimodal.sampleFrames(s, media, NFrames).toDF()
+        .select(col("media_id"), col("frame_idx"),
+          length(col("frame")).cast("long").as("n_bytes"),
+          hex(col("frame")).as("frame_hex"))
+        .orderBy("media_id", "frame_idx")
+    },
+    Some(s"""
+      WITH media AS (
+        SELECT doc_id AS media_id, encode(text) AS blob,
+               octet_length(encode(text)) AS len
+        FROM documents WHERE text IS NOT NULL),
+      stepped AS (
+        SELECT media_id, blob, len,
+               greatest(1, len // $NFrames) AS step
+        FROM media),
+      idx AS (
+        SELECT media_id, blob, len, step,
+               unnest(range(least($NFrames, len))) AS i
+        FROM stepped),
+      -- DuckDB's substring doesn't take BLOB: slice the hex rendering
+      -- instead (2 hex chars per byte — offsets double, content identical)
+      frames AS (
+        SELECT media_id, CAST(i AS INT) AS frame_idx,
+               least(len, i * step + step) - i * step AS flen,
+               substring(hex(blob), CAST(i * step * 2 + 1 AS INT),
+                 CAST((least(len, i * step + step) - i * step) * 2 AS INT))
+                 AS frame_hex
+        FROM idx)
+      SELECT media_id, frame_idx, CAST(flen AS BIGINT) AS n_bytes, frame_hex
+      FROM frames ORDER BY media_id, frame_idx""")
+  )
+
+  /** Binary metadata aggregation per source: media count, exact total and
+    * max payload bytes — the catalog-stats scan a media lake runs before
+    * any decode.
+    */
+  val mmMeta = QueryDef(
+    "q_mm_meta",
+    (s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("text").isNotNull)
+      Multimodal.asMediaTable(docs, "doc_id", "text", "text/plain")
+        .join(docs.select(col("doc_id").as("media_id"), col("source")),
+          Seq("media_id"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_media"),
+          sum(col("meta.n_bytes")).as("total_bytes"),
+          max(col("meta.n_bytes")).as("max_bytes"))
+        .orderBy("source")
+    },
+    Some("""
+      SELECT source, count(*) AS n_media,
+             CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+             CAST(max(octet_length(encode(text))) AS BIGINT) AS max_bytes
+      FROM documents WHERE text IS NOT NULL
+      GROUP BY 1 ORDER BY 1""")
+  )
+
+  val all: Seq[QueryDef] = Seq(mmFrames, mmMeta)
+}
