@@ -211,4 +211,72 @@ object SequenceOps {
       rnCol.map(col(_)).toSeq ++ totalOut.map(col(_)).toSeq
     withTotal.select(outCols: _*)
   }
+
+  /** Exact running sum of an integral column over PARTITION BY `groupCols`
+    * ORDER BY `orderCols` (a total order; `groupCols` may be EMPTY for a
+    * global running sum — the case a plain `Window.orderBy` would funnel
+    * through one task). Same stitch as [[withSequenceCols]]: range
+    * partition + sort, a tiny per-(partition, group) sum boundary job,
+    * driver prefix sums, then a local cumulative window shifted by the
+    * broadcast offsets — parallelism stays #partitions. Long arithmetic
+    * throughout, so the result is exact and engine-portable (no
+    * floating-point order sensitivity).
+    */
+  def runningSum(
+      df: DataFrame,
+      groupCols: Seq[String],
+      orderCols: Seq[String],
+      valCol: String,
+      outCol: String,
+      numPartitions: Option[Int] = None): DataFrame = {
+    val spark = df.sparkSession
+    val p = numPartitions.getOrElse(
+      spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+    val keys = (groupCols ++ orderCols).map(col)
+    val schema = df.schema
+    // same correctness-critical checkpoint as withSequenceCols: boundary
+    // job and stitch job must observe the identical range partitioning
+    val sorted = df.repartitionByRange(p, keys: _*)
+      .sortWithinPartitions(keys: _*)
+      .withColumn("__seq_pid", spark_partition_id())
+      .localCheckpoint(false)
+    val bounds = sorted
+      .groupBy(col("__seq_pid") +: groupCols.map(col): _*)
+      .agg(sum(col(valCol).cast("long")).as("__seq_psum"))
+      .collect() // ≤ partitions × |groups| rows — tiny by the op's charter
+      .map { r =>
+        val g = groupCols.indices.map(i => r.get(1 + i))
+        (r.getInt(0), g, r.getLong(1 + groupCols.length))
+      }
+      .sortBy(_._1)
+    val running = scala.collection.mutable.Map[Seq[Any], Long]()
+    val offsets = bounds.map { case (pid, g, s) =>
+      val off = running.getOrElse(g, 0L)
+      running(g) = off + s
+      (pid, g) -> off
+    }.toMap
+    val gFields = groupCols.map(schema(_))
+    val smallSchema = StructType(
+      StructField("__seq_pid", IntegerType, nullable = false) +:
+        gFields.toIndexedSeq :+
+        StructField("__seq_soff", LongType, nullable = false))
+    val smallRows = bounds.map { case (pid, g, _) =>
+      Row.fromSeq(pid +: g :+ offsets((pid, g)))
+    }
+    val small = spark.createDataFrame(
+      java.util.Arrays.asList(smallRows: _*), smallSchema)
+    val lw = Window
+      .partitionBy(col("__seq_pid") +: groupCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val windowed = sorted.withColumn("__seq_csl",
+      sum(col(valCol).cast("long")).over(lw))
+    val joinCond = (windowed("__seq_pid") === small("__seq_pid")) +:
+      groupCols.map(c => windowed(c) <=> small(c))
+    val local = groupCols.foldLeft(
+        windowed.join(broadcast(small), joinCond.reduce(_ && _))
+          .drop(small("__seq_pid"))) { (d, c) => d.drop(small(c)) }
+    local.withColumn(outCol, col("__seq_soff") + col("__seq_csl"))
+      .select(schema.fieldNames.map(col).toSeq :+ col(outCol): _*)
+  }
 }

@@ -466,22 +466,34 @@ object MiscCatalog {
       FROM lineitem GROUP BY 1 ORDER BY 1""")
   )
 
-  /** Z-order layout tiles (plans.ZOrder): Morton-interleave
-    * (l_partkey, l_suppkey), bucket by the top 6 z-bits (64 quadtree
+  /** Z-order layout tiles (plans.ZOrder): min-max normalize each key into
+    * the full 16-bit domain (exact integer arithmetic — `div`, not FP
+    * division — so both engines compute identical ranks at any scale
+    * factor), Morton-interleave, bucket by the top 6 z-bits (64 quadtree
     * tiles), report each tile's row count and per-column min/max — the
     * min/max rectangles a lakehouse file-skipping index would store. The
-    * whole computation is shift/mask arithmetic, generated from one set
-    * of constants for BOTH engines (ZOrder.zValue / ZOrder.sqlZValue).
+    * bit interleave is generated from one set of constants for BOTH
+    * engines (ZOrder.zValue / ZOrder.sqlZValue); the one-row stats frame
+    * rides a broadcast cross join.
     */
   private val ZBits = 16
-  private val ZCols = Seq("l_partkey", "l_suppkey")
   val qZOrder = QueryDef(
     "q_zorder_tiles",
     (s, dir) => {
       import graft.plans.ZOrder
-      t(s, dir, "lineitem")
-        .withColumn("z", ZOrder.zValue(ZCols.map(col), ZBits))
-        .withColumn("tile", shiftright(col("z"), ZBits * ZCols.size - 6))
+      val li = t(s, dir, "lineitem")
+      val stats = li.agg(
+        min("l_partkey").as("pmin"), max("l_partkey").as("pmax"),
+        min("l_suppkey").as("smin"), max("l_suppkey").as("smax"))
+      val top = (1L << ZBits) - 1
+      val scaled = li.crossJoin(broadcast(stats))
+        .withColumn("ps", expr(
+          s"((l_partkey - pmin) * $top) div greatest(1, pmax - pmin)"))
+        .withColumn("ss", expr(
+          s"((l_suppkey - smin) * $top) div greatest(1, smax - smin)"))
+      scaled
+        .withColumn("z", ZOrder.zValue(Seq(col("ps"), col("ss")), ZBits))
+        .withColumn("tile", shiftright(col("z"), ZBits * 2 - 6))
         .groupBy("tile")
         .agg(count(lit(1)).as("n"),
           min("l_partkey").as("min_part"), max("l_partkey").as("max_part"),
@@ -489,11 +501,22 @@ object MiscCatalog {
         .orderBy("tile")
     },
     Some(s"""
-      WITH z AS (
+      WITH stats AS (
+        SELECT min(l_partkey) AS pmin, max(l_partkey) AS pmax,
+               min(l_suppkey) AS smin, max(l_suppkey) AS smax
+        FROM lineitem),
+      scaled AS (
         SELECT l_partkey, l_suppkey,
-               ${graft.plans.ZOrder.sqlZValue(ZCols, ZBits)} AS z
-        FROM lineitem)
-      SELECT (z >> ${ZBits * ZCols.size - 6}) AS tile, count(*) AS n,
+               ((l_partkey - pmin) * ${(1L << ZBits) - 1})
+                 // greatest(1, pmax - pmin) AS ps,
+               ((l_suppkey - smin) * ${(1L << ZBits) - 1})
+                 // greatest(1, smax - smin) AS ss
+        FROM lineitem CROSS JOIN stats),
+      z AS (
+        SELECT l_partkey, l_suppkey,
+               ${graft.plans.ZOrder.sqlZValue(Seq("ps", "ss"), ZBits)} AS z
+        FROM scaled)
+      SELECT (z >> ${ZBits * 2 - 6}) AS tile, count(*) AS n,
              min(l_partkey) AS min_part, max(l_partkey) AS max_part,
              min(l_suppkey) AS min_supp, max(l_suppkey) AS max_supp
       FROM z GROUP BY 1 ORDER BY 1""")

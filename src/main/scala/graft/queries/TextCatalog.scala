@@ -429,8 +429,45 @@ object TextCatalog {
       ORDER BY source, lang""")
   )
 
+  /** Sequence packing (text.Packing): documents laid end-to-end in doc_id
+    * order, cut into 2048-token bins by the exclusive running sum
+    * (contiguous fill — see Packing's Scaladoc for why the associative
+    * formulation is the distributable one). The running sum runs through
+    * SequenceOps.runningSum (range-partitioned, NO single-task global
+    * window); the oracle is the plain window cumsum, proving the stitched
+    * distributed sum equals the sequential one.
+    */
+  val tPack = QueryDef(
+    "q_t_pack",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.wsTokenCount(col("text")).as("toks"))
+      graft.text.Packing.contiguousBins(docs, "doc_id", "toks", 2048L)
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_docs"), sum("toks").as("n_tokens"),
+          min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+        .orderBy("bin")
+    },
+    Some(s"""
+      WITH tk AS (
+        SELECT doc_id, CAST($sqlWsTokens AS BIGINT) AS toks
+        FROM documents),
+      c AS (
+        -- DuckDB widens the window sum to HUGEINT; cast back so `bin`
+        -- lands as BIGINT like the Spark side
+        SELECT doc_id, toks,
+               CAST(sum(toks) OVER (ORDER BY doc_id
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        FROM tk)
+      SELECT (cum - toks) // 2048 AS bin, count(*) AS n_docs,
+             CAST(sum(toks) AS BIGINT) AS n_tokens,
+             min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      FROM c GROUP BY 1 ORDER BY 1""")
+  )
+
   val all: Seq[QueryDef] =
     Seq(tQuality, tTokens, tFingerprint, tLangId, tExplode,
       tRepetition, tLmScore, tSplit, tStratSample, tTfIdf, tPmi,
-      tPii, tVocab, tComposition)
+      tPii, tVocab, tComposition, tPack)
 }

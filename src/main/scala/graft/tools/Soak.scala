@@ -64,7 +64,9 @@ object Soak {
       "q_d_minhash_lsh", "q_d_simhash", "q_d_ngram_jaccard",
       "q_d_components", "q_t_repetition", "q_t_lm_score", "q_t_tfidf",
       "q_t_pmi", "q_t_pii", "q_j_salted",
-      "q_asof_join", "q_range_join")
+      "q_asof_join", "q_range_join",
+      "q_s_pq_topk", "q_zorder_tiles", "q_scd2_merge", "q_mm_frames",
+      "q_e_session_window")
     // operators self-materialize shared intermediates (localCheckpoint);
     // free them between runs so timings don't pay earlier queries' blocks
     def clear(): Unit = {

@@ -103,4 +103,36 @@ class SequenceOpsSpec extends SparkSpec {
       assert(r.isNullAt(r.fieldIndex("lead")))
     }
   }
+
+  test("runningSum equals the window cumulative sum — global (no groups)") {
+    val orders = spark.read.parquet(s"$sfCorrect/orders.parquet")
+      .withColumn("v", (col("o_orderkey") % 97).cast("long"))
+    val w = Window.orderBy(col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = orders.withColumn("cs_w", sum("v").over(w))
+      .select("o_orderkey", "cs_w")
+    val got = SequenceOps.runningSum(orders, Seq.empty, Seq("o_orderkey"),
+        "v", "cs_s", numPartitions = Some(16))
+      .select("o_orderkey", "cs_s")
+    val j = want.join(got, "o_orderkey")
+    assert(j.count() == orders.count())
+    assert(j.filter(col("cs_w") =!= col("cs_s")).count() == 0)
+  }
+
+  test("runningSum equals the window cumulative sum — grouped") {
+    val orders = spark.read.parquet(s"$sfCorrect/orders.parquet")
+      .withColumn("g", (col("o_orderkey") % 3).cast("int"))
+      .withColumn("v", (col("o_custkey") % 53).cast("long"))
+    val w = Window.partitionBy("g").orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = orders.withColumn("cs_w", sum("v").over(w))
+      .select("o_orderkey", "cs_w")
+    val got = SequenceOps.runningSum(orders, Seq("g"),
+        Seq("o_orderdate", "o_orderkey"), "v", "cs_s",
+        numPartitions = Some(16))
+      .select("o_orderkey", "cs_s")
+    val j = want.join(got, "o_orderkey")
+    assert(j.count() == orders.count())
+    assert(j.filter(col("cs_w") =!= col("cs_s")).count() == 0)
+  }
 }
