@@ -164,6 +164,39 @@ object JoinCatalog {
       GROUP BY 1 ORDER BY p_brand""")
   )
 
+  /** Bloom-prefiltered semi join (plans.BloomJoin): lineitem rows whose
+    * order shipped in 1996-Q1 (selective dim side), revenue per return
+    * flag. The oracle is the PLAIN semi join + aggregate — the gate
+    * proves the bloom prune + exact re-join is result-invariant, exactly
+    * like the salted-join gate (layout/shuffle volume changes, semantics
+    * don't).
+    */
+  val jBloom = QueryDef(
+    "q_j_bloom",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+        .filter(year(col("o_orderdate")) === 1996 &&
+          quarter(col("o_orderdate")) === 1)
+      graft.plans.BloomJoin.bloomSemiJoin(li, o, "l_orderkey", "o_orderkey",
+          expectedItems = 100000L)
+        .groupBy("l_returnflag")
+        .agg(r2(sumE(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .as("revenue"), count(lit(1)).as("n_items"))
+        .orderBy("l_returnflag")
+    },
+    Some(s"""
+      SELECT l_returnflag,
+             ${sqlR2(sqlSumE("l_extendedprice * (1 - l_discount)"))} AS revenue,
+             count(*) AS n_items
+      FROM lineitem l
+      WHERE EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_orderkey = l.l_orderkey
+                      AND year(o.o_orderdate) = 1996
+                      AND quarter(o.o_orderdate) = 1)
+      GROUP BY 1 ORDER BY 1""")
+  )
+
   val all: Seq[QueryDef] =
-    Seq(j1SpikeJoin, j2Union, jStarRevenue, jSemi, jAnti, jSalted)
+    Seq(j1SpikeJoin, j2Union, jStarRevenue, jSemi, jAnti, jSalted, jBloom)
 }

@@ -561,8 +561,40 @@ object MiscCatalog {
       ORDER BY c_custkey, valid_from""")
   )
 
+  /** Incremental aggregate maintenance (materialized-view refresh): the
+    * base partial-aggregate table (orders before 1997) is merged with a
+    * delta batch's partials (1997 onward) by RE-AGGREGATING THE PARTIALS —
+    * never rescanning base facts. count merges by sum; sum merges by sum
+    * (exact decimal, order-free). The oracle computes the same aggregate
+    * directly over ALL facts, so the gate proves partial-merge ≡ full
+    * recompute — the algebraic property incremental refresh rests on. At
+    * 100 TB the delta scan + a partial-sized shuffle replaces a full fact
+    * rescan every refresh.
+    */
+  val qIncAgg = QueryDef(
+    "q_inc_agg_merge",
+    (s, dir) => {
+      def partials(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy("o_custkey")
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("o_totalprice").cast("decimal(28,6)")).as("spent_d"))
+      val o = t(s, dir, "orders")
+      val base = partials(o.filter(year(col("o_orderdate")) < 1997))
+      val delta = partials(o.filter(year(col("o_orderdate")) >= 1997))
+      base.unionByName(delta)
+        .groupBy("o_custkey")
+        .agg(sum(col("n_orders")).as("n_orders"),
+          sum(col("spent_d")).cast("double").as("spent"))
+        .orderBy("o_custkey")
+    },
+    Some(s"""
+      SELECT o_custkey, count(*) AS n_orders,
+             ${sqlSumE("o_totalprice")} AS spent
+      FROM orders GROUP BY 1 ORDER BY 1""")
+  )
+
   val all: Seq[QueryDef] = Seq(oTopK, aSpikeSummary, eJson, aSummary,
     mKmeans, mLloydStep, qAsof, qRange, qRollup, qCube, qGroupingSets,
-    qPercentile, qHistogram, qZOrder, qScd2)
+    qPercentile, qHistogram, qZOrder, qScd2, qIncAgg)
 }
 
