@@ -466,8 +466,27 @@ object TextCatalog {
       FROM c GROUP BY 1 ORDER BY 1""")
   )
 
+  /** Epoch shuffle (TextAnalysis.epochShuffle): deterministic global
+    * permutation for seed 1, positions assigned by the range-partitioned
+    * distributed row_number. The oracle is the sequential window
+    * row_number over the same md5 order — proving the stitched global
+    * positions equal the single-task ones.
+    */
+  val tShuffle = QueryDef(
+    "q_t_shuffle",
+    (s, dir) =>
+      TextAnalysis.epochShuffle(
+          t(s, dir, "documents").select("doc_id"), "doc_id", seed = 1)
+        .select(col("doc_id"), col("pos"))
+        .orderBy("pos"),
+    Some("""
+      SELECT doc_id,
+             row_number() OVER (ORDER BY md5('e1:' || doc_id), doc_id) AS pos
+      FROM documents ORDER BY pos""")
+  )
+
   val all: Seq[QueryDef] =
     Seq(tQuality, tTokens, tFingerprint, tLangId, tExplode,
       tRepetition, tLmScore, tSplit, tStratSample, tTfIdf, tPmi,
-      tPii, tVocab, tComposition, tPack)
+      tPii, tVocab, tComposition, tPack, tShuffle)
 }

@@ -214,6 +214,29 @@ object TextAnalysis {
           .when(col("bucket") < trainPct + valPct, "val")
           .otherwise("test"))
 
+  /** Deterministic epoch-shuffle key: content-stable pseudo-random order
+    * per (seed, id) — same engine-portability rationale as [[hashBucket]]
+    * (rand(seed) depends on partitioning; xxhash64 is Spark-specific).
+    */
+  def shuffleKey(id: Column, seed: Int): Column =
+    md5(concat(lit(s"e$seed:"), id.cast("string")))
+
+  /** Epoch shuffle: a deterministic global permutation of the corpus —
+    * `pos` is the row's 1-based position in md5-order for this seed. The
+    * position comes from plans.SequenceOps.withSequenceCols with an EMPTY
+    * group set (range-partitioned global row_number — a plain
+    * `Window.orderBy` would funnel the whole corpus through one task).
+    * Each epoch re-seeds into an independent permutation; a data loader
+    * reads `orderBy(pos)` ranges for its shard.
+    */
+  def epochShuffle(df: DataFrame, idCol: String, seed: Int): DataFrame =
+    graft.plans.SequenceOps.withSequenceCols(
+        df.withColumn("__sk", shuffleKey(col(idCol), seed)),
+        groupCols = Seq.empty,
+        orderCols = Seq("__sk", idCol),
+        rnCol = Some("pos"))
+      .drop("__sk")
+
   /** Stratified deterministic sample (corpus mixing / rebalancing): keep a
     * row iff its hash bucket (per-mille) falls under its stratum's rate.
     * Rates are data, not a shuffle key — the filter is a codegen'd scan,
