@@ -57,7 +57,10 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val coldTotal = cold.map(_._2).sum
-    println(s"""{"queries":$qs,"cold_total_sec":${f3(coldTotal)},"sf":"$sfDir","metric":"total","unit":"sec","value":${f3(total)}}""")
+    // "reps" tags the estimator so cross-round comparisons can't conflate
+    // min-of-2 steady-state totals with earlier single-pass numbers
+    val reps = if (warm) 2 else 1
+    println(s"""{"queries":$qs,"cold_total_sec":${f3(coldTotal)},"reps":$reps,"sf":"$sfDir","metric":"total","unit":"sec","value":${f3(total)}}""")
     spark.stop()
   }
 }

@@ -53,10 +53,32 @@ object BloomJoin {
     * `dim`'s `dimKey` set, then exact left-semi join the survivors.
     * Result is identical to `fact.join(dim, fact(factKey) === dim(dimKey),
     * "left_semi")` — only the amount of shuffled data changes.
+    *
+    * Size ceiling: the serialized filter rides the plan as a `lit()` byte
+    * literal (the same transport Spark's own `InjectRuntimeFilter` gives
+    * its scalar-subquery result), which is copied into every serialized
+    * task — fine at a few MB, a driver/codegen hazard at tens. The default
+    * cap matches Spark's own runtime-filter ceiling
+    * (`spark.sql.optimizer.runtime.bloomFilter.maxNumBits` = 67108864 bits
+    * = 8 MB); an `expectedItems` large enough to blow it fails loudly here
+    * rather than degrading the driver — at that dim cardinality the bloom
+    * stage stops paying for itself and a plain shuffled semi join is the
+    * right plan anyway.
     */
   def bloomSemiJoin(fact: DataFrame, dim: DataFrame, factKey: String,
-      dimKey: String, expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+      dimKey: String, expectedItems: Long, fpp: Double = 0.01,
+      maxFilterBytes: Int = 8 << 20): DataFrame = {
     register(fact.sparkSession)
+    // fail BEFORE building: the optimal-bits formula (the same one
+    // util.sketch.BloomFilter sizes with) predicts the filter size, so an
+    // oversized request dies without allocating per-partition bitsets
+    val predictedBytes =
+      (-expectedItems * math.log(fpp) / (math.log(2) * math.log(2)) / 8).toLong
+    require(predictedBytes <= maxFilterBytes,
+      s"bloom filter for $expectedItems items @ fpp=$fpp would serialize" +
+        s" to ~$predictedBytes B > cap $maxFilterBytes B: a plan-literal" +
+        " this large bloats every task binary — use a plain semi join at" +
+        " this dim cardinality or raise maxFilterBytes")
     val bytes = buildFilter(dim, dimKey, expectedItems, fpp)
     fact.filter(mightContain(bytes, col(factKey)))
       .join(dim.select(col(dimKey).as(factKey)).distinct(),

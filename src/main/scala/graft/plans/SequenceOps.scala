@@ -242,7 +242,10 @@ object SequenceOps {
       .localCheckpoint(false)
     val bounds = sorted
       .groupBy(col("__seq_pid") +: groupCols.map(col): _*)
-      .agg(sum(col(valCol).cast("long")).as("__seq_psum"))
+      // coalesce: a (partition, group) slice whose values are ALL NULL sums
+      // to NULL; its boundary offset is 0 (window sums skip nulls), and the
+      // un-coalesced getLong below would NPE
+      .agg(coalesce(sum(col(valCol).cast("long")), lit(0L)).as("__seq_psum"))
       .collect() // ≤ partitions × |groups| rows — tiny by the op's charter
       .map { r =>
         val g = groupCols.indices.map(i => r.get(1 + i))

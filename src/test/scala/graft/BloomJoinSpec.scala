@@ -33,6 +33,16 @@ class BloomJoinSpec extends SparkSpec {
     assert(kept < total / 2, s"kept $kept of $total — no pruning happened")
   }
 
+  test("oversized filter build fails loudly instead of bloating the plan") {
+    val e = intercept[IllegalArgumentException] {
+      BloomJoin.bloomSemiJoin(lineitem, orders96,
+        "l_orderkey", "o_orderkey",
+        expectedItems = 100000000L, // ~114 MB of filter at fpp 0.01
+        maxFilterBytes = 1 << 20)
+    }
+    assert(e.getMessage.contains("bloom filter"))
+  }
+
   test("bloomSemiJoin equals the plain left-semi join exactly") {
     val got = BloomJoin.bloomSemiJoin(lineitem, orders96,
         "l_orderkey", "o_orderkey", expectedItems = 100000L)

@@ -119,6 +119,31 @@ class SequenceOpsSpec extends SparkSpec {
     assert(j.filter(col("cs_w") =!= col("cs_s")).count() == 0)
   }
 
+  test("runningSum: all-null and partially-null groups match window sums") {
+    import spark.implicits._
+    // group 0: every value NULL (the boundary aggregate used to NPE on
+    // getLong of a NULL sum); group 1: NULL prefix then values — the
+    // cumulative sum must stay NULL until the first non-null, like the
+    // window's null-skipping semantics
+    val df = Seq(
+      (0, 1, Option.empty[Long]), (0, 2, Option.empty[Long]),
+      (0, 3, Option.empty[Long]),
+      (1, 1, Option.empty[Long]), (1, 2, Option(5L)), (1, 3, Option(7L)),
+      (2, 1, Option(1L)), (2, 2, Option.empty[Long]), (2, 3, Option(2L))
+    ).toDF("g", "t", "v")
+    val w = Window.partitionBy("g").orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = df.withColumn("cs_w", sum("v").over(w)).select("g", "t", "cs_w")
+    val got = SequenceOps.runningSum(df, Seq("g"), Seq("t"), "v", "cs_s",
+        numPartitions = Some(5))
+      .select("g", "t", "cs_s")
+    val j = want.join(got, Seq("g", "t"))
+    assert(j.count() == 9)
+    assert(j.filter(
+      (col("cs_w").isNull =!= col("cs_s").isNull) ||
+        (col("cs_w").isNotNull && col("cs_w") =!= col("cs_s"))).count() == 0)
+  }
+
   test("runningSum equals the window cumulative sum — grouped") {
     val orders = spark.read.parquet(s"$sfCorrect/orders.parquet")
       .withColumn("g", (col("o_orderkey") % 3).cast("int"))
