@@ -255,7 +255,90 @@ object WindowCatalog {
       FROM orders ORDER BY o_custkey, o_orderkey""")
   )
 
+  // q_w12_ewma parameters — interpolated into BOTH the Spark call and the
+  // oracle SQL so the replay can never drift from the query
+  private val EwmaAlpha = 0.125
+  private val EwmaBuckets = 32
+  // total order: the synthetic lineitem duplicates (l_orderkey,
+  // l_linenumber), so the tiebreakers extend to the measure columns —
+  // the same proven-total key set q_m2_ols_next sequences on
+  private val ewmaOrder = Seq("l_shipdate", "l_orderkey", "l_linenumber",
+    "l_quantity", "l_extendedprice")
+
+  /** Shared by the gated query and the Verify aux dump — the seeds the
+    * oracle replays from MUST come from the same invocation parameters.
+    */
+  private def ewmaParts(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val li = t(s, dir, "lineitem").select(
+      (Seq("l_returnflag") ++ ewmaOrder :+ "l_extendedprice").map(col): _*)
+    graft.plans.EwmaScan.ewmaWithSeeds(li, Seq("l_returnflag"), ewmaOrder,
+      unix_date(col("l_shipdate").cast("date")), "l_extendedprice",
+      EwmaAlpha, "ewma", EwmaBuckets)
+  }
+
+  /** Spark-computed EWMA segment seeds for the q_w12_ewma oracle replay;
+    * Verify writes this under `<outDir>/aux/ewma_seeds`.
+    */
+  val auxDumps: Map[String, (org.apache.spark.sql.SparkSession, String) =>
+      org.apache.spark.sql.DataFrame] =
+    Map("ewma_seeds" -> ((s, dir) => ewmaParts(s, dir)._2))
+
+  /** EWMA — a linear-recurrence scan (`y = (1−α)y + αx`, the pandas
+    * `ewm(adjust=False)` EMA indicator), distributed via plans.EwmaScan's
+    * deterministic-bucket two-pass stitch. The per-row recurrence uses only
+    * IEEE double ×/+ with identical operands in both engines, so the DuckDB
+    * recursive-CTE replay (seeded per segment from the dumped boundary
+    * table) matches BIT-FOR-BIT — no rounding applied. Only the driver-side
+    * seed composition itself rides the dump (like the LSH hashes).
+    */
+  val w12Ewma = QueryDef(
+    "q_w12_ewma",
+    (s, dir) =>
+      ewmaParts(s, dir)._1
+        .select(col("l_returnflag"), col("l_shipdate"), col("l_orderkey"),
+          col("l_linenumber"), col("ewma"))
+        .orderBy("l_returnflag", "l_shipdate", "l_orderkey", "l_linenumber"),
+    Some(s"""
+      WITH RECURSIVE
+      lohi AS (
+        SELECT min(CAST(l_shipdate AS DATE) - DATE '1970-01-01') AS lo,
+               max(CAST(l_shipdate AS DATE) - DATE '1970-01-01') AS hi
+        FROM lineitem),
+      kb AS (
+        SELECT l_returnflag, l_shipdate, l_orderkey, l_linenumber,
+               l_quantity, CAST(l_extendedprice AS DOUBLE) AS x,
+               CAST(((CAST(l_shipdate AS DATE) - DATE '1970-01-01') - lo)
+                 // ((hi - lo) // $EwmaBuckets + 1) AS INT) AS b
+        FROM lineitem, lohi),
+      base AS (
+        SELECT *, row_number() OVER (PARTITION BY b, l_returnflag
+          ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity, x) AS rn
+        FROM kb),
+      sd AS (
+        SELECT "__ewma_b" AS b, l_returnflag, seed
+        FROM read_parquet('__VERIFY_OUT__/aux/ewma_seeds/*.parquet')),
+      rec AS (
+        SELECT k.b, k.l_returnflag, k.l_shipdate, k.l_orderkey,
+               k.l_linenumber, k.rn,
+               CASE WHEN s.seed IS NULL THEN k.x
+                    ELSE ${1.0 - EwmaAlpha} * s.seed + $EwmaAlpha * k.x
+               END AS y
+        FROM base k JOIN sd s
+          ON s.b = k.b AND s.l_returnflag = k.l_returnflag
+        WHERE k.rn = 1
+        UNION ALL
+        SELECT n.b, n.l_returnflag, n.l_shipdate, n.l_orderkey,
+               n.l_linenumber, n.rn,
+               ${1.0 - EwmaAlpha} * r.y + $EwmaAlpha * n.x
+        FROM rec r JOIN base n
+          ON n.b = r.b AND n.l_returnflag = r.l_returnflag
+            AND n.rn = r.rn + 1)
+      SELECT l_returnflag, l_shipdate, l_orderkey, l_linenumber, y AS ewma
+      FROM rec
+      ORDER BY l_returnflag, l_shipdate, l_orderkey, l_linenumber""")
+  )
+
   val all: Seq[QueryDef] = Seq(
     w1Lead, w2PctChange, w3Zscore, w4w5Rolling, w6Cumsum, w7Drawdown,
-    w8RollingCorr, w9Standardize, w10Split, w11RankFamily)
+    w8RollingCorr, w9Standardize, w10Split, w11RankFamily, w12Ewma)
 }
