@@ -1,0 +1,90 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import QueryDef._
+import graft.sketches.Hll
+
+/** Sketch-family twins (capability beyond the reference): mergeable
+  * summaries a 100 TB pipeline reaches for when exact answers are
+  * unaffordable. The engine-specific hash (xxhash64) is dumped per distinct
+  * value under aux/, and the oracle replays EVERYTHING downstream —
+  * register indexing, rho ranks, exact-decimal indicator sums, the bias /
+  * linear-counting estimate — in DuckDB from those hashes (the same
+  * only-the-hash-goes-unchecked contract as the LSH dedup family).
+  */
+object SketchCatalog {
+
+  // shared parameters, interpolated into BOTH engines' computations
+  private val P = 8 // register-index bits → m = 256 registers (~6.5% rse)
+  private val M = 1 << P
+  private val WBits = 64 - P
+  private val WMask = (1L << WBits) - 1
+  private val Two62 = 1L << 62
+
+  val auxDumps: Map[String, (org.apache.spark.sql.SparkSession, String) =>
+      org.apache.spark.sql.DataFrame] = Map(
+    "hll_hashes" -> ((s, dir) =>
+      t(s, dir, "orders").select("o_custkey").distinct()
+        .withColumn("h", xxhash64(col("o_custkey")))))
+
+  /** HLL approximate distinct customers per order priority, next to the
+    * exact count — the sketch-vs-truth audit a user runs before trusting
+    * the sketch at scale. m = 256 registers; rho and the indicator sum are
+    * exact integer arithmetic in both engines (see sketches.Hll), so only
+    * the final division (and `ln` in the linear-counting branch) is
+    * floating point — far below the r6 rounding.
+    */
+  val hllDistinct = QueryDef(
+    "q_hll_distinct",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      val est = Hll.approxDistinct(o, Seq("o_orderpriority"),
+        col("o_custkey"), P)
+      val exact = o.groupBy("o_orderpriority")
+        .agg(countDistinct(col("o_custkey")).as("exact_distinct"))
+      est.join(exact, "o_orderpriority")
+        .select(col("o_orderpriority"), r6(col("hll_est")).as("hll_est"),
+          col("exact_distinct"))
+        .orderBy("o_orderpriority")
+    },
+    Some(s"""
+      WITH hh AS (
+        SELECT * FROM read_parquet('__VERIFY_OUT__/aux/hll_hashes/*.parquet')),
+      j AS (
+        SELECT DISTINCT o.o_orderpriority, hh.h
+        FROM orders o JOIN hh ON hh.o_custkey = o.o_custkey),
+      r AS (
+        SELECT o_orderpriority, h & ${M - 1} AS reg,
+               ${Hll.rhoSql(s"(h >> $P) & $WMask", WBits)} AS rho
+        FROM j),
+      regs AS (
+        SELECT o_orderpriority, reg, max(rho) AS m_rho
+        FROM r GROUP BY 1, 2),
+      agg AS (
+        SELECT o_orderpriority, count(*) AS npres,
+               sum(CAST((CAST(1 AS BIGINT) << (62 - m_rho)) AS DECIMAL(38,0))) AS sumi
+        FROM regs GROUP BY 1),
+      e AS (
+        SELECT o_orderpriority, $M - npres AS zeros,
+               ${Hll.alphaScale(P)} / CAST(sumi
+                 + CAST($M - npres AS DECIMAL(38,0))
+                   * CAST($Two62 AS DECIMAL(38,0)) AS DOUBLE) AS raw
+        FROM agg),
+      est AS (
+        SELECT o_orderpriority,
+               CASE WHEN raw <= ${2.5 * M} AND zeros > 0
+                    THEN ${M.toDouble} * ln(${M.toDouble} / CAST(zeros AS DOUBLE))
+                    ELSE raw END AS hll_est
+        FROM e),
+      ex AS (
+        SELECT o_orderpriority, count(DISTINCT o_custkey) AS exact_distinct
+        FROM orders GROUP BY 1)
+      SELECT est.o_orderpriority, ${sqlR6("hll_est")} AS hll_est,
+             ex.exact_distinct
+      FROM est JOIN ex ON est.o_orderpriority = ex.o_orderpriority
+      ORDER BY est.o_orderpriority""")
+  )
+
+  val all: Seq[QueryDef] = Seq(hllDistinct)
+}
