@@ -40,6 +40,9 @@ object DedupCatalog {
   // embeddingSignatures skip its driver-side first() dimension-probe job
   private val EmbedDim = 64
   private val PlantShift = 1000000
+  // SemDeDup cell count: Σ|cell|² pair work scales as n²/cells, so cells
+  // grows with the corpus (≈√n rule); 256 keeps the sf0.1 pair stage ~10M
+  private val SemCells = 256
 
   /** Spark-computed intermediates the LSH oracles replay; Verify writes
     * each to `<outDir>/aux/<name>` and substitutes `__VERIFY_OUT__` in the
@@ -61,6 +64,21 @@ object DedupCatalog {
         e.select((col("vec_id") + PlantShift).as("vec_id"), col("embedding")))
       Dedup.embeddingSignatures(planted, "vec_id", "embedding",
         numBits = EmbedBits, dim = EmbedDim)
+    }),
+    // SemDeDup coarse quantizer over the SAME planted corpus the gated
+    // query dedups — Ann.hashCentroids' decimal-sum training makes these
+    // bit-identical to the centroids the query trains independently
+    "sem_centroids" -> ((s, dir) => {
+      val sp = s
+      import sp.implicits._
+      val e = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val planted = e.unionByName(
+        e.select((col("vec_id") + PlantShift).as("vec_id"), col("embedding")))
+      graft.similarity.Ann.normalizeCentroids(
+          graft.similarity.Ann.hashCentroids(planted, "vec_id", "embedding",
+            SemCells))
+        .map { case (cell, c) => (cell, c.toSeq) }
+        .toDF("cell", "c")
     }))
 
   // collapse-then-trim, mirroring TextAnalysis.normText (see TextCatalog)
@@ -335,7 +353,64 @@ object DedupCatalog {
       FROM comp GROUP BY 1 ORDER BY 1""")
   )
 
+  /** SemDeDup-style semantic dedup: coarse-quantize the (planted) embedding
+    * corpus into `SemCells` cells, verify cosine ≥ threshold ONLY within
+    * each cell. The oracle replays the ENTIRE operator from the dumped
+    * centroids and the raw vectors: nearest-centroid assignment (argmax of
+    * the same sequential dot fold, first-max tie-break = lowest cell),
+    * within-cell pairing, L2 normalization, and the cosine verification —
+    * only the quantizer's hash-seeded initial partition rides the dump.
+    */
+  val dSemantic = QueryDef(
+    "q_d_semantic",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val planted = e.unionByName(
+        e.select((col("vec_id") + PlantShift).as("vec_id"), col("embedding")))
+      graft.dedup.SemDedup.semanticPairs(planted, "vec_id", "embedding",
+          nCells = SemCells, threshold = EmbedThreshold)
+        .select(col("id1"), col("id2"), r6(col("cos")).as("cos"))
+        .orderBy("id1", "id2")
+    },
+    Some(s"""
+      WITH cents AS (SELECT cell, c FROM
+        read_parquet('__VERIFY_OUT__/aux/sem_centroids/*.parquet')),
+      corpus AS (
+        SELECT vec_id AS id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+        UNION ALL
+        SELECT vec_id + $PlantShift,
+               list_transform(embedding, x -> CAST(x AS DOUBLE))
+        FROM embeddings),
+      scoredc AS (
+        SELECT corpus.id, corpus.v, cents.cell,
+               list_sum(list_transform(list_zip(corpus.v, cents.c),
+                 p -> p[1] * p[2])) AS s
+        FROM corpus CROSS JOIN cents),
+      assigned AS (
+        SELECT id, v, cell FROM (
+          SELECT id, v, cell,
+                 row_number() OVER (PARTITION BY id
+                   ORDER BY s DESC, cell) AS rn
+          FROM scoredc)
+        WHERE rn = 1),
+      vn AS (
+        SELECT id, cell,
+               list_transform(v, x ->
+                 x / sqrt(list_sum(list_transform(v, y -> y * y)))) AS vn
+        FROM assigned),
+      pairs AS (
+        SELECT a.id AS id1, b.id AS id2,
+               list_sum(list_transform(list_zip(a.vn, b.vn),
+                 p -> p[1] * p[2])) AS cos
+        FROM vn a JOIN vn b ON a.cell = b.cell AND a.id < b.id)
+      SELECT id1, id2, ${sqlR6("cos")} AS cos
+      FROM pairs WHERE cos >= $EmbedThreshold
+      ORDER BY id1, id2""")
+  )
+
   val all: Seq[QueryDef] =
     Seq(dExact, dJaccard, dComponents, dClusterSizes, dMinHash, dSimHash,
-      dEmbed)
+      dEmbed, dSemantic)
 }

@@ -56,26 +56,45 @@ object Ann {
 
   private def normalizedCentroidLit(centroids: Seq[(Int, Array[Double])]) = {
     val normed = normalizeCentroids(centroids)
-    (array(normed.map { case (_, cv) => array(cv.map(lit): _*) }: _*),
-      array(normed.map { case (cid, _) => lit(cid) }: _*))
+    // typedlit packs each list into ONE Literal node: an element-wise
+    // array(lit…) tree costs cells × dim expression nodes (16k at 256×64),
+    // which blows up analysis/codegen time — measured 12.7 s → 3.4 s on
+    // q_d_semantic at sf0.1 from this alone
+    (typedlit(normed.map(_._2.toSeq)),
+      typedlit(normed.map(_._1)))
   }
 
   private def dotLit(v: Column, p: Column): Column =
     call_function("graft_dot", v, p)
 
-  /** IVF coarse cells: assign every vector to its nearest of `centroids`
-    * (collected tiny list, broadcast as one literal array-of-arrays; the
-    * scan is a single looped projection).
+  /** IVF coarse cells: assign every vector to its nearest of `centroids`.
+    *
+    * Shape: vectors × broadcast(centroid table) with the CODEGEN'd
+    * `graft_dot` as a top-level projection, then a narrow (id, cell, score)
+    * argmax aggregate and an id-join to re-attach the vector. A previous
+    * formulation scored through `transform(centroidLiteral, …)` — but
+    * higher-order functions evaluate their lambda INTERPRETED, so at 256
+    * cells every row paid 256 interpreted 64-dim folds (measured 12.3 s on
+    * q_d_semantic at sf0.1; 2.6 s with this plan). Tie-break matches the
+    * original first-max semantics: highest score, then lowest cell id —
+    * the max(struct(score, −cell)) ordering.
     */
   def assignCells(vecs: DataFrame, idCol: String, vecCol: String,
       centroids: Seq[(Int, Array[Double])]): DataFrame = {
     VectorFunctions.register(vecs.sparkSession)
-    val (centLit, cellIds) = normalizedCentroidLit(centroids)
+    val sp = vecs.sparkSession
+    import sp.implicits._
+    val cents = normalizeCentroids(centroids)
+      .map { case (cid, c) => (cid, c.toSeq) }.toDF("__cell", "__c")
     val v = vecs.select(col(idCol).as("id"),
       transform(col(vecCol), _.cast("double")).as("v"))
-    val scores = transform(centLit, c => dotLit(col("v"), c))
-    v.withColumn("cell",
-      element_at(cellIds, array_position(scores, array_max(scores)).cast("int")))
+    val best = v.join(broadcast(cents))
+      .select(col("id"), col("__cell"),
+        dotLit(col("v"), col("__c")).as("__s"))
+      .groupBy("id")
+      .agg(max(struct(col("__s").as("s"), (-col("__cell")).as("nc"))).as("m"))
+      .select(col("id"), (-col("m.nc")).cast("int").as("cell"))
+    v.join(best, "id")
   }
 
   /** Simple deterministic coarse centroids: per-cell means of a hash-based
