@@ -485,8 +485,88 @@ object TextCatalog {
       FROM documents ORDER BY pos""")
   )
 
+  /** Benchmark decontamination: treat every doc_id ≡ 0 (mod 97) as the
+    * held-out eval set, and report each remaining document's distinct
+    * 5-gram overlap with it. The oracle rebuilds both gram sets with
+    * DuckDB list slicing (`tk[i:i+4]` over `unnest(range(...))` — 1-based
+    * inclusive, mirroring Spark's `slice(tk, i+1, 5)` over
+    * `sequence(0, size-5)`) and replays the left join + counts; the
+    * contamination ratio is an exact rational, so r6 is bit-stable.
+    */
+  val tDecontaminate = QueryDef(
+    "q_t_decontaminate",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.text.Decontaminate.overlapReport(
+          docs.filter(col("doc_id") % 97 =!= 0),
+          docs.filter(col("doc_id") % 97 === 0),
+          "doc_id", "text", n = 5)
+        .select(col("doc_id"), col("n_grams"), col("n_hit"),
+          r6(col("contamination")).as("contamination"))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH tok AS (
+        SELECT doc_id, string_split(lower($sqlNorm), ' ') AS tk
+        FROM documents),
+      g AS (
+        SELECT DISTINCT doc_id, array_to_string(tk[i:i+4], ' ') AS gram
+        FROM (SELECT doc_id, tk, unnest(range(1, len(tk)-5+2)) AS i
+              FROM tok WHERE len(tk) >= 5)),
+      cg AS (SELECT doc_id, gram FROM g WHERE doc_id % 97 <> 0),
+      bg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0)
+      SELECT cg.doc_id,
+             CAST(count(*) AS BIGINT) AS n_grams,
+             CAST(coalesce(sum(CASE WHEN bg.gram IS NOT NULL THEN 1 END), 0)
+                  AS BIGINT) AS n_hit,
+             ${sqlR6("coalesce(sum(CASE WHEN bg.gram IS NOT NULL THEN 1 END), 0) / CAST(count(*) AS DOUBLE)")}
+               AS contamination
+      FROM cg LEFT JOIN bg USING (gram)
+      GROUP BY cg.doc_id ORDER BY cg.doc_id""")
+  )
+
+  /** Corpus-level line dedup (CCNet paragraph-dedup shape): first corpus
+    * occurrence of every normalized line survives, documents are
+    * reassembled from survivors and gated byte-for-byte via md5. The
+    * oracle picks keepers with a row_number window over (doc_id, pos) —
+    * same total order as the Spark side's min(struct) keeper (0- vs
+    * 1-based positions are both monotone in document order, so the argmin
+    * agrees) — and string_agg(... ORDER BY pos) mirrors the sorted
+    * collect_list reassembly exactly.
+    */
+  val tLineDedup = QueryDef(
+    "q_t_line_dedup",
+    (s, dir) =>
+      graft.text.LineDedup.dedupReport(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id"),
+    Some("""
+      WITH l0 AS (
+        SELECT doc_id, generate_subscripts(p, 1) AS pos, trim(unnest(p)) AS line
+        FROM (SELECT doc_id, string_split(text, '.') AS p FROM documents)),
+      l AS (
+        SELECT doc_id, pos, line FROM l0 WHERE length(line) > 0),
+      k AS (
+        SELECT doc_id, pos, line,
+               row_number() OVER (PARTITION BY md5(line)
+                                  ORDER BY doc_id, pos) AS rn
+        FROM l),
+      ka AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+               md5(string_agg(line, '. ' ORDER BY pos)) AS text_md5
+        FROM k WHERE rn = 1 GROUP BY doc_id),
+      tot AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines
+        FROM l GROUP BY doc_id)
+      SELECT tot.doc_id, tot.n_lines,
+             coalesce(ka.n_kept, 0) AS n_kept,
+             coalesce(ka.text_md5, md5('')) AS text_md5
+      FROM tot LEFT JOIN ka USING (doc_id)
+      ORDER BY tot.doc_id""")
+  )
+
   val all: Seq[QueryDef] =
     Seq(tQuality, tTokens, tFingerprint, tLangId, tExplode,
       tRepetition, tLmScore, tSplit, tStratSample, tTfIdf, tPmi,
-      tPii, tVocab, tComposition, tPack, tShuffle)
+      tPii, tVocab, tComposition, tPack, tShuffle, tDecontaminate,
+      tLineDedup)
 }
