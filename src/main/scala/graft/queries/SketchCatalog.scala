@@ -26,7 +26,10 @@ object SketchCatalog {
       org.apache.spark.sql.DataFrame] = Map(
     "hll_hashes" -> ((s, dir) =>
       t(s, dir, "orders").select("o_custkey").distinct()
-        .withColumn("h", xxhash64(col("o_custkey")))))
+        .withColumn("h", xxhash64(col("o_custkey")))),
+    "cms_hashes" -> ((s, dir) =>
+      graft.sketches.CountMin.bucketMap(
+        sparkToks(s, dir).distinct(), "tok", D, W)))
 
   /** HLL approximate distinct customers per order priority, next to the
     * exact count — the sketch-vs-truth audit a user runs before trusting
@@ -86,5 +89,57 @@ object SketchCatalog {
       ORDER BY est.o_orderpriority""")
   )
 
-  val all: Seq[QueryDef] = Seq(hllDistinct)
+  // ---- Count-Min sketch ----------------------------------------------
+
+  private val D = 4     // counter rows
+  private val W = 4096  // buckets per row (power of two)
+
+  // lowercase whitespace tokens of the documents corpus, both dialects
+  private def sparkToks(s: org.apache.spark.sql.SparkSession, dir: String) =
+    t(s, dir, "documents")
+      .select(explode(split(
+        graft.text.TextAnalysis.normText(lower(col("text"))), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+  private val sqlToks = """
+        SELECT unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS tok
+        FROM documents"""
+
+  /** Count-Min heavy hitters: top-40 tokens by exact count next to their
+    * CMS estimate (the est ≥ exact one-sided-error audit). The seeded
+    * xxhash64 bucket mapping per distinct token is dumped under aux/ and
+    * the oracle replays everything downstream — counter sums, the min
+    * over d rows, the ranking — in exact integer arithmetic.
+    */
+  val cmsTopk = QueryDef(
+    "q_cms_topk",
+    (s, dir) => {
+      import graft.sketches.CountMin
+      val tc = sparkToks(s, dir).groupBy("tok")
+        .agg(count(lit(1)).as("exact_cnt"))
+      val sk = CountMin.sketch(tc, "tok", "exact_cnt", D, W)
+      val est = CountMin.estimate(tc.select("tok"), "tok", sk, D, W)
+      tc.join(est, "tok")
+        .orderBy(col("exact_cnt").desc, col("tok"))
+        .limit(40)
+        .select(col("tok"), col("exact_cnt"), col("cms_est"))
+    },
+    Some(s"""
+      WITH tok AS ($sqlToks),
+      tc AS (
+        SELECT tok, CAST(count(*) AS BIGINT) AS exact_cnt
+        FROM tok WHERE length(tok) > 0 GROUP BY 1),
+      ax AS (
+        SELECT * FROM read_parquet('__VERIFY_OUT__/aux/cms_hashes/*.parquet')),
+      ctr AS (
+        SELECT i, b, sum(tc.exact_cnt) AS c
+        FROM ax JOIN tc USING (tok) GROUP BY 1, 2),
+      est AS (
+        SELECT ax.tok, CAST(min(ctr.c) AS BIGINT) AS cms_est
+        FROM ax JOIN ctr USING (i, b) GROUP BY 1)
+      SELECT tc.tok, tc.exact_cnt, est.cms_est
+      FROM tc JOIN est USING (tok)
+      ORDER BY tc.exact_cnt DESC, tc.tok LIMIT 40""")
+  )
+
+  val all: Seq[QueryDef] = Seq(hllDistinct, cmsTopk)
 }
