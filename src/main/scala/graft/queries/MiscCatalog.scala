@@ -593,8 +593,37 @@ object MiscCatalog {
       FROM orders GROUP BY 1 ORDER BY 1""")
   )
 
+  /** EXACT quantiles with no global sort: histogram-bisection selection
+    * (analytics.ExactQuantiles) — log_B(n) bounded-histogram passes, then
+    * a top-k on the final ≤cutoff slice. The q_percentile entry above is
+    * the interpolating aggregate; this one returns actual data elements,
+    * so the oracle is a row_number rank lookup — exact value equality, no
+    * rounding at all. cutoff=2000 forces ≥1 real bisection pass at sf0.01
+    * (60k rows), exercising the multi-pass path under the gate.
+    */
+  val qQuantileExact = QueryDef(
+    "q_quantile_exact",
+    (s, dir) =>
+      graft.analytics.ExactQuantiles.quantiles(
+        t(s, dir, "lineitem"), "l_extendedprice",
+        Seq(0.25, 0.5, 0.75, 0.95), buckets = 1024, cutoff = 2000)
+        .orderBy("q"),
+    Some("""
+      WITH n AS (SELECT count(*) AS cnt FROM lineitem),
+      s AS (
+        SELECT l_extendedprice AS value,
+               row_number() OVER (ORDER BY l_extendedprice) AS rn
+        FROM lineitem),
+      qs AS (SELECT CAST(unnest([0.25, 0.5, 0.75, 0.95]) AS DOUBLE) AS q),
+      r AS (
+        SELECT qs.q AS q,
+               CAST(floor(qs.q * (n.cnt - 1)) AS BIGINT) + 1 AS rn
+        FROM qs, n)
+      SELECT q, value FROM r JOIN s USING (rn) ORDER BY q""")
+  )
+
   val all: Seq[QueryDef] = Seq(oTopK, aSpikeSummary, eJson, aSummary,
     mKmeans, mLloydStep, qAsof, qRange, qRollup, qCube, qGroupingSets,
-    qPercentile, qHistogram, qZOrder, qScd2, qIncAgg)
+    qPercentile, qHistogram, qZOrder, qScd2, qIncAgg, qQuantileExact)
 }
 
