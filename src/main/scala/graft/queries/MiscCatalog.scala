@@ -622,8 +622,74 @@ object MiscCatalog {
       SELECT q, value FROM r JOIN s USING (rn) ORDER BY q""")
   )
 
+  /** PageRank over the customer↔supplier interaction graph (distinct
+    * trade pairs from lineitem ⋈ orders, symmetrized so the bipartite
+    * graph has no dangling mass). Integer floor-div arithmetic makes all
+    * three iterations bit-exact; the oracle replays them as chained CTEs
+    * (init → contribution-sum → update, three times) in DuckDB's own
+    * integer division, then ranks the top 20 with a total-order
+    * tie-break. Node ids pack type into the low bit (cust=2k, supp=2k+1).
+    */
+  val qPagerank = {
+    val K = 3
+    val scale = 1000000000000L
+    val iterCtes = (1 to K).map { k =>
+      s"""c$k AS (
+        SELECT e.dst AS node,
+               CAST(sum((r.rank * 85) // (e.outdeg * 100)) AS BIGINT) AS s
+        FROM ed e JOIN r${k - 1} r ON r.node = e.src GROUP BY 1),
+      r$k AS (
+        SELECT n.node, b.base + coalesce(c.s, 0) AS rank
+        FROM nodes n CROSS JOIN b LEFT JOIN c$k c ON c.node = n.node)"""
+    }.mkString(",\n      ")
+    QueryDef(
+      "q_g_pagerank",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val o = t(s, dir, "orders")
+        val e0 = li.join(o, li("l_orderkey") === o("o_orderkey"))
+          .select((col("o_custkey") * 2).cast("long").as("cust"),
+            (col("l_suppkey") * 2 + 1).cast("long").as("supp"))
+          .distinct()
+        val edges = e0.select(col("cust").as("src"), col("supp").as("dst"))
+          .unionByName(e0.select(col("supp").as("src"), col("cust").as("dst")))
+        graft.graph.PageRank.run(edges, iterations = K, scale = scale)
+          .select(
+            when(col("node") % 2 === 0, lit("customer"))
+              .otherwise(lit("supplier")).as("node_type"),
+            expr("node div 2").as("node_key"),
+            col("rank"))
+          .orderBy(col("rank").desc, col("node_type"), col("node_key"))
+          .limit(20)
+      },
+      Some(s"""
+      WITH e0 AS (
+        SELECT DISTINCT o.o_custkey * 2 AS cust, l.l_suppkey * 2 + 1 AS supp
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+      eall AS (
+        SELECT cust AS src, supp AS dst FROM e0
+        UNION ALL SELECT supp AS src, cust AS dst FROM e0),
+      deg AS (SELECT src, count(*) AS outdeg FROM eall GROUP BY 1),
+      ed AS (SELECT e.src, e.dst, d.outdeg FROM eall e JOIN deg d USING (src)),
+      nodes AS (
+        SELECT DISTINCT node FROM (
+          SELECT src AS node FROM eall UNION ALL SELECT dst FROM eall)),
+      b AS (
+        SELECT ($scale * 15) // (count(*) * 100) AS base,
+               $scale // count(*) AS init FROM nodes),
+      r0 AS (SELECT node, b.init AS rank FROM nodes CROSS JOIN b),
+      $iterCtes
+      SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+               AS node_type,
+             node // 2 AS node_key, rank
+      FROM r$K
+      ORDER BY rank DESC, node_type, node_key LIMIT 20""")
+    )
+  }
+
   val all: Seq[QueryDef] = Seq(oTopK, aSpikeSummary, eJson, aSummary,
     mKmeans, mLloydStep, qAsof, qRange, qRollup, qCube, qGroupingSets,
-    qPercentile, qHistogram, qZOrder, qScd2, qIncAgg, qQuantileExact)
+    qPercentile, qHistogram, qZOrder, qScd2, qIncAgg, qQuantileExact,
+    qPagerank)
 }
 
