@@ -564,9 +564,54 @@ object TextCatalog {
       ORDER BY tot.doc_id""")
   )
 
+  /** BM25 ranked retrieval for a fixed 3-term query (k1=1.2, b=0.75,
+    * top-15). The oracle mirrors the exact arithmetic expression order
+    * (per-term double product, DECIMAL per-doc sum, floor-round ranking
+    * key), so only `ln` differs at the ulp level — absorbed by r6, which
+    * is also the RANKING key in both engines (raw-double ranking could
+    * flip near-ties across engines).
+    */
+  val tBm25 = QueryDef(
+    "q_t_bm25",
+    (s, dir) =>
+      graft.text.Bm25.topK(t(s, dir, "documents"), "doc_id", "text",
+          Seq("join", "vector", "stream"), k = 15)
+        .orderBy("rank"),
+    Some(s"""
+      WITH t AS (
+        SELECT doc_id, lower($sqlNorm) AS nt
+        FROM documents WHERE length($sqlNorm) > 0),
+      tok AS (SELECT doc_id, unnest(string_split(nt, ' ')) AS w FROM t),
+      dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY 1),
+      st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                    CAST(sum(dl) AS BIGINT) AS total_dl FROM dl),
+      tf AS (
+        SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+        FROM tok WHERE w IN ('join', 'vector', 'stream') GROUP BY 1, 2),
+      dfq AS (SELECT w, CAST(count(*) AS BIGINT) AS dfc FROM tf GROUP BY 1),
+      sc AS (
+        SELECT tf.doc_id,
+               ln((st.n_docs - dfq.dfc + 0.5) / (dfq.dfc + 0.5) + 1.0)
+                 * (tf.tf * (1.2 + 1.0))
+                 / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl
+                      / (CAST(st.total_dl AS DOUBLE) / st.n_docs))) AS s
+        FROM tf JOIN dl USING (doc_id) JOIN dfq USING (w) CROSS JOIN st),
+      agg AS (
+        SELECT doc_id,
+               floor(CAST(sum(CAST(s AS DECIMAL(28,6))) AS DOUBLE)*1e6+0.5)/1e6
+                 AS score
+        FROM sc GROUP BY 1),
+      rk AS (
+        SELECT doc_id, score,
+               row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+        FROM agg)
+      SELECT CAST(rank AS BIGINT) AS rank, doc_id, score
+      FROM rk WHERE rank <= 15 ORDER BY rank""")
+  )
+
   val all: Seq[QueryDef] =
     Seq(tQuality, tTokens, tFingerprint, tLangId, tExplode,
       tRepetition, tLmScore, tSplit, tStratSample, tTfIdf, tPmi,
       tPii, tVocab, tComposition, tPack, tShuffle, tDecontaminate,
-      tLineDedup)
+      tLineDedup, tBm25)
 }
