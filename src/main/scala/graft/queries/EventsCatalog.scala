@@ -276,7 +276,33 @@ object EventsCatalog {
       WHERE rn = 1 ORDER BY event_id""")
   )
 
+  /** Streaming ingest-dedup through the ENGINE path (readStream →
+    * watermarked dropDuplicates → append-mode memory sink): distinct
+    * (user, type, event-time) triples. Projecting to exactly the dedup
+    * key before the sink makes the surviving set deterministic (which
+    * physical row wins is irrelevant once only the key is kept), so the
+    * same DISTINCT oracle gates the stateful streaming operator itself.
+    */
+  val eDedupStream = QueryDef(
+    "q_e_dedup_stream",
+    (s, dir) => {
+      val sink = "graft_dedup_stream_sink"
+      s.catalog.dropTempView(sink) // idempotent across bench warm-up reps
+      val q = graft.streaming.EventStreams
+        .dedupStream(s, streamableEventsDir(dir), Seq("user_id", "event_type"))
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("tsm")).as("ts_us"))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(sink).orderBy("user_id", "event_type", "ts_us")
+    },
+    Some("""
+      SELECT DISTINCT user_id, event_type, epoch_us(ts) AS ts_us
+      FROM events ORDER BY user_id, event_type, ts_us""")
+  )
+
   val all: Seq[QueryDef] =
     Seq(eHourly, eSessions, eHourlyStream, eSessionizeStream,
-      eSessionWindow, eFunnel, eDedup)
+      eSessionWindow, eFunnel, eDedup, eDedupStream)
 }
