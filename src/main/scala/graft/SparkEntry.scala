@@ -16,7 +16,7 @@ object SparkEntry {
     OlapCatalog.all ++ WindowCatalog.all ++ JoinCatalog.all ++
       MiningCatalog.all ++ TextCatalog.all ++ DedupCatalog.all ++
       SimilarityCatalog.all ++ EventsCatalog.all ++ MiscCatalog.all ++
-      MultimodalCatalog.all ++ SketchCatalog.all
+      MultimodalCatalog.all ++ SketchCatalog.all ++ FinanceCatalog.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * A1 quarterly-price pivot — the minimum end-to-end slice (SURVEY §7.3).

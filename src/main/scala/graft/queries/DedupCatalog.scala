@@ -410,7 +410,43 @@ object DedupCatalog {
       ORDER BY id1, id2""")
   )
 
+  // q_d_fuzzy parameters — shared by the Spark call and the oracle SQL
+  private val FuzzyMaxDist = 4
+
+  /** Blocked fuzzy entity resolution over part names (dedup.FuzzyMatch):
+    * candidates only within (p_brand, first name token), verified by
+    * levenshtein ∈ [1, $FuzzyMaxDist]. Distances are exact integers in
+    * both engines (classic edit distance), so the gate needs no rounding;
+    * the top-25 by (dist, id1, id2) is a total order.
+    */
+  val dFuzzy = QueryDef(
+    "q_d_fuzzy",
+    (s, dir) =>
+      graft.dedup.FuzzyMatch.pairs(
+        t(s, dir, "part"),
+        idCol = "p_partkey", nameCol = "p_name",
+        blockCols = Seq(col("p_brand"), split(col("p_name"), " ").getItem(0)),
+        maxDist = FuzzyMaxDist)
+        .orderBy("dist", "id1", "id2")
+        .limit(25),
+    Some(s"""
+      WITH p AS (
+        SELECT p_partkey, p_name, p_brand,
+               split_part(p_name, ' ', 1) AS tok
+        FROM part),
+      c AS (
+        SELECT a.p_partkey AS id1, b.p_partkey AS id2,
+               a.p_name AS name1, b.p_name AS name2,
+               levenshtein(a.p_name, b.p_name) AS dist
+        FROM p a JOIN p b
+          ON a.p_brand = b.p_brand AND a.tok = b.tok
+            AND a.p_partkey < b.p_partkey)
+      SELECT id1, id2, name1, name2, dist
+      FROM c WHERE dist BETWEEN 1 AND $FuzzyMaxDist
+      ORDER BY dist, id1, id2 LIMIT 25""")
+  )
+
   val all: Seq[QueryDef] =
     Seq(dExact, dJaccard, dComponents, dClusterSizes, dMinHash, dSimHash,
-      dEmbed, dSemantic)
+      dEmbed, dSemantic, dFuzzy)
 }

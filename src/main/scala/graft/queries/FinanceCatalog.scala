@@ -1,0 +1,257 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import QueryDef._
+
+/** Financial-indicator twins — the chart-feed computations the reference's
+  * visualization layer derives from the cleaned stock table
+  * (datavisualization.py's moving-average/band/summary feeds, streamlit.py's
+  * OHLC-style tab): candle resampling, Bollinger bands, market beta, and
+  * calendar gap-fill. Twinned on the testdata star schema like every other
+  * family (series = lineitem/orders ordered by the proven-total key sets).
+  *
+  * Scale notes: every query is one shuffle on its grouping key (the two
+  * row_number windows in OHLC/ffill share the aggregation's partitioning, so
+  * Catalyst plans a single exchange + sorts); the calendar spine is bounded
+  * by days×groups regardless of input SF; no driver-side data loops.
+  */
+object FinanceCatalog {
+
+  // proven total order for lineitem rows (same key set q_m2/q_w12 rely on)
+  private val liOrder = Seq("l_shipdate", "l_orderkey", "l_linenumber")
+  private val liOrderSql = "l_shipdate, l_orderkey, l_linenumber"
+  private val liOrderDescSql =
+    "l_shipdate DESC, l_orderkey DESC, l_linenumber DESC"
+
+  /** Weekly OHLC + VWAP candle resample per returnflag (the daily→weekly
+    * downsample every charting layer performs; pandas `resample('W').ohlc()`
+    * in the reference's visualization shape). open/close are the first/last
+    * trade by the total order — selected values, not aggregates, so they
+    * need no rounding; VWAP divides two exact decimal sums (deterministic
+    * operands in both engines) and rounds at r4.
+    */
+  val ohlcWeekly = QueryDef(
+    "q_f_ohlc_weekly",
+    (s, dir) => {
+      val wk = Window.partitionBy("l_returnflag", "wk")
+      val asc = wk.orderBy(liOrder.map(col): _*)
+      val desc = wk.orderBy(liOrder.map(c => col(c).desc): _*)
+      t(s, dir, "lineitem")
+        .select((Seq("l_returnflag") ++ liOrder ++
+          Seq("l_extendedprice", "l_quantity")).map(col): _*)
+        // date_trunc returns LTZ (implicit NTZ->LTZ cast); cast back so the
+        // dump is NTZ micros like every other timestamp column the driver hashes
+        .withColumn("wk",
+          date_trunc("week", col("l_shipdate")).cast("timestamp_ntz"))
+        .withColumn("rn_a", row_number().over(asc))
+        .withColumn("rn_d", row_number().over(desc))
+        .groupBy("l_returnflag", "wk")
+        .agg(
+          max(when(col("rn_a") === 1, col("l_extendedprice"))).as("open"),
+          max(col("l_extendedprice")).as("high"),
+          min(col("l_extendedprice")).as("low"),
+          max(when(col("rn_d") === 1, col("l_extendedprice"))).as("close"),
+          r4(sumE(col("l_extendedprice") * col("l_quantity"))
+            / sumE(col("l_quantity"))).as("vwap"),
+          count(lit(1)).as("n_trades"))
+        .orderBy("l_returnflag", "wk")
+    },
+    Some(s"""
+      WITH b AS (
+        SELECT l_returnflag,
+               date_trunc('week', l_shipdate) AS wk,
+               l_extendedprice, l_quantity,
+               row_number() OVER (
+                 PARTITION BY l_returnflag, date_trunc('week', l_shipdate)
+                 ORDER BY $liOrderSql) AS rn_a,
+               row_number() OVER (
+                 PARTITION BY l_returnflag, date_trunc('week', l_shipdate)
+                 ORDER BY $liOrderDescSql) AS rn_d
+        FROM lineitem)
+      SELECT l_returnflag, wk,
+             max(CASE WHEN rn_a = 1 THEN l_extendedprice END) AS open,
+             max(l_extendedprice) AS high,
+             min(l_extendedprice) AS low,
+             max(CASE WHEN rn_d = 1 THEN l_extendedprice END) AS close,
+             ${sqlR4(s"${sqlSumE("l_extendedprice * l_quantity")} / ${sqlSumE("l_quantity")}")} AS vwap,
+             count(*) AS n_trades
+      FROM b GROUP BY 1, 2 ORDER BY 1, 2""")
+  )
+
+  /** Bollinger bands over the orders series (W4's rolling mean/stddev frame
+    * widened to the indicator: mid ± 2σ and %B), pandas
+    * `rolling(20, min_periods=20)` semantics — null until the frame fills.
+    * %B is guarded by an EXACT flat-frame predicate (min = max over the
+    * frame) rather than σ = 0.0 — float equality on an aggregate would be
+    * engine-dependent; min/max of the same 20 doubles are not.
+    */
+  val bollinger = QueryDef(
+    "q_f_bollinger",
+    (s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey")).rowsBetween(-19, 0)
+      val full = count(lit(1)).over(w) === 20
+      val flat = max(col("o_totalprice")).over(w) ===
+        min(col("o_totalprice")).over(w)
+      val mid = avg(col("o_totalprice")).over(w)
+      val sd = stddev_samp(col("o_totalprice")).over(w)
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          col("o_totalprice"))
+        .select(col("o_custkey"), col("o_orderkey"),
+          when(full, r2(mid)).as("mid"),
+          when(full, r2(mid + lit(2) * sd)).as("upper"),
+          when(full, r2(mid - lit(2) * sd)).as("lower"),
+          when(full && !flat,
+            r6((col("o_totalprice") - mid + lit(2) * sd) / (lit(4) * sd)))
+            .as("pct_b"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+    Some {
+      val over = "OVER (PARTITION BY o_custkey ORDER BY o_orderdate, " +
+        "o_orderkey ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)"
+      s"""
+      WITH b AS (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               avg(o_totalprice) $over AS mid,
+               stddev_samp(o_totalprice) $over AS sd,
+               count(*) $over AS n,
+               max(o_totalprice) $over = min(o_totalprice) $over AS flat
+        FROM orders)
+      SELECT o_custkey, o_orderkey,
+             CASE WHEN n = 20 THEN ${sqlR2("mid")} END AS mid,
+             CASE WHEN n = 20 THEN ${sqlR2("mid + 2 * sd")} END AS upper,
+             CASE WHEN n = 20 THEN ${sqlR2("mid - 2 * sd")} END AS lower,
+             CASE WHEN n = 20 AND NOT flat
+               THEN ${sqlR6("(o_totalprice - mid + 2 * sd) / (4 * sd)")}
+             END AS pct_b
+      FROM b ORDER BY o_custkey, o_orderkey"""
+    }
+  )
+
+  /** Market beta per returnflag: regress the flag's daily mean price on the
+    * whole-market daily mean (the index-relative risk measure of the
+    * reference's risk stats, F13's cousin). Daily means divide exact
+    * decimal sums by counts — bit-identical operands in both engines — so
+    * only the final covariance/variance aggregates are float-order
+    * sensitive (r6, same contract as the A11 correlation matrix). alpha is
+    * derived from the ALREADY-ROUNDED beta so both engines compute it from
+    * identical operands.
+    */
+  val beta = QueryDef(
+    "q_f_beta",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_shipdate").cast("date").as("day"),
+          col("l_extendedprice"))
+      val daily = li.groupBy("l_returnflag", "day")
+        .agg(sum(col("l_extendedprice").cast("decimal(28,6)")).as("sdec"),
+          count(lit(1)).as("n"))
+      val market = daily.groupBy("day")
+        .agg((sum(col("sdec")).cast("double") / sum(col("n")))
+          .as("m"))
+      val joined = daily
+        .select(col("l_returnflag"), col("day"),
+          (col("sdec").cast("double") / col("n")).as("y"))
+        .join(market, "day")
+      val betaRaw = covar_pop(col("y"), col("m")) / var_pop(col("m"))
+      joined.groupBy("l_returnflag")
+        .agg(
+          r6(betaRaw).as("beta"),
+          r2(sumE(col("y")) / count(lit(1))
+            - r6(betaRaw) * (sumE(col("m")) / count(lit(1)))).as("alpha"),
+          r6(corr(col("y"), col("m"))).as("mkt_corr"),
+          count(lit(1)).as("n_days"))
+        .orderBy("l_returnflag")
+    },
+    Some(s"""
+      WITH daily AS (
+        SELECT l_returnflag, CAST(l_shipdate AS DATE) AS day,
+               sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS sdec,
+               count(*) AS n
+        FROM lineitem GROUP BY 1, 2),
+      market AS (
+        SELECT day, CAST(sum(sdec) AS DOUBLE) / sum(n) AS m
+        FROM daily GROUP BY 1),
+      j AS (
+        SELECT d.l_returnflag, d.day, CAST(d.sdec AS DOUBLE) / d.n AS y, m.m
+        FROM daily d JOIN market m USING (day)),
+      g AS (
+        SELECT l_returnflag,
+               covar_pop(y, m) / var_pop(m) AS b,
+               ${sqlSumE("y")} AS sy, ${sqlSumE("m")} AS sm,
+               corr(y, m) AS r, count(*) AS n_days
+        FROM j GROUP BY 1)
+      SELECT l_returnflag, ${sqlR6("b")} AS beta,
+             ${sqlR2(s"sy / n_days - ${sqlR6("b")} * (sm / n_days)")} AS alpha,
+             ${sqlR6("r")} AS mkt_corr, n_days
+      FROM g ORDER BY l_returnflag""")
+  )
+
+  /** Calendar resample + forward fill: a per-flag daily date spine (every
+    * calendar day between the flag's first and last trade) left-joined to
+    * the daily close, gaps carried forward — pandas
+    * `asfreq('D').ffill()`, the step the reference's charts need before
+    * plotting a continuous line. Closes are SELECTED raw values (no float
+    * aggregation), so the filled series needs no rounding. Spine size is
+    * days × |flags| — calendar-bounded, independent of input SF.
+    */
+  val ffill = QueryDef(
+    "q_f_ffill",
+    (s, dir) => {
+      val dayW = Window.partitionBy("l_returnflag", "day")
+        .orderBy(liOrder.map(c => col(c).desc): _*)
+      val closes = t(s, dir, "lineitem")
+        .select((Seq("l_returnflag") ++ liOrder :+ "l_extendedprice")
+          .map(col): _*)
+        .withColumn("day",
+          date_trunc("day", col("l_shipdate")).cast("timestamp_ntz"))
+        .withColumn("rn", row_number().over(dayW))
+        .where(col("rn") === 1)
+        .select(col("l_returnflag"), col("day"),
+          col("l_extendedprice").as("close"))
+      val spine = closes.groupBy("l_returnflag")
+        .agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+        .select(col("l_returnflag"),
+          explode(sequence(col("lo"), col("hi"), expr("interval 1 day")))
+            .as("day"))
+      val ff = Window.partitionBy("l_returnflag").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      spine.join(closes, Seq("l_returnflag", "day"), "left")
+        .select(col("l_returnflag"), col("day"),
+          last(col("close"), ignoreNulls = true).over(ff).as("close_ff"),
+          col("close").isNull.as("gap_filled"))
+        .orderBy("l_returnflag", "day")
+    },
+    Some(s"""
+      WITH r AS (
+        SELECT l_returnflag, date_trunc('day', l_shipdate) AS day, l_extendedprice,
+               row_number() OVER (
+                 PARTITION BY l_returnflag, date_trunc('day', l_shipdate)
+                 ORDER BY $liOrderDescSql) AS rn
+        FROM lineitem),
+      cl AS (
+        SELECT l_returnflag, day, l_extendedprice AS close
+        FROM r WHERE rn = 1),
+      span AS (
+        SELECT l_returnflag, min(day) AS lo, max(day) AS hi
+        FROM cl GROUP BY 1),
+      spine AS (
+        SELECT l_returnflag,
+               unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day
+        FROM span),
+      f AS (
+        SELECT s.l_returnflag, s.day, cl.close
+        FROM spine s LEFT JOIN cl USING (l_returnflag, day))
+      SELECT l_returnflag, day,
+             last_value(close IGNORE NULLS) OVER (
+               PARTITION BY l_returnflag ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS close_ff,
+             close IS NULL AS gap_filled
+      FROM f ORDER BY l_returnflag, day""")
+  )
+
+  val all: Seq[QueryDef] = Seq(ohlcWeekly, bollinger, beta, ffill)
+}

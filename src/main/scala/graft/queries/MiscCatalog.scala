@@ -687,9 +687,57 @@ object MiscCatalog {
     )
   }
 
+  /** Triangle counting over the co-purchase graph (parts appearing in the
+    * same order are linked): graph.Triangles' degree-ordered orientation —
+    * every triangle found exactly once, wedge fanout capped at O(√m).
+    * Pure integer joins/counts end-to-end → exact, no rounding. Top 20
+    * nodes by triangle count (full order tie-broken by key).
+    */
+  val qTriangles = QueryDef(
+    "q_g_triangles",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_partkey").distinct()
+      val pairs = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+      graft.graph.Triangles.perNode(pairs)
+        .select(col("node").as("p_partkey"), col("triangles"))
+        .orderBy(col("triangles").desc, col("p_partkey"))
+        .limit(20)
+    },
+    Some("""
+      WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      e AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      deg AS (
+        SELECT node, count(*) AS deg FROM (
+          SELECT u AS node FROM e UNION ALL SELECT v FROM e) GROUP BY 1),
+      d AS (
+        SELECT CASE WHEN (du.deg, e.u) <= (dv.deg, e.v) THEN e.u ELSE e.v
+                 END AS src,
+               CASE WHEN (du.deg, e.u) <= (dv.deg, e.v) THEN e.v ELSE e.u
+                 END AS dst
+        FROM e JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v),
+      tri AS (
+        SELECT e1.src AS x, e1.dst AS y, e2.dst AS z
+        FROM d e1 JOIN d e2 ON e1.dst = e2.src
+        WHERE EXISTS (SELECT 1 FROM d e3
+                      WHERE e3.src = e1.src AND e3.dst = e2.dst)),
+      pn AS (
+        SELECT node, count(*) AS triangles FROM (
+          SELECT x AS node FROM tri UNION ALL SELECT y FROM tri
+          UNION ALL SELECT z FROM tri) GROUP BY 1)
+      SELECT node AS p_partkey, triangles
+      FROM pn ORDER BY triangles DESC, node LIMIT 20""")
+  )
+
   val all: Seq[QueryDef] = Seq(oTopK, aSpikeSummary, eJson, aSummary,
     mKmeans, mLloydStep, qAsof, qRange, qRollup, qCube, qGroupingSets,
     qPercentile, qHistogram, qZOrder, qScd2, qIncAgg, qQuantileExact,
-    qPagerank)
+    qPagerank, qTriangles)
 }
 
