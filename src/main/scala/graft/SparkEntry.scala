@@ -52,5 +52,6 @@ object SparkEntry {
   def auxDumps: Map[String, (SparkSession, String) => DataFrame] =
     DedupCatalog.auxDumps ++ SimilarityCatalog.auxDumps ++
       MiscCatalog.auxDumps ++ WindowCatalog.auxDumps ++
-      SketchCatalog.auxDumps
+      SketchCatalog.auxDumps ++ TextCatalog.auxDumps ++
+      FinanceCatalog.auxDumps
 }

@@ -253,5 +253,142 @@ object FinanceCatalog {
       FROM f ORDER BY l_returnflag, day""")
   )
 
-  val all: Seq[QueryDef] = Seq(ohlcWeekly, bollinger, beta, ffill)
+  // q_f_rsi parameters — interpolated into the Spark scans, the aux dumps,
+  // and the oracle SQL so the replay can never drift from the query
+  private val RsiAlpha = 1.0 / 14.0 // Wilder's smoothing, period 14
+  private val RsiBuckets = 32
+
+  /** Shared by the gated query and the two Verify aux dumps: the daily
+    * close-to-close diffs split into gain/loss series, run through TWO
+    * chained plans.EwmaScan linear-recurrence scans (avg gain, then avg
+    * loss over the first scan's output — same rows, so both scans segment
+    * identically). Seeds from BOTH scans ride to aux for the oracle.
+    */
+  private def rsiParts(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val dayW = Window.partitionBy("l_returnflag", "day")
+      .orderBy(liOrder.map(c => col(c).desc): _*)
+    val closes = t(s, dir, "lineitem")
+      .select((Seq("l_returnflag") ++ liOrder :+ "l_extendedprice")
+        .map(col): _*)
+      .withColumn("day",
+        date_trunc("day", col("l_shipdate")).cast("timestamp_ntz"))
+      .withColumn("rn", row_number().over(dayW))
+      .where(col("rn") === 1)
+      .select(col("l_returnflag"), col("day"),
+        col("l_extendedprice").as("close"))
+    // per-instrument series: tiny per group (calendar-bounded), so a plain
+    // window is the right plan; a wide-series caller would route the diff
+    // through plans.SequenceOps like q_m2 does
+    val diffW = Window.partitionBy("l_returnflag").orderBy("day")
+    val diffs = closes
+      .withColumn("prev", lag(col("close"), 1).over(diffW))
+      .where(col("prev").isNotNull)
+      .withColumn("gain", greatest(col("close") - col("prev"), lit(0.0)))
+      .withColumn("loss", greatest(col("prev") - col("close"), lit(0.0)))
+      .select("l_returnflag", "day", "gain", "loss")
+    val (g1, gainSeeds) = graft.plans.EwmaScan.ewmaWithSeeds(
+      diffs, Seq("l_returnflag"), Seq("day"),
+      unix_date(col("day").cast("date")), "gain", RsiAlpha, "avg_gain",
+      RsiBuckets)
+    val (g2, lossSeeds) = graft.plans.EwmaScan.ewmaWithSeeds(
+      g1, Seq("l_returnflag"), Seq("day"),
+      unix_date(col("day").cast("date")), "loss", RsiAlpha, "avg_loss",
+      RsiBuckets)
+    (g2, gainSeeds, lossSeeds)
+  }
+
+  /** Spark-computed EWMA segment seeds for the q_f_rsi oracle replay. */
+  val auxDumps: Map[String, (org.apache.spark.sql.SparkSession, String) =>
+      org.apache.spark.sql.DataFrame] = Map(
+    "rsi_gain_seeds" -> ((s, dir) => rsiParts(s, dir)._2),
+    "rsi_loss_seeds" -> ((s, dir) => rsiParts(s, dir)._3))
+
+  /** RSI-14 (Wilder): EWMA-smoothed average gain vs average loss over the
+    * daily close-to-close moves, RSI = 100 − 100/(1 + gain/loss) — THE
+    * canonical stock-chart momentum indicator (the reference's indicator
+    * family, datavisualization.py's moving-average feeds). Both smoothers
+    * are plans.EwmaScan linear-recurrence scans (pandas
+    * `ewm(alpha=1/14, adjust=False)` seeded y₁=x₁), so every avg_gain /
+    * avg_loss value is plain IEEE ×/+ on identical operands in both
+    * engines and the DuckDB recursive-CTE replay (one CTE carrying both
+    * recurrences, seeded per segment from the dumped boundary tables)
+    * matches BIT-FOR-BIT — no rounding anywhere, including the final RSI
+    * arithmetic and the avg_loss = 0 branch (exact on identical doubles).
+    */
+  val rsi = QueryDef(
+    "q_f_rsi",
+    (s, dir) =>
+      rsiParts(s, dir)._1
+        .select(col("l_returnflag"), col("day"),
+          when(col("avg_loss") === 0.0, lit(100.0))
+            .otherwise(lit(100.0) - lit(100.0)
+              / (lit(1.0) + col("avg_gain") / col("avg_loss"))).as("rsi"))
+        .orderBy("l_returnflag", "day"),
+    Some(s"""
+      WITH RECURSIVE
+      r AS (
+        SELECT l_returnflag, date_trunc('day', l_shipdate) AS day,
+               l_extendedprice,
+               row_number() OVER (
+                 PARTITION BY l_returnflag, date_trunc('day', l_shipdate)
+                 ORDER BY $liOrderDescSql) AS rn
+        FROM lineitem),
+      cl AS (
+        SELECT l_returnflag, day, l_extendedprice AS close
+        FROM r WHERE rn = 1),
+      df AS (
+        SELECT l_returnflag, day,
+               greatest(close - prev, 0) AS g, greatest(prev - close, 0) AS l
+        FROM (
+          SELECT l_returnflag, day, close,
+                 lag(close, 1) OVER (PARTITION BY l_returnflag ORDER BY day)
+                   AS prev
+          FROM cl)
+        WHERE prev IS NOT NULL),
+      lohi AS (
+        SELECT min(CAST(day AS DATE) - DATE '1970-01-01') AS lo,
+               max(CAST(day AS DATE) - DATE '1970-01-01') AS hi
+        FROM df),
+      kb AS (
+        SELECT l_returnflag, day, g, l,
+               CAST(((CAST(day AS DATE) - DATE '1970-01-01') - lo)
+                 // ((hi - lo) // $RsiBuckets + 1) AS INT) AS b
+        FROM df, lohi),
+      base AS (
+        SELECT *, row_number() OVER (PARTITION BY b, l_returnflag
+          ORDER BY day) AS rn
+        FROM kb),
+      sg AS (
+        SELECT "__ewma_b" AS b, l_returnflag, seed
+        FROM read_parquet('__VERIFY_OUT__/aux/rsi_gain_seeds/*.parquet')),
+      sl AS (
+        SELECT "__ewma_b" AS b, l_returnflag, seed
+        FROM read_parquet('__VERIFY_OUT__/aux/rsi_loss_seeds/*.parquet')),
+      rec AS (
+        SELECT k.b, k.l_returnflag, k.day, k.rn,
+               CASE WHEN g.seed IS NULL THEN k.g
+                    ELSE ${1.0 - RsiAlpha} * g.seed + $RsiAlpha * k.g
+               END AS yg,
+               CASE WHEN l.seed IS NULL THEN k.l
+                    ELSE ${1.0 - RsiAlpha} * l.seed + $RsiAlpha * k.l
+               END AS yl
+        FROM base k
+        JOIN sg g ON g.b = k.b AND g.l_returnflag = k.l_returnflag
+        JOIN sl l ON l.b = k.b AND l.l_returnflag = k.l_returnflag
+        WHERE k.rn = 1
+        UNION ALL
+        SELECT n.b, n.l_returnflag, n.day, n.rn,
+               ${1.0 - RsiAlpha} * p.yg + $RsiAlpha * n.g,
+               ${1.0 - RsiAlpha} * p.yl + $RsiAlpha * n.l
+        FROM rec p JOIN base n
+          ON n.b = p.b AND n.l_returnflag = p.l_returnflag
+            AND n.rn = p.rn + 1)
+      SELECT l_returnflag, day,
+             CASE WHEN yl = 0 THEN 100.0
+                  ELSE 100.0 - 100.0 / (1.0 + yg / yl) END AS rsi
+      FROM rec
+      ORDER BY l_returnflag, day""")
+  )
+
+  val all: Seq[QueryDef] = Seq(ohlcWeekly, bollinger, beta, ffill, rsi)
 }

@@ -193,5 +193,68 @@ object MiningCatalog {
       FROM z WHERE abs(z) > 2 ORDER BY o_custkey, o_orderkey""")
   )
 
-  val all: Seq[QueryDef] = Seq(m1Ols, m2OlsNextDay, m4Anomalies)
+  // q_m5_ridge penalty — absolute λ on the centered normal equations,
+  // interpolated into BOTH engines' formulas
+  private val RidgeLambda = 1000.0
+
+  /** M5 capability: closed-form ridge regression (Tikhonov / L2), two
+    * features + unpenalized intercept, per returnflag — the regularized
+    * sibling of M1's OLS. With centered features the normal equations are
+    * (X'X + λI)β = X'z where X'X entries are n·covar_pop — all from ONE
+    * aggregation pass (sufficient statistics, the same no-iteration shape
+    * as M1/M2); the 2×2 system inverts symbolically via its determinant.
+    * Both engines compose the identical formula from their own float
+    * moment aggregates → r-rounded like every moments-based gate (A11/M1).
+    * λ > 0 makes the system strictly positive-definite, so det > 0 always.
+    */
+  val m5Ridge = QueryDef(
+    "q_m5_ridge",
+    (s, dir) => {
+      val n = count(lit(1)).cast("double")
+      val sxx = covar_pop(col("l_quantity"), col("l_quantity")) * n
+      val syy = covar_pop(col("l_discount"), col("l_discount")) * n
+      val sxy = covar_pop(col("l_quantity"), col("l_discount")) * n
+      val sxz = covar_pop(col("l_quantity"), col("l_extendedprice")) * n
+      val syz = covar_pop(col("l_discount"), col("l_extendedprice")) * n
+      val lam = lit(RidgeLambda)
+      val det = (sxx + lam) * (syy + lam) - sxy * sxy
+      val b1 = ((syy + lam) * sxz - sxy * syz) / det
+      val b2 = ((sxx + lam) * syz - sxy * sxz) / det
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          r6(b1).as("beta_qty"),
+          r2(b2).as("beta_disc"),
+          r2(avg(col("l_extendedprice")) - b1 * avg(col("l_quantity"))
+            - b2 * avg(col("l_discount"))).as("intercept"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    },
+    Some(s"""
+      WITH m AS (
+        SELECT l_returnflag,
+               CAST(count(*) AS DOUBLE) AS n,
+               covar_pop(l_quantity, l_quantity) AS cxx,
+               covar_pop(l_discount, l_discount) AS cyy,
+               covar_pop(l_quantity, l_discount) AS cxy,
+               covar_pop(l_quantity, l_extendedprice) AS cxz,
+               covar_pop(l_discount, l_extendedprice) AS cyz,
+               avg(l_extendedprice) AS az, avg(l_quantity) AS ax,
+               avg(l_discount) AS ay, count(*) AS cnt
+        FROM lineitem GROUP BY 1),
+      f AS (
+        SELECT l_returnflag, az, ax, ay, cnt,
+               ((cyy*n + $RidgeLambda) * (cxz*n) - (cxy*n) * (cyz*n))
+                 / ((cxx*n + $RidgeLambda) * (cyy*n + $RidgeLambda)
+                    - (cxy*n) * (cxy*n)) AS b1,
+               ((cxx*n + $RidgeLambda) * (cyz*n) - (cxy*n) * (cxz*n))
+                 / ((cxx*n + $RidgeLambda) * (cyy*n + $RidgeLambda)
+                    - (cxy*n) * (cxy*n)) AS b2
+        FROM m)
+      SELECT l_returnflag, ${sqlR6("b1")} AS beta_qty, ${sqlR2("b2")} AS beta_disc,
+             ${sqlR2("az - b1 * ax - b2 * ay")} AS intercept, cnt AS n
+      FROM f ORDER BY l_returnflag""")
+  )
+
+  val all: Seq[QueryDef] = Seq(m1Ols, m2OlsNextDay, m4Anomalies, m5Ridge)
 }

@@ -609,9 +609,109 @@ object TextCatalog {
       FROM rk WHERE rank <= 15 ORDER BY rank""")
   )
 
+  // q_t_dsir parameters — shared by the Spark query, the aux dump, and the
+  // oracle SQL
+  private val DsirBuckets = 1024
+  private val DsirTargetLang = "en"
+
+  /** Lower-cased whitespace tokens per doc — the exact q_t_vocab/tf-idf
+    * tokenization, reused so DSIR's features line up with the rest of the
+    * text family.
+    */
+  private def dsirToks(s: org.apache.spark.sql.SparkSession, dir: String) =
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        lower(TextAnalysis.normText(col("text"))).as("nt"))
+      .filter(length(col("nt")) > 0)
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("nt"), " ")).as("w"))
+
+  /** Spark-computed token→bucket map (engine-specific xxhash64, the same
+    * only-the-hash-goes-unchecked contract as cms_hashes) for the
+    * q_t_dsir oracle replay.
+    */
+  val auxDumps: Map[String, (org.apache.spark.sql.SparkSession, String) =>
+      org.apache.spark.sql.DataFrame] = Map(
+    "dsir_buckets" -> ((s, dir) =>
+      dsirToks(s, dir).select("w").distinct()
+        .withColumn("b", pmod(xxhash64(col("w")), lit(DsirBuckets)))))
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every document by
+    * the log-likelihood ratio of a hashed-feature unigram model of the
+    * TARGET distribution (here: the '$DsirTargetLang' slice) vs the RAW
+    * corpus, add-1 smoothed over $DsirBuckets hash buckets. The curation
+    * move behind domain-targeted pretraining mixes: rank raw data by how
+    * target-like it is, then sample by weight.
+    *
+    * Plan: one token pass → two bucket-count aggregates (≤$DsirBuckets
+    * rows each) → broadcast log-ratio table joined back to per-(doc,
+    * bucket) counts — no shuffle wider than the token groupBy at any
+    * scale. Ranking uses the r6-ROUNDED weight (identical in both
+    * engines) with doc_id tie-break, so the top-25 is deterministic.
+    */
+  val tDsir = QueryDef(
+    "q_t_dsir",
+    (s, dir) => {
+      val bk = dsirToks(s, dir)
+        .withColumn("b", pmod(xxhash64(col("w")), lit(DsirBuckets)))
+      val raw = bk.groupBy("b").agg(count(lit(1)).as("cr"))
+      val tgt = bk.where(col("lang") === DsirTargetLang)
+        .groupBy("b").agg(count(lit(1)).as("ct"))
+      val totR = raw.agg(sum(col("cr")).as("nr"))
+      val totT = tgt.agg(sum(col("ct")).as("nt"))
+      val lr = raw.join(tgt, Seq("b"), "left")
+        .na.fill(0L, Seq("ct"))
+        .crossJoin(broadcast(totR)).crossJoin(broadcast(totT))
+        .select(col("b"),
+          (log((col("ct") + 1).cast("double") / (col("nt") + DsirBuckets))
+            - log((col("cr") + 1).cast("double") / (col("nr") + DsirBuckets)))
+            .as("lr"))
+      val dc = bk.groupBy("doc_id", "b").agg(count(lit(1)).as("n"))
+      dc.join(broadcast(lr), "b")
+        .groupBy("doc_id")
+        .agg(r6(sum(col("n") * col("lr"))).as("dsir_weight"),
+          sum(col("n")).as("n_tokens"))
+        .orderBy(desc("dsir_weight"), col("doc_id"))
+        .limit(25)
+    },
+    Some(s"""
+      WITH t AS (
+        SELECT doc_id, lang, lower($sqlNorm) AS nt FROM documents
+        WHERE length($sqlNorm) > 0),
+      tok AS (
+        SELECT doc_id, lang, unnest(string_split(nt, ' ')) AS w FROM t),
+      bk AS (
+        SELECT tok.doc_id, tok.lang, m.b
+        FROM tok JOIN (
+          SELECT w, b
+          FROM read_parquet('__VERIFY_OUT__/aux/dsir_buckets/*.parquet')) m
+          USING (w)),
+      raw AS (SELECT b, count(*) AS cr FROM bk GROUP BY 1),
+      tgt AS (SELECT b, count(*) AS ct
+              FROM bk WHERE lang = '$DsirTargetLang' GROUP BY 1),
+      tot AS (
+        SELECT (SELECT sum(cr) FROM raw) AS nr,
+               (SELECT sum(ct) FROM tgt) AS nt),
+      lr AS (
+        SELECT r.b,
+               ln(CAST(coalesce(g.ct, 0) + 1 AS DOUBLE)
+                  / (tot.nt + $DsirBuckets))
+               - ln(CAST(r.cr + 1 AS DOUBLE) / (tot.nr + $DsirBuckets))
+                 AS lr
+        FROM raw r LEFT JOIN tgt g USING (b) CROSS JOIN tot),
+      dc AS (SELECT doc_id, b, count(*) AS n FROM bk GROUP BY 1, 2),
+      w AS (
+        SELECT dc.doc_id, sum(dc.n * lr.lr) AS wgt,
+               CAST(sum(dc.n) AS BIGINT) AS n_tokens
+        FROM dc JOIN lr USING (b) GROUP BY 1)
+      SELECT doc_id, ${sqlR6("wgt")} AS dsir_weight, n_tokens
+      FROM w ORDER BY dsir_weight DESC, doc_id LIMIT 25""")
+  )
+
   val all: Seq[QueryDef] =
     Seq(tQuality, tTokens, tFingerprint, tLangId, tExplode,
       tRepetition, tLmScore, tSplit, tStratSample, tTfIdf, tPmi,
       tPii, tVocab, tComposition, tPack, tShuffle, tDecontaminate,
-      tLineDedup, tBm25)
+      tLineDedup, tBm25, tDsir)
 }
