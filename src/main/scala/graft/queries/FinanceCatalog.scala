@@ -25,19 +25,27 @@ object FinanceCatalog {
   private val liOrderDescSql =
     "l_shipdate DESC, l_orderkey DESC, l_linenumber DESC"
 
+  // the total-order key + payload, as a lexicographically-ordered struct:
+  // min/max of it select the first/last trade's price with ONE
+  // partial-aggregatable pass (map-side combine) — no row_number window
+  // sort over the full fact table (the window version cost ~3 s of each
+  // cold q_f_* time at sf0.1; the key prefix is a proven total order, so
+  // the trailing price field never participates in a comparison)
+  private def orderedTrade =
+    struct((liOrder :+ "l_extendedprice").map(col): _*)
+
   /** Weekly OHLC + VWAP candle resample per returnflag (the daily→weekly
     * downsample every charting layer performs; pandas `resample('W').ohlc()`
     * in the reference's visualization shape). open/close are the first/last
     * trade by the total order — selected values, not aggregates, so they
     * need no rounding; VWAP divides two exact decimal sums (deterministic
-    * operands in both engines) and rounds at r4.
+    * operands in both engines) and rounds at r4. The oracle spells
+    * first/last as row_number = 1 under the same total order — identical
+    * selection, window-free on the Spark side.
     */
   val ohlcWeekly = QueryDef(
     "q_f_ohlc_weekly",
-    (s, dir) => {
-      val wk = Window.partitionBy("l_returnflag", "wk")
-      val asc = wk.orderBy(liOrder.map(col): _*)
-      val desc = wk.orderBy(liOrder.map(c => col(c).desc): _*)
+    (s, dir) =>
       t(s, dir, "lineitem")
         .select((Seq("l_returnflag") ++ liOrder ++
           Seq("l_extendedprice", "l_quantity")).map(col): _*)
@@ -45,19 +53,16 @@ object FinanceCatalog {
         // dump is NTZ micros like every other timestamp column the driver hashes
         .withColumn("wk",
           date_trunc("week", col("l_shipdate")).cast("timestamp_ntz"))
-        .withColumn("rn_a", row_number().over(asc))
-        .withColumn("rn_d", row_number().over(desc))
         .groupBy("l_returnflag", "wk")
         .agg(
-          max(when(col("rn_a") === 1, col("l_extendedprice"))).as("open"),
+          min(orderedTrade).getField("l_extendedprice").as("open"),
           max(col("l_extendedprice")).as("high"),
           min(col("l_extendedprice")).as("low"),
-          max(when(col("rn_d") === 1, col("l_extendedprice"))).as("close"),
+          max(orderedTrade).getField("l_extendedprice").as("close"),
           r4(sumE(col("l_extendedprice") * col("l_quantity"))
             / sumE(col("l_quantity"))).as("vwap"),
           count(lit(1)).as("n_trades"))
-        .orderBy("l_returnflag", "wk")
-    },
+        .orderBy("l_returnflag", "wk"),
     Some(s"""
       WITH b AS (
         SELECT l_returnflag,
@@ -190,6 +195,20 @@ object FinanceCatalog {
       FROM g ORDER BY l_returnflag""")
   )
 
+  /** Last trade's price per (flag, calendar day): one partial-aggregatable
+    * max(orderedTrade) pass — shared by q_f_ffill and q_f_rsi; both oracles
+    * spell the same selection as row_number = 1 under the reversed total
+    * order.
+    */
+  private def dailyClose(s: org.apache.spark.sql.SparkSession, dir: String) =
+    t(s, dir, "lineitem")
+      .select((Seq("l_returnflag") ++ liOrder :+ "l_extendedprice")
+        .map(col): _*)
+      .withColumn("day",
+        date_trunc("day", col("l_shipdate")).cast("timestamp_ntz"))
+      .groupBy("l_returnflag", "day")
+      .agg(max(orderedTrade).getField("l_extendedprice").as("close"))
+
   /** Calendar resample + forward fill: a per-flag daily date spine (every
     * calendar day between the flag's first and last trade) left-joined to
     * the daily close, gaps carried forward — pandas
@@ -201,17 +220,7 @@ object FinanceCatalog {
   val ffill = QueryDef(
     "q_f_ffill",
     (s, dir) => {
-      val dayW = Window.partitionBy("l_returnflag", "day")
-        .orderBy(liOrder.map(c => col(c).desc): _*)
-      val closes = t(s, dir, "lineitem")
-        .select((Seq("l_returnflag") ++ liOrder :+ "l_extendedprice")
-          .map(col): _*)
-        .withColumn("day",
-          date_trunc("day", col("l_shipdate")).cast("timestamp_ntz"))
-        .withColumn("rn", row_number().over(dayW))
-        .where(col("rn") === 1)
-        .select(col("l_returnflag"), col("day"),
-          col("l_extendedprice").as("close"))
+      val closes = dailyClose(s, dir)
       val spine = closes.groupBy("l_returnflag")
         .agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
         .select(col("l_returnflag"),
@@ -265,17 +274,7 @@ object FinanceCatalog {
     * identically). Seeds from BOTH scans ride to aux for the oracle.
     */
   private def rsiParts(s: org.apache.spark.sql.SparkSession, dir: String) = {
-    val dayW = Window.partitionBy("l_returnflag", "day")
-      .orderBy(liOrder.map(c => col(c).desc): _*)
-    val closes = t(s, dir, "lineitem")
-      .select((Seq("l_returnflag") ++ liOrder :+ "l_extendedprice")
-        .map(col): _*)
-      .withColumn("day",
-        date_trunc("day", col("l_shipdate")).cast("timestamp_ntz"))
-      .withColumn("rn", row_number().over(dayW))
-      .where(col("rn") === 1)
-      .select(col("l_returnflag"), col("day"),
-        col("l_extendedprice").as("close"))
+    val closes = dailyClose(s, dir)
     // per-instrument series: tiny per group (calendar-bounded), so a plain
     // window is the right plan; a wide-series caller would route the diff
     // through plans.SequenceOps like q_m2 does
