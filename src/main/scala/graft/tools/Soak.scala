@@ -66,7 +66,17 @@ object Soak {
       "q_t_pmi", "q_t_pii", "q_j_salted",
       "q_asof_join", "q_range_join",
       "q_s_pq_topk", "q_zorder_tiles", "q_scd2_merge", "q_mm_frames",
-      "q_e_session_window")
+      "q_e_session_window",
+      // round-7 additions whose INPUTS scale in this soak (lineitem /
+      // orders / documents are the scaled tables). Deliberately absent:
+      // q_d_fuzzy and q_d_semantic (their part/embeddings inputs are fixed
+      // dims here, so the soak would re-time identical data) and
+      // q_g_triangles (with dims fixed, 10× facts densifies the graph —
+      // wedge volume grows with density³, an output-bound blow-up the
+      // TriMinQty support threshold governs, not a plan property).
+      "q_w12_ewma", "q_f_rsi", "q_f_ohlc_weekly", "q_f_beta", "q_t_dsir",
+      "q_t_bm25", "q_quantile_exact", "q_hll_distinct", "q_cms_topk",
+      "q_g_pagerank", "q_t_decontaminate", "q_t_line_dedup")
     // operators self-materialize shared intermediates (localCheckpoint);
     // free them between runs so timings don't pay earlier queries' blocks
     def clear(): Unit = {
