@@ -296,11 +296,45 @@ object FinanceCatalog {
     (g2, gainSeeds, lossSeeds)
   }
 
-  /** Spark-computed EWMA segment seeds for the q_f_rsi oracle replay. */
+  // q_f_macd parameters — standard 12/26/9 MACD EMAs as adjust=False
+  // alphas, interpolated into the scans, the dumps, and the oracle
+  private val MacdAlphaFast = 2.0 / 13.0 // EMA-12
+  private val MacdAlphaSlow = 2.0 / 27.0 // EMA-26
+  private val MacdAlphaSig = 2.0 / 10.0  // EMA-9 signal
+
+  /** Shared by the gated query and the three Verify aux dumps: EMA-12 and
+    * EMA-26 of the daily close (two chained EwmaScans over the SAME rows —
+    * identical segmentation), macd = fast − slow, then a THIRD scan for
+    * the EMA-9 signal line over the macd series (still the same rows, so
+    * all three seed tables share one bucket layout).
+    */
+  private def macdParts(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val closes = dailyClose(s, dir)
+    val (c1, fastSeeds) = graft.plans.EwmaScan.ewmaWithSeeds(
+      closes, Seq("l_returnflag"), Seq("day"),
+      unix_date(col("day").cast("date")), "close", MacdAlphaFast, "ema_fast",
+      RsiBuckets)
+    val (c2, slowSeeds) = graft.plans.EwmaScan.ewmaWithSeeds(
+      c1, Seq("l_returnflag"), Seq("day"),
+      unix_date(col("day").cast("date")), "close", MacdAlphaSlow, "ema_slow",
+      RsiBuckets)
+    val macdF = c2.withColumn("macd", col("ema_fast") - col("ema_slow"))
+    val (c3, sigSeeds) = graft.plans.EwmaScan.ewmaWithSeeds(
+      macdF, Seq("l_returnflag"), Seq("day"),
+      unix_date(col("day").cast("date")), "macd", MacdAlphaSig, "signal",
+      RsiBuckets)
+    (c3, fastSeeds, slowSeeds, sigSeeds)
+  }
+
+  /** Spark-computed EWMA segment seeds for the q_f_rsi / q_f_macd oracle
+    * replays. */
   val auxDumps: Map[String, (org.apache.spark.sql.SparkSession, String) =>
       org.apache.spark.sql.DataFrame] = Map(
     "rsi_gain_seeds" -> ((s, dir) => rsiParts(s, dir)._2),
-    "rsi_loss_seeds" -> ((s, dir) => rsiParts(s, dir)._3))
+    "rsi_loss_seeds" -> ((s, dir) => rsiParts(s, dir)._3),
+    "macd_fast_seeds" -> ((s, dir) => macdParts(s, dir)._2),
+    "macd_slow_seeds" -> ((s, dir) => macdParts(s, dir)._3),
+    "macd_sig_seeds" -> ((s, dir) => macdParts(s, dir)._4))
 
   /** RSI-14 (Wilder): EWMA-smoothed average gain vs average loss over the
     * daily close-to-close moves, RSI = 100 − 100/(1 + gain/loss) — THE
@@ -389,5 +423,103 @@ object FinanceCatalog {
       ORDER BY l_returnflag, day""")
   )
 
-  val all: Seq[QueryDef] = Seq(ohlcWeekly, bollinger, beta, ffill, rsi)
+  /** MACD(12,26,9): fast/slow EMAs of the daily close, macd = fast − slow,
+    * signal = EMA-9 of macd, histogram = macd − signal — the second
+    * canonical chart indicator, and the deeper composition test for
+    * plans.EwmaScan: THREE chained recurrence scans, the third running
+    * over a column derived from the first two. Every value is IEEE ×/+/−
+    * on identical operands in both engines → the replay (one recursive CTE
+    * carrying both EMAs, a second for the signal, seeded from the dumped
+    * boundary tables) matches BIT-FOR-BIT, no rounding.
+    */
+  val macd = QueryDef(
+    "q_f_macd",
+    (s, dir) =>
+      macdParts(s, dir)._1
+        .select(col("l_returnflag"), col("day"),
+          col("macd"),
+          col("signal"),
+          (col("macd") - col("signal")).as("histogram"))
+        .orderBy("l_returnflag", "day"),
+    Some(s"""
+      WITH RECURSIVE
+      r AS (
+        SELECT l_returnflag, date_trunc('day', l_shipdate) AS day,
+               l_extendedprice,
+               row_number() OVER (
+                 PARTITION BY l_returnflag, date_trunc('day', l_shipdate)
+                 ORDER BY $liOrderDescSql) AS rn
+        FROM lineitem),
+      cl AS (
+        SELECT l_returnflag, day, l_extendedprice AS close
+        FROM r WHERE rn = 1),
+      lohi AS (
+        SELECT min(CAST(day AS DATE) - DATE '1970-01-01') AS lo,
+               max(CAST(day AS DATE) - DATE '1970-01-01') AS hi
+        FROM cl),
+      kb AS (
+        SELECT l_returnflag, day, close,
+               CAST(((CAST(day AS DATE) - DATE '1970-01-01') - lo)
+                 // ((hi - lo) // $RsiBuckets + 1) AS INT) AS b
+        FROM cl, lohi),
+      base AS (
+        SELECT *, row_number() OVER (PARTITION BY b, l_returnflag
+          ORDER BY day) AS rn
+        FROM kb),
+      sf AS (
+        SELECT "__ewma_b" AS b, l_returnflag, seed
+        FROM read_parquet('__VERIFY_OUT__/aux/macd_fast_seeds/*.parquet')),
+      ss AS (
+        SELECT "__ewma_b" AS b, l_returnflag, seed
+        FROM read_parquet('__VERIFY_OUT__/aux/macd_slow_seeds/*.parquet')),
+      sg AS (
+        SELECT "__ewma_b" AS b, l_returnflag, seed
+        FROM read_parquet('__VERIFY_OUT__/aux/macd_sig_seeds/*.parquet')),
+      rec AS (
+        SELECT k.b, k.l_returnflag, k.day, k.rn,
+               CASE WHEN f.seed IS NULL THEN k.close
+                    ELSE ${1.0 - MacdAlphaFast} * f.seed
+                         + $MacdAlphaFast * k.close
+               END AS yf,
+               CASE WHEN s.seed IS NULL THEN k.close
+                    ELSE ${1.0 - MacdAlphaSlow} * s.seed
+                         + $MacdAlphaSlow * k.close
+               END AS ys
+        FROM base k
+        JOIN sf f ON f.b = k.b AND f.l_returnflag = k.l_returnflag
+        JOIN ss s ON s.b = k.b AND s.l_returnflag = k.l_returnflag
+        WHERE k.rn = 1
+        UNION ALL
+        SELECT n.b, n.l_returnflag, n.day, n.rn,
+               ${1.0 - MacdAlphaFast} * p.yf + $MacdAlphaFast * n.close,
+               ${1.0 - MacdAlphaSlow} * p.ys + $MacdAlphaSlow * n.close
+        FROM rec p JOIN base n
+          ON n.b = p.b AND n.l_returnflag = p.l_returnflag
+            AND n.rn = p.rn + 1),
+      m AS (
+        SELECT b, l_returnflag, day, rn, yf - ys AS macd FROM rec),
+      rec2 AS (
+        SELECT k.b, k.l_returnflag, k.day, k.rn,
+               CASE WHEN g.seed IS NULL THEN k.macd
+                    ELSE ${1.0 - MacdAlphaSig} * g.seed
+                         + $MacdAlphaSig * k.macd
+               END AS y
+        FROM m k
+        JOIN sg g ON g.b = k.b AND g.l_returnflag = k.l_returnflag
+        WHERE k.rn = 1
+        UNION ALL
+        SELECT n.b, n.l_returnflag, n.day, n.rn,
+               ${1.0 - MacdAlphaSig} * p.y + $MacdAlphaSig * n.macd
+        FROM rec2 p JOIN m n
+          ON n.b = p.b AND n.l_returnflag = p.l_returnflag
+            AND n.rn = p.rn + 1)
+      SELECT m.l_returnflag, m.day, m.macd, r2.y AS signal,
+             m.macd - r2.y AS histogram
+      FROM m JOIN rec2 r2
+        ON r2.b = m.b AND r2.l_returnflag = m.l_returnflag
+          AND r2.rn = m.rn
+      ORDER BY m.l_returnflag, m.day""")
+  )
+
+  val all: Seq[QueryDef] = Seq(ohlcWeekly, bollinger, beta, ffill, rsi, macd)
 }
