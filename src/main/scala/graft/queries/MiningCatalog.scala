@@ -256,5 +256,102 @@ object MiningCatalog {
       FROM f ORDER BY l_returnflag""")
   )
 
-  val all: Seq[QueryDef] = Seq(m1Ols, m2OlsNextDay, m4Anomalies, m5Ridge)
+  // q_m6_cv fold count, shared by both engines
+  private val CvFolds = 5
+
+  /** M6 capability: k-fold cross-validation of the M1-style OLS,
+    * distributed WITHOUT retraining per fold: one pass computes per-fold
+    * raw moments as EXACT decimal sums, each fold's train model is
+    * (total − fold) moment subtraction (exact), and a second scoring pass
+    * joins the 5-row coefficient table back to residuals whose squares
+    * sum exactly. Fold membership is the engine-portable md5 bucket (the
+    * q_t_split mechanism), every float composes from identical operands
+    * in both engines → the gate is BIT-EXACT, no rounding.
+    */
+  val m6Cv = QueryDef(
+    "q_m6_cv",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_quantity").as("x"), col("l_extendedprice").as("y"),
+          graft.text.TextAnalysis.hashBucket(
+            concat_ws("#", col("l_orderkey"), col("l_linenumber")), CvFolds)
+            .as("fold"))
+      // cached: 5 rows with three consumers (tot, coefs, scoring) — without
+      // it each consumer re-runs the full md5+moments scan (measured 4.1 s
+      // → 2 scans; Bench/Verify free it via clearCaches like every
+      // operator-pinned intermediate)
+      val folds = li.groupBy("fold").agg(
+        count(lit(1)).as("n"),
+        sum(col("x").cast("decimal(28,6)")).as("sx"),
+        sum(col("y").cast("decimal(28,6)")).as("sy"),
+        sum((col("x") * col("x")).cast("decimal(28,6)")).as("sxx"),
+        sum((col("x") * col("y")).cast("decimal(28,6)")).as("sxy"))
+        .cache()
+      val tot = folds.agg(sum(col("n")).as("tn"), sum(col("sx")).as("tsx"),
+        sum(col("sy")).as("tsy"), sum(col("sxx")).as("tsxx"),
+        sum(col("sxy")).as("tsxy"))
+      // train moments = total − fold (exact); coefficients compose in
+      // double from identical operands
+      val n = (col("tn") - col("n")).cast("double")
+      val sx = (col("tsx") - col("sx")).cast("double")
+      val sy = (col("tsy") - col("sy")).cast("double")
+      val sxx = (col("tsxx") - col("sxx")).cast("double")
+      val sxy = (col("tsxy") - col("sxy")).cast("double")
+      val b = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      val coefs = folds.crossJoin(broadcast(tot))
+        .select(col("fold"), (col("tn") - col("n")).as("train_n"),
+          col("n").as("test_n"), b.as("slope"),
+          ((sy - b * sx) / n).as("intercept"))
+      li.join(broadcast(coefs), "fold")
+        .groupBy("fold", "train_n", "test_n", "slope", "intercept")
+        .agg((sum(((col("y") - col("intercept") - col("slope") * col("x"))
+          * (col("y") - col("intercept") - col("slope") * col("x")))
+          .cast("decimal(28,6)")).cast("double") / col("test_n"))
+          .as("test_mse"))
+        .orderBy("fold")
+    },
+    Some(s"""
+      WITH li AS (
+        SELECT l_quantity AS x, l_extendedprice AS y,
+               CAST(('0x' || substr(md5(l_orderkey::VARCHAR || '#' ||
+                 l_linenumber::VARCHAR), 1, 15)) AS BIGINT) % $CvFolds
+                 AS fold
+        FROM lineitem),
+      folds AS (
+        SELECT fold, count(*) AS n,
+               sum(CAST(x AS DECIMAL(28,6))) AS sx,
+               sum(CAST(y AS DECIMAL(28,6))) AS sy,
+               sum(CAST(x * x AS DECIMAL(28,6))) AS sxx,
+               sum(CAST(x * y AS DECIMAL(28,6))) AS sxy
+        FROM li GROUP BY 1),
+      tot AS (
+        SELECT sum(n) AS tn, sum(sx) AS tsx, sum(sy) AS tsy,
+               sum(sxx) AS tsxx, sum(sxy) AS tsxy
+        FROM folds),
+      coefs AS (
+        SELECT fold, CAST(tn - n AS BIGINT) AS train_n, n AS test_n,
+               (CAST(tn - n AS DOUBLE) * CAST(tsxy - sxy AS DOUBLE)
+                - CAST(tsx - sx AS DOUBLE) * CAST(tsy - sy AS DOUBLE))
+               / (CAST(tn - n AS DOUBLE) * CAST(tsxx - sxx AS DOUBLE)
+                  - CAST(tsx - sx AS DOUBLE) * CAST(tsx - sx AS DOUBLE))
+                 AS slope,
+               CAST(tsx - sx AS DOUBLE) AS _sx,
+               CAST(tsy - sy AS DOUBLE) AS _sy,
+               CAST(tn - n AS DOUBLE) AS _n
+        FROM folds CROSS JOIN tot),
+      c2 AS (
+        SELECT fold, train_n, test_n, slope,
+               (_sy - slope * _sx) / _n AS intercept
+        FROM coefs)
+      SELECT fold, c2.train_n, c2.test_n, c2.slope, c2.intercept,
+             CAST(sum(CAST((li.y - c2.intercept - c2.slope * li.x)
+               * (li.y - c2.intercept - c2.slope * li.x)
+               AS DECIMAL(28,6))) AS DOUBLE) / c2.test_n AS test_mse
+      FROM li JOIN c2 USING (fold)
+      GROUP BY fold, c2.train_n, c2.test_n, c2.slope, c2.intercept
+      ORDER BY fold""")
+  )
+
+  val all: Seq[QueryDef] = Seq(m1Ols, m2OlsNextDay, m4Anomalies, m5Ridge,
+    m6Cv)
 }

@@ -89,6 +89,80 @@ object SketchCatalog {
       ORDER BY est.o_orderpriority""")
   )
 
+  /** HLL MERGEABILITY — the property that makes the sketch a 100 TB tool:
+    * per-partition register tables combine by register-wise max into the
+    * UNION's sketch without touching raw data again. Here: per-priority
+    * sketches of the customer set merged into one union estimate, next to
+    * the exact union distinct and the (overlap-inflated) sum of the
+    * per-priority estimates — the audit showing merge ≠ add. Replays from
+    * the same aux hash dump as q_hll_distinct; the merge itself is an
+    * integer max in both engines.
+    */
+  val hllMerge = QueryDef(
+    "q_hll_merge",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      val regs = Hll.registers(o, Seq("o_orderpriority"),
+        col("o_custkey"), P)
+      val union = Hll.estimate(
+        regs.groupBy("reg").agg(max(col("m_rho")).as("m_rho")), Seq(), P)
+      val parts = Hll.estimate(regs, Seq("o_orderpriority"), P)
+        .agg(sumE(col("hll_est")).as("sum_parts"))
+      val exact = o.agg(countDistinct(col("o_custkey")).as("exact_distinct"))
+      union.crossJoin(parts).crossJoin(exact)
+        .select(r6(col("hll_est")).as("hll_union"),
+          r6(col("sum_parts")).as("sum_parts"), col("exact_distinct"))
+    },
+    Some(s"""
+      WITH hh AS (
+        SELECT * FROM read_parquet('__VERIFY_OUT__/aux/hll_hashes/*.parquet')),
+      j AS (
+        SELECT DISTINCT o.o_orderpriority, hh.h
+        FROM orders o JOIN hh ON hh.o_custkey = o.o_custkey),
+      r AS (
+        SELECT o_orderpriority, h & ${M - 1} AS reg,
+               ${Hll.rhoSql(s"(h >> $P) & $WMask", WBits)} AS rho
+        FROM j),
+      regs AS (
+        SELECT o_orderpriority, reg, max(rho) AS m_rho
+        FROM r GROUP BY 1, 2),
+      merged AS (
+        SELECT reg, max(m_rho) AS m_rho FROM regs GROUP BY 1),
+      uagg AS (
+        SELECT count(*) AS npres,
+               sum(CAST((CAST(1 AS BIGINT) << (62 - m_rho)) AS DECIMAL(38,0))) AS sumi
+        FROM merged),
+      uest AS (
+        SELECT CASE WHEN raw <= ${2.5 * M} AND zeros > 0
+                    THEN ${M.toDouble} * ln(${M.toDouble} / CAST(zeros AS DOUBLE))
+                    ELSE raw END AS hll_union
+        FROM (
+          SELECT $M - npres AS zeros,
+                 ${Hll.alphaScale(P)} / CAST(sumi
+                   + CAST($M - npres AS DECIMAL(38,0))
+                     * CAST($Two62 AS DECIMAL(38,0)) AS DOUBLE) AS raw
+          FROM uagg)),
+      pagg AS (
+        SELECT o_orderpriority, count(*) AS npres,
+               sum(CAST((CAST(1 AS BIGINT) << (62 - m_rho)) AS DECIMAL(38,0))) AS sumi
+        FROM regs GROUP BY 1),
+      pest AS (
+        SELECT CASE WHEN raw <= ${2.5 * M} AND zeros > 0
+                    THEN ${M.toDouble} * ln(${M.toDouble} / CAST(zeros AS DOUBLE))
+                    ELSE raw END AS hll_est
+        FROM (
+          SELECT $M - npres AS zeros,
+                 ${Hll.alphaScale(P)} / CAST(sumi
+                   + CAST($M - npres AS DECIMAL(38,0))
+                     * CAST($Two62 AS DECIMAL(38,0)) AS DOUBLE) AS raw
+          FROM pagg)),
+      ps AS (SELECT ${sqlSumE("hll_est")} AS sum_parts FROM pest),
+      ex AS (SELECT count(DISTINCT o_custkey) AS exact_distinct FROM orders)
+      SELECT ${sqlR6("uest.hll_union")} AS hll_union,
+             ${sqlR6("ps.sum_parts")} AS sum_parts, ex.exact_distinct
+      FROM uest, ps, ex""")
+  )
+
   // ---- Count-Min sketch ----------------------------------------------
 
   private val D = 4     // counter rows
@@ -141,5 +215,5 @@ object SketchCatalog {
       ORDER BY tc.exact_cnt DESC, tc.tok LIMIT 40""")
   )
 
-  val all: Seq[QueryDef] = Seq(hllDistinct, cmsTopk)
+  val all: Seq[QueryDef] = Seq(hllDistinct, hllMerge, cmsTopk)
 }
