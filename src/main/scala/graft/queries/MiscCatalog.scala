@@ -747,9 +747,55 @@ object MiscCatalog {
       FROM pn ORDER BY triangles DESC, node LIMIT 20""")
   )
 
+  /** Content checksum audit: an ORDER-INDEPENDENT per-group table
+    * fingerprint (row digest = md5 over a canonical field encoding; group
+    * checksum = exact decimal SUM of the digests' 60-bit prefixes, plus
+    * count and min/max digest) — the cross-replica / cross-engine
+    * integrity check a 100 TB migration runs instead of comparing rows.
+    * Any engine that can md5 the same canonical encoding reproduces the
+    * checksum exactly, partition order and all — which is precisely what
+    * this gate proves (DuckDB recomputes it from the raw table). Doubles
+    * enter the digest as DECIMAL(18,6) strings, the engine-portable
+    * rendering (raw double→string formatting differs across engines).
+    * One scan, map-side-combinable aggregate, ≤|groups| output rows.
+    */
+  val qChecksum = QueryDef(
+    "q_audit_checksum",
+    (s, dir) => {
+      val digest = conv(substring(md5(concat_ws("|",
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast("decimal(18,6)"),
+        col("l_extendedprice").cast("decimal(18,6)"),
+        col("l_returnflag"),
+        unix_date(col("l_shipdate").cast("date")))), 1, 15), 16, 10)
+        .cast("long")
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(digest.cast("decimal(38,0)")).cast("string").as("checksum"),
+          min(digest).as("min_digest"), max(digest).as("max_digest"))
+        .orderBy("l_returnflag")
+    },
+    Some("""
+      WITH d AS (
+        SELECT l_returnflag,
+               CAST(('0x' || substr(md5(
+                 l_orderkey::VARCHAR || '|' || l_linenumber::VARCHAR || '|'
+                 || CAST(l_quantity AS DECIMAL(18,6))::VARCHAR || '|'
+                 || CAST(l_extendedprice AS DECIMAL(18,6))::VARCHAR || '|'
+                 || l_returnflag || '|'
+                 || (CAST(l_shipdate AS DATE) - DATE '1970-01-01')::VARCHAR
+               ), 1, 15)) AS BIGINT) AS dig
+        FROM lineitem)
+      SELECT l_returnflag, count(*) AS n_rows,
+             CAST(sum(CAST(dig AS DECIMAL(38,0))) AS VARCHAR) AS checksum,
+             min(dig) AS min_digest, max(dig) AS max_digest
+      FROM d GROUP BY 1 ORDER BY 1""")
+  )
+
   val all: Seq[QueryDef] = Seq(oTopK, aSpikeSummary, eJson, aSummary,
     mKmeans, mLloydStep, qAsof, qRange, qRollup, qCube, qGroupingSets,
     qPercentile, qHistogram, qZOrder, qScd2, qIncAgg, qQuantileExact,
-    qPagerank, qTriangles)
+    qPagerank, qTriangles, qChecksum)
 }
 

@@ -709,9 +709,43 @@ object TextCatalog {
       FROM w ORDER BY dsir_weight DESC, doc_id LIMIT 25""")
   )
 
+  // 2^60, the md5-prefix range — interpolated identically into both
+  // engines' uniform construction
+  private val Md5Range = math.pow(2, 60)
+
+  /** Weighted sampling without replacement (Efraimidis–Spirakis 2006): one
+    * key `−ln(u)/w` per row from a content-addressed uniform (the md5
+    * 60-bit prefix — same engine-portable mechanism as q_t_split, so
+    * membership survives re-runs, repartitioning, and engine migration,
+    * unlike `rand()`), keep the k smallest — the distributed
+    * length-weighted document sampler (weight = n_chars). Selection is a
+    * top-k over the rounded key with doc_id tie-break: no shuffle wider
+    * than the top-k, no global sort. Only `ln` is engine-float (last-ulp
+    * class); ×1e6 scaling puts r6 at 1e-12 relative granularity.
+    */
+  val tWsample = QueryDef(
+    "q_t_wsample",
+    (s, dir) => {
+      val v = conv(substring(md5(col("doc_id").cast("string")), 1, 15),
+        16, 10).cast("long")
+      val u = (v.cast("double") + 1.0) / lit(Md5Range)
+      t(s, dir, "documents")
+        .where(col("n_chars") > 0)
+        .select(col("doc_id"), col("n_chars"),
+          r6(-log(u) * 1e6 / col("n_chars")).as("es_key"))
+        .orderBy(col("es_key"), col("doc_id"))
+        .limit(25)
+    },
+    Some(s"""
+      SELECT doc_id, n_chars,
+             ${sqlR6(s"-ln((CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 15)) AS BIGINT) + 1.0) / $Md5Range) * 1e6 / n_chars")} AS es_key
+      FROM documents WHERE n_chars > 0
+      ORDER BY es_key, doc_id LIMIT 25""")
+  )
+
   val all: Seq[QueryDef] =
     Seq(tQuality, tTokens, tFingerprint, tLangId, tExplode,
       tRepetition, tLmScore, tSplit, tStratSample, tTfIdf, tPmi,
       tPii, tVocab, tComposition, tPack, tShuffle, tDecontaminate,
-      tLineDedup, tBm25, tDsir)
+      tLineDedup, tBm25, tDsir, tWsample)
 }
