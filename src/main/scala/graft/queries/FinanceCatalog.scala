@@ -521,5 +521,71 @@ object FinanceCatalog {
       ORDER BY m.l_returnflag, m.day""")
   )
 
-  val all: Seq[QueryDef] = Seq(ohlcWeekly, bollinger, beta, ffill, rsi, macd)
+  /** Longest up-streaks (gaps-and-islands): consecutive trading days with
+    * a rising close, found with the classic rn − rn_per_direction island
+    * key — the streak/momentum table behind "N up days in a row" chart
+    * annotations. Directions come from exact comparisons of SELECTED
+    * closes (no float aggregation anywhere), so the whole result is
+    * integer/date arithmetic — bit-exact, no rounding. The daily series
+    * is calendar-bounded (the one shuffle is the dailyClose aggregation).
+    */
+  val streaks = QueryDef(
+    "q_f_streaks",
+    (s, dir) => {
+      val byDay = Window.partitionBy("l_returnflag").orderBy("day")
+      val d = dailyClose(s, dir)
+        .withColumn("prev", lag(col("close"), 1).over(byDay))
+        .where(col("prev").isNotNull)
+        .withColumn("dir",
+          when(col("close") > col("prev"), "U")
+            .when(col("close") < col("prev"), "D").otherwise("F"))
+      val byDirDay = Window.partitionBy("l_returnflag", "dir").orderBy("day")
+      d.withColumn("grp",
+          row_number().over(byDay) - row_number().over(byDirDay))
+        .where(col("dir") === "U")
+        .groupBy("l_returnflag", "grp")
+        .agg(count(lit(1)).as("streak_days"),
+          min(col("day")).as("start_day"), max(col("day")).as("end_day"))
+        .select(col("l_returnflag"), col("streak_days"), col("start_day"),
+          col("end_day"))
+        .orderBy(col("streak_days").desc, col("l_returnflag"),
+          col("start_day"))
+        .limit(15)
+    },
+    Some(s"""
+      WITH r AS (
+        SELECT l_returnflag, date_trunc('day', l_shipdate) AS day,
+               l_extendedprice,
+               row_number() OVER (
+                 PARTITION BY l_returnflag, date_trunc('day', l_shipdate)
+                 ORDER BY $liOrderDescSql) AS rn
+        FROM lineitem),
+      cl AS (
+        SELECT l_returnflag, day, l_extendedprice AS close
+        FROM r WHERE rn = 1),
+      d AS (
+        SELECT l_returnflag, day, close,
+               lag(close, 1) OVER (PARTITION BY l_returnflag ORDER BY day)
+                 AS prev
+        FROM cl),
+      dd AS (
+        SELECT l_returnflag, day,
+               CASE WHEN close > prev THEN 'U'
+                    WHEN close < prev THEN 'D' ELSE 'F' END AS dir
+        FROM d WHERE prev IS NOT NULL),
+      g AS (
+        SELECT l_returnflag, day, dir,
+               row_number() OVER (PARTITION BY l_returnflag ORDER BY day)
+               - row_number() OVER (PARTITION BY l_returnflag, dir
+                                    ORDER BY day) AS grp
+        FROM dd)
+      SELECT l_returnflag, count(*) AS streak_days,
+             min(day) AS start_day, max(day) AS end_day
+      FROM g WHERE dir = 'U'
+      GROUP BY l_returnflag, grp
+      ORDER BY streak_days DESC, l_returnflag, start_day LIMIT 15""")
+  )
+
+  val all: Seq[QueryDef] =
+    Seq(ohlcWeekly, bollinger, beta, ffill, rsi, macd, streaks)
 }
