@@ -30,11 +30,18 @@ object Triangles {
     * @return (node, triangles) — nodes on at least one triangle.
     */
   def perNode(edges: DataFrame): DataFrame = {
+    // e has two consumers (deg, the orientation join) and dir has THREE
+    // (e1/e2/e3 of the wedge join): Spark does not CSE across self-joins,
+    // so without materialization the whole canonicalize+distinct lineage
+    // re-executes per consumer (observed: 5 identical aggregate subtrees
+    // in the physical plan). Lazy local checkpoints pin each to one
+    // materialization — the EwmaScan/connectedComponents convention.
     val e = edges
       .select(least(col("src"), col("dst")).as("u"),
         greatest(col("src"), col("dst")).as("v"))
       .where(col("u") =!= col("v"))
       .distinct()
+      .localCheckpoint(false)
     val deg = e.select(col("u").as("node"))
       .unionAll(e.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
@@ -47,6 +54,7 @@ object Triangles {
       .select(
         when(toV, col("u")).otherwise(col("v")).as("src"),
         when(toV, col("v")).otherwise(col("u")).as("dst"))
+      .localCheckpoint(false)
     val tri = dir.as("e1")
       .join(dir.as("e2"), col("e1.dst") === col("e2.src"))
       .select(col("e1.src").as("x"), col("e1.dst").as("y"),
