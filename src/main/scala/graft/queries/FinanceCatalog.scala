@@ -586,6 +586,125 @@ object FinanceCatalog {
       ORDER BY streak_days DESC, l_returnflag, start_day LIMIT 15""")
   )
 
+  /** On-balance volume: the running sum of daily volume signed by the
+    * close's direction (+V on up days, −V on down, 0 on flat) — the
+    * classic volume-flow confirmation indicator. The daily volume is an
+    * exact decimal sum, the sign comes from exact close comparisons, and
+    * the running sum accumulates in decimal — BIT-exact end to end, the
+    * same exact-cumsum contract as q_w6.
+    */
+  val obv = QueryDef(
+    "q_f_obv",
+    (s, dir) => {
+      val byDay = Window.partitionBy("l_returnflag").orderBy("day")
+      val daily = t(s, dir, "lineitem")
+        .withColumn("day",
+          date_trunc("day", col("l_shipdate")).cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "day")
+        .agg(max(orderedTrade).getField("l_extendedprice").as("close"),
+          sum(col("l_quantity").cast("decimal(28,6)")).as("vol"))
+      daily
+        .withColumn("prev", lag(col("close"), 1).over(byDay))
+        .withColumn("sv",
+          when(col("prev").isNull || col("close") === col("prev"),
+            lit(0).cast("decimal(28,6)"))
+            .when(col("close") > col("prev"), col("vol"))
+            .otherwise(-col("vol")))
+        .select(col("l_returnflag"), col("day"),
+          sum(col("sv")).over(byDay.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("double").as("obv"))
+        .orderBy("l_returnflag", "day")
+    },
+    Some(s"""
+      WITH li AS (
+        SELECT l_returnflag, date_trunc('day', l_shipdate) AS day,
+               l_extendedprice, l_quantity, l_orderkey, l_linenumber,
+               l_shipdate
+        FROM lineitem),
+      daily AS (
+        SELECT l_returnflag, day,
+               max(CASE WHEN rn = 1 THEN l_extendedprice END) AS close,
+               sum(CAST(l_quantity AS DECIMAL(28,6))) AS vol
+        FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY l_returnflag, day
+            ORDER BY $liOrderDescSql) AS rn
+          FROM li)
+        GROUP BY 1, 2),
+      sv AS (
+        SELECT l_returnflag, day,
+               CASE WHEN prev IS NULL OR close = prev
+                      THEN CAST(0 AS DECIMAL(28,6))
+                    WHEN close > prev THEN vol
+                    ELSE -vol END AS sv
+        FROM (
+          SELECT *, lag(close, 1) OVER (
+            PARTITION BY l_returnflag ORDER BY day) AS prev
+          FROM daily))
+      SELECT l_returnflag, day,
+             CAST(sum(sv) OVER (PARTITION BY l_returnflag ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS DOUBLE) AS obv
+      FROM sv ORDER BY l_returnflag, day""")
+  )
+
+  /** Stochastic oscillator %K(14): where today's close sits inside the
+    * trailing 14-day low/high channel, 0–100 — rolling min/max are
+    * SELECTED values and the ratio composes from identical operands, so
+    * only the flat-channel guard needs care (exact min=max comparison,
+    * the Bollinger convention); r6 on the ratio covers the one division.
+    * %D (the SMA-3 signal) deliberately uses an explicit
+    * (k + lag(k) + lag²(k))/3 instead of a window avg — fixed operand
+    * order in both engines.
+    */
+  val stochastic = QueryDef(
+    "q_f_stochastic",
+    (s, dir) => {
+      val byDay = Window.partitionBy("l_returnflag").orderBy("day")
+      val ch = byDay.rowsBetween(-13, 0)
+      val full = count(lit(1)).over(ch) === 14
+      val hh = max(col("close")).over(ch)
+      val ll = min(col("close")).over(ch)
+      val k = when(full && hh =!= ll,
+        r6((col("close") - ll) / (hh - ll) * 100.0))
+      val d = dailyClose(s, dir)
+        .withColumn("pct_k", k)
+      d.withColumn("pct_d",
+          r6((col("pct_k") + lag(col("pct_k"), 1).over(byDay)
+            + lag(col("pct_k"), 2).over(byDay)) / 3.0))
+        .select("l_returnflag", "day", "pct_k", "pct_d")
+        .orderBy("l_returnflag", "day")
+    },
+    Some(s"""
+      WITH r AS (
+        SELECT l_returnflag, date_trunc('day', l_shipdate) AS day,
+               l_extendedprice,
+               row_number() OVER (
+                 PARTITION BY l_returnflag, date_trunc('day', l_shipdate)
+                 ORDER BY $liOrderDescSql) AS rn
+        FROM lineitem),
+      cl AS (
+        SELECT l_returnflag, day, l_extendedprice AS close
+        FROM r WHERE rn = 1),
+      ch AS (
+        SELECT l_returnflag, day, close,
+               max(close) OVER w AS hh, min(close) OVER w AS ll,
+               count(*) OVER w AS n
+        FROM cl
+        WINDOW w AS (PARTITION BY l_returnflag ORDER BY day
+                     ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)),
+      k AS (
+        SELECT l_returnflag, day,
+               CASE WHEN n = 14 AND hh <> ll
+                 THEN ${sqlR6("(close - ll) / (hh - ll) * 100.0")}
+               END AS pct_k
+        FROM ch)
+      SELECT l_returnflag, day, pct_k,
+             ${sqlR6(s"(pct_k + lag(pct_k, 1) OVER (PARTITION BY l_returnflag ORDER BY day) + lag(pct_k, 2) OVER (PARTITION BY l_returnflag ORDER BY day)) / 3.0")} AS pct_d
+      FROM k ORDER BY l_returnflag, day""")
+  )
+
   val all: Seq[QueryDef] =
-    Seq(ohlcWeekly, bollinger, beta, ffill, rsi, macd, streaks)
+    Seq(ohlcWeekly, bollinger, beta, ffill, rsi, macd, streaks, obv,
+      stochastic)
 }
