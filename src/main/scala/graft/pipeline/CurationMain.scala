@@ -10,8 +10,9 @@ import graft.text.TextAnalysis
   * the engine's operators — exact dedup → near-dup pruning (MinHash+LSH)
   * → quality filtering (with language ID + token accounting) → repetition
   * gate (Gopher-rule family) → corpus-LM score gate (CCNet shape) → PII
-  * scrub — writing a
-  * curated corpus plus a per-stage report. Every stage is the same
+  * scrub → DSIR importance weights + Gumbel resampling keys (annotation
+  * for downstream mixture sampling) — writing a curated corpus plus a
+  * per-stage report. Every stage is the same
   * shuffle-bounded operator the catalog gates; this main is the "run your
   * 100 TB corpus through it" entry point.
   *
@@ -133,8 +134,21 @@ object CurationMain {
       .withColumn("text", TextAnalysis.scrubPii(col("text")))
       .withColumn("fp", TextAnalysis.fingerprint(col("text")))
     stages += StageCount("lm_gate", curated.count())
+    // 7. DSIR importance weights vs the pipeline's own English slice, plus
+    // Gumbel-max resampling keys on the SHIPPED (scrubbed) text —
+    // annotation, not a gate: downstream mixture construction takes a
+    // weighted sample by ranking `resample_key` descending (top-k under
+    // Gumbel noise ≡ sampling ∝ exp(dsir_weight)), reproducibly, because
+    // the uniforms are content-addressed rather than rand().
+    val shipped = curated.join(
+      graft.text.Dsir.weights(curated, "doc_id", "text",
+        col("lang_pred") === "en").select("doc_id", "dsir_weight"),
+      Seq("doc_id"), "left")
+      .withColumn("resample_key",
+        col("dsir_weight")
+          - log(-log(TextAnalysis.contentUniform(col("doc_id")))))
     val live = persisted().filterNot { case (id, _) => base(id) }
-    CurationResult(curated, stages.toSeq, live.values.toSeq)
+    CurationResult(shipped, stages.toSeq, live.values.toSeq)
   }
 
   def main(args: Array[String]): Unit = {

@@ -652,29 +652,13 @@ object TextCatalog {
     */
   val tDsir = QueryDef(
     "q_t_dsir",
-    (s, dir) => {
-      val bk = dsirToks(s, dir)
-        .withColumn("b", pmod(xxhash64(col("w")), lit(DsirBuckets)))
-      val raw = bk.groupBy("b").agg(count(lit(1)).as("cr"))
-      val tgt = bk.where(col("lang") === DsirTargetLang)
-        .groupBy("b").agg(count(lit(1)).as("ct"))
-      val totR = raw.agg(sum(col("cr")).as("nr"))
-      val totT = tgt.agg(sum(col("ct")).as("nt"))
-      val lr = raw.join(tgt, Seq("b"), "left")
-        .na.fill(0L, Seq("ct"))
-        .crossJoin(broadcast(totR)).crossJoin(broadcast(totT))
-        .select(col("b"),
-          (log((col("ct") + 1).cast("double") / (col("nt") + DsirBuckets))
-            - log((col("cr") + 1).cast("double") / (col("nr") + DsirBuckets)))
-            .as("lr"))
-      val dc = bk.groupBy("doc_id", "b").agg(count(lit(1)).as("n"))
-      dc.join(broadcast(lr), "b")
-        .groupBy("doc_id")
-        .agg(r6(sum(col("n") * col("lr"))).as("dsir_weight"),
-          sum(col("n")).as("n_tokens"))
+    (s, dir) =>
+      graft.text.Dsir.weights(t(s, dir, "documents"), "doc_id", "text",
+        col("lang") === DsirTargetLang, DsirBuckets)
+        .select(col("doc_id"), r6(col("dsir_weight")).as("dsir_weight"),
+          col("n_tokens"))
         .orderBy(desc("dsir_weight"), col("doc_id"))
-        .limit(25)
-    },
+        .limit(25),
     Some(s"""
       WITH t AS (
         SELECT doc_id, lang, lower($sqlNorm) AS nt FROM documents
@@ -726,9 +710,7 @@ object TextCatalog {
   val tWsample = QueryDef(
     "q_t_wsample",
     (s, dir) => {
-      val v = conv(substring(md5(col("doc_id").cast("string")), 1, 15),
-        16, 10).cast("long")
-      val u = (v.cast("double") + 1.0) / lit(Md5Range)
+      val u = TextAnalysis.contentUniform(col("doc_id"))
       t(s, dir, "documents")
         .where(col("n_chars") > 0)
         .select(col("doc_id"), col("n_chars"),

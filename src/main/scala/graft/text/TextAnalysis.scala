@@ -203,6 +203,15 @@ object TextAnalysis {
     conv(substring(md5(id.cast("string")), 1, 15), 16, 10)
       .cast("long") % buckets
 
+  /** Content-addressed uniform in (0, 1] from the md5 60-bit prefix — the
+    * deterministic, engine-portable stand-in for `rand()` (which depends
+    * on partitioning) used by weighted sampling (q_t_wsample) and the
+    * capstone's Gumbel resampling keys.
+    */
+  def contentUniform(id: Column): Column =
+    (conv(substring(md5(id.cast("string")), 1, 15), 16, 10)
+      .cast("double") + 1.0) / math.pow(2, 60)
+
   /** Deterministic train/val/test assignment by hash bucket:
     * [0,trainPct) → train, [trainPct,trainPct+valPct) → val, rest → test.
     */
