@@ -302,7 +302,52 @@ object EventsCatalog {
       FROM events ORDER BY user_id, event_type, ts_us""")
   )
 
+  /** Stream-stream interval join through the ENGINE path
+    * (EventStreams.purchaseClickJoin: both-side watermarks + two-sided
+    * event-time bound, the two requirements that keep join state
+    * evictable): each purchase joins the same user's clicks from the
+    * preceding 30 minutes. Inner-join results emit as they match, so the
+    * drained memory sink holds the complete join — gated against the
+    * equivalent batch interval join in SQL (multiset semantics: join
+    * multiplicities match row for row). PipelineOpsSpec asserts the same
+    * equality against Spark's own batch join; this entry makes the
+    * streaming operator itself driver-visible.
+    */
+  val eIntervalStream = QueryDef(
+    "q_e_interval_stream",
+    (s, dir) => {
+      val sink = "graft_interval_stream_sink"
+      s.catalog.dropTempView(sink) // idempotent across bench warm-up reps
+      val q = graft.streaming.EventStreams
+        .purchaseClickJoin(s, streamableEventsDir(dir), lagMinutes = 30)
+        .select(col("user_id"),
+          unix_micros(col("purchase_ts")).as("purchase_us"),
+          col("purchase_value"),
+          unix_micros(col("click_ts")).as("click_us"), col("click_value"))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(sink).orderBy("user_id", "purchase_us", "click_us",
+        "purchase_value", "click_value")
+    },
+    Some("""
+      WITH p AS (
+        SELECT user_id, epoch_us(ts) AS purchase_us,
+               value AS purchase_value
+        FROM events WHERE event_type = 'purchase'),
+      c AS (
+        SELECT user_id, epoch_us(ts) AS click_us, value AS click_value
+        FROM events WHERE event_type = 'click')
+      SELECT p.user_id, p.purchase_us, p.purchase_value,
+             c.click_us, c.click_value
+      FROM p JOIN c ON p.user_id = c.user_id
+        AND c.click_us >= p.purchase_us - 30 * 60 * 1000000
+        AND c.click_us <= p.purchase_us
+      ORDER BY p.user_id, purchase_us, click_us, purchase_value,
+        click_value""")
+  )
+
   val all: Seq[QueryDef] =
     Seq(eHourly, eSessions, eHourlyStream, eSessionizeStream,
-      eSessionWindow, eFunnel, eDedup, eDedupStream)
+      eSessionWindow, eFunnel, eDedup, eDedupStream, eIntervalStream)
 }
