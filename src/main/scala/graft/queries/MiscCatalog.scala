@@ -561,6 +561,103 @@ object MiscCatalog {
       ORDER BY c_custkey, valid_from""")
   )
 
+  /** SCD1 / MERGE-INTO upsert (the other half of the dimension-maintenance
+    * pair with q_scd2_merge): latest-wins update-else-insert of a change
+    * batch into a snapshot — matched keys take the change's values,
+    * unmatched changes insert, everything else carries over. One full-outer
+    * join, cost ∝ |snapshot|+|changes|, no history table rewrite. The
+    * change batch includes NEW keys (key+1000000) so both MERGE arms are
+    * exercised; all values are selected/exact → bit-exact gate.
+    */
+  val qScd1 = QueryDef(
+    "q_scd1_merge",
+    (s, dir) => {
+      val snap = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
+      val changes = t(s, dir, "customer")
+        .filter(col("c_custkey") % 5 === 0)
+        .select(
+          when(col("c_custkey") % 10 === 0,
+            col("c_custkey") + 1000000).otherwise(col("c_custkey"))
+            .as("c_custkey"),
+          (col("c_acctbal") + 50.0).as("c_acctbal"),
+          lit("UPSERTED").as("c_mktsegment"))
+      snap.join(changes.withColumnRenamed("c_custkey", "k")
+          .withColumnRenamed("c_acctbal", "b")
+          .withColumnRenamed("c_mktsegment", "m"),
+          col("c_custkey") === col("k"), "full_outer")
+        .select(
+          coalesce(col("c_custkey"), col("k")).as("c_custkey"),
+          coalesce(col("b"), col("c_acctbal")).as("c_acctbal"),
+          coalesce(col("m"), col("c_mktsegment")).as("c_mktsegment"))
+        .orderBy("c_custkey")
+    },
+    Some("""
+      WITH snap AS (
+        SELECT c_custkey, c_acctbal, c_mktsegment FROM customer),
+      changes AS (
+        SELECT CASE WHEN c_custkey % 10 = 0 THEN c_custkey + 1000000
+                    ELSE c_custkey END AS k,
+               c_acctbal + 50.0 AS b, 'UPSERTED' AS m
+        FROM customer WHERE c_custkey % 5 = 0)
+      SELECT coalesce(s.c_custkey, c.k) AS c_custkey,
+             coalesce(c.b, s.c_acctbal) AS c_acctbal,
+             coalesce(c.m, s.c_mktsegment) AS c_mktsegment
+      FROM snap s FULL OUTER JOIN changes c ON s.c_custkey = c.k
+      ORDER BY c_custkey""")
+  )
+
+  /** Pearson chi-square test of independence over the (returnflag ×
+    * linestatus) contingency table: observed counts are exact integers,
+    * expected = rowTotal·colTotal/N composes in double from identical
+    * operands in both engines, so the statistic is BIT-exact. The
+    * capability the reference's pandas stats stack reaches for with
+    * scipy.stats.chi2_contingency — here as two tiny aggregates and a
+    * broadcast of the margins.
+    */
+  val qChi2 = QueryDef(
+    "q_a17_chi2",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val obs = li.groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("o"))
+      val rowT = obs.groupBy("l_returnflag").agg(sum(col("o")).as("rt"))
+      val colT = obs.groupBy("l_linestatus").agg(sum(col("o")).as("ct"))
+      val tot = obs.agg(sum(col("o")).as("n"))
+      val e = col("rt").cast("double") * col("ct").cast("double") /
+        col("n").cast("double")
+      obs.join(broadcast(rowT), "l_returnflag")
+        .join(broadcast(colT), "l_linestatus")
+        .crossJoin(broadcast(tot))
+        .select(col("l_returnflag"), col("l_linestatus"), col("o"),
+          e.as("expected"),
+          ((col("o").cast("double") - e) * (col("o").cast("double") - e) / e)
+            .as("chi2_term"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+    Some("""
+      WITH obs AS (
+        SELECT l_returnflag, l_linestatus, count(*) AS o
+        FROM lineitem GROUP BY 1, 2),
+      rt AS (SELECT l_returnflag, CAST(sum(o) AS BIGINT) AS rt
+             FROM obs GROUP BY 1),
+      ct AS (SELECT l_linestatus, CAST(sum(o) AS BIGINT) AS ct
+             FROM obs GROUP BY 1),
+      tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM obs)
+      SELECT obs.l_returnflag, obs.l_linestatus, obs.o,
+             CAST(rt.rt AS DOUBLE) * CAST(ct.ct AS DOUBLE)
+               / CAST(tot.n AS DOUBLE) AS expected,
+             (CAST(obs.o AS DOUBLE) - CAST(rt.rt AS DOUBLE)
+                * CAST(ct.ct AS DOUBLE) / CAST(tot.n AS DOUBLE))
+             * (CAST(obs.o AS DOUBLE) - CAST(rt.rt AS DOUBLE)
+                * CAST(ct.ct AS DOUBLE) / CAST(tot.n AS DOUBLE))
+             / (CAST(rt.rt AS DOUBLE) * CAST(ct.ct AS DOUBLE)
+                / CAST(tot.n AS DOUBLE)) AS chi2_term
+      FROM obs JOIN rt USING (l_returnflag) JOIN ct USING (l_linestatus)
+        CROSS JOIN tot
+      ORDER BY obs.l_returnflag, obs.l_linestatus""")
+  )
+
   /** Incremental aggregate maintenance (materialized-view refresh): the
     * base partial-aggregate table (orders before 1997) is merged with a
     * delta batch's partials (1997 onward) by RE-AGGREGATING THE PARTIALS —
@@ -795,7 +892,7 @@ object MiscCatalog {
 
   val all: Seq[QueryDef] = Seq(oTopK, aSpikeSummary, eJson, aSummary,
     mKmeans, mLloydStep, qAsof, qRange, qRollup, qCube, qGroupingSets,
-    qPercentile, qHistogram, qZOrder, qScd2, qIncAgg, qQuantileExact,
-    qPagerank, qTriangles, qChecksum)
+    qPercentile, qHistogram, qZOrder, qScd2, qScd1, qIncAgg,
+    qQuantileExact, qPagerank, qTriangles, qChecksum, qChi2)
 }
 
