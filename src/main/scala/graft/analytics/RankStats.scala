@@ -1,0 +1,50 @@
+package graft.analytics
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Rank-based statistics without a global sort — the histogram +
+  * distributed-prefix-sum formulation that survives data too large for one
+  * sorter. Ranks are carried as 2×-SCALED INTEGERS (rank2 = 2·cumBefore +
+  * n + 1 is the tie-averaged midrank doubled), so rank sums, U, and the
+  * tie-correction Σ(t³−t) stay exact integer arithmetic at any size; only
+  * the final normal-approximation z is floating point.
+  */
+object RankStats {
+
+  /** Mann–Whitney U (two-sided normal approximation, tie-corrected) of
+    * `valCol` (an integral column — quantize floats first) between
+    * `groupA` and every other row. Returns one row:
+    * (n_a, n_b, u_a DOUBLE, z DOUBLE, raw — no rounding).
+    *
+    * Plan: value histogram (one groupBy, ≤|distinct values| rows) →
+    * plans.SequenceOps.runningSum for the cumulative count
+    * (range-partitioned exact prefix sum — no single-partition window) →
+    * one reduction.
+    */
+  def mannWhitney(df: DataFrame, valCol: String, groupCol: String,
+      groupA: String): DataFrame = {
+    val h = df.groupBy(col(valCol).as("__v")).agg(
+      sum(when(col(groupCol) === groupA, 1L).otherwise(0L)).as("na"),
+      count(lit(1)).as("n"))
+    val cum = graft.plans.SequenceOps.runningSum(
+      h, Seq(), Seq("__v"), "n", "cum")
+    val ranks = cum.withColumn("rank2",
+      lit(2L) * (col("cum") - col("n")) + col("n") + 1L)
+    val agg = ranks.agg(
+      sum(col("na") * col("rank2")).as("rs2a"),
+      sum(col("na")).as("n_a"),
+      sum(col("n") - col("na")).as("n_b"),
+      sum(col("n") * col("n") * col("n") - col("n")).as("sum_t"))
+    val nTot = col("n_a") + col("n_b")
+    val uA = (col("rs2a") - col("n_a") * (col("n_a") + 1L))
+      .cast("double") / 2.0
+    val meanU = (col("n_a") * col("n_b")).cast("double") / 2.0
+    val sigma = sqrt((col("n_a") * col("n_b")).cast("double") / 12.0 *
+      ((nTot + 1L).cast("double")
+        - col("sum_t").cast("double")
+          / (nTot * (nTot - 1L)).cast("double")))
+    agg.select(col("n_a"), col("n_b"), uA.as("u_a"),
+      ((uA - meanU) / sigma).as("z"))
+  }
+}

@@ -352,6 +352,67 @@ object MiningCatalog {
       ORDER BY fold""")
   )
 
+  /** M7 capability: Mann–Whitney U rank-sum test (does returnflag A's
+    * price distribution stochastically dominate R's?) — computed WITHOUT
+    * a global sort: prices become integer cents, the value HISTOGRAM is
+    * one groupBy, the cumulative count runs through
+    * plans.SequenceOps.runningSum (range-partitioned exact prefix sum),
+    * and tie-averaged ranks are carried as 2×-SCALED INTEGERS
+    * (rank2 = 2·cumBefore + n + 1), so rank sums, the U statistic, and
+    * the tie-correction term Σ(t³−t) are ALL exact integer arithmetic —
+    * bit-exact across engines; only the final normal-approximation z
+    * composes in double (identical operands) and takes r6. This is the
+    * scipy.stats.mannwhitneyu capability, shaped for data that does not
+    * fit one sorter.
+    */
+  val m7Mwu = QueryDef(
+    "q_m7_mwu",
+    (s, dir) => {
+      val src = t(s, dir, "lineitem")
+        .where(col("l_returnflag").isin("A", "R"))
+        .select(
+          expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)")
+            .as("cents"),
+          col("l_returnflag").as("g"))
+      graft.analytics.RankStats.mannWhitney(src, "cents", "g", "A")
+        .select(col("n_a"), col("n_b"), col("u_a"), r6(col("z")).as("z"))
+    },
+    Some(s"""
+      WITH src AS (
+        SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+               l_returnflag AS g
+        FROM lineitem WHERE l_returnflag IN ('A', 'R')),
+      h AS (
+        SELECT cents,
+               CAST(sum(CASE WHEN g = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+                 AS na,
+               count(*) AS n
+        FROM src GROUP BY 1),
+      c AS (
+        SELECT cents, na, n,
+               CAST(sum(n) OVER (ORDER BY cents
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS cum
+        FROM h),
+      r AS (
+        SELECT na, n, 2 * (cum - n) + n + 1 AS rank2 FROM c),
+      a AS (
+        SELECT CAST(sum(na * rank2) AS BIGINT) AS rs2a,
+               CAST(sum(na) AS BIGINT) AS n_a,
+               CAST(sum(n - na) AS BIGINT) AS n_b,
+               CAST(sum(n * n * n - n) AS BIGINT) AS sum_t
+        FROM r)
+      SELECT n_a, n_b,
+             CAST(rs2a - n_a * (n_a + 1) AS DOUBLE) / 2.0 AS u_a,
+             ${sqlR6("""(CAST(rs2a - n_a * (n_a + 1) AS DOUBLE) / 2.0
+                 - CAST(n_a * n_b AS DOUBLE) / 2.0)
+               / sqrt(CAST(n_a * n_b AS DOUBLE) / 12.0
+                 * (CAST(n_a + n_b + 1 AS DOUBLE)
+                    - CAST(sum_t AS DOUBLE)
+                      / CAST((n_a + n_b) * (n_a + n_b - 1) AS DOUBLE)))""")} AS z
+      FROM a""")
+  )
+
   val all: Seq[QueryDef] = Seq(m1Ols, m2OlsNextDay, m4Anomalies, m5Ridge,
-    m6Cv)
+    m6Cv, m7Mwu)
 }

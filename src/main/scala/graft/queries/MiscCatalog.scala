@@ -658,6 +658,47 @@ object MiscCatalog {
       ORDER BY obs.l_returnflag, obs.l_linestatus""")
   )
 
+  /** Herfindahl–Hirschman concentration index per returnflag: each
+    * supplier's revenue share squared, summed — the market-concentration
+    * measure next to A11/A14 in the stats family. Shares divide exact
+    * decimal sums (identical operands both engines); only the Σshare²
+    * reduction is float-order sensitive → r6, the A11 contract. Two
+    * aggregates, supplier-share table stays distributed.
+    */
+  val qHhi = QueryDef(
+    "q_a18_hhi",
+    (s, dir) => {
+      val bySupp = t(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_suppkey")
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(28,6)")).as("rev"))
+      val byFlag = bySupp.groupBy("l_returnflag")
+        .agg(sum(col("rev")).as("tot"))
+      bySupp.join(broadcast(byFlag), "l_returnflag")
+        .select(col("l_returnflag"),
+          (col("rev").cast("double") / col("tot").cast("double")).as("sh"))
+        .groupBy("l_returnflag")
+        .agg(r6(sum(col("sh") * col("sh")) * 10000).as("hhi"),
+          count(lit(1)).as("n_suppliers"))
+        .orderBy("l_returnflag")
+    },
+    Some(s"""
+      WITH bySupp AS (
+        SELECT l_returnflag, l_suppkey,
+               sum(CAST(l_extendedprice * (1 - l_discount)
+                 AS DECIMAL(28,6))) AS rev
+        FROM lineitem GROUP BY 1, 2),
+      byFlag AS (
+        SELECT l_returnflag, sum(rev) AS tot FROM bySupp GROUP BY 1),
+      sh AS (
+        SELECT b.l_returnflag,
+               CAST(b.rev AS DOUBLE) / CAST(f.tot AS DOUBLE) AS sh
+        FROM bySupp b JOIN byFlag f USING (l_returnflag))
+      SELECT l_returnflag, ${sqlR6("sum(sh * sh) * 10000")} AS hhi,
+             count(*) AS n_suppliers
+      FROM sh GROUP BY 1 ORDER BY 1""")
+  )
+
   /** Incremental aggregate maintenance (materialized-view refresh): the
     * base partial-aggregate table (orders before 1997) is merged with a
     * delta batch's partials (1997 onward) by RE-AGGREGATING THE PARTIALS —
@@ -893,6 +934,6 @@ object MiscCatalog {
   val all: Seq[QueryDef] = Seq(oTopK, aSpikeSummary, eJson, aSummary,
     mKmeans, mLloydStep, qAsof, qRange, qRollup, qCube, qGroupingSets,
     qPercentile, qHistogram, qZOrder, qScd2, qScd1, qIncAgg,
-    qQuantileExact, qPagerank, qTriangles, qChecksum, qChi2)
+    qQuantileExact, qPagerank, qTriangles, qChecksum, qChi2, qHhi)
 }
 
