@@ -47,4 +47,38 @@ object RankStats {
     agg.select(col("n_a"), col("n_b"), uA.as("u_a"),
       ((uA - meanU) / sigma).as("z"))
   }
+
+  /** Two-sample Kolmogorov–Smirnov statistic of `valCol` (integral —
+    * quantize floats first) between `groupA` and the rest:
+    * D = max |F_A − F_B| over the empirical CDFs, computed EXACTLY as the
+    * integer maximum of |cumA·n_b − cumB·n_a| over the value histogram
+    * (the same no-global-sort shape as [[mannWhitney]]; two
+    * range-partitioned prefix sums). Returns one row
+    * (n_a, n_b, d DOUBLE exact, p_approx DOUBLE raw) where p_approx is
+    * the standard asymptotic 2·exp(−2D²·n_a·n_b/(n_a+n_b)).
+    */
+  def kolmogorovSmirnov(df: DataFrame, valCol: String, groupCol: String,
+      groupA: String): DataFrame = {
+    val h = df.groupBy(col(valCol).as("__v")).agg(
+      sum(when(col(groupCol) === groupA, 1L).otherwise(0L)).as("na"),
+      count(lit(1)).as("n"))
+    val cumN = graft.plans.SequenceOps.runningSum(
+      h, Seq(), Seq("__v"), "n", "cum")
+    val cumA = graft.plans.SequenceOps.runningSum(
+      cumN, Seq(), Seq("__v"), "na", "cum_a")
+    val tot = h.agg(sum(col("na")).as("n_a"),
+      sum(col("n") - col("na")).as("n_b"))
+    val num = abs(col("cum_a") * col("n_b")
+      - (col("cum") - col("cum_a")) * col("n_a"))
+    val agg = cumA.crossJoin(broadcast(tot))
+      .select(col("n_a"), col("n_b"), num.as("num"))
+      .groupBy("n_a", "n_b")
+      .agg(max(col("num")).as("d_num"))
+    val d = col("d_num").cast("double") /
+      (col("n_a") * col("n_b")).cast("double")
+    agg.select(col("n_a"), col("n_b"), d.as("d"),
+      (lit(2.0) * exp(lit(-2.0) * d * d *
+        (col("n_a") * col("n_b")).cast("double") /
+        (col("n_a") + col("n_b")).cast("double"))).as("p_approx"))
+  }
 }

@@ -413,6 +413,63 @@ object MiningCatalog {
       FROM a""")
   )
 
+  /** M8 capability: two-sample Kolmogorov–Smirnov (A vs R price CDFs) via
+    * analytics.RankStats — D is an exact integer maximum
+    * (|cumA·n_b − cumB·n_a| over the value histogram, two
+    * SequenceOps prefix sums, no global sort), so `d` is bit-exact; the
+    * asymptotic p composes in double from identical operands and takes
+    * r6 for the one `exp`.
+    */
+  val m8Ks = QueryDef(
+    "q_m8_ks",
+    (s, dir) => {
+      val src = t(s, dir, "lineitem")
+        .where(col("l_returnflag").isin("A", "R"))
+        .select(
+          expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)")
+            .as("cents"),
+          col("l_returnflag").as("g"))
+      graft.analytics.RankStats.kolmogorovSmirnov(src, "cents", "g", "A")
+        .select(col("n_a"), col("n_b"), col("d"),
+          r6(col("p_approx")).as("p_approx"))
+    },
+    Some(s"""
+      WITH src AS (
+        SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+               l_returnflag AS g
+        FROM lineitem WHERE l_returnflag IN ('A', 'R')),
+      h AS (
+        SELECT cents,
+               CAST(sum(CASE WHEN g = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+                 AS na,
+               count(*) AS n
+        FROM src GROUP BY 1),
+      c AS (
+        SELECT cents, na, n,
+               CAST(sum(n) OVER w AS BIGINT) AS cum,
+               CAST(sum(na) OVER w AS BIGINT) AS cum_a
+        FROM h
+        WINDOW w AS (ORDER BY cents
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      tot AS (
+        SELECT CAST(sum(na) AS BIGINT) AS n_a,
+               CAST(sum(n - na) AS BIGINT) AS n_b
+        FROM h),
+      m AS (
+        SELECT tot.n_a, tot.n_b,
+               max(abs(c.cum_a * tot.n_b
+                 - (c.cum - c.cum_a) * tot.n_a)) AS d_num
+        FROM c CROSS JOIN tot GROUP BY 1, 2)
+      SELECT n_a, n_b,
+             CAST(d_num AS DOUBLE) / CAST(n_a * n_b AS DOUBLE) AS d,
+             ${sqlR6("""2.0 * exp(-2.0
+               * (CAST(d_num AS DOUBLE) / CAST(n_a * n_b AS DOUBLE))
+               * (CAST(d_num AS DOUBLE) / CAST(n_a * n_b AS DOUBLE))
+               * CAST(n_a * n_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))""")}
+               AS p_approx
+      FROM m""")
+  )
+
   val all: Seq[QueryDef] = Seq(m1Ols, m2OlsNextDay, m4Anomalies, m5Ridge,
-    m6Cv, m7Mwu)
+    m6Cv, m7Mwu, m8Ks)
 }

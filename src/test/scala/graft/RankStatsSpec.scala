@@ -38,6 +38,27 @@ class RankStatsSpec extends SparkSpec {
     assert(r.getDouble(2) == 0.5)
   }
 
+  private def ks(rows: Seq[(Long, String)]) =
+    RankStats.kolmogorovSmirnov(rows.toDF("v", "g"), "v", "g", "A")
+      .collect().head
+
+  test("KS: disjoint supports give D = 1") {
+    val r = ks(Seq((1L, "A"), (2L, "A"), (3L, "B"), (4L, "B")))
+    assert(r.getDouble(2) == 1.0)
+  }
+
+  test("KS: identical samples give D = 0") {
+    val r = ks(Seq((1L, "A"), (2L, "A"), (1L, "B"), (2L, "B")))
+    assert(r.getDouble(2) == 0.0)
+  }
+
+  test("KS: hand-computed interleaved case") {
+    // A={1,3}, B={2,4}: F_A−F_B at v=1: 1/2−0; v=2: 1/2−1/2; v=3: 1−1/2;
+    // v=4: 1−1 → D = 1/2
+    val r = ks(Seq((1L, "A"), (3L, "A"), (2L, "B"), (4L, "B")))
+    assert(r.getDouble(2) == 0.5)
+  }
+
   test("identical distributions give z = 0") {
     // perfectly symmetric: U_A = meanU exactly
     val r = mwu(Seq((1L, "A"), (2L, "B"), (3L, "A"), (4L, "B"),
