@@ -347,7 +347,57 @@ object EventsCatalog {
         click_value""")
   )
 
+  /** Cohort retention matrix: users grouped by first-seen week, activity
+    * counted per (cohort, week offset) — the product-analytics table
+    * behind every retention curve. Weeks are epoch-µs BIGINTs (the ts_us
+    * convention) and every step is integer/date arithmetic plus one
+    * exact-int division at the end → bit-exact. Two shuffles (per-user
+    * min, per-cohort-offset distinct count); the cohort-size join is a
+    * broadcast of ≤|weeks| rows.
+    */
+  val eRetention = QueryDef(
+    "q_e_retention",
+    (s, dir) => {
+      val e = t(s, dir, "events").select(col("user_id"),
+        unix_micros(date_trunc("week",
+          timestamp_micros(expr("ts div 1000")))).as("wk_us"))
+      val firstWk = e.groupBy("user_id").agg(min(col("wk_us")).as("cohort_us"))
+      val act = e.distinct()
+      val ret = act.join(firstWk, "user_id")
+        .withColumn("week_offset",
+          expr("(wk_us - cohort_us) div 604800000000"))
+        .groupBy("cohort_us", "week_offset")
+        .agg(countDistinct(col("user_id")).as("active_users"))
+      val sizes = firstWk.groupBy("cohort_us")
+        .agg(count(lit(1)).as("cohort_size"))
+      ret.join(broadcast(sizes), "cohort_us")
+        .select(col("cohort_us"), col("week_offset"), col("active_users"),
+          col("cohort_size"),
+          (col("active_users").cast("double") / col("cohort_size"))
+            .as("retention_rate"))
+        .orderBy("cohort_us", "week_offset")
+    },
+    Some("""
+      WITH e AS (
+        SELECT user_id, epoch_us(date_trunc('week', ts)) AS wk_us
+        FROM events),
+      f AS (SELECT user_id, min(wk_us) AS cohort_us FROM e GROUP BY 1),
+      a AS (SELECT DISTINCT user_id, wk_us FROM e),
+      r AS (
+        SELECT f.cohort_us,
+               (a.wk_us - f.cohort_us) // 604800000000 AS week_offset,
+               count(DISTINCT a.user_id) AS active_users
+        FROM a JOIN f USING (user_id) GROUP BY 1, 2),
+      sz AS (SELECT cohort_us, count(*) AS cohort_size FROM f GROUP BY 1)
+      SELECT r.cohort_us, r.week_offset, r.active_users, sz.cohort_size,
+             CAST(r.active_users AS DOUBLE) / sz.cohort_size
+               AS retention_rate
+      FROM r JOIN sz USING (cohort_us)
+      ORDER BY r.cohort_us, r.week_offset""")
+  )
+
   val all: Seq[QueryDef] =
     Seq(eHourly, eSessions, eHourlyStream, eSessionizeStream,
-      eSessionWindow, eFunnel, eDedup, eDedupStream, eIntervalStream)
+      eSessionWindow, eFunnel, eDedup, eDedupStream, eIntervalStream,
+      eRetention)
 }

@@ -704,7 +704,68 @@ object FinanceCatalog {
       FROM k ORDER BY l_returnflag, day""")
   )
 
+  /** Autocorrelation of daily mean-price returns at lags 1–5 per flag —
+    * the mean-reversion/momentum diagnostic behind every "are returns
+    * predictable" chart. The return series divides exact decimal daily
+    * means (identical operands both engines); the five corr aggregates
+    * are float-order sensitive → r6, the A11 contract. One shuffle for
+    * the daily aggregate, one window pass for all five lags.
+    */
+  val acf = QueryDef(
+    "q_f_acf",
+    (s, dir) => {
+      val byDay = Window.partitionBy("l_returnflag").orderBy("day")
+      val daily = t(s, dir, "lineitem")
+        .withColumn("day",
+          date_trunc("day", col("l_shipdate")).cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "day")
+        .agg((sum(col("l_extendedprice").cast("decimal(28,6)"))
+          .cast("double") / count(lit(1))).as("y"))
+      val rets = daily
+        .withColumn("ret", col("y") / lag(col("y"), 1).over(byDay) - 1)
+        .where(col("ret").isNotNull)
+      val lagged = rets.select(
+        col("l_returnflag") +: col("ret") +:
+          (1 to 5).map(k => lag(col("ret"), k).over(byDay).as(s"l$k")): _*)
+      lagged.groupBy("l_returnflag")
+        .agg(
+          r6(corr(col("ret"), col("l1"))).as("acf_1"),
+          r6(corr(col("ret"), col("l2"))).as("acf_2"),
+          r6(corr(col("ret"), col("l3"))).as("acf_3"),
+          r6(corr(col("ret"), col("l4"))).as("acf_4"),
+          r6(corr(col("ret"), col("l5"))).as("acf_5"),
+          count(lit(1)).as("n_days"))
+        .orderBy("l_returnflag")
+    },
+    Some(s"""
+      WITH daily AS (
+        SELECT l_returnflag, date_trunc('day', l_shipdate) AS day,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE)
+                 / count(*) AS y
+        FROM lineitem GROUP BY 1, 2),
+      rets AS (
+        SELECT l_returnflag, day,
+               y / lag(y, 1) OVER w - 1 AS ret
+        FROM daily
+        WINDOW w AS (PARTITION BY l_returnflag ORDER BY day)),
+      lagged AS (
+        SELECT l_returnflag, ret,
+               lag(ret, 1) OVER w AS l1, lag(ret, 2) OVER w AS l2,
+               lag(ret, 3) OVER w AS l3, lag(ret, 4) OVER w AS l4,
+               lag(ret, 5) OVER w AS l5
+        FROM rets WHERE ret IS NOT NULL
+        WINDOW w AS (PARTITION BY l_returnflag ORDER BY day))
+      SELECT l_returnflag,
+             ${sqlR6("corr(ret, l1)")} AS acf_1,
+             ${sqlR6("corr(ret, l2)")} AS acf_2,
+             ${sqlR6("corr(ret, l3)")} AS acf_3,
+             ${sqlR6("corr(ret, l4)")} AS acf_4,
+             ${sqlR6("corr(ret, l5)")} AS acf_5,
+             count(*) AS n_days
+      FROM lagged GROUP BY 1 ORDER BY 1""")
+  )
+
   val all: Seq[QueryDef] =
     Seq(ohlcWeekly, bollinger, beta, ffill, rsi, macd, streaks, obv,
-      stochastic)
+      stochastic, acf)
 }
