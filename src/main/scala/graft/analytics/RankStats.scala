@@ -48,6 +48,40 @@ object RankStats {
       ((uA - meanU) / sigma).as("z"))
   }
 
+  /** Per-group Gini coefficient of `valCol` (integral — quantize floats
+    * first; values must be non-negative) via the sorted-rank identity
+    * G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n, computed WITHOUT a global sort:
+    * value histogram per group → one range-partitioned prefix sum of the
+    * counts ([[graft.plans.SequenceOps.runningSum]]) → tie blocks
+    * contribute x_v·(2·c·b + c·(c+1)) to the doubled rank-weighted sum
+    * (b = count strictly below, c = tie count — the consecutive-integers
+    * closed form), kept in DECIMAL(38,0) so the accumulation is exact at
+    * any size. Only the final two divisions are floating point — fixed
+    * expression order, identical operands in any engine. Returns one row
+    * per group: (groupCol, n BIGINT, gini DOUBLE bit-exact).
+    */
+  def gini(df: DataFrame, valCol: String, groupCol: String): DataFrame = {
+    val h = df.groupBy(col(groupCol), col(valCol).as("__v"))
+      .agg(count(lit(1)).as("c"))
+    val cum = graft.plans.SequenceOps.runningSum(
+      h, Seq(groupCol), Seq("__v"), "c", "cum")
+    val term2 = lit(2L) * (col("cum") - col("c")) * col("c") +
+      col("c") * (col("c") + 1L)
+    // DECIMAL(18)×DECIMAL(19) → DECIMAL(38) exactly (wider operand casts
+    // are rejected by engines that cap multiply width at 38); values fit:
+    // __v and the tie term are each well under 1e18
+    val agg = cum.groupBy(groupCol).agg(
+      sum(col("__v").cast("decimal(18,0)") * term2.cast("decimal(19,0)"))
+        .as("s1x2"),
+      sum(col("__v") * col("c")).as("s"),
+      sum(col("c")).as("n"))
+    agg.select(col(groupCol), col("n"),
+      (col("s1x2").cast("double") /
+        (col("n").cast("double") * col("s").cast("double")) -
+        (col("n") + 1L).cast("double") / col("n").cast("double"))
+        .as("gini"))
+  }
+
   /** Two-sample Kolmogorov–Smirnov statistic of `valCol` (integral —
     * quantize floats first) between `groupA` and the rest:
     * D = max |F_A − F_B| over the empirical CDFs, computed EXACTLY as the

@@ -931,9 +931,130 @@ object MiscCatalog {
       FROM d GROUP BY 1 ORDER BY 1""")
   )
 
+  /** Single-pass column profiler — the "describe this table" primitive
+    * every warehouse needs before modeling: per numeric column, row/null/
+    * distinct counts, min/max (selected raw values) and the exact decimal
+    * mean. ONE aggregation job computes every metric for every column
+    * (Catalyst expands the multi-countDistinct), then a `stack` reshapes
+    * the 1-row wide aggregate into the (column → metrics) long form —
+    * no per-column rescans, so at 100 TB this costs one table scan.
+    * All outputs are exact (counts, selected values, decimal-sum means)
+    * → no rounding needed.
+    */
+  val qProfile = QueryDef(
+    "q_p_profile",
+    (s, dir) => {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val metrics = count(lit(1)).as("n_rows") +: cols.flatMap(c => Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nn"),
+        countDistinct(col(c)).as(s"${c}_nd"),
+        min(col(c)).as(s"${c}_mn"),
+        max(col(c)).as(s"${c}_mx"),
+        avgE18(col(c)).as(s"${c}_mu")))
+      val wide = t(s, dir, "lineitem")
+        .agg(metrics.head, metrics.tail: _*)
+      wide.select(expr(
+        s"stack(${cols.length}, " + cols.map(c =>
+          s"'$c', n_rows, ${c}_nn, ${c}_nd, ${c}_mn, ${c}_mx, ${c}_mu")
+          .mkString(", ") +
+          ") AS (col_name, n_rows, n_null, n_distinct, min_v, max_v, mean_v)"))
+        .orderBy("col_name")
+    },
+    Some {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      cols.map(c =>
+        s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+             CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_null,
+             count(DISTINCT $c) AS n_distinct,
+             min($c) AS min_v, max($c) AS max_v,
+             ${sqlAvgE18(c)} AS mean_v
+           FROM lineitem""").mkString("\n UNION ALL \n") +
+        "\n ORDER BY col_name"
+    }
+  )
+
+  /** Benford first-significant-digit audit of l_extendedprice — the
+    * classic fraud/data-quality screen. The digit is extracted from the
+    * DECIMAL(18,2) string form (plain notation in every engine; raw
+    * double→string E-notation is NOT portable), valid because every
+    * price ≥ 1. Counts are exact; the share is one int/int double
+    * division. One scan + one tiny aggregate (≤9 rows) with the total
+    * broadcast back — no second scan.
+    */
+  val qBenford = QueryDef(
+    "q_a19_benford",
+    (s, dir) => {
+      val d = t(s, dir, "lineitem").select(
+        substring(col("l_extendedprice").cast("decimal(18,2)")
+          .cast("string"), 1, 1).as("digit"))
+      val h = d.groupBy("digit").agg(count(lit(1)).as("n"))
+      val tot = h.agg(sum(col("n")).as("total"))
+      h.crossJoin(broadcast(tot))
+        .select(col("digit"), col("n"),
+          (col("n").cast("double") / col("total").cast("double")).as("pct"))
+        .orderBy("digit")
+    },
+    Some("""
+      WITH d AS (
+        SELECT substr(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR),
+                      1, 1) AS digit
+        FROM lineitem),
+      h AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
+      t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM h)
+      SELECT digit, n, CAST(n AS DOUBLE) / CAST(total AS DOUBLE) AS pct
+      FROM h, t ORDER BY digit""")
+  )
+
+  /** Per-priority Gini coefficient of order value — the inequality/
+    * concentration measure next to A18's Herfindahl. Prices quantized to
+    * integer cents, then analytics.RankStats.gini's histogram +
+    * range-partitioned prefix sum (no global sort, no single-partition
+    * window); the rank-weighted sum accumulates in DECIMAL(38,0) so the
+    * result is bit-exact. The oracle replays the same tie-block closed
+    * form with SQL windows.
+    */
+  val qGini = QueryDef(
+    "q_a20_gini",
+    (s, dir) => {
+      val src = t(s, dir, "orders").select(
+        col("o_orderpriority"),
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("cents"))
+      graft.analytics.RankStats.gini(src, "cents", "o_orderpriority")
+        .orderBy("o_orderpriority")
+    },
+    Some("""
+      WITH src AS (
+        SELECT o_orderpriority,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM orders),
+      h AS (
+        SELECT o_orderpriority, cents, count(*) AS c
+        FROM src GROUP BY 1, 2),
+      cu AS (
+        SELECT o_orderpriority, cents, c,
+               CAST(sum(c) OVER (PARTITION BY o_orderpriority ORDER BY cents
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS cum
+        FROM h),
+      a AS (
+        SELECT o_orderpriority,
+               sum(CAST(cents AS DECIMAL(18,0))
+                   * CAST(2 * (cum - c) * c + c * (c + 1) AS DECIMAL(19,0)))
+                 AS s1x2,
+               CAST(sum(cents * c) AS BIGINT) AS s,
+               CAST(sum(c) AS BIGINT) AS n
+        FROM cu GROUP BY 1)
+      SELECT o_orderpriority, n,
+             CAST(s1x2 AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(s AS DOUBLE))
+               - CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE) AS gini
+      FROM a ORDER BY o_orderpriority""")
+  )
+
   val all: Seq[QueryDef] = Seq(oTopK, aSpikeSummary, eJson, aSummary,
     mKmeans, mLloydStep, qAsof, qRange, qRollup, qCube, qGroupingSets,
     qPercentile, qHistogram, qZOrder, qScd2, qScd1, qIncAgg,
-    qQuantileExact, qPagerank, qTriangles, qChecksum, qChi2, qHhi)
+    qQuantileExact, qPagerank, qTriangles, qChecksum, qChi2, qHhi,
+    qProfile, qBenford, qGini)
 }
 
