@@ -396,8 +396,45 @@ object EventsCatalog {
       ORDER BY r.cohort_us, r.week_offset""")
   )
 
+  /** Stream-STATIC enrichment join through the streaming engine: the
+    * events stream joined to the static customer dimension (broadcast —
+    * the canonical "enrich a firehose with a dim table" shape; the dim
+    * never enters streaming state) and aggregated per market segment in
+    * complete mode. Value sums go through DECIMAL(28,6) so the
+    * incremental streaming accumulation is order-independent and exact —
+    * the memory-sink table hashes identically to the batch oracle, gating
+    * the stream-static join path itself.
+    */
+  val eEnrichStream = QueryDef(
+    "q_e_enrich_stream",
+    (s, dir) => {
+      val sink = "graft_enrich_stream_sink"
+      s.catalog.dropTempView(sink)
+      val dim = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val q = s.readStream.schema(graft.model.Schemas.events)
+        .parquet(streamableEventsDir(dir))
+        .join(broadcast(dim), col("user_id") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(28,6)")).as("dv"))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("complete").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(sink)
+        .select(col("c_mktsegment"), col("n_events"),
+          col("dv").cast("double").as("total_value"))
+        .orderBy("c_mktsegment")
+    },
+    Some("""
+      SELECT c_mktsegment, count(*) AS n_events,
+             CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+      FROM events JOIN customer ON user_id = c_custkey
+      GROUP BY 1 ORDER BY 1""")
+  )
+
   val all: Seq[QueryDef] =
     Seq(eHourly, eSessions, eHourlyStream, eSessionizeStream,
       eSessionWindow, eFunnel, eDedup, eDedupStream, eIntervalStream,
-      eRetention)
+      eRetention, eEnrichStream)
 }

@@ -765,7 +765,130 @@ object FinanceCatalog {
       FROM lagged GROUP BY 1 ORDER BY 1""")
   )
 
+  /** Day-of-week seasonality index per flag: mean price by weekday ÷ the
+    * flag's overall mean — the multiplicative seasonal profile behind
+    * weekly-pattern charts. Both means are exact (decimal sums, one
+    * division each) and the index is one more division of those exact
+    * doubles → bit-exact, no rounding. Two aggregations + a ≤|flags|-row
+    * broadcast join; weekday numbering pinned to DuckDB's Sunday=0 by
+    * shifting Spark's 1-based dayofweek.
+    */
+  val seasonality = QueryDef(
+    "q_f_seasonality",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val byDow = li
+        .groupBy(col("l_returnflag"),
+          (dayofweek(col("l_shipdate")) - 1).cast("bigint").as("dow"))
+        .agg(count(lit(1)).as("n"), avgE(col("l_extendedprice")).as("mean_dow"))
+      val overall = li.groupBy("l_returnflag")
+        .agg(avgE(col("l_extendedprice")).as("mean_all"))
+      byDow.join(broadcast(overall), "l_returnflag")
+        .select(col("l_returnflag"), col("dow"), col("n"), col("mean_dow"),
+          (col("mean_dow") / col("mean_all")).as("seasonal_idx"))
+        .orderBy("l_returnflag", "dow")
+    },
+    Some(s"""
+      WITH d AS (
+        SELECT l_returnflag, CAST(dayofweek(l_shipdate) AS BIGINT) AS dow,
+               count(*) AS n,
+               ${sqlAvgE("l_extendedprice")} AS mean_dow
+        FROM lineitem GROUP BY 1, 2),
+      o AS (
+        SELECT l_returnflag, ${sqlAvgE("l_extendedprice")} AS mean_all
+        FROM lineitem GROUP BY 1)
+      SELECT d.l_returnflag, d.dow, d.n, d.mean_dow,
+             d.mean_dow / o.mean_all AS seasonal_idx
+      FROM d JOIN o USING (l_returnflag)
+      ORDER BY d.l_returnflag, d.dow""")
+  )
+
+  /** Linear interpolation across calendar gaps — the ffill spine's
+    * smarter sibling (pandas `interpolate('linear')`): each missing day
+    * gets prev + (next − prev) · elapsed/span from the nearest real
+    * closes on either side. Closes are selected raw values and the
+    * blend is a fixed arithmetic expression over them and exact integer
+    * day spans → bit-exact. Same calendar-bounded spine charter as
+    * q_f_ffill (days × |flags|, independent of input SF).
+    */
+  val interp = QueryDef(
+    "q_f_interp",
+    (s, dir) => {
+      val closes = dailyClose(s, dir)
+      val spine = closes.groupBy("l_returnflag")
+        .agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+        .select(col("l_returnflag"),
+          explode(sequence(col("lo"), col("hi"), expr("interval 1 day")))
+            .as("day"))
+      val wb = Window.partitionBy("l_returnflag").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val wf = Window.partitionBy("l_returnflag").orderBy("day")
+        .rowsBetween(0, Window.unboundedFollowing)
+      val g = spine.join(closes, Seq("l_returnflag", "day"), "left")
+        .select(col("l_returnflag"), col("day"), col("close"),
+          last(col("close"), ignoreNulls = true).over(wb).as("pv"),
+          last(when(col("close").isNotNull, col("day")), ignoreNulls = true)
+            .over(wb).as("pd"),
+          first(col("close"), ignoreNulls = true).over(wf).as("nv"),
+          first(when(col("close").isNotNull, col("day")), ignoreNulls = true)
+            .over(wf).as("nd"))
+      g.select(col("l_returnflag"), col("day"),
+        when(col("close").isNotNull, col("close"))
+          .when(col("pv").isNull, col("nv"))
+          .when(col("nv").isNull, col("pv"))
+          .otherwise(col("pv") + (col("nv") - col("pv")) *
+            (datediff(col("day"), col("pd")).cast("double") /
+              datediff(col("nd"), col("pd")).cast("double")))
+          .as("close_interp"),
+        col("close").isNull.as("gap_filled"))
+        .orderBy("l_returnflag", "day")
+    },
+    Some(s"""
+      WITH r AS (
+        SELECT l_returnflag, date_trunc('day', l_shipdate) AS day,
+               l_extendedprice,
+               row_number() OVER (
+                 PARTITION BY l_returnflag, date_trunc('day', l_shipdate)
+                 ORDER BY $liOrderDescSql) AS rn
+        FROM lineitem),
+      cl AS (
+        SELECT l_returnflag, day, l_extendedprice AS close
+        FROM r WHERE rn = 1),
+      span AS (
+        SELECT l_returnflag, min(day) AS lo, max(day) AS hi
+        FROM cl GROUP BY 1),
+      spine AS (
+        SELECT l_returnflag,
+               unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day
+        FROM span),
+      g AS (
+        SELECT s.l_returnflag, s.day, cl.close,
+               last_value(cl.close IGNORE NULLS) OVER wb AS pv,
+               last_value(CASE WHEN cl.close IS NOT NULL THEN s.day END
+                 IGNORE NULLS) OVER wb AS pd,
+               first_value(cl.close IGNORE NULLS) OVER wf AS nv,
+               first_value(CASE WHEN cl.close IS NOT NULL THEN s.day END
+                 IGNORE NULLS) OVER wf AS nd
+        FROM spine s LEFT JOIN cl
+          ON s.l_returnflag = cl.l_returnflag AND s.day = cl.day
+        WINDOW
+          wb AS (PARTITION BY s.l_returnflag ORDER BY s.day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+          wf AS (PARTITION BY s.l_returnflag ORDER BY s.day
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+      SELECT l_returnflag, day,
+             CASE WHEN close IS NOT NULL THEN close
+                  WHEN pv IS NULL THEN nv
+                  WHEN nv IS NULL THEN pv
+                  ELSE pv + (nv - pv) *
+                    (CAST(date_diff('day', pd, day) AS DOUBLE) /
+                     CAST(date_diff('day', pd, nd) AS DOUBLE))
+             END AS close_interp,
+             close IS NULL AS gap_filled
+      FROM g ORDER BY l_returnflag, day""")
+  )
+
   val all: Seq[QueryDef] =
     Seq(ohlcWeekly, bollinger, beta, ffill, rsi, macd, streaks, obv,
-      stochastic, acf)
+      stochastic, acf, seasonality, interp)
 }

@@ -470,6 +470,117 @@ object MiningCatalog {
       FROM m""")
   )
 
+  /** M9 capability: Gaussian Naive Bayes classifier, trained and scored
+    * fully inside the engine — predict l_returnflag from (quantity,
+    * discount, tax). Deterministic 80/20 split via the portable
+    * md5-prefix bucket; per-class priors/means/variances from exact
+    * decimal sums (bit-identical across engines), pivoted into a SINGLE
+    * broadcast parameter row so prediction is a scan-local expression —
+    * all three class scores computed inline per row, argmax as a fixed
+    * CASE with a deterministic class-preference tie-break. No per-row
+    * grouping at all (row keys need not be unique) and zero shuffles on
+    * the scoring side at any scale. The log-density is the one
+    * transcendental step → scores take r6, the repo's rank-on-rounded-
+    * value contract. Output is the confusion matrix (≤9 rows) — the
+    * end-to-end train+predict gate.
+    */
+  val m9Nbayes = QueryDef(
+    "q_m9_nbayes",
+    (s, dir) => {
+      val feats = Seq("l_quantity", "l_discount", "l_tax")
+      val classes = Seq("A", "N", "R")
+      val b = t(s, dir, "lineitem").withColumn("bkt",
+        expr("CAST(conv(substring(md5(concat_ws('|', l_orderkey, " +
+          "l_linenumber)), 1, 15), 16, 10) AS BIGINT) % 5"))
+      def s18(c: org.apache.spark.sql.Column) =
+        sum(c.cast("decimal(38,18)")).cast("double")
+      val sums = feats.flatMap(f => Seq(
+        s18(col(f)).as(s"s_$f"), s18(col(f) * col(f)).as(s"s2_$f")))
+      val aggs = count(lit(1)).as("n_c") +: sums
+      val params = b.where(col("bkt") =!= 0)
+        .groupBy(col("l_returnflag").as("cls"))
+        .agg(aggs.head, aggs.tail: _*)
+      // pivot the ≤|classes| parameter rows into ONE wide row (conditional
+      // max — each cell present exactly once), broadcast to the scorers
+      val wideAgg = classes.flatMap { cl =>
+        max(when(col("cls") === cl, col("n_c"))).as(s"n_$cl") +:
+          feats.flatMap(f => Seq(
+            max(when(col("cls") === cl, col(s"s_$f"))).as(s"s_${cl}_$f"),
+            max(when(col("cls") === cl, col(s"s2_$f"))).as(s"s2_${cl}_$f")))
+      }
+      val wide = params.agg(wideAgg.head, wideAgg.tail: _*)
+      val nTot = classes.map(cl => col(s"n_$cl")).reduce(_ + _)
+      val twoPi = lit(6.283185307179586)
+      def scoreFor(cl: String): org.apache.spark.sql.Column = {
+        val prior = col(s"n_$cl").cast("double") / nTot.cast("double")
+        val ll = feats.map { f =>
+          val mu = col(s"s_${cl}_$f") / col(s"n_$cl")
+          val v = col(s"s2_${cl}_$f") / col(s"n_$cl") - mu * mu
+          log(twoPi * v) + (col(f) - mu) * (col(f) - mu) / v
+        }.reduce(_ + _)
+        r6(log(prior) - lit(0.5) * ll)
+      }
+      b.where(col("bkt") === 0)
+        .crossJoin(broadcast(wide))
+        .select(col("l_returnflag"), scoreFor("A").as("sa"),
+          scoreFor("N").as("sn"), scoreFor("R").as("sr"))
+        .withColumn("predicted",
+          when(col("sa") >= col("sn") && col("sa") >= col("sr"), "A")
+            .when(col("sn") >= col("sr"), "N").otherwise("R"))
+        .groupBy("l_returnflag", "predicted")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("l_returnflag", "predicted")
+    },
+    Some {
+      val feats = Seq("l_quantity", "l_discount", "l_tax")
+      val classes = Seq("A", "N", "R")
+      val sums = feats.map(f =>
+        s"""CAST(sum(CAST($f AS DECIMAL(38,18))) AS DOUBLE) AS s_$f,
+            CAST(sum(CAST($f * $f AS DECIMAL(38,18))) AS DOUBLE) AS s2_$f""")
+        .mkString(",\n")
+      val cells = classes.map(cl =>
+        (s"max(CASE WHEN cls = '$cl' THEN n_c END) AS n_$cl" +:
+          feats.flatMap(f => Seq(
+            s"max(CASE WHEN cls = '$cl' THEN s_$f END) AS s_${cl}_$f",
+            s"max(CASE WHEN cls = '$cl' THEN s2_$f END) AS s2_${cl}_$f")))
+          .mkString(",\n")).mkString(",\n")
+      val nTot = classes.map(cl => s"n_$cl").mkString(" + ")
+      def scoreFor(cl: String): String = {
+        val ll = feats.map { f =>
+          val mu = s"(s_${cl}_$f / n_$cl)"
+          val v = s"(s2_${cl}_$f / n_$cl - $mu * $mu)"
+          s"ln(6.283185307179586 * $v) + ($f - $mu) * ($f - $mu) / $v"
+        }.mkString(" + ")
+        sqlR6(s"ln(CAST(n_$cl AS DOUBLE) / CAST($nTot AS DOUBLE)) " +
+          s"- 0.5 * ($ll)")
+      }
+      s"""
+      WITH b AS (
+        SELECT *, CAST('0x' || substr(md5(l_orderkey::VARCHAR || '|' ||
+                 l_linenumber::VARCHAR), 1, 15) AS BIGINT) % 5 AS bkt
+        FROM lineitem),
+      p0 AS (
+        SELECT l_returnflag AS cls, count(*) AS n_c,
+               $sums
+        FROM b WHERE bkt <> 0 GROUP BY 1),
+      wide AS (
+        SELECT $cells
+        FROM p0),
+      scored AS (
+        SELECT t.l_returnflag,
+               ${scoreFor("A")} AS sa, ${scoreFor("N")} AS sn,
+               ${scoreFor("R")} AS sr
+        FROM (SELECT * FROM b WHERE bkt = 0) t CROSS JOIN wide),
+      pred AS (
+        SELECT l_returnflag,
+               CASE WHEN sa >= sn AND sa >= sr THEN 'A'
+                    WHEN sn >= sr THEN 'N' ELSE 'R' END AS predicted
+        FROM scored)
+      SELECT l_returnflag, predicted, count(*) AS n
+      FROM pred GROUP BY 1, 2 ORDER BY 1, 2"""
+    }
+  )
+
   val all: Seq[QueryDef] = Seq(m1Ols, m2OlsNextDay, m4Anomalies, m5Ridge,
-    m6Cv, m7Mwu, m8Ks)
+    m6Cv, m7Mwu, m8Ks, m9Nbayes)
 }
