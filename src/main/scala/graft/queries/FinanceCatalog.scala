@@ -765,6 +765,71 @@ object FinanceCatalog {
       FROM lagged GROUP BY 1 ORDER BY 1""")
   )
 
+  /** Historical Value-at-Risk and Expected Shortfall (5%) per flag over
+    * the daily mean-price return series — the standard tail-risk pair.
+    * Returns divide exact decimal daily means (bit-identical operands in
+    * both engines), VaR is the k-th smallest return under the total order
+    * (ret, day) — a SELECTED value, k = floor(0.05·(n−1))+1, the exact-
+    * quantile convention — and ES is the exact decimal mean of those k
+    * tail returns (rank-based selection, no float threshold). Entirely
+    * exact → no rounding. The per-flag rank window runs on the calendar-
+    * bounded daily series (days × |flags| rows), the same spine charter
+    * as q_f_ffill.
+    */
+  val varEs = QueryDef(
+    "q_f_var_es",
+    (s, dir) => {
+      val byDay = Window.partitionBy("l_returnflag").orderBy("day")
+      val daily = t(s, dir, "lineitem")
+        .withColumn("day",
+          date_trunc("day", col("l_shipdate")).cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "day")
+        .agg((sum(col("l_extendedprice").cast("decimal(28,6)"))
+          .cast("double") / count(lit(1))).as("y"))
+      val rets = daily
+        .withColumn("ret", col("y") / lag(col("y"), 1).over(byDay) - 1)
+        .where(col("ret").isNotNull)
+      val rnw = Window.partitionBy("l_returnflag")
+        .orderBy(col("ret"), col("day"))
+      val ranked = rets
+        .withColumn("rn", row_number().over(rnw))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("l_returnflag")))
+        .withColumn("k", floor(col("n") * 0.05 - 0.05).cast("bigint") + 1L)
+      ranked.groupBy("l_returnflag")
+        .agg(max(col("n")).as("n_days"),
+          max(when(col("rn") === col("k"), col("ret"))).as("var_5"),
+          (sum(when(col("rn") <= col("k"), col("ret"))
+            .cast("decimal(38,18)")).cast("double") /
+            max(col("k")).cast("double")).as("es_5"))
+        .orderBy("l_returnflag")
+    },
+    Some("""
+      WITH daily AS (
+        SELECT l_returnflag, date_trunc('day', l_shipdate) AS day,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE)
+                 / count(*) AS y
+        FROM lineitem GROUP BY 1, 2),
+      rets AS (
+        SELECT l_returnflag, day,
+               y / lag(y, 1) OVER (PARTITION BY l_returnflag ORDER BY day)
+                 - 1 AS ret
+        FROM daily),
+      ranked AS (
+        SELECT l_returnflag, day, ret,
+               row_number() OVER (PARTITION BY l_returnflag
+                 ORDER BY ret, day) AS rn,
+               count(*) OVER (PARTITION BY l_returnflag) AS n
+        FROM rets WHERE ret IS NOT NULL),
+      k AS (
+        SELECT *, CAST(floor(n * 0.05 - 0.05) AS BIGINT) + 1 AS k
+        FROM ranked)
+      SELECT l_returnflag, CAST(max(n) AS BIGINT) AS n_days,
+             max(CASE WHEN rn = k THEN ret END) AS var_5,
+             CAST(sum(CASE WHEN rn <= k THEN CAST(ret AS DECIMAL(38,18))
+                      END) AS DOUBLE) / CAST(max(k) AS DOUBLE) AS es_5
+      FROM k GROUP BY 1 ORDER BY 1""")
+  )
+
   /** Day-of-week seasonality index per flag: mean price by weekday ÷ the
     * flag's overall mean — the multiplicative seasonal profile behind
     * weekly-pattern charts. Both means are exact (decimal sums, one
@@ -890,5 +955,5 @@ object FinanceCatalog {
 
   val all: Seq[QueryDef] =
     Seq(ohlcWeekly, bollinger, beta, ffill, rsi, macd, streaks, obv,
-      stochastic, acf, seasonality, interp)
+      stochastic, acf, seasonality, interp, varEs)
 }

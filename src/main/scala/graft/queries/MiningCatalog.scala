@@ -581,6 +581,64 @@ object MiningCatalog {
     }
   )
 
+  /** M10 capability: logistic regression — one Newton-Raphson (IRLS) step
+    * from β = 0, per returnflag, P(l_linestatus = 'F') ~ (quantity,
+    * discount). At β = 0 the update is closed-form: with centered
+    * features, β_feat = 4·(Xc'Xc)⁻¹·Xc'(y−½) and β₀ = 4·mean(y−½) — the
+    * X'X blocks are n·covar_pop, so the whole step is ONE aggregation
+    * pass and a symbolic 2×2 inverse, the same sufficient-statistics
+    * shape as M5's ridge (no iteration, no driver loop; at 100 TB this
+    * is one map-side-combined reduce). Honest naming: it is the first
+    * IRLS iterate, not a converged fit — the standard distributed
+    * "one-step" estimator. Both engines compose the identical formula
+    * from their own float moments → r6/r2 like every moments gate.
+    */
+  val m10LogregStep = QueryDef(
+    "q_m10_logreg_step",
+    (s, dir) => {
+      val y = when(col("l_linestatus") === "F", 1.0).otherwise(0.0)
+      val n = count(lit(1)).cast("double")
+      val sxx = covar_pop(col("l_quantity"), col("l_quantity")) * n
+      val sdd = covar_pop(col("l_discount"), col("l_discount")) * n
+      val sxd = covar_pop(col("l_quantity"), col("l_discount")) * n
+      val sxy = covar_pop(col("l_quantity"), y) * n
+      val sdy = covar_pop(col("l_discount"), y) * n
+      val det = sxx * sdd - sxd * sxd
+      val b1 = lit(4.0) * (sdd * sxy - sxd * sdy) / det
+      val b2 = lit(4.0) * (sxx * sdy - sxd * sxy) / det
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          r6(lit(4.0) * (avg(y) - lit(0.5))).as("beta0"),
+          r6(b1).as("beta_qty"),
+          r2(b2).as("beta_disc"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    },
+    Some(s"""
+      WITH m AS (
+        SELECT l_returnflag, count(*) AS n,
+               avg(CASE WHEN l_linestatus = 'F' THEN 1.0 ELSE 0.0 END) AS ay,
+               covar_pop(l_quantity, l_quantity) * count(*) AS sxx,
+               covar_pop(l_discount, l_discount) * count(*) AS sdd,
+               covar_pop(l_quantity, l_discount) * count(*) AS sxd,
+               covar_pop(l_quantity,
+                 CASE WHEN l_linestatus = 'F' THEN 1.0 ELSE 0.0 END)
+                 * count(*) AS sxy,
+               covar_pop(l_discount,
+                 CASE WHEN l_linestatus = 'F' THEN 1.0 ELSE 0.0 END)
+                 * count(*) AS sdy
+        FROM lineitem GROUP BY 1)
+      SELECT l_returnflag,
+             ${sqlR6("4.0 * (ay - 0.5)")} AS beta0,
+             ${sqlR6("""4.0 * (sdd * sxy - sxd * sdy)
+               / (sxx * sdd - sxd * sxd)""")} AS beta_qty,
+             ${sqlR2("""4.0 * (sxx * sdy - sxd * sxy)
+               / (sxx * sdd - sxd * sxd)""")} AS beta_disc,
+             n
+      FROM m ORDER BY l_returnflag""")
+  )
+
   val all: Seq[QueryDef] = Seq(m1Ols, m2OlsNextDay, m4Anomalies, m5Ridge,
-    m6Cv, m7Mwu, m8Ks, m9Nbayes)
+    m6Cv, m7Mwu, m8Ks, m9Nbayes, m10LogregStep)
 }

@@ -1051,10 +1051,61 @@ object MiscCatalog {
       FROM a ORDER BY o_orderpriority""")
   )
 
+  /** Per-flag Shannon entropy of the discount-level distribution — the
+    * diversity measure next to A18's Herfindahl and A20's Gini. Level
+    * shares are exact integer ratios; the Σ p·ln p accumulation goes
+    * through DECIMAL(38,18) (order-independent — each term is the same
+    * double in any engine, only the ln is transcendental) and the final
+    * entropy and its ln(k)-normalized form take r6. Two aggregations +
+    * one ≤|flags|-row broadcast join.
+    */
+  val qEntropy = QueryDef(
+    "q_a21_entropy",
+    (s, dir) => {
+      val lvl = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"),
+          expr("CAST(floor(l_discount * 100 + 0.5) AS BIGINT)").as("lvl"))
+        .agg(count(lit(1)).as("c"))
+      val tot = lvl.groupBy("l_returnflag")
+        .agg(sum(col("c")).as("n"), count(lit(1)).as("k"))
+      val p = col("c").cast("double") / col("n").cast("double")
+      lvl.join(broadcast(tot), "l_returnflag")
+        .select(col("l_returnflag"), col("n"), col("k"),
+          (-p * log(p)).as("term"))
+        .groupBy("l_returnflag")
+        .agg(max(col("n")).as("n"), max(col("k")).as("n_levels"),
+          r6(sum(col("term").cast("decimal(38,18)")).cast("double"))
+            .as("entropy"),
+          r6(sum(col("term").cast("decimal(38,18)")).cast("double") /
+            log(max(col("k")).cast("double"))).as("entropy_norm"))
+        .orderBy("l_returnflag")
+    },
+    Some(s"""
+      WITH lvl AS (
+        SELECT l_returnflag,
+               CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS lvl,
+               count(*) AS c
+        FROM lineitem GROUP BY 1, 2),
+      tot AS (
+        SELECT l_returnflag, CAST(sum(c) AS BIGINT) AS n, count(*) AS k
+        FROM lvl GROUP BY 1),
+      term AS (
+        SELECT lvl.l_returnflag, tot.n, tot.k,
+               -(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                 * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) AS term
+        FROM lvl JOIN tot USING (l_returnflag))
+      SELECT l_returnflag, max(n) AS n, max(k) AS n_levels,
+             ${sqlR6("CAST(sum(CAST(term AS DECIMAL(38,18))) AS DOUBLE)")}
+               AS entropy,
+             ${sqlR6("""CAST(sum(CAST(term AS DECIMAL(38,18))) AS DOUBLE)
+               / ln(CAST(max(k) AS DOUBLE))""")} AS entropy_norm
+      FROM term GROUP BY 1 ORDER BY 1""")
+  )
+
   val all: Seq[QueryDef] = Seq(oTopK, aSpikeSummary, eJson, aSummary,
     mKmeans, mLloydStep, qAsof, qRange, qRollup, qCube, qGroupingSets,
     qPercentile, qHistogram, qZOrder, qScd2, qScd1, qIncAgg,
     qQuantileExact, qPagerank, qTriangles, qChecksum, qChi2, qHhi,
-    qProfile, qBenford, qGini)
+    qProfile, qBenford, qGini, qEntropy)
 }
 
