@@ -639,6 +639,70 @@ object MiningCatalog {
       FROM m ORDER BY l_returnflag""")
   )
 
+  /** M11 capability: Welch's unequal-variance two-sample t-test (price of
+    * A-flag vs R-flag lines) with the Welch–Satterthwaite degrees of
+    * freedom — the parametric sibling of M7's Mann–Whitney. Means and
+    * sample variances come from exact decimal sums (order-independent,
+    * bit-identical across engines); t and df are fixed float expressions
+    * over those exact moments → r6. One aggregation pass, two rows in,
+    * one row out.
+    */
+  val m11Welch = QueryDef(
+    "q_m11_welch",
+    (s, dir) => {
+      def s18(c: org.apache.spark.sql.Column) =
+        sum(c.cast("decimal(38,6)")).cast("double")
+      val g = t(s, dir, "lineitem")
+        .where(col("l_returnflag").isin("A", "R"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          s18(col("l_extendedprice")).as("s1"),
+          s18(col("l_extendedprice") * col("l_extendedprice")).as("s2"))
+        .select(col("l_returnflag"), col("n"),
+          (col("s1") / col("n")).as("mu"),
+          ((col("s2") - col("s1") * col("s1") / col("n").cast("double")) /
+            (col("n") - 1L).cast("double")).as("v"))
+      val a = g.where(col("l_returnflag") === "A")
+        .select(col("n").as("n_a"), col("mu").as("mu_a"), col("v").as("v_a"))
+      val r = g.where(col("l_returnflag") === "R")
+        .select(col("n").as("n_r"), col("mu").as("mu_r"), col("v").as("v_r"))
+      val se2a = col("v_a") / col("n_a").cast("double")
+      val se2r = col("v_r") / col("n_r").cast("double")
+      a.crossJoin(r).select(
+        col("n_a"), col("n_r"),
+        r6((col("mu_a") - col("mu_r")) / sqrt(se2a + se2r)).as("t_stat"),
+        r2((se2a + se2r) * (se2a + se2r) /
+          (se2a * se2a / (col("n_a") - 1L).cast("double") +
+            se2r * se2r / (col("n_r") - 1L).cast("double"))).as("df"))
+    },
+    Some(s"""
+      WITH g AS (
+        SELECT l_returnflag, count(*) AS n,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)
+                 AS s1,
+               CAST(sum(CAST(l_extendedprice * l_extendedprice
+                 AS DECIMAL(38,6))) AS DOUBLE) AS s2
+        FROM lineitem WHERE l_returnflag IN ('A', 'R') GROUP BY 1),
+      m AS (
+        SELECT l_returnflag, n, s1 / n AS mu,
+               (s2 - s1 * s1 / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE)
+                 AS v
+        FROM g),
+      j AS (
+        SELECT a.n AS n_a, a.mu AS mu_a, a.v AS v_a,
+               r.n AS n_r, r.mu AS mu_r, r.v AS v_r,
+               a.v / CAST(a.n AS DOUBLE) AS se2a,
+               r.v / CAST(r.n AS DOUBLE) AS se2r
+        FROM (SELECT * FROM m WHERE l_returnflag = 'A') a
+        CROSS JOIN (SELECT * FROM m WHERE l_returnflag = 'R') r)
+      SELECT n_a, n_r,
+             ${sqlR6("(mu_a - mu_r) / sqrt(se2a + se2r)")} AS t_stat,
+             ${sqlR2("""(se2a + se2r) * (se2a + se2r)
+               / (se2a * se2a / CAST(n_a - 1 AS DOUBLE)
+                  + se2r * se2r / CAST(n_r - 1 AS DOUBLE))""")} AS df
+      FROM j""")
+  )
+
   val all: Seq[QueryDef] = Seq(m1Ols, m2OlsNextDay, m4Anomalies, m5Ridge,
-    m6Cv, m7Mwu, m8Ks, m9Nbayes, m10LogregStep)
+    m6Cv, m7Mwu, m8Ks, m9Nbayes, m10LogregStep, m11Welch)
 }
