@@ -66,4 +66,34 @@ class RankStatsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(3)) < 1e-12 ||
       r.getDouble(2) == 4.0 * 4.0 / 2.0)
   }
+
+  private def gini(rows: Seq[(String, Long)]) =
+    RankStats.gini(rows.toDF("g", "v"), "v", "g")
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+
+  test("Gini: perfect equality gives 0") {
+    val g = gini(Seq(("x", 5L), ("x", 5L), ("x", 5L), ("x", 5L)))
+    assert(g("x") == 0.0)
+  }
+
+  test("Gini: hand-computed {1,2,3,4} -> 0.25") {
+    // G = 2*(1*1+2*2+3*3+4*4)/(4*10) − 5/4 = 60/40 − 1.25 = 0.25
+    val g = gini(Seq(("x", 1L), ("x", 2L), ("x", 3L), ("x", 4L)))
+    assert(g("x") == 0.25)
+  }
+
+  test("Gini: ties match the expanded-rank closed form, per group") {
+    // {2,2,4}: sorted ranks 1,2,3 → G = 2*(2+4+12)/(3*8) − 4/3 = 1/6
+    // (assert with the identical IEEE expression — 1.5 − 4/3 in doubles);
+    // second group checks group isolation: {1,3} → 2*(1+6)/(2*4) − 3/2 = 1/4
+    val g = gini(Seq(("a", 2L), ("a", 2L), ("a", 4L),
+      ("b", 1L), ("b", 3L)))
+    assert(g("a") == 1.5 - 4.0 / 3.0 && g("b") == 0.25)
+  }
+
+  test("Gini: single extreme holder approaches (n-1)/n") {
+    // {0,0,0,10}: G = 2*4*10/(4*10) − 5/4 = 2 − 1.25 = 0.75 = (n−1)/n
+    val g = gini(Seq(("x", 0L), ("x", 0L), ("x", 0L), ("x", 10L)))
+    assert(g("x") == 0.75)
+  }
 }
