@@ -338,7 +338,51 @@ object WindowCatalog {
       ORDER BY l_returnflag, l_shipdate, l_orderkey, l_linenumber""")
   )
 
+  /** W13 capability: exact GLOBAL decile bucketing of orders by value —
+    * the ntile shape, but computed without the single-partition sort a
+    * global `Window.orderBy` would funnel through: row numbers come from
+    * plans.SequenceOps.runningSum over the total order (o_totalprice,
+    * o_orderkey) — range-partitioned, P-way parallel — and the bucket is
+    * pure integer arithmetic floor((rn−1)·10/n)+1 (the SQL-standard
+    * ntile distribution for n divisible by 10; self-consistent exact
+    * formula otherwise). Per-decile count and exact decimal revenue make
+    * the output bit-exact; the oracle replays the identical formula from
+    * row_number (not SQL ntile, whose remainder rule differs).
+    */
+  val w13Decile = QueryDef(
+    "q_w13_decile",
+    (s, dir) => {
+      val src = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"), lit(1L).as("one"))
+      val rn = graft.plans.SequenceOps.runningSum(
+        src, Seq(), Seq("o_totalprice", "o_orderkey"), "one", "rn")
+      val tot = rn.agg(max(col("rn")).as("n"))
+      rn.crossJoin(broadcast(tot))
+        .withColumn("decile",
+          expr("(rn - 1) * 10 div n") + 1L)
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n_orders"),
+          sumE(col("o_totalprice")).as("revenue"),
+          min(col("o_totalprice")).as("lo"),
+          max(col("o_totalprice")).as("hi"))
+        .orderBy("decile")
+    },
+    Some(s"""
+      WITH r AS (
+        SELECT o_orderkey, o_totalprice,
+               row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rn,
+               count(*) OVER () AS n
+        FROM orders),
+      d AS (
+        SELECT o_totalprice, (rn - 1) * 10 // n + 1 AS decile FROM r)
+      SELECT decile, count(*) AS n_orders,
+             ${sqlSumE("o_totalprice")} AS revenue,
+             min(o_totalprice) AS lo, max(o_totalprice) AS hi
+      FROM d GROUP BY 1 ORDER BY 1""")
+  )
+
   val all: Seq[QueryDef] = Seq(
     w1Lead, w2PctChange, w3Zscore, w4w5Rolling, w6Cumsum, w7Drawdown,
-    w8RollingCorr, w9Standardize, w10Split, w11RankFamily, w12Ewma)
+    w8RollingCorr, w9Standardize, w10Split, w11RankFamily, w12Ewma,
+    w13Decile)
 }
