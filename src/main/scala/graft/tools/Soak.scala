@@ -76,7 +76,14 @@ object Soak {
       // TriMinQty support threshold governs, not a plan property).
       "q_w12_ewma", "q_f_rsi", "q_f_ohlc_weekly", "q_f_beta", "q_t_dsir",
       "q_t_bm25", "q_quantile_exact", "q_hll_distinct", "q_cms_topk",
-      "q_g_pagerank", "q_t_decontaminate", "q_t_line_dedup")
+      "q_g_pagerank", "q_t_decontaminate", "q_t_line_dedup",
+      // round-7 batch: profiler histograms, rank stats, NB scoring, and
+      // the prefix-sum decile all scan the scaled fact tables
+      // (q_f_interp/q_e_retention excluded — calendar-/user-bounded
+      // outputs don't grow with facts, so 10× re-times near-fixed work)
+      "q_p_profile", "q_a20_gini", "q_a21_entropy", "q_m9_nbayes",
+      "q_m10_logreg_step", "q_m11_welch", "q_w13_decile", "q_f_var_es",
+      "q_f_seasonality")
     // operators self-materialize shared intermediates (localCheckpoint);
     // free them between runs so timings don't pay earlier queries' blocks
     def clear(): Unit = {
