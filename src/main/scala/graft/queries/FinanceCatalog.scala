@@ -334,7 +334,8 @@ object FinanceCatalog {
     "rsi_loss_seeds" -> ((s, dir) => rsiParts(s, dir)._3),
     "macd_fast_seeds" -> ((s, dir) => macdParts(s, dir)._2),
     "macd_slow_seeds" -> ((s, dir) => macdParts(s, dir)._3),
-    "macd_sig_seeds" -> ((s, dir) => macdParts(s, dir)._4))
+    "macd_sig_seeds" -> ((s, dir) => macdParts(s, dir)._4),
+    "holt_seeds" -> ((s, dir) => holtParts(s, dir)._2))
 
   /** RSI-14 (Wilder): EWMA-smoothed average gain vs average loss over the
     * daily close-to-close moves, RSI = 100 − 100/(1 + gain/loss) — THE
@@ -953,7 +954,94 @@ object FinanceCatalog {
       FROM g ORDER BY l_returnflag, day""")
   )
 
+  // q_f_holt parameters — exact binary fractions, so the interpolated SQL
+  // literals ("0.875", "0.25", …) are the identical doubles in both engines
+  private val HoltAlpha = 0.125
+  private val HoltBeta = 0.25
+
+  /** Shared by the gated query and the Verify aux dump: Holt level+trend
+    * over the daily close series (the same dailyClose feed as RSI/MACD).
+    */
+  private def holtParts(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val closes = dailyClose(s, dir)
+    graft.plans.HoltScan.holtWithSeeds(closes, Seq("l_returnflag"),
+      Seq("day"), unix_date(col("day").cast("date")), "close",
+      HoltAlpha, HoltBeta, "level", "trend", RsiBuckets)
+  }
+
+  /** Holt linear-trend smoothing (double exponential smoothing): the
+    * forecasting recurrence statsmodels' `ExponentialSmoothing
+    * (trend='add')` runs sequentially, distributed via plans.HoltScan's
+    * 2×2 affine Blelloch scan. Level, trend, and the h=5 projection
+    * `level + 5·trend` are all plain IEEE ×/+ on identical operands in
+    * both engines, so the DuckDB recursive-CTE replay (one CTE carrying
+    * BOTH state components, seeded per segment from the dumped boundary
+    * table) matches BIT-FOR-BIT — no rounding anywhere.
+    */
+  val holt = QueryDef(
+    "q_f_holt",
+    (s, dir) =>
+      holtParts(s, dir)._1
+        .select(col("l_returnflag"), col("day"), col("level"), col("trend"),
+          (col("level") + lit(5.0) * col("trend")).as("forecast_5"))
+        .orderBy("l_returnflag", "day"),
+    Some(s"""
+      WITH RECURSIVE
+      r AS (
+        SELECT l_returnflag, date_trunc('day', l_shipdate) AS day,
+               l_extendedprice,
+               row_number() OVER (
+                 PARTITION BY l_returnflag, date_trunc('day', l_shipdate)
+                 ORDER BY $liOrderDescSql) AS rn
+        FROM lineitem),
+      cl AS (
+        SELECT l_returnflag, day, l_extendedprice AS close
+        FROM r WHERE rn = 1),
+      lohi AS (
+        SELECT min(CAST(day AS DATE) - DATE '1970-01-01') AS lo,
+               max(CAST(day AS DATE) - DATE '1970-01-01') AS hi
+        FROM cl),
+      kb AS (
+        SELECT l_returnflag, day, close AS x,
+               CAST(((CAST(day AS DATE) - DATE '1970-01-01') - lo)
+                 // ((hi - lo) // $RsiBuckets + 1) AS INT) AS b
+        FROM cl, lohi),
+      base AS (
+        SELECT *, row_number() OVER (PARTITION BY b, l_returnflag
+          ORDER BY day) AS rn
+        FROM kb),
+      sd AS (
+        SELECT "__holt_b" AS b, l_returnflag, seed_l, seed_b
+        FROM read_parquet('__VERIFY_OUT__/aux/holt_seeds/*.parquet')),
+      rec AS (
+        SELECT k.b, k.l_returnflag, k.day, k.rn,
+               CASE WHEN s.seed_l IS NULL THEN k.x
+                    ELSE ${1.0 - HoltAlpha} * (s.seed_l + s.seed_b)
+                         + $HoltAlpha * k.x
+               END AS l,
+               CASE WHEN s.seed_l IS NULL THEN 0.0
+                    ELSE $HoltBeta * ((${1.0 - HoltAlpha} * (s.seed_l + s.seed_b)
+                           + $HoltAlpha * k.x) - s.seed_l)
+                         + ${1.0 - HoltBeta} * s.seed_b
+               END AS tr
+        FROM base k JOIN sd s
+          ON s.b = k.b AND s.l_returnflag = k.l_returnflag
+        WHERE k.rn = 1
+        UNION ALL
+        SELECT n.b, n.l_returnflag, n.day, n.rn,
+               ${1.0 - HoltAlpha} * (p.l + p.tr) + $HoltAlpha * n.x,
+               $HoltBeta * ((${1.0 - HoltAlpha} * (p.l + p.tr)
+                 + $HoltAlpha * n.x) - p.l) + ${1.0 - HoltBeta} * p.tr
+        FROM rec p JOIN base n
+          ON n.b = p.b AND n.l_returnflag = p.l_returnflag
+            AND n.rn = p.rn + 1)
+      SELECT l_returnflag, day, l AS level, tr AS trend,
+             l + 5.0 * tr AS forecast_5
+      FROM rec
+      ORDER BY l_returnflag, day""")
+  )
+
   val all: Seq[QueryDef] =
     Seq(ohlcWeekly, bollinger, beta, ffill, rsi, macd, streaks, obv,
-      stochastic, acf, seasonality, interp, varEs)
+      stochastic, acf, seasonality, interp, varEs, holt)
 }
