@@ -82,6 +82,52 @@ object RankStats {
         .as("gini"))
   }
 
+  /** Per-group Spearman rank correlation of two integral columns
+    * (quantize floats first) WITHOUT a global sort: each variable's
+    * tie-averaged midranks come from its value histogram + one
+    * range-partitioned prefix sum ([[graft.plans.SequenceOps.runningSum]]),
+    * carried 2×-scaled so they stay integers; rows pick their ranks up via
+    * two histogram-sized equi-joins (the rank tables are |distinct values|
+    * rows, not |rows| — broadcast-sized for discrete variables); then
+    * ρ = Pearson over the rank pairs from one aggregation of exact
+    * DECIMAL(38,0) moments (the 2× scaling cancels). Only the final
+    * ratio/sqrt compose in double — fixed operand order, identical in any
+    * engine, so ρ is bit-exact given exact integer moments.
+    *
+    * Returns one row per group: (groupCol, n BIGINT, rho DOUBLE).
+    */
+  def spearman(df: DataFrame, xCol: String, yCol: String,
+      groupCol: String): DataFrame = {
+    def rank2(vCol: String, out: String): DataFrame = {
+      val h = df.groupBy(col(groupCol), col(vCol).as("__v"))
+        .agg(count(lit(1)).as("__c"))
+      val cum = graft.plans.SequenceOps.runningSum(
+        h, Seq(groupCol), Seq("__v"), "__c", "__cum")
+      cum.select(col(groupCol), col("__v").as(vCol),
+        (lit(2L) * (col("__cum") - col("__c")) + col("__c") + 1L).as(out))
+    }
+    val joined = df.select(col(groupCol), col(xCol), col(yCol))
+      .join(rank2(xCol, "__rx2"), Seq(groupCol, xCol))
+      .join(rank2(yCol, "__ry2"), Seq(groupCol, yCol))
+    // decimal widths: rank2 ≤ 2n+1; squares/products ≤ ~4n², so the
+    // 19×19→38 products and their sums stay exact for any realistic group
+    val agg = joined.groupBy(groupCol).agg(
+      count(lit(1)).as("n"),
+      sum(col("__rx2").cast("decimal(28,0)")).cast("double").as("__sx"),
+      sum(col("__ry2").cast("decimal(28,0)")).cast("double").as("__sy"),
+      sum(col("__rx2").cast("decimal(19,0)")
+        * col("__rx2").cast("decimal(19,0)")).cast("double").as("__sxx"),
+      sum(col("__ry2").cast("decimal(19,0)")
+        * col("__ry2").cast("decimal(19,0)")).cast("double").as("__syy"),
+      sum(col("__rx2").cast("decimal(19,0)")
+        * col("__ry2").cast("decimal(19,0)")).cast("double").as("__sxy"))
+    val nd = col("n").cast("double")
+    agg.select(col(groupCol), col("n"),
+      ((nd * col("__sxy") - col("__sx") * col("__sy")) /
+        sqrt((nd * col("__sxx") - col("__sx") * col("__sx")) *
+          (nd * col("__syy") - col("__sy") * col("__sy")))).as("rho"))
+  }
+
   /** Two-sample Kolmogorov–Smirnov statistic of `valCol` (integral —
     * quantize floats first) between `groupA` and the rest:
     * D = max |F_A − F_B| over the empirical CDFs, computed EXACTLY as the

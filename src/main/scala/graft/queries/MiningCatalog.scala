@@ -703,6 +703,63 @@ object MiningCatalog {
       FROM j""")
   )
 
+  /** M12 capability: per-flag Spearman rank correlation between quantity
+    * and price via analytics.RankStats — midranks from value histograms +
+    * range-partitioned prefix sums (no global sort), 2×-scaled integer
+    * ranks, exact DECIMAL(38,0) moments; `rho` composes in double from
+    * identical operands in both engines → bit-exact, no rounding. The
+    * scipy.stats.spearmanr capability shaped for data too large for one
+    * sorter.
+    */
+  val m12Spearman = QueryDef(
+    "q_m12_spearman",
+    (s, dir) => {
+      val src = t(s, dir, "lineitem").select(
+        col("l_returnflag").as("g"),
+        col("l_quantity").cast("long").as("x"),
+        expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)").as("y"))
+      graft.analytics.RankStats.spearman(src, "x", "y", "g")
+        .orderBy("g")
+    },
+    Some("""
+      WITH src AS (
+        SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS x,
+               CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y
+        FROM lineitem),
+      hx AS (SELECT g, x, count(*) AS c FROM src GROUP BY 1, 2),
+      cx AS (
+        SELECT g, x,
+               2 * (CAST(sum(c) OVER (PARTITION BY g ORDER BY x
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) - c) + c + 1 AS rx2
+        FROM hx),
+      hy AS (SELECT g, y, count(*) AS c FROM src GROUP BY 1, 2),
+      cy AS (
+        SELECT g, y,
+               2 * (CAST(sum(c) OVER (PARTITION BY g ORDER BY y
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) - c) + c + 1 AS ry2
+        FROM hy),
+      j AS (
+        SELECT s.g, cx.rx2, cy.ry2
+        FROM src s
+        JOIN cx ON cx.g = s.g AND cx.x = s.x
+        JOIN cy ON cy.g = s.g AND cy.y = s.y),
+      a AS (
+        SELECT g, count(*) AS n,
+               CAST(sum(CAST(rx2 AS HUGEINT)) AS DOUBLE) AS sx,
+               CAST(sum(CAST(ry2 AS HUGEINT)) AS DOUBLE) AS sy,
+               CAST(sum(CAST(rx2 AS HUGEINT) * rx2) AS DOUBLE) AS sxx,
+               CAST(sum(CAST(ry2 AS HUGEINT) * ry2) AS DOUBLE) AS syy,
+               CAST(sum(CAST(rx2 AS HUGEINT) * ry2) AS DOUBLE) AS sxy
+        FROM j GROUP BY g)
+      SELECT g, n,
+             (CAST(n AS DOUBLE) * sxy - sx * sy)
+               / sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
+                      * (CAST(n AS DOUBLE) * syy - sy * sy)) AS rho
+      FROM a ORDER BY g""")
+  )
+
   val all: Seq[QueryDef] = Seq(m1Ols, m2OlsNextDay, m4Anomalies, m5Ridge,
-    m6Cv, m7Mwu, m8Ks, m9Nbayes, m10LogregStep, m11Welch)
+    m6Cv, m7Mwu, m8Ks, m9Nbayes, m10LogregStep, m11Welch, m12Spearman)
 }

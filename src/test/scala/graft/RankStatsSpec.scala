@@ -96,4 +96,34 @@ class RankStatsSpec extends SparkSpec {
     val g = gini(Seq(("x", 0L), ("x", 0L), ("x", 0L), ("x", 10L)))
     assert(g("x") == 0.75)
   }
+
+  private def spearman(rows: Seq[(String, Long, Long)]) =
+    RankStats.spearman(rows.toDF("g", "x", "y"), "x", "y", "g")
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+
+  test("Spearman: perfect monotone relation gives ±1") {
+    val inc = spearman(Seq(("a", 1L, 10L), ("a", 2L, 20L), ("a", 3L, 90L),
+      ("a", 4L, 91L)))
+    assert(inc("a") == 1.0)
+    val dec = spearman(Seq(("a", 1L, 91L), ("a", 2L, 90L), ("a", 3L, 20L),
+      ("a", 4L, 10L)))
+    assert(dec("a") == -1.0)
+  }
+
+  test("Spearman: textbook no-ties case matches 1 - 6*sum(d^2)/(n(n^2-1))") {
+    // x ranks 1..5; y = (2,1,4,3,5) → d² sum = 1+1+1+1+0 = 4
+    // ρ = 1 − 24/120 = 0.8
+    val r = spearman(Seq(("a", 1L, 20L), ("a", 2L, 10L), ("a", 3L, 40L),
+      ("a", 4L, 30L), ("a", 5L, 50L)))
+    assert(math.abs(r("a") - 0.8) < 1e-12)
+  }
+
+  test("Spearman: ties use midranks (scipy.spearmanr semantics), per group") {
+    // x = (1,1,2), y = (10,20,30): x midranks (1.5,1.5,3), y ranks (1,2,3)
+    // Pearson of ranks = cov/σxσy = (0.5·... ) → scipy gives 0.866025...
+    val r = spearman(Seq(("a", 1L, 10L), ("a", 1L, 20L), ("a", 2L, 30L),
+      ("b", 1L, 1L), ("b", 2L, 2L)))
+    assert(math.abs(r("a") - 0.8660254037844387) < 1e-12)
+    assert(r("b") == 1.0)
+  }
 }
