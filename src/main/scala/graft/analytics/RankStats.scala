@@ -128,6 +128,56 @@ object RankStats {
           (nd * col("__syy") - col("__sy") * col("__sy")))).as("rho"))
   }
 
+  /** Per-group median, MAD (median absolute deviation), and modified
+    * z-score outlier count of an integral column (quantize floats first) —
+    * the Iglewicz–Hoaglin robust-anomaly capability, computed EXACTLY and
+    * without a global sort. Medians are selected order statistics from the
+    * value histogram + one range-partitioned prefix sum (the same shape as
+    * [[gini]]), carried DOUBLED (`med2` = lower + upper middle order
+    * statistic) so even-count medians stay integers; deviations
+    * `d = |2v − med2|` then stay integers at 2× scale and the MAD repeats
+    * the same selection on their histogram (`mad4` at 4× scale). A row is
+    * an outlier when 0.6745·|x−med|/MAD > `zCut`, evaluated scale-free as
+    * `0.6745·(2d) > zCut·mad4` — one float comparison on exact integers,
+    * identical in any engine (and division-free, so MAD = 0 degrades to
+    * "any deviation flags" instead of dividing by zero).
+    *
+    * Returns one row per group:
+    * (groupCol, n, med2 BIGINT exact, mad4 BIGINT exact, n_outliers).
+    */
+  def medianMad(df: DataFrame, valCol: String, groupCol: String,
+      zCut: Double = 3.5): DataFrame = {
+    // doubled median per group: sum of the two middle order statistics
+    def med2(d: DataFrame, vCol: String, out: String): DataFrame = {
+      val h = d.groupBy(col(groupCol), col(vCol).as("__v"))
+        .agg(count(lit(1)).as("__c"))
+      val cum = graft.plans.SequenceOps.runningSum(
+        h, Seq(groupCol), Seq("__v"), "__c", "__cum")
+      val tot = h.groupBy(groupCol).agg(sum(col("__c")).as("__n"))
+      cum.join(broadcast(tot), Seq(groupCol))
+        .withColumn("__rlo", expr("(__n + 1) DIV 2"))
+        .withColumn("__rhi", expr("(__n + 2) DIV 2"))
+        .groupBy(groupCol)
+        .agg(sum(col("__v") * (
+          when(col("__cum") - col("__c") < col("__rlo") &&
+            col("__rlo") <= col("__cum"), 1L).otherwise(0L) +
+          when(col("__cum") - col("__c") < col("__rhi") &&
+            col("__rhi") <= col("__cum"), 1L).otherwise(0L))).as(out))
+    }
+    val m = med2(df, valCol, "med2")
+    val dev = df.join(broadcast(m), Seq(groupCol))
+      .withColumn("__d", abs(lit(2L) * col(valCol) - col("med2")))
+    val mad = med2(dev, "__d", "mad4")
+    dev.join(broadcast(mad), Seq(groupCol))
+      .groupBy(col(groupCol), col("med2"), col("mad4"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(lit(0.6745) * (lit(2L) * col("__d")).cast("double")
+          > lit(zCut) * col("mad4").cast("double"), 1L).otherwise(0L))
+          .as("n_outliers"))
+      .select(col(groupCol), col("n"), col("med2"), col("mad4"),
+        col("n_outliers"))
+  }
+
   /** Two-sample Kolmogorov–Smirnov statistic of `valCol` (integral —
     * quantize floats first) between `groupA` and the rest:
     * D = max |F_A − F_B| over the empirical CDFs, computed EXACTLY as the

@@ -760,6 +760,73 @@ object MiningCatalog {
       FROM a ORDER BY g""")
   )
 
+  /** M13 capability: robust per-flag anomaly screen — median/MAD modified
+    * z-score (Iglewicz–Hoaglin) via analytics.RankStats.medianMad: medians
+    * are exact order statistics selected from value histograms + prefix
+    * sums (no global sort), carried doubled (med2, mad4) so everything up
+    * to the one float comparison is exact integer arithmetic → bit-exact,
+    * no rounding. The robust counterpart to q_m4's mean/σ z-scores (MAD
+    * has a 50% breakdown point where σ has 0%).
+    */
+  val m13Robust = QueryDef(
+    "q_m13_robust",
+    (s, dir) => {
+      val src = t(s, dir, "lineitem").select(
+        col("l_returnflag").as("g"),
+        expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)").as("v"))
+      graft.analytics.RankStats.medianMad(src, "v", "g")
+        .orderBy("g")
+    },
+    Some("""
+      WITH src AS (
+        SELECT l_returnflag AS g,
+               CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v
+        FROM lineitem),
+      h AS (SELECT g, v, count(*) AS c FROM src GROUP BY 1, 2),
+      cu AS (
+        SELECT g, v, c,
+               CAST(sum(c) OVER (PARTITION BY g ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS cum,
+               CAST(sum(c) OVER (PARTITION BY g) AS BIGINT) AS n
+        FROM h),
+      m AS (
+        SELECT g,
+               CAST(sum(v * (
+                 CASE WHEN cum - c < (n + 1) // 2 AND (n + 1) // 2 <= cum
+                   THEN 1 ELSE 0 END +
+                 CASE WHEN cum - c < (n + 2) // 2 AND (n + 2) // 2 <= cum
+                   THEN 1 ELSE 0 END)) AS BIGINT) AS med2
+        FROM cu GROUP BY g),
+      dev AS (
+        SELECT s.g, abs(2 * s.v - m.med2) AS d, m.med2
+        FROM src s JOIN m ON m.g = s.g),
+      hd AS (SELECT g, d, count(*) AS c FROM dev GROUP BY 1, 2),
+      cud AS (
+        SELECT g, d, c,
+               CAST(sum(c) OVER (PARTITION BY g ORDER BY d
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS cum,
+               CAST(sum(c) OVER (PARTITION BY g) AS BIGINT) AS n
+        FROM hd),
+      md AS (
+        SELECT g,
+               CAST(sum(d * (
+                 CASE WHEN cum - c < (n + 1) // 2 AND (n + 1) // 2 <= cum
+                   THEN 1 ELSE 0 END +
+                 CASE WHEN cum - c < (n + 2) // 2 AND (n + 2) // 2 <= cum
+                   THEN 1 ELSE 0 END)) AS BIGINT) AS mad4
+        FROM cud GROUP BY g)
+      SELECT dev.g, count(*) AS n, dev.med2, md.mad4,
+             CAST(sum(CASE WHEN 0.6745 * CAST(2 * dev.d AS DOUBLE)
+               > 3.5 * CAST(md.mad4 AS DOUBLE) THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_outliers
+      FROM dev JOIN md ON md.g = dev.g
+      GROUP BY dev.g, dev.med2, md.mad4
+      ORDER BY dev.g""")
+  )
+
   val all: Seq[QueryDef] = Seq(m1Ols, m2OlsNextDay, m4Anomalies, m5Ridge,
-    m6Cv, m7Mwu, m8Ks, m9Nbayes, m10LogregStep, m11Welch, m12Spearman)
+    m6Cv, m7Mwu, m8Ks, m9Nbayes, m10LogregStep, m11Welch, m12Spearman,
+    m13Robust)
 }

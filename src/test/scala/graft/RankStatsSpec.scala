@@ -126,4 +126,26 @@ class RankStatsSpec extends SparkSpec {
     assert(math.abs(r("a") - 0.8660254037844387) < 1e-12)
     assert(r("b") == 1.0)
   }
+
+  private def medianMad(rows: Seq[(String, Long)]) =
+    RankStats.medianMad(rows.toDF("g", "v"), "v", "g")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+
+  test("medianMad: even count, one gross outlier flagged") {
+    // {1,2,3,4,5,100}: med = 3.5 (med2 = 7); d = {5,3,1,1,3,193};
+    // MAD = 1.5 (mad4 = 6); only 100 exceeds 0.6745·2d > 3.5·mad4
+    val m = medianMad(Seq(("a", 1L), ("a", 2L), ("a", 3L), ("a", 4L),
+      ("a", 5L), ("a", 100L)))
+    assert(m("a") == ((6L, 7L, 6L, 1L)))
+  }
+
+  test("medianMad: odd count and MAD=0 degrade to any-deviation flags") {
+    // {5,5,5}: med2 = 10, all d = 0, mad4 = 0, no outliers;
+    // {5,5,9}: med2 = 10, d = {0,0,8}, mad4 = 0 → the single deviant flags
+    val m = medianMad(Seq(("a", 5L), ("a", 5L), ("a", 5L),
+      ("b", 5L), ("b", 5L), ("b", 9L)))
+    assert(m("a") == ((3L, 10L, 0L, 0L)))
+    assert(m("b") == ((3L, 10L, 0L, 1L)))
+  }
 }
