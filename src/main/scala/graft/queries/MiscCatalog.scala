@@ -1114,10 +1114,86 @@ object MiscCatalog {
       FROM term GROUP BY 1 ORDER BY 1""")
   )
 
+  /** A22 capability: mutual information + Cramér's V of the
+    * (returnflag × linestatus) contingency — the dependence measures a
+    * feature-selection pass runs over categorical pairs, the information-
+    * theoretic counterpart to q_a17's χ². Exact integer cell counts and
+    * margins (one cells aggregation, margins re-aggregated from the ≤
+    * |A|×|B| cell table — never a second fact scan); per-cell terms
+    * compose in double from identical operands (the q_a21 ln contract),
+    * are decimal-accumulated (order-independent), and the two statistics
+    * take r6.
+    */
+  val qMi = QueryDef(
+    "q_a22_mi",
+    (s, dir) => {
+      val cells = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag").as("a"), col("l_linestatus").as("b"))
+        .agg(count(lit(1)).as("nij"))
+      val ra = cells.groupBy("a").agg(sum("nij").as("ri"))
+      val cb = cells.groupBy("b").agg(sum("nij").as("cj"))
+      val tot = cells.agg(sum("nij").as("n"),
+        countDistinct("a").as("ka"), countDistinct("b").as("kb"))
+      val nd = col("n").cast("double")
+      val pij = col("nij").cast("double") / nd
+      val miTerm = pij * log(nd * col("nij").cast("double") /
+        (col("ri").cast("double") * col("cj").cast("double")))
+      val e = col("ri").cast("double") * col("cj").cast("double") / nd
+      val chiTerm = (col("nij").cast("double") - e) *
+        (col("nij").cast("double") - e) / e
+      cells.join(broadcast(ra), "a").join(broadcast(cb), "b")
+        .crossJoin(broadcast(tot))
+        .select(col("n"), col("ka"), col("kb"),
+          miTerm.as("mi_t"), chiTerm.as("chi_t"))
+        .groupBy("n", "ka", "kb")
+        .agg(
+          r6(sum(col("mi_t").cast("decimal(38,18)")).cast("double"))
+            .as("mi"),
+          r6(sqrt(sum(col("chi_t").cast("decimal(38,18)")).cast("double")
+            / (col("n").cast("double")
+              * least(col("ka") - 1L, col("kb") - 1L).cast("double"))))
+            .as("cramers_v"))
+    },
+    Some(s"""
+      WITH cells AS (
+        SELECT l_returnflag AS a, l_linestatus AS b, count(*) AS nij
+        FROM lineitem GROUP BY 1, 2),
+      ra AS (SELECT a, CAST(sum(nij) AS BIGINT) AS ri FROM cells GROUP BY 1),
+      cb AS (SELECT b, CAST(sum(nij) AS BIGINT) AS cj FROM cells GROUP BY 1),
+      tot AS (
+        SELECT CAST(sum(nij) AS BIGINT) AS n,
+               count(DISTINCT a) AS ka, count(DISTINCT b) AS kb
+        FROM cells),
+      term AS (
+        SELECT tot.n, tot.ka, tot.kb,
+               (CAST(nij AS DOUBLE) / CAST(n AS DOUBLE))
+                 * ln(CAST(n AS DOUBLE) * CAST(nij AS DOUBLE)
+                     / (CAST(ri AS DOUBLE) * CAST(cj AS DOUBLE))) AS mi_t,
+               (CAST(nij AS DOUBLE)
+                  - CAST(ri AS DOUBLE) * CAST(cj AS DOUBLE)
+                    / CAST(n AS DOUBLE))
+               * (CAST(nij AS DOUBLE)
+                  - CAST(ri AS DOUBLE) * CAST(cj AS DOUBLE)
+                    / CAST(n AS DOUBLE))
+               / (CAST(ri AS DOUBLE) * CAST(cj AS DOUBLE)
+                  / CAST(n AS DOUBLE)) AS chi_t
+        FROM cells
+        JOIN ra USING (a) JOIN cb USING (b) CROSS JOIN tot)
+      SELECT n, ka, kb,
+             ${sqlR6("CAST(sum(CAST(mi_t AS DECIMAL(38,18))) AS DOUBLE)")}
+               AS mi,
+             ${sqlR6("""sqrt(CAST(sum(CAST(chi_t AS DECIMAL(38,18)))
+                 AS DOUBLE)
+               / (CAST(n AS DOUBLE)
+                  * CAST(least(ka - 1, kb - 1) AS DOUBLE)))""")}
+               AS cramers_v
+      FROM term GROUP BY 1, 2, 3""")
+  )
+
   val all: Seq[QueryDef] = Seq(oTopK, aSpikeSummary, eJson, aSummary,
     mKmeans, mLloydStep, qAsof, qRange, qRollup, qCube, qGroupingSets,
     qPercentile, qHistogram, qZOrder, qScd2, qScd1, qIncAgg,
     qQuantileExact, qPagerank, qTriangles, qChecksum, qChi2, qHhi,
-    qProfile, qBenford, qGini, qEntropy)
+    qProfile, qBenford, qGini, qEntropy, qMi)
 }
 
