@@ -725,9 +725,67 @@ object TextCatalog {
       ORDER BY es_key, doc_id LIMIT 25""")
   )
 
+  /** Cross-source vocabulary overlap: Jaccard similarity of the distinct
+    * token sets of every source pair — the corpus-similarity matrix a data
+    * recipe consults before mixing sources (near-identical vocabularies →
+    * redundant sources; disjoint → coverage). Uses the exact q_t_vocab
+    * tokenization. Plan: one distinct (source, token) set, per-source
+    * sizes re-aggregated from it, intersections via a token-keyed
+    * self-join (fanout ≤ |sources|² per token, the bounded-key join shape
+    * of the triangle counter), all-pairs completed from the tiny sizes
+    * cross join so zero-overlap pairs surface too. Counts are exact
+    * integers; the Jaccard is one int/int division — bit-exact.
+    */
+  val tVocabOverlap = QueryDef(
+    "q_t_vocab_overlap",
+    (s, dir) => {
+      val vocab = t(s, dir, "documents")
+        .select(col("source"),
+          lower(TextAnalysis.normText(col("text"))).as("nt"))
+        .filter(length(col("nt")) > 0)
+        .select(col("source"), explode(split(col("nt"), " ")).as("w"))
+        .distinct()
+      val sizes = vocab.groupBy("source").agg(count(lit(1)).as("v"))
+      val a = vocab.select(col("source").as("sa"), col("w"))
+      val b = vocab.select(col("source").as("sb"), col("w"))
+      val inter = a.join(b, Seq("w")).where(col("sa") < col("sb"))
+        .groupBy("sa", "sb").agg(count(lit(1)).as("n_inter"))
+      val pairs = sizes.select(col("source").as("sa"), col("v").as("va"))
+        .crossJoin(sizes.select(col("source").as("sb"), col("v").as("vb")))
+        .where(col("sa") < col("sb"))
+      pairs.join(inter, Seq("sa", "sb"), "left")
+        .withColumn("n_inter", coalesce(col("n_inter"), lit(0L)))
+        .select(col("sa"), col("sb"), col("va"), col("vb"), col("n_inter"),
+          (col("n_inter").cast("double") /
+            (col("va") + col("vb") - col("n_inter")).cast("double"))
+            .as("jaccard"))
+        .orderBy("sa", "sb")
+    },
+    Some(s"""
+      WITH vocab AS (
+        SELECT DISTINCT source, w
+        FROM (
+          SELECT source, unnest(string_split(lower($sqlNorm), ' ')) AS w
+          FROM documents WHERE length($sqlNorm) > 0)),
+      sizes AS (SELECT source, count(*) AS v FROM vocab GROUP BY 1),
+      inter AS (
+        SELECT a.source AS sa, b.source AS sb, count(*) AS n_inter
+        FROM vocab a JOIN vocab b ON a.w = b.w AND a.source < b.source
+        GROUP BY 1, 2),
+      pairs AS (
+        SELECT a.source AS sa, b.source AS sb, a.v AS va, b.v AS vb
+        FROM sizes a CROSS JOIN sizes b WHERE a.source < b.source)
+      SELECT sa, sb, va, vb,
+             CAST(coalesce(n_inter, 0) AS BIGINT) AS n_inter,
+             CAST(coalesce(n_inter, 0) AS DOUBLE)
+               / CAST(va + vb - coalesce(n_inter, 0) AS DOUBLE) AS jaccard
+      FROM pairs LEFT JOIN inter USING (sa, sb)
+      ORDER BY sa, sb""")
+  )
+
   val all: Seq[QueryDef] =
     Seq(tQuality, tTokens, tFingerprint, tLangId, tExplode,
       tRepetition, tLmScore, tSplit, tStratSample, tTfIdf, tPmi,
       tPii, tVocab, tComposition, tPack, tShuffle, tDecontaminate,
-      tLineDedup, tBm25, tDsir, tWsample)
+      tLineDedup, tBm25, tDsir, tWsample, tVocabOverlap)
 }
