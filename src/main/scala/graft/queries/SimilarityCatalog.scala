@@ -218,5 +218,73 @@ object SimilarityCatalog {
       ORDER BY query_id, rank""")
   )
 
-  val all: Seq[QueryDef] = Seq(sBrute, sIvf, sPq)
+  // DuckDB spelling of text.TextAnalysis.normText for the documents table
+  // (declared BEFORE the QueryDef that interpolates it — object vals
+  // initialize top-down and a forward reference interpolates null)
+  private val sqlNormDoc = "trim(regexp_replace(text, '\\s+', ' ', 'g'))"
+
+  /** Sparse all-pairs cosine over tf-idf document vectors via
+    * similarity.SparseCosine — the inverted-index all-pairs shape
+    * (token-keyed self-join, df-capped fanout, no |docs|² scan).
+    * Milli-weight quantization makes norms, dots, and the τ = 1/2
+    * threshold test exact integer arithmetic, so every reported pair is
+    * bit-exact (`cos` takes r6 for the one float division).
+    */
+  val sSparse = QueryDef(
+    "q_s_sparse_cosine",
+    (s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"),
+          lower(graft.text.TextAnalysis.normText(col("text"))).as("nt"))
+        .filter(length(col("nt")) > 0)
+        .select(col("doc_id"), explode(split(col("nt"), " ")).as("w"))
+      val nDocs = toks.select("doc_id").distinct().count()
+      graft.similarity.SparseCosine
+        .pairs(toks, "doc_id", "w", 1, 2, nDocs / 2)
+        .select(col("da"), col("db"), col("dot"), col("na2"), col("nb2"),
+          r6(col("cos")).as("cos"))
+        .orderBy("da", "db")
+    },
+    Some(s"""
+      WITH t AS (
+        SELECT doc_id, lower($sqlNormDoc) AS nt FROM documents
+        WHERE length($sqlNormDoc) > 0),
+      tok AS (
+        SELECT doc_id AS d, unnest(string_split(nt, ' ')) AS w FROM t),
+      tf AS (SELECT d, w, count(*) AS tf FROM tok GROUP BY 1, 2),
+      nd AS (SELECT count(DISTINCT d) AS n FROM tok),
+      dfc AS (
+        SELECT w, count(*) AS df FROM tf GROUP BY 1
+        HAVING count(*) <= (SELECT n FROM nd) // 2),
+      wq AS (
+        SELECT * FROM (
+          SELECT tf.d, tf.w,
+                 CAST(floor(CAST(tf AS DOUBLE)
+                   * ln(CAST(nd.n AS DOUBLE) / CAST(dfc.df AS DOUBLE))
+                   * 1e3 + 0.5) AS BIGINT) AS wq
+          FROM tf JOIN dfc ON dfc.w = tf.w CROSS JOIN nd)
+        WHERE wq <> 0),
+      norms AS (
+        SELECT d, sum(CAST(wq AS HUGEINT) * wq) AS n2
+        FROM wq GROUP BY 1),
+      dots AS (
+        SELECT a.d AS da, b.d AS db,
+               sum(CAST(a.wq AS HUGEINT) * b.wq) AS dot
+        FROM wq a JOIN wq b ON a.w = b.w AND a.d < b.d
+        GROUP BY 1, 2),
+      pr AS (
+        SELECT da, db, dot, na.n2 AS na2, nb.n2 AS nb2
+        FROM dots
+        JOIN norms na ON na.d = da
+        JOIN norms nb ON nb.d = db
+        WHERE dot > 0 AND 4 * dot * dot >= na2 * nb2)
+      SELECT da, db, CAST(dot AS BIGINT) AS dot,
+             CAST(na2 AS BIGINT) AS na2, CAST(nb2 AS BIGINT) AS nb2,
+             ${sqlR6("""CAST(dot AS DOUBLE)
+               / (sqrt(CAST(na2 AS DOUBLE)) * sqrt(CAST(nb2 AS DOUBLE)))""")}
+               AS cos
+      FROM pr ORDER BY da, db""")
+  )
+
+  val all: Seq[QueryDef] = Seq(sBrute, sIvf, sPq, sSparse)
 }
