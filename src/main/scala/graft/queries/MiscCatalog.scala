@@ -1190,10 +1190,78 @@ object MiscCatalog {
       FROM term GROUP BY 1, 2, 3""")
   )
 
+  /** Snapshot-diff CDC audit via etl.SnapshotDiff: recover the change
+    * batch between two full snapshots with ONE key-keyed full-outer join
+    * (payloads travel as md5 fingerprints). The twin derives both
+    * snapshots deterministically from `orders` — B inserts 1997's orders,
+    * deletes md5-bucket-0 of the old keys, and bumps bucket-1 prices —
+    * and gates per-class counts plus an order-independent decimal key
+    * checksum (the q_audit_checksum contract), all exact integers.
+    */
+  val qSnapshotDiff = QueryDef(
+    "q_audit_diff",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      val bucket = conv(substring(md5(col("o_orderkey").cast("string")),
+        1, 15), 16, 10).cast("long") % 50L
+      val base = o.withColumn("__bk", bucket)
+        .withColumn("__old", col("o_orderdate") < lit("1997-01-01"))
+      val snapA = base.filter(col("__old"))
+        .withColumn("price", col("o_totalprice").cast("decimal(18,2)"))
+      val snapB = base
+        .filter(col("o_orderdate") < lit("1998-01-01"))
+        .filter(!(col("__old") && col("__bk") === 0L))
+        .withColumn("price",
+          when(col("__old") && col("__bk") === 1L,
+            col("o_totalprice").cast("decimal(18,2)") + 1L)
+            .otherwise(col("o_totalprice").cast("decimal(18,2)")))
+      def payload(df: org.apache.spark.sql.DataFrame) = df.select(
+        col("o_orderkey"), col("price").cast("string").as("p1"),
+        col("o_orderstatus").as("p2"))
+      val d = graft.etl.SnapshotDiff.diff(
+        payload(snapA), payload(snapB), Seq("o_orderkey"), Seq("p1", "p2"))
+      val dig = conv(substring(md5(col("o_orderkey").cast("string")),
+        1, 15), 16, 10).cast("long")
+      d.groupBy("change")
+        .agg(count(lit(1)).as("n"),
+          sum(dig.cast("decimal(38,0)")).cast("string").as("key_checksum"))
+        .orderBy("change")
+    },
+    Some("""
+      WITH b AS (
+        SELECT o_orderkey, o_orderstatus, o_orderdate,
+               CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+               CAST(('0x' || substr(md5(o_orderkey::VARCHAR), 1, 15))
+                 AS BIGINT) % 50 AS bk,
+               o_orderdate < DATE '1997-01-01' AS old
+        FROM orders),
+      sa AS (
+        SELECT o_orderkey,
+               md5(price::VARCHAR || '|' || o_orderstatus) AS fpa
+        FROM b WHERE old),
+      sb AS (
+        SELECT o_orderkey,
+               md5(CASE WHEN old AND bk = 1 THEN price + 1 ELSE price
+                 END::VARCHAR || '|' || o_orderstatus) AS fpb
+        FROM b
+        WHERE o_orderdate < DATE '1998-01-01' AND NOT (old AND bk = 0)),
+      d AS (
+        SELECT coalesce(sa.o_orderkey, sb.o_orderkey) AS k,
+               CASE WHEN fpa IS NULL THEN 'insert'
+                    WHEN fpb IS NULL THEN 'delete'
+                    WHEN fpa = fpb THEN 'unchanged'
+                    ELSE 'update' END AS change
+        FROM sa FULL OUTER JOIN sb ON sa.o_orderkey = sb.o_orderkey)
+      SELECT change, count(*) AS n,
+             CAST(sum(CAST(CAST(('0x' || substr(md5(k::VARCHAR), 1, 15))
+               AS BIGINT) AS DECIMAL(38,0))) AS VARCHAR) AS key_checksum
+      FROM d GROUP BY 1 ORDER BY 1""")
+  )
+
   val all: Seq[QueryDef] = Seq(oTopK, aSpikeSummary, eJson, aSummary,
     mKmeans, mLloydStep, qAsof, qRange, qRollup, qCube, qGroupingSets,
     qPercentile, qHistogram, qZOrder, qScd2, qScd1, qIncAgg,
     qQuantileExact, qPagerank, qTriangles, qChecksum, qChi2, qHhi,
-    qProfile, qBenford, qGini, qEntropy, qMi)
+    qProfile, qBenford, qGini, qEntropy, qMi, qSnapshotDiff)
 }
 
