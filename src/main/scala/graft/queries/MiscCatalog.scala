@@ -1258,10 +1258,86 @@ object MiscCatalog {
       FROM d GROUP BY 1 ORDER BY 1""")
   )
 
+  /** A23 capability: per-flag winsorized mean — clamp prices at the exact
+    * p05/p95 order statistics (lower discrete quantile, the
+    * ExactQuantiles rank convention `floor(q·(n−1))+1` computed in pure
+    * integer arithmetic `(5·(n−1)) DIV 100 + 1`), then the exact decimal
+    * mean of the clamped cents — the robust-mean preprocessing step of
+    * every outlier-resistant metrics pipeline. Quantile selection is the
+    * q_m13 histogram + prefix-sum shape (no global sort); everything up
+    * to the final one-division mean is exact integers → bit-exact.
+    */
+  val qWinsor = QueryDef(
+    "q_a23_winsor",
+    (s, dir) => {
+      val src = t(s, dir, "lineitem").select(
+        col("l_returnflag").as("g"),
+        expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)").as("v"))
+      val h = src.groupBy("g", "v").agg(count(lit(1)).as("c"))
+      val cum = graft.plans.SequenceOps.runningSum(
+        h, Seq("g"), Seq("v"), "c", "cum")
+      val tot = h.groupBy("g").agg(sum("c").as("n"))
+      val sel = cum.join(broadcast(tot), "g")
+        .withColumn("r05", expr("(5 * (n - 1)) DIV 100 + 1"))
+        .withColumn("r95", expr("(95 * (n - 1)) DIV 100 + 1"))
+        .groupBy("g")
+        .agg(
+          sum(when(col("cum") - col("c") < col("r05") &&
+            col("r05") <= col("cum"), col("v")).otherwise(0L)).as("p05"),
+          sum(when(col("cum") - col("c") < col("r95") &&
+            col("r95") <= col("cum"), col("v")).otherwise(0L)).as("p95"))
+      src.join(broadcast(sel), "g")
+        .withColumn("w", least(greatest(col("v"), col("p05")), col("p95")))
+        .groupBy("g", "p05", "p95")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("v") < col("p05") || col("v") > col("p95"), 1L)
+            .otherwise(0L)).as("n_clamped"),
+          (sum(col("w").cast("decimal(28,0)")).cast("double") /
+            count(lit(1)).cast("double")).as("winsor_mean_cents"),
+          (sum(col("v").cast("decimal(28,0)")).cast("double") /
+            count(lit(1)).cast("double")).as("raw_mean_cents"))
+        .select("g", "n", "p05", "p95", "n_clamped",
+          "winsor_mean_cents", "raw_mean_cents")
+        .orderBy("g")
+    },
+    Some("""
+      WITH src AS (
+        SELECT l_returnflag AS g,
+               CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v
+        FROM lineitem),
+      h AS (SELECT g, v, count(*) AS c FROM src GROUP BY 1, 2),
+      cu AS (
+        SELECT g, v, c,
+               CAST(sum(c) OVER (PARTITION BY g ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS cum,
+               CAST(sum(c) OVER (PARTITION BY g) AS BIGINT) AS n
+        FROM h),
+      sel AS (
+        SELECT g,
+               CAST(sum(CASE WHEN cum - c < (5 * (n - 1)) // 100 + 1
+                 AND (5 * (n - 1)) // 100 + 1 <= cum THEN v ELSE 0 END)
+                 AS BIGINT) AS p05,
+               CAST(sum(CASE WHEN cum - c < (95 * (n - 1)) // 100 + 1
+                 AND (95 * (n - 1)) // 100 + 1 <= cum THEN v ELSE 0 END)
+                 AS BIGINT) AS p95
+        FROM cu GROUP BY g)
+      SELECT src.g, count(*) AS n, sel.p05, sel.p95,
+             CAST(sum(CASE WHEN v < p05 OR v > p95 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_clamped,
+             CAST(sum(CAST(least(greatest(v, p05), p95) AS HUGEINT))
+               AS DOUBLE) / CAST(count(*) AS DOUBLE) AS winsor_mean_cents,
+             CAST(sum(CAST(v AS HUGEINT)) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS raw_mean_cents
+      FROM src JOIN sel ON sel.g = src.g
+      GROUP BY src.g, sel.p05, sel.p95
+      ORDER BY src.g""")
+  )
+
   val all: Seq[QueryDef] = Seq(oTopK, aSpikeSummary, eJson, aSummary,
     mKmeans, mLloydStep, qAsof, qRange, qRollup, qCube, qGroupingSets,
     qPercentile, qHistogram, qZOrder, qScd2, qScd1, qIncAgg,
     qQuantileExact, qPagerank, qTriangles, qChecksum, qChi2, qHhi,
-    qProfile, qBenford, qGini, qEntropy, qMi, qSnapshotDiff)
+    qProfile, qBenford, qGini, qEntropy, qMi, qSnapshotDiff, qWinsor)
 }
 
