@@ -433,8 +433,72 @@ object EventsCatalog {
       GROUP BY 1 ORDER BY 1""")
   )
 
+  // q_e_holt_stream parameters — exact binary fractions (the q_f_holt
+  // contract), interpolated into both the stream and the oracle
+  private val HoltStreamAlpha = 0.125
+  private val HoltStreamBeta = 0.25
+  private val HoltStreamMod = 97L
+
+  /** The Holt level+trend recurrence run as STREAMING STATE
+    * (streaming.EventStreams.holtStream: mapGroupsWithState, one (l,b,n)
+    * record per event type) over the user_id % 97 slice — the online
+    * serving path of q_f_holt's batch scan. Update mode emits the running
+    * state per batch; n is strictly increasing, so max(struct(n,…)) per
+    * type is the final state even if the source ever splits into multiple
+    * batches. The oracle folds the identical recurrence sequentially in a
+    * recursive CTE (fresh seed, no segmentation — the per-type series is
+    * thinned to replayable size), so every double matches BIT-FOR-BIT.
+    */
+  val eHoltStream = QueryDef(
+    "q_e_holt_stream",
+    (s, dir) => {
+      val sink = "graft_holt_stream_sink"
+      s.catalog.dropTempView(sink)
+      val q = graft.streaming.EventStreams
+        .holtStream(s, streamableEventsDir(dir), HoltStreamAlpha,
+          HoltStreamBeta, HoltStreamMod)
+        .toDF()
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("update").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(sink).groupBy("event_type")
+        .agg(max(struct(col("n"), col("level"), col("trend"))).as("f"))
+        .select(col("event_type"), col("f.n").as("n"),
+          col("f.level").as("level"), col("f.trend").as("trend"))
+        .orderBy("event_type")
+    },
+    Some(s"""
+      WITH RECURSIVE
+      src AS (
+        SELECT event_type, value,
+               row_number() OVER (PARTITION BY event_type
+                 ORDER BY ts, event_id) AS rn
+        FROM events
+        WHERE user_id % $HoltStreamMod = 0 AND value IS NOT NULL),
+      rec AS (
+        -- CAST the b seed: a bare 0.0 literal types the recursion column
+        -- DECIMAL(2,1) and silently rounds every iteration's trend
+        SELECT event_type, rn, CAST(value AS DOUBLE) AS l,
+               CAST(0.0 AS DOUBLE) AS b
+        FROM src WHERE rn = 1
+        UNION ALL
+        SELECT n.event_type, n.rn,
+               ${1.0 - HoltStreamAlpha} * (r.l + r.b)
+                 + $HoltStreamAlpha * n.value,
+               $HoltStreamBeta * ((${1.0 - HoltStreamAlpha} * (r.l + r.b)
+                 + $HoltStreamAlpha * n.value) - r.l)
+                 + ${1.0 - HoltStreamBeta} * r.b
+        FROM rec r JOIN src n
+          ON n.event_type = r.event_type AND n.rn = r.rn + 1),
+      fin AS (SELECT event_type, max(rn) AS n FROM rec GROUP BY 1)
+      SELECT r.event_type, f.n, r.l AS level, r.b AS trend
+      FROM rec r JOIN fin f
+        ON f.event_type = r.event_type AND f.n = r.rn
+      ORDER BY r.event_type""")
+  )
+
   val all: Seq[QueryDef] =
     Seq(eHourly, eSessions, eHourlyStream, eSessionizeStream,
       eSessionWindow, eFunnel, eDedup, eDedupStream, eIntervalStream,
-      eRetention, eEnrichStream)
+      eRetention, eEnrichStream, eHoltStream)
 }

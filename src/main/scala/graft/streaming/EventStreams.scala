@@ -109,6 +109,59 @@ object EventStreams {
         "click_ts", "click_value")
   }
 
+  final case class HoltState(l: Double, b: Double, n: Long)
+  final case class TypeHolt(event_type: String, n: Long, level: Double,
+    trend: Double)
+
+  /** Streaming Holt linear-trend smoothing: the [[graft.plans.HoltScan]]
+    * level+trend recurrence carried as per-key STATE through
+    * `mapGroupsWithState` — the online-forecasting form (state = one
+    * (l, b, n) record per key; each batch folds its rows in (ts, event_id)
+    * order and emits the running state). The batch HoltScan is the
+    * backfill/scale path — this is the low-latency serving path of the
+    * same recurrence, the classic lambda pairing. Rows are sorted within
+    * each batch; like [[sessionize]], cross-batch order relies on the
+    * file source's single-batch delivery of static input.
+    *
+    * `userMod` thins the stream to the `user_id % userMod == 0` slice —
+    * the gated twin keeps the per-key series replayable by a sequential
+    * oracle at any SF.
+    */
+  def holtStream(spark: SparkSession, dir: String, alpha: Double,
+      beta: Double, userMod: Long): Dataset[TypeHolt] = {
+    import spark.implicits._
+    val om = 1.0 - alpha
+    val ob = 1.0 - beta
+    val ev = spark.readStream.schema(eventSchema).parquet(dir)
+      .filter(col("user_id") % userMod === 0L && col("value").isNotNull)
+      .select(col("event_type"), col("ts"), col("event_id"), col("value"))
+      .as[(String, Long, Long, Double)]
+    ev.groupByKey(_._1)
+      .mapGroupsWithState[HoltState, TypeHolt](
+        GroupStateTimeout.NoTimeout()) {
+        case (tp, rows, state: GroupState[HoltState]) =>
+          // event-time order at MICROSECOND resolution, event_id
+          // tie-break: the engine-portable total order (parquet nanos
+          // truncate to µs in engines without a ns timestamp type)
+          val sorted = rows.toSeq.sortBy(r => (r._2 / 1000L, r._3))
+          var st = state.getOption.getOrElse(HoltState(0.0, 0.0, 0L))
+          sorted.foreach { r =>
+            val x = r._4
+            st =
+              if (st.n == 0L) HoltState(x, 0.0, 1L)
+              else {
+                // the canonical HoltScan operand order — the oracle
+                // recursive CTE mirrors it verbatim
+                val l1 = om * (st.l + st.b) + alpha * x
+                val b1 = beta * (l1 - st.l) + ob * st.b
+                HoltState(l1, b1, st.n + 1L)
+              }
+          }
+          state.update(st)
+          TypeHolt(tp, st.n, st.l, st.b)
+      }
+  }
+
   /** Drive a streaming frame to completion against static input (memory
     * sink) and return the materialized result — the batch-driven smoke
     * harness for local verification.

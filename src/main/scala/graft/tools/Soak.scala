@@ -83,7 +83,12 @@ object Soak {
       // outputs don't grow with facts, so 10× re-times near-fixed work)
       "q_p_profile", "q_a20_gini", "q_a21_entropy", "q_m9_nbayes",
       "q_m10_logreg_step", "q_m11_welch", "q_w13_decile", "q_f_var_es",
-      "q_f_seasonality")
+      "q_f_seasonality",
+      // round-7 batch: rank stats, winsorization, the CDC diff, and the
+      // sparse-cosine/vocab joins all scan tables that grow with SF
+      // (q_f_holt excluded — the daily-close series is calendar-bounded)
+      "q_m12_spearman", "q_m13_robust", "q_a22_mi", "q_a23_winsor",
+      "q_audit_diff", "q_s_sparse_cosine", "q_t_vocab_overlap")
     // operators self-materialize shared intermediates (localCheckpoint);
     // free them between runs so timings don't pay earlier queries' blocks
     def clear(): Unit = {
