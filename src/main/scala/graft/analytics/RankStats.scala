@@ -147,10 +147,9 @@ object RankStats {
     */
   def medianMad(df: DataFrame, valCol: String, groupCol: String,
       zCut: Double = 3.5): DataFrame = {
-    // doubled median per group: sum of the two middle order statistics
-    def med2(d: DataFrame, vCol: String, out: String): DataFrame = {
-      val h = d.groupBy(col(groupCol), col(vCol).as("__v"))
-        .agg(count(lit(1)).as("__c"))
+    // doubled median per group from a (group, value, count) HISTOGRAM:
+    // sum of the two middle order statistics
+    def med2FromHist(h: DataFrame, out: String): DataFrame = {
       val cum = graft.plans.SequenceOps.runningSum(
         h, Seq(groupCol), Seq("__v"), "__c", "__cum")
       val tot = h.groupBy(groupCol).agg(sum(col("__c")).as("__n"))
@@ -164,16 +163,28 @@ object RankStats {
           when(col("__cum") - col("__c") < col("__rhi") &&
             col("__rhi") <= col("__cum"), 1L).otherwise(0L))).as(out))
     }
-    val m = med2(df, valCol, "med2")
-    val dev = df.join(broadcast(m), Seq(groupCol))
-      .withColumn("__d", abs(lit(2L) * col(valCol) - col("med2")))
-    val mad = med2(dev, "__d", "mad4")
-    dev.join(broadcast(mad), Seq(groupCol))
+    // the ONLY fact-table scan: everything downstream (both medians, the
+    // outlier count) derives from this ≤|distinct|-row histogram — the
+    // deviation histogram is the value histogram folded through
+    // d = |2v − med2|, never a second pass over rows. Checkpointed so the
+    // two consumers read one materialization.
+    val h = df.groupBy(col(groupCol), col(valCol).as("__v"))
+      .agg(count(lit(1)).as("__c"))
+      .localCheckpoint(false)
+    val m = med2FromHist(h, "med2")
+    val hd = h.join(broadcast(m), Seq(groupCol))
+      .groupBy(col(groupCol), col("med2"),
+        abs(lit(2L) * col("__v") - col("med2")).as("__v"))
+      .agg(sum(col("__c")).as("__c"))
+      .localCheckpoint(false) // read by the MAD selection and the final agg
+    val mad = med2FromHist(
+      hd.select(col(groupCol), col("__v"), col("__c")), "mad4")
+    hd.join(broadcast(mad), Seq(groupCol))
       .groupBy(col(groupCol), col("med2"), col("mad4"))
-      .agg(count(lit(1)).as("n"),
-        sum(when(lit(0.6745) * (lit(2L) * col("__d")).cast("double")
-          > lit(zCut) * col("mad4").cast("double"), 1L).otherwise(0L))
-          .as("n_outliers"))
+      .agg(sum(col("__c")).as("n"),
+        sum(when(lit(0.6745) * (lit(2L) * col("__v")).cast("double")
+          > lit(zCut) * col("mad4").cast("double"), col("__c"))
+          .otherwise(0L)).as("n_outliers"))
       .select(col(groupCol), col("n"), col("med2"), col("mad4"),
         col("n_outliers"))
   }

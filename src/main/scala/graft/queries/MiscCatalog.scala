@@ -1270,10 +1270,14 @@ object MiscCatalog {
   val qWinsor = QueryDef(
     "q_a23_winsor",
     (s, dir) => {
+      // one fact scan → value histogram; quantile selection, clamped sums,
+      // and counts all derive from the histogram (c-weighted), never a
+      // second pass over rows — the q_m13 single-scan shape
       val src = t(s, dir, "lineitem").select(
         col("l_returnflag").as("g"),
         expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)").as("v"))
       val h = src.groupBy("g", "v").agg(count(lit(1)).as("c"))
+        .localCheckpoint(false) // selection pass + final agg, one scan
       val cum = graft.plans.SequenceOps.runningSum(
         h, Seq("g"), Seq("v"), "c", "cum")
       val tot = h.groupBy("g").agg(sum("c").as("n"))
@@ -1286,16 +1290,18 @@ object MiscCatalog {
             col("r05") <= col("cum"), col("v")).otherwise(0L)).as("p05"),
           sum(when(col("cum") - col("c") < col("r95") &&
             col("r95") <= col("cum"), col("v")).otherwise(0L)).as("p95"))
-      src.join(broadcast(sel), "g")
+      h.join(broadcast(sel), "g")
         .withColumn("w", least(greatest(col("v"), col("p05")), col("p95")))
         .groupBy("g", "p05", "p95")
-        .agg(count(lit(1)).as("n"),
-          sum(when(col("v") < col("p05") || col("v") > col("p95"), 1L)
-            .otherwise(0L)).as("n_clamped"),
-          (sum(col("w").cast("decimal(28,0)")).cast("double") /
-            count(lit(1)).cast("double")).as("winsor_mean_cents"),
-          (sum(col("v").cast("decimal(28,0)")).cast("double") /
-            count(lit(1)).cast("double")).as("raw_mean_cents"))
+        .agg(sum(col("c")).as("n"),
+          sum(when(col("v") < col("p05") || col("v") > col("p95"),
+            col("c")).otherwise(0L)).as("n_clamped"),
+          (sum(col("w").cast("decimal(19,0)") * col("c")
+            .cast("decimal(19,0)")).cast("double") /
+            sum(col("c")).cast("double")).as("winsor_mean_cents"),
+          (sum(col("v").cast("decimal(19,0)") * col("c")
+            .cast("decimal(19,0)")).cast("double") /
+            sum(col("c")).cast("double")).as("raw_mean_cents"))
         .select("g", "n", "p05", "p95", "n_clamped",
           "winsor_mean_cents", "raw_mean_cents")
         .orderBy("g")
