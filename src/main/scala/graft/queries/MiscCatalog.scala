@@ -1340,10 +1340,103 @@ object MiscCatalog {
       ORDER BY src.g""")
   )
 
+  /** Referential-integrity audit over every FK edge of the star schema:
+    * per edge, row count, null-FK count, and orphan count (left-anti
+    * against the referenced key set) — the constraint check a warehouse
+    * without enforced FKs must run itself. Each edge is ONE anti join
+    * keyed on the FK (dimension sides broadcast; fact sides shuffle on
+    * the key — the minimal plan, no row payload travels, keys only).
+    * All-integer output, bit-exact.
+    */
+  val qFkAudit = QueryDef(
+    "q_audit_fk",
+    (s, dir) => {
+      def edge(name: String, fact: org.apache.spark.sql.DataFrame,
+          fk: String, dim: org.apache.spark.sql.DataFrame, pk: String) = {
+        val keys = fact.select(col(fk))
+        val orphans = keys.filter(col(fk).isNotNull)
+          .join(dim.select(col(pk).as(fk)), Seq(fk), "left_anti")
+        keys.agg(count(lit(1)).as("n_rows"),
+          sum(when(col(fk).isNull, 1L).otherwise(0L)).as("n_null_fk"))
+          .crossJoin(orphans.agg(count(lit(1)).as("n_orphans")))
+          .select(lit(name).as("edge"), col("n_rows"), col("n_null_fk"),
+            col("n_orphans"))
+      }
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val su = t(s, dir, "supplier")
+      val p = t(s, dir, "part")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      Seq(
+        edge("customer.nation", c, "c_nationkey", n, "n_nationkey"),
+        edge("lineitem.orders", li, "l_orderkey", o, "o_orderkey"),
+        edge("lineitem.part", li, "l_partkey", p, "p_partkey"),
+        edge("lineitem.supplier", li, "l_suppkey", su, "s_suppkey"),
+        edge("nation.region", n, "n_regionkey", r, "r_regionkey"),
+        edge("orders.customer", o, "o_custkey", c, "c_custkey"),
+        edge("supplier.nation", su, "s_nationkey", n, "n_nationkey"))
+        .reduce(_ unionByName _)
+        .orderBy("edge")
+    },
+    Some("""
+      SELECT * FROM (
+        SELECT 'customer.nation' AS edge, count(*) AS n_rows,
+               CAST(sum(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_null_fk,
+               CAST(sum(CASE WHEN c_nationkey IS NOT NULL AND n_nationkey
+                 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+        FROM customer LEFT JOIN nation ON n_nationkey = c_nationkey
+        UNION ALL
+        SELECT 'lineitem.orders', count(*),
+               CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)
+                 AS BIGINT),
+               CAST(sum(CASE WHEN l_orderkey IS NOT NULL AND o_orderkey
+                 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        FROM lineitem LEFT JOIN orders ON o_orderkey = l_orderkey
+        UNION ALL
+        SELECT 'lineitem.part', count(*),
+               CAST(sum(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END)
+                 AS BIGINT),
+               CAST(sum(CASE WHEN l_partkey IS NOT NULL AND p_partkey
+                 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        FROM lineitem LEFT JOIN part ON p_partkey = l_partkey
+        UNION ALL
+        SELECT 'lineitem.supplier', count(*),
+               CAST(sum(CASE WHEN l_suppkey IS NULL THEN 1 ELSE 0 END)
+                 AS BIGINT),
+               CAST(sum(CASE WHEN l_suppkey IS NOT NULL AND s_suppkey
+                 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        FROM lineitem LEFT JOIN supplier ON s_suppkey = l_suppkey
+        UNION ALL
+        SELECT 'nation.region', count(*),
+               CAST(sum(CASE WHEN n_regionkey IS NULL THEN 1 ELSE 0 END)
+                 AS BIGINT),
+               CAST(sum(CASE WHEN n_regionkey IS NOT NULL AND r_regionkey
+                 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        FROM nation LEFT JOIN region ON r_regionkey = n_regionkey
+        UNION ALL
+        SELECT 'orders.customer', count(*),
+               CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                 AS BIGINT),
+               CAST(sum(CASE WHEN o_custkey IS NOT NULL AND c_custkey
+                 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        FROM orders LEFT JOIN customer ON c_custkey = o_custkey
+        UNION ALL
+        SELECT 'supplier.nation', count(*),
+               CAST(sum(CASE WHEN s_nationkey IS NULL THEN 1 ELSE 0 END)
+                 AS BIGINT),
+               CAST(sum(CASE WHEN s_nationkey IS NOT NULL AND n_nationkey
+                 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        FROM supplier LEFT JOIN nation ON n_nationkey = s_nationkey)
+      ORDER BY edge"""))
+
   val all: Seq[QueryDef] = Seq(oTopK, aSpikeSummary, eJson, aSummary,
     mKmeans, mLloydStep, qAsof, qRange, qRollup, qCube, qGroupingSets,
     qPercentile, qHistogram, qZOrder, qScd2, qScd1, qIncAgg,
     qQuantileExact, qPagerank, qTriangles, qChecksum, qChi2, qHhi,
-    qProfile, qBenford, qGini, qEntropy, qMi, qSnapshotDiff, qWinsor)
+    qProfile, qBenford, qGini, qEntropy, qMi, qSnapshotDiff, qWinsor,
+    qFkAudit)
 }
 

@@ -429,6 +429,58 @@ object TextCatalog {
       ORDER BY source, lang""")
   )
 
+  /** Temperature-based mixture re-weighting (α = 1/2): the data-recipe
+    * step that flattens a source distribution before sampling —
+    * w_i ∝ p_i^α, the standard temperature trick (multilingual/LLM
+    * pretraining mixtures). α = 1/2 makes the re-weight an IEEE sqrt
+    * (exactly-rounded per the standard — no exp/ln portability risk);
+    * the ≤|sources| weight terms are decimal-accumulated before the one
+    * normalizing division, `up_factor = q_i/p_i` is the sampling
+    * multiplier a downstream sampler applies. One aggregation shuffle +
+    * a broadcast 1-row total.
+    */
+  val tMixture = QueryDef(
+    "q_t_mixture",
+    (s, dir) => {
+      val cells = t(s, dir, "documents")
+        .select(col("source"), TextAnalysis.wsTokenCount(col("text")).as("tk"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("tk").as("n_tokens"))
+      val total = cells.agg(sum("n_tokens").as("tot"),
+        sum(sqrt(col("n_tokens").cast("double")).cast("decimal(38,18)"))
+          .cast("double").as("wsum_scaled"))
+      // w_i = sqrt(p_i) = sqrt(tokens_i)/sqrt(tot): normalize with the
+      // decimal-accumulated Σsqrt(tokens) — the sqrt(tot) factor cancels
+      val p = col("n_tokens").cast("double") / col("tot").cast("double")
+      val q = sqrt(col("n_tokens").cast("double")) / col("wsum_scaled")
+      cells.crossJoin(broadcast(total))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          r6(p).as("token_share"),
+          r6(q).as("mix_weight"),
+          r6(q / p).as("up_factor"))
+        .orderBy("source")
+    },
+    Some(s"""
+      WITH cells AS (
+        SELECT source, count(*) AS n_docs, sum($sqlWsTokens) AS n_tokens
+        FROM documents GROUP BY 1),
+      total AS (
+        SELECT sum(n_tokens) AS tot,
+               CAST(sum(CAST(sqrt(CAST(n_tokens AS DOUBLE))
+                 AS DECIMAL(38,18))) AS DOUBLE) AS wsum_scaled
+        FROM cells)
+      SELECT source, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
+             ${sqlR6("CAST(n_tokens AS DOUBLE) / CAST(tot AS DOUBLE)")}
+               AS token_share,
+             ${sqlR6("sqrt(CAST(n_tokens AS DOUBLE)) / wsum_scaled")}
+               AS mix_weight,
+             ${sqlR6("""(sqrt(CAST(n_tokens AS DOUBLE)) / wsum_scaled)
+               / (CAST(n_tokens AS DOUBLE) / CAST(tot AS DOUBLE))""")}
+               AS up_factor
+      FROM cells CROSS JOIN total
+      ORDER BY source""")
+  )
+
   /** Sequence packing (text.Packing): documents laid end-to-end in doc_id
     * order, cut into 2048-token bins by the exclusive running sum
     * (contiguous fill — see Packing's Scaladoc for why the associative
@@ -787,5 +839,5 @@ object TextCatalog {
     Seq(tQuality, tTokens, tFingerprint, tLangId, tExplode,
       tRepetition, tLmScore, tSplit, tStratSample, tTfIdf, tPmi,
       tPii, tVocab, tComposition, tPack, tShuffle, tDecontaminate,
-      tLineDedup, tBm25, tDsir, tWsample, tVocabOverlap)
+      tLineDedup, tBm25, tDsir, tWsample, tVocabOverlap, tMixture)
 }

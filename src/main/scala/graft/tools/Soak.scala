@@ -88,7 +88,8 @@ object Soak {
       // sparse-cosine/vocab joins all scan tables that grow with SF
       // (q_f_holt excluded — the daily-close series is calendar-bounded)
       "q_m12_spearman", "q_m13_robust", "q_a22_mi", "q_a23_winsor",
-      "q_audit_diff", "q_s_sparse_cosine", "q_t_vocab_overlap")
+      "q_audit_diff", "q_s_sparse_cosine", "q_t_vocab_overlap",
+      "q_audit_fk", "q_t_mixture")
     // operators self-materialize shared intermediates (localCheckpoint);
     // free them between runs so timings don't pay earlier queries' blocks
     def clear(): Unit = {
