@@ -497,8 +497,49 @@ object EventsCatalog {
       ORDER BY r.event_type""")
   )
 
+  /** First-order Markov transition matrix over per-user event sequences —
+    * the behavioral model behind next-action prediction and funnel
+    * hazard analysis: P(next = b | current = a) from exact transition
+    * counts. One lag window per user (shuffle keyed by user_id — high
+    * cardinality, parallelizes), exact integer counts, transition
+    * probability = one int/int division (bit-exact); the µs+event_id
+    * total order is the q_e_holt_stream portable-order contract.
+    */
+  val eMarkov = QueryDef(
+    "q_e_markov",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(expr("ts div 1000"), col("event_id"))
+      val tr = t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type").as("a"))
+        .withColumn("b", lead(col("a"), 1).over(w))
+        .where(col("b").isNotNull)
+        .groupBy("a", "b").agg(count(lit(1)).as("n_ab"))
+      val fromTot = tr.groupBy("a").agg(sum("n_ab").as("n_a"))
+      tr.join(broadcast(fromTot), "a")
+        .select(col("a"), col("b"), col("n_ab"),
+          (col("n_ab").cast("double") / col("n_a").cast("double")).as("p"))
+        .orderBy("a", "b")
+    },
+    Some("""
+      WITH seq AS (
+        SELECT event_type AS a,
+               lead(event_type) OVER (PARTITION BY user_id
+                 ORDER BY epoch_us(ts), event_id) AS b
+        FROM events),
+      tr AS (
+        SELECT a, b, count(*) AS n_ab FROM seq
+        WHERE b IS NOT NULL GROUP BY 1, 2),
+      tot AS (SELECT a, CAST(sum(n_ab) AS BIGINT) AS n_a FROM tr GROUP BY 1)
+      SELECT tr.a, tr.b, tr.n_ab,
+             CAST(tr.n_ab AS DOUBLE) / CAST(tot.n_a AS DOUBLE) AS p
+      FROM tr JOIN tot ON tot.a = tr.a
+      ORDER BY tr.a, tr.b""")
+  )
+
   val all: Seq[QueryDef] =
     Seq(eHourly, eSessions, eHourlyStream, eSessionizeStream,
       eSessionWindow, eFunnel, eDedup, eDedupStream, eIntervalStream,
-      eRetention, eEnrichStream, eHoltStream)
+      eRetention, eEnrichStream, eHoltStream, eMarkov)
 }

@@ -1432,11 +1432,90 @@ object MiscCatalog {
         FROM supplier LEFT JOIN nation ON n_nationkey = s_nationkey)
       ORDER BY edge"""))
 
+  /** A24 capability: per-flag skewness and excess kurtosis from EXACT
+    * integer power sums — the moments-sketch formulation (Σx, Σx², Σx³,
+    * Σx⁴ over cents in DECIMAL(38,0): exact, order-independent, and
+    * trivially MERGEABLE — the property that makes one partial-aggregate
+    * pass sufficient at any scale, where a two-pass "subtract the mean
+    * first" formulation would need a second scan). The central-moment
+    * conversion composes in double from identical exact operands; both
+    * statistics take r6. Spark's own skewness/kurtosis aggregates use
+    * float central-moment updates (order-dependent) — this is the
+    * deterministic exact path.
+    */
+  val qMoments = QueryDef(
+    "q_a24_moments",
+    (s, dir) => {
+      val src = t(s, dir, "lineitem").select(
+        col("l_returnflag").as("g"),
+        expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)").as("v"))
+      // width contract: Σv⁴ must stay under 1e38 (DECIMAL(38)/HUGEINT) —
+      // holds for price-magnitude cents (v ≤ 1e8 ⇒ v⁴ ≤ 1e32) up to 1e6
+      // rows per group per 1e32, i.e. any realistic fact table
+      val v1 = col("v").cast("decimal(19,0)")
+      val agg = src.groupBy("g").agg(
+        count(lit(1)).as("n"),
+        sum(v1).cast("double").as("s1"),
+        sum(v1 * v1).cast("double").as("s2"),
+        sum((v1 * v1).cast("decimal(28,0)") * col("v").cast("decimal(9,0)"))
+          .cast("double").as("s3"),
+        sum((v1 * v1).cast("decimal(19,0)") * (v1 * v1)
+          .cast("decimal(18,0)")).cast("double").as("s4"))
+      val nd = col("n").cast("double")
+      val m = col("s1") / nd
+      val m2 = col("s2") / nd - m * m
+      val m3 = col("s3") / nd - lit(3.0) * m * (col("s2") / nd) +
+        lit(2.0) * m * m * m
+      val m4 = col("s4") / nd - lit(4.0) * m * (col("s3") / nd) +
+        lit(6.0) * m * m * (col("s2") / nd) - lit(3.0) * m * m * m * m
+      agg.select(col("g"), col("n"),
+        r6(m3 / sqrt(m2 * m2 * m2)).as("skewness"),
+        r6(m4 / (m2 * m2) - lit(3.0)).as("kurtosis"))
+        .orderBy("g")
+    },
+    Some(s"""
+      WITH src AS (
+        SELECT l_returnflag AS g,
+               CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v
+        FROM lineitem),
+      a AS (
+        SELECT g, count(*) AS n,
+               CAST(sum(CAST(v AS HUGEINT)) AS DOUBLE) AS s1,
+               CAST(sum(CAST(v AS HUGEINT) * v) AS DOUBLE) AS s2,
+               CAST(sum(CAST(v AS HUGEINT) * v * v) AS DOUBLE) AS s3,
+               CAST(sum(CAST(v AS HUGEINT) * v * v * v) AS DOUBLE) AS s4
+        FROM src GROUP BY 1)
+      SELECT g, n,
+             ${sqlR6("""(s3 / CAST(n AS DOUBLE)
+                 - 3.0 * (s1 / CAST(n AS DOUBLE)) * (s2 / CAST(n AS DOUBLE))
+                 + 2.0 * (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE))
+                   * (s1 / CAST(n AS DOUBLE)))
+               / sqrt((s2 / CAST(n AS DOUBLE)
+                   - (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE)))
+                 * (s2 / CAST(n AS DOUBLE)
+                   - (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE)))
+                 * (s2 / CAST(n AS DOUBLE)
+                   - (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE))))""")}
+               AS skewness,
+             ${sqlR6("""(s4 / CAST(n AS DOUBLE)
+                 - 4.0 * (s1 / CAST(n AS DOUBLE)) * (s3 / CAST(n AS DOUBLE))
+                 + 6.0 * (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE))
+                   * (s2 / CAST(n AS DOUBLE))
+                 - 3.0 * (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE))
+                   * (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE)))
+               / ((s2 / CAST(n AS DOUBLE)
+                   - (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE)))
+                 * (s2 / CAST(n AS DOUBLE)
+                   - (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE))))
+               - 3.0""")} AS kurtosis
+      FROM a ORDER BY g""")
+  )
+
   val all: Seq[QueryDef] = Seq(oTopK, aSpikeSummary, eJson, aSummary,
     mKmeans, mLloydStep, qAsof, qRange, qRollup, qCube, qGroupingSets,
     qPercentile, qHistogram, qZOrder, qScd2, qScd1, qIncAgg,
     qQuantileExact, qPagerank, qTriangles, qChecksum, qChi2, qHhi,
     qProfile, qBenford, qGini, qEntropy, qMi, qSnapshotDiff, qWinsor,
-    qFkAudit)
+    qFkAudit, qMoments)
 }
 
