@@ -826,7 +826,172 @@ object MiningCatalog {
       ORDER BY dev.g""")
   )
 
+  /** M14 capability: one-way ANOVA of price across the three returnflag
+    * groups — the k-sample generalization of M11's two-sample t. All
+    * moments (n, Σx, Σx² per group) are exact decimal sums pivoted to ONE
+    * row with a FIXED combination order (A, then N, then R — the same
+    * written expression tree in both engines, so the double additions
+    * happen in the same order), making SSB/SSW deterministic; F is a fixed
+    * float expression over them → r6. One partial-aggregatable scan, one
+    * row out — no second pass for the grand mean.
+    */
+  val m14Anova = QueryDef(
+    "q_m14_anova",
+    (s, dir) => {
+      def s386(c: org.apache.spark.sql.Column) =
+        sum(c.cast("decimal(38,6)")).cast("double")
+      def flag(f: String, c: org.apache.spark.sql.Column) =
+        when(col("l_returnflag") === f, c).otherwise(lit(null))
+      val x = col("l_extendedprice")
+      val g = t(s, dir, "lineitem")
+        .agg(
+          count(flag("A", x)).as("n_a"),
+          s386(flag("A", x)).as("s1_a"),
+          s386(flag("A", x * x)).as("s2_a"),
+          count(flag("N", x)).as("n_n"),
+          s386(flag("N", x)).as("s1_n"),
+          s386(flag("N", x * x)).as("s2_n"),
+          count(flag("R", x)).as("n_r"),
+          s386(flag("R", x)).as("s1_r"),
+          s386(flag("R", x * x)).as("s2_r"))
+      val nT = (col("n_a") + col("n_n") + col("n_r")).cast("double")
+      val grand = (col("s1_a") + col("s1_n") + col("s1_r")) / nT
+      def ssb1(n: String, s1: String) = {
+        val d = col(s1) / col(n).cast("double") - grand
+        col(n).cast("double") * d * d
+      }
+      def ssw1(n: String, s1: String, s2: String) =
+        col(s2) - col(s1) * col(s1) / col(n).cast("double")
+      val ssb = ssb1("n_a", "s1_a") + ssb1("n_n", "s1_n") +
+        ssb1("n_r", "s1_r")
+      val ssw = ssw1("n_a", "s1_a", "s2_a") + ssw1("n_n", "s1_n", "s2_n") +
+        ssw1("n_r", "s1_r", "s2_r")
+      g.select(
+        (col("n_a") + col("n_n") + col("n_r")).as("n_total"),
+        lit(2L).as("df_between"),
+        (col("n_a") + col("n_n") + col("n_r") - lit(3L)).as("df_within"),
+        r2(ssb).as("ss_between"),
+        r2(ssw).as("ss_within"),
+        r6((ssb / lit(2.0)) / (ssw / (nT - lit(3.0)))).as("f_stat"))
+    },
+    Some {
+      def s386(e: String) =
+        s"CAST(sum(CAST(($e) AS DECIMAL(38,6))) AS DOUBLE)"
+      def fl(f: String, e: String) =
+        s"CASE WHEN l_returnflag = '$f' THEN $e END"
+      val ssb = Seq("a", "n", "r").map { k =>
+        s"(CAST(n_$k AS DOUBLE) * (s1_$k / CAST(n_$k AS DOUBLE) - grand)" +
+          s" * (s1_$k / CAST(n_$k AS DOUBLE) - grand))"
+      }.mkString(" + ")
+      val ssw = Seq("a", "n", "r")
+        .map(k => s"(s2_$k - s1_$k * s1_$k / CAST(n_$k AS DOUBLE))")
+        .mkString(" + ")
+      s"""
+      WITH m AS (
+        SELECT count(${fl("A", "l_extendedprice")}) AS n_a,
+               ${s386(fl("A", "l_extendedprice"))} AS s1_a,
+               ${s386(fl("A", "l_extendedprice * l_extendedprice"))} AS s2_a,
+               count(${fl("N", "l_extendedprice")}) AS n_n,
+               ${s386(fl("N", "l_extendedprice"))} AS s1_n,
+               ${s386(fl("N", "l_extendedprice * l_extendedprice"))} AS s2_n,
+               count(${fl("R", "l_extendedprice")}) AS n_r,
+               ${s386(fl("R", "l_extendedprice"))} AS s1_r,
+               ${s386(fl("R", "l_extendedprice * l_extendedprice"))} AS s2_r
+        FROM lineitem),
+      g AS (
+        SELECT m.*,
+               (s1_a + s1_n + s1_r) / CAST(n_a + n_n + n_r AS DOUBLE)
+                 AS grand
+        FROM m)
+      SELECT CAST(n_a + n_n + n_r AS BIGINT) AS n_total,
+             CAST(2 AS BIGINT) AS df_between,
+             CAST(n_a + n_n + n_r - 3 AS BIGINT) AS df_within,
+             ${sqlR2(ssb)} AS ss_between,
+             ${sqlR2(ssw)} AS ss_within,
+             ${sqlR6(s"(($ssb) / 2.0) / (($ssw) / CAST(n_a + n_n + n_r - 3 AS DOUBLE))")}
+               AS f_stat
+      FROM g"""
+    }
+  )
+
+  /** M15 capability: Kendall tau-b per returnflag between the MONTHLY mean
+    * quantity and monthly mean price series — rank correlation robust to
+    * ties, the scipy.stats.kendalltau capability. The O(n²) pair
+    * enumeration runs over the monthly AGGREGATE (calendar-bounded:
+    * |months|² pairs per group regardless of input SF — the q_t_vocab
+    * _overlap scale argument), never over raw rows; the monthly means are
+    * exact decimal averages, so the pair comparisons are exact predicates
+    * on identical doubles and C/D/tie counts are exact integers. tau_b is
+    * one fixed float expression → r6.
+    */
+  val m15Kendall = QueryDef(
+    "q_m15_kendall",
+    (s, dir) => {
+      val m = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag").as("g"),
+          date_trunc("month", col("l_shipdate")).cast("timestamp_ntz")
+            .as("mth"))
+        .agg(avgE(col("l_quantity")).as("x"),
+          avgE(col("l_extendedprice")).as("y"))
+      val a = m.select(col("g"), col("mth").as("m1"), col("x").as("x1"),
+        col("y").as("y1"))
+      val b = m.select(col("g").as("g2"), col("mth").as("m2"),
+        col("x").as("x2"), col("y").as("y2"))
+      val pairs = a.join(b, col("g") === col("g2") && col("m1") < col("m2"))
+      val c = sum(when((col("x1") < col("x2") && col("y1") < col("y2")) ||
+        (col("x1") > col("x2") && col("y1") > col("y2")), 1L)
+        .otherwise(0L))
+      val d = sum(when((col("x1") < col("x2") && col("y1") > col("y2")) ||
+        (col("x1") > col("x2") && col("y1") < col("y2")), 1L)
+        .otherwise(0L))
+      val tx = sum(when(col("x1") === col("x2") && col("y1") =!= col("y2"),
+        1L).otherwise(0L))
+      val ty = sum(when(col("y1") === col("y2") && col("x1") =!= col("x2"),
+        1L).otherwise(0L))
+      val txy = sum(when(col("x1") === col("x2") && col("y1") === col("y2"),
+        1L).otherwise(0L))
+      pairs.groupBy("g")
+        .agg(c.as("conc"), d.as("disc"), tx.as("ties_x"), ty.as("ties_y"),
+          txy.as("ties_xy"))
+        .select(col("g"), col("conc"), col("disc"), col("ties_x"),
+          col("ties_y"),
+          r6((col("conc") - col("disc")).cast("double") /
+            sqrt(((col("conc") + col("disc") + col("ties_y")).cast("double"))
+              * ((col("conc") + col("disc") + col("ties_x"))
+                .cast("double")))).as("tau_b"))
+        .orderBy("g")
+    },
+    Some(s"""
+      WITH m AS (
+        SELECT l_returnflag AS g,
+               date_trunc('month', l_shipdate) AS mth,
+               ${sqlAvgE("l_quantity")} AS x,
+               ${sqlAvgE("l_extendedprice")} AS y
+        FROM lineitem GROUP BY 1, 2),
+      p AS (
+        SELECT a.g,
+          CAST(sum(CASE WHEN (a.x < b.x AND a.y < b.y)
+                          OR (a.x > b.x AND a.y > b.y) THEN 1 ELSE 0 END)
+            AS BIGINT) AS conc,
+          CAST(sum(CASE WHEN (a.x < b.x AND a.y > b.y)
+                          OR (a.x > b.x AND a.y < b.y) THEN 1 ELSE 0 END)
+            AS BIGINT) AS disc,
+          CAST(sum(CASE WHEN a.x = b.x AND a.y <> b.y THEN 1 ELSE 0 END)
+            AS BIGINT) AS ties_x,
+          CAST(sum(CASE WHEN a.y = b.y AND a.x <> b.x THEN 1 ELSE 0 END)
+            AS BIGINT) AS ties_y,
+          CAST(sum(CASE WHEN a.x = b.x AND a.y = b.y THEN 1 ELSE 0 END)
+            AS BIGINT) AS ties_xy
+        FROM m a JOIN m b ON a.g = b.g AND a.mth < b.mth
+        GROUP BY a.g)
+      SELECT g, conc, disc, ties_x, ties_y,
+             ${sqlR6("""CAST(conc - disc AS DOUBLE)
+               / sqrt(CAST(conc + disc + ties_y AS DOUBLE)
+                      * CAST(conc + disc + ties_x AS DOUBLE))""")} AS tau_b
+      FROM p ORDER BY g""")
+  )
+
   val all: Seq[QueryDef] = Seq(m1Ols, m2OlsNextDay, m4Anomalies, m5Ridge,
     m6Cv, m7Mwu, m8Ks, m9Nbayes, m10LogregStep, m11Welch, m12Spearman,
-    m13Robust)
+    m13Robust, m14Anova, m15Kendall)
 }
