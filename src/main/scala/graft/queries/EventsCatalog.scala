@@ -538,8 +538,94 @@ object EventsCatalog {
       ORDER BY tr.a, tr.b""")
   )
 
+  /** First-touch / last-touch conversion attribution — the marketing-
+    * analytics capability behind channel ROI reporting: for each user's
+    * FIRST purchase, credit the first and the last touch event
+    * (view/click/signup) strictly before it, '(direct)' when none exists.
+    * Every shuffle is keyed by user_id (high cardinality); first/last
+    * touches are min/max over a lexicographic struct under the portable
+    * (µs, event_id) total order — ONE partial-aggregatable pass, no
+    * row_number window (the q_f_ohlc first/last idiom; the trailing
+    * event_type field never participates in a comparison). Counts and the
+    * share division are exact → bit-exact, no rounding.
+    */
+  val eAttribution = QueryDef(
+    "q_e_attribution",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), expr("ts div 1000").as("us"),
+          col("event_id"), col("event_type"))
+      val pur = ev.filter(col("event_type") === "purchase")
+        .groupBy("user_id")
+        .agg(min(struct(col("us"), col("event_id"))).as("p"))
+        .select(col("user_id"), col("p.us").as("pus"),
+          col("p.event_id").as("pid"))
+      val touches = ev
+        .filter(col("event_type").isin("view", "click", "signup"))
+        .join(pur, "user_id")
+        .where(col("us") < col("pus") ||
+          (col("us") === col("pus") && col("event_id") < col("pid")))
+      val ft = touches.groupBy("user_id").agg(
+        min(struct(col("us"), col("event_id"), col("event_type")))
+          .getField("event_type").as("first_touch"),
+        max(struct(col("us"), col("event_id"), col("event_type")))
+          .getField("event_type").as("last_touch"))
+      val conv = pur.join(ft, Seq("user_id"), "left")
+        .select(coalesce(col("first_touch"), lit("(direct)"))
+          .as("first_touch"),
+          coalesce(col("last_touch"), lit("(direct)")).as("last_touch"))
+      val tot = conv.agg(count(lit(1)).as("n_conv"))
+      conv.groupBy("first_touch", "last_touch")
+        .agg(count(lit(1)).as("n_conversions"))
+        .crossJoin(broadcast(tot))
+        .select(col("first_touch"), col("last_touch"), col("n_conversions"),
+          (col("n_conversions").cast("double") /
+            col("n_conv").cast("double")).as("share"))
+        .orderBy("first_touch", "last_touch")
+    },
+    Some("""
+      WITH ev AS (
+        SELECT user_id, epoch_us(ts) AS us, event_id, event_type
+        FROM events),
+      pur AS (
+        SELECT user_id, us, event_id FROM (
+          SELECT user_id, us, event_id,
+                 row_number() OVER (PARTITION BY user_id
+                   ORDER BY us, event_id) AS rn
+          FROM ev WHERE event_type = 'purchase')
+        WHERE rn = 1),
+      tch AS (
+        SELECT e.user_id, e.us, e.event_id, e.event_type
+        FROM ev e JOIN pur p ON p.user_id = e.user_id
+        WHERE e.event_type IN ('view', 'click', 'signup')
+          AND (e.us < p.us OR (e.us = p.us AND e.event_id < p.event_id))),
+      ft AS (
+        SELECT user_id,
+               max(CASE WHEN rna = 1 THEN event_type END) AS first_touch,
+               max(CASE WHEN rnd = 1 THEN event_type END) AS last_touch
+        FROM (
+          SELECT *,
+                 row_number() OVER (PARTITION BY user_id
+                   ORDER BY us, event_id) AS rna,
+                 row_number() OVER (PARTITION BY user_id
+                   ORDER BY us DESC, event_id DESC) AS rnd
+          FROM tch)
+        GROUP BY 1),
+      conv AS (
+        SELECT coalesce(f.first_touch, '(direct)') AS first_touch,
+               coalesce(f.last_touch, '(direct)') AS last_touch
+        FROM pur p LEFT JOIN ft f USING (user_id)),
+      tot AS (SELECT count(*) AS n_conv FROM conv)
+      SELECT first_touch, last_touch,
+             CAST(count(*) AS BIGINT) AS n_conversions,
+             CAST(count(*) AS DOUBLE) / CAST(tot.n_conv AS DOUBLE) AS share
+      FROM conv CROSS JOIN tot
+      GROUP BY first_touch, last_touch, tot.n_conv
+      ORDER BY first_touch, last_touch""")
+  )
+
   val all: Seq[QueryDef] =
     Seq(eHourly, eSessions, eHourlyStream, eSessionizeStream,
       eSessionWindow, eFunnel, eDedup, eDedupStream, eIntervalStream,
-      eRetention, eEnrichStream, eHoltStream, eMarkov)
+      eRetention, eEnrichStream, eHoltStream, eMarkov, eAttribution)
 }

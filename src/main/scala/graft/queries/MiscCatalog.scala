@@ -1511,11 +1511,85 @@ object MiscCatalog {
       FROM a ORDER BY g""")
   )
 
+  /** Graph capability 3: degree assortativity of the customer–supplier
+    * trade graph (Newman, "Assortative mixing in networks", 2002) — the
+    * Pearson correlation of endpoint degrees over the directed edge list
+    * (both directions included, which is exactly Newman's undirected
+    * formulation). Answers "do high-degree hubs trade with other hubs or
+    * with the periphery" — negative values (disassortative) are the
+    * hub-and-spoke signature. Two key-keyed joins attach the broadcast
+    * degree table to each endpoint; all five moments are exact
+    * DECIMAL(38,0) integer sums in ONE partial-aggregatable pass, and r is
+    * a fixed float expression over them → r6.
+    */
+  val qAssortativity = QueryDef(
+    "q_g_assortativity",
+    (s, dir) => {
+      def s380(c: org.apache.spark.sql.Column) =
+        sum(c.cast("decimal(38,0)")).cast("double")
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val e0 = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .select((col("o_custkey") * 2).cast("long").as("cust"),
+          (col("l_suppkey") * 2 + 1).cast("long").as("supp"))
+        .distinct()
+      val edges = e0.select(col("cust").as("src"), col("supp").as("dst"))
+        .unionByName(e0.select(col("supp").as("src"), col("cust").as("dst")))
+      val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      val nNodes = deg.select(count(lit(1)).as("n_nodes"))
+      val ed = edges
+        .join(broadcast(deg.select(col("src"), col("deg").as("dx"))), "src")
+        .join(broadcast(deg.select(col("src").as("dst"),
+          col("deg").as("dy"))), "dst")
+      val m = ed.agg(
+        count(lit(1)).as("n_edges"),
+        s380(col("dx")).as("sx"), s380(col("dy")).as("sy"),
+        s380(col("dx") * col("dx")).as("sxx"),
+        s380(col("dy") * col("dy")).as("syy"),
+        s380(col("dx") * col("dy")).as("sxy"))
+      val n = col("n_edges").cast("double")
+      m.crossJoin(nNodes).select(
+        col("n_edges"), col("n_nodes"),
+        r6((n * col("sxy") - col("sx") * col("sy")) /
+          sqrt((n * col("sxx") - col("sx") * col("sx")) *
+            (n * col("syy") - col("sy") * col("sy"))))
+          .as("assortativity"))
+    },
+    Some(s"""
+      WITH e0 AS (
+        SELECT DISTINCT o.o_custkey * 2 AS cust, l.l_suppkey * 2 + 1 AS supp
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+      eall AS (
+        SELECT cust AS src, supp AS dst FROM e0
+        UNION ALL SELECT supp AS src, cust AS dst FROM e0),
+      deg AS (SELECT src, count(*) AS deg FROM eall GROUP BY 1),
+      nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM deg),
+      ed AS (
+        SELECT dx.deg AS dx, dy.deg AS dy
+        FROM eall e
+        JOIN deg dx ON dx.src = e.src
+        JOIN deg dy ON dy.src = e.dst),
+      m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_edges,
+               CAST(sum(CAST(dx AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+               CAST(sum(CAST(dy AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+               CAST(sum(CAST(dx * dx AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+               CAST(sum(CAST(dy * dy AS DECIMAL(38,0))) AS DOUBLE) AS syy,
+               CAST(sum(CAST(dx * dy AS DECIMAL(38,0))) AS DOUBLE) AS sxy
+        FROM ed)
+      SELECT n_edges, nn.n_nodes,
+             ${sqlR6("""(CAST(n_edges AS DOUBLE) * sxy - sx * sy)
+               / sqrt((CAST(n_edges AS DOUBLE) * sxx - sx * sx)
+                      * (CAST(n_edges AS DOUBLE) * syy - sy * sy))""")}
+               AS assortativity
+      FROM m CROSS JOIN nn""")
+  )
+
   val all: Seq[QueryDef] = Seq(oTopK, aSpikeSummary, eJson, aSummary,
     mKmeans, mLloydStep, qAsof, qRange, qRollup, qCube, qGroupingSets,
     qPercentile, qHistogram, qZOrder, qScd2, qScd1, qIncAgg,
     qQuantileExact, qPagerank, qTriangles, qChecksum, qChi2, qHhi,
     qProfile, qBenford, qGini, qEntropy, qMi, qSnapshotDiff, qWinsor,
-    qFkAudit, qMoments)
+    qFkAudit, qMoments, qAssortativity)
 }
 

@@ -215,5 +215,60 @@ object SketchCatalog {
       ORDER BY tc.exact_cnt DESC, tc.tok LIMIT 40""")
   )
 
-  val all: Seq[QueryDef] = Seq(hllDistinct, hllMerge, cmsTopk)
+  /** KMV bottom-k distinct sketch (sketches.Kmv) estimating distinct
+    * customers per order priority, next to the exact count — the
+    * hash-value sibling of q_hll_distinct (KMV additionally supports
+    * intersection estimates and is what bottom-k sampling systems ship).
+    * No aux dump needed: the hash is the portable md5 60-bit prefix, so
+    * DuckDB re-derives the identical bottom-k set and replays the
+    * (k−1)·2^60/h_k estimate bit-for-bit (r6 guard only).
+    */
+  private val KmvK = 256
+  val kmvDistinct = QueryDef(
+    "q_kmv_distinct",
+    (s, dir) => {
+      import graft.sketches.Kmv
+      val o = t(s, dir, "orders")
+      val est = Kmv.estimate(
+        Kmv.bottomK(o, Seq("o_orderpriority"), col("o_custkey"), KmvK),
+        Seq("o_orderpriority"), KmvK)
+      val exact = o.groupBy("o_orderpriority")
+        .agg(countDistinct(col("o_custkey")).as("exact_distinct"))
+      est.join(exact, "o_orderpriority")
+        .select(col("o_orderpriority"), col("n_sketch"),
+          r6(col("kmv_est")).as("kmv_est"), col("exact_distinct"))
+        .orderBy("o_orderpriority")
+    },
+    Some(s"""
+      WITH h AS (
+        SELECT DISTINCT o_orderpriority,
+               ${graft.sketches.Kmv.sqlKeyHash("o_custkey")} AS h
+        FROM orders),
+      r AS (
+        SELECT o_orderpriority, h,
+               row_number() OVER (PARTITION BY o_orderpriority ORDER BY h)
+                 AS rn
+        FROM h),
+      b AS (
+        SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_sketch,
+               max(h) AS h_k
+        FROM r WHERE rn <= $KmvK GROUP BY 1),
+      e AS (
+        SELECT o_orderpriority, n_sketch,
+               CASE WHEN n_sketch < $KmvK THEN CAST(n_sketch AS DOUBLE)
+                    ELSE CAST(${KmvK - 1} AS DOUBLE)
+                         * ${graft.sketches.Kmv.HashSpaceSql}
+                         / CAST(h_k AS DOUBLE) END AS kmv_est
+        FROM b),
+      x AS (
+        SELECT o_orderpriority,
+               CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_distinct
+        FROM orders GROUP BY 1)
+      SELECT e.o_orderpriority, e.n_sketch,
+             ${sqlR6("e.kmv_est")} AS kmv_est, x.exact_distinct
+      FROM e JOIN x USING (o_orderpriority)
+      ORDER BY e.o_orderpriority""")
+  )
+
+  val all: Seq[QueryDef] = Seq(hllDistinct, hllMerge, cmsTopk, kmvDistinct)
 }

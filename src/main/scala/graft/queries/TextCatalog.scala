@@ -835,9 +835,99 @@ object TextCatalog {
       ORDER BY sa, sb""")
   )
 
+  /** Jensen–Shannon divergence between every source pair's unigram
+    * distribution — the distribution-shift audit a corpus-mixing pipeline
+    * runs before blending sources (and the distance DSIR-style selection
+    * builds on), in bits via the base-2 formulation. The sum over the
+    * token UNION is decomposed so only the SHARED-token join materializes:
+    * for a token present in one side only, m = p/2, so its contribution is
+    * p·ln2 — all absent-side mass folds into (1 − Σ_shared p)·ln2, leaving
+    * JSD_bits = ½·[(Σ_sh p·ln(2p/(p+q)) + Σ_sh q·ln(2q/(p+q)))/ln2
+    * + (2 − Σ_sh p − Σ_sh q)]. The shared join is token-keyed (bounded
+    * fanout: ≤ |sources| rows per token side — the q_t_vocab_overlap scale
+    * argument); per-pair terms are decimal(38,18)-accumulated
+    * (order-independent), with p, q exact int/int divisions and ln on
+    * identical doubles (the q_a21_entropy portability contract) → r6.
+    */
+  val tJsd = QueryDef(
+    "q_t_jsd",
+    (s, dir) => {
+      def s18(c: org.apache.spark.sql.Column) =
+        sum(c.cast("decimal(38,18)")).cast("double")
+      val ln2 = math.log(2.0)
+      val cnt = t(s, dir, "documents")
+        .select(col("source"), lower(TextAnalysis.normText(col("text")))
+          .as("nt"))
+        .filter(length(col("nt")) > 0)
+        .select(col("source"), explode(split(col("nt"), " ")).as("w"))
+        .groupBy("source", "w").agg(count(lit(1)).as("c"))
+      val tot = cnt.groupBy("source").agg(sum("c").as("tot"))
+      val wc = cnt.join(tot, "source")
+        .select(col("source"), col("w"),
+          (col("c").cast("double") / col("tot").cast("double")).as("p"))
+      val a = wc.select(col("source").as("sa"), col("w"), col("p"))
+      val b = wc.select(col("source").as("sb"), col("w"),
+        col("p").as("q"))
+      val termA = col("p") * log(lit(2.0) * col("p") / (col("p") + col("q")))
+      val termB = col("q") * log(lit(2.0) * col("q") / (col("p") + col("q")))
+      val shared = a.join(b, Seq("w")).where(col("sa") < col("sb"))
+        .groupBy("sa", "sb")
+        .agg(count(lit(1)).as("n_shared"), s18(termA).as("ta"),
+          s18(termB).as("tb"), s18(col("p")).as("pa"),
+          s18(col("q")).as("pb"))
+      val pairs = tot.select(col("source").as("sa"))
+        .crossJoin(tot.select(col("source").as("sb")))
+        .where(col("sa") < col("sb"))
+      pairs.join(shared, Seq("sa", "sb"), "left")
+        .select(col("sa"), col("sb"),
+          coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+          r6(lit(0.5) * ((coalesce(col("ta"), lit(0.0)) +
+            coalesce(col("tb"), lit(0.0))) / lit(ln2) +
+            (lit(2.0) - coalesce(col("pa"), lit(0.0)) -
+              coalesce(col("pb"), lit(0.0))))).as("jsd_bits"))
+        .orderBy("sa", "sb")
+    },
+    Some {
+      def s18(e: String) =
+        s"CAST(sum(CAST(($e) AS DECIMAL(38,18))) AS DOUBLE)"
+      val ln2 = math.log(2.0)
+      s"""
+      WITH toko AS (
+        SELECT source, unnest(string_split(lower($sqlNorm), ' ')) AS w
+        FROM documents WHERE length($sqlNorm) > 0),
+      cnt AS (
+        SELECT source, w, count(*) AS c FROM toko GROUP BY 1, 2),
+      tot AS (SELECT source, sum(c) AS tot FROM cnt GROUP BY 1),
+      wc AS (
+        SELECT cnt.source, cnt.w,
+               CAST(cnt.c AS DOUBLE) / CAST(tot.tot AS DOUBLE) AS p
+        FROM cnt JOIN tot ON tot.source = cnt.source),
+      shared AS (
+        SELECT a.source AS sa, b.source AS sb,
+               CAST(count(*) AS BIGINT) AS n_shared,
+               ${s18("a.p * ln(2.0 * a.p / (a.p + b.p))")} AS ta,
+               ${s18("b.p * ln(2.0 * b.p / (a.p + b.p))")} AS tb,
+               ${s18("a.p")} AS pa,
+               ${s18("b.p")} AS pb
+        FROM wc a JOIN wc b ON a.w = b.w AND a.source < b.source
+        GROUP BY 1, 2),
+      pairs AS (
+        SELECT a.source AS sa, b.source AS sb
+        FROM tot a CROSS JOIN tot b WHERE a.source < b.source)
+      SELECT pairs.sa, pairs.sb,
+             coalesce(n_shared, 0) AS n_shared,
+             ${sqlR6(s"""0.5 * ((coalesce(ta, 0.0) + coalesce(tb, 0.0))
+               / $ln2
+               + (2.0 - coalesce(pa, 0.0) - coalesce(pb, 0.0)))""")}
+               AS jsd_bits
+      FROM pairs LEFT JOIN shared USING (sa, sb)
+      ORDER BY sa, sb"""
+    }
+  )
+
   val all: Seq[QueryDef] =
     Seq(tQuality, tTokens, tFingerprint, tLangId, tExplode,
       tRepetition, tLmScore, tSplit, tStratSample, tTfIdf, tPmi,
       tPii, tVocab, tComposition, tPack, tShuffle, tDecontaminate,
-      tLineDedup, tBm25, tDsir, tWsample, tVocabOverlap, tMixture)
+      tLineDedup, tBm25, tDsir, tWsample, tVocabOverlap, tMixture, tJsd)
 }
