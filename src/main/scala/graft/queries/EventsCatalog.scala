@@ -624,8 +624,203 @@ object EventsCatalog {
       ORDER BY first_touch, last_touch""")
   )
 
+  /** Kaplan–Meier survival estimate of time-to-first-purchase (in whole
+    * days since the user's first event), users who never purchase
+    * right-censored at their last event — the survival-analysis capability
+    * behind conversion-lag and churn curves, with REAL censoring (the
+    * naive "ECDF of converters" is biased; KM is the standard fix).
+    * Per-user durations are ONE user_id-keyed aggregate (exact integer µs
+    * arithmetic); the KM table itself lives on the duration HISTOGRAM —
+    * bounded by distinct whole days regardless of input SF (the calendar-
+    * spine argument), so its windows are windows over a tiny aggregate.
+    * d/n is an exact int/int division; the survival product is
+    * exp(Σ ln(1−d/n)) with the ln terms decimal(38,18)-accumulated in the
+    * cumulative window (the q_a21 ln-portability contract) → r6.
+    */
+  val eSurvival = QueryDef(
+    "q_e_survival",
+    (s, dir) => {
+      val DayUs = 86400000000L
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), expr("ts div 1000").as("us"),
+          col("event_type"))
+      val durs = ev.groupBy("user_id").agg(
+        min(col("us")).as("f"),
+        min(when(col("event_type") === "purchase", col("us"))).as("p"),
+        max(col("us")).as("l"))
+        .select(
+          (coalesce(col("p"), col("l")) - col("f")).as("diff_us"),
+          when(col("p").isNotNull, 1L).otherwise(0L).as("evt"))
+        .select(expr(s"diff_us div $DayUs").as("dur_day"), col("evt"))
+      val km = durs.groupBy("dur_day").agg(
+        sum(col("evt")).as("d_events"),
+        sum(lit(1L) - col("evt")).as("n_censored"),
+        count(lit(1)).as("m"))
+      val wAsc = Window.orderBy("dur_day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wSuf = Window.orderBy("dur_day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      // d = n (everyone at risk converts) sends survival to EXACTLY 0 and
+      // ln(1−d/n) to −∞: flag it with an exact integer predicate and pin
+      // S = 0 from that row on, keeping ln strictly in-domain (DuckDB's
+      // ln(0) is an error, Spark's a null — neither is the KM value)
+      km.withColumn("n_at_risk", sum(col("m")).over(wSuf))
+        .withColumn("dead",
+          max(when(col("d_events") === col("n_at_risk"), 1L).otherwise(0L))
+            .over(wAsc))
+        .withColumn("lnterm",
+          when(col("d_events") === col("n_at_risk"),
+            lit(0.0)).otherwise(
+            log(lit(1.0) - col("d_events").cast("double") /
+              col("n_at_risk").cast("double"))).cast("decimal(38,18)"))
+        .withColumn("survival",
+          when(col("dead") === 1L, lit(0.0)).otherwise(
+            r6(exp(sum(col("lnterm")).over(wAsc).cast("double")))))
+        .select(col("dur_day"), col("n_at_risk"), col("d_events"),
+          col("n_censored"), col("survival"))
+        .orderBy("dur_day")
+    },
+    Some("""
+      WITH ev AS (
+        SELECT user_id, epoch_us(ts) AS us, event_type FROM events),
+      durs AS (
+        SELECT CAST((coalesce(min(CASE WHEN event_type = 'purchase'
+                                  THEN us END), max(us)) - min(us))
+                    // 86400000000 AS BIGINT) AS dur_day,
+               CASE WHEN min(CASE WHEN event_type = 'purchase' THEN us END)
+                    IS NOT NULL THEN 1 ELSE 0 END AS evt
+        FROM ev GROUP BY user_id),
+      km AS (
+        SELECT dur_day, CAST(sum(evt) AS BIGINT) AS d_events,
+               CAST(sum(1 - evt) AS BIGINT) AS n_censored,
+               count(*) AS m
+        FROM durs GROUP BY 1),
+      r AS (
+        SELECT *,
+               CAST(sum(m) OVER (ORDER BY dur_day ROWS BETWEEN CURRENT ROW
+                 AND UNBOUNDED FOLLOWING) AS BIGINT) AS n_at_risk
+        FROM km),
+      t2 AS (
+        SELECT *,
+               max(CASE WHEN d_events = n_at_risk THEN 1 ELSE 0 END)
+                 OVER (ORDER BY dur_day ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW) AS dead,
+               CAST(CASE WHEN d_events = n_at_risk THEN 0.0
+                 ELSE ln(1.0 - CAST(d_events AS DOUBLE)
+                   / CAST(n_at_risk AS DOUBLE)) END AS DECIMAL(38,18))
+                 AS lnterm
+        FROM r)
+      SELECT dur_day, n_at_risk, d_events, n_censored,
+             CASE WHEN dead = 1 THEN 0.0
+               ELSE floor(exp(CAST(sum(lnterm) OVER (ORDER BY dur_day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS DOUBLE)) * 1e6 + 0.5) / 1e6 END AS survival
+      FROM t2 ORDER BY dur_day""")
+  )
+
+  /** INCREMENTAL SCD2 dimension maintenance from a streaming change feed —
+    * the foreachBatch MERGE pattern every streaming warehouse runs: three
+    * CDC batches (change timestamps 100/200/300, overlapping key sets so
+    * multi-version chains occur) arrive as ordered micro-batches
+    * (maxFilesPerTrigger=1 over staged files with ascending mtimes), and
+    * each one folds into the dimension via etl.Scd2.applyChanges. The
+    * handler applies per distinct change_ts in ascending order, so the
+    * final table is correct even if the source coalesces micro-batches.
+    * Gated against the CLOSED-FORM oracle: each key's version history is
+    * its change list with valid_to = lead(valid_from), the original row
+    * closed at the key's first change — so the stream must converge to
+    * exactly the batch-sequential SCD2 state (all values selected/exact →
+    * bit-exact).
+    */
+  val eScdStream = QueryDef(
+    "q_e_scd_stream",
+    (s, dir) => {
+      import java.nio.file.{Files, Paths, StandardCopyOption}
+      import org.apache.spark.sql.DataFrame
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_acctbal"))
+      val dim0 = cust
+        .withColumn("valid_from", lit(0L))
+        .withColumn("valid_to", lit(null).cast("long"))
+      def batch(mod: Int, tsv: Long, bump: Double) =
+        cust.filter(col("c_custkey") % mod === 0)
+          .select(col("c_custkey"),
+            (col("c_acctbal") + bump).as("c_acctbal"),
+            lit(tsv).as("change_ts"))
+      val batches =
+        Seq(batch(7, 100L, 100.0), batch(5, 200L, 200.0),
+          batch(3, 300L, 300.0))
+      val stage = Files.createTempDirectory("graft_scd_feed")
+      val feed = stage.resolve("feed")
+      Files.createDirectories(feed)
+      try {
+        batches.zipWithIndex.foreach { case (b, i) =>
+          val tmp = stage.resolve(s"w$i").toString
+          b.coalesce(1).write.mode("overwrite").parquet(tmp)
+          val part = Files.list(Paths.get(tmp)).filter(
+            _.getFileName.toString.endsWith(".parquet")).findFirst().get()
+          val dst = feed.resolve(f"b$i%02d.parquet")
+          Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
+          // ascending mtimes pin the FileStreamSource replay order
+          Files.setLastModifiedTime(dst,
+            java.nio.file.attribute.FileTime.fromMillis(1000L * (i + 1)))
+        }
+        var state = dim0.localCheckpoint()
+        val q = s.readStream.schema(batches.head.schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(feed.toString)
+          .writeStream.foreachBatch { (b: DataFrame, _: Long) =>
+            val tss = b.select("change_ts").distinct()
+              .collect().map(_.getLong(0)).sorted
+            tss.foreach { tsv =>
+              val ch = b.filter(col("change_ts") === tsv).drop("change_ts")
+              state = graft.etl.Scd2
+                .applyChanges(state, ch, Seq("c_custkey"), ts = tsv)
+                .localCheckpoint() // eager: feed files are deleted below
+            }
+          }.start()
+        try q.processAllAvailable() finally q.stop()
+        state.orderBy(col("c_custkey"), col("valid_from"))
+      } finally {
+        try {
+          val w = Files.walk(stage)
+          try w.sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => { Files.deleteIfExists(f); () })
+          finally w.close()
+        } catch { case _: java.io.IOException => () }
+      }
+    },
+    Some("""
+      WITH base AS (SELECT c_custkey, c_acctbal FROM customer),
+      ch AS (
+        SELECT c_custkey, c_acctbal + 100.0 AS c_acctbal,
+               CAST(100 AS BIGINT) AS vf
+        FROM base WHERE c_custkey % 7 = 0
+        UNION ALL
+        SELECT c_custkey, c_acctbal + 200.0, CAST(200 AS BIGINT)
+        FROM base WHERE c_custkey % 5 = 0
+        UNION ALL
+        SELECT c_custkey, c_acctbal + 300.0, CAST(300 AS BIGINT)
+        FROM base WHERE c_custkey % 3 = 0),
+      chv AS (
+        SELECT c_custkey, c_acctbal, vf AS valid_from,
+               lead(vf) OVER (PARTITION BY c_custkey ORDER BY vf)
+                 AS valid_to
+        FROM ch),
+      firstch AS (
+        SELECT c_custkey, min(vf) AS mv FROM ch GROUP BY 1),
+      orig AS (
+        SELECT b.c_custkey, b.c_acctbal, CAST(0 AS BIGINT) AS valid_from,
+               f.mv AS valid_to
+        FROM base b LEFT JOIN firstch f USING (c_custkey))
+      SELECT * FROM (
+        SELECT * FROM orig UNION ALL SELECT * FROM chv)
+      ORDER BY c_custkey, valid_from""")
+  )
+
   val all: Seq[QueryDef] =
     Seq(eHourly, eSessions, eHourlyStream, eSessionizeStream,
       eSessionWindow, eFunnel, eDedup, eDedupStream, eIntervalStream,
-      eRetention, eEnrichStream, eHoltStream, eMarkov, eAttribution)
+      eRetention, eEnrichStream, eHoltStream, eMarkov, eAttribution,
+      eSurvival, eScdStream)
 }
