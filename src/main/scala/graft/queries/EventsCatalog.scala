@@ -818,9 +818,71 @@ object EventsCatalog {
       ORDER BY c_custkey, valid_from""")
   )
 
+  /** Two-proportion z-test between deterministic user cohorts (user_id
+    * parity — the hash-split an experimentation platform assigns) on
+    * purchase conversion — the A/B-test readout. One user_id-keyed
+    * aggregate to per-user conversion flags, one tiny pivot to a single
+    * row; counts and the conversion rates are exact, z is a fixed float
+    * expression over them → r6.
+    */
+  val eAbTest = QueryDef(
+    "q_e_abtest",
+    (s, dir) => {
+      val u = t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("conv"))
+        .select((col("user_id") % 2).as("cohort"), col("conv"))
+      val g = u.agg(
+        count(when(col("cohort") === 0, 1)).as("n_a"),
+        sum(when(col("cohort") === 0, col("conv")).otherwise(0L))
+          .as("c_a"),
+        count(when(col("cohort") === 1, 1)).as("n_b"),
+        sum(when(col("cohort") === 1, col("conv")).otherwise(0L))
+          .as("c_b"))
+      val pa = col("c_a").cast("double") / col("n_a").cast("double")
+      val pb = col("c_b").cast("double") / col("n_b").cast("double")
+      val pp = (col("c_a") + col("c_b")).cast("double") /
+        (col("n_a") + col("n_b")).cast("double")
+      g.select(col("n_a"), col("c_a"), col("n_b"), col("c_b"),
+        pa.as("rate_a"), pb.as("rate_b"),
+        r6((pa - pb) / sqrt(pp * (lit(1.0) - pp) *
+          (lit(1.0) / col("n_a").cast("double") +
+            lit(1.0) / col("n_b").cast("double")))).as("z_stat"))
+    },
+    Some(s"""
+      WITH u AS (
+        SELECT user_id % 2 AS cohort,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                 AS conv
+        FROM events GROUP BY user_id),
+      g AS (
+        SELECT CAST(count(CASE WHEN cohort = 0 THEN 1 END) AS BIGINT)
+                 AS n_a,
+               CAST(sum(CASE WHEN cohort = 0 THEN conv ELSE 0 END)
+                 AS BIGINT) AS c_a,
+               CAST(count(CASE WHEN cohort = 1 THEN 1 END) AS BIGINT)
+                 AS n_b,
+               CAST(sum(CASE WHEN cohort = 1 THEN conv ELSE 0 END)
+                 AS BIGINT) AS c_b
+        FROM u),
+      e AS (
+        SELECT *,
+               CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS rate_a,
+               CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS rate_b,
+               CAST(c_a + c_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE) AS pp
+        FROM g)
+      SELECT n_a, c_a, n_b, c_b, rate_a, rate_b,
+             ${sqlR6("""(rate_a - rate_b)
+               / sqrt(pp * (1.0 - pp)
+                 * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))""")}
+               AS z_stat
+      FROM e""")
+  )
+
   val all: Seq[QueryDef] =
     Seq(eHourly, eSessions, eHourlyStream, eSessionizeStream,
       eSessionWindow, eFunnel, eDedup, eDedupStream, eIntervalStream,
       eRetention, eEnrichStream, eHoltStream, eMarkov, eAttribution,
-      eSurvival, eScdStream)
+      eSurvival, eScdStream, eAbTest)
 }

@@ -991,7 +991,143 @@ object MiningCatalog {
       FROM p ORDER BY g""")
   )
 
+  /** M16 capability: two-sided CUSUM changepoint detection (Page 1954)
+    * over each flag's daily mean price — the drift monitor a data-quality
+    * pipeline runs on incoming feeds. The recurrence
+    * S⁺_t = max(0, S⁺_{t−1} + (x_t − μ)) looks sequential, but with
+    * prefix sums P_t it is S⁺_t = P_t − min(0, min_{j≤t} P_j) (and the
+    * negative side mirrors with max) — so it distributes as one
+    * cumulative-sum window plus one cumulative-extreme window over the
+    * DAILY aggregate, which is calendar-bounded regardless of input SF.
+    * All deviations are decimal(38,18)-accumulated (the daily means are
+    * identical doubles from exact decimal averages), so S⁺/S⁻ are EXACT
+    * decimals and the h-threshold alarm is an exact predicate — bit-exact
+    * gate, no rounding, no float equality.
+    */
+  val m16Cusum = QueryDef(
+    "q_m16_cusum",
+    (s, dir) => {
+      val H = 50000.0 // alarm threshold on the cumulative deviation sum
+      val daily = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag").as("g"),
+          date_trunc("day", col("l_shipdate")).cast("timestamp_ntz")
+            .as("day"))
+        .agg(avgE(col("l_extendedprice")).as("x"))
+      val mu = daily.groupBy("g")
+        .agg((sum(col("x").cast("decimal(38,18)")).cast("double") /
+          count(lit(1))).as("mu"), count(lit(1)).as("n_days"))
+      val w = Window.partitionBy("g").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily.join(broadcast(mu), "g")
+        .withColumn("p",
+          sum((col("x") - col("mu")).cast("decimal(38,18)")).over(w))
+        .withColumn("s_pos",
+          (col("p") - least(lit(0).cast("decimal(38,18)"),
+            min(col("p")).over(w))).cast("double"))
+        .withColumn("s_neg",
+          (greatest(lit(0).cast("decimal(38,18)"),
+            max(col("p")).over(w)) - col("p")).cast("double"))
+        .select(col("g"), col("day"), col("s_pos"), col("s_neg"),
+          when(col("s_pos") > H || col("s_neg") > H, 1L).otherwise(0L)
+            .as("alarm"))
+        .orderBy("g", "day")
+    },
+    Some(s"""
+      WITH daily AS (
+        SELECT l_returnflag AS g, date_trunc('day', l_shipdate) AS day,
+               ${sqlAvgE("l_extendedprice")} AS x
+        FROM lineitem GROUP BY 1, 2),
+      mu AS (
+        SELECT g,
+               CAST(sum(CAST(x AS DECIMAL(38,18))) AS DOUBLE) / count(*)
+                 AS mu
+        FROM daily GROUP BY 1),
+      p AS (
+        SELECT daily.g, day,
+               sum(CAST(x - mu AS DECIMAL(38,18))) OVER (
+                 PARTITION BY daily.g ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+        FROM daily JOIN mu ON mu.g = daily.g),
+      sline AS (
+        SELECT g, day,
+               CAST(p - least(CAST(0 AS DECIMAL(38,18)), min(p) OVER (
+                 PARTITION BY g ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+                 AS DOUBLE) AS s_pos,
+               CAST(greatest(CAST(0 AS DECIMAL(38,18)), max(p) OVER (
+                 PARTITION BY g ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) - p
+                 AS DOUBLE) AS s_neg
+        FROM p)
+      SELECT g, day, s_pos, s_neg,
+             CAST(CASE WHEN s_pos > 50000.0 OR s_neg > 50000.0
+               THEN 1 ELSE 0 END AS BIGINT) AS alarm
+      FROM sline ORDER BY g, day""")
+  )
+
+  /** M17 capability: Theil–Sen robust trend slope per flag — the median of
+    * all pairwise slopes of the MONTHLY mean price series (Sen 1968), the
+    * outlier-immune alternative to the M2 OLS trend. Pair enumeration is
+    * calendar-bounded (|months|² per group, SF-independent — the
+    * q_m15_kendall argument); slopes divide identical doubles by exact
+    * integer month gaps; the median is an EXACT order statistic under the
+    * (slope, m1, m2) total order (lower-median + upper-median average for
+    * even counts — one addition and one halving of identical doubles) →
+    * bit-exact, no rounding.
+    */
+  val m17TheilSen = QueryDef(
+    "q_m17_theilsen",
+    (s, dir) => {
+      val m = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag").as("g"),
+          (year(col("l_shipdate")) * 12 + month(col("l_shipdate")))
+            .cast("long").as("mi"))
+        .agg(avgE(col("l_extendedprice")).as("y"))
+      val a = m.select(col("g"), col("mi").as("m1"), col("y").as("y1"))
+      val b = m.select(col("g").as("g2"), col("mi").as("m2"),
+        col("y").as("y2"))
+      val pairs = a.join(b, col("g") === col("g2") && col("m1") < col("m2"))
+        .select(col("g"), col("m1"), col("m2"),
+          ((col("y2") - col("y1")) /
+            (col("m2") - col("m1")).cast("double")).as("slope"))
+      val w = Window.partitionBy("g").orderBy("slope", "m1", "m2")
+      val ranked = pairs.withColumn("rn", row_number().over(w))
+      val cnt = pairs.groupBy("g").agg(count(lit(1)).as("np"))
+      ranked.join(broadcast(cnt), "g")
+        .where(col("rn") === expr("(np + 1) div 2") ||
+          col("rn") === expr("np div 2 + 1"))
+        .groupBy("g", "np")
+        .agg(((min(col("slope")) + max(col("slope"))) / 2.0)
+          .as("theil_sen_slope"))
+        .select(col("g"), col("np").as("n_pairs"),
+          col("theil_sen_slope"))
+        .orderBy("g")
+    },
+    Some(s"""
+      WITH m AS (
+        SELECT l_returnflag AS g,
+               CAST(year(l_shipdate) * 12 + month(l_shipdate) AS BIGINT)
+                 AS mi,
+               ${sqlAvgE("l_extendedprice")} AS y
+        FROM lineitem GROUP BY 1, 2),
+      pairs AS (
+        SELECT a.g, a.mi AS m1, b.mi AS m2,
+               (b.y - a.y) / CAST(b.mi - a.mi AS DOUBLE) AS slope
+        FROM m a JOIN m b ON a.g = b.g AND a.mi < b.mi),
+      ranked AS (
+        SELECT g, slope,
+               row_number() OVER (PARTITION BY g
+                 ORDER BY slope, m1, m2) AS rn,
+               count(*) OVER (PARTITION BY g) AS np
+        FROM pairs)
+      SELECT g, CAST(max(np) AS BIGINT) AS n_pairs,
+             (min(slope) + max(slope)) / 2.0 AS theil_sen_slope
+      FROM ranked
+      WHERE rn = (np + 1) // 2 OR rn = np // 2 + 1
+      GROUP BY g ORDER BY g""")
+  )
+
   val all: Seq[QueryDef] = Seq(m1Ols, m2OlsNextDay, m4Anomalies, m5Ridge,
     m6Cv, m7Mwu, m8Ks, m9Nbayes, m10LogregStep, m11Welch, m12Spearman,
-    m13Robust, m14Anova, m15Kendall)
+    m13Robust, m14Anova, m15Kendall, m16Cusum, m17TheilSen)
 }

@@ -1585,11 +1585,54 @@ object MiscCatalog {
       FROM m CROSS JOIN nn""")
   )
 
+  /** Hive-style partitioned parquet round trip with partition PRUNING —
+    * the layout decision that turns a 100 TB scan into a 1-year scan:
+    * write lineitem partitioned by ship year, read it back filtered to
+    * one year (the filter resolves against directory metadata —
+    * `PartitionFilters` in the scan, zero data files of other years
+    * touched, asserted in SourceFormatsSpec), aggregate the survivors.
+    * Gated against the same aggregate computed from the UNPARTITIONED
+    * base table, so the partitioned layout is proven lossless and the
+    * pruned read complete. Exact decimal sum → bit-exact.
+    */
+  val qPartitionedScan = QueryDef(
+    "q_src_partitioned",
+    (s, dir) => {
+      import java.nio.file.Files
+      val stage = Files.createTempDirectory("graft_part")
+      try {
+        t(s, dir, "lineitem")
+          .withColumn("yr", year(col("l_shipdate")))
+          .write.mode("overwrite").partitionBy("yr")
+          .parquet(stage.toString)
+        s.read.parquet(stage.toString)
+          .filter(col("yr") === 1995)
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            sumE(col("l_quantity")).as("sum_qty"))
+          .orderBy("l_returnflag")
+          .localCheckpoint() // materialize before the staged dir is deleted
+      } finally {
+        try {
+          val w = Files.walk(stage)
+          try w.sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => { Files.deleteIfExists(f); () })
+          finally w.close()
+        } catch { case _: java.io.IOException => () }
+      }
+    },
+    Some(s"""
+      SELECT l_returnflag, count(*) AS n,
+             ${sqlSumE("l_quantity")} AS sum_qty
+      FROM lineitem WHERE year(l_shipdate) = 1995
+      GROUP BY 1 ORDER BY 1""")
+  )
+
   val all: Seq[QueryDef] = Seq(oTopK, aSpikeSummary, eJson, aSummary,
     mKmeans, mLloydStep, qAsof, qRange, qRollup, qCube, qGroupingSets,
     qPercentile, qHistogram, qZOrder, qScd2, qScd1, qIncAgg,
     qQuantileExact, qPagerank, qTriangles, qChecksum, qChi2, qHhi,
     qProfile, qBenford, qGini, qEntropy, qMi, qSnapshotDiff, qWinsor,
-    qFkAudit, qMoments, qAssortativity)
+    qFkAudit, qMoments, qAssortativity, qPartitionedScan)
 }
 

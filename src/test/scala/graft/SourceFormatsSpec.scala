@@ -51,4 +51,28 @@ class SourceFormatsSpec extends SparkSpec {
     assert(got.count() == 200,
       s"expected 200 unique events, got ${got.count()}")
   }
+
+  test("partitioned parquet read prunes partitions at planning time") {
+    val d = java.nio.file.Files.createTempDirectory("graft_part_spec")
+    try {
+      spark.read.parquet(s"$sfSmoke/lineitem.parquet")
+        .withColumn("yr", year(col("l_shipdate")))
+        .write.mode("overwrite").partitionBy("yr").parquet(d.toString)
+      val pruned = spark.read.parquet(d.toString)
+        .filter(col("yr") === 1995)
+      val plan = pruned.queryExecution.executedPlan.toString
+      // the year filter must resolve against directory metadata, not rows
+      assert(plan.contains("PartitionFilters") &&
+        plan.replaceAll("\\s+", " ").matches(".*PartitionFilters:[^\\]]*yr[^\\]]*\\].*"),
+        s"expected a partition filter on yr in:\n$plan")
+      val expected = spark.read.parquet(s"$sfSmoke/lineitem.parquet")
+        .filter(year(col("l_shipdate")) === 1995).count()
+      assert(pruned.count() == expected)
+    } finally {
+      val w = java.nio.file.Files.walk(d)
+      try w.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
+      finally w.close()
+    }
+  }
 }
