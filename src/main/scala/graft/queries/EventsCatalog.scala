@@ -104,7 +104,7 @@ object EventsCatalog {
   private lazy val streamDirCleanup = sys.addShutdownHook {
     streamDirCache.values.forEach { case (_, p) => deleteStagedDir(p) }
   }
-  private def streamableEventsDir(dir: String): String = {
+  private[queries] def streamableEventsDir(dir: String): String = {
     val src = java.nio.file.Paths.get(s"$dir/events.parquet")
     val attrs = java.nio.file.Files.readAttributes(
       src, classOf[java.nio.file.attribute.BasicFileAttributes])

@@ -1127,7 +1127,89 @@ object MiningCatalog {
       GROUP BY g ORDER BY g""")
   )
 
+  /** M18 capability: closed-form 2×2 PCA of (quantity, price) per flag —
+    * eigendecomposition of the sample covariance via the trace/determinant
+    * quadratic (λ = (tr ± √(tr²−4·det))/2), the dimensionality-reduction
+    * fit that needs NO iteration: one exact-decimal moment pass (the
+    * M1/M5/M10 shape), then a per-group scalar solve. The eigenvector
+    * composes from sqrt only (exactly rounded per IEEE-754, unlike
+    * transcendentals) over identical doubles; explained-variance ratio is
+    * λ₁/tr → everything lands r6/r2 with huge margin.
+    */
+  val m18Pca = QueryDef(
+    "q_m18_pca",
+    (s, dir) => {
+      def s386(c: org.apache.spark.sql.Column) =
+        sum(c.cast("decimal(38,6)")).cast("double")
+      val x = col("l_quantity")
+      val y = col("l_extendedprice")
+      val g = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag").as("g"))
+        .agg(count(lit(1)).as("n"),
+          s386(x).as("sx"), s386(y).as("sy"),
+          s386(x * x).as("sxx"), s386(y * y).as("syy"),
+          s386(x * y).as("sxy"))
+      val n = col("n").cast("double")
+      val cxx = (col("sxx") - col("sx") * col("sx") / n) / (n - 1.0)
+      val cyy = (col("syy") - col("sy") * col("sy") / n) / (n - 1.0)
+      val cxy = (col("sxy") - col("sx") * col("sy") / n) / (n - 1.0)
+      val tr = cxx + cyy
+      val disc = sqrt(tr * tr - lit(4.0) * (cxx * cyy - cxy * cxy))
+      val l1 = (tr + disc) / 2.0
+      val l2 = (tr - disc) / 2.0
+      val vnorm = sqrt(cxy * cxy + (l1 - cxx) * (l1 - cxx))
+      g.select(col("g"), col("n"),
+        r2(l1).as("lambda1"), r2(l2).as("lambda2"),
+        r6(l1 / tr).as("explained_ratio"),
+        r6(cxy / vnorm).as("pc1_x"),
+        r6((l1 - cxx) / vnorm).as("pc1_y"))
+        .orderBy("g")
+    },
+    Some {
+      val pre = """
+      WITH m AS (
+        SELECT l_returnflag AS g, count(*) AS n,
+               CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)
+                 AS sy,
+               CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(38,6)))
+                 AS DOUBLE) AS sxx,
+               CAST(sum(CAST(l_extendedprice * l_extendedprice
+                 AS DECIMAL(38,6))) AS DOUBLE) AS syy,
+               CAST(sum(CAST(l_quantity * l_extendedprice
+                 AS DECIMAL(38,6))) AS DOUBLE) AS sxy
+        FROM lineitem GROUP BY 1),
+      c AS (
+        SELECT g, n,
+               (sxx - sx * sx / CAST(n AS DOUBLE))
+                 / (CAST(n AS DOUBLE) - 1.0) AS cxx,
+               (syy - sy * sy / CAST(n AS DOUBLE))
+                 / (CAST(n AS DOUBLE) - 1.0) AS cyy,
+               (sxy - sx * sy / CAST(n AS DOUBLE))
+                 / (CAST(n AS DOUBLE) - 1.0) AS cxy
+        FROM m),
+      ev AS (
+        SELECT g, n, cxx, cyy, cxy, cxx + cyy AS tr,
+               sqrt((cxx + cyy) * (cxx + cyy)
+                 - 4.0 * (cxx * cyy - cxy * cxy)) AS disc
+        FROM c),
+      l AS (
+        SELECT g, n, cxx, cxy, tr,
+               (tr + disc) / 2.0 AS l1, (tr - disc) / 2.0 AS l2
+        FROM ev)"""
+      s"""$pre
+      SELECT g, n,
+             ${sqlR2("l1")} AS lambda1, ${sqlR2("l2")} AS lambda2,
+             ${sqlR6("l1 / tr")} AS explained_ratio,
+             ${sqlR6("cxy / sqrt(cxy * cxy + (l1 - cxx) * (l1 - cxx))")}
+               AS pc1_x,
+             ${sqlR6("(l1 - cxx) / sqrt(cxy * cxy + (l1 - cxx) * (l1 - cxx))")}
+               AS pc1_y
+      FROM l ORDER BY g"""
+    }
+  )
+
   val all: Seq[QueryDef] = Seq(m1Ols, m2OlsNextDay, m4Anomalies, m5Ridge,
     m6Cv, m7Mwu, m8Ks, m9Nbayes, m10LogregStep, m11Welch, m12Spearman,
-    m13Robust, m14Anova, m15Kendall, m16Cusum, m17TheilSen)
+    m13Robust, m14Anova, m15Kendall, m16Cusum, m17TheilSen, m18Pca)
 }

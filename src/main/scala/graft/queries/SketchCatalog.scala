@@ -27,6 +27,9 @@ object SketchCatalog {
     "hll_hashes" -> ((s, dir) =>
       t(s, dir, "orders").select("o_custkey").distinct()
         .withColumn("h", xxhash64(col("o_custkey")))),
+    "hll_event_hashes" -> ((s, dir) =>
+      t(s, dir, "events").select("user_id").distinct()
+        .withColumn("h", xxhash64(col("user_id")))),
     "cms_hashes" -> ((s, dir) =>
       graft.sketches.CountMin.bucketMap(
         sparkToks(s, dir).distinct(), "tok", D, W)))
@@ -270,5 +273,75 @@ object SketchCatalog {
       ORDER BY e.o_orderpriority""")
   )
 
-  val all: Seq[QueryDef] = Seq(hllDistinct, hllMerge, cmsTopk, kmvDistinct)
+  /** The HLL registers maintained by the STREAMING engine: readStream over
+    * events → the register aggregation (one streaming groupBy(group, reg)
+    * max — the mergeable-sketch update IS an aggregate, so Structured
+    * Streaming maintains it incrementally with state bounded by
+    * |groups|·2^p registers, never by distinct keys) → complete-mode
+    * memory sink, then the batch estimate over the final registers.
+    * Gated by the SAME aux-hash replay oracle as the batch sketch:
+    * approximate-distinct-users-per-event-type where the distinct-user
+    * state of an unbounded stream could never be held exactly. rho, the
+    * register max, and the indicator sum replay exactly in DuckDB.
+    */
+  val hllStream = QueryDef(
+    "q_hll_stream",
+    (s, dir) => {
+      val sink = "graft_hll_stream_sink"
+      s.catalog.dropTempView(sink)
+      val src = s.readStream.schema(graft.model.Schemas.events)
+        .parquet(EventsCatalog.streamableEventsDir(dir))
+      val q = Hll.registers(src, Seq("event_type"), col("user_id"), P)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("complete").start()
+      try q.processAllAvailable() finally q.stop()
+      val exact = t(s, dir, "events").groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("exact_distinct"))
+      Hll.estimate(s.table(sink), Seq("event_type"), P)
+        .join(exact, "event_type")
+        .select(col("event_type"), r6(col("hll_est")).as("hll_est"),
+          col("exact_distinct"))
+        .orderBy("event_type")
+    },
+    Some(s"""
+      WITH hh AS (
+        SELECT * FROM
+          read_parquet('__VERIFY_OUT__/aux/hll_event_hashes/*.parquet')),
+      j AS (
+        SELECT DISTINCT e.event_type, hh.h
+        FROM events e JOIN hh ON hh.user_id = e.user_id),
+      r AS (
+        SELECT event_type, h & ${M - 1} AS reg,
+               ${Hll.rhoSql(s"(h >> $P) & $WMask", WBits)} AS rho
+        FROM j),
+      regs AS (
+        SELECT event_type, reg, max(rho) AS m_rho
+        FROM r GROUP BY 1, 2),
+      agg AS (
+        SELECT event_type, count(*) AS npres,
+               sum(CAST((CAST(1 AS BIGINT) << (62 - m_rho)) AS DECIMAL(38,0))) AS sumi
+        FROM regs GROUP BY 1),
+      e AS (
+        SELECT event_type, $M - npres AS zeros,
+               ${Hll.alphaScale(P)} / CAST(sumi
+                 + CAST($M - npres AS DECIMAL(38,0))
+                   * CAST($Two62 AS DECIMAL(38,0)) AS DOUBLE) AS raw
+        FROM agg),
+      est AS (
+        SELECT event_type,
+               CASE WHEN raw <= ${2.5 * M} AND zeros > 0
+                    THEN ${M.toDouble} * ln(${M.toDouble} / CAST(zeros AS DOUBLE))
+                    ELSE raw END AS hll_est
+        FROM e),
+      ex AS (
+        SELECT event_type, count(DISTINCT user_id) AS exact_distinct
+        FROM events GROUP BY 1)
+      SELECT est.event_type, ${sqlR6("hll_est")} AS hll_est,
+             ex.exact_distinct
+      FROM est JOIN ex ON est.event_type = ex.event_type
+      ORDER BY est.event_type""")
+  )
+
+  val all: Seq[QueryDef] =
+    Seq(hllDistinct, hllMerge, cmsTopk, kmvDistinct, hllStream)
 }
