@@ -1628,11 +1628,105 @@ object MiscCatalog {
       GROUP BY 1 ORDER BY 1""")
   )
 
+  /** Graph capability 4: k-core decomposition (k = 3) of the trade graph
+    * by iterative peeling — repeatedly delete nodes of degree < k until
+    * the fixpoint; the standard dense-subgraph extraction (Seidman 1983)
+    * behind community seeding and spam-cluster mining. Each round is one
+    * degree aggregate + two semi joins, data MONOTONICALLY shrinking, the
+    * loop state checkpointed so plans stay flat (the Lloyd-iteration
+    * lifecycle). Peeling is fully deterministic, so running the SAME
+    * bounded round count in both engines yields identical state whether or
+    * not the fixpoint arrives early (converged rounds are no-ops — Spark
+    * exits early on convergence, the oracle just runs all 16 unrolled CTE
+    * rounds); the convergence flag in the output asserts the fixpoint WAS
+    * reached. Exact integer output → bit-exact.
+    */
+  val qKcore = QueryDef(
+    "q_g_kcore",
+    (s, dir) => {
+      val K = 3
+      val Rounds = 16
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val e0 = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .select((col("o_custkey") * 2).cast("long").as("cust"),
+          (col("l_suppkey") * 2 + 1).cast("long").as("supp"))
+        .distinct()
+      var edges = e0.select(col("cust").as("src"), col("supp").as("dst"))
+        .unionByName(e0.select(col("supp").as("src"), col("cust").as("dst")))
+        .localCheckpoint()
+      var n = edges.count()
+      var converged = false
+      var i = 0
+      while (i < Rounds && !converged) {
+        val keep = edges.groupBy("src").agg(count(lit(1)).as("d"))
+          .filter(col("d") >= K).select("src")
+        val next = edges
+          .join(keep, "src")
+          .join(keep.withColumnRenamed("src", "dst"), "dst")
+          .select("src", "dst")
+          .localCheckpoint()
+        val m = next.count()
+        converged = m == n
+        edges = next
+        n = m
+        i += 1
+      }
+      val deg = edges.groupBy("src").agg(count(lit(1)).as("d"))
+      deg
+        .select(
+          when(col("src") % 2 === 0, lit("customer"))
+            .otherwise(lit("supplier")).as("node_type"),
+          col("d"))
+        .groupBy("node_type")
+        .agg(count(lit(1)).as("n_nodes"), sum(col("d")).as("n_edges_dir"),
+          min(col("d")).as("min_degree"))
+        .withColumn("converged", lit(if (converged) 1L else 0L))
+        .orderBy("node_type")
+    },
+    Some {
+      val K = 3
+      // MATERIALIZED is load-bearing: each round references the previous
+      // round's edge CTE three times (directly + through the degree
+      // filter twice); default CTE inlining would expand e0 3^16 times
+      // and exhaust file descriptors on the parquet scan
+      val rounds = (0 until 16).map { i =>
+        s"""k$i AS MATERIALIZED (
+        SELECT src FROM (SELECT src, count(*) AS d FROM e$i GROUP BY 1)
+        WHERE d >= $K),
+      e${i + 1} AS MATERIALIZED (
+        SELECT e.src, e.dst FROM e$i e
+        JOIN k$i a ON a.src = e.src JOIN k$i b ON b.src = e.dst)"""
+      }.mkString(",\n      ")
+      s"""
+      WITH e0raw AS MATERIALIZED (
+        SELECT DISTINCT o.o_custkey * 2 AS cust, l.l_suppkey * 2 + 1 AS supp
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+      e0 AS MATERIALIZED (
+        SELECT cust AS src, supp AS dst FROM e0raw
+        UNION ALL SELECT supp AS src, cust AS dst FROM e0raw),
+      $rounds,
+      fin AS (SELECT src, count(*) AS d FROM e16 GROUP BY 1),
+      conv AS (
+        SELECT CASE WHEN (SELECT count(*) FROM e15)
+                       = (SELECT count(*) FROM e16)
+                    THEN 1 ELSE 0 END AS converged)
+      SELECT CASE WHEN src % 2 = 0 THEN 'customer' ELSE 'supplier' END
+               AS node_type,
+             count(*) AS n_nodes,
+             CAST(sum(d) AS BIGINT) AS n_edges_dir,
+             CAST(min(d) AS BIGINT) AS min_degree,
+             CAST(conv.converged AS BIGINT) AS converged
+      FROM fin CROSS JOIN conv
+      GROUP BY 1, conv.converged ORDER BY 1"""
+    }
+  )
+
   val all: Seq[QueryDef] = Seq(oTopK, aSpikeSummary, eJson, aSummary,
     mKmeans, mLloydStep, qAsof, qRange, qRollup, qCube, qGroupingSets,
     qPercentile, qHistogram, qZOrder, qScd2, qScd1, qIncAgg,
     qQuantileExact, qPagerank, qTriangles, qChecksum, qChi2, qHhi,
     qProfile, qBenford, qGini, qEntropy, qMi, qSnapshotDiff, qWinsor,
-    qFkAudit, qMoments, qAssortativity, qPartitionedScan)
+    qFkAudit, qMoments, qAssortativity, qPartitionedScan, qKcore)
 }
 

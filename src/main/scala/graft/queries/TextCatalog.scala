@@ -925,9 +925,52 @@ object TextCatalog {
     }
   )
 
+  /** Feature hashing (the "hashing trick" — Weinberger et al., ICML 2009):
+    * tokens land in a FIXED 64-bucket signed feature space via the
+    * portable md5 hash (bucket = 60-bit prefix mod 64, sign = 16th hex
+    * digit), giving the bounded-width bag-of-words a downstream trainer
+    * consumes with NO vocabulary pass and no vocabulary state to ship —
+    * the property that matters when the corpus vocabulary is unbounded.
+    * One token-keyed aggregate, output |sources| × 64 regardless of SF;
+    * counts and signed sums are exact integers → bit-exact.
+    */
+  val tFeatHash = QueryDef(
+    "q_t_feathash",
+    (s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("source"),
+          lower(TextAnalysis.normText(col("text"))).as("nt"))
+        .filter(length(col("nt")) > 0)
+        .select(col("source"), explode(split(col("nt"), " ")).as("w"))
+      toks
+        .withColumn("bucket",
+          pmod(conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long"),
+            lit(64L)))
+        .withColumn("sgn",
+          when(substring(md5(col("w")), 16, 1) >= "8", 1L).otherwise(-1L))
+        .groupBy("source", "bucket")
+        .agg(count(lit(1)).as("n_terms"), sum(col("sgn")).as("signed_sum"))
+        .orderBy("source", "bucket")
+    },
+    Some(s"""
+      WITH toko AS (
+        SELECT source, unnest(string_split(lower($sqlNorm), ' ')) AS w
+        FROM documents WHERE length($sqlNorm) > 0),
+      h AS (
+        SELECT source,
+               CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) % 64 AS bucket,
+               CASE WHEN substr(md5(w), 16, 1) >= '8' THEN 1 ELSE -1 END
+                 AS sgn
+        FROM toko)
+      SELECT source, bucket, count(*) AS n_terms,
+             CAST(sum(sgn) AS BIGINT) AS signed_sum
+      FROM h GROUP BY 1, 2 ORDER BY 1, 2""")
+  )
+
   val all: Seq[QueryDef] =
     Seq(tQuality, tTokens, tFingerprint, tLangId, tExplode,
       tRepetition, tLmScore, tSplit, tStratSample, tTfIdf, tPmi,
       tPii, tVocab, tComposition, tPack, tShuffle, tDecontaminate,
-      tLineDedup, tBm25, tDsir, tWsample, tVocabOverlap, tMixture, tJsd)
+      tLineDedup, tBm25, tDsir, tWsample, tVocabOverlap, tMixture, tJsd,
+      tFeatHash)
 }

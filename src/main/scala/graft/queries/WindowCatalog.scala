@@ -381,8 +381,41 @@ object WindowCatalog {
       FROM d GROUP BY 1 ORDER BY 1""")
   )
 
+  /** W14 capability: rolling MEDIAN (20-row frame, full frames only) —
+    * the robust rolling signal pandas spells `rolling(20).median()`, immune
+    * to the single-spike distortion a rolling mean takes. Exact in-frame
+    * percentile with linear interpolation: both engines sort the same 20
+    * doubles and interpolate at k = 9.5 (one halved addition of identical
+    * operands — Spark `percentile`, DuckDB `quantile_cont`), so the value
+    * is deterministic → r2 at price magnitude. Same single
+    * partitionBy(custkey) shuffle as the whole W family.
+    */
+  val w14RollingMedian = QueryDef(
+    "q_w14_rolling_median",
+    (s, dir) => {
+      val wr = w.rowsBetween(-19, 0)
+      base(s, dir)
+        .select(col("o_custkey"), col("o_orderkey"),
+          when(count(lit(1)).over(wr) === 20,
+            r2(percentile(col("o_totalprice"), lit(0.5)).over(wr)))
+            .as("roll_median"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+    Some(s"""
+      WITH b AS (
+        SELECT o_custkey, o_orderkey,
+               quantile_cont(o_totalprice, 0.5) $overCust
+                 ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS med,
+               count(*) $overCust
+                 ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS n
+        FROM orders)
+      SELECT o_custkey, o_orderkey,
+             CASE WHEN n = 20 THEN ${sqlR2("med")} END AS roll_median
+      FROM b ORDER BY o_custkey, o_orderkey""")
+  )
+
   val all: Seq[QueryDef] = Seq(
     w1Lead, w2PctChange, w3Zscore, w4w5Rolling, w6Cumsum, w7Drawdown,
     w8RollingCorr, w9Standardize, w10Split, w11RankFamily, w12Ewma,
-    w13Decile)
+    w13Decile, w14RollingMedian)
 }

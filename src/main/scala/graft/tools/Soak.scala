@@ -89,7 +89,15 @@ object Soak {
       // (q_f_holt excluded — the daily-close series is calendar-bounded)
       "q_m12_spearman", "q_m13_robust", "q_a22_mi", "q_a23_winsor",
       "q_audit_diff", "q_s_sparse_cosine", "q_t_vocab_overlap",
-      "q_audit_fk", "q_t_mixture")
+      "q_audit_fk", "q_t_mixture",
+      // round-7 batch: every member scans a table this soak scales
+      // (lineitem / orders / customer / documents). The events-based
+      // additions (attribution, survival, abtest, hll_stream) are
+      // excluded — events is copied unscaled, so 10× would re-time
+      // identical data.
+      "q_m14_anova", "q_m15_kendall", "q_m16_cusum", "q_m17_theilsen",
+      "q_m18_pca", "q_t_jsd", "q_kmv_distinct", "q_g_assortativity",
+      "q_src_partitioned", "q_e_scd_stream")
     // operators self-materialize shared intermediates (localCheckpoint);
     // free them between runs so timings don't pay earlier queries' blocks
     def clear(): Unit = {
