@@ -50,11 +50,19 @@ object Kmv {
     * partitions by group alone.
     */
   def bottomK(df: DataFrame, groupCols: Seq[String], key: Column, k: Int,
+      salts: Int = 32): DataFrame =
+    selectBottomK(
+      df.select(groupCols.map(col) :+ keyHash(key).as("h"): _*).distinct(),
+      groupCols, k, salts)
+
+  /** Bottom-k selection over an EXISTING distinct (groupCols…, h) table —
+    * also the sketch MERGE: bottom-k of a union of part-sketches (distinct
+    * the union first — a key present in several parts must collapse to one
+    * hash row) equals the bottom-k of the whole key set.
+    */
+  def selectBottomK(hashed: DataFrame, groupCols: Seq[String], k: Int,
       salts: Int = 32): DataFrame = {
     require(k > 1, s"k must exceed 1 for the (k-1)/U_(k) estimator: $k")
-    val hashed = df
-      .select(groupCols.map(col) :+ keyHash(key).as("h"): _*)
-      .distinct()
     val w1 = Window
       .partitionBy(groupCols.map(col) :+ pmod(col("h"), lit(salts)): _*)
       .orderBy("h")
