@@ -880,9 +880,114 @@ object EventsCatalog {
       FROM e""")
   )
 
+  /** CUPED variance reduction (Deng et al., WSDM 2013) on the parity-cohort
+    * experiment: per-user PRE-period spend (first 15 days) as the
+    * covariate, POST-period spend as the metric, θ = cov(x,y)/var(x)
+    * pooled. No per-row adjustment pass exists anywhere — the adjusted
+    * cohort means compose in closed form from per-cohort moments and the
+    * pooled θ (mean_adj = (Σy − θ·(Σx − n·x̄))/n), so the whole query is
+    * one user-keyed aggregate + one 2-row pivot. All moments are exact
+    * decimal sums of identical doubles; θ, the adjusted means, and the
+    * variance-reduction ratio ρ² are fixed float expressions → r6.
+    */
+  val eCuped = QueryDef(
+    "q_e_cuped",
+    (s, dir) => {
+      def s18(c: org.apache.spark.sql.Column) =
+        sum(c.cast("decimal(38,18)")).cast("double")
+      val DayUs = 86400000000L
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), expr("ts div 1000").as("us"), col("value"))
+      val lo = ev.agg(min(col("us")).as("t0"))
+      val u = ev.crossJoin(broadcast(lo))
+        .withColumn("pre", col("us") < col("t0") + lit(15L * DayUs))
+        .groupBy("user_id")
+        .agg(
+          sumE(when(col("pre"), col("value")).otherwise(0.0)).as("x"),
+          sumE(when(!col("pre"), col("value")).otherwise(0.0)).as("y"))
+        .select((col("user_id") % 2).as("cohort"), col("x"), col("y"))
+      val g = u.agg(
+        count(lit(1)).as("n"), s18(col("x")).as("sx"),
+        s18(col("y")).as("sy"), s18(col("x") * col("x")).as("sxx"),
+        s18(col("y") * col("y")).as("syy"),
+        s18(col("x") * col("y")).as("sxy"),
+        count(when(col("cohort") === 0, 1)).as("n_a"),
+        s18(when(col("cohort") === 0, col("x")).otherwise(0.0)).as("sx_a"),
+        s18(when(col("cohort") === 0, col("y")).otherwise(0.0)).as("sy_a"),
+        count(when(col("cohort") === 1, 1)).as("n_b"),
+        s18(when(col("cohort") === 1, col("x")).otherwise(0.0)).as("sx_b"),
+        s18(when(col("cohort") === 1, col("y")).otherwise(0.0)).as("sy_b"))
+      val n = col("n").cast("double")
+      val covxy = col("sxy") - col("sx") * col("sy") / n
+      val varx = col("sxx") - col("sx") * col("sx") / n
+      val vary = col("syy") - col("sy") * col("sy") / n
+      val theta = covxy / varx
+      val xbar = col("sx") / n
+      def meanAdj(nc: String, sxc: String, syc: String) =
+        (col(syc) - theta * (col(sxc) - col(nc).cast("double") * xbar)) /
+          col(nc).cast("double")
+      g.select(
+        col("n_a"), col("n_b"),
+        r6(col("sy_a") / col("n_a").cast("double")).as("mean_a"),
+        r6(col("sy_b") / col("n_b").cast("double")).as("mean_b"),
+        r6(meanAdj("n_a", "sx_a", "sy_a")).as("mean_a_adj"),
+        r6(meanAdj("n_b", "sx_b", "sy_b")).as("mean_b_adj"),
+        r6(covxy * covxy / (varx * vary)).as("rho2"))
+    },
+    Some(s"""
+      WITH ev AS (
+        SELECT user_id, epoch_us(ts) AS us, value FROM events),
+      lo AS (SELECT min(us) AS t0 FROM ev),
+      u AS (
+        SELECT user_id % 2 AS cohort,
+               CAST(sum(CAST(CASE WHEN us < t0 + ${15L * 86400000000L}
+                 THEN value ELSE 0.0 END AS DECIMAL(28,6))) AS DOUBLE) AS x,
+               CAST(sum(CAST(CASE WHEN us >= t0 + ${15L * 86400000000L}
+                 THEN value ELSE 0.0 END AS DECIMAL(28,6))) AS DOUBLE) AS y
+        FROM ev CROSS JOIN lo GROUP BY user_id),
+      g AS (
+        SELECT count(*) AS n,
+               CAST(sum(CAST(x AS DECIMAL(38,18))) AS DOUBLE) AS sx,
+               CAST(sum(CAST(y AS DECIMAL(38,18))) AS DOUBLE) AS sy,
+               CAST(sum(CAST(x * x AS DECIMAL(38,18))) AS DOUBLE) AS sxx,
+               CAST(sum(CAST(y * y AS DECIMAL(38,18))) AS DOUBLE) AS syy,
+               CAST(sum(CAST(x * y AS DECIMAL(38,18))) AS DOUBLE) AS sxy,
+               CAST(count(CASE WHEN cohort = 0 THEN 1 END) AS BIGINT)
+                 AS n_a,
+               CAST(sum(CAST(CASE WHEN cohort = 0 THEN x ELSE 0.0 END
+                 AS DECIMAL(38,18))) AS DOUBLE) AS sx_a,
+               CAST(sum(CAST(CASE WHEN cohort = 0 THEN y ELSE 0.0 END
+                 AS DECIMAL(38,18))) AS DOUBLE) AS sy_a,
+               CAST(count(CASE WHEN cohort = 1 THEN 1 END) AS BIGINT)
+                 AS n_b,
+               CAST(sum(CAST(CASE WHEN cohort = 1 THEN x ELSE 0.0 END
+                 AS DECIMAL(38,18))) AS DOUBLE) AS sx_b,
+               CAST(sum(CAST(CASE WHEN cohort = 1 THEN y ELSE 0.0 END
+                 AS DECIMAL(38,18))) AS DOUBLE) AS sy_b
+        FROM u),
+      d AS (
+        SELECT *,
+               sxy - sx * sy / CAST(n AS DOUBLE) AS covxy,
+               sxx - sx * sx / CAST(n AS DOUBLE) AS varx,
+               syy - sy * sy / CAST(n AS DOUBLE) AS vary,
+               sx / CAST(n AS DOUBLE) AS xbar
+        FROM g)
+      SELECT n_a, n_b,
+             ${sqlR6("sy_a / CAST(n_a AS DOUBLE)")} AS mean_a,
+             ${sqlR6("sy_b / CAST(n_b AS DOUBLE)")} AS mean_b,
+             ${sqlR6("""(sy_a - (covxy / varx)
+               * (sx_a - CAST(n_a AS DOUBLE) * xbar)) / CAST(n_a AS DOUBLE)""")}
+               AS mean_a_adj,
+             ${sqlR6("""(sy_b - (covxy / varx)
+               * (sx_b - CAST(n_b AS DOUBLE) * xbar)) / CAST(n_b AS DOUBLE)""")}
+               AS mean_b_adj,
+             ${sqlR6("covxy * covxy / (varx * vary)")} AS rho2
+      FROM d""")
+  )
+
   val all: Seq[QueryDef] =
     Seq(eHourly, eSessions, eHourlyStream, eSessionizeStream,
       eSessionWindow, eFunnel, eDedup, eDedupStream, eIntervalStream,
       eRetention, eEnrichStream, eHoltStream, eMarkov, eAttribution,
-      eSurvival, eScdStream, eAbTest)
+      eSurvival, eScdStream, eAbTest, eCuped)
 }

@@ -1722,11 +1722,70 @@ object MiscCatalog {
     }
   )
 
+  /** Point-in-time (AS OF) reconstruction over the SCD2 history — the
+    * time-travel read that justifies keeping SCD2 history at all: the
+    * snapshot at T is the rows with valid_from ≤ T < coalesce(valid_to, ∞),
+    * exactly one per key. Reads the same merged history as q_scd2_merge
+    * and emits each key's balance AS OF T=50 (before the change batch —
+    * original values everywhere) and AS OF T=150 (after — changed values
+    * exactly on the %7 keys), side by side via one self-join on the key.
+    * Selected values only → bit-exact.
+    */
+  val qScd2AsOf = QueryDef(
+    "q_scd2_asof",
+    (s, dir) => {
+      val dim0 = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_acctbal"))
+        .withColumn("valid_from", lit(0L))
+        .withColumn("valid_to", lit(null).cast("long"))
+      val changes = t(s, dir, "customer")
+        .filter(col("c_custkey") % 7 === 0)
+        .select(col("c_custkey"), (col("c_acctbal") + 100.0).as("c_acctbal"))
+      val hist = graft.etl.Scd2
+        .applyChanges(dim0, changes, Seq("c_custkey"), ts = 100L)
+      def asOf(t0: Long) = hist
+        .filter(col("valid_from") <= t0 &&
+          (col("valid_to").isNull || col("valid_to") > t0))
+        .select(col("c_custkey"), col("c_acctbal"))
+      asOf(50L).withColumnRenamed("c_acctbal", "bal_at_50")
+        .join(asOf(150L).withColumnRenamed("c_acctbal", "bal_at_150"),
+          "c_custkey")
+        .orderBy("c_custkey")
+    },
+    Some("""
+      WITH dim0 AS (
+        SELECT c_custkey, c_acctbal, CAST(0 AS BIGINT) AS valid_from,
+               CAST(NULL AS BIGINT) AS valid_to
+        FROM customer),
+      changes AS (
+        SELECT c_custkey, c_acctbal + 100.0 AS c_acctbal
+        FROM customer WHERE c_custkey % 7 = 0),
+      hist AS (
+        SELECT d.c_custkey, d.c_acctbal, d.valid_from,
+               CASE WHEN ch.c_custkey IS NOT NULL THEN CAST(100 AS BIGINT)
+                    ELSE NULL END AS valid_to
+        FROM dim0 d LEFT JOIN changes ch ON d.c_custkey = ch.c_custkey
+        UNION ALL
+        SELECT c_custkey, c_acctbal, CAST(100 AS BIGINT) AS valid_from,
+               CAST(NULL AS BIGINT) AS valid_to
+        FROM changes)
+      SELECT a.c_custkey, a.c_acctbal AS bal_at_50,
+             b.c_acctbal AS bal_at_150
+      FROM (SELECT c_custkey, c_acctbal FROM hist
+            WHERE valid_from <= 50 AND (valid_to IS NULL OR valid_to > 50))
+        a
+      JOIN (SELECT c_custkey, c_acctbal FROM hist
+            WHERE valid_from <= 150 AND (valid_to IS NULL OR valid_to > 150))
+        b ON a.c_custkey = b.c_custkey
+      ORDER BY a.c_custkey""")
+  )
+
   val all: Seq[QueryDef] = Seq(oTopK, aSpikeSummary, eJson, aSummary,
     mKmeans, mLloydStep, qAsof, qRange, qRollup, qCube, qGroupingSets,
     qPercentile, qHistogram, qZOrder, qScd2, qScd1, qIncAgg,
     qQuantileExact, qPagerank, qTriangles, qChecksum, qChi2, qHhi,
     qProfile, qBenford, qGini, qEntropy, qMi, qSnapshotDiff, qWinsor,
-    qFkAudit, qMoments, qAssortativity, qPartitionedScan, qKcore)
+    qFkAudit, qMoments, qAssortativity, qPartitionedScan, qKcore,
+    qScd2AsOf)
 }
 
