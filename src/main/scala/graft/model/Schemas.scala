@@ -24,11 +24,13 @@ object Schemas {
     "% Thay đổi"  -> "ChangePercent"
   )
 
-  /** `events` testdata table. `ts` is parquet TIMESTAMP(NANOS), which
-    * Spark 4 has no timestamp type for — declaring it LongType reads the
-    * raw nanosecond count directly, per read, with no session-wide
-    * `spark.sql.legacy.parquet.nanosAsLong` switch (schema inference is
-    * what needed that conf; an explicit schema never infers).
+  /** `events` testdata table. `ts` is declared LongType so the raw INT64
+    * payload reads unchanged whatever timestamp unit the file carries
+    * (testdata generations have shipped both TIMESTAMP(NANOS) and
+    * timestamp[us]); the actual unit is read from the parquet footer and
+    * normalized to epoch MICROSECONDS at the read boundary by
+    * [[graft.sources.EventsTs]] — never assumed from a comment. All code
+    * past the read boundary sees `ts` as epoch-µs.
     */
   val events: StructType = StructType(Seq(
     StructField("event_id", LongType),

@@ -19,11 +19,11 @@ object EventsCatalog {
   val eHourly = QueryDef(
     "q_e_hourly",
     (s, dir) => {
-      // events.ts reads as a nanosecond long (explicit schema, see
-      // QueryDef.events); truncate ns → µs exactly as DuckDB does on read
+      // events.ts arrives as epoch-µs (footer-normalized by EventsTs —
+      // matches what DuckDB sees on its own read of the same file)
       val e = t(s, dir, "events")
         .withColumn("hour",
-          date_format(timestamp_micros(expr("ts div 1000")), "yyyy-MM-dd HH"))
+          date_format(timestamp_micros(col("ts")), "yyyy-MM-dd HH"))
       e.groupBy("hour")
         .pivot("event_type", eventTypes)
         .agg(count(lit(1)))
@@ -47,7 +47,7 @@ object EventsCatalog {
       val wu = Window.partitionBy("user_id")
         .orderBy(col("ts"), col("event_id"))
       t(s, dir, "events")
-        .withColumn("ms", expr("ts div 1000000"))
+        .withColumn("ms", expr("ts div 1000"))
         .withColumn("gap", col("ms") - lag(col("ms"), 1).over(wu))
         .withColumn("brk", when(col("gap") > 30L * 60000, 1L).otherwise(0L))
         .groupBy("user_id")
@@ -128,10 +128,12 @@ object EventsCatalog {
     (s, dir) => {
       val sink = "graft_hourly_stream_sink"
       s.catalog.dropTempView(sink) // idempotent across bench warm-up reps
-      val q = s.readStream.schema(graft.model.Schemas.events)
-        .parquet(streamableEventsDir(dir))
+      val sdir = streamableEventsDir(dir)
+      val q = graft.sources.EventsTs.normalize(
+          s.readStream.schema(graft.model.Schemas.events).parquet(sdir),
+          sdir)
         .withColumn("hour",
-          date_format(timestamp_micros(expr("ts div 1000")), "yyyy-MM-dd HH"))
+          date_format(timestamp_micros(col("ts")), "yyyy-MM-dd HH"))
         .groupBy("hour", "event_type").agg(count(lit(1)).as("n"))
         .writeStream.format("memory").queryName(sink)
         .outputMode("complete").start()
@@ -184,7 +186,7 @@ object EventsCatalog {
     (s, dir) => {
       val gap = "30 minutes"
       t(s, dir, "events")
-        .withColumn("tsm", timestamp_micros(expr("ts div 1000")))
+        .withColumn("tsm", timestamp_micros(col("ts")))
         .groupBy(session_window(col("tsm"), gap), col("user_id"))
         .agg(count(lit(1)).as("n_events"))
         .select(col("user_id"),
@@ -360,7 +362,7 @@ object EventsCatalog {
     (s, dir) => {
       val e = t(s, dir, "events").select(col("user_id"),
         unix_micros(date_trunc("week",
-          timestamp_micros(expr("ts div 1000")))).as("wk_us"))
+          timestamp_micros(col("ts")))).as("wk_us"))
       val firstWk = e.groupBy("user_id").agg(min(col("wk_us")).as("cohort_us"))
       val act = e.distinct()
       val ret = act.join(firstWk, "user_id")
@@ -509,7 +511,7 @@ object EventsCatalog {
     "q_e_markov",
     (s, dir) => {
       val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("user_id").orderBy(expr("ts div 1000"), col("event_id"))
+        .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
       val tr = t(s, dir, "events")
         .select(col("user_id"), col("ts"), col("event_id"),
           col("event_type").as("a"))
@@ -553,7 +555,7 @@ object EventsCatalog {
     "q_e_attribution",
     (s, dir) => {
       val ev = t(s, dir, "events")
-        .select(col("user_id"), expr("ts div 1000").as("us"),
+        .select(col("user_id"), col("ts").as("us"),
           col("event_id"), col("event_type"))
       val pur = ev.filter(col("event_type") === "purchase")
         .groupBy("user_id")
@@ -642,7 +644,7 @@ object EventsCatalog {
     (s, dir) => {
       val DayUs = 86400000000L
       val ev = t(s, dir, "events")
-        .select(col("user_id"), expr("ts div 1000").as("us"),
+        .select(col("user_id"), col("ts").as("us"),
           col("event_type"))
       val durs = ev.groupBy("user_id").agg(
         min(col("us")).as("f"),
@@ -897,7 +899,7 @@ object EventsCatalog {
         sum(c.cast("decimal(38,18)")).cast("double")
       val DayUs = 86400000000L
       val ev = t(s, dir, "events")
-        .select(col("user_id"), expr("ts div 1000").as("us"), col("value"))
+        .select(col("user_id"), col("ts").as("us"), col("value"))
       val lo = ev.agg(min(col("us")).as("t0"))
       val u = ev.crossJoin(broadcast(lo))
         .withColumn("pre", col("us") < col("t0") + lit(15L * DayUs))

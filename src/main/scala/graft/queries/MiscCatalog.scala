@@ -306,7 +306,7 @@ object MiscCatalog {
     "q_asof_join",
     (s, dir) => {
       val e = t(s, dir, "events")
-        .withColumn("ms", expr("ts div 1000000"))
+        .withColumn("ms", expr("ts div 1000"))
       val purchases = e.filter(col("event_type") === "purchase")
         .select("user_id", "ms", "event_id", "value")
       val clicks = e.filter(col("event_type") === "click")

@@ -18,14 +18,12 @@ object QueryDef {
     if (name == "events") events(spark, dir)
     else spark.read.parquet(s"$dir/$name.parquet")
 
-  /** Load the events table with its explicit schema (ts = nanosecond
-    * long). Inference on parquet TIMESTAMP(NANOS) would need the
-    * session-wide legacy nanosAsLong conf; the explicit schema keeps the
-    * read self-contained (see model.Schemas.events).
+  /** Load the events table with `ts` normalized to epoch MICROSECONDS —
+    * the footer-driven read (sources.EventsTs) that survives testdata
+    * unit changes instead of trusting a declared unit.
     */
   def events(spark: SparkSession, dir: String): DataFrame =
-    spark.read.schema(graft.model.Schemas.events)
-      .parquet(s"$dir/events.parquet")
+    graft.sources.EventsTs.read(spark, dir)
 
   /** Cross-engine deterministic rounding. Spark's round() goes through
     * BigDecimal.valueOf (decimal-string semantics) while DuckDB rounds the

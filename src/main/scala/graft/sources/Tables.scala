@@ -14,10 +14,9 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events")
-      // explicit schema: ts is parquet TIMESTAMP(NANOS), declared LongType
-      // (raw nanos) so no session-wide legacy-conf switch is needed
-      spark.read.schema(graft.model.Schemas.events)
-        .parquet(s"$dir/$name.parquet")
+      // footer-driven read: ts lands as epoch-µs BIGINT whatever
+      // timestamp unit the file carries (see sources.EventsTs)
+      EventsTs.read(spark, dir)
     else spark.read.parquet(s"$dir/$name.parquet")
 
   /** Register all tables of `dir` as temp views. */

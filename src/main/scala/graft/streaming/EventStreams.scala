@@ -15,22 +15,27 @@ import org.apache.spark.sql.types._
   */
 object EventStreams {
 
-  /** events.parquet schema with ts as nanosecond long. The explicit schema
-    * makes every read self-contained — no session-wide
-    * `spark.sql.legacy.parquet.nanosAsLong` switch (that conf exists for
-    * schema INFERENCE of parquet TIMESTAMP(NANOS); a declared LongType
-    * reads the raw nanos directly).
+  /** events.parquet schema with ts as a raw long; [[readNormalized]]
+    * rescales it to epoch µs from the file's own footer annotation
+    * (sources.EventsTs) — streaming reads get the same units-robustness
+    * as batch.
     */
   val eventSchema: StructType = graft.model.Schemas.events
+
+  /** readStream over a staged events dir with `ts` normalized to epoch
+    * µs. The conversion factor resolves driver-side (one footer read)
+    * before the streaming plan starts.
+    */
+  private def readNormalized(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.EventsTs.normalize(
+      spark.readStream.schema(eventSchema).parquet(dir), dir)
 
   /** Tumbling-window per-type OHLC-ish aggregate as a streaming query. */
   def windowedStats(spark: SparkSession, dir: String,
       windowLen: String = "5 minutes",
       watermark: String = "10 minutes"): DataFrame = {
-    spark.readStream
-      .schema(eventSchema)
-      .parquet(s"$dir")
-      .withColumn("tsm", timestamp_micros(expr("ts div 1000")))
+    readNormalized(spark, dir)
+      .withColumn("tsm", timestamp_micros(col("ts")))
       .withWatermark("tsm", watermark)
       .groupBy(window(col("tsm"), windowLen), col("event_type"))
       .agg(count(lit(1)).as("n"),
@@ -50,8 +55,8 @@ object EventStreams {
   def sessionize(spark: SparkSession, dir: String,
       gapMs: Long = 30L * 60000): Dataset[UserSessions] = {
     import spark.implicits._
-    val events = spark.readStream.schema(eventSchema).parquet(dir)
-      .select(col("user_id"), expr("ts div 1000000").as("ms"))
+    val events = readNormalized(spark, dir)
+      .select(col("user_id"), expr("ts div 1000").as("ms"))
       .as[(Long, Long)]
     events.groupByKey(_._1)
       .mapGroupsWithState[SessionState, UserSessions](
@@ -75,8 +80,8 @@ object EventStreams {
     */
   def dedupStream(spark: SparkSession, dir: String,
       keyCols: Seq[String], watermark: String = "1 hour"): DataFrame = {
-    spark.readStream.schema(eventSchema).parquet(dir)
-      .withColumn("tsm", timestamp_micros(expr("ts div 1000")))
+    readNormalized(spark, dir)
+      .withColumn("tsm", timestamp_micros(col("ts")))
       .withWatermark("tsm", watermark)
       .dropDuplicates(keyCols :+ "tsm")
   }
@@ -91,10 +96,10 @@ object EventStreams {
   def purchaseClickJoin(spark: SparkSession, dir: String,
       lagMinutes: Int = 30, watermark: String = "1 hour"): DataFrame = {
     def side(t: String, ts: String, v: String): DataFrame =
-      spark.readStream.schema(eventSchema).parquet(dir)
+      readNormalized(spark, dir)
         .filter(col("event_type") === t)
         .select(col("user_id"),
-          timestamp_micros(expr("ts div 1000")).as(ts),
+          timestamp_micros(col("ts")).as(ts),
           col("value").as(v))
         .withWatermark(ts, watermark)
     val purchases = side("purchase", "purchase_ts", "purchase_value")
