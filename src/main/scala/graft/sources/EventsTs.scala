@@ -1,11 +1,10 @@
 package graft.sources
 
-import java.nio.file.{Files, Paths}
-
 import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 import org.apache.parquet.hadoop.ParquetFileReader
 import org.apache.parquet.hadoop.util.HadoopInputFile
-import org.apache.parquet.schema.LogicalTypeAnnotation
+import org.apache.parquet.schema.{GroupType, LogicalTypeAnnotation, PrimitiveType}
 import org.apache.parquet.schema.LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -26,6 +25,13 @@ import org.apache.spark.sql.functions._
   * garbage. Footer reads are a few KB of I/O, cached per (file identity),
   * and happen on the driver — at 100 TB this is one footer per input
   * file listing, the same metadata Spark's own scan planning touches.
+  *
+  * Invariant: one timestamp unit per events table. `conversion` inspects
+  * a single representative file (the lexicographically-first parquet under
+  * a directory); a multi-file table with MIXED units would silently use
+  * that file's conversion. Every writer of a multi-file events table must
+  * keep the unit uniform — which every sane writer (including this
+  * engine's sinks and Spark itself) already does.
   */
 object EventsTs {
 
@@ -51,12 +57,14 @@ object EventsTs {
     * holding staged copies of one — the streaming-source layout).
     */
   def conversion(path: String): Conv = {
-    val file = resolveParquet(path)
-    val attrs = Files.readAttributes(
-      file, classOf[java.nio.file.attribute.BasicFileAttributes])
-    val key = Seq(file.toString, attrs.lastModifiedTime.toMillis.toString,
-      attrs.size.toString).mkString("|")
-    cache.computeIfAbsent(key, _ => inspect(file.toString))
+    val conf = new Configuration()
+    val p = new HPath(path)
+    val fs = p.getFileSystem(conf)
+    val file = resolveParquet(fs, p)
+    val st = fs.getFileStatus(file)
+    val key = Seq(file.toString, st.getModificationTime.toString,
+      st.getLen.toString).mkString("|")
+    cache.computeIfAbsent(key, _ => inspect(file, conf))
   }
 
   /** Batch-read events with `ts` normalized to epoch µs. */
@@ -73,46 +81,59 @@ object EventsTs {
   def normalize(df: DataFrame, path: String): DataFrame =
     df.withColumn("ts", conversion(path).us("ts"))
 
-  private def resolveParquet(path: String): java.nio.file.Path = {
-    val p = Paths.get(path)
-    if (!Files.isDirectory(p)) p
+  // Hadoop-FS path resolution (not java.nio) so hdfs:// and s3a:// URIs
+  // resolve exactly like the footer read below.
+  private def resolveParquet(fs: FileSystem, p: HPath): HPath = {
+    if (!fs.getFileStatus(p).isDirectory) p
     else {
-      val s = Files.list(p)
-      try {
-        val it = s.filter(_.getFileName.toString.endsWith(".parquet"))
-          .sorted().iterator()
-        if (!it.hasNext)
-          sys.error(s"EventsTs: no parquet file under directory $path")
-        it.next()
-      } finally s.close()
+      val files = fs.listStatus(p).iterator
+        .map(_.getPath)
+        .filter(_.getName.endsWith(".parquet"))
+        .toArray
+        .sortBy(_.getName)
+      if (files.isEmpty)
+        sys.error(s"EventsTs: no parquet file under directory $p")
+      files.head
     }
   }
 
-  private def inspect(file: String): Conv = {
-    val in = HadoopInputFile.fromPath(
-      new org.apache.hadoop.fs.Path(file), new Configuration())
+  private def inspect(file: HPath, conf: Configuration): Conv = {
+    val in = HadoopInputFile.fromPath(file, conf)
     val reader = ParquetFileReader.open(in)
-    val ann =
+    val field =
       try {
         val schema = reader.getFooter.getFileMetaData.getSchema
         if (!schema.containsField("ts"))
           sys.error(s"EventsTs: $file has no `ts` column")
-        schema.getType("ts").getLogicalTypeAnnotation
+        // MessageType has both getType(String*) (vararg) and the inherited
+        // GroupType.getType(String) — call through the parent type to pick
+        // the single-name overload unambiguously
+        (schema: GroupType).getType("ts")
       } finally reader.close()
-    ann match {
+    field.getLogicalTypeAnnotation match {
       case t: TimestampLogicalTypeAnnotation =>
         t.getUnit match {
           case LogicalTypeAnnotation.TimeUnit.NANOS  => Conv(1000L, 1L)
           case LogicalTypeAnnotation.TimeUnit.MICROS => Conv(1L, 1L)
           case LogicalTypeAnnotation.TimeUnit.MILLIS => Conv(1L, 1000L)
         }
+      case null
+          if field.isPrimitive &&
+            field.asPrimitiveType().getPrimitiveTypeName ==
+              PrimitiveType.PrimitiveTypeName.INT64 =>
+        // Unannotated INT64 is what this engine's own sinks emit when they
+        // write an already-normalized epoch-µs LongType `ts` (e.g. staged
+        // streaming fixtures, re-written intermediate tables). By contract
+        // that raw INT64 IS epoch-µs — identity conversion. Foreign files
+        // with a different raw unit must carry a timestamp annotation.
+        Conv(1L, 1L)
       case other =>
-        // an unannotated INT64 carries no unit — refuse to guess: the
+        // anything else carries no usable unit — refuse to guess: the
         // whole point is that a wrong unit produces silently-collapsed
         // timelines, not errors
         sys.error(s"EventsTs: unsupported `ts` logical type in $file: " +
-          s"${Option(other).map(_.toString).getOrElse("none (raw INT64)")}" +
-          " — expected TIMESTAMP(NANOS|MICROS|MILLIS)")
+          s"${Option(other).map(_.toString).getOrElse("none")}" +
+          " — expected TIMESTAMP(NANOS|MICROS|MILLIS) or raw INT64 (µs)")
     }
   }
 }

@@ -137,7 +137,7 @@ object EventStreams {
     import spark.implicits._
     val om = 1.0 - alpha
     val ob = 1.0 - beta
-    val ev = spark.readStream.schema(eventSchema).parquet(dir)
+    val ev = readNormalized(spark, dir)
       .filter(col("user_id") % userMod === 0L && col("value").isNotNull)
       .select(col("event_type"), col("ts"), col("event_id"), col("value"))
       .as[(String, Long, Long, Double)]
@@ -145,10 +145,10 @@ object EventStreams {
       .mapGroupsWithState[HoltState, TypeHolt](
         GroupStateTimeout.NoTimeout()) {
         case (tp, rows, state: GroupState[HoltState]) =>
-          // event-time order at MICROSECOND resolution, event_id
-          // tie-break: the engine-portable total order (parquet nanos
-          // truncate to µs in engines without a ns timestamp type)
-          val sorted = rows.toSeq.sortBy(r => (r._2 / 1000L, r._3))
+          // event-time order at MICROSECOND resolution (ts is already
+          // epoch-µs after readNormalized), event_id tie-break: the
+          // engine-portable total order
+          val sorted = rows.toSeq.sortBy(r => (r._2, r._3))
           var st = state.getOption.getOrElse(HoltState(0.0, 0.0, 0L))
           sorted.foreach { r =>
             val x = r._4

@@ -320,10 +320,9 @@ class PipelineOpsSpec extends SparkSpec {
         EventStreams.purchaseClickJoin(spark, streamDir, lagMinutes = 30),
         name)
       .collect().map(_.toSeq).toSet
-    val ev = spark.read.schema(EventStreams.eventSchema)
-      .parquet(s"$sfDir/events.parquet")
+    val ev = graft.sources.EventsTs.read(spark, sfDir)
       .withColumn("tsm", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+        org.apache.spark.sql.functions.col("ts")))
     val p = ev.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("tsm").as("purchase_ts"),
         col("value").as("purchase_value"))

@@ -36,8 +36,9 @@ class SourceFormatsSpec extends SparkSpec {
   test("streaming dedup drops the planted duplicate batch") {
     import graft.streaming.EventStreams
     val d = java.nio.file.Files.createTempDirectory("graft_dedup_stream")
-    val src = spark.read.schema(EventStreams.eventSchema)
-      .parquet(s"$sfSmoke/events.parquet")
+    // stage via EventsTs.read so the fixture's raw-INT64 `ts` carries the
+    // engine convention (epoch µs) that the reader's INT64 policy assumes
+    val src = graft.sources.EventsTs.read(spark, sfSmoke)
     src.limit(200).write.mode("overwrite")
       .parquet(d.resolve("batch1").toString)
     // same 200 events again = exact duplicates
