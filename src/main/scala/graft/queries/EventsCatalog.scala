@@ -485,11 +485,11 @@ object EventsCatalog {
         FROM src WHERE rn = 1
         UNION ALL
         SELECT n.event_type, n.rn,
-               ${1.0 - HoltStreamAlpha} * (r.l + r.b)
-                 + $HoltStreamAlpha * n.value,
-               $HoltStreamBeta * ((${1.0 - HoltStreamAlpha} * (r.l + r.b)
-                 + $HoltStreamAlpha * n.value) - r.l)
-                 + ${1.0 - HoltStreamBeta} * r.b
+               ${sqlD(1.0 - HoltStreamAlpha)} * (r.l + r.b)
+                 + ${sqlD(HoltStreamAlpha)} * n.value,
+               ${sqlD(HoltStreamBeta)} * ((${sqlD(1.0 - HoltStreamAlpha)} * (r.l + r.b)
+                 + ${sqlD(HoltStreamAlpha)} * n.value) - r.l)
+                 + ${sqlD(1.0 - HoltStreamBeta)} * r.b
         FROM rec r JOIN src n
           ON n.event_type = r.event_type AND n.rn = r.rn + 1),
       fin AS (SELECT event_type, max(rn) AS n FROM rec GROUP BY 1)

@@ -401,10 +401,10 @@ object FinanceCatalog {
       rec AS (
         SELECT k.b, k.l_returnflag, k.day, k.rn,
                CASE WHEN g.seed IS NULL THEN k.g
-                    ELSE ${1.0 - RsiAlpha} * g.seed + $RsiAlpha * k.g
+                    ELSE ${sqlD(1.0 - RsiAlpha)} * g.seed + ${sqlD(RsiAlpha)} * k.g
                END AS yg,
                CASE WHEN l.seed IS NULL THEN k.l
-                    ELSE ${1.0 - RsiAlpha} * l.seed + $RsiAlpha * k.l
+                    ELSE ${sqlD(1.0 - RsiAlpha)} * l.seed + ${sqlD(RsiAlpha)} * k.l
                END AS yl
         FROM base k
         JOIN sg g ON g.b = k.b AND g.l_returnflag = k.l_returnflag
@@ -412,8 +412,8 @@ object FinanceCatalog {
         WHERE k.rn = 1
         UNION ALL
         SELECT n.b, n.l_returnflag, n.day, n.rn,
-               ${1.0 - RsiAlpha} * p.yg + $RsiAlpha * n.g,
-               ${1.0 - RsiAlpha} * p.yl + $RsiAlpha * n.l
+               ${sqlD(1.0 - RsiAlpha)} * p.yg + ${sqlD(RsiAlpha)} * n.g,
+               ${sqlD(1.0 - RsiAlpha)} * p.yl + ${sqlD(RsiAlpha)} * n.l
         FROM rec p JOIN base n
           ON n.b = p.b AND n.l_returnflag = p.l_returnflag
             AND n.rn = p.rn + 1)
@@ -479,12 +479,12 @@ object FinanceCatalog {
       rec AS (
         SELECT k.b, k.l_returnflag, k.day, k.rn,
                CASE WHEN f.seed IS NULL THEN k.close
-                    ELSE ${1.0 - MacdAlphaFast} * f.seed
-                         + $MacdAlphaFast * k.close
+                    ELSE ${sqlD(1.0 - MacdAlphaFast)} * f.seed
+                         + ${sqlD(MacdAlphaFast)} * k.close
                END AS yf,
                CASE WHEN s.seed IS NULL THEN k.close
-                    ELSE ${1.0 - MacdAlphaSlow} * s.seed
-                         + $MacdAlphaSlow * k.close
+                    ELSE ${sqlD(1.0 - MacdAlphaSlow)} * s.seed
+                         + ${sqlD(MacdAlphaSlow)} * k.close
                END AS ys
         FROM base k
         JOIN sf f ON f.b = k.b AND f.l_returnflag = k.l_returnflag
@@ -492,8 +492,8 @@ object FinanceCatalog {
         WHERE k.rn = 1
         UNION ALL
         SELECT n.b, n.l_returnflag, n.day, n.rn,
-               ${1.0 - MacdAlphaFast} * p.yf + $MacdAlphaFast * n.close,
-               ${1.0 - MacdAlphaSlow} * p.ys + $MacdAlphaSlow * n.close
+               ${sqlD(1.0 - MacdAlphaFast)} * p.yf + ${sqlD(MacdAlphaFast)} * n.close,
+               ${sqlD(1.0 - MacdAlphaSlow)} * p.ys + ${sqlD(MacdAlphaSlow)} * n.close
         FROM rec p JOIN base n
           ON n.b = p.b AND n.l_returnflag = p.l_returnflag
             AND n.rn = p.rn + 1),
@@ -502,15 +502,15 @@ object FinanceCatalog {
       rec2 AS (
         SELECT k.b, k.l_returnflag, k.day, k.rn,
                CASE WHEN g.seed IS NULL THEN k.macd
-                    ELSE ${1.0 - MacdAlphaSig} * g.seed
-                         + $MacdAlphaSig * k.macd
+                    ELSE ${sqlD(1.0 - MacdAlphaSig)} * g.seed
+                         + ${sqlD(MacdAlphaSig)} * k.macd
                END AS y
         FROM m k
         JOIN sg g ON g.b = k.b AND g.l_returnflag = k.l_returnflag
         WHERE k.rn = 1
         UNION ALL
         SELECT n.b, n.l_returnflag, n.day, n.rn,
-               ${1.0 - MacdAlphaSig} * p.y + $MacdAlphaSig * n.macd
+               ${sqlD(1.0 - MacdAlphaSig)} * p.y + ${sqlD(MacdAlphaSig)} * n.macd
         FROM rec2 p JOIN m n
           ON n.b = p.b AND n.l_returnflag = p.l_returnflag
             AND n.rn = p.rn + 1)
@@ -1016,22 +1016,22 @@ object FinanceCatalog {
       rec AS (
         SELECT k.b, k.l_returnflag, k.day, k.rn,
                CASE WHEN s.seed_l IS NULL THEN k.x
-                    ELSE ${1.0 - HoltAlpha} * (s.seed_l + s.seed_b)
-                         + $HoltAlpha * k.x
+                    ELSE ${sqlD(1.0 - HoltAlpha)} * (s.seed_l + s.seed_b)
+                         + ${sqlD(HoltAlpha)} * k.x
                END AS l,
                CASE WHEN s.seed_l IS NULL THEN 0.0
-                    ELSE $HoltBeta * ((${1.0 - HoltAlpha} * (s.seed_l + s.seed_b)
-                           + $HoltAlpha * k.x) - s.seed_l)
-                         + ${1.0 - HoltBeta} * s.seed_b
+                    ELSE ${sqlD(HoltBeta)} * ((${sqlD(1.0 - HoltAlpha)} * (s.seed_l + s.seed_b)
+                           + ${sqlD(HoltAlpha)} * k.x) - s.seed_l)
+                         + ${sqlD(1.0 - HoltBeta)} * s.seed_b
                END AS tr
         FROM base k JOIN sd s
           ON s.b = k.b AND s.l_returnflag = k.l_returnflag
         WHERE k.rn = 1
         UNION ALL
         SELECT n.b, n.l_returnflag, n.day, n.rn,
-               ${1.0 - HoltAlpha} * (p.l + p.tr) + $HoltAlpha * n.x,
-               $HoltBeta * ((${1.0 - HoltAlpha} * (p.l + p.tr)
-                 + $HoltAlpha * n.x) - p.l) + ${1.0 - HoltBeta} * p.tr
+               ${sqlD(1.0 - HoltAlpha)} * (p.l + p.tr) + ${sqlD(HoltAlpha)} * n.x,
+               ${sqlD(HoltBeta)} * ((${sqlD(1.0 - HoltAlpha)} * (p.l + p.tr)
+                 + ${sqlD(HoltAlpha)} * n.x) - p.l) + ${sqlD(1.0 - HoltBeta)} * p.tr
         FROM rec p JOIN base n
           ON n.b = p.b AND n.l_returnflag = p.l_returnflag
             AND n.rn = p.rn + 1)

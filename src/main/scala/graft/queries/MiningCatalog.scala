@@ -260,13 +260,21 @@ object MiningCatalog {
   private val CvFolds = 5
 
   /** M6 capability: k-fold cross-validation of the M1-style OLS,
-    * distributed WITHOUT retraining per fold: one pass computes per-fold
-    * raw moments as EXACT decimal sums, each fold's train model is
-    * (total − fold) moment subtraction (exact), and a second scoring pass
-    * joins the 5-row coefficient table back to residuals whose squares
-    * sum exactly. Fold membership is the engine-portable md5 bucket (the
-    * q_t_split mechanism), every float composes from identical operands
-    * in both engines → the gate is BIT-EXACT, no rounding.
+    * distributed WITHOUT retraining per fold AND without a scoring pass:
+    * one scan computes per-fold raw moments (n, Σx, Σy, Σx², Σxy, Σy²) as
+    * EXACT decimal sums; each fold's train model is (total − fold) moment
+    * subtraction (exact); and the test MSE is the closed form
+    * Σ(y−a−bx)² = Σy² − 2aΣy − 2bΣxy + b²Σx² + 2abΣx + a²n over the TEST
+    * fold's own moments — a fixed float expression over identical doubles,
+    * so the gate is BIT-EXACT. Fold membership is the engine-portable md5
+    * bucket (the q_t_split mechanism).
+    *
+    * Portability details (each failed the hash gate in earlier forms):
+    * Σy²/Σxy accumulate at the squares' TRUE scale (4/3 decimals — cents²
+    * is exactly a 4-decimal value, so the double→decimal cast is exact in
+    * both engines; at scale 6 the scaled y² tops 2^53 for prices > ~95k
+    * and DuckDB's double-arithmetic cast drifts), and every decimal→double
+    * cast goes through decD (plain casts of ~1e14 sums are 1 ulp apart).
     */
   val m6Cv = QueryDef(
     "q_m6_cv",
@@ -276,16 +284,16 @@ object MiningCatalog {
           graft.text.TextAnalysis.hashBucket(
             concat_ws("#", col("l_orderkey"), col("l_linenumber")), CvFolds)
             .as("fold"))
-      // cached: 5 rows with three consumers (tot, coefs, scoring) — without
-      // it each consumer re-runs the full md5+moments scan (measured 4.1 s
-      // → 2 scans; Bench/Verify free it via clearCaches like every
-      // operator-pinned intermediate)
       val folds = li.groupBy("fold").agg(
         count(lit(1)).as("n"),
         sum(col("x").cast("decimal(28,6)")).as("sx"),
         sum(col("y").cast("decimal(28,6)")).as("sy"),
         sum((col("x") * col("x")).cast("decimal(28,6)")).as("sxx"),
-        sum((col("x") * col("y")).cast("decimal(28,6)")).as("sxy"))
+        sum((col("x") * col("y")).cast("decimal(28,3)")).as("sxy"),
+        sum((col("y") * col("y")).cast("decimal(28,4)")).as("syy"))
+        // cached: 5 rows, two consumers (tot + the final select) — without
+        // it each re-runs the full md5+moments scan; Bench/Verify free it
+        // via clearCaches like every operator-pinned intermediate
         .cache()
       val tot = folds.agg(sum(col("n")).as("tn"), sum(col("sx")).as("tsx"),
         sum(col("sy")).as("tsy"), sum(col("sxx")).as("tsxx"),
@@ -293,21 +301,24 @@ object MiningCatalog {
       // train moments = total − fold (exact); coefficients compose in
       // double from identical operands
       val n = (col("tn") - col("n")).cast("double")
-      val sx = (col("tsx") - col("sx")).cast("double")
-      val sy = (col("tsy") - col("sy")).cast("double")
-      val sxx = (col("tsxx") - col("sxx")).cast("double")
-      val sxy = (col("tsxy") - col("sxy")).cast("double")
+      val sx = decD(col("tsx") - col("sx"))
+      val sy = decD(col("tsy") - col("sy"))
+      val sxx = decD(col("tsxx") - col("sxx"))
+      val sxy = decD(col("tsxy") - col("sxy"))
       val b = (n * sxy - sx * sy) / (n * sxx - sx * sx)
-      val coefs = folds.crossJoin(broadcast(tot))
+      val a = (sy - b * sx) / n
+      val tn = col("n").cast("double")
+      val tsx = decD(col("sx"))
+      val tsy = decD(col("sy"))
+      val tsxx = decD(col("sxx"))
+      val tsxy = decD(col("sxy"))
+      val tsyy = decD(col("syy"))
+      folds.crossJoin(broadcast(tot))
         .select(col("fold"), (col("tn") - col("n")).as("train_n"),
-          col("n").as("test_n"), b.as("slope"),
-          ((sy - b * sx) / n).as("intercept"))
-      li.join(broadcast(coefs), "fold")
-        .groupBy("fold", "train_n", "test_n", "slope", "intercept")
-        .agg((sum(((col("y") - col("intercept") - col("slope") * col("x"))
-          * (col("y") - col("intercept") - col("slope") * col("x")))
-          .cast("decimal(28,6)")).cast("double") / col("test_n"))
-          .as("test_mse"))
+          col("n").as("test_n"), b.as("slope"), a.as("intercept"),
+          ((tsyy - lit(2.0) * a * tsy - lit(2.0) * b * tsxy
+            + b * b * tsxx + lit(2.0) * a * b * tsx + a * a * tn) / tn)
+            .as("test_mse"))
         .orderBy("fold")
     },
     Some(s"""
@@ -322,7 +333,8 @@ object MiningCatalog {
                sum(CAST(x AS DECIMAL(28,6))) AS sx,
                sum(CAST(y AS DECIMAL(28,6))) AS sy,
                sum(CAST(x * x AS DECIMAL(28,6))) AS sxx,
-               sum(CAST(x * y AS DECIMAL(28,6))) AS sxy
+               sum(CAST(x * y AS DECIMAL(28,3))) AS sxy,
+               sum(CAST(y * y AS DECIMAL(28,4))) AS syy
         FROM li GROUP BY 1),
       tot AS (
         SELECT sum(n) AS tn, sum(sx) AS tsx, sum(sy) AS tsy,
@@ -330,25 +342,29 @@ object MiningCatalog {
         FROM folds),
       coefs AS (
         SELECT fold, CAST(tn - n AS BIGINT) AS train_n, n AS test_n,
-               (CAST(tn - n AS DOUBLE) * CAST(tsxy - sxy AS DOUBLE)
-                - CAST(tsx - sx AS DOUBLE) * CAST(tsy - sy AS DOUBLE))
-               / (CAST(tn - n AS DOUBLE) * CAST(tsxx - sxx AS DOUBLE)
-                  - CAST(tsx - sx AS DOUBLE) * CAST(tsx - sx AS DOUBLE))
+               (CAST(tn - n AS DOUBLE) * ${sqlDecD("tsxy - sxy")}
+                - ${sqlDecD("tsx - sx")} * ${sqlDecD("tsy - sy")})
+               / (CAST(tn - n AS DOUBLE) * ${sqlDecD("tsxx - sxx")}
+                  - ${sqlDecD("tsx - sx")} * ${sqlDecD("tsx - sx")})
                  AS slope,
-               CAST(tsx - sx AS DOUBLE) AS _sx,
-               CAST(tsy - sy AS DOUBLE) AS _sy,
-               CAST(tn - n AS DOUBLE) AS _n
+               ${sqlDecD("tsx - sx")} AS _sx,
+               ${sqlDecD("tsy - sy")} AS _sy,
+               CAST(tn - n AS DOUBLE) AS _n,
+               CAST(n AS DOUBLE) AS fn,
+               ${sqlDecD("sx")} AS fsx, ${sqlDecD("sy")} AS fsy,
+               ${sqlDecD("sxx")} AS fsxx, ${sqlDecD("sxy")} AS fsxy,
+               ${sqlDecD("syy")} AS fsyy
         FROM folds CROSS JOIN tot),
       c2 AS (
         SELECT fold, train_n, test_n, slope,
-               (_sy - slope * _sx) / _n AS intercept
+               (_sy - slope * _sx) / _n AS intercept,
+               fn, fsx, fsy, fsxx, fsxy, fsyy
         FROM coefs)
-      SELECT fold, c2.train_n, c2.test_n, c2.slope, c2.intercept,
-             CAST(sum(CAST((li.y - c2.intercept - c2.slope * li.x)
-               * (li.y - c2.intercept - c2.slope * li.x)
-               AS DECIMAL(28,6))) AS DOUBLE) / c2.test_n AS test_mse
-      FROM li JOIN c2 USING (fold)
-      GROUP BY fold, c2.train_n, c2.test_n, c2.slope, c2.intercept
+      SELECT fold, train_n, test_n, slope, intercept,
+             (fsyy - 2.0 * intercept * fsy - 2.0 * slope * fsxy
+              + slope * slope * fsxx + 2.0 * intercept * slope * fsx
+              + intercept * intercept * fn) / fn AS test_mse
+      FROM c2
       ORDER BY fold""")
   )
 
@@ -838,22 +854,31 @@ object MiningCatalog {
   val m14Anova = QueryDef(
     "q_m14_anova",
     (s, dir) => {
-      def s386(c: org.apache.spark.sql.Column) =
-        sum(c.cast("decimal(38,6)")).cast("double")
+      // Σx at scale 6 (price = 2 decimals → the double→decimal cast is
+      // exact in both engines); Σx² at scale 4 — x² = cents²/10⁴ is exactly
+      // a 4-decimal value ≤ 1.1e10 whose scaled integer stays < 2^53, so
+      // the cast is exact in both engines (at scale 6 the scaled x² tops
+      // 2^53 for prices > ~95k and DuckDB's double-arithmetic cast drifts).
+      // Decimal→double goes through decD (see QueryDef) — a plain cast of
+      // the ~1e14 Σx² is 1 ulp off between engines.
+      def s1E(c: org.apache.spark.sql.Column) =
+        decD(sum(c.cast("decimal(38,6)")))
+      def s2E(c: org.apache.spark.sql.Column) =
+        decD(sum(c.cast("decimal(38,4)")))
       def flag(f: String, c: org.apache.spark.sql.Column) =
         when(col("l_returnflag") === f, c).otherwise(lit(null))
       val x = col("l_extendedprice")
       val g = t(s, dir, "lineitem")
         .agg(
           count(flag("A", x)).as("n_a"),
-          s386(flag("A", x)).as("s1_a"),
-          s386(flag("A", x * x)).as("s2_a"),
+          s1E(flag("A", x)).as("s1_a"),
+          s2E(flag("A", x * x)).as("s2_a"),
           count(flag("N", x)).as("n_n"),
-          s386(flag("N", x)).as("s1_n"),
-          s386(flag("N", x * x)).as("s2_n"),
+          s1E(flag("N", x)).as("s1_n"),
+          s2E(flag("N", x * x)).as("s2_n"),
           count(flag("R", x)).as("n_r"),
-          s386(flag("R", x)).as("s1_r"),
-          s386(flag("R", x * x)).as("s2_r"))
+          s1E(flag("R", x)).as("s1_r"),
+          s2E(flag("R", x * x)).as("s2_r"))
       val nT = (col("n_a") + col("n_n") + col("n_r")).cast("double")
       val grand = (col("s1_a") + col("s1_n") + col("s1_r")) / nT
       def ssb1(n: String, s1: String) = {
@@ -875,8 +900,10 @@ object MiningCatalog {
         r6((ssb / lit(2.0)) / (ssw / (nT - lit(3.0)))).as("f_stat"))
     },
     Some {
-      def s386(e: String) =
-        s"CAST(sum(CAST(($e) AS DECIMAL(38,6))) AS DOUBLE)"
+      def s1S(e: String) =
+        sqlDecD(s"sum(CAST(($e) AS DECIMAL(38,6)))")
+      def s2S(e: String) =
+        sqlDecD(s"sum(CAST(($e) AS DECIMAL(38,4)))")
       def fl(f: String, e: String) =
         s"CASE WHEN l_returnflag = '$f' THEN $e END"
       val ssb = Seq("a", "n", "r").map { k =>
@@ -889,14 +916,14 @@ object MiningCatalog {
       s"""
       WITH m AS (
         SELECT count(${fl("A", "l_extendedprice")}) AS n_a,
-               ${s386(fl("A", "l_extendedprice"))} AS s1_a,
-               ${s386(fl("A", "l_extendedprice * l_extendedprice"))} AS s2_a,
+               ${s1S(fl("A", "l_extendedprice"))} AS s1_a,
+               ${s2S(fl("A", "l_extendedprice * l_extendedprice"))} AS s2_a,
                count(${fl("N", "l_extendedprice")}) AS n_n,
-               ${s386(fl("N", "l_extendedprice"))} AS s1_n,
-               ${s386(fl("N", "l_extendedprice * l_extendedprice"))} AS s2_n,
+               ${s1S(fl("N", "l_extendedprice"))} AS s1_n,
+               ${s2S(fl("N", "l_extendedprice * l_extendedprice"))} AS s2_n,
                count(${fl("R", "l_extendedprice")}) AS n_r,
-               ${s386(fl("R", "l_extendedprice"))} AS s1_r,
-               ${s386(fl("R", "l_extendedprice * l_extendedprice"))} AS s2_r
+               ${s1S(fl("R", "l_extendedprice"))} AS s1_r,
+               ${s2S(fl("R", "l_extendedprice * l_extendedprice"))} AS s2_r
         FROM lineitem),
       g AS (
         SELECT m.*,
@@ -999,68 +1026,83 @@ object MiningCatalog {
     * negative side mirrors with max) — so it distributes as one
     * cumulative-sum window plus one cumulative-extreme window over the
     * DAILY aggregate, which is calendar-bounded regardless of input SF.
-    * All deviations are decimal(38,18)-accumulated (the daily means are
-    * identical doubles from exact decimal averages), so S⁺/S⁻ are EXACT
-    * decimals and the h-threshold alarm is an exact predicate — bit-exact
-    * gate, no rounding, no float equality.
+    *
+    * Portability: the daily mean is quantized to integer MICRO-units
+    * (floor(x·1e6+0.5) — the identical IEEE op sequence in both engines),
+    * and the deviation is n·x_t − Σx in those units, so μ never needs a
+    * division and every prefix sum / extreme / alarm compare is exact
+    * 64-bit integer arithmetic. (The previous decimal(38,18) formulation
+    * failed the hash gate: Spark casts double→decimal through the shortest
+    * string repr while DuckDB scales in double arithmetic — the cast
+    * itself disagreed at 1e-13.) Magnitudes: |dev| ≤ 1e4·1e6·n_days and
+    * prefix ≤ n_days× that, ~1e17 at the calendar bound — inside Long.
+    * S⁺/S⁻ surface as doubles via one exact-int→double + one division,
+    * identical in both engines.
     */
   val m16Cusum = QueryDef(
     "q_m16_cusum",
     (s, dir) => {
-      val H = 50000.0 // alarm threshold on the cumulative deviation sum
+      val H = 50000L // alarm threshold on the cumulative deviation sum
       val daily = t(s, dir, "lineitem")
         .groupBy(col("l_returnflag").as("g"),
           date_trunc("day", col("l_shipdate")).cast("timestamp_ntz")
             .as("day"))
         .agg(avgE(col("l_extendedprice")).as("x"))
+        .withColumn("xu",
+          floor(col("x") * lit(1e6) + lit(0.5)).cast("long"))
       val mu = daily.groupBy("g")
-        .agg((sum(col("x").cast("decimal(38,18)")).cast("double") /
-          count(lit(1))).as("mu"), count(lit(1)).as("n_days"))
+        .agg(sum(col("xu")).as("sxu"), count(lit(1)).as("n_days"))
       val w = Window.partitionBy("g").orderBy("day")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val den = col("n_days").cast("double") * lit(1e6)
       daily.join(broadcast(mu), "g")
         .withColumn("p",
-          sum((col("x") - col("mu")).cast("decimal(38,18)")).over(w))
-        .withColumn("s_pos",
-          (col("p") - least(lit(0).cast("decimal(38,18)"),
-            min(col("p")).over(w))).cast("double"))
-        .withColumn("s_neg",
-          (greatest(lit(0).cast("decimal(38,18)"),
-            max(col("p")).over(w)) - col("p")).cast("double"))
-        .select(col("g"), col("day"), col("s_pos"), col("s_neg"),
-          when(col("s_pos") > H || col("s_neg") > H, 1L).otherwise(0L)
-            .as("alarm"))
+          sum(col("xu") * col("n_days") - col("sxu")).over(w))
+        .withColumn("su_pos",
+          col("p") - least(lit(0L), min(col("p")).over(w)))
+        .withColumn("su_neg",
+          greatest(lit(0L), max(col("p")).over(w)) - col("p"))
+        .select(col("g"), col("day"),
+          (col("su_pos").cast("double") / den).as("s_pos"),
+          (col("su_neg").cast("double") / den).as("s_neg"),
+          when(col("su_pos") > lit(H * 1000000L) * col("n_days") ||
+            col("su_neg") > lit(H * 1000000L) * col("n_days"), 1L)
+            .otherwise(0L).as("alarm"))
         .orderBy("g", "day")
     },
     Some(s"""
       WITH daily AS (
         SELECT l_returnflag AS g, date_trunc('day', l_shipdate) AS day,
-               ${sqlAvgE("l_extendedprice")} AS x
+               CAST(floor(${sqlAvgE("l_extendedprice")} * 1e6 + 0.5)
+                 AS BIGINT) AS xu
         FROM lineitem GROUP BY 1, 2),
       mu AS (
-        SELECT g,
-               CAST(sum(CAST(x AS DECIMAL(38,18))) AS DOUBLE) / count(*)
-                 AS mu
+        SELECT g, sum(xu) AS sxu, count(*) AS n_days
         FROM daily GROUP BY 1),
       p AS (
-        SELECT daily.g, day,
-               sum(CAST(x - mu AS DECIMAL(38,18))) OVER (
+        SELECT daily.g, day, n_days,
+               sum(xu * n_days - sxu) OVER (
                  PARTITION BY daily.g ORDER BY day
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
         FROM daily JOIN mu ON mu.g = daily.g),
       sline AS (
-        SELECT g, day,
-               CAST(p - least(CAST(0 AS DECIMAL(38,18)), min(p) OVER (
+        SELECT g, day, n_days,
+               CAST(p - least(CAST(0 AS BIGINT), min(p) OVER (
                  PARTITION BY g ORDER BY day
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
-                 AS DOUBLE) AS s_pos,
-               CAST(greatest(CAST(0 AS DECIMAL(38,18)), max(p) OVER (
+                 AS BIGINT) AS su_pos,
+               CAST(greatest(CAST(0 AS BIGINT), max(p) OVER (
                  PARTITION BY g ORDER BY day
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) - p
-                 AS DOUBLE) AS s_neg
+                 AS BIGINT) AS su_neg
         FROM p)
-      SELECT g, day, s_pos, s_neg,
-             CAST(CASE WHEN s_pos > 50000.0 OR s_neg > 50000.0
+      SELECT g, day,
+             CAST(su_pos AS DOUBLE) / (CAST(n_days AS DOUBLE) * 1e6)
+               AS s_pos,
+             CAST(su_neg AS DOUBLE) / (CAST(n_days AS DOUBLE) * 1e6)
+               AS s_neg,
+             CAST(CASE WHEN su_pos > 50000000000 * n_days
+                    OR su_neg > 50000000000 * n_days
                THEN 1 ELSE 0 END AS BIGINT) AS alarm
       FROM sline ORDER BY g, day""")
   )

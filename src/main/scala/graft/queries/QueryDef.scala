@@ -71,4 +71,33 @@ object QueryDef {
     sum(c.cast("decimal(38,18)")).cast("double") / count(c)
   def sqlAvgE18(e: String): String =
     s"(CAST(sum(CAST(($e) AS DECIMAL(38,18))) AS DOUBLE) / count($e))"
+
+  /** Portable DECIMAL→DOUBLE cast for |v| < 2^53. A plain cast is NOT
+    * cross-engine bit-exact once the decimal's scaled integer exceeds 2^53:
+    * Spark (BigDecimal.doubleValue) rounds the true decimal once, while
+    * DuckDB converts the scaled integer to double and divides — two
+    * roundings, observed 1 ulp apart at ~1e14·scale-6 (q_m14_anova r07/r08
+    * hash failures). Splitting into integer part (exact in double below
+    * 2^53) + fractional part (scaled integer < 10^scale, one correct
+    * rounding each side) makes both engines produce the identical double.
+    */
+  def decD(c: Column): Column =
+    floor(c).cast("double") + (c - floor(c)).cast("double")
+  def sqlDecD(e: String): String =
+    s"(CAST(floor($e) AS DOUBLE) + CAST(($e) - floor($e) AS DOUBLE))"
+
+  /** A Scala double as a DuckDB literal that parses to the IDENTICAL
+    * double. A bare decimal literal like `0.15384615384615385` parses as
+    * DECIMAL(18,17) in DuckDB, and its decimal→double conversion goes
+    * through a scaled integer ABOVE 2^53 — double-rounded, 1 ulp off the
+    * correct parse (the q_f_macd r07/r08 hash failures: the fast-EMA α
+    * itself differed between engines; RSI's α=1/14 survived only because
+    * its scaled integer happens to be even ⇒ exactly representable).
+    * An exponent suffix makes the literal parse as DOUBLE directly —
+    * string→double parsing is correctly rounded in both engines.
+    */
+  def sqlD(x: Double): String = {
+    val s = x.toString
+    if (s.contains('E') || s.contains('e')) s else s + "e0"
+  }
 }

@@ -321,7 +321,7 @@ object WindowCatalog {
         SELECT k.b, k.l_returnflag, k.l_shipdate, k.l_orderkey,
                k.l_linenumber, k.rn,
                CASE WHEN s.seed IS NULL THEN k.x
-                    ELSE ${1.0 - EwmaAlpha} * s.seed + $EwmaAlpha * k.x
+                    ELSE ${sqlD(1.0 - EwmaAlpha)} * s.seed + ${sqlD(EwmaAlpha)} * k.x
                END AS y
         FROM base k JOIN sd s
           ON s.b = k.b AND s.l_returnflag = k.l_returnflag
@@ -329,7 +329,7 @@ object WindowCatalog {
         UNION ALL
         SELECT n.b, n.l_returnflag, n.l_shipdate, n.l_orderkey,
                n.l_linenumber, n.rn,
-               ${1.0 - EwmaAlpha} * r.y + $EwmaAlpha * n.x
+               ${sqlD(1.0 - EwmaAlpha)} * r.y + ${sqlD(EwmaAlpha)} * n.x
         FROM rec r JOIN base n
           ON n.b = r.b AND n.l_returnflag = r.l_returnflag
             AND n.rn = r.rn + 1)
