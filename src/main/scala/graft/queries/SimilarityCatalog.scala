@@ -218,6 +218,56 @@ object SimilarityCatalog {
       ORDER BY query_id, rank""")
   )
 
+  /** Scalar-quantized (int8) ANN — similarity.Sq: per-dimension affine
+    * codes in [0, 255] from one corpus min/max scan, approximate ranking
+    * by EXACT integer squared distance between code arrays. The oracle
+    * replays the whole search from the raw embeddings alone (no aux
+    * state): the quantization rule `floor((x − min)·255/span + 0.5)` is
+    * the same IEEE op sequence in both engines and everything after it is
+    * integer arithmetic, so query_id/rank/nn_id/sqd are all bit-exact.
+    */
+  val sSq = QueryDef(
+    "q_s_sq_topk",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      graft.similarity.Sq.sqTopK(e, e.filter(col("vec_id") < QueryIdMax),
+          "vec_id", "embedding", "vec_id", k = TopK, dim = PqDim)
+        .filter(col("nn_id") =!= col("query_id"))
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("nn_id"), col("sqd"))
+        .orderBy("query_id", "rank")
+    },
+    Some(s"""
+      WITH ex AS (
+        SELECT vec_id, d, CAST(embedding[d] AS DOUBLE) AS x
+        FROM embeddings CROSS JOIN (SELECT unnest(range(1, $PqDim + 1)) AS d)),
+      dims AS (
+        SELECT d, min(x) AS dmin, max(x) - min(x) AS span FROM ex GROUP BY 1),
+      codes AS (
+        SELECT ex.vec_id, ex.d,
+               CASE WHEN dims.span = 0 THEN 0
+                    ELSE CAST(floor((ex.x - dims.dmin) * 255e0 / dims.span
+                                    + 0.5) AS BIGINT)
+               END AS c
+        FROM ex JOIN dims USING (d)),
+      q AS (SELECT vec_id AS query_id, d, c FROM codes
+            WHERE vec_id < $QueryIdMax),
+      sqd AS (
+        SELECT q.query_id, codes.vec_id AS nn_id,
+               sum((q.c - codes.c) * (q.c - codes.c)) AS sqd
+        FROM codes JOIN q ON codes.d = q.d
+        GROUP BY 1, 2),
+      ranked AS (
+        SELECT query_id, nn_id, sqd,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY sqd, nn_id) AS rank
+        FROM sqd)
+      SELECT query_id, CAST(rank AS BIGINT) AS rank, nn_id,
+             CAST(sqd AS BIGINT) AS sqd
+      FROM ranked WHERE rank <= $TopK AND nn_id <> query_id
+      ORDER BY query_id, rank""")
+  )
+
   // DuckDB spelling of text.TextAnalysis.normText for the documents table
   // (declared BEFORE the QueryDef that interpolates it — object vals
   // initialize top-down and a forward reference interpolates null)
@@ -286,5 +336,5 @@ object SimilarityCatalog {
       FROM pr ORDER BY da, db""")
   )
 
-  val all: Seq[QueryDef] = Seq(sBrute, sIvf, sPq, sSparse)
+  val all: Seq[QueryDef] = Seq(sBrute, sIvf, sPq, sSq, sSparse)
 }
