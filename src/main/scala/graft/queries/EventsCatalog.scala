@@ -123,6 +123,117 @@ object EventsCatalog {
     })._2
   }
 
+  // Heartbeat-staged variant for OUTER stream-stream joins: ONE
+  // Spark-written parquet holding the normalized events PLUS a
+  // far-future purchase+click pair for user −1. Outer-join null rows
+  // only emit when the watermark proves no match can arrive; a finite
+  // input's last rows would otherwise sit in state forever. The
+  // heartbeat pushes both sides' watermarks one day past the real data —
+  // the streaming analogue of an end-of-stream marker — so the drained
+  // sink holds the COMPLETE outer join. Heartbeat rows must be filtered
+  // out AFTER the sink drains (see q_e_left_join_stream) — never in the
+  // streaming plan, where the filter would push below the watermark
+  // operators and un-heartbeat the stream. Single-file staging: the
+  // rewrite normalizes ts to µs (raw INT64 = the engine's own
+  // convention, which the footer-driven reader accepts), and a one-file
+  // dir is the same layout every other staged streaming query reads.
+  // Cache/eviction identity follows streamDirCache.
+  private val heartbeatDirCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+  private lazy val heartbeatDirCleanup = sys.addShutdownHook {
+    heartbeatDirCache.values.forEach { case (_, p) => deleteStagedDir(p) }
+  }
+  private[queries] def streamableEventsDirWithHeartbeat(
+      s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val src = java.nio.file.Paths.get(s"$dir/events.parquet")
+    val attrs = java.nio.file.Files.readAttributes(
+      src, classOf[java.nio.file.attribute.BasicFileAttributes])
+    val identity = Seq(
+      Option(attrs.fileKey).map(_.toString).getOrElse(""),
+      attrs.lastModifiedTime.toMillis.toString,
+      attrs.size.toString).mkString("|")
+    heartbeatDirCache.compute(src.toString, (_, prev) => prev match {
+      case (id, p) if id == identity => (id, p)
+      case other =>
+        if (other != null) deleteStagedDir(other._2)
+        heartbeatDirCleanup
+        val ev = t(s, dir, "events") // ts normalized to epoch µs
+        // one day past the real data: far beyond any watermark delay +
+        // join lag used by the catalog queries
+        val hbTs = ev.agg(max(col("ts"))).head.getLong(0) + 86400000000L
+        val hb = s.createDataFrame(
+          java.util.Arrays.asList(
+            org.apache.spark.sql.Row(-1L, hbTs, -1L, "purchase", 0.0, null),
+            org.apache.spark.sql.Row(-2L, hbTs, -1L, "click", 0.0, null)),
+          graft.model.Schemas.events)
+        val tmp = java.nio.file.Files.createTempDirectory("graft_hb_write")
+        ev.select(graft.model.Schemas.events.fieldNames.map(col): _*)
+          .unionByName(hb)
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val st = java.nio.file.Files.list(tmp)
+        val part =
+          try st.filter(p => p.getFileName.toString.endsWith(".parquet"))
+            .findFirst.get()
+          finally st.close()
+        val d = java.nio.file.Files.createTempDirectory("graft_stream_hb")
+        java.nio.file.Files.move(part, d.resolve("events.parquet"))
+        deleteStagedDir(tmp.toString)
+        (identity, d.toString)
+    })._2
+  }
+
+  /** Stream-stream LEFT OUTER interval join through the ENGINE path
+    * (EventStreams.purchaseClickLeftJoin): q_e_interval_stream's join
+    * with unmatched purchases emitting null click columns — which only
+    * happens via WATERMARK-DRIVEN STATE EVICTION, the mechanism this
+    * entry gates. The heartbeat staging pushes the watermark past the
+    * real data so every unmatched purchase resolves before the sink
+    * drains; the oracle is the plain batch LEFT JOIN.
+    */
+  val eLeftJoinStream = QueryDef(
+    "q_e_left_join_stream",
+    (s, dir) => {
+      val sink = "graft_left_join_stream_sink"
+      s.catalog.dropTempView(sink) // idempotent across bench warm-up reps
+      val q = graft.streaming.EventStreams
+        .purchaseClickLeftJoin(s, streamableEventsDirWithHeartbeat(s, dir),
+          lagMinutes = 30)
+        .select(col("user_id"),
+          unix_micros(col("purchase_ts")).as("purchase_us"),
+          col("purchase_value"),
+          unix_micros(col("click_ts")).as("click_us"), col("click_value"))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      // heartbeat rows are dropped HERE, on the drained sink — a filter in
+      // the streaming plan would be pushed below the watermark operators
+      // (Catalyst pushes `user_id >= 0` through the join into both scans),
+      // the heartbeat would never reach event-time tracking, and the
+      // watermark would freeze below the real data's tail (observed: the
+      // last two unmatched purchases never emitted)
+      s.table(sink).filter(col("user_id") >= 0L)
+        .orderBy(col("user_id"), col("purchase_us"),
+          col("purchase_value"), asc_nulls_last("click_us"),
+          asc_nulls_last("click_value"))
+    },
+    Some("""
+      WITH p AS (
+        SELECT user_id, epoch_us(ts) AS purchase_us,
+               value AS purchase_value
+        FROM events WHERE event_type = 'purchase'),
+      c AS (
+        SELECT user_id AS click_user, epoch_us(ts) AS click_us,
+               value AS click_value
+        FROM events WHERE event_type = 'click')
+      SELECT p.user_id, p.purchase_us, p.purchase_value,
+             c.click_us, c.click_value
+      FROM p LEFT JOIN c ON p.user_id = c.click_user
+        AND c.click_us >= p.purchase_us - 30 * 60 * 1000000
+        AND c.click_us <= p.purchase_us
+      ORDER BY p.user_id, purchase_us, purchase_value,
+        click_us NULLS LAST, click_value NULLS LAST""")
+  )
+
   val eHourlyStream = QueryDef(
     "q_e_hourly_stream",
     (s, dir) => {
@@ -990,6 +1101,7 @@ object EventsCatalog {
   val all: Seq[QueryDef] =
     Seq(eHourly, eSessions, eHourlyStream, eSessionizeStream,
       eSessionWindow, eFunnel, eDedup, eDedupStream, eIntervalStream,
-      eRetention, eEnrichStream, eHoltStream, eMarkov, eAttribution,
+      eLeftJoinStream, eRetention, eEnrichStream, eHoltStream, eMarkov,
+      eAttribution,
       eSurvival, eScdStream, eAbTest, eCuped)
 }

@@ -114,6 +114,39 @@ object EventStreams {
         "click_ts", "click_value")
   }
 
+  /** Watermarked stream-stream LEFT OUTER join: like [[purchaseClickJoin]]
+    * but purchases with NO click in the window still emit (null click
+    * columns) — the attribution-with-misses shape. Outer rows can only
+    * emit once the watermark proves no late match can arrive, i.e. state
+    * eviction IS the null-emission mechanism: a purchase's unmatched row
+    * appears when the joint watermark passes its eviction bound, and
+    * purchases younger than the watermark horizon at end-of-input never
+    * resolve. Callers that need the COMPLETE outer join of a finite input
+    * must push the watermark past the last purchase — see the heartbeat
+    * staging in queries.EventsCatalog (`q_e_left_join_stream`).
+    */
+  def purchaseClickLeftJoin(spark: SparkSession, dir: String,
+      lagMinutes: Int = 30, watermark: String = "1 hour"): DataFrame = {
+    def side(t: String, ts: String, v: String): DataFrame =
+      readNormalized(spark, dir)
+        .filter(col("event_type") === t)
+        .select(col("user_id"),
+          timestamp_micros(col("ts")).as(ts),
+          col("value").as(v))
+        .withWatermark(ts, watermark)
+    val purchases = side("purchase", "purchase_ts", "purchase_value")
+    val clicks = side("click", "click_ts", "click_value")
+      .withColumnRenamed("user_id", "click_user")
+    purchases.join(clicks,
+      col("user_id") === col("click_user") &&
+        col("click_ts") >= col("purchase_ts")
+          - expr(s"INTERVAL $lagMinutes MINUTES") &&
+        col("click_ts") <= col("purchase_ts"),
+      "leftOuter")
+      .select("user_id", "purchase_ts", "purchase_value",
+        "click_ts", "click_value")
+  }
+
   final case class HoltState(l: Double, b: Double, n: Long)
   final case class TypeHolt(event_type: String, n: Long, level: Double,
     trend: Double)

@@ -355,6 +355,37 @@ class PipelineOpsSpec extends SparkSpec {
     assertStreamJoinMatchesBatch(d.toString, sf01, "ss_join_sf01")
   }
 
+  test("stream-stream LEFT OUTER join emits unmatched purchases via " +
+    "watermark eviction and matches the batch left join") {
+    // full catalog path: heartbeat staging + leftOuter join + sink drain
+    val got = SparkEntry.queries("q_e_left_join_stream")(spark, sfSmoke)
+      .collect().map(_.toSeq).toSet
+    val ev = graft.sources.EventsTs.read(spark, sfSmoke)
+      .withColumn("tsm", timestamp_micros(col("ts")))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("tsm").as("purchase_ts"),
+        col("value").as("purchase_value"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("click_user"), col("tsm").as("click_ts"),
+        col("value").as("click_value"))
+    val want = p.join(c,
+        col("user_id") === col("click_user") &&
+          col("click_ts") >= col("purchase_ts")
+            - expr("INTERVAL 30 MINUTES") &&
+          col("click_ts") <= col("purchase_ts"),
+        "leftOuter")
+      .select(col("user_id"),
+        unix_micros(col("purchase_ts")).as("purchase_us"),
+        col("purchase_value"),
+        unix_micros(col("click_ts")).as("click_us"), col("click_value"))
+      .collect().map(_.toSeq).toSet
+    // the OUTER part must be non-trivial — unmatched purchases exist and
+    // their null rows can only appear through state eviction
+    assert(want.exists(_(3) == null), "fixture has no unmatched purchase")
+    assert(got.size == want.size && got == want,
+      s"stream/batch diff: ${(want -- got).take(3)} / ${(got -- want).take(3)}")
+  }
+
   test("multimodal plumbing: meta, features, frames") {
     val docs = spark.read.parquet(s"$sfSmoke/documents.parquet").limit(10)
     val media = Multimodal.asMediaTable(docs, "doc_id", "text", "text/plain")
