@@ -760,6 +760,47 @@ object MiscCatalog {
       SELECT q, value FROM r JOIN s USING (rn) ORDER BY q""")
   )
 
+  /** Mergeable approximate quantiles (sketches.SampleQuantile): a
+    * content-addressed Bernoulli sample — md5-hash admission, the same
+    * portable uniform as q_t_wsample — whose set-union mergeability makes
+    * it the quantile member of the sketch family, then the sample's EXACT
+    * lower discrete quantile via histogram bisection (no global sort).
+    * The oracle replays admission + rank selection from the raw table:
+    * the hash condition, the sample, and the selected element are all
+    * deterministic, so q/value/sample_n are bit-exact. cutoff=500 forces
+    * a real bisection pass on the ~3k-row sample at sf0.01.
+    */
+  val qQuantileSample = {
+    val P = 0.05
+    val Thr = graft.sketches.SampleQuantile.threshold(P)
+    QueryDef(
+      "q_quantile_sample",
+      (s, dir) =>
+        graft.sketches.SampleQuantile.quantiles(
+          t(s, dir, "lineitem"), "l_extendedprice",
+          expr("l_orderkey * 8 + l_linenumber"), P,
+          Seq(0.25, 0.5, 0.75, 0.95), buckets = 1024, cutoff = 500)
+          .orderBy("q"),
+      Some(s"""
+        WITH smp AS (
+          SELECT l_extendedprice AS value
+          FROM lineitem
+          WHERE CAST(('0x' || substr(md5(CAST(l_orderkey * 8 + l_linenumber
+                        AS VARCHAR)), 1, 15)) AS BIGINT) < $Thr),
+        n AS (SELECT count(*) AS cnt FROM smp),
+        s AS (
+          SELECT value, row_number() OVER (ORDER BY value) AS rn FROM smp),
+        qs AS (SELECT CAST(unnest([0.25, 0.5, 0.75, 0.95]) AS DOUBLE) AS q),
+        r AS (
+          SELECT qs.q AS q,
+                 CAST(floor(qs.q * (n.cnt - 1)) AS BIGINT) + 1 AS rn,
+                 n.cnt AS cnt
+          FROM qs, n)
+        SELECT r.q AS q, s.value AS value, r.cnt AS sample_n
+        FROM r JOIN s USING (rn) ORDER BY q""")
+    )
+  }
+
   /** PageRank over the customer↔supplier interaction graph (distinct
     * trade pairs from lineitem ⋈ orders, symmetrized so the bipartite
     * graph has no dangling mass). Integer floor-div arithmetic makes all
@@ -1783,7 +1824,8 @@ object MiscCatalog {
   val all: Seq[QueryDef] = Seq(oTopK, aSpikeSummary, eJson, aSummary,
     mKmeans, mLloydStep, qAsof, qRange, qRollup, qCube, qGroupingSets,
     qPercentile, qHistogram, qZOrder, qScd2, qScd1, qIncAgg,
-    qQuantileExact, qPagerank, qTriangles, qChecksum, qChi2, qHhi,
+    qQuantileExact, qQuantileSample, qPagerank, qTriangles, qChecksum,
+    qChi2, qHhi,
     qProfile, qBenford, qGini, qEntropy, qMi, qSnapshotDiff, qWinsor,
     qFkAudit, qMoments, qAssortativity, qPartitionedScan, qKcore,
     qScd2AsOf)
