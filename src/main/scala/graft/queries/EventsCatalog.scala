@@ -234,6 +234,51 @@ object EventsCatalog {
         click_us NULLS LAST, click_value NULLS LAST""")
   )
 
+  /** Timeout-closed sessionization through the ENGINE path
+    * (EventStreams.closedSessions): every (user, session) row emits
+    * exactly once when the session CLOSES — inline on a >30 min gap, or
+    * via `EventTimeTimeout` once the watermark proves the open session
+    * can't be extended. That timeout firing is the mechanism this entry
+    * gates: the heartbeat staging pushes the watermark past the finite
+    * input so every tail session closes before the sink drains (the
+    * heartbeat's own user −1 session is dropped post-sink — never in
+    * the streaming plan, same pushdown trap as q_e_left_join_stream).
+    * Oracle = the classic gaps-and-islands sessionization in SQL; all
+    * columns are epoch-µs integers/counts, bit-exact.
+    */
+  val eClosedSessions = QueryDef(
+    "q_e_closed_sessions",
+    (s, dir) => {
+      val sink = "graft_closed_sessions_sink"
+      s.catalog.dropTempView(sink) // idempotent across bench warm-up reps
+      val q = graft.streaming.EventStreams
+        .closedSessions(s, streamableEventsDirWithHeartbeat(s, dir))
+        .toDF()
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(sink).filter(col("user_id") >= 0L)
+        .orderBy("user_id", "start_us")
+    },
+    Some("""
+      WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+      g AS (
+        SELECT user_id, us,
+               CASE WHEN us - lag(us) OVER
+                      (PARTITION BY user_id ORDER BY us) > 1800000000
+                    THEN 1 ELSE 0 END AS brk
+        FROM e),
+      s AS (
+        SELECT user_id, us,
+               sum(brk) OVER (PARTITION BY user_id ORDER BY us
+                              ROWS UNBOUNDED PRECEDING) AS sid
+        FROM g)
+      SELECT user_id, min(us) AS start_us, max(us) AS end_us,
+             count(*) AS n_events
+      FROM s GROUP BY user_id, sid
+      ORDER BY user_id, start_us""")
+  )
+
   val eHourlyStream = QueryDef(
     "q_e_hourly_stream",
     (s, dir) => {
@@ -1101,7 +1146,7 @@ object EventsCatalog {
   val all: Seq[QueryDef] =
     Seq(eHourly, eSessions, eHourlyStream, eSessionizeStream,
       eSessionWindow, eFunnel, eDedup, eDedupStream, eIntervalStream,
-      eLeftJoinStream, eRetention, eEnrichStream, eHoltStream, eMarkov,
-      eAttribution,
+      eLeftJoinStream, eClosedSessions, eRetention, eEnrichStream,
+      eHoltStream, eMarkov, eAttribution,
       eSurvival, eScdStream, eAbTest, eCuped)
 }

@@ -147,6 +147,74 @@ object EventStreams {
         "click_ts", "click_value")
   }
 
+  final case class OpenSession(startUs: Long, lastUs: Long, n: Long)
+  final case class SessionOut(user_id: Long, start_us: Long, end_us: Long,
+    n_events: Long)
+
+  /** Timeout-CLOSED sessionization: each session row emits exactly once,
+    * when the session ends — either a >gap silence observed within the
+    * data (closed inline) or the EVENT-TIME TIMEOUT firing once the
+    * watermark proves no event can extend the open session. This is the
+    * `flatMapGroupsWithState` + `GroupStateTimeout.EventTimeTimeout`
+    * state machine ([[sessionize]] is the running-totals form with
+    * NoTimeout; this is the emit-on-close form downstream consumers can
+    * treat as immutable facts). State per user is one open-session
+    * record; timeouts bound its lifetime by the watermark horizon, so
+    * state can't accumulate past (gap + delay) × |active users|.
+    *
+    * A finite input's last open sessions only close if the watermark
+    * passes their (last event + gap) — drive this through the heartbeat
+    * staging (queries.EventsCatalog) like the outer join.
+    */
+  def closedSessions(spark: SparkSession, dir: String,
+      gapMinutes: Int = 30,
+      watermark: String = "1 hour"): Dataset[SessionOut] = {
+    import spark.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+    // the watermarked column must stay in the frame feeding the stateful
+    // operator — selecting it away prunes the watermark node and
+    // EventTimeTimeout refuses to plan
+    val events = readNormalized(spark, dir)
+      .withColumn("tsm", timestamp_micros(col("ts")))
+      .withWatermark("tsm", watermark)
+      .select(col("user_id"), col("ts"), col("tsm"))
+      .as[(Long, Long, java.sql.Timestamp)]
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState[OpenSession, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (user, rows, state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            // watermark passed last + gap: nothing can extend the session
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(user, s.startUs, s.lastUs, s.n))
+          } else {
+            // gap math depends only on the sorted multiset of timestamps,
+            // so a plain sort is fully deterministic here
+            val sorted = rows.map(_._2).toSeq.sorted
+            var open = state.getOption
+            val closed = scala.collection.mutable.ListBuffer[SessionOut]()
+            sorted.foreach { us =>
+              open match {
+                case Some(o) if us - o.lastUs > gapUs =>
+                  closed += SessionOut(user, o.startUs, o.lastUs, o.n)
+                  open = Some(OpenSession(us, us, 1L))
+                case Some(o) =>
+                  open = Some(o.copy(lastUs = us, n = o.n + 1))
+                case None =>
+                  open = Some(OpenSession(us, us, 1L))
+              }
+            }
+            open.foreach { o =>
+              state.update(o)
+              // EventTimeTimeout takes epoch-ms; fires when wm passes it
+              state.setTimeoutTimestamp(o.lastUs / 1000L + gapMinutes * 60000L)
+            }
+            closed.iterator
+          }
+      }
+  }
+
   final case class HoltState(l: Double, b: Double, n: Long)
   final case class TypeHolt(event_type: String, n: Long, level: Double,
     trend: Double)

@@ -386,6 +386,31 @@ class PipelineOpsSpec extends SparkSpec {
       s"stream/batch diff: ${(want -- got).take(3)} / ${(got -- want).take(3)}")
   }
 
+  test("timeout-closed sessionization equals batch gaps-and-islands and " +
+    "conserves the event count") {
+    val got = SparkEntry.queries("q_e_closed_sessions")(spark, sfSmoke)
+      .collect().map(_.toSeq).toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts")
+    val want = graft.sources.EventsTs.read(spark, sfSmoke)
+      .select(col("user_id"), col("ts"))
+      .withColumn("brk",
+        when(col("ts") - lag("ts", 1).over(w) > 1800000000L, 1L)
+          .otherwise(0L))
+      .withColumn("sid", sum("brk").over(
+        w.rowsBetween(Long.MinValue, 0)))
+      .groupBy("user_id", "sid")
+      .agg(min("ts").as("start_us"), max("ts").as("end_us"),
+        count(lit(1)).as("n_events"))
+      .drop("sid")
+      .collect().map(_.toSeq).toSet
+    assert(got == want,
+      s"diff: ${(want -- got).take(3)} / ${(got -- want).take(3)}")
+    // every event is in exactly one closed session
+    val total = got.toSeq.map(_(3).asInstanceOf[Long]).sum
+    assert(total == graft.sources.EventsTs.read(spark, sfSmoke).count())
+  }
+
   test("multimodal plumbing: meta, features, frames") {
     val docs = spark.read.parquet(s"$sfSmoke/documents.parquet").limit(10)
     val media = Multimodal.asMediaTable(docs, "doc_id", "text", "text/plain")
