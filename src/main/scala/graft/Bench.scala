@@ -10,6 +10,8 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // engine optimizer rules (HOF dot-product fusion) — config-free install
+    graft.functions.DotProductRewrite.install(spark)
     // optional comma-separated filter for targeted iteration
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     // deterministic order: hash-Map iteration reshuffles whenever an entry
