@@ -6,11 +6,16 @@ import org.apache.spark.sql.functions._
 /** Multimodal columns for a training-data pipeline (builder brief): media
   * as opaque `binary` columns with typed metadata, processed partition-wise.
   *
-  * The image/audio codec libraries are NOT in this environment, so the
-  * decode kernels are deterministic STUBS (clearly marked); everything
-  * around them — schema shape, binary column handling, partition-wise
-  * batched processing, the operator signatures — is the real Spark
-  * plumbing a production pipeline would keep while swapping the kernel.
+  * Decode status, honestly split by what the environment permits:
+  * compressed formats (JPEG/H.264/FLAC…) need codec libraries that are
+  * NOT in this container, so those kernels remain deterministic STUBS
+  * (clearly marked) behind the [[MediaKernel]] seam. UNCOMPRESSED
+  * containers need no library at all — [[Codecs]] ships REAL pure-JVM
+  * WAV (RIFF/PCM16) and BMP (24bpp) decode/encode/resize, with real
+  * kernels ([[Codecs.WavKernel]], [[Codecs.BmpKernel]]) over the same
+  * seam and an oracle-gated decode query (q_mm_wav_decode). The Spark
+  * plumbing — schema shape, binary columns, partition-wise batching,
+  * operator signatures — is shared by both.
   */
 object Multimodal {
 

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import QueryDef._
-import graft.multimodal.Multimodal
+import graft.multimodal.{Codecs, Multimodal}
 
 /** Multimodal binary-column twins (builder brief). The decode kernels in
   * multimodal.Multimodal are environment-stubbed (no codec libraries
@@ -89,5 +89,62 @@ object MultimodalCatalog {
       GROUP BY 1 ORDER BY 1""")
   )
 
-  val all: Seq[QueryDef] = Seq(mmFrames, mmMeta)
+  /** REAL decode, oracle-gated end-to-end: per returnflag the engine
+    * SYNTHESIZES a PCM16 waveform from the table's own integer keys,
+    * CONTAINERIZES it as a RIFF/WAVE blob (multimodal.Codecs.encodeWav),
+    * then decodes it back with the real chunk-walking parser and reports
+    * integer-exact audio statistics from the decoded samples. DuckDB
+    * recomputes the same statistics relationally from the sample formula
+    * — so any header/layout/sample-extraction bug in the REAL decoder
+    * breaks the hash. (Per-group synthesis exists only to gate the
+    * decoder; production media is bounded per ROW, where the kernel runs
+    * scan-local via extractFeatures.) Stats are symmetric in sample
+    * order, peak/counts are integers, rms is one exact-int division +
+    * sqrt — bit-exact.
+    */
+  val mmWavDecode = QueryDef(
+    "q_mm_wav_decode",
+    (s, dir) => {
+      val sp = s
+      import sp.implicits._
+      t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"))
+        .as[(String, Long, Int)]
+        .groupByKey(_._1)
+        .mapGroups { (flag, it) =>
+          val rows = it.toArray.sortBy(r => (r._2, r._3))
+          val samples = rows.map { case (_, ok, ln) =>
+            ((ok * 7 + ln * 13) % 65536 - 32768).toShort
+          }
+          val blob = Codecs.encodeWav(16000, 1, samples)
+          val wav = Codecs.decodeWav(blob) // the REAL RIFF/PCM parse
+          var sumSq = 0L
+          var peak = 0L
+          wav.samples.foreach { v =>
+            sumSq += v.toLong * v
+            if (math.abs(v.toLong) > peak) peak = math.abs(v.toLong)
+          }
+          (flag, wav.samples.length.toLong, blob.length.toLong,
+            wav.sampleRate.toLong, peak,
+            math.sqrt(sumSq.toDouble / wav.samples.length))
+        }
+        .toDF("flag", "n_samples", "n_bytes", "sample_rate", "peak", "rms")
+        .orderBy("flag")
+    },
+    Some("""
+      SELECT l_returnflag AS flag,
+             count(*) AS n_samples,
+             CAST(44 + 2 * count(*) AS BIGINT) AS n_bytes,
+             CAST(16000 AS BIGINT) AS sample_rate,
+             CAST(max(abs((l_orderkey * 7 + l_linenumber * 13) % 65536
+                          - 32768)) AS BIGINT) AS peak,
+             sqrt(CAST(sum(CAST((l_orderkey * 7 + l_linenumber * 13) % 65536
+                                - 32768 AS BIGINT)
+                           * ((l_orderkey * 7 + l_linenumber * 13) % 65536
+                              - 32768)) AS DOUBLE)
+                  / count(*)) AS rms
+      FROM lineitem GROUP BY 1 ORDER BY 1""")
+  )
+
+  val all: Seq[QueryDef] = Seq(mmFrames, mmMeta, mmWavDecode)
 }

@@ -1,0 +1,101 @@
+package graft
+
+import graft.multimodal.{Codecs, Multimodal}
+import graft.multimodal.Codecs.{BgrImage, WavPcm}
+
+/** Real pure-JVM codec coverage (multimodal.Codecs): WAV and BMP
+  * round-trips, chunk-walking robustness, nearest-neighbor resize
+  * geometry, kernel features through the partition-wise Spark seam, and
+  * loud failure on malformed blobs.
+  */
+class CodecsSpec extends SparkSpec {
+
+  private def sine(n: Int, amp: Double, period: Int): Array[Short] =
+    Array.tabulate(n)(i =>
+      math.round(amp * math.sin(2 * math.Pi * i / period)).toShort)
+
+  test("WAV round-trip: encode → decode recovers rate, channels, samples") {
+    val s = sine(4800, 3000.0, 48)
+    val wav = Codecs.decodeWav(Codecs.encodeWav(16000, 1, s))
+    assert(wav == WavPcm(16000, 1, wav.samples))
+    assert(wav.sampleRate == 16000 && wav.channels == 1)
+    assert(wav.samples.toSeq == s.toSeq)
+  }
+
+  test("WAV decode walks unknown chunks and odd-length padding") {
+    val s = Array[Short](100, -200, 300)
+    val base = Codecs.encodeWav(8000, 1, s)
+    // splice a 3-byte (odd) junk chunk between fmt and data
+    val junk = Array[Byte]('j', 'u', 'n', 'k', 3, 0, 0, 0, 1, 2, 3, 0)
+    val spliced = base.take(36) ++ junk ++ base.drop(36)
+    // fix the RIFF size field (bytes 4-7, little-endian)
+    val bb = java.nio.ByteBuffer.wrap(spliced)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(4, spliced.length - 8)
+    val wav = Codecs.decodeWav(spliced)
+    assert(wav.samples.toSeq == s.toSeq && wav.sampleRate == 8000)
+  }
+
+  test("WAV malformed blobs fail loudly") {
+    intercept[IllegalArgumentException](Codecs.decodeWav(Array[Byte](1, 2)))
+    intercept[IllegalArgumentException](
+      Codecs.decodeWav("RIFXnope".getBytes ++ new Array[Byte](40)))
+    // PCM format check: flip audioFormat to 2 (ADPCM)
+    val bad = Codecs.encodeWav(8000, 1, Array[Short](1))
+    bad(20) = 2
+    intercept[IllegalArgumentException](Codecs.decodeWav(bad))
+  }
+
+  test("BMP round-trip incl. row padding (width not divisible by 4)") {
+    // 3x2 top-down BGR gradient — stride pads 9 bytes to 12
+    val px = Array.tabulate(3 * 2 * 3)(i => (i * 7 % 251).toByte)
+    val img = BgrImage(3, 2, px)
+    val back = Codecs.decodeBmp(Codecs.encodeBmp(img))
+    assert(back.width == 3 && back.height == 2)
+    assert(back.pixels.toSeq == px.toSeq)
+  }
+
+  test("BMP nearest-neighbor resize picks the floor-grid source pixels") {
+    // 4x4 image whose pixel (x,y) encodes its own coordinates
+    val px = new Array[Byte](4 * 4 * 3)
+    for (y <- 0 until 4; x <- 0 until 4) {
+      px((y * 4 + x) * 3) = (x * 10 + y).toByte // B encodes (x, y)
+    }
+    val half = Codecs.resizeNearest(BgrImage(4, 4, px), 2, 2)
+    // target (x,y) ← source (x*4/2, y*4/2) = (2x, 2y)
+    val got = for (y <- 0 until 2; x <- 0 until 2)
+      yield half.pixels((y * 2 + x) * 3)
+    assert(got == Seq(0, 20, 2, 22).map(_.toByte))
+    // upscale 2x2 → 4x4 then check block structure
+    val up = Codecs.resizeNearest(half, 4, 4)
+    assert(up.pixels(0) == half.pixels(0) && up.pixels(3) == half.pixels(0))
+  }
+
+  test("real kernels flow through the partition-wise MediaKernel seam") {
+    val sp = spark
+    import sp.implicits._
+    val blobs = Seq(
+      (1L, Codecs.encodeWav(16000, 1, sine(1600, 1000.0, 16))),
+      (2L, Codecs.encodeWav(8000, 1, Array[Short](0, 500, -500, 500))))
+      .toDF("media_id", "blob")
+    val feats = Multimodal.extractFeatures(spark, blobs, Codecs.WavKernel)
+      .collect().map(f => f.media_id -> f.feature).toMap
+    assert(feats(1L)(0) == 1600f && feats(1L)(1) == 16000f)
+    // sine RMS ≈ amp/√2 (ties in round keep it within 1%)
+    assert(math.abs(feats(1L)(4) - 1000.0 / math.sqrt(2)) < 10)
+    assert(feats(2L)(0) == 4f && feats(2L)(3) == 500f)
+    // bytes → features must equal a direct kernel call (plumbing adds
+    // nothing)
+    val direct = Codecs.WavKernel.featurize(
+      Codecs.encodeWav(8000, 1, Array[Short](0, 500, -500, 500)))
+    assert(feats(2L).toSeq == direct.toSeq)
+  }
+
+  test("BMP kernel means are exact integer-sum means") {
+    // 2x1: pure blue (255,0,0 BGR) next to pure red (0,0,255 BGR)
+    val img = BgrImage(2, 1, Array[Byte](-1, 0, 0, 0, 0, -1))
+    val f = Codecs.BmpKernel.featurize(Codecs.encodeBmp(img))
+    assert(f(0) == 2f && f(1) == 1f)
+    assert(f(2) == 127.5f && f(3) == 0f && f(4) == 127.5f)
+  }
+}
