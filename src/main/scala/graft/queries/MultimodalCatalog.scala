@@ -146,5 +146,91 @@ object MultimodalCatalog {
       FROM lineitem GROUP BY 1 ORDER BY 1""")
   )
 
-  val all: Seq[QueryDef] = Seq(mmFrames, mmMeta, mmWavDecode)
+  /** REAL image decode + resize, oracle-gated: per returnflag the first
+    * 41×32 row-keys (sorted) become a 24bpp BGR image — width 41 forces
+    * a padded 124-byte BMP row stride — which is containerized
+    * (Codecs.encodeBmp), re-decoded with the REAL parser, and
+    * nearest-neighbor resized to 10×8. DuckDB replays the resize GRID
+    * relationally: rank rows per flag, keep ranks matching the sampled
+    * source positions (ty·4·41 + ⌊tx·41/10⌋ — the exact floor-grid
+    * arithmetic of Codecs.resizeNearest), and sums the sampled channel
+    * values. Any stride/padding/row-order/grid bug in the real codec
+    * breaks the hash; all outputs are exact integers.
+    */
+  val mmBmpResize = {
+    val SrcW = 41
+    val SrcH = 32
+    val DstW = 10
+    val DstH = 8
+    val NPix = SrcW * SrcH
+    QueryDef(
+      "q_mm_bmp_resize",
+      (s, dir) => {
+        val sp = s
+        import sp.implicits._
+        t(s, dir, "lineitem")
+          .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"))
+          .as[(String, Long, Int)]
+          .groupByKey(_._1)
+          .mapGroups { (flag, it) =>
+            val rows = it.toArray.sortBy(r => (r._2, r._3)).take(NPix)
+            require(rows.length == NPix,
+              s"group $flag has under $NPix rows — shrink the image")
+            val px = new Array[Byte](NPix * 3)
+            rows.zipWithIndex.foreach { case ((_, ok, ln), i) =>
+              px(i * 3) = ((ok * 31 + ln) % 256).toByte
+              px(i * 3 + 1) = ((ok * 7 + ln * 3) % 256).toByte
+              px(i * 3 + 2) = ((ln * 13) % 256).toByte
+            }
+            val blob = Codecs.encodeBmp(Codecs.BgrImage(SrcW, SrcH, px))
+            val back = Codecs.decodeBmp(blob) // the REAL 24bpp parse
+            val small = Codecs.resizeNearest(back, DstW, DstH)
+            var (sb, sg, sr) = (0L, 0L, 0L)
+            var i = 0
+            while (i < small.pixels.length) {
+              sb += small.pixels(i) & 0xff
+              sg += small.pixels(i + 1) & 0xff
+              sr += small.pixels(i + 2) & 0xff
+              i += 3
+            }
+            (flag, back.width.toLong, back.height.toLong, DstW.toLong,
+              DstH.toLong, blob.length.toLong, sb, sg, sr)
+          }
+          .toDF("flag", "src_w", "src_h", "dst_w", "dst_h", "n_bytes",
+            "sum_b", "sum_g", "sum_r")
+          .orderBy("flag")
+      },
+      Some(s"""
+        WITH r AS (
+          SELECT l_returnflag AS flag,
+                 row_number() OVER (PARTITION BY l_returnflag
+                   ORDER BY l_orderkey, l_linenumber) - 1 AS rn,
+                 l_orderkey AS ok, l_linenumber AS ln
+          FROM lineitem),
+        px AS (
+          SELECT flag, rn, (ok * 31 + ln) % 256 AS b,
+                 (ok * 7 + ln * 3) % 256 AS g, (ln * 13) % 256 AS r
+          FROM r WHERE rn < $NPix),
+        grid AS (
+          SELECT ((ty * $SrcH) // $DstH) * $SrcW
+                   + ((tx * $SrcW) // $DstW) AS rn_s
+          FROM (SELECT unnest(range($DstW)) AS tx)
+          CROSS JOIN (SELECT unnest(range($DstH)) AS ty)),
+        samp AS (
+          SELECT px.flag, px.b, px.g, px.r
+          FROM px JOIN grid ON px.rn = grid.rn_s)
+        SELECT flag, CAST($SrcW AS BIGINT) AS src_w,
+               CAST($SrcH AS BIGINT) AS src_h,
+               CAST($DstW AS BIGINT) AS dst_w,
+               CAST($DstH AS BIGINT) AS dst_h,
+               CAST(54 + (($SrcW * 3 + 3) // 4 * 4) * $SrcH AS BIGINT)
+                 AS n_bytes,
+               CAST(sum(b) AS BIGINT) AS sum_b,
+               CAST(sum(g) AS BIGINT) AS sum_g,
+               CAST(sum(r) AS BIGINT) AS sum_r
+        FROM samp GROUP BY flag ORDER BY flag""")
+    )
+  }
+
+  val all: Seq[QueryDef] = Seq(mmFrames, mmMeta, mmWavDecode, mmBmpResize)
 }
