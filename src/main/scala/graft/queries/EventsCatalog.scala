@@ -195,16 +195,18 @@ object EventsCatalog {
     (s, dir) => {
       val sink = "graft_left_join_stream_sink"
       s.catalog.dropTempView(sink) // idempotent across bench warm-up reps
-      val q = graft.streaming.EventStreams
-        .purchaseClickLeftJoin(s, streamableEventsDirWithHeartbeat(s, dir),
-          lagMinutes = 30)
-        .select(col("user_id"),
-          unix_micros(col("purchase_ts")).as("purchase_us"),
-          col("purchase_value"),
-          unix_micros(col("click_ts")).as("click_us"), col("click_value"))
-        .writeStream.format("memory").queryName(sink)
-        .outputMode("append").start()
-      try q.processAllAvailable() finally q.stop()
+      withStatePartitions(s, 8) {
+        val q = graft.streaming.EventStreams
+          .purchaseClickLeftJoin(s, streamableEventsDirWithHeartbeat(s, dir),
+            lagMinutes = 30)
+          .select(col("user_id"),
+            unix_micros(col("purchase_ts")).as("purchase_us"),
+            col("purchase_value"),
+            unix_micros(col("click_ts")).as("click_us"), col("click_value"))
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+      }
       // heartbeat rows are dropped HERE, on the drained sink — a filter in
       // the streaming plan would be pushed below the watermark operators
       // (Catalyst pushes `user_id >= 0` through the join into both scans),
@@ -460,6 +462,22 @@ object EventsCatalog {
       FROM events ORDER BY user_id, event_type, ts_us""")
   )
 
+  // Stream-STATE width is a first-class knob, sized independently of the
+  // batch job's shuffle width: a stateful streaming query creates one
+  // state store per shuffle partition per stateful operator (a
+  // stream-stream join keeps FOUR), and every micro-batch commits every
+  // store — so an over-wide default buys nothing but store-commit
+  // overhead at this key cardinality. Production streaming jobs pin this
+  // per-query before the first run (it is sticky in the checkpoint);
+  // here it is scoped to the query and restored after the sink drains.
+  private def withStatePartitions[T](s: org.apache.spark.sql.SparkSession,
+      n: Int)(f: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try f finally s.conf.set(key, prev)
+  }
+
   /** Stream-stream interval join through the ENGINE path
     * (EventStreams.purchaseClickJoin: both-side watermarks + two-sided
     * event-time bound, the two requirements that keep join state
@@ -476,15 +494,17 @@ object EventsCatalog {
     (s, dir) => {
       val sink = "graft_interval_stream_sink"
       s.catalog.dropTempView(sink) // idempotent across bench warm-up reps
-      val q = graft.streaming.EventStreams
-        .purchaseClickJoin(s, streamableEventsDir(dir), lagMinutes = 30)
-        .select(col("user_id"),
-          unix_micros(col("purchase_ts")).as("purchase_us"),
-          col("purchase_value"),
-          unix_micros(col("click_ts")).as("click_us"), col("click_value"))
-        .writeStream.format("memory").queryName(sink)
-        .outputMode("append").start()
-      try q.processAllAvailable() finally q.stop()
+      withStatePartitions(s, 8) {
+        val q = graft.streaming.EventStreams
+          .purchaseClickJoin(s, streamableEventsDir(dir), lagMinutes = 30)
+          .select(col("user_id"),
+            unix_micros(col("purchase_ts")).as("purchase_us"),
+            col("purchase_value"),
+            unix_micros(col("click_ts")).as("click_us"), col("click_value"))
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+      }
       s.table(sink).orderBy("user_id", "purchase_us", "click_us",
         "purchase_value", "click_value")
     },
