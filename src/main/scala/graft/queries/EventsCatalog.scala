@@ -253,12 +253,14 @@ object EventsCatalog {
     (s, dir) => {
       val sink = "graft_closed_sessions_sink"
       s.catalog.dropTempView(sink) // idempotent across bench warm-up reps
-      val q = graft.streaming.EventStreams
-        .closedSessions(s, streamableEventsDirWithHeartbeat(s, dir))
-        .toDF()
-        .writeStream.format("memory").queryName(sink)
-        .outputMode("append").start()
-      try q.processAllAvailable() finally q.stop()
+      withStatePartitions(s, 8) {
+        val q = graft.streaming.EventStreams
+          .closedSessions(s, streamableEventsDirWithHeartbeat(s, dir))
+          .toDF()
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+      }
       s.table(sink).filter(col("user_id") >= 0L)
         .orderBy("user_id", "start_us")
     },
@@ -286,16 +288,18 @@ object EventsCatalog {
     (s, dir) => {
       val sink = "graft_hourly_stream_sink"
       s.catalog.dropTempView(sink) // idempotent across bench warm-up reps
-      val sdir = streamableEventsDir(dir)
-      val q = graft.sources.EventsTs.normalize(
-          s.readStream.schema(graft.model.Schemas.events).parquet(sdir),
-          sdir)
-        .withColumn("hour",
-          date_format(timestamp_micros(col("ts")), "yyyy-MM-dd HH"))
-        .groupBy("hour", "event_type").agg(count(lit(1)).as("n"))
-        .writeStream.format("memory").queryName(sink)
-        .outputMode("complete").start()
-      try q.processAllAvailable() finally q.stop()
+      withStatePartitions(s, 8) {
+        val sdir = streamableEventsDir(dir)
+        val q = graft.sources.EventsTs.normalize(
+            s.readStream.schema(graft.model.Schemas.events).parquet(sdir),
+            sdir)
+          .withColumn("hour",
+            date_format(timestamp_micros(col("ts")), "yyyy-MM-dd HH"))
+          .groupBy("hour", "event_type").agg(count(lit(1)).as("n"))
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("complete").start()
+        try q.processAllAvailable() finally q.stop()
+      }
       s.table(sink).groupBy("hour")
         .pivot("event_type", eventTypes)
         .agg(sum("n"))
@@ -318,12 +322,14 @@ object EventsCatalog {
     (s, dir) => {
       val sink = "graft_sessionize_stream_sink"
       s.catalog.dropTempView(sink) // idempotent across bench warm-up reps
-      val q = graft.streaming.EventStreams
-        .sessionize(s, streamableEventsDir(dir))
-        .toDF()
-        .writeStream.format("memory").queryName(sink)
-        .outputMode("update").start()
-      try q.processAllAvailable() finally q.stop()
+      withStatePartitions(s, 8) {
+        val q = graft.streaming.EventStreams
+          .sessionize(s, streamableEventsDir(dir))
+          .toDF()
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("update").start()
+        try q.processAllAvailable() finally q.stop()
+      }
       s.table(sink).groupBy("user_id")
         .agg(max("n_sessions").as("n_sessions"),
           max("n_events").as("n_events"))
@@ -448,13 +454,16 @@ object EventsCatalog {
     (s, dir) => {
       val sink = "graft_dedup_stream_sink"
       s.catalog.dropTempView(sink) // idempotent across bench warm-up reps
-      val q = graft.streaming.EventStreams
-        .dedupStream(s, streamableEventsDir(dir), Seq("user_id", "event_type"))
-        .select(col("user_id"), col("event_type"),
-          unix_micros(col("tsm")).as("ts_us"))
-        .writeStream.format("memory").queryName(sink)
-        .outputMode("append").start()
-      try q.processAllAvailable() finally q.stop()
+      withStatePartitions(s, 8) {
+        val q = graft.streaming.EventStreams
+          .dedupStream(s, streamableEventsDir(dir),
+            Seq("user_id", "event_type"))
+          .select(col("user_id"), col("event_type"),
+            unix_micros(col("tsm")).as("ts_us"))
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+      }
       s.table(sink).orderBy("user_id", "event_type", "ts_us")
     },
     Some("""
@@ -470,7 +479,7 @@ object EventsCatalog {
   // overhead at this key cardinality. Production streaming jobs pin this
   // per-query before the first run (it is sticky in the checkpoint);
   // here it is scoped to the query and restored after the sink drains.
-  private def withStatePartitions[T](s: org.apache.spark.sql.SparkSession,
+  private[queries] def withStatePartitions[T](s: org.apache.spark.sql.SparkSession,
       n: Int)(f: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val prev = s.conf.get(key)
@@ -590,15 +599,17 @@ object EventsCatalog {
       s.catalog.dropTempView(sink)
       val dim = t(s, dir, "customer")
         .select(col("c_custkey"), col("c_mktsegment"))
-      val q = s.readStream.schema(graft.model.Schemas.events)
-        .parquet(streamableEventsDir(dir))
-        .join(broadcast(dim), col("user_id") === col("c_custkey"))
-        .groupBy("c_mktsegment")
-        .agg(count(lit(1)).as("n_events"),
-          sum(col("value").cast("decimal(28,6)")).as("dv"))
-        .writeStream.format("memory").queryName(sink)
-        .outputMode("complete").start()
-      try q.processAllAvailable() finally q.stop()
+      withStatePartitions(s, 8) {
+        val q = s.readStream.schema(graft.model.Schemas.events)
+          .parquet(streamableEventsDir(dir))
+          .join(broadcast(dim), col("user_id") === col("c_custkey"))
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("value").cast("decimal(28,6)")).as("dv"))
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("complete").start()
+        try q.processAllAvailable() finally q.stop()
+      }
       s.table(sink)
         .select(col("c_mktsegment"), col("n_events"),
           col("dv").cast("double").as("total_value"))
@@ -632,13 +643,15 @@ object EventsCatalog {
     (s, dir) => {
       val sink = "graft_holt_stream_sink"
       s.catalog.dropTempView(sink)
-      val q = graft.streaming.EventStreams
-        .holtStream(s, streamableEventsDir(dir), HoltStreamAlpha,
-          HoltStreamBeta, HoltStreamMod)
-        .toDF()
-        .writeStream.format("memory").queryName(sink)
-        .outputMode("update").start()
-      try q.processAllAvailable() finally q.stop()
+      withStatePartitions(s, 8) {
+        val q = graft.streaming.EventStreams
+          .holtStream(s, streamableEventsDir(dir), HoltStreamAlpha,
+            HoltStreamBeta, HoltStreamMod)
+          .toDF()
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("update").start()
+        try q.processAllAvailable() finally q.stop()
+      }
       s.table(sink).groupBy("event_type")
         .agg(max(struct(col("n"), col("level"), col("trend"))).as("f"))
         .select(col("event_type"), col("f.n").as("n"),
@@ -944,20 +957,24 @@ object EventsCatalog {
             java.nio.file.attribute.FileTime.fromMillis(1000L * (i + 1)))
         }
         var state = dim0.localCheckpoint()
-        val q = s.readStream.schema(batches.head.schema)
-          .option("maxFilesPerTrigger", 1)
-          .parquet(feed.toString)
-          .writeStream.foreachBatch { (b: DataFrame, _: Long) =>
-            val tss = b.select("change_ts").distinct()
-              .collect().map(_.getLong(0)).sorted
-            tss.foreach { tsv =>
-              val ch = b.filter(col("change_ts") === tsv).drop("change_ts")
-              state = graft.etl.Scd2
-                .applyChanges(state, ch, Seq("c_custkey"), ts = tsv)
-                .localCheckpoint() // eager: feed files are deleted below
-            }
-          }.start()
-        try q.processAllAvailable() finally q.stop()
+        // the per-batch SCD2 merge joins run inside foreachBatch — scope
+        // the state/shuffle width down like the other streaming entries
+        withStatePartitions(s, 8) {
+          val q = s.readStream.schema(batches.head.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed.toString)
+            .writeStream.foreachBatch { (b: DataFrame, _: Long) =>
+              val tss = b.select("change_ts").distinct()
+                .collect().map(_.getLong(0)).sorted
+              tss.foreach { tsv =>
+                val ch = b.filter(col("change_ts") === tsv).drop("change_ts")
+                state = graft.etl.Scd2
+                  .applyChanges(state, ch, Seq("c_custkey"), ts = tsv)
+                  .localCheckpoint() // eager: feed files are deleted below
+              }
+            }.start()
+          try q.processAllAvailable() finally q.stop()
+        }
         state.orderBy(col("c_custkey"), col("valid_from"))
       } finally {
         try {

@@ -289,12 +289,14 @@ object SketchCatalog {
     (s, dir) => {
       val sink = "graft_hll_stream_sink"
       s.catalog.dropTempView(sink)
-      val src = s.readStream.schema(graft.model.Schemas.events)
-        .parquet(EventsCatalog.streamableEventsDir(dir))
-      val q = Hll.registers(src, Seq("event_type"), col("user_id"), P)
-        .writeStream.format("memory").queryName(sink)
-        .outputMode("complete").start()
-      try q.processAllAvailable() finally q.stop()
+      EventsCatalog.withStatePartitions(s, 8) {
+        val src = s.readStream.schema(graft.model.Schemas.events)
+          .parquet(EventsCatalog.streamableEventsDir(dir))
+        val q = Hll.registers(src, Seq("event_type"), col("user_id"), P)
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("complete").start()
+        try q.processAllAvailable() finally q.stop()
+      }
       val exact = t(s, dir, "events").groupBy("event_type")
         .agg(countDistinct(col("user_id")).as("exact_distinct"))
       Hll.estimate(s.table(sink), Seq("event_type"), P)
