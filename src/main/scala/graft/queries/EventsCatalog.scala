@@ -236,6 +236,56 @@ object EventsCatalog {
         click_us NULLS LAST, click_value NULLS LAST""")
   )
 
+  /** Stream-stream FULL OUTER interval join through the ENGINE path
+    * (EventStreams.purchaseClickFullJoin): unmatched rows on BOTH sides
+    * emit via each side's watermark-driven state eviction — with the
+    * left join this completes the inner/left/full trio. The heartbeat
+    * covers both sides (it is a purchase+click pair) and is dropped
+    * post-sink on the coalesced user id; the oracle is the batch FULL
+    * JOIN.
+    */
+  val eFullJoinStream = QueryDef(
+    "q_e_full_join_stream",
+    (s, dir) => {
+      val sink = "graft_full_join_stream_sink"
+      s.catalog.dropTempView(sink) // idempotent across bench warm-up reps
+      withStatePartitions(s, 8) {
+        val q = graft.streaming.EventStreams
+          .purchaseClickFullJoin(s, streamableEventsDirWithHeartbeat(s, dir),
+            lagMinutes = 30)
+          .select(col("user_id"),
+            unix_micros(col("purchase_ts")).as("purchase_us"),
+            col("purchase_value"),
+            unix_micros(col("click_ts")).as("click_us"), col("click_value"))
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      // heartbeat dropped post-sink — the q_e_left_join_stream pushdown trap
+      s.table(sink).filter(col("user_id") >= 0L)
+        .orderBy(col("user_id"), asc_nulls_last("purchase_us"),
+          asc_nulls_last("purchase_value"), asc_nulls_last("click_us"),
+          asc_nulls_last("click_value"))
+    },
+    Some("""
+      WITH p AS (
+        SELECT user_id, epoch_us(ts) AS purchase_us,
+               value AS purchase_value
+        FROM events WHERE event_type = 'purchase'),
+      c AS (
+        SELECT user_id AS click_user, epoch_us(ts) AS click_us,
+               value AS click_value
+        FROM events WHERE event_type = 'click')
+      SELECT coalesce(p.user_id, c.click_user) AS user_id,
+             p.purchase_us, p.purchase_value,
+             c.click_us, c.click_value
+      FROM p FULL JOIN c ON p.user_id = c.click_user
+        AND c.click_us >= p.purchase_us - 30 * 60 * 1000000
+        AND c.click_us <= p.purchase_us
+      ORDER BY user_id, purchase_us NULLS LAST, purchase_value NULLS LAST,
+        click_us NULLS LAST, click_value NULLS LAST""")
+  )
+
   /** Timeout-closed sessionization through the ENGINE path
     * (EventStreams.closedSessions): every (user, session) row emits
     * exactly once when the session CLOSES — inline on a >30 min gap, or
@@ -1183,7 +1233,8 @@ object EventsCatalog {
   val all: Seq[QueryDef] =
     Seq(eHourly, eSessions, eHourlyStream, eSessionizeStream,
       eSessionWindow, eFunnel, eDedup, eDedupStream, eIntervalStream,
-      eLeftJoinStream, eClosedSessions, eRetention, eEnrichStream,
+      eLeftJoinStream, eFullJoinStream, eClosedSessions, eRetention,
+      eEnrichStream,
       eHoltStream, eMarkov, eAttribution,
       eSurvival, eScdStream, eAbTest, eCuped)
 }

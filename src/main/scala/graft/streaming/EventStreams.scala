@@ -126,7 +126,26 @@ object EventStreams {
     * staging in queries.EventsCatalog (`q_e_left_join_stream`).
     */
   def purchaseClickLeftJoin(spark: SparkSession, dir: String,
-      lagMinutes: Int = 30, watermark: String = "1 hour"): DataFrame = {
+      lagMinutes: Int = 30, watermark: String = "1 hour"): DataFrame =
+    pcOuterJoin(spark, dir, lagMinutes, watermark, "leftOuter")
+      .select("user_id", "purchase_ts", "purchase_value",
+        "click_ts", "click_value")
+
+  /** Watermarked stream-stream FULL OUTER join: both unmatched purchases
+    * AND unmatched clicks emit null rows for the other side, each via
+    * its own side's state eviction — completing the inner/left/full
+    * trio. The same heartbeat requirement as [[purchaseClickLeftJoin]]
+    * applies to BOTH sides of a finite input.
+    */
+  def purchaseClickFullJoin(spark: SparkSession, dir: String,
+      lagMinutes: Int = 30, watermark: String = "1 hour"): DataFrame =
+    pcOuterJoin(spark, dir, lagMinutes, watermark, "fullOuter")
+      .select(coalesce(col("user_id"), col("click_user")).as("user_id"),
+        col("purchase_ts"), col("purchase_value"),
+        col("click_ts"), col("click_value"))
+
+  private def pcOuterJoin(spark: SparkSession, dir: String,
+      lagMinutes: Int, watermark: String, joinType: String): DataFrame = {
     def side(t: String, ts: String, v: String): DataFrame =
       readNormalized(spark, dir)
         .filter(col("event_type") === t)
@@ -142,9 +161,7 @@ object EventStreams {
         col("click_ts") >= col("purchase_ts")
           - expr(s"INTERVAL $lagMinutes MINUTES") &&
         col("click_ts") <= col("purchase_ts"),
-      "leftOuter")
-      .select("user_id", "purchase_ts", "purchase_value",
-        "click_ts", "click_value")
+      joinType)
   }
 
   final case class OpenSession(startUs: Long, lastUs: Long, n: Long)

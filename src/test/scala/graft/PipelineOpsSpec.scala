@@ -386,6 +386,36 @@ class PipelineOpsSpec extends SparkSpec {
       s"stream/batch diff: ${(want -- got).take(3)} / ${(got -- want).take(3)}")
   }
 
+  test("stream-stream FULL OUTER join emits unmatched rows on BOTH sides " +
+    "and matches the batch full join") {
+    val got = SparkEntry.queries("q_e_full_join_stream")(spark, sfSmoke)
+      .collect().map(_.toSeq).toSet
+    val ev = graft.sources.EventsTs.read(spark, sfSmoke)
+      .withColumn("tsm", timestamp_micros(col("ts")))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("tsm").as("purchase_ts"),
+        col("value").as("purchase_value"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("click_user"), col("tsm").as("click_ts"),
+        col("value").as("click_value"))
+    val want = p.join(c,
+        col("user_id") === col("click_user") &&
+          col("click_ts") >= col("purchase_ts")
+            - expr("INTERVAL 30 MINUTES") &&
+          col("click_ts") <= col("purchase_ts"),
+        "fullOuter")
+      .select(coalesce(col("user_id"), col("click_user")).as("user_id"),
+        unix_micros(col("purchase_ts")).as("purchase_us"),
+        col("purchase_value"),
+        unix_micros(col("click_ts")).as("click_us"), col("click_value"))
+      .collect().map(_.toSeq).toSet
+    // both outer directions must be non-trivial
+    assert(want.exists(_(3) == null), "no unmatched purchase in fixture")
+    assert(want.exists(_(1) == null), "no unmatched click in fixture")
+    assert(got.size == want.size && got == want,
+      s"stream/batch diff: ${(want -- got).take(3)} / ${(got -- want).take(3)}")
+  }
+
   test("timeout-closed sessionization equals batch gaps-and-islands and " +
     "conserves the event count") {
     val got = SparkEntry.queries("q_e_closed_sessions")(spark, sfSmoke)
