@@ -1041,7 +1041,104 @@ object FinanceCatalog {
       ORDER BY l_returnflag, day""")
   )
 
+  /** AR(2) autoregression of the daily close per returnflag — the
+    * next-step forecaster (statsmodels `AutoReg(lags=2)` capability) fit
+    * by OLS on the two lagged closes: x_t = a + φ₁·x_{t−1} + φ₂·x_{t−2}.
+    * The Yule-Walker-style normal equations reduce to the same 2-regressor
+    * closed form as q_m5_ridge (λ=0), but over the CALENDAR-BOUNDED daily
+    * series: the one shuffle is the dailyClose aggregation; lags are a
+    * window over ≤ days×flags rows; moments are one tiny aggregate.
+    *
+    * Bit-exactness: closes are SELECTED raw 2-decimal prices (exact at
+    * decimal scale 6), their pairwise products are exact 4-decimal values
+    * ≤ 1.2e10 (scaled int < 2^53 — the q_m14_anova scale argument), so
+    * all nine moments are exact decimal sums; decD casts + one fixed
+    * float expression per coefficient → r6/r2 guard only.
+    */
+  val ar2 = QueryDef(
+    "q_f_ar2",
+    (s, dir) => {
+      val byDay = Window.partitionBy("l_returnflag").orderBy("day")
+      val lagged = dailyClose(s, dir)
+        .withColumn("x1", lag(col("close"), 1).over(byDay))
+        .withColumn("x2", lag(col("close"), 2).over(byDay))
+        .where(col("x2").isNotNull)
+      def s6(c: org.apache.spark.sql.Column) = sum(c.cast("decimal(38,6)"))
+      def s4(c: org.apache.spark.sql.Column) = sum(c.cast("decimal(38,4)"))
+      val m = lagged.groupBy("l_returnflag").agg(
+        count(lit(1)).as("n"),
+        s6(col("x1")).as("s1"), s6(col("x2")).as("s2"),
+        s6(col("close")).as("sy"),
+        s4(col("x1") * col("x1")).as("s11"),
+        s4(col("x2") * col("x2")).as("s22"),
+        s4(col("x1") * col("x2")).as("s12"),
+        s4(col("x1") * col("close")).as("s1y"),
+        s4(col("x2") * col("close")).as("s2y"))
+      val nD = col("n").cast("double")
+      val (s1, s2, sy) = (decD(col("s1")), decD(col("s2")), decD(col("sy")))
+      val c11 = decD(col("s11")) - s1 * s1 / nD
+      val c22 = decD(col("s22")) - s2 * s2 / nD
+      val c12 = decD(col("s12")) - s1 * s2 / nD
+      val c1y = decD(col("s1y")) - s1 * sy / nD
+      val c2y = decD(col("s2y")) - s2 * sy / nD
+      val det = c11 * c22 - c12 * c12
+      val phi1 = (c22 * c1y - c12 * c2y) / det
+      val phi2 = (c11 * c2y - c12 * c1y) / det
+      val a = (sy - phi1 * s1 - phi2 * s2) / nD
+      m.select(col("l_returnflag"), col("n").as("n_obs"),
+          r6(phi1).as("phi1"), r6(phi2).as("phi2"), r2(a).as("intercept"))
+        .orderBy("l_returnflag")
+    },
+    Some {
+      def d6(e: String) = sqlDecD(s"sum(CAST(($e) AS DECIMAL(38,6)))")
+      def d4(e: String) = sqlDecD(s"sum(CAST(($e) AS DECIMAL(38,4)))")
+      s"""
+      WITH r AS (
+        SELECT l_returnflag, date_trunc('day', l_shipdate) AS day,
+               l_extendedprice,
+               row_number() OVER (
+                 PARTITION BY l_returnflag, date_trunc('day', l_shipdate)
+                 ORDER BY $liOrderDescSql) AS rn
+        FROM lineitem),
+      cl AS (
+        SELECT l_returnflag, day, l_extendedprice AS close
+        FROM r WHERE rn = 1),
+      lagged AS (
+        SELECT l_returnflag, close,
+               lag(close, 1) OVER (PARTITION BY l_returnflag ORDER BY day)
+                 AS x1,
+               lag(close, 2) OVER (PARTITION BY l_returnflag ORDER BY day)
+                 AS x2
+        FROM cl),
+      m AS (
+        SELECT l_returnflag, count(*) AS n,
+               ${d6("x1")} AS s1, ${d6("x2")} AS s2, ${d6("close")} AS sy,
+               ${d4("x1 * x1")} AS s11, ${d4("x2 * x2")} AS s22,
+               ${d4("x1 * x2")} AS s12, ${d4("x1 * close")} AS s1y,
+               ${d4("x2 * close")} AS s2y
+        FROM lagged WHERE x2 IS NOT NULL GROUP BY 1),
+      c AS (
+        SELECT l_returnflag, n,
+               s1, s2, sy, CAST(n AS DOUBLE) AS nd,
+               s11 - s1 * s1 / CAST(n AS DOUBLE) AS c11,
+               s22 - s2 * s2 / CAST(n AS DOUBLE) AS c22,
+               s12 - s1 * s2 / CAST(n AS DOUBLE) AS c12,
+               s1y - s1 * sy / CAST(n AS DOUBLE) AS c1y,
+               s2y - s2 * sy / CAST(n AS DOUBLE) AS c2y
+        FROM m),
+      f AS (
+        SELECT l_returnflag, n, s1, s2, sy, nd,
+               (c22 * c1y - c12 * c2y) / (c11 * c22 - c12 * c12) AS phi1,
+               (c11 * c2y - c12 * c1y) / (c11 * c22 - c12 * c12) AS phi2
+        FROM c)
+      SELECT l_returnflag, n AS n_obs,
+             ${sqlR6("phi1")} AS phi1, ${sqlR6("phi2")} AS phi2,
+             ${sqlR2("(sy - phi1 * s1 - phi2 * s2) / nd")} AS intercept
+      FROM f ORDER BY l_returnflag"""
+    }
+  )
+
   val all: Seq[QueryDef] =
     Seq(ohlcWeekly, bollinger, beta, ffill, rsi, macd, streaks, obv,
-      stochastic, acf, seasonality, interp, varEs, holt)
+      stochastic, acf, seasonality, interp, varEs, holt, ar2)
 }

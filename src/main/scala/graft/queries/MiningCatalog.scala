@@ -1251,7 +1251,126 @@ object MiningCatalog {
     }
   )
 
+  // q_m19_bootstrap constants, shared verbatim by both engines.
+  private val BootB = 32 // replicas
+  // Poisson(1) CDF thresholds F(0)..F(5); weights cap at 6 (P ≈ 1e-4)
+  private val BootCdf: Seq[Double] = {
+    val e1 = math.exp(-1.0)
+    Seq.iterate((e1, e1, 1.0, 0), 6) { case (cdf, _, fact, k) =>
+      val f2 = fact * (k + 1)
+      (cdf + e1 / f2, e1 / f2, f2, k + 1)
+    }.map(_._1)
+  }
+  private val GoldenInv = 0.6180339887498949
+
+  /** M19 capability: Poisson bootstrap confidence interval for the mean
+    * price per returnflag — the error bar a pipeline attaches to any
+    * aggregate without a resampling pass. Classic multinomial bootstrap
+    * needs B full resamples; the Poisson approximation (Chamandy et al.,
+    * "Estimating uncertainty for massive data streams", Google TR 2012;
+    * also the `bag of little bootstraps` lineage) draws each row's
+    * replica weight w ~ Poisson(1) INDEPENDENTLY, so all B replicas
+    * compute in ONE scan: explode ×B, weight by inverse-CDF lookup,
+    * aggregate (g, b) — map-side combinable, no state beyond B·|groups|
+    * partial sums. At 100 TB that is the only bootstrap that runs at all.
+    *
+    * Determinism/portability: replica randomness is content-addressed —
+    * one md5 uniform per ROW (the q_t_wsample mechanism), fanned to B
+    * streams by a Weyl lattice u_b = frac(u·(2b+1)·φ⁻¹) (golden-ratio
+    * multiples; IEEE ×/−/floor on identical operands — identical in both
+    * engines). Not independent RNG across replicas — documented tradeoff
+    * for engine-portable replay; a production run would swap in
+    * counter-mode xxhash64 per (row, b) once cross-engine replay is not
+    * needed. Weights come from comparing u_b against fixed Poisson-CDF
+    * double literals (sqlD); replica sums are exact decimal; the CI
+    * bounds are ORDER STATISTICS of the 32 replica means (selection of
+    * identical doubles, rank 2 and 31 ≈ the 5%/95% band) — bit-exact,
+    * r6 guard only.
+    */
+  val m19Bootstrap = QueryDef(
+    "q_m19_bootstrap",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_returnflag").as("g"),
+        col("l_extendedprice").as("x"),
+        graft.text.TextAnalysis.contentUniform(
+          concat_ws("#", col("l_orderkey"), col("l_linenumber"))).as("u"))
+      val rep = li.select(col("g"), col("x"), col("u"),
+          explode(sequence(lit(0), lit(BootB - 1))).as("b"))
+        .withColumn("p",
+          (col("b").cast("double") * 2.0 + 1.0) * GoldenInv)
+        .withColumn("ub", col("u") * col("p") - floor(col("u") * col("p")))
+        .withColumn("w", BootCdf.zipWithIndex
+          .foldRight(lit(6): org.apache.spark.sql.Column) {
+          case ((t, k), rest) => when(col("ub") < t, k).otherwise(rest)
+        })
+      val means = rep.groupBy("g", "b")
+        .agg(sum((col("w") * col("x")).cast("decimal(38,6)")).as("swx"),
+          sum(col("w")).as("sw"))
+        .select(col("g"), col("b"),
+          (decD(col("swx")) / col("sw").cast("double")).as("m"))
+      val rn = row_number().over(
+        Window.partitionBy("g").orderBy(col("m"), col("b")))
+      val ci = means.withColumn("rn", rn)
+        .groupBy("g")
+        .agg(count(lit(1)).as("n_replicas"),
+          max(when(col("rn") === 2, col("m"))).as("lo"),
+          max(when(col("rn") === BootB - 1, col("m"))).as("hi"))
+      val full = li.groupBy("g")
+        .agg(count(lit(1)).as("n_rows"), avgE(col("x")).as("pm"))
+      full.join(ci, "g")
+        .select(col("g").as("l_returnflag"), col("n_rows"),
+          col("n_replicas"), r6(col("pm")).as("point_mean"),
+          r6(col("lo")).as("ci_lo"), r6(col("hi")).as("ci_hi"))
+        .orderBy("l_returnflag")
+    },
+    Some {
+      val w = BootCdf.zipWithIndex
+        .map { case (t, k) => s"WHEN ub < ${sqlD(t)} THEN $k" }
+        .mkString("CASE ", " ", " ELSE 6 END")
+      s"""
+      WITH li AS (
+        SELECT l_returnflag AS g, l_extendedprice AS x,
+               (CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '#'
+                  || CAST(l_linenumber AS VARCHAR)), 1, 15)) AS BIGINT)
+                + 1.0) / 1152921504606846976.0 AS u
+        FROM lineitem),
+      rep AS (
+        SELECT g, x, u, unnest(range($BootB)) AS b
+        FROM li),
+      wt AS (
+        SELECT g, x, b,
+               u * ((CAST(b AS DOUBLE) * 2.0 + 1.0) * ${sqlD(GoldenInv)})
+                 - floor(u * ((CAST(b AS DOUBLE) * 2.0 + 1.0)
+                              * ${sqlD(GoldenInv)})) AS ub
+        FROM rep),
+      ww AS (SELECT g, x, b, $w AS w FROM wt),
+      means AS (
+        SELECT g, b,
+               ${sqlDecD("sum(CAST((w * x) AS DECIMAL(38,6)))")}
+                 / CAST(sum(w) AS DOUBLE) AS m
+        FROM ww GROUP BY 1, 2),
+      ranked AS (
+        SELECT g, m, row_number() OVER (PARTITION BY g ORDER BY m, b)
+          AS rn
+        FROM means),
+      ci AS (
+        SELECT g, count(*) AS n_replicas,
+               max(CASE WHEN rn = 2 THEN m END) AS lo,
+               max(CASE WHEN rn = ${BootB - 1} THEN m END) AS hi
+        FROM ranked GROUP BY 1),
+      f AS (
+        SELECT g, count(*) AS n_rows, ${sqlAvgE("x")} AS pm
+        FROM li GROUP BY 1)
+      SELECT f.g AS l_returnflag, f.n_rows, ci.n_replicas,
+             ${sqlR6("f.pm")} AS point_mean, ${sqlR6("ci.lo")} AS ci_lo,
+             ${sqlR6("ci.hi")} AS ci_hi
+      FROM f JOIN ci ON ci.g = f.g
+      ORDER BY l_returnflag"""
+    }
+  )
+
   val all: Seq[QueryDef] = Seq(m1Ols, m2OlsNextDay, m4Anomalies, m5Ridge,
     m6Cv, m7Mwu, m8Ks, m9Nbayes, m10LogregStep, m11Welch, m12Spearman,
-    m13Robust, m14Anova, m15Kendall, m16Cusum, m17TheilSen, m18Pca)
+    m13Robust, m14Anova, m15Kendall, m16Cusum, m17TheilSen, m18Pca,
+    m19Bootstrap)
 }

@@ -522,6 +522,63 @@ object MiscCatalog {
       FROM z GROUP BY 1 ORDER BY 1""")
   )
 
+  /** Hilbert-curve layout tiles (plans.HilbertCurve): the same min-max
+    * 16-bit normalization and top-6-bit tiling as q_zorder_tiles, but on
+    * the Hilbert index — the locality-preserving clustering key whose
+    * contiguous ranges are always edge-connected key-space regions
+    * (HilbertCurveSpec proves adjacency), so per-tile min/max rectangles
+    * are tighter than Morton tiles and a selective scan prunes more
+    * files. The index is `HilbertBits` unrolled shift/mask/CASE rounds —
+    * a pure codegen'd projection, zero shuffles before the tile count;
+    * the oracle replays the identical recurrence as a CTE chain generated
+    * from the same constants (HilbertCurve.sqlCtes).
+    */
+  private val HilbertBits = 16
+  val qHilbert = QueryDef(
+    "q_hilbert_tiles",
+    (s, dir) => {
+      import graft.plans.HilbertCurve
+      val li = t(s, dir, "lineitem")
+      val stats = li.agg(
+        min("l_partkey").as("pmin"), max("l_partkey").as("pmax"),
+        min("l_suppkey").as("smin"), max("l_suppkey").as("smax"))
+      val top = (1L << HilbertBits) - 1
+      val scaled = li.crossJoin(broadcast(stats))
+        .withColumn("ps", expr(
+          s"((l_partkey - pmin) * $top) div greatest(1, pmax - pmin)"))
+        .withColumn("ss", expr(
+          s"((l_suppkey - smin) * $top) div greatest(1, smax - smin)"))
+      HilbertCurve.withIndex(scaled, col("ps"), col("ss"), HilbertBits, "hd")
+        .withColumn("tile", shiftright(col("hd"), HilbertBits * 2 - 6))
+        .groupBy("tile")
+        .agg(count(lit(1)).as("n"),
+          min("l_partkey").as("min_part"), max("l_partkey").as("max_part"),
+          min("l_suppkey").as("min_supp"), max("l_suppkey").as("max_supp"))
+        .orderBy("tile")
+    },
+    Some {
+      val (ctes, last) =
+        graft.plans.HilbertCurve.sqlCtes("scaled", "ps", "ss", HilbertBits)
+      s"""
+      WITH stats AS (
+        SELECT min(l_partkey) AS pmin, max(l_partkey) AS pmax,
+               min(l_suppkey) AS smin, max(l_suppkey) AS smax
+        FROM lineitem),
+      scaled AS (
+        SELECT l_partkey, l_suppkey,
+               ((l_partkey - pmin) * ${(1L << HilbertBits) - 1})
+                 // greatest(1, pmax - pmin) AS ps,
+               ((l_suppkey - smin) * ${(1L << HilbertBits) - 1})
+                 // greatest(1, smax - smin) AS ss
+        FROM lineitem CROSS JOIN stats),
+      $ctes
+      SELECT (hd >> ${HilbertBits * 2 - 6}) AS tile, count(*) AS n,
+             min(l_partkey) AS min_part, max(l_partkey) AS max_part,
+             min(l_suppkey) AS min_supp, max(l_suppkey) AS max_supp
+      FROM $last GROUP BY 1 ORDER BY 1"""
+    }
+  )
+
   /** SCD2 merge (etl.Scd2): seed a type-2 customer dimension at t=0, apply
     * a deterministic change batch (every 7th key gets +100 balance) at
     * t=100, and return the full version history — closed rows carry
@@ -1823,7 +1880,7 @@ object MiscCatalog {
 
   val all: Seq[QueryDef] = Seq(oTopK, aSpikeSummary, eJson, aSummary,
     mKmeans, mLloydStep, qAsof, qRange, qRollup, qCube, qGroupingSets,
-    qPercentile, qHistogram, qZOrder, qScd2, qScd1, qIncAgg,
+    qPercentile, qHistogram, qZOrder, qHilbert, qScd2, qScd1, qIncAgg,
     qQuantileExact, qQuantileSample, qPagerank, qTriangles, qChecksum,
     qChi2, qHhi,
     qProfile, qBenford, qGini, qEntropy, qMi, qSnapshotDiff, qWinsor,

@@ -2,6 +2,8 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
+import org.apache.spark.sql.expressions.Window
+
 import QueryDef._
 import graft.sketches.Hll
 
@@ -344,6 +346,139 @@ object SketchCatalog {
       ORDER BY est.event_type""")
   )
 
+  /** KMV set-OPERATION estimates (Beyer et al., SIGMOD 2007 §4): for every
+    * pair of order priorities, estimate the Jaccard similarity and the
+    * INTERSECTION size of their customer sets from the two bottom-k
+    * sketches alone — the multiset-operation capability that makes KMV
+    * (not HLL) the sketch an audience-overlap / cross-corpus-contamination
+    * job ships. Combine rule: the bottom-k of the UNION of the two
+    * sketches' hash sets is a valid sketch of A∪B; with k∧ = rows of that
+    * combined bottom-k present in BOTH input sketches, ρ̂ = k∧/k estimates
+    * the Jaccard and |A∩B| ≈ ρ̂·D̂(A∪B).
+    *
+    * Scale: pair combination touches only sketch rows (|pairs|·2k, never
+    * the fact table — the whole point); the one fact-table scan builds the
+    * per-group sketches. The exact-comparison columns exist to show the
+    * estimate landed; they are the bounded-fanout distinct self-join of
+    * q_t_vocab_overlap. Determinism: portable md5 hashes, integer
+    * ranks/counts, fixed float estimate expressions → r6 guard.
+    */
+  val kmvJaccard = QueryDef(
+    "q_kmv_jaccard",
+    (s, dir) => {
+      import graft.sketches.Kmv
+      val o = t(s, dir, "orders")
+      val sk = Kmv.bottomK(o, Seq("o_orderpriority"), col("o_custkey"),
+        KmvK)
+      val gs = sk.select(col("o_orderpriority").as("ga")).distinct()
+      val pairs = gs.crossJoin(broadcast(gs.select(col("ga").as("gb"))))
+        .where(col("ga") < col("gb"))
+      val aT = broadcast(pairs)
+        .join(sk.select(col("o_orderpriority").as("ga"), col("h")), Seq("ga"))
+        .select(col("ga"), col("gb"), col("h"), lit(1).as("in_a"),
+          lit(0).as("in_b"))
+      val bT = broadcast(pairs)
+        .join(sk.select(col("o_orderpriority").as("gb"), col("h")), Seq("gb"))
+        .select(col("ga"), col("gb"), col("h"), lit(0).as("in_a"),
+          lit(1).as("in_b"))
+      val uni = aT.unionByName(bT)
+        .groupBy("ga", "gb", "h")
+        .agg(max("in_a").as("in_a"), max("in_b").as("in_b"))
+      val rn = row_number().over(
+        Window.partitionBy("ga", "gb").orderBy("h"))
+      val agg = uni.withColumn("rn", rn).filter(col("rn") <= KmvK)
+        .groupBy("ga", "gb")
+        .agg(count(lit(1)).as("n_sketch"), max("h").as("h_k"),
+          sum(col("in_a") * col("in_b")).as("k_int"))
+      val jacc = col("k_int").cast("double") / col("n_sketch").cast("double")
+      val estU = when(col("n_sketch") < KmvK, col("n_sketch").cast("double"))
+        .otherwise(lit((KmvK - 1).toDouble) * lit(Kmv.HashSpace)
+          / col("h_k").cast("double"))
+      val est = agg.select(col("ga"), col("gb"), col("n_sketch"),
+        col("k_int"), jacc.as("jacc"), estU.as("est_union"))
+      // exact comparison columns (the vocab-overlap distinct self-join)
+      val x = o.select(col("o_orderpriority").as("g"),
+        col("o_custkey").as("c")).distinct()
+      val sizes = x.groupBy("g").agg(count(lit(1)).as("v"))
+      val xin = x.select(col("g").as("ga"), col("c"))
+        .join(x.select(col("g").as("gb"), col("c")), Seq("c"))
+        .where(col("ga") < col("gb"))
+        .groupBy("ga", "gb").agg(count(lit(1)).as("n_int"))
+      val xp = sizes.select(col("g").as("ga"), col("v").as("va"))
+        .crossJoin(broadcast(sizes.select(col("g").as("gb"), col("v").as("vb"))))
+        .where(col("ga") < col("gb"))
+        .join(xin, Seq("ga", "gb"), "left")
+        .withColumn("n_int", coalesce(col("n_int"), lit(0L)))
+      est.join(broadcast(xp), Seq("ga", "gb"))
+        .select(col("ga"), col("gb"), col("n_sketch"), col("k_int"),
+          r6(col("jacc")).as("kmv_jaccard"),
+          r6(col("jacc") * col("est_union")).as("kmv_intersect"),
+          col("n_int").as("exact_intersect"),
+          r6(col("n_int").cast("double")
+            / (col("va") + col("vb") - col("n_int")).cast("double"))
+            .as("exact_jaccard"))
+        .orderBy("ga", "gb")
+    },
+    Some(s"""
+      WITH h AS (
+        SELECT DISTINCT o_orderpriority AS g,
+               ${graft.sketches.Kmv.sqlKeyHash("o_custkey")} AS h
+        FROM orders),
+      r AS (
+        SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn
+        FROM h),
+      sk AS (SELECT g, h FROM r WHERE rn <= $KmvK),
+      gs AS (SELECT DISTINCT g FROM sk),
+      pairs AS (
+        SELECT a.g AS ga, b.g AS gb FROM gs a JOIN gs b ON a.g < b.g),
+      tagged AS (
+        SELECT p.ga, p.gb, s.h, 1 AS in_a, 0 AS in_b
+        FROM pairs p JOIN sk s ON s.g = p.ga
+        UNION ALL
+        SELECT p.ga, p.gb, s.h, 0 AS in_a, 1 AS in_b
+        FROM pairs p JOIN sk s ON s.g = p.gb),
+      u AS (
+        SELECT ga, gb, h, max(in_a) AS in_a, max(in_b) AS in_b
+        FROM tagged GROUP BY 1, 2, 3),
+      ru AS (
+        SELECT *, row_number() OVER (PARTITION BY ga, gb ORDER BY h) AS rn
+        FROM u),
+      agg AS (
+        SELECT ga, gb, CAST(count(*) AS BIGINT) AS n_sketch, max(h) AS h_k,
+               CAST(sum(in_a * in_b) AS BIGINT) AS k_int
+        FROM ru WHERE rn <= $KmvK GROUP BY 1, 2),
+      est AS (
+        SELECT ga, gb, n_sketch, k_int,
+               CAST(k_int AS DOUBLE) / CAST(n_sketch AS DOUBLE) AS jacc,
+               CASE WHEN n_sketch < $KmvK THEN CAST(n_sketch AS DOUBLE)
+                    ELSE CAST(${KmvK - 1} AS DOUBLE)
+                         * ${graft.sketches.Kmv.HashSpaceSql}
+                         / CAST(h_k AS DOUBLE) END AS est_union
+        FROM agg),
+      x AS (SELECT DISTINCT o_orderpriority AS g, o_custkey AS c
+            FROM orders),
+      sizes AS (SELECT g, count(*) AS v FROM x GROUP BY 1),
+      xin AS (
+        SELECT a.g AS ga, b.g AS gb, CAST(count(*) AS BIGINT) AS n_int
+        FROM x a JOIN x b ON a.c = b.c AND a.g < b.g
+        GROUP BY 1, 2),
+      xp AS (
+        SELECT sa.g AS ga, sb.g AS gb, sa.v AS va, sb.v AS vb,
+               coalesce(xin.n_int, 0) AS n_int
+        FROM sizes sa
+        CROSS JOIN sizes sb
+        LEFT JOIN xin ON xin.ga = sa.g AND xin.gb = sb.g
+        WHERE sa.g < sb.g)
+      SELECT est.ga, est.gb, est.n_sketch, est.k_int,
+             ${sqlR6("est.jacc")} AS kmv_jaccard,
+             ${sqlR6("est.jacc * est.est_union")} AS kmv_intersect,
+             xp.n_int AS exact_intersect,
+             ${sqlR6("CAST(xp.n_int AS DOUBLE) / CAST(xp.va + xp.vb - xp.n_int AS DOUBLE)")}
+               AS exact_jaccard
+      FROM est JOIN xp ON xp.ga = est.ga AND xp.gb = est.gb
+      ORDER BY est.ga, est.gb""")
+  )
+
   val all: Seq[QueryDef] =
-    Seq(hllDistinct, hllMerge, cmsTopk, kmvDistinct, hllStream)
+    Seq(hllDistinct, hllMerge, cmsTopk, kmvDistinct, kmvJaccard, hllStream)
 }
