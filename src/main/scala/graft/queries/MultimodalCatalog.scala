@@ -232,5 +232,168 @@ object MultimodalCatalog {
     )
   }
 
-  val all: Seq[QueryDef] = Seq(mmFrames, mmMeta, mmWavDecode, mmBmpResize)
+  /** Image NEAR-DUP via difference hash (dHash — the aHash/pHash family of
+    * perceptual image fingerprints every multimodal dedup pipeline runs
+    * before training): decode the REAL BMP (same per-flag synthesis as
+    * q_mm_bmp_resize), nearest-neighbor resize to 9×8, integer grayscale,
+    * one bit per horizontally-adjacent pixel pair (gray[x] > gray[x+1]) →
+    * a 64-bit hash; near-dup distance = Hamming distance of hashes. The
+    * oracle replays the floor-grid sampling, the (b+g+r)/3 grayscale, the
+    * comparison bits, and the two's-complement bit packing relationally,
+    * then the same xor/bit_count — every value an exact integer, so any
+    * codec/grid/packing bug breaks the hash. Per ROW in production the
+    * kernel is scan-local (one decode + 64 compares per image); the
+    * pairwise stage joins only the tiny hash table (band-bucketed at real
+    * scale, all-pairs here over 3 flags).
+    */
+  val mmDhash = {
+    val SrcW = 41
+    val SrcH = 32
+    val DstW = 9
+    val DstH = 8
+    val NPix = SrcW * SrcH
+    QueryDef(
+      "q_mm_dhash",
+      (s, dir) => {
+        val sp = s
+        import sp.implicits._
+        val hashes = t(s, dir, "lineitem")
+          .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"))
+          .as[(String, Long, Int)]
+          .groupByKey(_._1)
+          .mapGroups { (flag, it) =>
+            val rows = it.toArray.sortBy(r => (r._2, r._3)).take(NPix)
+            require(rows.length == NPix,
+              s"group $flag has under $NPix rows — shrink the image")
+            val px = new Array[Byte](NPix * 3)
+            rows.zipWithIndex.foreach { case ((_, ok, ln), i) =>
+              px(i * 3) = ((ok * 31 + ln) % 256).toByte
+              px(i * 3 + 1) = ((ok * 7 + ln * 3) % 256).toByte
+              px(i * 3 + 2) = ((ln * 13) % 256).toByte
+            }
+            val blob = Codecs.encodeBmp(Codecs.BgrImage(SrcW, SrcH, px))
+            val back = Codecs.decodeBmp(blob) // the REAL 24bpp parse
+            val small = Codecs.resizeNearest(back, DstW, DstH)
+            def gray(x: Int, y: Int): Long = {
+              val i = (y * DstW + x) * 3
+              ((small.pixels(i) & 0xff) + (small.pixels(i + 1) & 0xff)
+                + (small.pixels(i + 2) & 0xff)) / 3L
+            }
+            var h = 0L
+            for (y <- 0 until DstH; x <- 0 until DstW - 1)
+              if (gray(x, y) > gray(x + 1, y)) h |= 1L << (y * (DstW - 1) + x)
+            (flag, h)
+          }
+          .toDF("flag", "dhash")
+        val a = hashes.select(col("flag").as("fa"), col("dhash").as("ha"))
+        val b = hashes.select(col("flag").as("fb"), col("dhash").as("hb"))
+        a.join(broadcast(b), col("fa") < col("fb"))
+          .select(col("fa"), col("fb"), col("ha"), col("hb"),
+            expr("bit_count(ha ^ hb)").cast("long").as("hamming"))
+          .orderBy("fa", "fb")
+      },
+      Some(s"""
+        WITH r AS (
+          SELECT l_returnflag AS flag,
+                 row_number() OVER (PARTITION BY l_returnflag
+                   ORDER BY l_orderkey, l_linenumber) - 1 AS rn,
+                 l_orderkey AS ok, l_linenumber AS ln
+          FROM lineitem),
+        px AS (
+          SELECT flag, rn,
+                 ((ok * 31 + ln) % 256 + (ok * 7 + ln * 3) % 256
+                  + (ln * 13) % 256) // 3 AS gray
+          FROM r WHERE rn < $NPix),
+        grid AS (
+          SELECT tx, ty, ((ty * $SrcH) // $DstH) * $SrcW
+                   + ((tx * $SrcW) // $DstW) AS rn_s
+          FROM (SELECT unnest(range($DstW)) AS tx)
+          CROSS JOIN (SELECT unnest(range($DstH)) AS ty)),
+        samp AS (
+          SELECT px.flag, grid.tx, grid.ty, px.gray
+          FROM px JOIN grid ON px.rn = grid.rn_s),
+        bits AS (
+          SELECT a.flag, a.ty * ${DstW - 1} + a.tx AS idx,
+                 CASE WHEN a.gray > b.gray THEN 1 ELSE 0 END AS bit
+          FROM samp a JOIN samp b
+            ON b.flag = a.flag AND b.ty = a.ty AND b.tx = a.tx + 1),
+        h AS (
+          SELECT flag,
+                 CAST(sum(CASE WHEN bit = 1 THEN
+                   CASE WHEN idx = 63
+                        THEN CAST(-9223372036854775808 AS HUGEINT)
+                        ELSE CAST((CAST(1 AS BIGINT) << idx) AS HUGEINT)
+                   END ELSE 0 END) AS BIGINT) AS dhash
+          FROM bits GROUP BY flag)
+        SELECT a.flag AS fa, b.flag AS fb, a.dhash AS ha, b.dhash AS hb,
+               CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
+        FROM h a JOIN h b ON a.flag < b.flag
+        ORDER BY fa, fb""")
+    )
+  }
+
+  /** Audio feature extraction over the REAL WAV decode (the librosa-style
+    * scan a speech-data pipeline runs to drop silence/noise): per flag,
+    * synthesize+containerize+decode as in q_mm_wav_decode, then compute
+    * the zero-crossing count (sign flips between consecutive samples —
+    * the cheap pitch/noisiness proxy), the silence count (|v| < 1000 ≈
+    * −30 dBFS), and the integer peak. The oracle rebuilds the decoded
+    * sample sequence relationally (row_number order + the same sample
+    * formula) and replays the lag-compare — all exact integers; any
+    * chunk-walk or sample-extraction bug in the real decoder breaks it.
+    */
+  val mmAudioFeats = QueryDef(
+    "q_mm_audio_feats",
+    (s, dir) => {
+      val sp = s
+      import sp.implicits._
+      t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"))
+        .as[(String, Long, Int)]
+        .groupByKey(_._1)
+        .mapGroups { (flag, it) =>
+          val rows = it.toArray.sortBy(r => (r._2, r._3))
+          val samples = rows.map { case (_, ok, ln) =>
+            ((ok * 7 + ln * 13) % 65536 - 32768).toShort
+          }
+          val blob = Codecs.encodeWav(16000, 1, samples)
+          val wav = Codecs.decodeWav(blob) // the REAL RIFF/PCM parse
+          var zc = 0L
+          var silent = 0L
+          var peak = 0L
+          var i = 0
+          while (i < wav.samples.length) {
+            val v = wav.samples(i).toLong
+            if (i > 0 && ((wav.samples(i - 1) < 0) != (v < 0))) zc += 1
+            if (math.abs(v) < 1000L) silent += 1
+            if (math.abs(v) > peak) peak = math.abs(v)
+            i += 1
+          }
+          (flag, wav.samples.length.toLong, zc, silent, peak)
+        }
+        .toDF("flag", "n_samples", "n_zero_cross", "n_silent", "peak")
+        .orderBy("flag")
+    },
+    Some("""
+      WITH r AS (
+        SELECT l_returnflag AS flag,
+               row_number() OVER (PARTITION BY l_returnflag
+                 ORDER BY l_orderkey, l_linenumber) AS rn,
+               (l_orderkey * 7 + l_linenumber * 13) % 65536 - 32768 AS v
+        FROM lineitem),
+      lagged AS (
+        SELECT flag, v,
+               lag(v) OVER (PARTITION BY flag ORDER BY rn) AS pv
+        FROM r)
+      SELECT flag, count(*) AS n_samples,
+             CAST(sum(CASE WHEN pv IS NOT NULL AND (pv < 0) <> (v < 0)
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_cross,
+             CAST(sum(CASE WHEN abs(v) < 1000 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_silent,
+             CAST(max(abs(v)) AS BIGINT) AS peak
+      FROM lagged GROUP BY flag ORDER BY flag""")
+  )
+
+  val all: Seq[QueryDef] =
+    Seq(mmFrames, mmMeta, mmWavDecode, mmBmpResize, mmDhash, mmAudioFeats)
 }

@@ -967,10 +967,97 @@ object TextCatalog {
       FROM h GROUP BY 1, 2 ORDER BY 1, 2""")
   )
 
+  // q_t_dupspans n-gram width (word-level), shared by both engines
+  private val DupN = 8
+
+  /** CROSS-corpus duplicated n-gram span detection — the practical Spark
+    * shape of exact-substring training-data dedup (Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better", ACL 2022: their
+    * suffix-array finds ≥50-char duplicated substrings; the hashed
+    * fixed-width n-gram grid is the distributed approximation production
+    * pipelines run, trading span granularity for a shuffle-friendly key).
+    * Unlike q_t_repetition (WITHIN-doc repetition), this flags spans
+    * duplicated ANYWHERE in the corpus: per doc, the count and share of
+    * its word-8-gram positions whose fingerprint occurs ≥2 times
+    * globally — the "memorization risk" score that drives span-removal.
+    *
+    * Plan: posexplode → 7 window leads per doc (doc-bounded, one shuffle
+    * on doc_id) → 60-bit md5 fingerprint → ONE count window partitioned
+    * by fingerprint (shuffles compact longs, not 8-gram strings; no join
+    * back) → per-doc aggregate. No global sort — the final top-30 is a
+    * TakeOrdered. Ratios are exact rationals → r6 is bit-stable.
+    */
+  val tDupSpans = QueryDef(
+    "q_t_dupspans",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(split(lower(TextAnalysis.normText(col("text"))), " "))
+            .as(Seq("pos", "w")))
+      val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+      val withLeads = (1 until DupN).foldLeft(toks) { (d, i) =>
+        d.withColumn(s"l$i", lead(col("w"), i).over(byDoc))
+      }
+      val gramCols = col("w") +: (1 until DupN).map(i => col(s"l$i"))
+      val grams = withLeads
+        .where(col(s"l${DupN - 1}").isNotNull)
+        .select(col("doc_id"),
+          graft.sketches.Kmv.keyHash(
+            concat_ws("\u0001", gramCols: _*)).as("fp"))
+      val cnt = count(lit(1)).over(Window.partitionBy("fp"))
+      grams.withColumn("cnt", cnt)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_spans"),
+          sum(when(col("cnt") >= 2, 1L).otherwise(0L)).as("n_dup_spans"))
+        .where(col("n_dup_spans") > 0)
+        .select(col("doc_id"), col("n_spans"), col("n_dup_spans"),
+          r6(col("n_dup_spans").cast("double")
+            / col("n_spans").cast("double")).as("dup_ratio"))
+        .orderBy(col("dup_ratio").desc, col("doc_id"))
+        .limit(30)
+    },
+    Some {
+      val leads = (1 until DupN)
+        .map(i => s"lead(w, $i) OVER (PARTITION BY doc_id ORDER BY pos) AS l$i")
+        .mkString(",\n               ")
+      val gram = ("w" +: (1 until DupN).map(i => s"l$i"))
+        .mkString(" || chr(1) || ")
+      s"""
+      WITH t AS (
+        SELECT doc_id, string_split(lower($sqlNorm), ' ') AS tk
+        FROM documents WHERE length($sqlNorm) > 0),
+      tok AS (
+        SELECT doc_id, generate_subscripts(tk, 1) AS pos, unnest(tk) AS w
+        FROM t),
+      led AS (
+        SELECT doc_id, pos, w,
+               $leads
+        FROM tok),
+      grams AS (
+        SELECT doc_id,
+               ${graft.sketches.Kmv.sqlKeyHash(gram)} AS fp
+        FROM led WHERE l${DupN - 1} IS NOT NULL),
+      cnts AS (
+        SELECT doc_id, count(*) OVER (PARTITION BY fp) AS cnt
+        FROM grams),
+      agg AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+               CAST(sum(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_dup_spans
+        FROM cnts GROUP BY 1)
+      SELECT doc_id, n_spans, n_dup_spans,
+             ${sqlR6("CAST(n_dup_spans AS DOUBLE) / CAST(n_spans AS DOUBLE)")}
+               AS dup_ratio
+      FROM agg WHERE n_dup_spans > 0
+      ORDER BY dup_ratio DESC, doc_id LIMIT 30"""
+    }
+  )
+
   val all: Seq[QueryDef] =
     Seq(tQuality, tTokens, tFingerprint, tLangId, tExplode,
       tRepetition, tLmScore, tSplit, tStratSample, tTfIdf, tPmi,
       tPii, tVocab, tComposition, tPack, tShuffle, tDecontaminate,
       tLineDedup, tBm25, tDsir, tWsample, tVocabOverlap, tMixture, tJsd,
-      tFeatHash)
+      tFeatHash, tDupSpans)
 }
