@@ -1230,11 +1230,97 @@ object EventsCatalog {
       FROM d""")
   )
 
+  // q_e_cusum_stream constants, shared by both engines
+  private val CusumBurnIn = 7 // calibration days fixing the reference mean
+  private val CusumH = 40L    // drift budget in value units
+
+  /** Streaming CUSUM drift monitor (streaming.EventStreams.cusumStream):
+    * the streaming twin of the batch q_m16_cusum changepoint operator —
+    * per event type, readStream → flatMapGroupsWithState keeps one
+    * (day → exact integer moment) map, calibrates μ₀ on the first
+    * `CusumBurnIn` days, and emits the Page-recurrence S⁺/S⁻ drift lines
+    * + alarms for every later day. The oracle replays the identical
+    * integer pipeline in DuckDB via the m16 prefix-sum identity
+    * (S⁺ = P − min(0, min P)) over the SQL daily aggregate, so the
+    * stateful streaming path is hash-gated end-to-end. Re-emitted series
+    * are deduped by the monotone n_seen tag (multi-batch-safe).
+    */
+  val eCusumStream = QueryDef(
+    "q_e_cusum_stream",
+    (s, dir) => {
+      val sink = "graft_cusum_stream_sink"
+      s.catalog.dropTempView(sink) // idempotent across bench warm-up reps
+      withStatePartitions(s, 8) {
+        val q = graft.streaming.EventStreams
+          .cusumStream(s, streamableEventsDir(dir), CusumBurnIn, CusumH)
+          .toDF()
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type", "day_id").orderBy(col("n_seen").desc)
+      s.table(sink)
+        .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .select(col("event_type"), col("day_id"),
+          r6(col("s_pos")).as("s_pos"), r6(col("s_neg")).as("s_neg"),
+          col("alarm"))
+        .orderBy("event_type", "day_id")
+    },
+    Some(s"""
+      WITH f AS (
+        SELECT event_type AS g,
+               CAST(CAST(date_trunc('day', ts) AS DATE) - DATE '1970-01-01'
+                 AS BIGINT) AS day_id,
+               value
+        FROM events WHERE value IS NOT NULL),
+      d AS (
+        SELECT g, day_id,
+               CAST(floor(${sqlAvgE("value")} * 1e6 + 0.5) AS BIGINT) AS xu
+        FROM f GROUP BY 1, 2),
+      rnk AS (
+        SELECT *, row_number() OVER (PARTITION BY g ORDER BY day_id) AS rn
+        FROM d),
+      ref AS (
+        SELECT g, CAST(sum(xu) AS BIGINT) AS refsum
+        FROM rnk WHERE rn <= $CusumBurnIn GROUP BY 1),
+      post AS (
+        SELECT r.g, r.day_id, r.xu * $CusumBurnIn - ref.refsum AS dev
+        FROM rnk r JOIN ref ON ref.g = r.g
+        WHERE r.rn > $CusumBurnIn),
+      p AS (
+        SELECT g, day_id,
+               CAST(sum(dev) OVER (PARTITION BY g ORDER BY day_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS p
+        FROM post),
+      sline AS (
+        SELECT g, day_id,
+               CAST(p - least(CAST(0 AS BIGINT), min(p) OVER (
+                 PARTITION BY g ORDER BY day_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+                 AS BIGINT) AS su_pos,
+               CAST(greatest(CAST(0 AS BIGINT), max(p) OVER (
+                 PARTITION BY g ORDER BY day_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) - p
+                 AS BIGINT) AS su_neg
+        FROM p)
+      SELECT g AS event_type, day_id,
+             ${sqlR6(s"CAST(su_pos AS DOUBLE) / (CAST($CusumBurnIn AS DOUBLE) * 1000000.0)")}
+               AS s_pos,
+             ${sqlR6(s"CAST(su_neg AS DOUBLE) / (CAST($CusumBurnIn AS DOUBLE) * 1000000.0)")}
+               AS s_neg,
+             CAST(CASE WHEN su_pos > ${CusumH * 1000000L} * $CusumBurnIn
+                    OR su_neg > ${CusumH * 1000000L} * $CusumBurnIn
+               THEN 1 ELSE 0 END AS BIGINT) AS alarm
+      FROM sline ORDER BY event_type, day_id""")
+  )
+
   val all: Seq[QueryDef] =
     Seq(eHourly, eSessions, eHourlyStream, eSessionizeStream,
       eSessionWindow, eFunnel, eDedup, eDedupStream, eIntervalStream,
       eLeftJoinStream, eFullJoinStream, eClosedSessions, eRetention,
       eEnrichStream,
       eHoltStream, eMarkov, eAttribution,
-      eSurvival, eScdStream, eAbTest, eCuped)
+      eSurvival, eScdStream, eAbTest, eCuped, eCusumStream)
 }

@@ -1739,6 +1739,85 @@ object MiscCatalog {
     * rounds); the convergence flag in the output asserts the fixpoint WAS
     * reached. Exact integer output → bit-exact.
     */
+  /** Label-propagation community detection (Raghavan et al. 2007, the
+    * near-linear community algorithm; semi-synchronous variant) on the
+    * BULK co-purchase customer⇄supplier graph (quantity ≥ `LpMinQty`
+    * edges — the q_g_triangles thinning argument). Each of `LpIters`
+    * SYNCHRONOUS rounds relabels every node with the modal label among
+    * its neighbors (ties → smallest label, making the whole run
+    * deterministic — classic async LPA is run-order-dependent and could
+    * never be oracle-gated). Per round: one join (neighbor labels), one
+    * count aggregate, one per-node top-1 window — all shuffles on node
+    * id, state is one label per node; the GraphX/Graphframes LPA shape.
+    * Output: the 20 largest communities. Exact integers end-to-end.
+    */
+  val qLabelProp = {
+    val LpMinQty = 31
+    val LpIters = 2
+    QueryDef(
+      "q_g_labelprop",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem").where(col("l_quantity") >= LpMinQty)
+        val o = t(s, dir, "orders")
+        val e0 = li.join(o, li("l_orderkey") === o("o_orderkey"))
+          .select((col("o_custkey") * 2).cast("long").as("cust"),
+            (col("l_suppkey") * 2 + 1).cast("long").as("supp"))
+          .distinct()
+        val edges = e0.select(col("cust").as("src"), col("supp").as("dst"))
+          .unionByName(e0.select(col("supp").as("src"), col("cust").as("dst")))
+        val nodes = edges.select(col("src").as("node")).distinct()
+        var lab = nodes.withColumn("lbl", col("node"))
+        for (_ <- 1 to LpIters) {
+          val nb = edges
+            .join(lab.withColumnRenamed("node", "dst"), Seq("dst"))
+            .groupBy(col("src").as("node"), col("lbl"))
+            .agg(count(lit(1)).as("c"))
+          val rn = row_number().over(org.apache.spark.sql.expressions.Window
+            .partitionBy("node").orderBy(col("c").desc, col("lbl")))
+          lab = nb.withColumn("rn", rn).where(col("rn") === 1)
+            .select("node", "lbl")
+        }
+        lab.groupBy(col("lbl").as("community"))
+          .agg(count(lit(1)).as("size"))
+          .select(
+            when(col("community") % 2 === 0, lit("customer"))
+              .otherwise(lit("supplier")).as("seed_type"),
+            expr("community div 2").as("seed_key"), col("size"))
+          .orderBy(col("size").desc, col("seed_type"), col("seed_key"))
+          .limit(20)
+      },
+      Some {
+        val iters = (1 to LpIters).map { k =>
+          s"""n$k AS (
+          SELECT e.src AS node, l.lbl, count(*) AS c
+          FROM eall e JOIN l${k - 1} l ON l.node = e.dst GROUP BY 1, 2),
+        l$k AS (
+          SELECT node, lbl FROM (
+            SELECT node, lbl, row_number() OVER (
+              PARTITION BY node ORDER BY c DESC, lbl) AS rn
+            FROM n$k) WHERE rn = 1)"""
+        }.mkString(",\n        ")
+        s"""
+        WITH e0 AS (
+          SELECT DISTINCT o.o_custkey * 2 AS cust, l.l_suppkey * 2 + 1 AS supp
+          FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+          WHERE l.l_quantity >= $LpMinQty),
+        eall AS (
+          SELECT cust AS src, supp AS dst FROM e0
+          UNION ALL SELECT supp AS src, cust AS dst FROM e0),
+        l0 AS (
+          SELECT DISTINCT src AS node, src AS lbl FROM eall),
+        $iters
+        SELECT CASE WHEN lbl % 2 = 0 THEN 'customer' ELSE 'supplier' END
+                 AS seed_type,
+               lbl // 2 AS seed_key, CAST(count(*) AS BIGINT) AS size
+        FROM l$LpIters
+        GROUP BY lbl
+        ORDER BY size DESC, seed_type, seed_key LIMIT 20"""
+      }
+    )
+  }
+
   val qKcore = QueryDef(
     "q_g_kcore",
     (s, dir) => {
@@ -1885,6 +1964,6 @@ object MiscCatalog {
     qChi2, qHhi,
     qProfile, qBenford, qGini, qEntropy, qMi, qSnapshotDiff, qWinsor,
     qFkAudit, qMoments, qAssortativity, qPartitionedScan, qKcore,
-    qScd2AsOf)
+    qLabelProp, qScd2AsOf)
 }
 

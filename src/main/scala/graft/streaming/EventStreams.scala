@@ -232,6 +232,83 @@ object EventStreams {
       }
   }
 
+  final case class DayMoment(sumScaled: Long, n: Long)
+  final case class CusumState(days: Map[Long, DayMoment])
+  final case class CusumOut(event_type: String, day_id: Long, n_seen: Long,
+    s_pos: Double, s_neg: Double, alarm: Long)
+
+  /** Streaming CUSUM drift monitor (Page 1954) over each event type's
+    * DAILY mean value — the online data-quality sentinel a feed pipeline
+    * keeps on incoming streams, as the streaming twin of the batch
+    * q_m16_cusum operator. Reference mean μ₀ comes from the first
+    * `burnInDays` days (the calibration window — a CAUSAL reference, so
+    * the monitor is computable online, unlike the batch full-series μ);
+    * from day burnIn+1 on, S⁺ = max(0, S⁺ + dev), S⁻ mirrored.
+    *
+    * Exactness: per-day state is (Σ value·1e6 as HALF_UP-rounded integer,
+    * n) — the exact integer image of the batch avgE decimal sum — so the
+    * daily mean, its micro-unit quantization, the burn-in reference, and
+    * every deviation/recurrence value are the identical integer/IEEE ops
+    * the batch oracle replays (deviations scaled by `burnInDays` so μ₀
+    * never needs a division).
+    *
+    * State is one (day → moment) map per event type, CALENDAR-BOUNDED
+    * (31 entries per key here; production caps the window or ages out
+    * closed days). Each batch re-emits the refreshed series tagged with
+    * n_seen (monotone) — consumers keep the max-n_seen row per day, so
+    * multi-batch delivery converges to the same table as single-batch.
+    */
+  def cusumStream(spark: SparkSession, dir: String, burnInDays: Int,
+      alarmH: Long): Dataset[CusumOut] = {
+    import spark.implicits._
+    val ev = readNormalized(spark, dir)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), col("ts"), col("value"))
+      .as[(String, Long, Double)]
+    ev.groupByKey(_._1)
+      .flatMapGroupsWithState[CusumState, CusumOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (tp, rows, state: GroupState[CusumState]) =>
+          var days = state.getOption.map(_.days).getOrElse(Map.empty)
+          rows.foreach { case (_, ts, v) =>
+            val day = Math.floorDiv(ts, 86400000000L)
+            // the exact integer image of avgE's DECIMAL(28,6) cast: Spark's
+            // Decimal(double) parses the SHORTEST string repr (not the
+            // exact binary expansion) — mirror that, then HALF_UP at 6
+            val scaled = new java.math.BigDecimal(
+              java.lang.Double.toString(v))
+              .setScale(6, java.math.RoundingMode.HALF_UP)
+              .movePointRight(6).longValueExact()
+            val m = days.getOrElse(day, DayMoment(0L, 0L))
+            days = days.updated(day, DayMoment(m.sumScaled + scaled, m.n + 1))
+          }
+          state.update(CusumState(days))
+          val ordered = days.toSeq.sortBy(_._1)
+          if (ordered.length <= burnInDays) Iterator.empty
+          else {
+            val xu = ordered.map { case (day, m) =>
+              // Decimal(…,6).toDouble / count — the batch avgE ops
+              val mean = java.math.BigDecimal.valueOf(m.sumScaled, 6)
+                .doubleValue() / m.n.toDouble
+              (day, math.floor(mean * 1e6 + 0.5).toLong)
+            }
+            val refSum = xu.take(burnInDays).map(_._2).sum
+            val den = burnInDays.toDouble * 1000000.0
+            val lim = alarmH * 1000000L * burnInDays
+            var sPos = 0L
+            var sNeg = 0L
+            val n = ordered.length.toLong
+            xu.drop(burnInDays).iterator.map { case (day, x) =>
+              val dev = x * burnInDays - refSum
+              sPos = math.max(0L, sPos + dev)
+              sNeg = math.max(0L, sNeg - dev)
+              CusumOut(tp, day, n, sPos.toDouble / den, sNeg.toDouble / den,
+                if (sPos > lim || sNeg > lim) 1L else 0L)
+            }.toVector.iterator
+          }
+      }
+  }
+
   final case class HoltState(l: Double, b: Double, n: Long)
   final case class TypeHolt(event_type: String, n: Long, level: Double,
     trend: Double)
