@@ -446,7 +446,105 @@ object DedupCatalog {
       ORDER BY dist, id1, id2 LIMIT 25""")
   )
 
+  // q_d_fellegi m-probabilities (fixed textbook initialization; the EM
+  // refinement is an iterative batch job layered on the same score scan)
+  private val FsM = Seq(0.95, 0.9, 0.85)
+
+  /** Fellegi–Sunter probabilistic record linkage (JASA 1969) over blocked
+    * customer pairs — the SCORING layer entity resolution adds on top of
+    * q_d_fuzzy's candidate generation: each candidate pair gets a
+    * log-likelihood-ratio match weight Σ_k log2(m_k/u_k) over its field
+    * agreement vector (disagreement contributes log2((1−m_k)/(1−u_k))).
+    * u_k (chance-agreement probability) is estimated from the DATA in one
+    * exact integer pass: u = Σ_v c_v(c_v−1) / (N(N−1)) over the field's
+    * value counts; m_k is the standard fixed initialization (EM is a loop
+    * of this same scan). Candidate volume is block-bounded
+    * ((nation × segment) blocks); u-estimation is three tiny value-count
+    * aggregates riding a broadcast. log2 on identical doubles is
+    * last-ulp-class → r6 guard; everything else is exact integers.
+    */
+  val dFellegi = QueryDef(
+    "q_d_fellegi",
+    (s, dir) => {
+      val c = t(s, dir, "customer").select(
+        col("c_custkey").as("id"),
+        col("c_nationkey").as("nat"), col("c_mktsegment").as("seg"),
+        floor(col("c_acctbal") / 1000).cast("long").as("bal_b"),
+        expr("substring(c_name, length(c_name)-1, 2)").as("phx"),
+        expr("substring(c_name, length(c_name)-3, 2)").as("cmt_b"))
+      val n = c.agg(count(lit(1)).as("n"))
+      def u(field: String) =
+        c.groupBy(field).agg(count(lit(1)).as("cv"))
+          .agg(sum(col("cv") * (col("cv") - 1)).as("num"))
+          .select(col("num"))
+      val us = u("bal_b").select(col("num").as("u1"))
+        .crossJoin(broadcast(u("phx").select(col("num").as("u2"))))
+        .crossJoin(broadcast(u("cmt_b").select(col("num").as("u3"))))
+        .crossJoin(broadcast(n))
+      val pairs = c.as("a").join(c.as("b"),
+        col("a.nat") === col("b.nat") && col("a.seg") === col("b.seg") &&
+          col("a.id") < col("b.id"))
+      def w(agree: org.apache.spark.sql.Column, m: Double,
+          uNum: org.apache.spark.sql.Column) = {
+        val uP = uNum.cast("double") /
+          (col("n") * (col("n") - 1)).cast("double")
+        when(agree, log2(lit(m) / uP))
+          .otherwise(log2((lit(1.0) - lit(m)) / (lit(1.0) - uP)))
+      }
+      pairs.crossJoin(broadcast(us))
+        .select(col("a.id").as("id1"), col("b.id").as("id2"),
+          (col("a.bal_b") === col("b.bal_b")).as("agr_bal"),
+          (col("a.phx") === col("b.phx")).as("agr_phone"),
+          (col("a.cmt_b") === col("b.cmt_b")).as("agr_cmt"),
+          (w(col("a.bal_b") === col("b.bal_b"), FsM(0), col("u1")) +
+            w(col("a.phx") === col("b.phx"), FsM(1), col("u2")) +
+            w(col("a.cmt_b") === col("b.cmt_b"), FsM(2), col("u3")))
+            .as("score"))
+        .orderBy(col("score").desc, col("id1"), col("id2"))
+        .limit(25)
+        .select(col("id1"), col("id2"), col("agr_bal"), col("agr_phone"),
+          col("agr_cmt"), r6(col("score")).as("score"))
+    },
+    Some {
+      def uP(k: Int) =
+        s"(CAST(u$k AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE))"
+      def w(agree: String, m: Double, k: Int) =
+        s"""CASE WHEN $agree THEN log2(${sqlD(m)} / ${uP(k)})
+           ELSE log2((1.0 - ${sqlD(m)}) / (1.0 - ${uP(k)})) END"""
+      s"""
+      WITH c AS (
+        SELECT c_custkey AS id, c_nationkey AS nat, c_mktsegment AS seg,
+               CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_b,
+               substr(c_name, length(c_name)-1, 2) AS phx,
+               substr(c_name, length(c_name)-3, 2) AS cmt_b
+        FROM customer),
+      nn AS (SELECT count(*) AS n FROM c),
+      u1t AS (SELECT CAST(sum(cv * (cv - 1)) AS BIGINT) AS u1 FROM
+        (SELECT bal_b, count(*) AS cv FROM c GROUP BY 1)),
+      u2t AS (SELECT CAST(sum(cv * (cv - 1)) AS BIGINT) AS u2 FROM
+        (SELECT phx, count(*) AS cv FROM c GROUP BY 1)),
+      u3t AS (SELECT CAST(sum(cv * (cv - 1)) AS BIGINT) AS u3 FROM
+        (SELECT cmt_b, count(*) AS cv FROM c GROUP BY 1)),
+      us AS (SELECT * FROM u1t CROSS JOIN u2t CROSS JOIN u3t
+             CROSS JOIN nn),
+      p AS (
+        SELECT a.id AS id1, b.id AS id2,
+               a.bal_b = b.bal_b AS agr_bal,
+               a.phx = b.phx AS agr_phone,
+               a.cmt_b = b.cmt_b AS agr_cmt,
+               (${w("a.bal_b = b.bal_b", FsM(0), 1)})
+               + (${w("a.phx = b.phx", FsM(1), 2)})
+               + (${w("a.cmt_b = b.cmt_b", FsM(2), 3)}) AS score
+        FROM c a JOIN c b
+          ON a.nat = b.nat AND a.seg = b.seg AND a.id < b.id
+        CROSS JOIN us)
+      SELECT id1, id2, agr_bal, agr_phone, agr_cmt,
+             ${sqlR6("score")} AS score
+      FROM p ORDER BY score DESC, id1, id2 LIMIT 25"""
+    }
+  )
+
   val all: Seq[QueryDef] =
     Seq(dExact, dJaccard, dComponents, dClusterSizes, dMinHash, dSimHash,
-      dEmbed, dSemantic, dFuzzy)
+      dEmbed, dSemantic, dFuzzy, dFellegi)
 }

@@ -34,7 +34,10 @@ object SketchCatalog {
         .withColumn("h", xxhash64(col("user_id")))),
     "cms_hashes" -> ((s, dir) =>
       graft.sketches.CountMin.bucketMap(
-        sparkToks(s, dir).distinct(), "tok", D, W)))
+        sparkToks(s, dir).distinct(), "tok", D, W)),
+    "cms_user_hashes" -> ((s, dir) =>
+      graft.sketches.CountMin.bucketMap(
+        t(s, dir, "events").select("user_id").distinct(), "user_id", D, W)))
 
   /** HLL approximate distinct customers per order priority, next to the
     * exact count — the sketch-vs-truth audit a user runs before trusting
@@ -346,6 +349,59 @@ object SketchCatalog {
       ORDER BY est.event_type""")
   )
 
+  /** The CMS counter table maintained by the STREAMING engine: readStream
+    * over events → per-row explode to d (row, bucket) increments →
+    * streaming groupBy(i, b) count — the mergeable-sketch update IS an
+    * aggregate, so Structured Streaming maintains the d×w counters
+    * incrementally with state bounded by d·w REGARDLESS of stream length
+    * or key cardinality (the whole point of sketching a stream) —
+    * complete-mode memory sink, then batch point-estimates for the
+    * heaviest users over the final counters. The oracle rebuilds the
+    * identical counters from exact per-user counts joined to the dumped
+    * (user, row, bucket) mapping and replays the min — integer-exact.
+    */
+  val cmsTopkStream = QueryDef(
+    "q_cms_topk_stream",
+    (s, dir) => {
+      import graft.sketches.CountMin
+      val sink = "graft_cms_stream_sink"
+      s.catalog.dropTempView(sink)
+      EventsCatalog.withStatePartitions(s, 8) {
+        val src = s.readStream.schema(graft.model.Schemas.events)
+          .parquet(EventsCatalog.streamableEventsDir(dir))
+        val q = CountMin.bucketMap(src.select("user_id"), "user_id", D, W)
+          .groupBy("i", "b").agg(count(lit(1)).as("c"))
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("complete").start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      val uc = t(s, dir, "events").groupBy("user_id")
+        .agg(count(lit(1)).as("exact_cnt"))
+      val est = CountMin.estimate(uc.select("user_id"), "user_id",
+        s.table(sink), D, W)
+      uc.join(est, "user_id")
+        .orderBy(col("exact_cnt").desc, col("user_id"))
+        .limit(25)
+        .select(col("user_id"), col("exact_cnt"), col("cms_est"))
+    },
+    Some("""
+      WITH ax AS (
+        SELECT * FROM
+          read_parquet('__VERIFY_OUT__/aux/cms_user_hashes/*.parquet')),
+      uc AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS exact_cnt
+        FROM events GROUP BY 1),
+      ctr AS (
+        SELECT i, b, sum(uc.exact_cnt) AS c
+        FROM ax JOIN uc USING (user_id) GROUP BY 1, 2),
+      est AS (
+        SELECT ax.user_id, CAST(min(ctr.c) AS BIGINT) AS cms_est
+        FROM ax JOIN ctr USING (i, b) GROUP BY 1)
+      SELECT uc.user_id, uc.exact_cnt, est.cms_est
+      FROM uc JOIN est USING (user_id)
+      ORDER BY uc.exact_cnt DESC, uc.user_id LIMIT 25""")
+  )
+
   /** KMV set-OPERATION estimates (Beyer et al., SIGMOD 2007 §4): for every
     * pair of order priorities, estimate the Jaccard similarity and the
     * INTERSECTION size of their customer sets from the two bottom-k
@@ -480,5 +536,6 @@ object SketchCatalog {
   )
 
   val all: Seq[QueryDef] =
-    Seq(hllDistinct, hllMerge, cmsTopk, kmvDistinct, kmvJaccard, hllStream)
+    Seq(hllDistinct, hllMerge, cmsTopk, kmvDistinct, kmvJaccard, hllStream,
+      cmsTopkStream)
 }
