@@ -1230,6 +1230,38 @@ object EventsCatalog {
       FROM d""")
   )
 
+  /** The SAME funnel computed by the STREAMING engine
+    * (streaming.EventStreams.funnelStream): per-user first-touch minima as
+    * mapGroupsWithState state, update-mode sink, min-collapsed per user
+    * (each component is nonincreasing — the q_e_sessionize_stream
+    * max-collapse argument, mirrored), then the identical ordered-funnel
+    * counts. Gated by the same oracle as q_e_funnel, so the stateful
+    * streaming path is driver-hash-checked end-to-end.
+    */
+  val eFunnelStream = QueryDef(
+    "q_e_funnel_stream",
+    (s, dir) => {
+      val sink = "graft_funnel_stream_sink"
+      s.catalog.dropTempView(sink) // idempotent across bench warm-up reps
+      withStatePartitions(s, 8) {
+        val q = graft.streaming.EventStreams
+          .funnelStream(s, streamableEventsDir(dir))
+          .toDF()
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("update").start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      val firsts = s.table(sink).groupBy("user_id")
+        .agg(min("t_view").as("t_view"), min("t_click").as("t_click"),
+          min("t_buy").as("t_buy"))
+      firsts.agg(
+        count(col("t_view")).as("n_view"),
+        count(when(col("t_click") > col("t_view"), lit(1))).as("n_view_click"),
+        count(when(col("t_click") > col("t_view") &&
+          col("t_buy") > col("t_click"), lit(1))).as("n_full_funnel"))
+    },
+    eFunnel.oracle)
+
   // q_e_cusum_stream constants, shared by both engines
   private val CusumBurnIn = 7 // calibration days fixing the reference mean
   private val CusumH = 40L    // drift budget in value units
@@ -1322,5 +1354,5 @@ object EventsCatalog {
       eLeftJoinStream, eFullJoinStream, eClosedSessions, eRetention,
       eEnrichStream,
       eHoltStream, eMarkov, eAttribution,
-      eSurvival, eScdStream, eAbTest, eCuped, eCusumStream)
+      eSurvival, eScdStream, eAbTest, eCuped, eCusumStream, eFunnelStream)
 }

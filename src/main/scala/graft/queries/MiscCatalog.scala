@@ -579,6 +579,67 @@ object MiscCatalog {
     }
   )
 
+  // q_compact_plan constants, shared by both engines
+  private val CompactRowBytes = 128L          // simulated bytes per row
+  private val CompactTarget = 1L << 20        // 1 MiB target output files
+
+  /** Small-file COMPACTION planner — the OPTIMIZE/rewrite-data-files
+    * maintenance pass every lakehouse table needs once streaming/CDC
+    * writers fragment it. Planning is greedy locality-preserving bin
+    * packing: order each partition's files by their clustering key, run a
+    * cumulative byte sum, and cut a new output bin every `CompactTarget`
+    * bytes (bin = cumsum-before div target — the associative formulation,
+    * one window over the INVENTORY). The inventory here is simulated from
+    * the fact table ((returnflag, month) → rows × fixed row size); a real
+    * deployment feeds the catalog file listing instead, so the planner's
+    * cost is metadata-sized — independent of table bytes, the property
+    * that matters at 100 TB. Pure integer arithmetic — bit-exact.
+    */
+  val qCompactPlan = QueryDef(
+    "q_compact_plan",
+    (s, dir) => {
+      val inv = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag").as("part"),
+          date_trunc("month", col("l_shipdate")).cast("timestamp_ntz")
+            .as("file_key"))
+        .agg((count(lit(1)) * CompactRowBytes).as("bytes"))
+      val w = Window.partitionBy("part").orderBy("file_key")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      inv
+        .withColumn("cum_before",
+          sum(col("bytes")).over(w) - col("bytes"))
+        .withColumn("bin", expr(s"cum_before div ${CompactTarget}L"))
+        .groupBy("part", "bin")
+        .agg(count(lit(1)).as("n_files"), sum(col("bytes")).as("out_bytes"),
+          min(col("file_key")).as("first_key"),
+          max(col("file_key")).as("last_key"))
+        .withColumn("oversize",
+          (col("out_bytes") > CompactTarget * 2).cast("long"))
+        .orderBy("part", "bin")
+    },
+    Some(s"""
+      WITH inv AS (
+        SELECT l_returnflag AS part,
+               date_trunc('month', l_shipdate) AS file_key,
+               CAST(count(*) * $CompactRowBytes AS BIGINT) AS bytes
+        FROM lineitem GROUP BY 1, 2),
+      c AS (
+        SELECT part, file_key, bytes,
+               CAST(sum(bytes) OVER (PARTITION BY part ORDER BY file_key
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - bytes
+                 AS BIGINT) AS cum_before
+        FROM inv),
+      b AS (
+        SELECT part, file_key, bytes, cum_before // $CompactTarget AS bin
+        FROM c)
+      SELECT part, bin, CAST(count(*) AS BIGINT) AS n_files,
+             CAST(sum(bytes) AS BIGINT) AS out_bytes,
+             min(file_key) AS first_key, max(file_key) AS last_key,
+             CAST(CASE WHEN sum(bytes) > ${CompactTarget * 2} THEN 1 ELSE 0
+               END AS BIGINT) AS oversize
+      FROM b GROUP BY 1, 2 ORDER BY part, bin""")
+  )
+
   /** SCD2 merge (etl.Scd2): seed a type-2 customer dimension at t=0, apply
     * a deterministic change batch (every 7th key gets +100 balance) at
     * t=100, and return the full version history — closed rows carry
@@ -1959,7 +2020,8 @@ object MiscCatalog {
 
   val all: Seq[QueryDef] = Seq(oTopK, aSpikeSummary, eJson, aSummary,
     mKmeans, mLloydStep, qAsof, qRange, qRollup, qCube, qGroupingSets,
-    qPercentile, qHistogram, qZOrder, qHilbert, qScd2, qScd1, qIncAgg,
+    qPercentile, qHistogram, qZOrder, qHilbert, qCompactPlan, qScd2, qScd1,
+    qIncAgg,
     qQuantileExact, qQuantileSample, qPagerank, qTriangles, qChecksum,
     qChi2, qHhi,
     qProfile, qBenford, qGini, qEntropy, qMi, qSnapshotDiff, qWinsor,

@@ -232,6 +232,46 @@ object EventStreams {
       }
   }
 
+  final case class FunnelState(v: Option[Long], c: Option[Long],
+    b: Option[Long])
+  final case class FunnelFirsts(user_id: Long, t_view: Option[Long],
+    t_click: Option[Long], t_buy: Option[Long])
+
+  /** Streaming funnel tracking: one tiny (first-view, first-click,
+    * first-purchase) record per user carried through mapGroupsWithState —
+    * the online form of the q_e_funnel batch query. Each batch folds its
+    * rows into the per-user minima and re-emits the user's current firsts
+    * (update mode); every component is NONINCREASING, so the consumer's
+    * min-per-user collapse converges to the batch answer under any batch
+    * split. State is 3 optional longs per user — the smallest possible
+    * funnel state, evictable by watermark in a production deployment once
+    * a user's funnel window closes.
+    */
+  def funnelStream(spark: SparkSession, dir: String): Dataset[FunnelFirsts] = {
+    import spark.implicits._
+    val ev = readNormalized(spark, dir)
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .as[(Long, String, Long)]
+    ev.groupByKey(_._1)
+      .mapGroupsWithState[FunnelState, FunnelFirsts](
+        GroupStateTimeout.NoTimeout()) {
+        case (user, rows, state: GroupState[FunnelState]) =>
+          var st = state.getOption.getOrElse(FunnelState(None, None, None))
+          rows.foreach { case (_, tp, ts) =>
+            def mn(o: Option[Long]) = Some(o.fold(ts)(math.min(_, ts)))
+            tp match {
+              case "view"     => st = st.copy(v = mn(st.v))
+              case "click"    => st = st.copy(c = mn(st.c))
+              case "purchase" => st = st.copy(b = mn(st.b))
+              case _          => ()
+            }
+          }
+          state.update(st)
+          FunnelFirsts(user, st.v, st.c, st.b)
+      }
+  }
+
   final case class DayMoment(sumScaled: Long, n: Long)
   final case class CusumState(days: Map[Long, DayMoment])
   final case class CusumOut(event_type: String, day_id: Long, n_seen: Long,
