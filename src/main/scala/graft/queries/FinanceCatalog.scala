@@ -1138,7 +1138,124 @@ object FinanceCatalog {
     }
   )
 
+  // q_f_holtwinters constants, shared verbatim by both engines
+  private val HwM = 7          // weekly seasonality on the daily series
+  private val HwAlpha = 0.3
+  private val HwBeta = 0.1
+  private val HwGamma = 0.2
+
+  /** Holt–Winters additive triple exponential smoothing
+    * (analytics.HoltWinters) of the daily close per returnflag — level +
+    * trend + weekly seasonal state, the full classical smoothing family
+    * next to q_f_holt (no seasonality) and q_w12_ewma (no trend). The
+    * kernel is sequential per key over the CALENDAR-BOUNDED daily series
+    * (the q_mm_* bounded-kernel contract; unbounded keys would lift to
+    * (m+2)-dim affine maps on the HoltScan Blelloch scan). The oracle is
+    * one recursive CTE carrying the m=7 seasonal values as POSITIONAL
+    * queue columns (consume s1, append s_new) — every step plain IEEE in
+    * the same written order, init means exact decimal → BIT-exact, no
+    * rounding anywhere.
+    */
+  val holtWinters = QueryDef(
+    "q_f_holtwinters",
+    (s, dir) => {
+      val sp = s
+      import sp.implicits._
+      dailyClose(s, dir)
+        .select(col("l_returnflag"),
+          unix_date(col("day").cast("date")).as("d"), col("close"))
+        .as[(String, Int, Double)]
+        .groupByKey(_._1)
+        .flatMapGroups { (flag, it) =>
+          val arr = it.toArray.sortBy(_._2)
+          val steps = graft.analytics.HoltWinters.fit(
+            arr.map(_._3).toIndexedSeq, HwM, HwAlpha, HwBeta, HwGamma)
+          steps.iterator.map { st =>
+            (flag, arr(st.t - 1)._2, st.level, st.trend, st.season,
+              st.fitted)
+          }
+        }
+        .toDF("l_returnflag", "d", "level", "trend", "season", "fitted")
+        .withColumn("day",
+          expr("CAST(date_add(DATE '1970-01-01', d) AS timestamp_ntz)"))
+        .select("l_returnflag", "day", "level", "trend", "season", "fitted")
+        .orderBy("l_returnflag", "day")
+    },
+    Some {
+      val A = sqlD(HwAlpha)
+      val IA = sqlD(1.0 - HwAlpha)
+      val B = sqlD(HwBeta)
+      val IB = sqlD(1.0 - HwBeta)
+      val G = sqlD(HwGamma)
+      val IG = sqlD(1.0 - HwGamma)
+      // l_t expanded inline (recursive SELECTs cannot reference their own
+      // aliases); identical trees evaluate to identical doubles
+      val E1 = s"$A * (c.close - p.s1) + $IA * (p.l + p.b)"
+      val sCols = (1 to HwM).map(i => s"s$i").mkString(", ")
+      val sInit = (1 to HwM)
+        .map(i => s"max(CASE WHEN rn = $i THEN close END) - m1v AS s$i")
+        .mkString(",\n               ")
+      val sShift = (2 to HwM).map(i => s"p.s$i").mkString(", ")
+      s"""
+      WITH RECURSIVE
+      r AS (
+        SELECT l_returnflag, date_trunc('day', l_shipdate) AS day,
+               l_extendedprice,
+               row_number() OVER (
+                 PARTITION BY l_returnflag, date_trunc('day', l_shipdate)
+                 ORDER BY $liOrderDescSql) AS rn_t
+        FROM lineitem),
+      cl0 AS (
+        SELECT l_returnflag, day, l_extendedprice AS close
+        FROM r WHERE rn_t = 1),
+      cl AS (
+        SELECT l_returnflag, day, close,
+               row_number() OVER (PARTITION BY l_returnflag ORDER BY day)
+                 AS rn
+        FROM cl0),
+      n AS (SELECT l_returnflag, count(*) AS cnt FROM cl GROUP BY 1),
+      means AS (
+        SELECT l_returnflag,
+               CAST(sum(CASE WHEN rn <= $HwM
+                   THEN CAST(close AS DECIMAL(28,6)) END) AS DOUBLE)
+                 / ${HwM}.0 AS m1v,
+               CAST(sum(CASE WHEN rn BETWEEN ${HwM + 1} AND ${2 * HwM}
+                   THEN CAST(close AS DECIMAL(28,6)) END) AS DOUBLE)
+                 / ${HwM}.0 AS m2v
+        FROM cl WHERE rn <= ${2 * HwM} GROUP BY 1),
+      init AS (
+        SELECT cl.l_returnflag, m1v AS l, (m2v - m1v) / ${HwM}.0 AS b,
+               $sInit
+        FROM cl
+        JOIN means ON means.l_returnflag = cl.l_returnflag
+        JOIN n ON n.l_returnflag = cl.l_returnflag
+        WHERE cl.rn <= $HwM AND n.cnt >= ${2 * HwM + 1}
+        GROUP BY cl.l_returnflag, m1v, m2v),
+      rec AS (
+        SELECT l_returnflag, $HwM AS rn, l, b, $sCols,
+               CAST(NULL AS DOUBLE) AS season,
+               CAST(NULL AS DOUBLE) AS fitted
+        FROM init
+        UNION ALL
+        SELECT p.l_returnflag, c.rn,
+               $E1 AS l,
+               $B * (($E1) - p.l) + $IB * p.b AS b,
+               $sShift,
+               $G * (c.close - ($E1)) + $IG * p.s1 AS s$HwM,
+               $G * (c.close - ($E1)) + $IG * p.s1 AS season,
+               p.l + p.b + p.s1 AS fitted
+        FROM rec p JOIN cl c
+          ON c.l_returnflag = p.l_returnflag AND c.rn = p.rn + 1)
+      SELECT rec.l_returnflag, cl.day, rec.l AS level, rec.b AS trend,
+             rec.season, rec.fitted
+      FROM rec
+      JOIN cl ON cl.l_returnflag = rec.l_returnflag AND cl.rn = rec.rn
+      WHERE rec.rn > $HwM
+      ORDER BY rec.l_returnflag, cl.day"""
+    }
+  )
+
   val all: Seq[QueryDef] =
     Seq(ohlcWeekly, bollinger, beta, ffill, rsi, macd, streaks, obv,
-      stochastic, acf, seasonality, interp, varEs, holt, ar2)
+      stochastic, acf, seasonality, interp, varEs, holt, ar2, holtWinters)
 }
