@@ -1348,11 +1348,118 @@ object EventsCatalog {
       FROM sline ORDER BY event_type, day_id""")
   )
 
+  // q_e_hw_stream constants, shared by both engines
+  private val HwsM = 7
+  private val HwsAlpha = 0.3
+  private val HwsBeta = 0.1
+  private val HwsGamma = 0.2
+
+  /** Streaming Holt–Winters (streaming.EventStreams.holtWintersStream):
+    * the triple-exponential level/trend/weekly-seasonal recurrence
+    * maintained online per event type over the stream's 6-decimal-
+    * quantized daily mean values. The oracle replays the IDENTICAL
+    * pipeline relationally: SQL daily means, the same quantization, and
+    * the q_f_holtwinters recursive CTE carrying the 7 seasonal values as
+    * positional queue columns — bit-exact, no rounding.
+    */
+  val eHwStream = QueryDef(
+    "q_e_hw_stream",
+    (s, dir) => {
+      val sink = "graft_hw_stream_sink"
+      s.catalog.dropTempView(sink) // idempotent across bench warm-up reps
+      withStatePartitions(s, 8) {
+        val q = graft.streaming.EventStreams
+          .holtWintersStream(s, streamableEventsDir(dir), HwsM, HwsAlpha,
+            HwsBeta, HwsGamma)
+          .toDF()
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type", "day_id").orderBy(col("n_seen").desc)
+      s.table(sink)
+        .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .select(col("event_type"), col("day_id"), col("level"),
+          col("trend"), col("season"), col("fitted"))
+        .orderBy("event_type", "day_id")
+    },
+    Some {
+      val A = sqlD(HwsAlpha)
+      val IA = sqlD(1.0 - HwsAlpha)
+      val B = sqlD(HwsBeta)
+      val IB = sqlD(1.0 - HwsBeta)
+      val G = sqlD(HwsGamma)
+      val IG = sqlD(1.0 - HwsGamma)
+      val E1 = s"$A * (c.y - p.s1) + $IA * (p.l + p.b)"
+      val sCols = (1 to HwsM).map(i => s"s$i").mkString(", ")
+      val sInit = (1 to HwsM)
+        .map(i => s"max(CASE WHEN rn = $i THEN y END) - m1v AS s$i")
+        .mkString(",\n               ")
+      val sShift = (2 to HwsM).map(i => s"p.s$i").mkString(", ")
+      s"""
+      WITH RECURSIVE
+      f AS (
+        SELECT event_type AS g,
+               CAST(CAST(date_trunc('day', ts) AS DATE) - DATE '1970-01-01'
+                 AS BIGINT) AS day_id,
+               value
+        FROM events WHERE value IS NOT NULL),
+      d AS (
+        SELECT g, day_id,
+               floor(${sqlAvgE("value")} * 1e6 + 0.5) / 1e6 AS y
+        FROM f GROUP BY 1, 2),
+      cl AS (
+        SELECT g, day_id, y,
+               row_number() OVER (PARTITION BY g ORDER BY day_id) AS rn
+        FROM d),
+      nn AS (SELECT g, count(*) AS cnt FROM cl GROUP BY 1),
+      means AS (
+        SELECT g,
+               CAST(sum(CASE WHEN rn <= $HwsM
+                   THEN CAST(y AS DECIMAL(28,6)) END) AS DOUBLE)
+                 / ${HwsM}.0 AS m1v,
+               CAST(sum(CASE WHEN rn BETWEEN ${HwsM + 1} AND ${2 * HwsM}
+                   THEN CAST(y AS DECIMAL(28,6)) END) AS DOUBLE)
+                 / ${HwsM}.0 AS m2v
+        FROM cl WHERE rn <= ${2 * HwsM} GROUP BY 1),
+      init AS (
+        SELECT cl.g, m1v AS l, (m2v - m1v) / ${HwsM}.0 AS b,
+               $sInit
+        FROM cl
+        JOIN means ON means.g = cl.g
+        JOIN nn ON nn.g = cl.g
+        WHERE cl.rn <= $HwsM AND nn.cnt >= ${2 * HwsM + 1}
+        GROUP BY cl.g, m1v, m2v),
+      rec AS (
+        SELECT g, $HwsM AS rn, l, b, $sCols,
+               CAST(NULL AS DOUBLE) AS season,
+               CAST(NULL AS DOUBLE) AS fitted
+        FROM init
+        UNION ALL
+        SELECT p.g, c.rn,
+               $E1 AS l,
+               $B * (($E1) - p.l) + $IB * p.b AS b,
+               $sShift,
+               $G * (c.y - ($E1)) + $IG * p.s1 AS s$HwsM,
+               $G * (c.y - ($E1)) + $IG * p.s1 AS season,
+               p.l + p.b + p.s1 AS fitted
+        FROM rec p JOIN cl c ON c.g = p.g AND c.rn = p.rn + 1)
+      SELECT rec.g AS event_type, cl.day_id, rec.l AS level,
+             rec.b AS trend, rec.season, rec.fitted
+      FROM rec
+      JOIN cl ON cl.g = rec.g AND cl.rn = rec.rn
+      WHERE rec.rn > $HwsM
+      ORDER BY event_type, cl.day_id"""
+    }
+  )
+
   val all: Seq[QueryDef] =
     Seq(eHourly, eSessions, eHourlyStream, eSessionizeStream,
       eSessionWindow, eFunnel, eDedup, eDedupStream, eIntervalStream,
       eLeftJoinStream, eFullJoinStream, eClosedSessions, eRetention,
       eEnrichStream,
       eHoltStream, eMarkov, eAttribution,
-      eSurvival, eScdStream, eAbTest, eCuped, eCusumStream, eFunnelStream)
+      eSurvival, eScdStream, eAbTest, eCuped, eCusumStream, eFunnelStream,
+      eHwStream)
 }

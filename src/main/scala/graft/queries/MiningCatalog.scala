@@ -1369,8 +1369,74 @@ object MiningCatalog {
     }
   )
 
+  /** M20 capability: Jarque–Bera normality test per returnflag — the
+    * scipy.stats.jarque_bera omnibus test, JB = n/6·(S² + E²/4) over the
+    * q_a24 EXACT integer power sums (cents ints, Σv..Σv⁴ as wide-decimal
+    * exact sums — one partial-aggregatable scan, the moments-sketch
+    * shape). S and E compose in fixed-operand-order doubles from the
+    * identical moment values; the χ²₂ 95% rejection compare runs on
+    * magnitudes far from the critical point → exact in both engines.
+    */
+  val m20JarqueBera = QueryDef(
+    "q_m20_jarque_bera",
+    (s, dir) => {
+      val src = t(s, dir, "lineitem").select(
+        col("l_returnflag").as("g"),
+        expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)").as("v"))
+      val v1 = col("v").cast("decimal(19,0)")
+      val agg = src.groupBy("g").agg(
+        count(lit(1)).as("n"),
+        sum(v1).cast("double").as("s1"),
+        sum(v1 * v1).cast("double").as("s2"),
+        sum((v1 * v1).cast("decimal(28,0)") * col("v").cast("decimal(9,0)"))
+          .cast("double").as("s3"),
+        sum((v1 * v1).cast("decimal(19,0)") * (v1 * v1)
+          .cast("decimal(18,0)")).cast("double").as("s4"))
+      val nd = col("n").cast("double")
+      val m = col("s1") / nd
+      val m2 = col("s2") / nd - m * m
+      val m3 = col("s3") / nd - lit(3.0) * m * (col("s2") / nd) +
+        lit(2.0) * m * m * m
+      val m4 = col("s4") / nd - lit(4.0) * m * (col("s3") / nd) +
+        lit(6.0) * m * m * (col("s2") / nd) - lit(3.0) * m * m * m * m
+      val skw = m3 / sqrt(m2 * m2 * m2)
+      val e = m4 / (m2 * m2) - lit(3.0)
+      val jb = nd / lit(6.0) * (skw * skw + e * e / lit(4.0))
+      agg.select(col("g"), col("n"), r2(jb).as("jb_stat"),
+          when(jb > 5.991464547107979, 0L).otherwise(1L).as("is_normal"))
+        .orderBy("g")
+    },
+    Some {
+      def d(e: String) = s"($e / CAST(n AS DOUBLE))"
+      val m = d("s1")
+      val m2 = s"(${d("s2")} - $m * $m)"
+      val m3 = s"(${d("s3")} - 3.0 * $m * ${d("s2")} + 2.0 * $m * $m * $m)"
+      val m4 = s"(${d("s4")} - 4.0 * $m * ${d("s3")} + 6.0 * $m * $m " +
+        s"* ${d("s2")} - 3.0 * $m * $m * $m * $m)"
+      val skw = s"($m3 / sqrt($m2 * $m2 * $m2))"
+      val e = s"($m4 / ($m2 * $m2) - 3.0)"
+      val jb = s"(CAST(n AS DOUBLE) / 6.0 * ($skw * $skw + $e * $e / 4.0))"
+      s"""
+      WITH src AS (
+        SELECT l_returnflag AS g,
+               CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v
+        FROM lineitem),
+      a AS (
+        SELECT g, count(*) AS n,
+               CAST(sum(CAST(v AS HUGEINT)) AS DOUBLE) AS s1,
+               CAST(sum(CAST(v AS HUGEINT) * v) AS DOUBLE) AS s2,
+               CAST(sum(CAST(v AS HUGEINT) * v * v) AS DOUBLE) AS s3,
+               CAST(sum(CAST(v AS HUGEINT) * v * v * v) AS DOUBLE) AS s4
+        FROM src GROUP BY 1)
+      SELECT g, n, ${sqlR2(jb)} AS jb_stat,
+             CAST(CASE WHEN $jb > 5.991464547107979e0 THEN 0 ELSE 1 END
+               AS BIGINT) AS is_normal
+      FROM a ORDER BY g"""
+    }
+  )
+
   val all: Seq[QueryDef] = Seq(m1Ols, m2OlsNextDay, m4Anomalies, m5Ridge,
     m6Cv, m7Mwu, m8Ks, m9Nbayes, m10LogregStep, m11Welch, m12Spearman,
     m13Robust, m14Anova, m15Kendall, m16Cusum, m17TheilSen, m18Pca,
-    m19Bootstrap)
+    m19Bootstrap, m20JarqueBera)
 }

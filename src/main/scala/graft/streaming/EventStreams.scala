@@ -349,6 +349,60 @@ object EventStreams {
       }
   }
 
+  final case class HwStreamOut(event_type: String, day_id: Long,
+    n_seen: Long, level: Double, trend: Double, season: Double,
+    fitted: Double)
+
+  /** Streaming Holt–Winters: the analytics.HoltWinters additive
+    * level/trend/seasonal recurrence maintained ONLINE per event type
+    * over the stream's daily mean values — completing the smoothing
+    * family in streaming form (q_w12 EWMA → Holt → Holt–Winters, each
+    * with a batch and a streaming face). State is the same calendar-
+    * bounded (day → exact integer moment) map as [[cusumStream]]; each
+    * batch folds its rows in, QUANTIZES the daily means to 6 decimals
+    * (floor(x·1e6+0.5)/1e6 — the identical IEEE op sequence both
+    * engines run, making the decimal-exact init means portable), re-runs
+    * the recurrence, and re-emits the refreshed series tagged with
+    * monotone n_seen for multi-batch dedup.
+    */
+  def holtWintersStream(spark: SparkSession, dir: String, m: Int,
+      alpha: Double, beta: Double, gamma: Double): Dataset[HwStreamOut] = {
+    import spark.implicits._
+    val ev = readNormalized(spark, dir)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), col("ts"), col("value"))
+      .as[(String, Long, Double)]
+    ev.groupByKey(_._1)
+      .flatMapGroupsWithState[CusumState, HwStreamOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (tp, rows, state: GroupState[CusumState]) =>
+          var days = state.getOption.map(_.days).getOrElse(Map.empty)
+          rows.foreach { case (_, ts, v) =>
+            val day = Math.floorDiv(ts, 86400000000L)
+            val scaled = new java.math.BigDecimal(
+              java.lang.Double.toString(v))
+              .setScale(6, java.math.RoundingMode.HALF_UP)
+              .movePointRight(6).longValueExact()
+            val mo = days.getOrElse(day, DayMoment(0L, 0L))
+            days = days.updated(day,
+              DayMoment(mo.sumScaled + scaled, mo.n + 1))
+          }
+          state.update(CusumState(days))
+          val ordered = days.toSeq.sortBy(_._1)
+          val ys = ordered.map { case (_, mo) =>
+            val mean = java.math.BigDecimal.valueOf(mo.sumScaled, 6)
+              .doubleValue() / mo.n.toDouble
+            math.floor(mean * 1e6 + 0.5) / 1e6
+          }.toIndexedSeq
+          val n = ordered.length.toLong
+          graft.analytics.HoltWinters.fit(ys, m, alpha, beta, gamma)
+            .iterator.map { st =>
+              HwStreamOut(tp, ordered(st.t - 1)._1, n, st.level, st.trend,
+                st.season, st.fitted)
+            }
+      }
+  }
+
   final case class HoltState(l: Double, b: Double, n: Long)
   final case class TypeHolt(event_type: String, n: Long, level: Double,
     trend: Double)
