@@ -1348,6 +1348,79 @@ object EventsCatalog {
       FROM sline ORDER BY event_type, day_id""")
   )
 
+  /** RFM customer segmentation (Hughes' classic recency / frequency /
+    * monetary scoring) over purchase events: per-user exact integer
+    * metrics (last-purchase epoch day, purchase count, cents sum), each
+    * scored 1–5 against the metric's own quintile boundaries, segments
+    * reported with counts and exact monetary totals. Plan: ONE user
+    * aggregate (the only fact-table shuffle), a 1-row broadcast of the
+    * 12 quintile boundaries (the q_percentile interpolation contract,
+    * proven bit-exact cross-engine), a scan-local CASE scoring pass, and
+    * a ≤125-row segment aggregate — no per-user global rank/sort, which
+    * is what makes this shape survive a billion-user table.
+    */
+  val eRfm = QueryDef(
+    "q_e_rfm",
+    (s, dir) => {
+      val u = t(s, dir, "events")
+        .where(col("event_type") === "purchase" && col("value").isNotNull)
+        .groupBy("user_id")
+        .agg(max(expr("ts div 86400000000")).as("r_day"),
+          count(lit(1)).as("f_cnt"),
+          sum(expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")).as("m_cents"))
+      def qs(c: String) = Seq(0.2, 0.4, 0.6, 0.8).zipWithIndex.map {
+        case (p, i) => expr(s"percentile($c, $p)").as(s"${c}_q${i + 1}")
+      }
+      val allQ = qs("r_day") ++ qs("f_cnt") ++ qs("m_cents")
+      val bounds = u.agg(allQ.head, allQ.tail: _*)
+      def score(c: String) =
+        when(col(c) <= col(s"${c}_q1"), 1)
+          .when(col(c) <= col(s"${c}_q2"), 2)
+          .when(col(c) <= col(s"${c}_q3"), 3)
+          .when(col(c) <= col(s"${c}_q4"), 4)
+          .otherwise(5)
+      u.crossJoin(broadcast(bounds))
+        .select(col("user_id"), col("m_cents"),
+          score("r_day").as("r_score"), score("f_cnt").as("f_score"),
+          score("m_cents").as("m_score"))
+        .groupBy("r_score", "f_score", "m_score")
+        .agg(count(lit(1)).as("n_users"), sum("m_cents").as("seg_cents"))
+        .orderBy("r_score", "f_score", "m_score")
+    },
+    Some {
+      def sc(c: String, q: String) =
+        s"""CASE WHEN $c <= ${q}[1] THEN 1 WHEN $c <= ${q}[2] THEN 2
+           WHEN $c <= ${q}[3] THEN 3 WHEN $c <= ${q}[4] THEN 4
+           ELSE 5 END"""
+      s"""
+      WITH u AS (
+        SELECT user_id,
+               max(CAST(CAST(date_trunc('day', ts) AS DATE)
+                 - DATE '1970-01-01' AS BIGINT)) AS r_day,
+               count(*) AS f_cnt,
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                 AS BIGINT) AS m_cents
+        FROM events
+        WHERE event_type = 'purchase' AND value IS NOT NULL
+        GROUP BY 1),
+      b AS (
+        SELECT quantile_cont(r_day, [0.2, 0.4, 0.6, 0.8]) AS rq,
+               quantile_cont(f_cnt, [0.2, 0.4, 0.6, 0.8]) AS fq,
+               quantile_cont(m_cents, [0.2, 0.4, 0.6, 0.8]) AS mq
+        FROM u),
+      sseg AS (
+        SELECT user_id, m_cents,
+               ${sc("r_day", "rq")} AS r_score,
+               ${sc("f_cnt", "fq")} AS f_score,
+               ${sc("m_cents", "mq")} AS m_score
+        FROM u CROSS JOIN b)
+      SELECT r_score, f_score, m_score,
+             CAST(count(*) AS BIGINT) AS n_users,
+             CAST(sum(m_cents) AS BIGINT) AS seg_cents
+      FROM sseg GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""
+    }
+  )
+
   // q_e_hw_stream constants, shared by both engines
   private val HwsM = 7
   private val HwsAlpha = 0.3
@@ -1461,5 +1534,5 @@ object EventsCatalog {
       eEnrichStream,
       eHoltStream, eMarkov, eAttribution,
       eSurvival, eScdStream, eAbTest, eCuped, eCusumStream, eFunnelStream,
-      eHwStream)
+      eHwStream, eRfm)
 }

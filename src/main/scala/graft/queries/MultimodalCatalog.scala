@@ -394,6 +394,56 @@ object MultimodalCatalog {
       FROM lagged GROUP BY flag ORDER BY flag""")
   )
 
+  // staged raw-media dir per testdata dir (bounded: ≤40 small files —
+  // TEST staging only, mirroring the streamable-events pattern; real
+  // media lakes already sit in files)
+  private val binDirCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def binaryStageDir(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    binDirCache.computeIfAbsent(dir, _ => {
+      val d = java.nio.file.Files.createTempDirectory("graft_bin_media")
+      t(s, dir, "documents")
+        .filter(col("doc_id") < 40 && col("text").isNotNull)
+        .select("doc_id", "text").collect()
+        .foreach { r =>
+          java.nio.file.Files.write(
+            d.resolve(s"doc_${r.getLong(0)}.bin"),
+            r.getString(1).getBytes("UTF-8"))
+        }
+      d.toFile.deleteOnExit()
+      d.toString
+    })
+
+  /** Spark's built-in `binaryFile` SOURCE — the ingestion path that turns
+    * a raw media lake (one blob per file: images, audio, shards) into the
+    * blob-column table every other multimodal operator consumes. Gated on
+    * exact bytes: file length and content md5 must match the SOURCE data
+    * the staged files were derived from, so any truncation/encoding bug
+    * in the read path breaks the hash. At scale the source lists files
+    * distributedly and reads content only when the column is selected;
+    * `pathGlobFilter`/partitioned layouts prune the listing.
+    */
+  val mmBinarySource = QueryDef(
+    "q_src_binaryfile",
+    (s, dir) => {
+      val stage = binaryStageDir(s, dir)
+      s.read.format("binaryFile").load(s"$stage/*.bin")
+        .select(
+          regexp_extract(col("path"), "doc_(\\d+)\\.bin", 1)
+            .cast("long").as("doc_id"),
+          col("length").as("n_bytes"),
+          md5(col("content")).as("content_md5"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             md5(text) AS content_md5
+      FROM documents WHERE doc_id < 40 AND text IS NOT NULL
+      ORDER BY doc_id""")
+  )
+
   val all: Seq[QueryDef] =
-    Seq(mmFrames, mmMeta, mmWavDecode, mmBmpResize, mmDhash, mmAudioFeats)
+    Seq(mmFrames, mmMeta, mmWavDecode, mmBmpResize, mmDhash, mmAudioFeats,
+      mmBinarySource)
 }
