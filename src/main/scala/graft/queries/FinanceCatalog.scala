@@ -1255,7 +1255,104 @@ object FinanceCatalog {
     }
   )
 
+  /** Durbin–Watson serial-correlation test (Durbin & Watson 1950) on the
+    * residuals of the daily-close-on-time OLS per flag — the standard
+    * "is a linear trend enough, or is there autocorrelation left"
+    * regression diagnostic (statsmodels durbin_watson). Residuals are
+    * QUANTIZED to integer micro-units (floor(e·1e6+0.5) — the identical
+    * IEEE op both engines run on identical residual doubles), so both DW
+    * sums are exact wide-decimal integer sums; d = one division of their
+    * double casts (relative 1-ulp class, far below r6 on d ∈ [0,4]).
+    * The trend fit composes from exact decimal moments (decD), the lag
+    * runs over the calendar-bounded daily series.
+    */
+  val dw = QueryDef(
+    "q_f_dw",
+    (s, dir) => {
+      val base = dailyClose(s, dir)
+        .select(col("l_returnflag"),
+          unix_date(col("day").cast("date")).as("x"), col("close").as("y"),
+          col("day"))
+      val m = base.groupBy("l_returnflag").agg(
+        count(lit(1)).as("n"), sum(col("x").cast("long")).as("sx"),
+        sum(col("y").cast("decimal(38,6)")).as("sy"),
+        sum((col("x") * col("x")).cast("long")).as("sxx"),
+        sum((col("x") * col("y")).cast("decimal(38,2)")).as("sxy"))
+      val nD = col("n").cast("double")
+      val sxD = col("sx").cast("double")
+      val sxxD = col("sxx").cast("double")
+      val syD = decD(col("sy"))
+      val sxyD = decD(col("sxy"))
+      val b = (nD * sxyD - sxD * syD) / (nD * sxxD - sxD * sxD)
+      val a = (syD - b * sxD) / nD
+      val withE = base.join(broadcast(
+          m.select(col("l_returnflag"), b.as("b"), a.as("a"), col("n"))),
+          "l_returnflag")
+        .withColumn("eu",
+          floor((col("y") - col("a") - col("b") * col("x").cast("double"))
+            * 1e6 + 0.5))
+      val byDay = Window.partitionBy("l_returnflag").orderBy("day")
+      withE
+        .withColumn("de", col("eu") - lag(col("eu"), 1).over(byDay))
+        .groupBy("l_returnflag")
+        .agg(max(col("n")).as("n_obs"),
+          sum(when(col("de").isNotNull,
+            col("de").cast("decimal(19,0)") * col("de").cast("decimal(19,0)")))
+            .as("num"),
+          sum(col("eu").cast("decimal(19,0)") * col("eu").cast("decimal(19,0)"))
+            .as("den"))
+        .select(col("l_returnflag"), col("n_obs"),
+          r6(col("num").cast("double") / col("den").cast("double"))
+            .as("dw"))
+        .orderBy("l_returnflag")
+    },
+    Some {
+      val nD = "CAST(n AS DOUBLE)"
+      val b = s"(($nD * ${sqlDecD("sxy")} - CAST(sx AS DOUBLE) * ${sqlDecD("sy")})" +
+        s" / ($nD * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))"
+      s"""
+      WITH r AS (
+        SELECT l_returnflag, date_trunc('day', l_shipdate) AS day,
+               l_extendedprice,
+               row_number() OVER (
+                 PARTITION BY l_returnflag, date_trunc('day', l_shipdate)
+                 ORDER BY $liOrderDescSql) AS rn
+        FROM lineitem),
+      cl AS (
+        SELECT l_returnflag, day,
+               CAST(CAST(day AS DATE) - DATE '1970-01-01' AS BIGINT) AS x,
+               l_extendedprice AS y
+        FROM r WHERE rn = 1),
+      m AS (
+        SELECT l_returnflag, count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+               sum(CAST(y AS DECIMAL(38,6))) AS sy,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               sum(CAST(x * y AS DECIMAL(38,2))) AS sxy
+        FROM cl GROUP BY 1),
+      c AS (
+        SELECT l_returnflag, n, $b AS b,
+               (${sqlDecD("sy")} - $b * CAST(sx AS DOUBLE)) / $nD AS a
+        FROM m),
+      e AS (
+        SELECT cl.l_returnflag, cl.day, c.n,
+               CAST(floor((cl.y - c.a - c.b * CAST(cl.x AS DOUBLE))
+                 * 1e6 + 0.5) AS BIGINT) AS eu
+        FROM cl JOIN c ON c.l_returnflag = cl.l_returnflag),
+      d AS (
+        SELECT l_returnflag, n, eu,
+               eu - lag(eu, 1) OVER (PARTITION BY l_returnflag
+                 ORDER BY day) AS de
+        FROM e)
+      SELECT l_returnflag, max(n) AS n_obs,
+             ${sqlR6("""CAST(sum(CASE WHEN de IS NOT NULL
+                 THEN CAST(de AS HUGEINT) * de END) AS DOUBLE)
+               / CAST(sum(CAST(eu AS HUGEINT) * eu) AS DOUBLE)""")} AS dw
+      FROM d GROUP BY 1 ORDER BY 1"""
+    }
+  )
+
   val all: Seq[QueryDef] =
     Seq(ohlcWeekly, bollinger, beta, ffill, rsi, macd, streaks, obv,
-      stochastic, acf, seasonality, interp, varEs, holt, ar2, holtWinters)
+      stochastic, acf, seasonality, interp, varEs, holt, ar2, holtWinters,
+      dw)
 }

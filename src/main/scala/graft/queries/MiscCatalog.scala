@@ -640,6 +640,59 @@ object MiscCatalog {
       FROM b GROUP BY 1, 2 ORDER BY part, bin""")
   )
 
+  /** Join-key SKEW profiler — the diagnostic a data engineer runs BEFORE
+    * choosing between a plain shuffle join, AQE skew splitting, or the
+    * plans.SkewJoin salting path: per candidate key, the hottest keys
+    * with their row share, next to the global key count and row count.
+    * One count aggregate per key column (map-side combinable) + a tiny
+    * top-k — the profile costs one scan regardless of skew. Exact
+    * integers; shares are exact rationals → r6.
+    */
+  val qSkewProfile = QueryDef(
+    "q_skew_profile",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      def prof(c: String) = {
+        val cnt = li.groupBy(col(c).as("key")).agg(count(lit(1)).as("cnt"))
+        val tot = cnt.agg(count(lit(1)).as("n_keys"),
+          sum(col("cnt")).as("n_rows"))
+        cnt.crossJoin(broadcast(tot))
+          .select(lit(c).as("key_col"), col("key"), col("cnt"),
+            r6(col("cnt").cast("double") / col("n_rows").cast("double"))
+              .as("share"),
+            col("n_keys"), col("n_rows"))
+          .orderBy(col("cnt").desc, col("key"))
+          .limit(5)
+      }
+      prof("l_orderkey").unionByName(prof("l_partkey"))
+        .unionByName(prof("l_suppkey"))
+        .orderBy("key_col", "cnt", "key")
+    },
+    Some {
+      def prof(c: String) =
+        s"""(
+        WITH cnt AS (
+          SELECT $c AS key, count(*) AS cnt FROM lineitem GROUP BY 1),
+        tot AS (
+          SELECT count(*) AS n_keys, CAST(sum(cnt) AS BIGINT) AS n_rows
+          FROM cnt)
+        SELECT '$c' AS key_col, key, CAST(cnt AS BIGINT) AS cnt,
+               ${sqlR6("CAST(cnt AS DOUBLE) / CAST(n_rows AS DOUBLE)")}
+                 AS share,
+               n_keys, n_rows
+        FROM cnt CROSS JOIN tot
+        ORDER BY cnt DESC, key LIMIT 5)"""
+      s"""
+      SELECT * FROM (
+        ${prof("l_orderkey")}
+        UNION ALL
+        ${prof("l_partkey")}
+        UNION ALL
+        ${prof("l_suppkey")})
+      ORDER BY key_col, cnt, key"""
+    }
+  )
+
   /** SCD2 merge (etl.Scd2): seed a type-2 customer dimension at t=0, apply
     * a deterministic change batch (every 7th key gets +100 balance) at
     * t=100, and return the full version history — closed rows carry
@@ -2026,6 +2079,6 @@ object MiscCatalog {
     qChi2, qHhi,
     qProfile, qBenford, qGini, qEntropy, qMi, qSnapshotDiff, qWinsor,
     qFkAudit, qMoments, qAssortativity, qPartitionedScan, qKcore,
-    qLabelProp, qScd2AsOf)
+    qLabelProp, qScd2AsOf, qSkewProfile)
 }
 
