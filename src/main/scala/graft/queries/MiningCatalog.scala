@@ -506,8 +506,8 @@ object MiningCatalog {
       val feats = Seq("l_quantity", "l_discount", "l_tax")
       val classes = Seq("A", "N", "R")
       val b = t(s, dir, "lineitem").withColumn("bkt",
-        expr("CAST(conv(substring(md5(concat_ws('|', l_orderkey, " +
-          "l_linenumber)), 1, 15), 16, 10) AS BIGINT) % 5"))
+        graft.functions.Md5Prefix60.md5Prefix60(concat_ws("|",
+          col("l_orderkey"), col("l_linenumber"))) % 5)
       def s18(c: org.apache.spark.sql.Column) =
         sum(c.cast("decimal(38,18)")).cast("double")
       val sums = feats.flatMap(f => Seq(

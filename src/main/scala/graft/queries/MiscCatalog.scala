@@ -1112,13 +1112,12 @@ object MiscCatalog {
   val qChecksum = QueryDef(
     "q_audit_checksum",
     (s, dir) => {
-      val digest = conv(substring(md5(concat_ws("|",
+      val digest = graft.functions.Md5Prefix60.md5Prefix60(concat_ws("|",
         col("l_orderkey"), col("l_linenumber"),
         col("l_quantity").cast("decimal(18,6)"),
         col("l_extendedprice").cast("decimal(18,6)"),
         col("l_returnflag"),
-        unix_date(col("l_shipdate").cast("date")))), 1, 15), 16, 10)
-        .cast("long")
+        unix_date(col("l_shipdate").cast("date"))))
       t(s, dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("n_rows"),
@@ -1414,8 +1413,8 @@ object MiscCatalog {
     "q_audit_diff",
     (s, dir) => {
       val o = t(s, dir, "orders")
-      val bucket = conv(substring(md5(col("o_orderkey").cast("string")),
-        1, 15), 16, 10).cast("long") % 50L
+      val bucket =
+        graft.functions.Md5Prefix60.md5Prefix60(col("o_orderkey")) % 50L
       val base = o.withColumn("__bk", bucket)
         .withColumn("__old", col("o_orderdate") < lit("1997-01-01"))
       val snapA = base.filter(col("__old"))
@@ -1432,8 +1431,7 @@ object MiscCatalog {
         col("o_orderstatus").as("p2"))
       val d = graft.etl.SnapshotDiff.diff(
         payload(snapA), payload(snapB), Seq("o_orderkey"), Seq("p1", "p2"))
-      val dig = conv(substring(md5(col("o_orderkey").cast("string")),
-        1, 15), 16, 10).cast("long")
+      val dig = graft.functions.Md5Prefix60.md5Prefix60(col("o_orderkey"))
       d.groupBy("change")
         .agg(count(lit(1)).as("n"),
           sum(dig.cast("decimal(38,0)")).cast("string").as("key_checksum"))

@@ -944,7 +944,7 @@ object TextCatalog {
         .select(col("source"), explode(split(col("nt"), " ")).as("w"))
       toks
         .withColumn("bucket",
-          pmod(conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long"),
+          pmod(graft.functions.Md5Prefix60.md5Prefix60(col("w")),
             lit(64L)))
         .withColumn("sgn",
           when(substring(md5(col("w")), 16, 1) >= "8", 1L).otherwise(-1L))

@@ -30,7 +30,7 @@ object SampleQuantile {
 
   /** 60-bit content hash of a row key — uniform on [0, 2^60). */
   def keyHash(key: Column): Column =
-    conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("long")
+    graft.functions.Md5Prefix60.md5Prefix60(key)
 
   /** The admission threshold for rate `p`: keep rows with
     * `keyHash < threshold(p)`. Computed once, exact in both engines.

@@ -200,8 +200,7 @@ object TextAnalysis {
     * Codegen'd built-ins only; shuffle-free.
     */
   def hashBucket(id: Column, buckets: Int = 1000): Column =
-    conv(substring(md5(id.cast("string")), 1, 15), 16, 10)
-      .cast("long") % buckets
+    graft.functions.Md5Prefix60.md5Prefix60(id) % buckets
 
   /** Content-addressed uniform in (0, 1] from the md5 60-bit prefix — the
     * deterministic, engine-portable stand-in for `rand()` (which depends
@@ -209,7 +208,7 @@ object TextAnalysis {
     * capstone's Gumbel resampling keys.
     */
   def contentUniform(id: Column): Column =
-    (conv(substring(md5(id.cast("string")), 1, 15), 16, 10)
+    (graft.functions.Md5Prefix60.md5Prefix60(id)
       .cast("double") + 1.0) / math.pow(2, 60)
 
   /** Deterministic train/val/test assignment by hash bucket:
