@@ -12,6 +12,8 @@ import org.apache.spark.sql.SparkSessionExtensions
   * [[graft.functions.DotProductRewrite.install]].
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => graft.functions.DotProductRewrite)
+    ext.injectOptimizerRule(_ => graft.functions.Md5ChainRewrite)
+  }
 }

@@ -21,6 +21,7 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     // engine optimizer rules (HOF dot-product fusion) — config-free install
     graft.functions.DotProductRewrite.install(spark)
+    graft.functions.Md5ChainRewrite.install(spark)
     new java.io.File(outDir).mkdirs()
     // drop caches a query pinned once its output is written — 50 queries
     // share this JVM and un-freed caches skew heap/storage for later ones
