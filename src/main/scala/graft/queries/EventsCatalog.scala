@@ -1421,6 +1421,108 @@ object EventsCatalog {
     }
   )
 
+  /** The SAME native session_window aggregation computed by the STREAMING
+    * engine: readStream → watermarked `session_window` groupBy → append
+    * sink. Sessions only emit when the watermark proves they can no
+    * longer merge, so the finite input rides the HEARTBEAT staging (the
+    * outer-join mechanism): a far-future user −1 pair pushes the
+    * watermark past every real session's (last + gap); heartbeat rows
+    * are dropped post-sink. Gated by the identical gaps-and-islands
+    * oracle as the batch q_e_session_window — the native streaming
+    * session operator itself is driver-hash-checked.
+    */
+  val eSessionWindowStream = QueryDef(
+    "q_e_session_window_stream",
+    (s, dir) => {
+      val sink = "graft_swin_stream_sink"
+      s.catalog.dropTempView(sink) // idempotent across bench warm-up reps
+      withStatePartitions(s, 8) {
+        val sdir = streamableEventsDirWithHeartbeat(s, dir)
+        val q = graft.sources.EventsTs.normalize(
+            s.readStream.schema(graft.model.Schemas.events).parquet(sdir),
+            sdir)
+          .withColumn("tsm", timestamp_micros(col("ts")))
+          .withWatermark("tsm", "1 hour")
+          .groupBy(session_window(col("tsm"), "30 minutes"), col("user_id"))
+          .agg(count(lit(1)).as("n_events"))
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      s.table(sink)
+        .where(col("user_id") >= 0) // drop the heartbeat pair
+        .select(col("user_id"),
+          unix_micros(col("session_window.start")).as("start_us"),
+          unix_micros(col("session_window.end")).as("end_us"),
+          col("n_events"))
+        .orderBy("user_id", "start_us")
+    },
+    eSessionWindow.oracle)
+
+  // q_e_did period split: events span 2024-01; the policy day splits the
+  // window mid-month (epoch day of 2024-01-16)
+  private val DidSplitDay = 19738L
+
+  /** Difference-in-differences readout (the Card–Krueger design) on
+    * purchase value: cohorts by the q_e_abtest parity convention, periods
+    * by the mid-window policy day, DiD = (treat_post − treat_pre) −
+    * (ctrl_post − ctrl_pre) over the four cells' exact decimal means.
+    * ONE map-side-combinable scan produces all four cells; the estimate
+    * composes in fixed-order doubles → r6.
+    */
+  val eDid = QueryDef(
+    "q_e_did",
+    (s, dir) => {
+      val cells = t(s, dir, "events")
+        .where(col("event_type") === "purchase" && col("value").isNotNull)
+        .select((col("user_id") % 2).as("cohort"),
+          (expr("ts div 86400000000") >= DidSplitDay).cast("int").as("post"),
+          col("value"))
+        .groupBy("cohort", "post")
+        .agg(count(lit(1)).as("n"), avgE(col("value")).as("m"))
+      def cell(c: Int, p: Int) =
+        max(when(col("cohort") === c && col("post") === p, col("m")))
+      def cnt(c: Int, p: Int) =
+        max(when(col("cohort") === c && col("post") === p, col("n")))
+      val f = cells.agg(
+        cell(0, 0).as("m00"), cell(0, 1).as("m01"),
+        cell(1, 0).as("m10"), cell(1, 1).as("m11"),
+        (cnt(0, 0) + cnt(0, 1) + cnt(1, 0) + cnt(1, 1)).as("n_total"))
+      f.select(col("n_total"),
+        r6(col("m00")).as("ctrl_pre"), r6(col("m01")).as("ctrl_post"),
+        r6(col("m10")).as("treat_pre"), r6(col("m11")).as("treat_post"),
+        r6((col("m11") - col("m10")) - (col("m01") - col("m00")))
+          .as("did"))
+    },
+    Some(s"""
+      WITH cells AS (
+        SELECT user_id % 2 AS cohort,
+               CASE WHEN CAST(CAST(date_trunc('day', ts) AS DATE)
+                 - DATE '1970-01-01' AS BIGINT) >= $DidSplitDay
+                 THEN 1 ELSE 0 END AS post,
+               count(*) AS n, ${sqlAvgE("value")} AS m
+        FROM events
+        WHERE event_type = 'purchase' AND value IS NOT NULL
+        GROUP BY 1, 2),
+      f AS (
+        SELECT
+          max(CASE WHEN cohort = 0 AND post = 0 THEN m END) AS m00,
+          max(CASE WHEN cohort = 0 AND post = 1 THEN m END) AS m01,
+          max(CASE WHEN cohort = 1 AND post = 0 THEN m END) AS m10,
+          max(CASE WHEN cohort = 1 AND post = 1 THEN m END) AS m11,
+          CAST(max(CASE WHEN cohort = 0 AND post = 0 THEN n END)
+            + max(CASE WHEN cohort = 0 AND post = 1 THEN n END)
+            + max(CASE WHEN cohort = 1 AND post = 0 THEN n END)
+            + max(CASE WHEN cohort = 1 AND post = 1 THEN n END)
+            AS BIGINT) AS n_total
+        FROM cells)
+      SELECT n_total,
+             ${sqlR6("m00")} AS ctrl_pre, ${sqlR6("m01")} AS ctrl_post,
+             ${sqlR6("m10")} AS treat_pre, ${sqlR6("m11")} AS treat_post,
+             ${sqlR6("(m11 - m10) - (m01 - m00)")} AS did
+      FROM f""")
+  )
+
   // q_e_hw_stream constants, shared by both engines
   private val HwsM = 7
   private val HwsAlpha = 0.3
@@ -1534,5 +1636,5 @@ object EventsCatalog {
       eEnrichStream,
       eHoltStream, eMarkov, eAttribution,
       eSurvival, eScdStream, eAbTest, eCuped, eCusumStream, eFunnelStream,
-      eHwStream, eRfm)
+      eHwStream, eRfm, eSessionWindowStream, eDid)
 }
