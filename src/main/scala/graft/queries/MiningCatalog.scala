@@ -1435,8 +1435,142 @@ object MiningCatalog {
     }
   )
 
+  // q_m21_assoc minimum pair support (absolute count — integer-portable)
+  private val AssocMinCount = 3
+
+  /** M21 capability: association-rule mining (Agrawal–Srikant market
+    * basket shape) over parts co-purchased in the same order — support,
+    * confidence, and lift for every qualifying part pair. The pair
+    * enumeration is a basket-bounded self-join (≤ C(7,2) pairs per
+    * order, the lineitem basket cap — never a cross join); counts are
+    * exact integers; support/confidence/lift are exact-rational
+    * divisions of identical operands → r6. Min-support is an INTEGER
+    * count threshold (portable), applied pre-aggregation-output to keep
+    * the rule table bounded.
+    */
+  val m21Assoc = QueryDef(
+    "q_m21_assoc",
+    (s, dir) => {
+      val items = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val nOrders = items.select("o").distinct()
+        .agg(count(lit(1)).as("n_orders"))
+      val ic = items.groupBy("p").agg(count(lit(1)).as("cp"))
+      val pairs = items.as("a")
+        .join(items.as("b"), col("a.o") === col("b.o") &&
+          col("a.p") < col("b.p"))
+        .groupBy(col("a.p").as("pa"), col("b.p").as("pb"))
+        .agg(count(lit(1)).as("c"))
+        .where(col("c") >= AssocMinCount)
+      val scored = pairs
+        .join(ic.select(col("p").as("pa"), col("cp").as("ca")), "pa")
+        .join(ic.select(col("p").as("pb"), col("cp").as("cb")), "pb")
+        .crossJoin(broadcast(nOrders))
+      scored.select(col("pa"), col("pb"), col("c").as("n_both"),
+          r6(col("c").cast("double") / col("n_orders").cast("double"))
+            .as("support"),
+          r6(col("c").cast("double") / col("ca").cast("double"))
+            .as("confidence"),
+          r6(col("c").cast("double") * col("n_orders").cast("double")
+            / (col("ca").cast("double") * col("cb").cast("double")))
+            .as("lift"))
+        .orderBy(col("n_both").desc, col("pa"), col("pb"))
+        .limit(25)
+    },
+    Some(s"""
+      WITH items AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      n AS (SELECT count(DISTINCT o) AS n_orders FROM items),
+      ic AS (SELECT p, count(*) AS cp FROM items GROUP BY 1),
+      pairs AS (
+        SELECT a.p AS pa, b.p AS pb, count(*) AS c
+        FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+        GROUP BY 1, 2
+        HAVING count(*) >= $AssocMinCount)
+      SELECT pa, pb, CAST(c AS BIGINT) AS n_both,
+             ${sqlR6("CAST(c AS DOUBLE) / CAST(n_orders AS DOUBLE)")}
+               AS support,
+             ${sqlR6("CAST(c AS DOUBLE) / CAST(ca.cp AS DOUBLE)")}
+               AS confidence,
+             ${sqlR6("""CAST(c AS DOUBLE) * CAST(n_orders AS DOUBLE)
+               / (CAST(ca.cp AS DOUBLE) * CAST(cb.cp AS DOUBLE))""")}
+               AS lift
+      FROM pairs
+      JOIN ic ca ON ca.p = pairs.pa
+      JOIN ic cb ON cb.p = pairs.pb
+      CROSS JOIN n
+      ORDER BY n_both DESC, pa, pb LIMIT 25""")
+  )
+
+  // q_m22_adamic wedge cap: hubs beyond this degree are skipped — their
+  // 1/ln(deg) weight is negligible and their C(deg,2) wedge fanout is the
+  // entire cost (the standard AA truncation)
+  private val AaMaxDeg = 64
+
+  /** M22 capability: Adamic–Adar link prediction over the co-purchase
+    * bipartite graph — for SUPPLIER pairs sharing customers, the classic
+    * score Σ_w 1/ln(deg(w)) over common neighbors (Adamic & Adar 2003),
+    * the baseline every graph-ML recommender benchmarks against. Wedges
+    * route through the LOW-degree side (customers hold a handful of
+    * bulk suppliers each; suppliers serve thousands of customers — the
+    * supplier-side wedge fanout is C(deg,2) per hub and explodes), with
+    * a degree cap as the hub backstop: beyond it the 1/ln(deg) weight is
+    * negligible and the fanout is the entire cost (standard AA
+    * truncation). Determinism at scale: each wedge term is QUANTIZED to
+    * an integer (floor(1e6/ln(deg)+0.5) — identical IEEE per term), so
+    * the per-pair sum is exact integer arithmetic — order-independent
+    * under any partitioning, unlike a raw double sum.
+    */
+  val m22Adamic = QueryDef(
+    "q_m22_adamic",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem").where(col("l_quantity") >= 31)
+      val o = t(s, dir, "orders")
+      val e0 = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
+        .distinct()
+      val deg = e0.groupBy("cust").agg(count(lit(1)).as("d"))
+        .where(col("d") >= 2 && col("d") <= AaMaxDeg)
+        .withColumn("w6",
+          floor(lit(1e6) / log(col("d").cast("double")) + lit(0.5))
+            .cast("long"))
+      val ew = e0.join(deg, "cust")
+      ew.as("a")
+        .join(ew.as("b"), col("a.cust") === col("b.cust") &&
+          col("a.supp") < col("b.supp"))
+        .groupBy(col("a.supp").as("sa"), col("b.supp").as("sb"))
+        .agg(count(lit(1)).as("n_common"), sum(col("a.w6")).as("s6"))
+        .select(col("sa"), col("sb"), col("n_common"),
+          (col("s6").cast("double") / 1e6).as("aa_score"))
+        .orderBy(col("s6").desc, col("sa"), col("sb"))
+        .limit(25)
+    },
+    Some(s"""
+      WITH e0 AS (
+        SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey AS supp
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_quantity >= 31),
+      deg AS (
+        SELECT cust, count(*) AS d,
+               CAST(floor(1e6 / ln(CAST(count(*) AS DOUBLE)) + 0.5)
+                 AS BIGINT) AS w6
+        FROM e0 GROUP BY 1
+        HAVING count(*) >= 2 AND count(*) <= $AaMaxDeg),
+      ew AS (SELECT e0.cust, e0.supp, deg.w6
+             FROM e0 JOIN deg ON deg.cust = e0.cust),
+      p AS (
+        SELECT a.supp AS sa, b.supp AS sb,
+               CAST(count(*) AS BIGINT) AS n_common,
+               CAST(sum(a.w6) AS BIGINT) AS s6
+        FROM ew a JOIN ew b ON a.cust = b.cust AND a.supp < b.supp
+        GROUP BY 1, 2)
+      SELECT sa, sb, n_common, CAST(s6 AS DOUBLE) / 1e6 AS aa_score
+      FROM p ORDER BY s6 DESC, sa, sb LIMIT 25""")
+  )
+
   val all: Seq[QueryDef] = Seq(m1Ols, m2OlsNextDay, m4Anomalies, m5Ridge,
     m6Cv, m7Mwu, m8Ks, m9Nbayes, m10LogregStep, m11Welch, m12Spearman,
     m13Robust, m14Anova, m15Kendall, m16Cusum, m17TheilSen, m18Pca,
-    m19Bootstrap, m20JarqueBera)
+    m19Bootstrap, m20JarqueBera, m21Assoc, m22Adamic)
 }
