@@ -149,6 +149,38 @@ object Dedup {
       .select("id1", "id2", "jaccard")
   }
 
+  /** Containment near-dup pairs: C(A,B) = |A∩B| / min(|A|,|B|) over the
+    * same capped shingle sets as [[jaccardPairs]] — the ASYMMETRIC
+    * duplication test (a short document embedded whole inside a longer
+    * one scores ≈1 here while its Jaccard stays small; the "quoted
+    * article inside a crawl page" case every corpus dedup also needs).
+    * Same candidate bound and join shape as the Jaccard path.
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.6,
+      maxShingleFreq: Int = 100): DataFrame = {
+    val sh = materialize(shingles(df, idCol, textCol, n))
+    val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxShingleFreq && col("df") >= 2)
+      .select("shingle")
+    val shF = sh.join(rare, Seq("shingle"))
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+    val common = shF.as("a").join(shF.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id1"), col("b.id").as("id2"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.withColumnRenamed("id", "id1")
+        .withColumnRenamed("sz", "sz1"), "id1")
+      .join(sizes.withColumnRenamed("id", "id2")
+        .withColumnRenamed("sz", "sz2"), "id2")
+      .withColumn("containment",
+        col("common").cast("double")
+          / least(col("sz1"), col("sz2")).cast("double"))
+      .filter(col("containment") >= threshold)
+      .select("id1", "id2", "common", "containment")
+  }
+
   // ---- MinHash + LSH ----
 
   /** (id, band, bh) LSH band buckets of the MinHash signature computed from

@@ -446,6 +446,38 @@ object DedupCatalog {
       ORDER BY dist, id1, id2 LIMIT 25""")
   )
 
+  // q_d_containment threshold, shared by both engines
+  private val ContainThreshold = 0.6
+
+  /** Containment near-dup pairs (Dedup.containmentPairs): the ASYMMETRIC
+    * dedup test |A∩B| / min(|A|,|B|) over the exact capped shingle sets —
+    * catches a short document embedded whole inside a longer one, which
+    * symmetric Jaccard misses (quoted-article-inside-crawl-page). Same
+    * shingle machinery, candidate bound, and oracle CTEs as
+    * q_d_ngram_jaccard; only the final score and threshold differ.
+    */
+  val dContainment = QueryDef(
+    "q_d_containment",
+    (s, dir) =>
+      graft.dedup.Dedup.containmentPairs(t(s, dir, "documents"), "doc_id",
+          "text", n = ShingleN, threshold = ContainThreshold,
+          maxShingleFreq = MaxShingleFreq)
+        .select(col("id1"), col("id2"), col("common"),
+          r6(col("containment")).as("containment"))
+        .orderBy("id1", "id2"),
+    Some(s"""
+      WITH $jaccardCtes
+      SELECT id1, id2, CAST(c AS BIGINT) AS common,
+             ${sqlR6("CAST(c AS DOUBLE) / CAST(least(s1.sz, s2.sz) AS DOUBLE)")}
+               AS containment
+      FROM common
+      JOIN sizes s1 ON s1.doc_id = id1
+      JOIN sizes s2 ON s2.doc_id = id2
+      WHERE CAST(c AS DOUBLE) / CAST(least(s1.sz, s2.sz) AS DOUBLE)
+        >= $ContainThreshold
+      ORDER BY id1, id2""")
+  )
+
   // q_d_fellegi m-probabilities (fixed textbook initialization; the EM
   // refinement is an iterative batch job layered on the same score scan)
   private val FsM = Seq(0.95, 0.9, 0.85)
@@ -546,5 +578,5 @@ object DedupCatalog {
 
   val all: Seq[QueryDef] =
     Seq(dExact, dJaccard, dComponents, dClusterSizes, dMinHash, dSimHash,
-      dEmbed, dSemantic, dFuzzy, dFellegi)
+      dEmbed, dSemantic, dFuzzy, dFellegi, dContainment)
 }

@@ -1351,8 +1351,104 @@ object FinanceCatalog {
     }
   )
 
+  // q_f_kalman noise parameters (process / measurement variance), shared
+  // verbatim by both engines via sqlD literals
+  private val KalQ = 0.5
+  private val KalR = 4.0
+
+  /** 1-D Kalman filter (constant-level state-space model) over the daily
+    * close per flag — the optimal online level estimator the exponential
+    * smoothers approximate, with a TIME-VARYING gain that converges from
+    * trust-the-data to the steady state (the Kalman/EWMA correspondence):
+    *   predict:  P ← P + Q
+    *   gain:     K = P / (P + R)
+    *   update:   x ← x + K·(y − x);  P ← (1 − K)·P
+    * Initialized x₁ = y₁, P₁ = R. Every step is plain IEEE ×/+/−/÷ on
+    * identical operands in the same written order, so the DuckDB
+    * recursive-CTE replay (carrying x and P) matches BIT-for-bit — no
+    * rounding anywhere. Sequential per key over the calendar-bounded
+    * daily series (the q_f_holtwinters contract; unbounded keys lift the
+    * affine (x,P) recurrence onto the HoltScan Blelloch scan).
+    */
+  val kalman = QueryDef(
+    "q_f_kalman",
+    (s, dir) => {
+      val sp = s
+      import sp.implicits._
+      dailyClose(s, dir)
+        .select(col("l_returnflag"),
+          unix_date(col("day").cast("date")).as("d"), col("close"))
+        .as[(String, Int, Double)]
+        .groupByKey(_._1)
+        .flatMapGroups { (flag, it) =>
+          val arr = it.toArray.sortBy(_._2)
+          if (arr.isEmpty) Iterator.empty
+          else {
+            var x = arr(0)._3
+            var p = KalR
+            val out = Vector.newBuilder[(String, Int, Double, Double, Double)]
+            out += ((flag, arr(0)._2, x, 0.0, p))
+            var i = 1
+            while (i < arr.length) {
+              val y = arr(i)._3
+              val pp = p + KalQ
+              val k = pp / (pp + KalR)
+              x = x + k * (y - x)
+              p = (1.0 - k) * pp
+              out += ((flag, arr(i)._2, x, k, p))
+              i += 1
+            }
+            out.result().iterator
+          }
+        }
+        .toDF("l_returnflag", "d", "estimate", "gain", "p_var")
+        .withColumn("day",
+          expr("CAST(date_add(DATE '1970-01-01', d) AS timestamp_ntz)"))
+        .select("l_returnflag", "day", "estimate", "gain", "p_var")
+        .orderBy("l_returnflag", "day")
+    },
+    Some {
+      val Q = sqlD(KalQ)
+      val R = sqlD(KalR)
+      s"""
+      WITH RECURSIVE
+      r AS (
+        SELECT l_returnflag, date_trunc('day', l_shipdate) AS day,
+               l_extendedprice,
+               row_number() OVER (
+                 PARTITION BY l_returnflag, date_trunc('day', l_shipdate)
+                 ORDER BY $liOrderDescSql) AS rn_t
+        FROM lineitem),
+      cl0 AS (
+        SELECT l_returnflag, day, l_extendedprice AS close
+        FROM r WHERE rn_t = 1),
+      cl AS (
+        SELECT l_returnflag, day, close,
+               row_number() OVER (PARTITION BY l_returnflag ORDER BY day)
+                 AS rn
+        FROM cl0),
+      rec AS (
+        SELECT l_returnflag, rn, close AS x, CAST(0.0 AS DOUBLE) AS k,
+               CAST($R AS DOUBLE) AS p
+        FROM cl WHERE rn = 1
+        UNION ALL
+        SELECT p.l_returnflag, c.rn,
+               p.x + ((p.p + $Q) / ((p.p + $Q) + $R)) * (c.close - p.x)
+                 AS x,
+               (p.p + $Q) / ((p.p + $Q) + $R) AS k,
+               (1.0e0 - (p.p + $Q) / ((p.p + $Q) + $R)) * (p.p + $Q) AS p
+        FROM rec p JOIN cl c
+          ON c.l_returnflag = p.l_returnflag AND c.rn = p.rn + 1)
+      SELECT rec.l_returnflag, cl.day, rec.x AS estimate, rec.k AS gain,
+             rec.p AS p_var
+      FROM rec JOIN cl
+        ON cl.l_returnflag = rec.l_returnflag AND cl.rn = rec.rn
+      ORDER BY rec.l_returnflag, cl.day"""
+    }
+  )
+
   val all: Seq[QueryDef] =
     Seq(ohlcWeekly, bollinger, beta, ffill, rsi, macd, streaks, obv,
       stochastic, acf, seasonality, interp, varEs, holt, ar2, holtWinters,
-      dw)
+      dw, kalman)
 }
