@@ -1447,8 +1447,68 @@ object FinanceCatalog {
     }
   )
 
+  /** Sortino ratio per flag over the q_f_var_es daily return series: mean
+    * return ÷ downside deviation, where the downside deviation is the RMS
+    * of only the below-zero returns over ALL n observations (the standard
+    * target-return-0 convention — full-count denominator, not
+    * loss-count). Each return is a deterministic double (exact-decimal
+    * daily means, one division); min(ret,0)² is a fixed per-row tree; both
+    * sums are exact DECIMAL(38,18); sqrt is correctly rounded IEEE in both
+    * engines — so only the final ratio is rounded (r6). One aggregation on
+    * the calendar-bounded daily series.
+    */
+  val sortino = QueryDef(
+    "q_f_sortino",
+    (s, dir) => {
+      val byDay = Window.partitionBy("l_returnflag").orderBy("day")
+      val daily = t(s, dir, "lineitem")
+        .withColumn("day",
+          date_trunc("day", col("l_shipdate")).cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "day")
+        .agg((sum(col("l_extendedprice").cast("decimal(28,6)"))
+          .cast("double") / count(lit(1))).as("y"))
+      val rets = daily
+        .withColumn("ret", col("y") / lag(col("y"), 1).over(byDay) - 1)
+        .where(col("ret").isNotNull)
+      val dn = least(col("ret"), lit(0.0))
+      rets.groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).as("n_days"),
+          (sum(col("ret").cast("decimal(38,18)")).cast("double") /
+            count(lit(1))).as("mean_ret"),
+          sqrt(sum((dn * dn).cast("decimal(38,18)")).cast("double") /
+            count(lit(1))).as("downside_dev"))
+        .select(col("l_returnflag"), col("n_days"), col("mean_ret"),
+          col("downside_dev"),
+          r6(col("mean_ret") / col("downside_dev")).as("sortino"))
+        .orderBy("l_returnflag")
+    },
+    Some(s"""
+      WITH daily AS (
+        SELECT l_returnflag, date_trunc('day', l_shipdate) AS day,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE)
+                 / count(*) AS y
+        FROM lineitem GROUP BY 1, 2),
+      rets AS (
+        SELECT l_returnflag,
+               y / lag(y, 1) OVER (PARTITION BY l_returnflag ORDER BY day)
+                 - 1 AS ret
+        FROM daily),
+      m AS (
+        SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_days,
+               CAST(sum(CAST(ret AS DECIMAL(38,18))) AS DOUBLE) / count(*)
+                 AS mean_ret,
+               sqrt(CAST(sum(CAST(least(ret, 0e0) * least(ret, 0e0)
+                      AS DECIMAL(38,18))) AS DOUBLE) / count(*))
+                 AS downside_dev
+        FROM rets WHERE ret IS NOT NULL GROUP BY 1)
+      SELECT l_returnflag, n_days, mean_ret, downside_dev,
+             ${sqlR6("mean_ret / downside_dev")} AS sortino
+      FROM m ORDER BY l_returnflag""")
+  )
+
   val all: Seq[QueryDef] =
     Seq(ohlcWeekly, bollinger, beta, ffill, rsi, macd, streaks, obv,
       stochastic, acf, seasonality, interp, varEs, holt, ar2, holtWinters,
-      dw, kalman)
+      dw, kalman, sortino)
 }

@@ -1569,8 +1569,170 @@ object MiningCatalog {
       FROM p ORDER BY s6 DESC, sa, sb LIMIT 25""")
   )
 
+  /** M23 capability: weighted isotonic regression (monotone-nondecreasing
+    * fit of daily mean price over one calendar year, per flag) via the
+    * minimax characterization fit[i] = max_{j≤i} min_{k≥i} wavg(y[j..k])
+    * — the closed form PAV converges to (Barlow et al. 1972), chosen over
+    * the sequential pool-adjacent-violators loop because it is pure
+    * joins/windows: O(n²) pairs where n is CALENDAR-BOUNDED (≤366 days ×
+    * |flags|, ~200k pairs regardless of SF), so the only full-data pass
+    * is the daily aggregation. Exactness: daily sums/counts are exact
+    * decimals, every range average is ONE double division of exact
+    * operands, and min/max are order-independent — bit-exact with no
+    * rounding. Isotonic calibration is the standard monotone-score
+    * calibrator in ranking/classification pipelines.
+    */
+  val m23Isotonic = QueryDef(
+    "q_m23_isotonic",
+    (s, dir) => {
+      val daily = t(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit("1995-01-01") &&
+          col("l_shipdate") < lit("1996-01-01"))
+        .withColumn("day",
+          date_trunc("day", col("l_shipdate")).cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "day")
+        .agg(sum(col("l_extendedprice").cast("decimal(28,6)")).as("sm"),
+          count(lit(1)).as("c"))
+      val byDay = Window.partitionBy("l_returnflag").orderBy("day")
+      val pfx = daily
+        .withColumn("rn", row_number().over(byDay))
+        .withColumn("cs", sum("sm").over(byDay))
+        .withColumn("cc", sum("c").over(byDay))
+      val j = pfx.select(col("l_returnflag").as("f"), col("rn").as("j"),
+        (col("cs") - col("sm")).as("cs_jm1"),
+        (col("cc") - col("c")).as("cc_jm1"))
+      val k = pfx.select(col("l_returnflag").as("f"), col("rn").as("k"),
+        col("cs").as("cs_k"), col("cc").as("cc_k"))
+      val pairs = j.join(k, Seq("f")).where(col("k") >= col("j"))
+        .select(col("f"), col("j"), col("k"),
+          (decD(col("cs_k") - col("cs_jm1")) /
+            (col("cc_k") - col("cc_jm1")).cast("double")).as("wavg"))
+      val sfx = Window.partitionBy("f", "j").orderBy("k")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val fit = pairs
+        .withColumn("m", min(col("wavg")).over(sfx))
+        .groupBy(col("f"), col("k"))
+        .agg(max(col("m")).as("iso_fit"))
+      pfx.join(fit,
+          pfx("l_returnflag") === fit("f") && pfx("rn") === fit("k"))
+        .select(col("l_returnflag"), col("day"),
+          (decD(col("sm")) / col("c").cast("double")).as("y"),
+          col("iso_fit"))
+        .orderBy("l_returnflag", "day")
+    },
+    Some(s"""
+      WITH daily AS (
+        SELECT l_returnflag, date_trunc('day', l_shipdate) AS day,
+               sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS sm,
+               count(*) AS c
+        FROM lineitem
+        WHERE l_shipdate >= '1995-01-01' AND l_shipdate < '1996-01-01'
+        GROUP BY 1, 2),
+      pfx AS (
+        SELECT l_returnflag, day, sm, c,
+               row_number() OVER w AS rn,
+               sum(sm) OVER w AS cs,
+               sum(c) OVER w AS cc
+        FROM daily
+        WINDOW w AS (PARTITION BY l_returnflag ORDER BY day)),
+      pairs AS (
+        SELECT a.l_returnflag AS f, a.rn AS j, b.rn AS k,
+               ${sqlDecD("b.cs - (a.cs - a.sm)")}
+                 / CAST(b.cc - (a.cc - a.c) AS DOUBLE) AS wavg
+        FROM pfx a JOIN pfx b
+          ON a.l_returnflag = b.l_returnflag AND b.rn >= a.rn),
+      sfx AS (
+        SELECT f, j, k,
+               min(wavg) OVER (PARTITION BY f, j ORDER BY k
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS m
+        FROM pairs),
+      fit AS (SELECT f, k, max(m) AS iso_fit FROM sfx GROUP BY 1, 2)
+      SELECT p.l_returnflag, p.day,
+             ${sqlDecD("p.sm")} / CAST(p.c AS DOUBLE) AS y,
+             fit.iso_fit
+      FROM pfx p JOIN fit ON fit.f = p.l_returnflag AND fit.k = p.rn
+      ORDER BY p.l_returnflag, p.day""")
+  )
+
+  /** M24 capability: Mahalanobis-distance multivariate anomaly detection
+    * on (price, quantity) per flag — the covariance-aware generalization
+    * of M4's per-column z-scores (catches points that are unremarkable
+    * marginally but break the joint correlation structure). The 2×2
+    * covariance is inverted in closed form inside the expression:
+    * d² = [dx²·v22 − 2·dx·dy·v12 + dy²·v11] / (v11·v22 − v12²). All five
+    * moments are exact decimal sums pivoted to one broadcast row per
+    * flag; μ/var/cov/d² are fixed float trees of those exact inputs, so
+    * every d² is bit-identical across engines; ranking quantizes d² to
+    * integer micro-units with a full-key tie-break. One moments pass +
+    * one scoring scan, no shuffle beyond the |flags|-row aggregate.
+    */
+  val m24Mahalanobis = QueryDef(
+    "q_m24_mahalanobis",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val mom = li.groupBy("l_returnflag").agg(
+        count(lit(1)).cast("double").as("n"),
+        decD(sum(col("l_extendedprice").cast("decimal(28,6)"))).as("s1"),
+        decD(sum(col("l_quantity").cast("decimal(28,6)"))).as("s2"),
+        decD(sum((col("l_extendedprice") * col("l_extendedprice"))
+          .cast("decimal(38,4)"))).as("s11"),
+        decD(sum((col("l_quantity") * col("l_quantity"))
+          .cast("decimal(38,4)"))).as("s22"),
+        decD(sum((col("l_extendedprice") * col("l_quantity"))
+          .cast("decimal(38,4)"))).as("s12"))
+        .select(col("l_returnflag"),
+          (col("s1") / col("n")).as("mu1"),
+          (col("s2") / col("n")).as("mu2"),
+          (col("s11") / col("n") - (col("s1") / col("n")) *
+            (col("s1") / col("n"))).as("v11"),
+          (col("s22") / col("n") - (col("s2") / col("n")) *
+            (col("s2") / col("n"))).as("v22"),
+          (col("s12") / col("n") - (col("s1") / col("n")) *
+            (col("s2") / col("n"))).as("v12"))
+      val dx = col("l_extendedprice") - col("mu1")
+      val dy = col("l_quantity") - col("mu2")
+      val d2 = (dx * dx * col("v22") - lit(2.0) * dx * dy * col("v12") +
+        dy * dy * col("v11")) /
+        (col("v11") * col("v22") - col("v12") * col("v12"))
+      li.join(broadcast(mom), "l_returnflag")
+        .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice"), col("l_quantity"),
+          floor(d2 * 1e6 + lit(0.5)).cast("long").as("d2_u6"))
+        .orderBy(col("d2_u6").desc, col("l_returnflag"), col("l_orderkey"),
+          col("l_linenumber"))
+        .limit(20)
+    },
+    Some(s"""
+      WITH mom AS (
+        SELECT l_returnflag,
+               CAST(count(*) AS DOUBLE) AS n,
+               ${sqlDecD("sum(CAST(l_extendedprice AS DECIMAL(28,6)))")} AS s1,
+               ${sqlDecD("sum(CAST(l_quantity AS DECIMAL(28,6)))")} AS s2,
+               ${sqlDecD("sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,4)))")} AS s11,
+               ${sqlDecD("sum(CAST(l_quantity * l_quantity AS DECIMAL(38,4)))")} AS s22,
+               ${sqlDecD("sum(CAST(l_extendedprice * l_quantity AS DECIMAL(38,4)))")} AS s12
+        FROM lineitem GROUP BY 1),
+      st AS (
+        SELECT l_returnflag,
+               s1 / n AS mu1, s2 / n AS mu2,
+               s11 / n - (s1 / n) * (s1 / n) AS v11,
+               s22 / n - (s2 / n) * (s2 / n) AS v22,
+               s12 / n - (s1 / n) * (s2 / n) AS v12
+        FROM mom)
+      SELECT l.l_returnflag, l.l_orderkey, l.l_linenumber,
+             l.l_extendedprice, l.l_quantity,
+             CAST(floor((((l.l_extendedprice - mu1) * (l.l_extendedprice - mu1) * v22
+                - 2e0 * (l.l_extendedprice - mu1) * (l.l_quantity - mu2) * v12
+                + (l.l_quantity - mu2) * (l.l_quantity - mu2) * v11)
+               / (v11 * v22 - v12 * v12)) * 1e6 + 0.5) AS BIGINT) AS d2_u6
+      FROM lineitem l JOIN st ON st.l_returnflag = l.l_returnflag
+      ORDER BY d2_u6 DESC, l.l_returnflag, l.l_orderkey, l.l_linenumber
+      LIMIT 20""")
+  )
+
   val all: Seq[QueryDef] = Seq(m1Ols, m2OlsNextDay, m4Anomalies, m5Ridge,
     m6Cv, m7Mwu, m8Ks, m9Nbayes, m10LogregStep, m11Welch, m12Spearman,
     m13Robust, m14Anova, m15Kendall, m16Cusum, m17TheilSen, m18Pca,
-    m19Bootstrap, m20JarqueBera, m21Assoc, m22Adamic)
+    m19Bootstrap, m20JarqueBera, m21Assoc, m22Adamic, m23Isotonic,
+    m24Mahalanobis)
 }

@@ -2069,6 +2069,70 @@ object MiscCatalog {
       ORDER BY a.c_custkey""")
   )
 
+  /** HITS hubs & authorities (graph.Hits: Kleinberg 1999, exact-integer
+    * max-normalized half-steps) over the directed bulk-purchase graph
+    * customer→supplier (quantity ≥ 31, the same support filter as
+    * q_g_triangles/q_m22_adamic): customers score as hubs (broad bulk
+    * buyers), suppliers as authorities (widely-bought sellers). Two full
+    * rounds, every half-step an integer edge-sum + `(raw·10⁶) div max`
+    * normalization — bit-exact in any engine; the oracle replays all four
+    * half-steps as chained CTEs. Output: top 10 per side under a total
+    * order.
+    */
+  val qHits = {
+    val K = 2
+    val S = 1000000L
+    val iterCtes = (1 to K).map { k =>
+      s"""a${k}r AS (
+        SELECT e.dst AS node, CAST(sum(h.score) AS BIGINT) AS raw
+        FROM e0 e JOIN h${k - 1} h ON h.node = e.src GROUP BY 1),
+      a$k AS (
+        SELECT node, (raw * $S) // (SELECT max(raw) FROM a${k}r) AS score
+        FROM a${k}r),
+      h${k}r AS (
+        SELECT e.src AS node, CAST(sum(a.score) AS BIGINT) AS raw
+        FROM e0 e JOIN a$k a ON a.node = e.dst GROUP BY 1),
+      h$k AS (
+        SELECT node, (raw * $S) // (SELECT max(raw) FROM h${k}r) AS score
+        FROM h${k}r)"""
+    }.mkString(",\n      ")
+    QueryDef(
+      "q_g_hits",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem").where(col("l_quantity") >= 31)
+        val o = t(s, dir, "orders")
+        val edges = li.join(o, li("l_orderkey") === o("o_orderkey"))
+          .select(col("o_custkey").as("src"), col("l_suppkey").as("dst"))
+          .distinct()
+        val scored = graft.graph.Hits.run(edges, iterations = K, scale = S)
+        val topA = scored.where(col("side") === "a")
+          .orderBy(col("score").desc, col("node")).limit(10)
+          .select(lit("supplier").as("node_type"),
+            col("node").as("node_key"), col("score"))
+        val topH = scored.where(col("side") === "h")
+          .orderBy(col("score").desc, col("node")).limit(10)
+          .select(lit("customer").as("node_type"),
+            col("node").as("node_key"), col("score"))
+        topH.unionByName(topA)
+          .orderBy(col("node_type"), col("score").desc, col("node_key"))
+      },
+      Some(s"""
+      WITH e0 AS (
+        SELECT DISTINCT o.o_custkey AS src, l.l_suppkey AS dst
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_quantity >= 31),
+      h0 AS (SELECT DISTINCT src AS node, $S AS score FROM e0),
+      $iterCtes
+      SELECT * FROM (
+        (SELECT 'customer' AS node_type, node AS node_key, score
+         FROM h$K ORDER BY score DESC, node LIMIT 10)
+        UNION ALL
+        (SELECT 'supplier' AS node_type, node AS node_key, score
+         FROM a$K ORDER BY score DESC, node LIMIT 10))
+      ORDER BY node_type, score DESC, node_key""")
+    )
+  }
+
   val all: Seq[QueryDef] = Seq(oTopK, aSpikeSummary, eJson, aSummary,
     mKmeans, mLloydStep, qAsof, qRange, qRollup, qCube, qGroupingSets,
     qPercentile, qHistogram, qZOrder, qHilbert, qCompactPlan, qScd2, qScd1,
@@ -2077,6 +2141,6 @@ object MiscCatalog {
     qChi2, qHhi,
     qProfile, qBenford, qGini, qEntropy, qMi, qSnapshotDiff, qWinsor,
     qFkAudit, qMoments, qAssortativity, qPartitionedScan, qKcore,
-    qLabelProp, qScd2AsOf, qSkewProfile)
+    qLabelProp, qScd2AsOf, qSkewProfile, qHits)
 }
 

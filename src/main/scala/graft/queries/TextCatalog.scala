@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 import QueryDef._
@@ -1054,10 +1055,81 @@ object TextCatalog {
     }
   )
 
+  /** Zipf-law fit over the vocabulary head: OLS of ln(freq) on ln(rank)
+    * for the top-[[ZipfHead]] tokens — the standard corpus-health check (a
+    * natural corpus slopes ≈ −1; templated/synthetic text flattens or
+    * steepens it). Ranks are exact-integer (freq desc, token tie-break);
+    * each (ln rank, ln freq) term is a deterministic per-row double, the
+    * OLS moment sums are exact DECIMAL(38,18) (order-independent), and
+    * the slope/intercept trees are fixed float expressions over decD'd
+    * sums. Scale: the token count is the only full-corpus pass; the fit
+    * runs on a [[ZipfHead]]-row head regardless of SF.
+    */
+  private val ZipfHead = 200
+  val tZipf = QueryDef(
+    "q_t_zipf",
+    (s, dir) => {
+      val head = t(s, dir, "documents")
+        .select(lower(TextAnalysis.normText(col("text"))).as("nt"))
+        .filter(length(col("nt")) > 0)
+        .select(explode(split(col("nt"), " ")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c"))
+        .orderBy(desc("c"), col("w"))
+        .limit(ZipfHead)
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(desc("c"), col("w"))))
+      val terms = head.select(
+        log(col("rank").cast("double")).as("x"),
+        log(col("c").cast("double")).as("y"))
+      val d18 = (c: Column) => c.cast("decimal(38,18)")
+      val m = terms.agg(
+        count(lit(1)).as("n"),
+        decD(sum(d18(col("x")))).as("sx"),
+        decD(sum(d18(col("y")))).as("sy"),
+        decD(sum(d18(col("x") * col("x")))).as("sxx"),
+        decD(sum(d18(col("x") * col("y")))).as("sxy"))
+      m.select(
+        col("n").as("n_tokens"),
+        r6((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx"))).as("zipf_slope"),
+        r6((col("sy") - ((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx"))) * col("sx")) /
+          col("n")).as("zipf_intercept"))
+    },
+    Some {
+      val slope = "(n * sxy - sx * sy) / (n * sxx - sx * sx)"
+      s"""
+      WITH t AS (
+        SELECT lower($sqlNorm) AS nt FROM documents
+        WHERE length($sqlNorm) > 0),
+      tok AS (SELECT unnest(string_split(nt, ' ')) AS w FROM t),
+      head AS (
+        SELECT w, count(*) AS c FROM tok GROUP BY 1
+        ORDER BY c DESC, w LIMIT $ZipfHead),
+      ranked AS (
+        SELECT ln(CAST(row_number() OVER (ORDER BY c DESC, w) AS DOUBLE))
+                 AS x,
+               ln(CAST(c AS DOUBLE)) AS y
+        FROM head),
+      m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               ${sqlDecD("sum(CAST(x AS DECIMAL(38,18)))")} AS sx,
+               ${sqlDecD("sum(CAST(y AS DECIMAL(38,18)))")} AS sy,
+               ${sqlDecD("sum(CAST(x * x AS DECIMAL(38,18)))")} AS sxx,
+               ${sqlDecD("sum(CAST(x * y AS DECIMAL(38,18)))")} AS sxy
+        FROM ranked)
+      SELECT n AS n_tokens,
+             ${sqlR6(slope)} AS zipf_slope,
+             ${sqlR6(s"(sy - ($slope) * sx) / n")} AS zipf_intercept
+      FROM m"""
+    }
+  )
+
   val all: Seq[QueryDef] =
     Seq(tQuality, tTokens, tFingerprint, tLangId, tExplode,
       tRepetition, tLmScore, tSplit, tStratSample, tTfIdf, tPmi,
       tPii, tVocab, tComposition, tPack, tShuffle, tDecontaminate,
       tLineDedup, tBm25, tDsir, tWsample, tVocabOverlap, tMixture, tJsd,
-      tFeatHash, tDupSpans)
+      tFeatHash, tDupSpans, tZipf)
 }
