@@ -576,7 +576,95 @@ object DedupCatalog {
     }
   )
 
+  /** LSH pipeline audit: banded-MinHash pairs (q_d_minhash_lsh's exact
+    * parameters) scored against the exact shingle-scan pairs
+    * (q_d_ngram_jaccard's) — the recall/precision readout every
+    * production dedup rollout runs before trusting the approximate path
+    * over the exact one. The two stages deliberately differ (the exact
+    * scan caps shingle document-frequency; LSH verifies on the uncapped
+    * sets), so agreement is a real measurement, not an identity. All
+    * counts are exact integers; the ratios are single divisions (r6).
+    * The oracle recomputes the exact side from raw SQL and replays the
+    * LSH side from the dumped buckets/shingles — both inputs
+    * independently checked, the audit join checked on top. Scale: the
+    * same bounded pair sets as the two parent queries; four 1-row
+    * broadcast aggregates.
+    */
+  val dLshRecall = QueryDef(
+    "q_d_lsh_recall",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val exact = Dedup.jaccardPairs(docs, "doc_id", "text", n = ShingleN,
+          threshold = JaccardThreshold, maxShingleFreq = MaxShingleFreq)
+        .select("id1", "id2")
+      val sh = Dedup.shingles(docs, "doc_id", "text", n = ShingleN)
+      val buckets =
+        Dedup.minHashBuckets(sh, numPerm = NumPerm, bands = MinHashBands)
+      val cand = buckets.as("a").join(buckets.as("b"),
+          col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+            col("a.id") < col("b.id"))
+        .select(col("a.id").as("id1"), col("b.id").as("id2")).distinct()
+      val pred = Dedup.minHashLshPairs(docs, "doc_id", "text",
+          n = ShingleN, numPerm = NumPerm, bands = MinHashBands,
+          threshold = JaccardThreshold)
+        .select("id1", "id2")
+      val nTrue = exact.agg(count(lit(1)).as("n_true"))
+      val nCand = cand.agg(count(lit(1)).as("n_cand"))
+      val nPred = pred.agg(count(lit(1)).as("n_pred"))
+      val nTp = exact.join(pred, Seq("id1", "id2"))
+        .agg(count(lit(1)).as("n_tp"))
+      nTrue.crossJoin(broadcast(nCand)).crossJoin(broadcast(nPred))
+        .crossJoin(broadcast(nTp))
+        .select(col("n_true"), col("n_cand"), col("n_pred"), col("n_tp"),
+          r6(col("n_tp").cast("double") / col("n_true").cast("double"))
+            .as("recall"),
+          r6(col("n_tp").cast("double") / col("n_pred").cast("double"))
+            .as("precision"))
+    },
+    Some(s"""
+      WITH $jaccardCtes,
+      exact_p AS (
+        SELECT id1, id2 FROM common
+        JOIN sizes s1 ON s1.doc_id = id1
+        JOIN sizes s2 ON s2.doc_id = id2
+        WHERE c / CAST(s1.sz + s2.sz - c AS DOUBLE) >= $JaccardThreshold),
+      b AS (SELECT * FROM
+        read_parquet('__VERIFY_OUT__/aux/minhash_buckets/*.parquet')),
+      shx AS (SELECT * FROM
+        read_parquet('__VERIFY_OUT__/aux/doc_shingles/*.parquet')),
+      cand AS (
+        SELECT DISTINCT a.id AS id1, b2.id AS id2
+        FROM b a JOIN b b2
+          ON a.band = b2.band AND a.bh = b2.bh AND a.id < b2.id),
+      zs AS (SELECT id, count(*) AS sz FROM shx GROUP BY 1),
+      cm AS (
+        SELECT c.id1, c.id2, count(*) AS cn
+        FROM cand c
+        JOIN shx s1 ON s1.id = c.id1
+        JOIN shx s2 ON s2.id = c.id2 AND s2.shingle = s1.shingle
+        GROUP BY 1, 2),
+      pred AS (
+        SELECT id1, id2 FROM cm
+        JOIN zs z1 ON z1.id = id1
+        JOIN zs z2 ON z2.id = id2
+        WHERE cn / CAST(z1.sz + z2.sz - cn AS DOUBLE)
+          >= $JaccardThreshold),
+      cnts AS (
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM exact_p) AS n_true,
+               (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_cand,
+               (SELECT CAST(count(*) AS BIGINT) FROM pred) AS n_pred,
+               (SELECT CAST(count(*) AS BIGINT)
+                FROM exact_p e JOIN pred p
+                  ON p.id1 = e.id1 AND p.id2 = e.id2) AS n_tp)
+      SELECT n_true, n_cand, n_pred, n_tp,
+             ${sqlR6("CAST(n_tp AS DOUBLE) / CAST(n_true AS DOUBLE)")}
+               AS recall,
+             ${sqlR6("CAST(n_tp AS DOUBLE) / CAST(n_pred AS DOUBLE)")}
+               AS precision
+      FROM cnts""")
+  )
+
   val all: Seq[QueryDef] =
     Seq(dExact, dJaccard, dComponents, dClusterSizes, dMinHash, dSimHash,
-      dEmbed, dSemantic, dFuzzy, dFellegi, dContainment)
+      dEmbed, dSemantic, dFuzzy, dFellegi, dContainment, dLshRecall)
 }

@@ -1447,6 +1447,105 @@ object FinanceCatalog {
     }
   )
 
+  // q_f_garch parameters (fixed, shared verbatim by both engines via sqlD
+  // literals) and the implied long-run variance used as the seed
+  private val GarchOmega = 0.0001
+  private val GarchAlpha = 0.1
+  private val GarchBeta = 0.85
+  private val GarchS0 = GarchOmega / (1.0 - GarchAlpha - GarchBeta)
+
+  /** GARCH(1,1) filtered conditional volatility over the daily-close
+    * return series per flag (Bollerslev 1986) with FIXED parameters —
+    * the volatility recursion every risk engine runs once parameters are
+    * estimated offline:
+    *   σ²_t = ω + α·r²_{t−1} + β·σ²_{t−1},  σ²_2 = ω/(1−α−β)
+    * Each step is plain IEEE ×/+ on identical operands in the same
+    * written order (returns are one division of selected closes), so the
+    * DuckDB recursive-CTE replay carrying (ret, σ²) matches bit-for-bit;
+    * vol = sqrt(σ²) is correctly rounded in both engines — no rounding
+    * anywhere. Sequential per key over the calendar-bounded daily series
+    * (the q_f_kalman contract).
+    */
+  val garch = QueryDef(
+    "q_f_garch",
+    (s, dir) => {
+      val sp = s
+      import sp.implicits._
+      dailyClose(s, dir)
+        .select(col("l_returnflag"),
+          unix_date(col("day").cast("date")).as("d"), col("close"))
+        .as[(String, Int, Double)]
+        .groupByKey(_._1)
+        .flatMapGroups { (flag, it) =>
+          val arr = it.toArray.sortBy(_._2)
+          if (arr.length < 2) Iterator.empty
+          else {
+            val out =
+              Vector.newBuilder[(String, Int, Double, Double, Double)]
+            var s2 = GarchS0
+            var prevRet = 0.0
+            var i = 1
+            while (i < arr.length) {
+              val ret = arr(i)._3 / arr(i - 1)._3 - 1.0
+              if (i > 1)
+                s2 = GarchOmega + GarchAlpha * prevRet * prevRet +
+                  GarchBeta * s2
+              out += ((flag, arr(i)._2, ret, s2, math.sqrt(s2)))
+              prevRet = ret
+              i += 1
+            }
+            out.result().iterator
+          }
+        }
+        .toDF("l_returnflag", "d", "ret", "sigma2", "vol")
+        .withColumn("day",
+          expr("CAST(date_add(DATE '1970-01-01', d) AS timestamp_ntz)"))
+        .select("l_returnflag", "day", "ret", "sigma2", "vol")
+        .orderBy("l_returnflag", "day")
+    },
+    Some {
+      val W = sqlD(GarchOmega)
+      val A = sqlD(GarchAlpha)
+      val B = sqlD(GarchBeta)
+      val S0 = sqlD(GarchS0)
+      s"""
+      WITH RECURSIVE
+      r AS (
+        SELECT l_returnflag, date_trunc('day', l_shipdate) AS day,
+               l_extendedprice,
+               row_number() OVER (
+                 PARTITION BY l_returnflag, date_trunc('day', l_shipdate)
+                 ORDER BY $liOrderDescSql) AS rn_t
+        FROM lineitem),
+      cl0 AS (
+        SELECT l_returnflag, day, l_extendedprice AS close
+        FROM r WHERE rn_t = 1),
+      cl AS (
+        SELECT l_returnflag, day, close,
+               row_number() OVER (PARTITION BY l_returnflag ORDER BY day)
+                 AS rn
+        FROM cl0),
+      rets AS (
+        SELECT l_returnflag, day, rn,
+               close / lag(close, 1) OVER (
+                 PARTITION BY l_returnflag ORDER BY rn) - 1.0e0 AS ret
+        FROM cl),
+      rec AS (
+        SELECT l_returnflag, rn, ret, CAST($S0 AS DOUBLE) AS s2
+        FROM rets WHERE rn = 2
+        UNION ALL
+        SELECT p.l_returnflag, c.rn, c.ret,
+               $W + $A * p.ret * p.ret + $B * p.s2 AS s2
+        FROM rec p JOIN rets c
+          ON c.l_returnflag = p.l_returnflag AND c.rn = p.rn + 1)
+      SELECT rec.l_returnflag, cl.day, rec.ret, rec.s2 AS sigma2,
+             sqrt(rec.s2) AS vol
+      FROM rec JOIN cl
+        ON cl.l_returnflag = rec.l_returnflag AND cl.rn = rec.rn
+      ORDER BY rec.l_returnflag, cl.day"""
+    }
+  )
+
   /** Sortino ratio per flag over the q_f_var_es daily return series: mean
     * return ÷ downside deviation, where the downside deviation is the RMS
     * of only the below-zero returns over ALL n observations (the standard
@@ -1510,5 +1609,5 @@ object FinanceCatalog {
   val all: Seq[QueryDef] =
     Seq(ohlcWeekly, bollinger, beta, ffill, rsi, macd, streaks, obv,
       stochastic, acf, seasonality, interp, varEs, holt, ar2, holtWinters,
-      dw, kalman, sortino)
+      dw, kalman, sortino, garch)
 }

@@ -1730,9 +1730,80 @@ object MiningCatalog {
       LIMIT 20""")
   )
 
+  // q_m25_em_step fixed initialization (shared verbatim via sqlD)
+  private val EmMu1 = 20000.0
+  private val EmMu2 = 80000.0
+  private val EmSig2 = 1.0e8
+
+  /** M25 capability: one EM iteration of a 1-D two-component
+    * equal-variance Gaussian mixture on price, per flag, from a fixed
+    * initialization — the "one-step" estimator shape of M10's IRLS and
+    * M3's Lloyd step (E-step responsibilities + M-step reweighted means
+    * in a single aggregation pass; no iteration, no driver loop). With
+    * equal priors and equal σ², the responsibility collapses to a
+    * logistic: γ(x) = 1/(1+exp(((x−μ₂)²−(x−μ₁)²)/(2σ²))). Determinism at
+    * scale: γ is QUANTIZED to micro-units (floor(γ·10⁶+0.5), identical
+    * IEEE per row — the coarse scale shrinks the already-tiny chance
+    * that a 1-ulp libm exp() divergence straddles a floor boundary), so
+    * Σγ is exact integer and the Σγ·x products are exact decimal sums —
+    * order-independent under any partitioning; the M-step means/weights
+    * are then single divisions of exact operands.
+    */
+  val m25EmStep = {
+    QueryDef(
+      "q_m25_em_step",
+      (s, dir) => {
+        val x = col("l_extendedprice")
+        val dterm = ((x - lit(EmMu2)) * (x - lit(EmMu2)) -
+          (x - lit(EmMu1)) * (x - lit(EmMu1))) / (lit(2.0) * lit(EmSig2))
+        val g6 = floor(lit(1e6) / (lit(1.0) + exp(dterm)) + lit(0.5))
+          .cast("long")
+        t(s, dir, "lineitem")
+          .select(col("l_returnflag"), x.as("x"), g6.as("g6"))
+          .groupBy("l_returnflag")
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("g6")).as("sg"),
+            decD(sum((col("g6").cast("double") * col("x"))
+              .cast("decimal(38,6)"))).as("sgx"),
+            decD(sum(((lit(1000000L) - col("g6")).cast("double") *
+              col("x")).cast("decimal(38,6)"))).as("shx"))
+          .select(col("l_returnflag"), col("n"),
+            r6(col("sg").cast("double") /
+              (col("n").cast("double") * lit(1e6))).as("pi2"),
+            r2(col("shx") / (col("n") * lit(1000000L) - col("sg"))
+              .cast("double")).as("mu1"),
+            r2(col("sgx") / col("sg").cast("double")).as("mu2"))
+          .orderBy("l_returnflag")
+      },
+      Some {
+        val dterm = s"((l_extendedprice - ${sqlD(EmMu2)}) * (l_extendedprice - ${sqlD(EmMu2)})" +
+          s" - (l_extendedprice - ${sqlD(EmMu1)}) * (l_extendedprice - ${sqlD(EmMu1)}))" +
+          s" / (2.0e0 * ${sqlD(EmSig2)})"
+        s"""
+      WITH r AS (
+        SELECT l_returnflag, l_extendedprice AS x,
+               CAST(floor(1e6 / (1.0e0 + exp($dterm)) + 0.5) AS BIGINT)
+                 AS g6
+        FROM lineitem),
+      m AS (
+        SELECT l_returnflag, count(*) AS n,
+               CAST(sum(g6) AS BIGINT) AS sg,
+               ${sqlDecD("sum(CAST(CAST(g6 AS DOUBLE) * x AS DECIMAL(38,6)))")} AS sgx,
+               ${sqlDecD("sum(CAST(CAST(1000000 - g6 AS DOUBLE) * x AS DECIMAL(38,6)))")} AS shx
+        FROM r GROUP BY 1)
+      SELECT l_returnflag, n,
+             ${sqlR6("CAST(sg AS DOUBLE) / (CAST(n AS DOUBLE) * 1e6)")} AS pi2,
+             ${sqlR2("shx / CAST(n * 1000000 - sg AS DOUBLE)")} AS mu1,
+             ${sqlR2("sgx / CAST(sg AS DOUBLE)")} AS mu2
+      FROM m ORDER BY l_returnflag"""
+      }
+    )
+  }
+
   val all: Seq[QueryDef] = Seq(m1Ols, m2OlsNextDay, m4Anomalies, m5Ridge,
     m6Cv, m7Mwu, m8Ks, m9Nbayes, m10LogregStep, m11Welch, m12Spearman,
     m13Robust, m14Anova, m15Kendall, m16Cusum, m17TheilSen, m18Pca,
     m19Bootstrap, m20JarqueBera, m21Assoc, m22Adamic, m23Isotonic,
-    m24Mahalanobis)
+    m24Mahalanobis, m25EmStep)
 }

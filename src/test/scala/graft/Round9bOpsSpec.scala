@@ -88,6 +88,50 @@ class Round9bOpsSpec extends SparkSpec {
     assert(r.getAs[Double]("zipf_slope") < 0.0)
   }
 
+  test("q_f_garch: variance floor holds and the recursion replays") {
+    val sp = spark
+    import sp.implicits._
+    val rows = q("q_f_garch", sfCorrect)
+      .select("l_returnflag", "ret", "sigma2")
+      .as[(String, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_._3 >= 0.0001), "sigma2 can never drop below omega")
+    // replay the recursion per flag from the emitted returns
+    rows.groupBy(_._1).foreach { case (g, pts) =>
+      var s2 = 0.0001 / (1.0 - 0.1 - 0.85)
+      pts.zipWithIndex.foreach { case ((_, ret, got), i) =>
+        if (i > 0) s2 = 0.0001 + 0.1 * pts(i - 1)._2 * pts(i - 1)._2 + 0.85 * s2
+        assert(got == s2, s"$g step $i: $got != $s2")
+      }
+    }
+  }
+
+  test("q_m25_em_step: mixture weight in (0,1), means ordered and inside " +
+      "the data range") {
+    val rows = q("q_m25_em_step", sfCorrect).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val pi2 = r.getAs[Double]("pi2")
+      val mu1 = r.getAs[Double]("mu1")
+      val mu2 = r.getAs[Double]("mu2")
+      assert(pi2 > 0.0 && pi2 < 1.0)
+      assert(mu1 < mu2, "component order must be preserved after one step")
+      assert(mu1 > 900.0 && mu2 < 110000.0, "means stay in the price range")
+    }
+  }
+
+  test("q_d_lsh_recall: count identities hold (tp bounded by both sides, " +
+      "verified pairs bounded by candidates)") {
+    val r = q("q_d_lsh_recall", sfCorrect).collect().head
+    val (nt, nc, np, tp) = (r.getAs[Long]("n_true"), r.getAs[Long]("n_cand"),
+      r.getAs[Long]("n_pred"), r.getAs[Long]("n_tp"))
+    assert(tp <= nt && tp <= np)
+    assert(np <= nc, "verification only filters candidates")
+    assert(r.getAs[Double]("recall") <= 1.0)
+    assert(r.getAs[Double]("precision") <= 1.0)
+    assert(nt > 0 && tp > 0, "planted near-dups must be found by both paths")
+  }
+
   test("q_f_sortino: downside deviation positive, ratio sign matches " +
       "mean return sign") {
     val rows = q("q_f_sortino", sfCorrect).collect()
