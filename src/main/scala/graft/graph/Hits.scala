@@ -36,7 +36,12 @@ object Hits {
       scale: Long = 1000000L): DataFrame = {
     require(iterations >= 1 && iterations <= 50,
       s"iterations must be in [1,50]: $iterations")
+    // materialize the edge list once: every half-step joins it, and
+    // without a checkpoint each of the 2·iterations joins (plus the
+    // initial node scan) re-runs the caller's upstream plan (typically a
+    // fact-table join + distinct) from scratch
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .localCheckpoint(true)
     def normalized(raw: DataFrame): DataFrame = {
       val mx = raw.agg(max("raw").as("mx"))
       raw.crossJoin(broadcast(mx))

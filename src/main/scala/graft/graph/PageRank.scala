@@ -32,9 +32,14 @@ object PageRank {
       scale: Long = 1000000000000L): DataFrame = {
     require(iterations >= 1 && iterations <= 50,
       s"iterations must be in [1,50]: $iterations")
+    // materialize the edge list once — each iteration joins `withDeg` and
+    // without a checkpoint every join re-runs the caller's upstream plan
+    // (typically a fact-table join + distinct) from scratch
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .localCheckpoint(true)
     val withDeg = e.join(
-      e.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
+        e.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
+      .localCheckpoint(true) // joined per iteration — compute once
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
     val n = nodes.count() // bounded driver scalar: one long

@@ -222,6 +222,81 @@ object SequenceOps {
     * throughout, so the result is exact and engine-portable (no
     * floating-point order sensitivity).
     */
+  /** Exact running MAX of an integral column over PARTITION BY
+    * `groupCols` ORDER BY `orderCols` — the prefix-scan sibling of
+    * [[runningSum]] (same range-partition + boundary-job + broadcast-
+    * offset stitch; parallelism stays #partitions instead of the one
+    * task a global `Window.orderBy` would use). Max is associative and
+    * order-insensitive within a slice, so the boundary job ships one
+    * long per (partition, group) and the stitch is
+    * `greatest(local cummax, prior-partition offset)`. The canonical
+    * consumer is watermark-lateness auditing: lateness = runningMax(ts)
+    * − ts over the arrival order.
+    */
+  def runningMax(
+      df: DataFrame,
+      groupCols: Seq[String],
+      orderCols: Seq[String],
+      valCol: String,
+      outCol: String,
+      numPartitions: Option[Int] = None): DataFrame = {
+    val spark = df.sparkSession
+    val p = numPartitions.getOrElse(
+      spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+    val keys = (groupCols ++ orderCols).map(col)
+    val schema = df.schema
+    val sorted = df.repartitionByRange(p, keys: _*)
+      .sortWithinPartitions(keys: _*)
+      .withColumn("__seq_pid", spark_partition_id())
+      .localCheckpoint(false)
+    val bounds = sorted
+      .groupBy(col("__seq_pid") +: groupCols.map(col): _*)
+      .agg(max(col(valCol).cast("long")).as("__seq_pmax"))
+      .collect() // ≤ partitions × |groups| rows — tiny by the op's charter
+      .map { r =>
+        val g = groupCols.indices.map(i => r.get(1 + i))
+        val m = if (r.isNullAt(1 + groupCols.length)) Long.MinValue
+                else r.getLong(1 + groupCols.length)
+        (r.getInt(0), g, m)
+      }
+      .sortBy(_._1)
+    // exclusive prefix max per group: offset for a partition = max over
+    // all PRIOR partitions' slices of the same group (MinValue = none)
+    val running = scala.collection.mutable.Map[Seq[Any], Long]()
+    val offsets = bounds.map { case (pid, g, m) =>
+      val off = running.getOrElse(g, Long.MinValue)
+      running(g) = math.max(off, m)
+      (pid, g) -> off
+    }.toMap
+    val gFields = groupCols.map(schema(_))
+    val smallSchema = StructType(
+      StructField("__seq_pid", IntegerType, nullable = false) +:
+        gFields.toIndexedSeq :+
+        StructField("__seq_moff", LongType, nullable = false))
+    val smallRows = bounds.map { case (pid, g, _) =>
+      Row.fromSeq(pid +: g :+ offsets((pid, g)))
+    }
+    val small = spark.createDataFrame(
+      java.util.Arrays.asList(smallRows: _*), smallSchema)
+    val lw = Window
+      .partitionBy(col("__seq_pid") +: groupCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val windowed = sorted.withColumn("__seq_cml",
+      max(col(valCol).cast("long")).over(lw))
+    val joinCond = (windowed("__seq_pid") === small("__seq_pid")) +:
+      groupCols.map(c => windowed(c) <=> small(c))
+    val local = groupCols.foldLeft(
+        windowed.join(broadcast(small), joinCond.reduce(_ && _))
+          .drop(small("__seq_pid"))) { (d, c) => d.drop(small(c)) }
+    // NULL local cummax (all-null prefix) stays NULL unless a prior
+    // partition carries a real max; MinValue offset means "no prior"
+    local.withColumn(outCol,
+        when(col("__seq_moff") === Long.MinValue, col("__seq_cml"))
+          .otherwise(greatest(col("__seq_cml"), col("__seq_moff"))))
+      .select(schema.fieldNames.map(col).toSeq :+ col(outCol): _*)
+  }
+
   def runningSum(
       df: DataFrame,
       groupCols: Seq[String],

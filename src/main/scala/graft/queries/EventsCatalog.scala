@@ -1629,6 +1629,59 @@ object EventsCatalog {
     }
   )
 
+  /** Watermark-lateness audit: the distribution of event-time lateness
+    * under a simulated arrival order (events shuffled within their
+    * minute by a deterministic hash — network-jitter shape; the raw
+    * testdata arrives perfectly time-sorted, which would make the audit
+    * degenerate). lateness = runningMax(event time over arrival order) −
+    * event time: exactly what a Structured Streaming watermark compares
+    * against, so the drop counts at candidate delays (0 / 10 s / 30 s)
+    * are the data a watermark-tuning decision needs. The global prefix
+    * max runs on plans.SequenceOps.runningMax (range-partitioned scan
+    * stitch — parallelism stays #partitions; a plain Window.orderBy
+    * would funnel 100 TB through ONE task). All-integer µs arithmetic.
+    */
+  val eLateness = QueryDef(
+    "q_e_lateness",
+    (s, dir) => {
+      val e = t(s, dir, "events").select(
+        col("event_id"),
+        col("ts").as("us"),
+        expr("ts div 60000000").as("minute"),
+        md5(col("event_id").cast("string")).as("h"))
+      val rm = graft.plans.SequenceOps.runningMax(
+        e, Nil, Seq("minute", "h", "event_id"), "us", "mx")
+      rm.agg(
+        count(lit(1)).as("n_events"),
+        sum(when(col("mx") > col("us"), 1L).otherwise(0L)).as("n_late"),
+        sum(when(col("mx") - col("us") > 10000000L, 1L).otherwise(0L))
+          .as("n_late_10s"),
+        sum(when(col("mx") - col("us") > 30000000L, 1L).otherwise(0L))
+          .as("n_late_30s"),
+        max(col("mx") - col("us")).as("max_late_us"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT event_id, epoch_us(ts) AS us,
+               epoch_us(ts) // 60000000 AS minute,
+               md5(CAST(event_id AS VARCHAR)) AS h
+        FROM events),
+      m AS (
+        SELECT us,
+               max(us) OVER (ORDER BY minute, h, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mx
+        FROM e)
+      SELECT CAST(count(*) AS BIGINT) AS n_events,
+             CAST(sum(CASE WHEN mx > us THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_late,
+             CAST(sum(CASE WHEN mx - us > 10000000 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_late_10s,
+             CAST(sum(CASE WHEN mx - us > 30000000 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_late_30s,
+             CAST(max(mx - us) AS BIGINT) AS max_late_us
+      FROM m""")
+  )
+
   val all: Seq[QueryDef] =
     Seq(eHourly, eSessions, eHourlyStream, eSessionizeStream,
       eSessionWindow, eFunnel, eDedup, eDedupStream, eIntervalStream,
@@ -1636,5 +1689,5 @@ object EventsCatalog {
       eEnrichStream,
       eHoltStream, eMarkov, eAttribution,
       eSurvival, eScdStream, eAbTest, eCuped, eCusumStream, eFunnelStream,
-      eHwStream, eRfm, eSessionWindowStream, eDid)
+      eHwStream, eRfm, eSessionWindowStream, eDid, eLateness)
 }

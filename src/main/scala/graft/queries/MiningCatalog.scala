@@ -1801,9 +1801,81 @@ object MiningCatalog {
     )
   }
 
+  /** M26 capability: Pettitt changepoint test (Pettitt 1979) on the
+    * daily mean-price series per flag — the rank-based (nonparametric)
+    * complement of M16's CUSUM: U_t = Σ_{i≤t}Σ_{j>t} sgn(y_i−y_j), with
+    * the changepoint at argmax|U_t|. Computed via the exact rank
+    * identity U_t = 2·Σ_{i≤t}r_i − t·(n+1) (no O(n²) pair join): one
+    * rank window + one cumulative sum, ENTIRELY in integers — no
+    * floating point anywhere, bit-exact under any partitioning. Ranks
+    * tie-break on day (the series has no exact ties: daily means are
+    * continuous), identical total order in both engines. Runs on the
+    * calendar-bounded daily series.
+    */
+  val m26Pettitt = QueryDef(
+    "q_m26_pettitt",
+    (s, dir) => {
+      val daily = t(s, dir, "lineitem")
+        .withColumn("day",
+          date_trunc("day", col("l_shipdate")).cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "day")
+        .agg((sum(col("l_extendedprice").cast("decimal(28,6)"))
+          .cast("double") / count(lit(1))).as("y"))
+      val byVal = Window.partitionBy("l_returnflag")
+        .orderBy(col("y"), col("day"))
+      val byDay = Window.partitionBy("l_returnflag").orderBy("day")
+      val u = daily
+        .withColumn("r", row_number().over(byVal))
+        .withColumn("t", row_number().over(byDay))
+        .withColumn("n", count(lit(1)).over(
+          Window.partitionBy("l_returnflag")))
+        .withColumn("sr", sum(col("r").cast("long")).over(byDay))
+        .where(col("t") < col("n"))
+        .withColumn("u",
+          lit(2L) * col("sr") - col("t").cast("long") * (col("n") + 1L))
+        .withColumn("absu", abs(col("u")))
+      val best = Window.partitionBy("l_returnflag")
+        .orderBy(col("absu").desc, col("day"))
+      u.withColumn("rk", row_number().over(best))
+        .where(col("rk") === 1)
+        .select(col("l_returnflag"), col("day").as("cp_day"),
+          col("u").as("u_stat"), col("absu").as("k_stat"),
+          col("n").as("n_days"))
+        .orderBy("l_returnflag")
+    },
+    Some("""
+      WITH daily AS (
+        SELECT l_returnflag, date_trunc('day', l_shipdate) AS day,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE)
+                 / count(*) AS y
+        FROM lineitem GROUP BY 1, 2),
+      rk AS (
+        SELECT l_returnflag, day,
+               row_number() OVER (PARTITION BY l_returnflag
+                 ORDER BY y, day) AS r,
+               row_number() OVER (PARTITION BY l_returnflag
+                 ORDER BY day) AS t,
+               count(*) OVER (PARTITION BY l_returnflag) AS n
+        FROM daily),
+      u AS (
+        SELECT l_returnflag, day, t, n,
+               2 * sum(CAST(r AS BIGINT)) OVER (
+                 PARTITION BY l_returnflag ORDER BY day)
+                 - CAST(t AS BIGINT) * (n + 1) AS u
+        FROM rk),
+      best AS (
+        SELECT l_returnflag, day, u, abs(u) AS absu, n,
+               row_number() OVER (PARTITION BY l_returnflag
+                 ORDER BY abs(u) DESC, day) AS pick
+        FROM u WHERE t < n)
+      SELECT l_returnflag, day AS cp_day, CAST(u AS BIGINT) AS u_stat,
+             CAST(absu AS BIGINT) AS k_stat, CAST(n AS BIGINT) AS n_days
+      FROM best WHERE pick = 1 ORDER BY l_returnflag""")
+  )
+
   val all: Seq[QueryDef] = Seq(m1Ols, m2OlsNextDay, m4Anomalies, m5Ridge,
     m6Cv, m7Mwu, m8Ks, m9Nbayes, m10LogregStep, m11Welch, m12Spearman,
     m13Robust, m14Anova, m15Kendall, m16Cusum, m17TheilSen, m18Pca,
     m19Bootstrap, m20JarqueBera, m21Assoc, m22Adamic, m23Isotonic,
-    m24Mahalanobis, m25EmStep)
+    m24Mahalanobis, m25EmStep, m26Pettitt)
 }

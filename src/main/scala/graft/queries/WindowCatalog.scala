@@ -414,8 +414,60 @@ object WindowCatalog {
       FROM b ORDER BY o_custkey, o_orderkey""")
   )
 
+  /** W15 capability: calendar RANGE frame — the 7-day trailing mean over
+    * the per-flag DAILY series using a VALUE-based window
+    * (`rangeBetween(-6, 0)` on the integer day number), the frame
+    * semantics a gapped time series needs: a row after a 3-day gap
+    * averages only the days actually inside the last week, where the
+    * ROWS-frame W4 would reach back across the gap. Sum and count ride
+    * the same frame: exact decimal sum ÷ count, one division of exact
+    * operands → bit-exact. Same one-shuffle shape as the rest of the W
+    * family (daily series is calendar-bounded).
+    */
+  val w15RangeFrame = QueryDef(
+    "q_w15_range_frame",
+    (s, dir) => {
+      val daily = t(s, dir, "lineitem")
+        .withColumn("day",
+          date_trunc("day", col("l_shipdate")).cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "day")
+        .agg(sum(col("l_extendedprice").cast("decimal(28,6)")).as("sm"),
+          count(lit(1)).as("c"))
+        .withColumn("d", unix_date(col("day").cast("date")).cast("long"))
+      val wr = Window.partitionBy("l_returnflag").orderBy("d")
+        .rangeBetween(-6, 0)
+      daily
+        .select(col("l_returnflag"), col("day"),
+          (decD(col("sm")) / col("c").cast("double")).as("y"),
+          (decD(sum(col("sm")).over(wr)) /
+            sum(col("c")).over(wr).cast("double")).as("week_mean"),
+          sum(col("c")).over(wr).as("week_trades"))
+        .orderBy("l_returnflag", "day")
+    },
+    Some(s"""
+      WITH daily AS (
+        SELECT l_returnflag, date_trunc('day', l_shipdate) AS day,
+               sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS sm,
+               count(*) AS c,
+               date_diff('day', DATE '1970-01-01',
+                 CAST(date_trunc('day', l_shipdate) AS DATE)) AS d
+        FROM lineitem GROUP BY 1, 2, 5),
+      f AS (
+        SELECT l_returnflag, day, sm, c,
+               sum(sm) OVER w AS wsm,
+               sum(c) OVER w AS wc
+        FROM daily
+        WINDOW w AS (PARTITION BY l_returnflag ORDER BY d
+          RANGE BETWEEN 6 PRECEDING AND CURRENT ROW))
+      SELECT l_returnflag, day,
+             ${sqlDecD("sm")} / CAST(c AS DOUBLE) AS y,
+             ${sqlDecD("wsm")} / CAST(wc AS DOUBLE) AS week_mean,
+             CAST(wc AS BIGINT) AS week_trades
+      FROM f ORDER BY l_returnflag, day""")
+  )
+
   val all: Seq[QueryDef] = Seq(
     w1Lead, w2PctChange, w3Zscore, w4w5Rolling, w6Cumsum, w7Drawdown,
     w8RollingCorr, w9Standardize, w10Split, w11RankFamily, w12Ewma,
-    w13Decile, w14RollingMedian)
+    w13Decile, w14RollingMedian, w15RangeFrame)
 }

@@ -132,6 +132,78 @@ class Round9bOpsSpec extends SparkSpec {
     assert(nt > 0 && tp > 0, "planted near-dups must be found by both paths")
   }
 
+  test("q_m26_pettitt: the rank identity reproduces the brute-force " +
+      "double-sum statistic") {
+    val sp = spark
+    import sp.implicits._
+    val daily = spark.read.parquet(s"$sfSmoke/lineitem.parquet")
+      .withColumn("day", date_trunc("day", col("l_shipdate")))
+      .groupBy("l_returnflag", "day")
+      .agg((sum(col("l_extendedprice").cast("decimal(28,6)"))
+        .cast("double") / count(lit(1))).as("y"))
+      .select("l_returnflag", "day", "y")
+      .as[(String, java.sql.Timestamp, Double)].collect()
+    val res = q("q_m26_pettitt")
+      .select("l_returnflag", "u_stat", "k_stat")
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    daily.groupBy(_._1).foreach { case (g, pts) =>
+      val ys = pts.sortBy(_._2.getTime).map(_._3)
+      val n = ys.length
+      val us = (1 until n).map { t =>
+        var u = 0L
+        for (i <- 0 until t; j <- t until n)
+          u += java.lang.Double.compare(ys(i), ys(j)).sign
+        u
+      }
+      val k = us.map(math.abs).max
+      assert(res(g)._2 == k, s"$g: K ${res(g)._2} != brute $k")
+      assert(us.contains(res(g)._1), s"$g: reported U not in the U-series")
+    }
+  }
+
+  test("q_w15_range_frame: the calendar frame matches a brute 7-day " +
+      "filter, and differs from a ROWS frame at gaps") {
+    val sp = spark
+    import sp.implicits._
+    val rows = q("q_w15_range_frame", sfCorrect)
+      .select("l_returnflag", "day", "week_mean", "week_trades")
+      .as[(String, java.sql.Timestamp, Double, Long)].collect()
+    // rebuild per flag: per-day sums, then brute per-day 7-day window
+    val daily = spark.read.parquet(s"$sfCorrect/lineitem.parquet")
+      .withColumn("day", date_trunc("day", col("l_shipdate")))
+      .groupBy("l_returnflag", "day")
+      .agg(sum(col("l_extendedprice").cast("decimal(28,6)"))
+        .cast("double").as("sm"), count(lit(1)).as("c"))
+      .as[(String, java.sql.Timestamp, Double, Long)].collect()
+      .groupBy(_._1)
+    rows.groupBy(_._1).foreach { case (g, pts) =>
+      val byDay = daily(g).map(r =>
+        (r._2.getTime / 86400000L) -> ((r._3, r._4))).toMap
+      pts.foreach { case (_, day, wm, wt) =>
+        val d = day.getTime / 86400000L
+        val inWin = (d - 6 to d).flatMap(byDay.get)
+        val (smSum, cSum) = (inWin.map(_._1).sum, inWin.map(_._2).sum)
+        assert(wt == cSum, s"$g $day: trades $wt != $cSum")
+        assert(math.abs(wm - smSum / cSum) < 1e-6,
+          s"$g $day: mean $wm != ${smSum / cSum}")
+      }
+    }
+  }
+
+  test("q_e_lateness: drop counts are nested and max is consistent") {
+    val r = q("q_e_lateness", sfCorrect).collect().head
+    val n = r.getAs[Long]("n_events")
+    val l0 = r.getAs[Long]("n_late")
+    val l10 = r.getAs[Long]("n_late_10s")
+    val l30 = r.getAs[Long]("n_late_30s")
+    val mx = r.getAs[Long]("max_late_us")
+    assert(l30 <= l10 && l10 <= l0 && l0 <= n)
+    assert(l0 > 0, "minute-shuffled arrival must produce late events")
+    assert(mx > 0 && mx < 3600L * 1000000L,
+      "lateness bounded by the shuffle window (< 1h)")
+  }
+
   test("q_f_sortino: downside deviation positive, ratio sign matches " +
       "mean return sign") {
     val rows = q("q_f_sortino", sfCorrect).collect()

@@ -160,4 +160,51 @@ class SequenceOpsSpec extends SparkSpec {
     assert(j.count() == orders.count())
     assert(j.filter(col("cs_w") =!= col("cs_s")).count() == 0)
   }
+
+  test("runningMax equals the window cumulative max — global and grouped") {
+    val orders = spark.read.parquet(s"$sfCorrect/orders.parquet")
+      .withColumn("g", (col("o_orderkey") % 3).cast("int"))
+      .withColumn("v", (col("o_custkey") % 53).cast("long"))
+    val wg = Window.orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wantG = orders.withColumn("cm_w", max("v").over(wg))
+      .select("o_orderkey", "cm_w")
+    val gotG = SequenceOps.runningMax(orders, Seq.empty,
+        Seq("o_orderdate", "o_orderkey"), "v", "cm_s",
+        numPartitions = Some(16))
+      .select("o_orderkey", "cm_s")
+    val jg = wantG.join(gotG, "o_orderkey")
+    assert(jg.count() == orders.count())
+    assert(jg.filter(col("cm_w") =!= col("cm_s")).count() == 0)
+    val wp = Window.partitionBy("g")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = orders.withColumn("cm_w", max("v").over(wp))
+      .select("o_orderkey", "cm_w")
+    val got = SequenceOps.runningMax(orders, Seq("g"),
+        Seq("o_orderdate", "o_orderkey"), "v", "cm_s",
+        numPartitions = Some(16))
+      .select("o_orderkey", "cm_s")
+    val j = want.join(got, "o_orderkey")
+    assert(j.count() == orders.count())
+    assert(j.filter(col("cm_w") =!= col("cm_s")).count() == 0)
+  }
+
+  test("runningMax: null values stay null until the first real value") {
+    import spark.implicits._
+    val df = Seq(
+      (0, 1, Option.empty[Long]), (0, 2, Option(5L)),
+      (0, 3, Option.empty[Long]), (0, 4, Option(3L)),
+      (1, 1, Option.empty[Long]), (1, 2, Option.empty[Long])
+    ).toDF("g", "t", "v")
+    val w = Window.partitionBy("g").orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = df.withColumn("cm_w", max("v").over(w)).select("g", "t", "cm_w")
+    val got = SequenceOps.runningMax(df, Seq("g"), Seq("t"), "v", "cm_s",
+        numPartitions = Some(4))
+      .select("g", "t", "cm_s")
+    val j = want.join(got, Seq("g", "t"))
+    assert(j.count() == 6)
+    assert(j.filter(!(col("cm_w") <=> col("cm_s"))).count() == 0)
+  }
 }
