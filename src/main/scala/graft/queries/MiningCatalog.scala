@@ -1873,9 +1873,184 @@ object MiningCatalog {
       FROM best WHERE pick = 1 ORDER BY l_returnflag""")
   )
 
+  /** M27 capability: Wilcoxon signed-rank test on consecutive-day price
+    * changes per flag — the PAIRED complement of M7's Mann–Whitney
+    * (scipy.stats.wilcoxon): d_t = y_{t+1} − y_t, |d| ranked ascending
+    * (day tie-break; the continuous daily means carry no exact ties),
+    * W⁺/W⁻ = rank sums by sign — exact integers end-to-end; only the
+    * normal-approximation z composes in double (identical operands,
+    * division and sqrt both correctly rounded) → r6. One rank window on
+    * the calendar-bounded daily series.
+    */
+  val m27Wilcoxon = QueryDef(
+    "q_m27_wilcoxon",
+    (s, dir) => {
+      val byDay = Window.partitionBy("l_returnflag").orderBy("day")
+      val daily = t(s, dir, "lineitem")
+        .withColumn("day",
+          date_trunc("day", col("l_shipdate")).cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "day")
+        .agg((sum(col("l_extendedprice").cast("decimal(28,6)"))
+          .cast("double") / count(lit(1))).as("y"))
+      val diffs = daily
+        .withColumn("d", col("y") - lag(col("y"), 1).over(byDay))
+        .where(col("d").isNotNull && col("d") =!= 0.0)
+        .withColumn("ad", abs(col("d")))
+      val byAbs = Window.partitionBy("l_returnflag")
+        .orderBy(col("ad"), col("day"))
+      val ranked = diffs.withColumn("r", row_number().over(byAbs))
+      ranked.groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).as("m"),
+          sum(when(col("d") > 0, col("r").cast("long")).otherwise(0L))
+            .as("w_plus"),
+          sum(when(col("d") < 0, col("r").cast("long")).otherwise(0L))
+            .as("w_minus"))
+        .select(col("l_returnflag"), col("m"), col("w_plus"),
+          col("w_minus"),
+          r6((col("w_plus").cast("double") -
+            (col("m") * (col("m") + 1L)).cast("double") / lit(4.0)) /
+            sqrt((col("m") * (col("m") + 1L) * (lit(2L) * col("m") + 1L))
+              .cast("double") / lit(24.0))).as("z"))
+        .orderBy("l_returnflag")
+    },
+    Some(s"""
+      WITH daily AS (
+        SELECT l_returnflag, date_trunc('day', l_shipdate) AS day,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE)
+                 / count(*) AS y
+        FROM lineitem GROUP BY 1, 2),
+      diffs AS (
+        SELECT l_returnflag, day,
+               y - lag(y, 1) OVER (PARTITION BY l_returnflag ORDER BY day)
+                 AS d
+        FROM daily),
+      ranked AS (
+        SELECT l_returnflag, d,
+               row_number() OVER (PARTITION BY l_returnflag
+                 ORDER BY abs(d), day) AS r
+        FROM diffs WHERE d IS NOT NULL AND d <> 0),
+      agg AS (
+        SELECT l_returnflag, CAST(count(*) AS BIGINT) AS m,
+               CAST(sum(CASE WHEN d > 0 THEN r ELSE 0 END) AS BIGINT)
+                 AS w_plus,
+               CAST(sum(CASE WHEN d < 0 THEN r ELSE 0 END) AS BIGINT)
+                 AS w_minus
+        FROM ranked GROUP BY 1)
+      SELECT l_returnflag, m, w_plus, w_minus,
+             ${sqlR6("""(CAST(w_plus AS DOUBLE)
+                - CAST(m * (m + 1) AS DOUBLE) / 4.0e0)
+               / sqrt(CAST(m * (m + 1) * (2 * m + 1) AS DOUBLE) / 24.0e0)""")}
+               AS z
+      FROM agg ORDER BY l_returnflag""")
+  )
+
+  // q_m28_huber clipping threshold in price units (fixed-scale variant:
+  // the MAD-scale pass is M13's job; production one-step robustifiers
+  // routinely run with an offline-chosen scale)
+  private val HuberC = 20000.0
+
+  /** M28 capability: one-step Huber-weighted least squares of
+    * price ~ quantity per flag — OLS fit from exact moments, per-row
+    * Huber weights w = min(1, c/|residual|), then ONE weighted refit
+    * (the classic one-step M-estimator; Bickel 1975). Determinism at
+    * scale: the OLS coefficients are fixed float trees over exact
+    * decimal moments, residuals and weights are per-row trees of
+    * correctly-rounded ops (division/min — no transcendentals), weights
+    * are QUANTIZED to micro-units, and every weighted moment is an exact
+    * decimal sum of per-row doubles — order-independent anywhere. Two
+    * aggregation passes + a broadcast coefficient row.
+    */
+  val m28Huber = QueryDef(
+    "q_m28_huber",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      def s6(c: org.apache.spark.sql.Column) =
+        decD(sum(c.cast("decimal(38,6)")))
+      val mom = li.groupBy("l_returnflag").agg(
+        count(lit(1)).cast("double").as("n"),
+        s6(col("l_quantity")).as("sx"),
+        s6(col("l_extendedprice")).as("sy"),
+        s6(col("l_quantity") * col("l_quantity")).as("sxx"),
+        s6(col("l_quantity") * col("l_extendedprice")).as("sxy"))
+        .select(col("l_returnflag"),
+          ((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx"))).as("b"),
+          ((col("sy") - ((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx"))) * col("sx")) /
+            col("n")).as("a"))
+      val res = col("l_extendedprice") - col("a") -
+        col("b") * col("l_quantity")
+      val w6 = floor(least(lit(1.0), lit(HuberC) / abs(res)) * 1e6 +
+        lit(0.5)).cast("long")
+      val weighted = li.join(broadcast(mom), "l_returnflag")
+        .select(col("l_returnflag"), col("b").as("b_ols"),
+          col("l_quantity").as("x"), col("l_extendedprice").as("y"),
+          w6.as("w6"))
+      def sw(c: org.apache.spark.sql.Column) =
+        decD(sum((col("w6").cast("double") * c).cast("decimal(38,4)")))
+      weighted.groupBy("l_returnflag")
+        .agg(
+          max(col("b_ols")).as("b_raw"),
+          sum(col("w6")).as("swl"),
+          sw(col("x")).as("swx"),
+          sw(col("y")).as("swy"),
+          sw(col("x") * col("x")).as("swxx"),
+          sw(col("x") * col("y")).as("swxy"),
+          sum(when(col("w6") < 1000000L, 1L).otherwise(0L))
+            .as("n_downweighted"))
+        .select(col("l_returnflag"),
+          r6(col("b_raw")).as("slope_ols"),
+          r6((col("swl").cast("double") * col("swxy") -
+            col("swx") * col("swy")) /
+            (col("swl").cast("double") * col("swxx") -
+              col("swx") * col("swx"))).as("slope_huber"),
+          col("n_downweighted"))
+        .orderBy("l_returnflag")
+    },
+    Some {
+      val slope = "(n * sxy - sx * sy) / (n * sxx - sx * sx)"
+      s"""
+      WITH mom AS (
+        SELECT l_returnflag, CAST(count(*) AS DOUBLE) AS n,
+               ${sqlDecD("sum(CAST(l_quantity AS DECIMAL(38,6)))")} AS sx,
+               ${sqlDecD("sum(CAST(l_extendedprice AS DECIMAL(38,6)))")} AS sy,
+               ${sqlDecD("sum(CAST(l_quantity * l_quantity AS DECIMAL(38,6)))")} AS sxx,
+               ${sqlDecD("sum(CAST(l_quantity * l_extendedprice AS DECIMAL(38,6)))")} AS sxy
+        FROM lineitem GROUP BY 1),
+      cf AS (
+        SELECT l_returnflag, $slope AS b,
+               (sy - ($slope) * sx) / n AS a
+        FROM mom),
+      wrows AS (
+        SELECT l.l_returnflag, cf.b AS b_ols,
+               l.l_quantity AS x, l.l_extendedprice AS y,
+               CAST(floor(least(1.0e0, ${sqlD(HuberC)}
+                   / abs(l.l_extendedprice - cf.a - cf.b * l.l_quantity))
+                 * 1e6 + 0.5) AS BIGINT) AS w6
+        FROM lineitem l JOIN cf ON cf.l_returnflag = l.l_returnflag),
+      agg AS (
+        SELECT l_returnflag, max(b_ols) AS b_raw,
+               CAST(sum(w6) AS BIGINT) AS swl,
+               ${sqlDecD("sum(CAST(CAST(w6 AS DOUBLE) * x AS DECIMAL(38,4)))")} AS swx,
+               ${sqlDecD("sum(CAST(CAST(w6 AS DOUBLE) * y AS DECIMAL(38,4)))")} AS swy,
+               ${sqlDecD("sum(CAST(CAST(w6 AS DOUBLE) * (x * x) AS DECIMAL(38,4)))")} AS swxx,
+               ${sqlDecD("sum(CAST(CAST(w6 AS DOUBLE) * (x * y) AS DECIMAL(38,4)))")} AS swxy,
+               CAST(sum(CASE WHEN w6 < 1000000 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_downweighted
+        FROM wrows GROUP BY 1)
+      SELECT l_returnflag,
+             ${sqlR6("b_raw")} AS slope_ols,
+             ${sqlR6("""(CAST(swl AS DOUBLE) * swxy - swx * swy)
+               / (CAST(swl AS DOUBLE) * swxx - swx * swx)""")} AS slope_huber,
+             n_downweighted
+      FROM agg ORDER BY l_returnflag"""
+    }
+  )
+
   val all: Seq[QueryDef] = Seq(m1Ols, m2OlsNextDay, m4Anomalies, m5Ridge,
     m6Cv, m7Mwu, m8Ks, m9Nbayes, m10LogregStep, m11Welch, m12Spearman,
     m13Robust, m14Anova, m15Kendall, m16Cusum, m17TheilSen, m18Pca,
     m19Bootstrap, m20JarqueBera, m21Assoc, m22Adamic, m23Isotonic,
-    m24Mahalanobis, m25EmStep, m26Pettitt)
+    m24Mahalanobis, m25EmStep, m26Pettitt, m27Wilcoxon, m28Huber)
 }

@@ -204,6 +204,53 @@ class Round9bOpsSpec extends SparkSpec {
       "lateness bounded by the shuffle window (< 1h)")
   }
 
+  test("q_m27_wilcoxon: rank-sum identity W+ + W- = m(m+1)/2") {
+    val rows = q("q_m27_wilcoxon", sfCorrect).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val m = r.getAs[Long]("m")
+      val wp = r.getAs[Long]("w_plus")
+      val wm = r.getAs[Long]("w_minus")
+      assert(wp + wm == m * (m + 1) / 2,
+        s"rank sums must partition the total: $wp + $wm vs ${m * (m + 1) / 2}")
+    }
+  }
+
+  test("q_m28_huber: brute-force replay of the one-step reweighted fit") {
+    val sp = spark
+    import sp.implicits._
+    val pts = spark.read.parquet(s"$sfSmoke/lineitem.parquet")
+      .select(col("l_returnflag"), col("l_quantity").cast("double"),
+        col("l_extendedprice"))
+      .as[(String, Double, Double)].collect()
+    val got = q("q_m28_huber")
+      .select("l_returnflag", "slope_huber", "n_downweighted")
+      .as[(String, Double, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    pts.groupBy(_._1).foreach { case (g, xs) =>
+      val n = xs.length.toDouble
+      val (sx, sy) = (xs.map(_._2).sum, xs.map(_._3).sum)
+      val sxx = xs.map(p => p._2 * p._2).sum
+      val sxy = xs.map(p => p._2 * p._3).sum
+      val b = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      val a = (sy - b * sx) / n
+      val w = xs.map { case (_, x, y) =>
+        val r = y - a - b * x
+        math.floor(math.min(1.0, 20000.0 / math.abs(r)) * 1e6 + 0.5)
+      }
+      val swl = w.sum
+      val swx = xs.zip(w).map { case ((_, x, _), wi) => wi * x }.sum
+      val swy = xs.zip(w).map { case ((_, _, y), wi) => wi * y }.sum
+      val swxx = xs.zip(w).map { case ((_, x, _), wi) => wi * x * x }.sum
+      val swxy = xs.zip(w).map { case ((_, x, y), wi) => wi * x * y }.sum
+      val bh = (swl * swxy - swx * swy) / (swl * swxx - swx * swx)
+      val nd = w.count(_ < 1e6).toLong
+      assert(got(g)._2 == nd, s"$g: downweighted ${got(g)._2} != $nd")
+      assert(math.abs(got(g)._1 - bh) < 1e-4,
+        s"$g: huber slope ${got(g)._1} != brute $bh")
+    }
+  }
+
   test("q_f_sortino: downside deviation positive, ratio sign matches " +
       "mean return sign") {
     val rows = q("q_f_sortino", sfCorrect).collect()
