@@ -197,6 +197,88 @@ object JoinCatalog {
       GROUP BY 1 ORDER BY 1""")
   )
 
+  /** TPC-H Q3 shape (shipping-priority): top 10 unshipped BUILDING-segment
+    * orders by revenue as of a cutoff date — the canonical
+    * filter-pushdown + star-join + top-k pattern (both date predicates
+    * reach the scans; customer is the broadcast side; the top-k is a
+    * TakeOrdered, not a global sort). Revenue is an exact decimal sum of
+    * per-row price·(1−discount) doubles (identical per row), one r2.
+    */
+  val jQ3Shape = QueryDef(
+    "q_j6_q3_shape",
+    (s, dir) => {
+      val cutoff = "1998-03-15"
+      val c = t(s, dir, "customer")
+        .where(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey")
+      val o = t(s, dir, "orders")
+        .where(col("o_orderdate") < lit(cutoff))
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+      val l = t(s, dir, "lineitem")
+        .where(col("l_shipdate") > lit(cutoff))
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(r2(sumE(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    },
+    Some(s"""
+      SELECT l.l_orderkey, o.o_orderdate,
+             ${sqlR2(sqlSumE("l.l_extendedprice * (1.0e0 - l.l_discount)"))}
+               AS revenue
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE c.c_mktsegment = 'BUILDING'
+        AND o.o_orderdate < '1998-03-15'
+        AND l.l_shipdate > '1998-03-15'
+      GROUP BY 1, 2
+      ORDER BY revenue DESC, l.l_orderkey LIMIT 10""")
+  )
+
+  /** TPC-H Q18 shape (large-volume customers): orders whose total
+    * quantity exceeds a threshold, joined back to the customer — the
+    * canonical aggregate-then-semi-join pattern: the HAVING aggregate
+    * runs FIRST (integer sum, map-side combined), and only the few
+    * surviving orderkeys ride the join back to orders/customer
+    * (broadcast — the aggregate output is tiny by construction). All
+    * integer quantities → exact.
+    */
+  val jQ18Shape = QueryDef(
+    "q_j7_q18_shape",
+    (s, dir) => {
+      val big = t(s, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(sum(col("l_quantity").cast("long")).as("total_qty"))
+        .where(col("total_qty") > 250L)
+      val o = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+      val c = t(s, dir, "customer").select("c_custkey", "c_name")
+      o.join(broadcast(big), o("o_orderkey") === big("l_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"), col("total_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(20)
+    },
+    Some("""
+      WITH big AS (
+        SELECT l_orderkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                 AS total_qty
+        FROM lineitem GROUP BY 1
+        HAVING sum(CAST(l_quantity AS BIGINT)) > 250)
+      SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
+             o.o_totalprice, big.total_qty
+      FROM orders o
+      JOIN big ON o.o_orderkey = big.l_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 20""")
+  )
+
   val all: Seq[QueryDef] =
-    Seq(j1SpikeJoin, j2Union, jStarRevenue, jSemi, jAnti, jSalted, jBloom)
+    Seq(j1SpikeJoin, j2Union, jStarRevenue, jSemi, jAnti, jSalted, jBloom,
+      jQ3Shape, jQ18Shape)
 }
