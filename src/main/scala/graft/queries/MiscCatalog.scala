@@ -2133,6 +2133,83 @@ object MiscCatalog {
     )
   }
 
+  /** Expectation-suite audit (the Great-Expectations/dbt-test shape): a
+    * fixed contract of row-level expectations over the fact table —
+    * range, positivity, domain, not-null — evaluated as ONE full scan of
+    * sum(CASE) counters (map-side combined, no shuffle beyond the 1-row
+    * aggregate), plus the primary-key-uniqueness expectation as one
+    * distinct-count aggregate. Output is the per-expectation violation
+    * ledger a data-contract gate consumes. All integer → exact. At
+    * 100 TB this is the cheapest possible shape: one pass for all scalar
+    * expectations, one keyed aggregate for uniqueness.
+    */
+  val qExpectations = QueryDef(
+    "q_p_expectations",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      def viol(name: String, bad: org.apache.spark.sql.Column) =
+        li.agg(count(lit(1)).as("n_rows"),
+            sum(when(bad, 1L).otherwise(0L)).as("n_violations"))
+          .select(lit(name).as("expectation"), col("n_rows"),
+            col("n_violations"),
+            (col("n_violations") === 0L).as("pass"))
+      val scalar = Seq(
+        viol("quantity_in_1_50",
+          col("l_quantity") < 1 || col("l_quantity") > 50 ||
+            col("l_quantity").isNull),
+        viol("price_positive",
+          col("l_extendedprice") <= 0 || col("l_extendedprice").isNull),
+        viol("discount_in_0_01",
+          col("l_discount") < 0 || col("l_discount") > 0.1 ||
+            col("l_discount").isNull),
+        viol("shipdate_not_null", col("l_shipdate").isNull))
+      val pk = li.agg(count(lit(1)).as("n_rows"),
+          (count(lit(1)) -
+            count_distinct(struct(col("l_orderkey"), col("l_linenumber"))))
+            .as("n_violations"))
+        .select(lit("pk_orderkey_linenumber_unique").as("expectation"),
+          col("n_rows"), col("n_violations"),
+          (col("n_violations") === 0L).as("pass"))
+      (scalar :+ pk).reduce(_ unionByName _).orderBy("expectation")
+    },
+    Some("""
+      SELECT 'quantity_in_1_50' AS expectation,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                 OR l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_violations,
+             sum(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                 OR l_quantity IS NULL THEN 1 ELSE 0 END) = 0 AS pass
+      FROM lineitem
+      UNION ALL
+      SELECT 'price_positive', CAST(count(*) AS BIGINT),
+             CAST(sum(CASE WHEN l_extendedprice <= 0
+                 OR l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             sum(CASE WHEN l_extendedprice <= 0 OR l_extendedprice IS NULL
+                 THEN 1 ELSE 0 END) = 0
+      FROM lineitem
+      UNION ALL
+      SELECT 'discount_in_0_01', CAST(count(*) AS BIGINT),
+             CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 0.1
+                 OR l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             sum(CASE WHEN l_discount < 0 OR l_discount > 0.1
+                 OR l_discount IS NULL THEN 1 ELSE 0 END) = 0
+      FROM lineitem
+      UNION ALL
+      SELECT 'shipdate_not_null', CAST(count(*) AS BIGINT),
+             CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT),
+             sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) = 0
+      FROM lineitem
+      UNION ALL
+      SELECT 'pk_orderkey_linenumber_unique', CAST(count(*) AS BIGINT),
+             CAST(count(*) - count(DISTINCT (l_orderkey, l_linenumber))
+               AS BIGINT),
+             count(*) = count(DISTINCT (l_orderkey, l_linenumber))
+      FROM lineitem
+      ORDER BY expectation""")
+  )
+
   val all: Seq[QueryDef] = Seq(oTopK, aSpikeSummary, eJson, aSummary,
     mKmeans, mLloydStep, qAsof, qRange, qRollup, qCube, qGroupingSets,
     qPercentile, qHistogram, qZOrder, qHilbert, qCompactPlan, qScd2, qScd1,
@@ -2141,6 +2218,6 @@ object MiscCatalog {
     qChi2, qHhi,
     qProfile, qBenford, qGini, qEntropy, qMi, qSnapshotDiff, qWinsor,
     qFkAudit, qMoments, qAssortativity, qPartitionedScan, qKcore,
-    qLabelProp, qScd2AsOf, qSkewProfile, qHits)
+    qLabelProp, qScd2AsOf, qSkewProfile, qHits, qExpectations)
 }
 
