@@ -336,5 +336,116 @@ object SimilarityCatalog {
       FROM pr ORDER BY da, db""")
   )
 
-  val all: Seq[QueryDef] = Seq(sBrute, sIvf, sPq, sSq, sSparse)
+  // q_s_recall_ivf query-set bound — wider than the per-neighbor gated
+  // queries (5) so the recall estimate averages over a real sample
+  private val RecallQMax = 50
+
+  /** ANN rollout audit: recall of the IVF-probed top-k against the
+    * exact brute-force top-k over the same [[RecallQMax]]-query set —
+    * the acceptance gate every approximate-index deployment runs before
+    * replacing the exact path. Both sides rank with the identical
+    * (cos desc, nn_id) total order including self, then drop self; the
+    * TP join and all counts are exact integers; recall is one division
+    * (r6). The oracle recomputes the BRUTE side raw in DuckDB and
+    * replays the IVF side (probe ranking + in-cell re-rank) from the
+    * aux dumps — both inputs independently derived, the audit join
+    * checked on top. Scale: brute truth over a query SAMPLE is the
+    * standard recall methodology (cost = |sample| × corpus, one
+    * broadcast of the sample).
+    */
+  val sRecallIvf = QueryDef(
+    "q_s_recall_ivf",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < RecallQMax)
+      val truth = Ann.bruteForceTopK(e, q, "vec_id", "embedding",
+          "vec_id", k = TopK)
+        .filter(col("nn_id") =!= col("query_id"))
+        .select("query_id", "nn_id")
+      val pred = Ann.ivfTopK(e, q, "vec_id", "embedding", "vec_id",
+          k = TopK, nCells = IvfCells, nProbe = IvfProbe)
+        .filter(col("nn_id") =!= col("query_id"))
+        .select("query_id", "nn_id")
+      val nt = truth.agg(count(lit(1)).as("n_true"),
+        count_distinct(col("query_id")).as("n_queries"))
+      val np = pred.agg(count(lit(1)).as("n_pred"))
+      val tp = truth.join(pred, Seq("query_id", "nn_id"))
+        .agg(count(lit(1)).as("n_tp"))
+      nt.crossJoin(broadcast(np)).crossJoin(broadcast(tp))
+        .select(col("n_queries"), col("n_true"), col("n_pred"),
+          col("n_tp"),
+          r6(col("n_tp").cast("double") / col("n_true").cast("double"))
+            .as("recall"))
+    },
+    Some(s"""
+      WITH q AS (SELECT vec_id AS query_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+                 FROM embeddings WHERE vec_id < $RecallQMax),
+      bscored AS (
+        SELECT q.query_id, e.vec_id AS nn_id,
+               list_sum(list_transform(
+                 list_zip(list_transform(e.embedding,
+                   x -> CAST(x AS DOUBLE)), q.qv), p -> p[1] * p[2]))
+               / (sqrt(list_sum(list_transform(e.embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(q.qv, x -> x * x))))
+                 AS cos
+        FROM embeddings e CROSS JOIN q),
+      btruth AS (
+        SELECT query_id, nn_id FROM (
+          SELECT query_id, nn_id,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos DESC, nn_id) AS rank
+          FROM bscored)
+        WHERE rank <= $TopK AND nn_id <> query_id),
+      cells AS (SELECT id, cell FROM
+        read_parquet('__VERIFY_OUT__/aux/ivf_cells/*.parquet')),
+      cents AS (SELECT cell, c FROM
+        read_parquet('__VERIFY_OUT__/aux/ivf_centroids/*.parquet')),
+      probes AS (
+        SELECT query_id, qv, cell,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY s DESC, cell) AS probe_rank
+        FROM (SELECT q.query_id, q.qv, cents.cell,
+                     list_sum(list_transform(list_zip(q.qv, cents.c),
+                       p -> p[1] * p[2])) AS s
+              FROM q CROSS JOIN cents)),
+      pq AS (SELECT query_id, qv, cell FROM probes
+             WHERE probe_rank <= $IvfProbe),
+      corpus AS (
+        SELECT e.vec_id AS nn_id,
+               list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS cv,
+               cells.cell
+        FROM embeddings e JOIN cells ON cells.id = e.vec_id),
+      iscored AS (
+        SELECT pq.query_id, corpus.nn_id,
+               list_sum(list_transform(list_zip(corpus.cv, pq.qv),
+                 p -> p[1] * p[2]))
+               / (sqrt(list_sum(list_transform(corpus.cv, x -> x * x)))
+                  * sqrt(list_sum(list_transform(pq.qv, x -> x * x))))
+                 AS cos
+        FROM corpus JOIN pq ON corpus.cell = pq.cell),
+      ipred AS (
+        SELECT query_id, nn_id FROM (
+          SELECT query_id, nn_id,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos DESC, nn_id) AS rank
+          FROM iscored)
+        WHERE rank <= $TopK AND nn_id <> query_id),
+      cnts AS (
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM btruth) AS n_true,
+               (SELECT CAST(count(DISTINCT query_id) AS BIGINT)
+                FROM btruth) AS n_queries,
+               (SELECT CAST(count(*) AS BIGINT) FROM ipred) AS n_pred,
+               (SELECT CAST(count(*) AS BIGINT)
+                FROM btruth t JOIN ipred p
+                  ON p.query_id = t.query_id AND p.nn_id = t.nn_id)
+                 AS n_tp)
+      SELECT n_queries, n_true, n_pred, n_tp,
+             ${sqlR6("CAST(n_tp AS DOUBLE) / CAST(n_true AS DOUBLE)")}
+               AS recall
+      FROM cnts""")
+  )
+
+  val all: Seq[QueryDef] = Seq(sBrute, sIvf, sPq, sSq, sSparse, sRecallIvf)
 }

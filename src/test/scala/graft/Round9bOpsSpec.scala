@@ -251,6 +251,20 @@ class Round9bOpsSpec extends SparkSpec {
     }
   }
 
+  test("q_s_recall_ivf: audit bounds hold and the probed index finds a " +
+      "nontrivial share of the true neighbors") {
+    val r = q("q_s_recall_ivf", sfCorrect).collect().head
+    val nt = r.getAs[Long]("n_true")
+    val np = r.getAs[Long]("n_pred")
+    val tp = r.getAs[Long]("n_tp")
+    val rec = r.getAs[Double]("recall")
+    assert(tp <= nt && tp <= np)
+    assert(rec > 0.0 && rec <= 1.0)
+    assert(tp > 0, "3-of-8 probing must recover some true neighbors")
+    // both sides emit (TopK − 1) non-self neighbors per query
+    assert(nt == r.getAs[Long]("n_queries") * 3)
+  }
+
   test("q_f_sortino: downside deviation positive, ratio sign matches " +
       "mean return sign") {
     val rows = q("q_f_sortino", sfCorrect).collect()
