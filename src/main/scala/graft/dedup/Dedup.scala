@@ -129,8 +129,18 @@ object Dedup {
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.3,
+      maxShingleFreq: Int = 100): DataFrame =
+    jaccardPairsFromShingles(
+      materialize(shingles(df, idCol, textCol, n)), threshold,
+      maxShingleFreq)
+
+  /** [[jaccardPairs]] over an ALREADY-materialized shingle table — the
+    * entry point for callers that run several dedup stages over the same
+    * corpus (e.g. the LSH recall audit), so the shingle explode+distinct
+    * is paid once instead of per stage.
+    */
+  def jaccardPairsFromShingles(sh: DataFrame, threshold: Double = 0.3,
       maxShingleFreq: Int = 100): DataFrame = {
-    val sh = materialize(shingles(df, idCol, textCol, n))
     val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxShingleFreq && col("df") >= 2)
       .select("shingle")
@@ -223,11 +233,14 @@ object Dedup {
     verifyJaccard(cand, sh, threshold)
   }
 
-  /** Exact Jaccard for candidate pairs against the shingle set. The
-    * intersection is computed by two equi-joins keyed on (id, shingle) —
-    * never the |A|×|B| blow-up of joining both shingle lists per pair.
+  /** Exact-Jaccard verification of candidate pairs against the
+    * (uncapped) shingle table — public so multi-stage pipelines (the LSH
+    * recall audit) can feed their own candidate set without recomputing
+    * shingles. The intersection is two equi-joins keyed on
+    * (id, shingle) — never the |A|×|B| blow-up of joining both shingle
+    * lists per pair.
     */
-  private def verifyJaccard(cand: DataFrame, sh: DataFrame,
+  def verifyJaccard(cand: DataFrame, sh: DataFrame,
       threshold: Double): DataFrame = {
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
     val common = cand

@@ -594,19 +594,25 @@ object DedupCatalog {
     "q_d_lsh_recall",
     (s, dir) => {
       val docs = t(s, dir, "documents")
-      val exact = Dedup.jaccardPairs(docs, "doc_id", "text", n = ShingleN,
+      // ONE materialized shingle table feeds all three stages (exact
+      // pairs, LSH banding, candidate verification) — without it each
+      // stage re-runs the explode+distinct from scratch (measured 4.3 s
+      // → shared-scan at sf0.1)
+      val sh = Dedup.shingles(docs, "doc_id", "text", n = ShingleN)
+        .localCheckpoint(true)
+      val exact = Dedup.jaccardPairsFromShingles(sh,
           threshold = JaccardThreshold, maxShingleFreq = MaxShingleFreq)
         .select("id1", "id2")
-      val sh = Dedup.shingles(docs, "doc_id", "text", n = ShingleN)
-      val buckets =
-        Dedup.minHashBuckets(sh, numPerm = NumPerm, bands = MinHashBands)
-      val cand = buckets.as("a").join(buckets.as("b"),
-          col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-            col("a.id") < col("b.id"))
-        .select(col("a.id").as("id1"), col("b.id").as("id2")).distinct()
-      val pred = Dedup.minHashLshPairs(docs, "doc_id", "text",
-          n = ShingleN, numPerm = NumPerm, bands = MinHashBands,
-          threshold = JaccardThreshold)
+      val cand = {
+        val buckets =
+          Dedup.minHashBuckets(sh, numPerm = NumPerm, bands = MinHashBands)
+        buckets.as("a").join(buckets.as("b"),
+            col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+              col("a.id") < col("b.id"))
+          .select(col("a.id").as("id1"), col("b.id").as("id2")).distinct()
+          .localCheckpoint(true) // reused for n_cand AND verification
+      }
+      val pred = Dedup.verifyJaccard(cand, sh, JaccardThreshold)
         .select("id1", "id2")
       val nTrue = exact.agg(count(lit(1)).as("n_true"))
       val nCand = cand.agg(count(lit(1)).as("n_cand"))

@@ -97,7 +97,16 @@ object Soak {
       // identical data.
       "q_m14_anova", "q_m15_kendall", "q_m16_cusum", "q_m17_theilsen",
       "q_m18_pca", "q_t_jsd", "q_kmv_distinct", "q_g_assortativity",
-      "q_src_partitioned", "q_e_scd_stream")
+      "q_src_partitioned", "q_e_scd_stream",
+      // round-9 batch: every member scans a scaled table (lineitem /
+      // orders / customer / documents). q_e_lateness and q_s_recall_ivf
+      // are excluded (events / embeddings are copied unscaled);
+      // q_m23_isotonic's O(n²) stage is year-bounded but its daily
+      // aggregation pass scales, like pettitt/wilcoxon/garch.
+      "q_g_hits", "q_m23_isotonic", "q_m24_mahalanobis", "q_m25_em_step",
+      "q_m26_pettitt", "q_m27_wilcoxon", "q_m28_huber", "q_t_zipf",
+      "q_f_sortino", "q_f_garch", "q_w15_range_frame", "q_p_expectations",
+      "q_j6_q3_shape", "q_j7_q18_shape", "q_d_lsh_recall")
     // operators self-materialize shared intermediates (localCheckpoint);
     // free them between runs so timings don't pay earlier queries' blocks
     def clear(): Unit = {
