@@ -254,7 +254,68 @@ object OlapCatalog {
       GROUP BY 1, 2 ORDER BY 1, 2""")
   )
 
+  /** A25 capability: ABC (Pareto) inventory classification — parts
+    * bucketed A/B/C by cumulative revenue share (≤80% / ≤95% / rest),
+    * the classic warehouse stratification every procurement dashboard
+    * opens with. Per-row revenue is QUANTIZED to integer cents
+    * (identical IEEE per row), so the per-part totals, the global
+    * running total (`plans.SequenceOps.runningSum` — range-partitioned,
+    * NOT a one-task global window), and the 100·cum ≤ 80·total class
+    * predicates are all exact integer arithmetic; only the reported
+    * share divides at the end (r6). Output: 3 class rows.
+    */
+  val a25Abc = QueryDef(
+    "q_a25_abc",
+    (s, dir) => {
+      val cents = floor(col("l_extendedprice") *
+        (lit(1.0) - col("l_discount")) * 100 + lit(0.5)).cast("long")
+      val perPart = QueryDef.t(s, dir, "lineitem")
+        .select(col("l_partkey"), cents.as("rc"))
+        .groupBy("l_partkey").agg(sum("rc").as("rev_c"))
+      val total = perPart.agg(sum("rev_c").as("tot"))
+      val cum = graft.plans.SequenceOps.runningSum(
+        perPart.withColumn("nk", -col("rev_c")),
+        Seq.empty, Seq("nk", "l_partkey"), "rev_c", "cum_c")
+      cum.crossJoin(broadcast(total))
+        .withColumn("abc_class",
+          when(col("cum_c") * 100 <= col("tot") * 80, "A")
+            .when(col("cum_c") * 100 <= col("tot") * 95, "B")
+            .otherwise("C"))
+        .groupBy("abc_class")
+        .agg(count(lit(1)).as("n_parts"), sum("rev_c").as("class_rev_c"),
+          max("tot").as("tot"))
+        .select(col("abc_class"), col("n_parts"), col("class_rev_c"),
+          QueryDef.r6(col("class_rev_c").cast("double") /
+            col("tot").cast("double")).as("rev_share"))
+        .orderBy("abc_class")
+    },
+    Some(s"""
+      WITH pp AS (
+        SELECT l_partkey,
+               CAST(sum(CAST(floor(l_extendedprice * (1.0e0 - l_discount)
+                 * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_c
+        FROM lineitem GROUP BY 1),
+      tot AS (SELECT CAST(sum(rev_c) AS BIGINT) AS tot FROM pp),
+      cum AS (
+        SELECT l_partkey, rev_c,
+               CAST(sum(rev_c) OVER (ORDER BY rev_c DESC, l_partkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS cum_c
+        FROM pp),
+      cls AS (
+        SELECT CASE WHEN cum_c * 100 <= tot * 80 THEN 'A'
+                    WHEN cum_c * 100 <= tot * 95 THEN 'B'
+                    ELSE 'C' END AS abc_class,
+               rev_c, tot
+        FROM cum CROSS JOIN tot)
+      SELECT abc_class, CAST(count(*) AS BIGINT) AS n_parts,
+             CAST(sum(rev_c) AS BIGINT) AS class_rev_c,
+             ${QueryDef.sqlR6("CAST(sum(rev_c) AS DOUBLE) / CAST(max(tot) AS DOUBLE)")}
+               AS rev_share
+      FROM cls GROUP BY 1 ORDER BY 1""")
+  )
+
   val all: Seq[QueryDef] = Seq(
     a1QuarterlyPrice, a2YearlyGrowth, a3MonthlyVolume, a4Stats, a5ChartFeed,
-    a7MonthlyTrend, a11Corr, a12Cov, a15Distinct, q1Pricing)
+    a7MonthlyTrend, a11Corr, a12Cov, a15Distinct, q1Pricing, a25Abc)
 }

@@ -265,6 +265,22 @@ class Round9bOpsSpec extends SparkSpec {
     assert(nt == r.getAs[Long]("n_queries") * 3)
   }
 
+  test("q_a25_abc: classes partition all parts, shares sum to 1 and " +
+      "respect the Pareto ordering") {
+    val sp = spark
+    import sp.implicits._
+    val rows = q("q_a25_abc", sfCorrect)
+      .select("abc_class", "n_parts", "rev_share")
+      .as[(String, Long, Double)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq("A", "B", "C"))
+    val shares = rows.map(_._3)
+    assert(math.abs(shares.sum - 1.0) < 1e-5)
+    // A holds ~80% with far fewer parts than C (the Pareto shape), and
+    // per-part revenue density must strictly decrease A > B > C
+    val dens = rows.map(r => r._3 / r._2)
+    assert(dens(0) > dens(1) && dens(1) > dens(2))
+  }
+
   test("q_f_sortino: downside deviation positive, ratio sign matches " +
       "mean return sign") {
     val rows = q("q_f_sortino", sfCorrect).collect()
