@@ -1606,8 +1606,166 @@ object FinanceCatalog {
       FROM m ORDER BY l_returnflag""")
   )
 
+  /** Forecast-accuracy scorecard over the daily close per flag: MAE /
+    * RMSE / MAPE for the two standard reference forecasters every model
+    * must beat — persistence (ŷ_t = y_{t−1}) and drift
+    * (ŷ_t = y_{t−1} + (y_{t−1} − y_{t−2})) — plus Theil's U₁-style
+    * ratio rmse_drift/rmse_naive. Pure lag windows (no recursion);
+    * per-row errors are fixed trees of selected closes, error sums are
+    * exact decimals, sqrt correctly rounded → only the reported metrics
+    * round (r6/r4). The evaluation harness for the smoothing family
+    * (Holt/HW/Kalman/GARCH) — at 100 TB it is one window pass on the
+    * calendar-bounded daily series.
+    */
+  val forecastAcc = QueryDef(
+    "q_f_forecast_acc",
+    (s, dir) => {
+      val byDay = Window.partitionBy("l_returnflag").orderBy("day")
+      val base = dailyClose(s, dir)
+        .withColumn("l1", lag(col("close"), 1).over(byDay))
+        .withColumn("l2", lag(col("close"), 2).over(byDay))
+        .where(col("l2").isNotNull)
+      val eN = col("close") - col("l1")
+      val eD = col("close") - (col("l1") + (col("l1") - col("l2")))
+      def d18(c: org.apache.spark.sql.Column) =
+        sum(c.cast("decimal(38,18)")).cast("double")
+      base.groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).as("n"),
+          (d18(abs(eN)) / count(lit(1))).as("mae_naive"),
+          sqrt(d18(eN * eN) / count(lit(1))).as("rmse_naive"),
+          (d18(abs(eN) / col("close")) / count(lit(1))).as("mape_naive"),
+          (d18(abs(eD)) / count(lit(1))).as("mae_drift"),
+          sqrt(d18(eD * eD) / count(lit(1))).as("rmse_drift"),
+          (d18(abs(eD) / col("close")) / count(lit(1))).as("mape_drift"))
+        .select(col("l_returnflag"), col("n"),
+          r4(col("mae_naive")).as("mae_naive"),
+          r4(col("rmse_naive")).as("rmse_naive"),
+          r6(col("mape_naive")).as("mape_naive"),
+          r4(col("mae_drift")).as("mae_drift"),
+          r4(col("rmse_drift")).as("rmse_drift"),
+          r6(col("mape_drift")).as("mape_drift"),
+          r6(col("rmse_drift") / col("rmse_naive")).as("theil_ratio"))
+        .orderBy("l_returnflag")
+    },
+    Some(s"""
+      WITH r AS (
+        SELECT l_returnflag, date_trunc('day', l_shipdate) AS day,
+               l_extendedprice,
+               row_number() OVER (
+                 PARTITION BY l_returnflag, date_trunc('day', l_shipdate)
+                 ORDER BY $liOrderDescSql) AS rn
+        FROM lineitem),
+      cl AS (SELECT l_returnflag, day, l_extendedprice AS close
+             FROM r WHERE rn = 1),
+      lagged AS (
+        SELECT l_returnflag, close,
+               lag(close, 1) OVER w AS l1, lag(close, 2) OVER w AS l2
+        FROM cl WINDOW w AS (PARTITION BY l_returnflag ORDER BY day)),
+      e AS (
+        SELECT l_returnflag, close,
+               close - l1 AS en,
+               close - (l1 + (l1 - l2)) AS ed
+        FROM lagged WHERE l2 IS NOT NULL),
+      m AS (
+        SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(abs(en) AS DECIMAL(38,18))) AS DOUBLE)
+                 / count(*) AS mae_naive,
+               sqrt(CAST(sum(CAST(en * en AS DECIMAL(38,18))) AS DOUBLE)
+                 / count(*)) AS rmse_naive,
+               CAST(sum(CAST(abs(en) / close AS DECIMAL(38,18))) AS DOUBLE)
+                 / count(*) AS mape_naive,
+               CAST(sum(CAST(abs(ed) AS DECIMAL(38,18))) AS DOUBLE)
+                 / count(*) AS mae_drift,
+               sqrt(CAST(sum(CAST(ed * ed AS DECIMAL(38,18))) AS DOUBLE)
+                 / count(*)) AS rmse_drift,
+               CAST(sum(CAST(abs(ed) / close AS DECIMAL(38,18))) AS DOUBLE)
+                 / count(*) AS mape_drift
+        FROM e GROUP BY 1)
+      SELECT l_returnflag, n,
+             ${sqlR4("mae_naive")} AS mae_naive,
+             ${sqlR4("rmse_naive")} AS rmse_naive,
+             ${sqlR6("mape_naive")} AS mape_naive,
+             ${sqlR4("mae_drift")} AS mae_drift,
+             ${sqlR4("rmse_drift")} AS rmse_drift,
+             ${sqlR6("mape_drift")} AS mape_drift,
+             ${sqlR6("rmse_drift / rmse_naive")} AS theil_ratio
+      FROM m ORDER BY l_returnflag""")
+  )
+
+  /** Time-under-water: the longest run of consecutive trading days below
+    * the running peak close, per flag (the DURATION half of W7's
+    * drawdown-depth readout — how long recovery took, which depth alone
+    * doesn't show). Gaps-and-islands on the strict below-peak predicate:
+    * island id = rn − rn_within(below), run length = island count.
+    * Peak is a running max of SELECTED closes; every comparison and
+    * count is integer-exact — no rounding anywhere. One window pass on
+    * the calendar-bounded daily series.
+    */
+  val underwater = QueryDef(
+    "q_f_underwater",
+    (s, dir) => {
+      val byDay = Window.partitionBy("l_returnflag").orderBy("day")
+      val below = dailyClose(s, dir)
+        .withColumn("peak", max(col("close")).over(byDay))
+        .withColumn("rn", row_number().over(byDay))
+        .where(col("close") < col("peak"))
+      val byRun = Window.partitionBy("l_returnflag").orderBy("rn")
+      val runs = below
+        .withColumn("grp", col("rn") - row_number().over(byRun))
+        .groupBy(col("l_returnflag"), col("grp"))
+        .agg(count(lit(1)).as("run_len"), max(col("day")).as("run_end"))
+      val pick = Window.partitionBy("l_returnflag")
+        .orderBy(col("run_len").desc, col("run_end"))
+      runs
+        .withColumn("n_underwater",
+          sum(col("run_len")).over(Window.partitionBy("l_returnflag")))
+        .withColumn("rk", row_number().over(pick))
+        .where(col("rk") === 1)
+        .select(col("l_returnflag"), col("n_underwater"),
+          col("run_len").as("max_run"), col("run_end").as("max_run_end"))
+        .orderBy("l_returnflag")
+    },
+    Some(s"""
+      WITH r AS (
+        SELECT l_returnflag, date_trunc('day', l_shipdate) AS day,
+               l_extendedprice,
+               row_number() OVER (
+                 PARTITION BY l_returnflag, date_trunc('day', l_shipdate)
+                 ORDER BY $liOrderDescSql) AS rn_t
+        FROM lineitem),
+      cl AS (SELECT l_returnflag, day, l_extendedprice AS close
+             FROM r WHERE rn_t = 1),
+      pk AS (
+        SELECT l_returnflag, day, close,
+               max(close) OVER (PARTITION BY l_returnflag ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak,
+               row_number() OVER (PARTITION BY l_returnflag ORDER BY day)
+                 AS rn
+        FROM cl),
+      below AS (
+        SELECT l_returnflag, day, rn,
+               rn - row_number() OVER (PARTITION BY l_returnflag
+                 ORDER BY rn) AS grp
+        FROM pk WHERE close < peak),
+      runs AS (
+        SELECT l_returnflag, grp, count(*) AS run_len,
+               max(day) AS run_end
+        FROM below GROUP BY 1, 2),
+      best AS (
+        SELECT l_returnflag, run_len, run_end,
+               sum(run_len) OVER (PARTITION BY l_returnflag)
+                 AS n_underwater,
+               row_number() OVER (PARTITION BY l_returnflag
+                 ORDER BY run_len DESC, run_end) AS rk
+        FROM runs)
+      SELECT l_returnflag, CAST(n_underwater AS BIGINT) AS n_underwater,
+             CAST(run_len AS BIGINT) AS max_run, run_end AS max_run_end
+      FROM best WHERE rk = 1 ORDER BY l_returnflag""")
+  )
+
   val all: Seq[QueryDef] =
     Seq(ohlcWeekly, bollinger, beta, ffill, rsi, macd, streaks, obv,
       stochastic, acf, seasonality, interp, varEs, holt, ar2, holtWinters,
-      dw, kalman, sortino, garch)
+      dw, kalman, sortino, garch, forecastAcc, underwater)
 }

@@ -2210,6 +2210,51 @@ object MiscCatalog {
       ORDER BY expectation""")
   )
 
+  /** Degree distribution of the bulk-purchase graph (customers per
+    * supplier, the q_g_hits edge set) in power-of-two buckets — the
+    * power-law readout that pairs with q_t_zipf's corpus slope (both are
+    * the first structural health checks on a new graph/corpus). The
+    * bucket is the integer log2 via BINARY-STRING LENGTH
+    * (length(bin(deg))−1) — exact integer in both engines, no
+    * ln(x)/ln(2) boundary risk at powers of two. One aggregate over the
+    * degree table; output is ≤64 rows.
+    */
+  val qDegreeDist = QueryDef(
+    "q_g_degree_dist",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem").where(col("l_quantity") >= 31)
+      val o = t(s, dir, "orders")
+      val deg = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
+        .distinct()
+        .groupBy("supp").agg(count(lit(1)).as("deg"))
+      deg
+        .withColumn("bucket", (length(bin(col("deg"))) - 1).cast("long"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_suppliers"), sum("deg").as("sum_deg"),
+          min("deg").as("min_deg"), max("deg").as("max_deg"))
+        .withColumn("bucket_lo", expr("CAST(1 AS BIGINT) << bucket"))
+        .select("bucket", "bucket_lo", "n_suppliers", "sum_deg",
+          "min_deg", "max_deg")
+        .orderBy("bucket")
+    },
+    Some("""
+      WITH e0 AS (
+        SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey AS supp
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_quantity >= 31),
+      deg AS (SELECT supp, count(*) AS deg FROM e0 GROUP BY 1),
+      b AS (
+        SELECT CAST(length(bin(deg)) - 1 AS BIGINT) AS bucket, deg
+        FROM deg)
+      SELECT bucket, CAST(1 << bucket AS BIGINT) AS bucket_lo,
+             CAST(count(*) AS BIGINT) AS n_suppliers,
+             CAST(sum(deg) AS BIGINT) AS sum_deg,
+             CAST(min(deg) AS BIGINT) AS min_deg,
+             CAST(max(deg) AS BIGINT) AS max_deg
+      FROM b GROUP BY 1 ORDER BY 1""")
+  )
+
   val all: Seq[QueryDef] = Seq(oTopK, aSpikeSummary, eJson, aSummary,
     mKmeans, mLloydStep, qAsof, qRange, qRollup, qCube, qGroupingSets,
     qPercentile, qHistogram, qZOrder, qHilbert, qCompactPlan, qScd2, qScd1,
@@ -2218,6 +2263,6 @@ object MiscCatalog {
     qChi2, qHhi,
     qProfile, qBenford, qGini, qEntropy, qMi, qSnapshotDiff, qWinsor,
     qFkAudit, qMoments, qAssortativity, qPartitionedScan, qKcore,
-    qLabelProp, qScd2AsOf, qSkewProfile, qHits, qExpectations)
+    qLabelProp, qScd2AsOf, qSkewProfile, qHits, qExpectations, qDegreeDist)
 }
 

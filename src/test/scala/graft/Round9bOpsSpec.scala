@@ -281,6 +281,43 @@ class Round9bOpsSpec extends SparkSpec {
     assert(dens(0) > dens(1) && dens(1) > dens(2))
   }
 
+  test("q_g_degree_dist: buckets are true power-of-two ranges and " +
+      "degrees stay inside them") {
+    val rows = q("q_g_degree_dist", sfCorrect).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val lo = r.getAs[Long]("bucket_lo")
+      assert((lo & (lo - 1)) == 0, "bucket_lo must be a power of two")
+      assert(r.getAs[Long]("min_deg") >= lo)
+      assert(r.getAs[Long]("max_deg") < 2 * lo)
+      assert(r.getAs[Long]("n_suppliers") > 0)
+    }
+  }
+
+  test("q_f_forecast_acc: metric sanity — RMSE ≥ MAE, all positive") {
+    val rows = q("q_f_forecast_acc", sfCorrect).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      for (m <- Seq("naive", "drift")) {
+        val mae = r.getAs[Double](s"mae_$m")
+        val rmse = r.getAs[Double](s"rmse_$m")
+        assert(mae > 0 && rmse > 0 && rmse >= mae - 1e-4,
+          s"$m: rmse $rmse must dominate mae $mae")
+      }
+      assert(r.getAs[Double]("theil_ratio") > 0)
+    }
+  }
+
+  test("q_f_underwater: run bounds hold against the daily series") {
+    val rows = q("q_f_underwater", sfCorrect).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nu = r.getAs[Long]("n_underwater")
+      val mr = r.getAs[Long]("max_run")
+      assert(mr >= 1 && mr <= nu)
+    }
+  }
+
   test("q_f_sortino: downside deviation positive, ratio sign matches " +
       "mean return sign") {
     val rows = q("q_f_sortino", sfCorrect).collect()
