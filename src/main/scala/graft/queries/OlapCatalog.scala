@@ -315,7 +315,58 @@ object OlapCatalog {
       FROM cls GROUP BY 1 ORDER BY 1""")
   )
 
+  /** A26 capability: YoY contribution decomposition (the waterfall
+    * chart's data): per-flag revenue for 1997 vs 1998 in integer cents,
+    * the per-flag delta, and each flag's share of the TOTAL year-over-
+    * year change — additive by construction (Σ contributions = total Δ,
+    * the property the spec asserts). Exact integers end-to-end; only
+    * the share divides (r6). One aggregation + a 1-row broadcast total.
+    */
+  val a26Contribution = QueryDef(
+    "q_a26_contribution",
+    (s, dir) => {
+      val cents = floor(col("l_extendedprice") *
+        (lit(1.0) - col("l_discount")) * 100 + lit(0.5)).cast("long")
+      val yr = year(col("l_shipdate"))
+      val perFlag = QueryDef.t(s, dir, "lineitem")
+        .where(yr === 1997 || yr === 1998)
+        .groupBy("l_returnflag")
+        .agg(
+          sum(when(yr === 1997, cents).otherwise(0L)).as("rev_1997_c"),
+          sum(when(yr === 1998, cents).otherwise(0L)).as("rev_1998_c"))
+        .withColumn("delta_c", col("rev_1998_c") - col("rev_1997_c"))
+      val total = perFlag.agg(sum("delta_c").as("tot_delta"))
+      perFlag.crossJoin(broadcast(total))
+        .select(col("l_returnflag"), col("rev_1997_c"), col("rev_1998_c"),
+          col("delta_c"),
+          QueryDef.r6(col("delta_c").cast("double") /
+            col("tot_delta").cast("double")).as("contribution"))
+        .orderBy("l_returnflag")
+    },
+    Some(s"""
+      WITH pf AS (
+        SELECT l_returnflag,
+               CAST(sum(CASE WHEN year(l_shipdate) = 1997
+                 THEN CAST(floor(l_extendedprice * (1.0e0 - l_discount)
+                   * 100 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT)
+                 AS rev_1997_c,
+               CAST(sum(CASE WHEN year(l_shipdate) = 1998
+                 THEN CAST(floor(l_extendedprice * (1.0e0 - l_discount)
+                   * 100 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT)
+                 AS rev_1998_c
+        FROM lineitem
+        WHERE year(l_shipdate) IN (1997, 1998)
+        GROUP BY 1),
+      d AS (SELECT *, rev_1998_c - rev_1997_c AS delta_c FROM pf),
+      tot AS (SELECT CAST(sum(delta_c) AS BIGINT) AS tot_delta FROM d)
+      SELECT l_returnflag, rev_1997_c, rev_1998_c, delta_c,
+             ${QueryDef.sqlR6("CAST(delta_c AS DOUBLE) / CAST(tot_delta AS DOUBLE)")}
+               AS contribution
+      FROM d CROSS JOIN tot ORDER BY l_returnflag""")
+  )
+
   val all: Seq[QueryDef] = Seq(
     a1QuarterlyPrice, a2YearlyGrowth, a3MonthlyVolume, a4Stats, a5ChartFeed,
-    a7MonthlyTrend, a11Corr, a12Cov, a15Distinct, q1Pricing, a25Abc)
+    a7MonthlyTrend, a11Corr, a12Cov, a15Distinct, q1Pricing, a25Abc,
+    a26Contribution)
 }

@@ -1126,10 +1126,60 @@ object TextCatalog {
     }
   )
 
+  /** Language-ID evaluation: confusion matrix of the n-gram-marker
+    * classifier (q_t_langid's `lang_pred`) against the corpus's labeled
+    * `lang` column, plus per-cell share of the true class — the
+    * classifier-audit readout (precision/recall per language fall
+    * straight out of the cells) a curation pipeline checks before
+    * trusting language gates at 100 TB. Counts are exact integers from
+    * one aggregation over the scored scan; share is one division (r6).
+    * The oracle re-derives the prediction from raw SQL (the q_t_langid
+    * replay) — the audit join is cross-checked end to end.
+    */
+  val tLangConfusion = QueryDef(
+    "q_t_lang_confusion",
+    (s, dir) => {
+      val scored = TextAnalysis.withLangId(t(s, dir, "documents"))
+        .select(col("lang"), col("lang_pred"))
+      val cells = scored.groupBy("lang", "lang_pred")
+        .agg(count(lit(1)).as("n"))
+      val totals = scored.groupBy("lang")
+        .agg(count(lit(1)).as("n_true"))
+      cells.join(broadcast(totals), "lang")
+        .select(col("lang"), col("lang_pred"), col("n"),
+          r6(col("n").cast("double") / col("n_true").cast("double"))
+            .as("share_of_true"))
+        .orderBy("lang", "lang_pred")
+    },
+    Some {
+      val langs = TextAnalysis.LangMarkers.keys.toSeq.sorted
+      def score(l: String) = TextAnalysis.LangMarkers(l).map(w =>
+        s"len(regexp_extract_all(' ' || lower($sqlNorm) || ' ', ' $w ', 0))")
+        .mkString(" + ")
+      val scoreCols = langs.map(l => s"(${score(l)}) AS s_$l").mkString(", ")
+      val caseChain = langs.map(l =>
+        s"WHEN ${langs.map(o => s"s_$l >= s_$o").mkString(" AND ")} THEN '$l'")
+        .mkString(" ")
+      s"""
+      WITH s AS (SELECT doc_id, lang, $scoreCols FROM documents),
+      p AS (SELECT lang, CASE $caseChain END AS lang_pred FROM s),
+      cells AS (
+        SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n
+        FROM p GROUP BY 1, 2),
+      tot AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_true
+              FROM p GROUP BY 1)
+      SELECT c.lang, c.lang_pred, c.n,
+             ${sqlR6("CAST(c.n AS DOUBLE) / CAST(t.n_true AS DOUBLE)")}
+               AS share_of_true
+      FROM cells c JOIN tot t ON t.lang = c.lang
+      ORDER BY c.lang, c.lang_pred"""
+    }
+  )
+
   val all: Seq[QueryDef] =
     Seq(tQuality, tTokens, tFingerprint, tLangId, tExplode,
       tRepetition, tLmScore, tSplit, tStratSample, tTfIdf, tPmi,
       tPii, tVocab, tComposition, tPack, tShuffle, tDecontaminate,
       tLineDedup, tBm25, tDsir, tWsample, tVocabOverlap, tMixture, tJsd,
-      tFeatHash, tDupSpans, tZipf)
+      tFeatHash, tDupSpans, tZipf, tLangConfusion)
 }

@@ -318,6 +318,34 @@ class Round9bOpsSpec extends SparkSpec {
     }
   }
 
+  test("q_t_lang_confusion: per-true-class shares sum to 1 and cells " +
+      "cover every labeled document") {
+    val sp = spark
+    import sp.implicits._
+    val rows = q("q_t_lang_confusion", sfCorrect)
+      .select("lang", "n", "share_of_true")
+      .as[(String, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (lang, cells) =>
+      assert(math.abs(cells.map(_._3).sum - 1.0) < 1e-5,
+        s"$lang: shares must partition the class")
+    }
+    val total = rows.map(_._2).sum
+    val nDocs = spark.read.parquet(s"$sfCorrect/documents.parquet").count()
+    assert(total == nDocs, s"cells cover $total of $nDocs docs")
+  }
+
+  test("q_a26_contribution: contributions are additive — they sum to 1 " +
+      "and deltas sum to the total") {
+    val sp = spark
+    import sp.implicits._
+    val rows = q("q_a26_contribution", sfCorrect)
+      .select("delta_c", "contribution")
+      .as[(Long, Double)].collect()
+    assert(rows.nonEmpty)
+    assert(math.abs(rows.map(_._2).sum - 1.0) < 1e-5)
+  }
+
   test("q_f_sortino: downside deviation positive, ratio sign matches " +
       "mean return sign") {
     val rows = q("q_f_sortino", sfCorrect).collect()
