@@ -2048,9 +2048,160 @@ object MiningCatalog {
     }
   )
 
+  /** M29 capability: pairwise Granger causality (lag-1) between the A-
+    * and R-flag daily return series — does yesterday's R return improve
+    * the prediction of today's A return beyond A's own lag (and vice
+    * versa)? F = (RSS_restricted − RSS_full) / (RSS_full/(n−3)), with
+    * both regressions solved in CLOSED FORM from one set of exact
+    * decimal moments (restricted: 1-var slope; full: symbolic 2×2
+    * normal-equation inverse — the M10/M28 shape, no iteration). Every
+    * moment is an exact DECIMAL(38,18) sum of deterministic per-row
+    * doubles; RSS and F are fixed float trees → r6. Two rows out
+    * (direction column). One aligned-day join + one aggregation pass.
+    */
+  val m29Granger = QueryDef(
+    "q_m29_granger",
+    (s, dir) => {
+      val byDay = Window.partitionBy("l_returnflag").orderBy("day")
+      val rets = t(s, dir, "lineitem")
+        .where(col("l_returnflag").isin("A", "R"))
+        .withColumn("day",
+          date_trunc("day", col("l_shipdate")).cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "day")
+        .agg((sum(col("l_extendedprice").cast("decimal(28,6)"))
+          .cast("double") / count(lit(1))).as("y"))
+        .withColumn("ret", col("y") / lag(col("y"), 1).over(byDay) - 1)
+        .where(col("ret").isNotNull)
+      val a = rets.where(col("l_returnflag") === "A")
+        .select(col("day"), col("ret").as("ra"))
+      val r = rets.where(col("l_returnflag") === "R")
+        .select(col("day"), col("ret").as("rr"))
+      val joined = a.join(r, "day")
+      val byD = Window.orderBy("day")
+      val lagged = joined
+        .withColumn("la", lag(col("ra"), 1).over(byD))
+        .withColumn("lr", lag(col("rr"), 1).over(byD))
+        .where(col("la").isNotNull)
+      def d18(c: org.apache.spark.sql.Column) =
+        decD(sum(c.cast("decimal(38,18)")))
+      // moments for BOTH directions in one pass: y∈{ra,rr}, x1=own lag,
+      // x2=other lag
+      val m = lagged.agg(
+        count(lit(1)).cast("double").as("n"),
+        d18(col("la")).as("sla"), d18(col("lr")).as("slr"),
+        d18(col("ra")).as("sra"), d18(col("rr")).as("srr"),
+        d18(col("la") * col("la")).as("slala"),
+        d18(col("lr") * col("lr")).as("slrlr"),
+        d18(col("la") * col("lr")).as("slalr"),
+        d18(col("ra") * col("ra")).as("srara"),
+        d18(col("rr") * col("rr")).as("srrrr"),
+        d18(col("la") * col("ra")).as("slara"),
+        d18(col("lr") * col("ra")).as("slrra"),
+        d18(col("la") * col("rr")).as("slarr"),
+        d18(col("lr") * col("rr")).as("slrrr"))
+      // centered second moments as fixed trees, then closed-form F for
+      // direction "other lags → y" with own lag always included
+      def granger(dirName: String, sy: String, syy: String,
+          sOwn: String, sOwnOwn: String, sOwnY: String,
+          sOth: String, sOthOth: String, sOthY: String,
+          sOwnOth: String) = {
+        val n = col("n")
+        val cyy = col(syy) - col(sy) * col(sy) / n
+        val c11 = col(sOwnOwn) - col(sOwn) * col(sOwn) / n
+        val c22 = col(sOthOth) - col(sOth) * col(sOth) / n
+        val c12 = col(sOwnOth) - col(sOwn) * col(sOth) / n
+        val c1y = col(sOwnY) - col(sOwn) * col(sy) / n
+        val c2y = col(sOthY) - col(sOth) * col(sy) / n
+        val rssR = cyy - c1y * c1y / c11
+        val det = c11 * c22 - c12 * c12
+        val b1 = (c22 * c1y - c12 * c2y) / det
+        val b2 = (c11 * c2y - c12 * c1y) / det
+        val rssF = cyy - b1 * c1y - b2 * c2y
+        m.select(lit(dirName).as("direction"),
+          col("n").cast("long").as("n"),
+          r6(b2).as("beta_other_lag"),
+          r6((rssR - rssF) / (rssF / (n - lit(3.0)))).as("f_stat"))
+      }
+      granger("R_causes_A", "sra", "srara", "sla", "slala", "slara",
+          "slr", "slrlr", "slrra", "slalr")
+        .unionByName(
+          granger("A_causes_R", "srr", "srrrr", "slr", "slrlr", "slrrr",
+            "sla", "slala", "slarr", "slalr"))
+        .orderBy("direction")
+    },
+    Some {
+      def grangerSql(dirName: String, sy: String, syy: String,
+          sOwn: String, sOwnOwn: String, sOwnY: String,
+          sOth: String, sOthOth: String, sOthY: String,
+          sOwnOth: String) = {
+        val cyy = s"($syy - $sy * $sy / n)"
+        val c11 = s"($sOwnOwn - $sOwn * $sOwn / n)"
+        val c22 = s"($sOthOth - $sOth * $sOth / n)"
+        val c12 = s"($sOwnOth - $sOwn * $sOth / n)"
+        val c1y = s"($sOwnY - $sOwn * $sy / n)"
+        val c2y = s"($sOthY - $sOth * $sy / n)"
+        val rssR = s"($cyy - $c1y * $c1y / $c11)"
+        val det = s"($c11 * $c22 - $c12 * $c12)"
+        val b1 = s"(($c22 * $c1y - $c12 * $c2y) / $det)"
+        val b2 = s"(($c11 * $c2y - $c12 * $c1y) / $det)"
+        val rssF = s"($cyy - $b1 * $c1y - $b2 * $c2y)"
+        s"""SELECT '$dirName' AS direction, CAST(n AS BIGINT) AS n,
+             ${sqlR6(b2)} AS beta_other_lag,
+             ${sqlR6(s"($rssR - $rssF) / ($rssF / (n - 3.0e0))")} AS f_stat
+           FROM m"""
+      }
+      s"""
+      WITH daily AS (
+        SELECT l_returnflag, date_trunc('day', l_shipdate) AS day,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE)
+                 / count(*) AS y
+        FROM lineitem WHERE l_returnflag IN ('A', 'R') GROUP BY 1, 2),
+      rets AS (
+        SELECT l_returnflag, day,
+               y / lag(y, 1) OVER (PARTITION BY l_returnflag ORDER BY day)
+                 - 1 AS ret
+        FROM daily),
+      j AS (
+        SELECT a.day, a.ret AS ra, r.ret AS rr
+        FROM (SELECT day, ret FROM rets WHERE l_returnflag = 'A'
+                AND ret IS NOT NULL) a
+        JOIN (SELECT day, ret FROM rets WHERE l_returnflag = 'R'
+                AND ret IS NOT NULL) r ON r.day = a.day),
+      lagged AS (
+        SELECT ra, rr,
+               lag(ra, 1) OVER (ORDER BY day) AS la,
+               lag(rr, 1) OVER (ORDER BY day) AS lr
+        FROM j),
+      m AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n,
+               ${sqlDecD("sum(CAST(la AS DECIMAL(38,18)))")} AS sla,
+               ${sqlDecD("sum(CAST(lr AS DECIMAL(38,18)))")} AS slr,
+               ${sqlDecD("sum(CAST(ra AS DECIMAL(38,18)))")} AS sra,
+               ${sqlDecD("sum(CAST(rr AS DECIMAL(38,18)))")} AS srr,
+               ${sqlDecD("sum(CAST(la * la AS DECIMAL(38,18)))")} AS slala,
+               ${sqlDecD("sum(CAST(lr * lr AS DECIMAL(38,18)))")} AS slrlr,
+               ${sqlDecD("sum(CAST(la * lr AS DECIMAL(38,18)))")} AS slalr,
+               ${sqlDecD("sum(CAST(ra * ra AS DECIMAL(38,18)))")} AS srara,
+               ${sqlDecD("sum(CAST(rr * rr AS DECIMAL(38,18)))")} AS srrrr,
+               ${sqlDecD("sum(CAST(la * ra AS DECIMAL(38,18)))")} AS slara,
+               ${sqlDecD("sum(CAST(lr * ra AS DECIMAL(38,18)))")} AS slrra,
+               ${sqlDecD("sum(CAST(la * rr AS DECIMAL(38,18)))")} AS slarr,
+               ${sqlDecD("sum(CAST(lr * rr AS DECIMAL(38,18)))")} AS slrrr
+        FROM lagged WHERE la IS NOT NULL)
+      SELECT * FROM (
+        ${grangerSql("R_causes_A", "sra", "srara", "sla", "slala",
+          "slara", "slr", "slrlr", "slrra", "slalr")}
+        UNION ALL
+        ${grangerSql("A_causes_R", "srr", "srrrr", "slr", "slrlr",
+          "slrrr", "sla", "slala", "slarr", "slalr")})
+      ORDER BY direction"""
+    }
+  )
+
   val all: Seq[QueryDef] = Seq(m1Ols, m2OlsNextDay, m4Anomalies, m5Ridge,
     m6Cv, m7Mwu, m8Ks, m9Nbayes, m10LogregStep, m11Welch, m12Spearman,
     m13Robust, m14Anova, m15Kendall, m16Cusum, m17TheilSen, m18Pca,
     m19Bootstrap, m20JarqueBera, m21Assoc, m22Adamic, m23Isotonic,
-    m24Mahalanobis, m25EmStep, m26Pettitt, m27Wilcoxon, m28Huber)
+    m24Mahalanobis, m25EmStep, m26Pettitt, m27Wilcoxon, m28Huber,
+    m29Granger)
 }

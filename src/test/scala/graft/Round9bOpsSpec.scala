@@ -346,6 +346,56 @@ class Round9bOpsSpec extends SparkSpec {
     assert(math.abs(rows.map(_._2).sum - 1.0) < 1e-5)
   }
 
+  test("q_m29_granger: brute-force replay of both restricted/full " +
+      "regressions reproduces the F statistics") {
+    val sp = spark
+    import sp.implicits._
+    spark.read.parquet(s"$sfCorrect/lineitem.parquet")
+      .createOrReplaceTempView("li_gr")
+    val rows = spark.sql("""
+      WITH daily AS (
+        SELECT l_returnflag, date_trunc('day', l_shipdate) AS day,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE)
+                 / count(*) AS y
+        FROM li_gr WHERE l_returnflag IN ('A', 'R') GROUP BY 1, 2),
+      rets AS (
+        SELECT l_returnflag, day,
+               y / lag(y, 1) OVER (PARTITION BY l_returnflag ORDER BY day)
+                 - 1 AS ret
+        FROM daily),
+      j AS (
+        SELECT a.day, a.ret AS ra, r.ret AS rr
+        FROM (SELECT day, ret FROM rets WHERE l_returnflag = 'A'
+                AND ret IS NOT NULL) a
+        JOIN (SELECT day, ret FROM rets WHERE l_returnflag = 'R'
+                AND ret IS NOT NULL) r ON r.day = a.day)
+      SELECT ra, rr,
+             lag(ra, 1) OVER (ORDER BY day) AS la,
+             lag(rr, 1) OVER (ORDER BY day) AS lr
+      FROM j""").where(col("la").isNotNull)
+      .as[(Double, Double, Double, Double)].collect()
+    def f(y: Array[Double], x1: Array[Double], x2: Array[Double]): Double = {
+      val n = y.length.toDouble
+      def c(a: Array[Double], b: Array[Double]) =
+        a.zip(b).map(p => p._1 * p._2).sum - a.sum * b.sum / n
+      val (cyy, c11, c22) = (c(y, y), c(x1, x1), c(x2, x2))
+      val (c12, c1y, c2y) = (c(x1, x2), c(x1, y), c(x2, y))
+      val rssR = cyy - c1y * c1y / c11
+      val det = c11 * c22 - c12 * c12
+      val b1 = (c22 * c1y - c12 * c2y) / det
+      val b2 = (c11 * c2y - c12 * c1y) / det
+      val rssF = cyy - b1 * c1y - b2 * c2y
+      (rssR - rssF) / (rssF / (n - 3.0))
+    }
+    val ra = rows.map(_._1); val rr = rows.map(_._2)
+    val la = rows.map(_._3); val lr = rows.map(_._4)
+    val got = q("q_m29_granger", sfCorrect)
+      .select("direction", "f_stat").as[(String, Double)].collect().toMap
+    assert(math.abs(got("R_causes_A") - f(ra, la, lr)) < 1e-3)
+    assert(math.abs(got("A_causes_R") - f(rr, lr, la)) < 1e-3)
+    assert(got.values.forall(_ >= 0.0))
+  }
+
   test("q_f_sortino: downside deviation positive, ratio sign matches " +
       "mean return sign") {
     val rows = q("q_f_sortino", sfCorrect).collect()
