@@ -1743,8 +1743,11 @@ object MiscCatalog {
         .select((col("o_custkey") * 2).cast("long").as("cust"),
           (col("l_suppkey") * 2 + 1).cast("long").as("supp"))
         .distinct()
+      // three consumers (degree agg, node count, edge-moment join) — pay
+      // the fact join + distinct once (graph.Hits/PageRank charter)
       val edges = e0.select(col("cust").as("src"), col("supp").as("dst"))
         .unionByName(e0.select(col("supp").as("src"), col("cust").as("dst")))
+        .localCheckpoint(true)
       val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
       val nNodes = deg.select(count(lit(1)).as("n_nodes"))
       val ed = edges
@@ -1875,8 +1878,13 @@ object MiscCatalog {
           .select((col("o_custkey") * 2).cast("long").as("cust"),
             (col("l_suppkey") * 2 + 1).cast("long").as("supp"))
           .distinct()
+        // materialize once: each LPA round joins the edge list, and the
+        // initial-node distinct scans it too — without a checkpoint every
+        // consumer re-runs the fact join + distinct (same fix as
+        // graph.Hits/PageRank, −0.7 s at sf0.1)
         val edges = e0.select(col("cust").as("src"), col("supp").as("dst"))
           .unionByName(e0.select(col("supp").as("src"), col("cust").as("dst")))
+          .localCheckpoint(true)
         val nodes = edges.select(col("src").as("node")).distinct()
         var lab = nodes.withColumn("lbl", col("node"))
         for (_ <- 1 to LpIters) {
