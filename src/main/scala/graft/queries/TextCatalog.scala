@@ -1176,10 +1176,53 @@ object TextCatalog {
     }
   )
 
+  /** BPE merge step: the top-15 most frequent ADJACENT CHARACTER pairs
+    * across the corpus, weighted by word frequency — exactly the
+    * argmax a byte-pair-encoding tokenizer trainer computes per merge
+    * (Sennrich et al. 2016), run on the word-frequency table instead of
+    * the raw stream (the standard trainer optimization: corpus scan
+    * once, pairs counted per DISTINCT word × its count). Character
+    * positions come from an integer sequence + substring — no
+    * empty-separator split semantics to align between engines. Exact
+    * integer counts; pair fanout is bounded by Σ|word| over the
+    * DISTINCT vocabulary, not the corpus.
+    */
+  val tBpeStep = QueryDef(
+    "q_t_bpe_step",
+    (s, dir) => {
+      val vocab = t(s, dir, "documents")
+        .select(lower(TextAnalysis.normText(col("text"))).as("nt"))
+        .filter(length(col("nt")) > 0)
+        .select(explode(split(col("nt"), " ")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c"))
+        .where(length(col("w")) >= 2)
+      vocab
+        .select(col("w"), col("c"),
+          explode(sequence(lit(1), length(col("w")) - 1)).as("i"))
+        .select(expr("substring(w, i, 2)").as("pair"), col("c"))
+        .groupBy("pair").agg(sum("c").as("cnt"))
+        .orderBy(col("cnt").desc, col("pair"))
+        .limit(15)
+    },
+    Some(s"""
+      WITH t AS (
+        SELECT lower($sqlNorm) AS nt FROM documents
+        WHERE length($sqlNorm) > 0),
+      vocab AS (
+        SELECT w, count(*) AS c FROM (
+          SELECT unnest(string_split(nt, ' ')) AS w FROM t)
+        GROUP BY 1 HAVING length(w) >= 2),
+      pairs AS (
+        SELECT substring(w, i, 2) AS pair, c
+        FROM vocab, unnest(range(1, length(w))) AS u(i))
+      SELECT pair, CAST(sum(c) AS BIGINT) AS cnt
+      FROM pairs GROUP BY 1 ORDER BY cnt DESC, pair LIMIT 15""")
+  )
+
   val all: Seq[QueryDef] =
     Seq(tQuality, tTokens, tFingerprint, tLangId, tExplode,
       tRepetition, tLmScore, tSplit, tStratSample, tTfIdf, tPmi,
       tPii, tVocab, tComposition, tPack, tShuffle, tDecontaminate,
       tLineDedup, tBm25, tDsir, tWsample, tVocabOverlap, tMixture, tJsd,
-      tFeatHash, tDupSpans, tZipf, tLangConfusion)
+      tFeatHash, tDupSpans, tZipf, tLangConfusion, tBpeStep)
 }

@@ -396,6 +396,16 @@ class Round9bOpsSpec extends SparkSpec {
     assert(got.values.forall(_ >= 0.0))
   }
 
+  test("q_t_bpe_step: pairs are 2 chars, counts positive and " +
+      "nonincreasing") {
+    val rows = q("q_t_bpe_step", sfCorrect).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[String]("pair").length == 2))
+    val cnts = rows.map(_.getAs[Long]("cnt"))
+    assert(cnts.forall(_ > 0))
+    assert(cnts.sliding(2).forall { case Array(a, b) => a >= b; case _ => true })
+  }
+
   test("q_f_sortino: downside deviation positive, ratio sign matches " +
       "mean return sign") {
     val rows = q("q_f_sortino", sfCorrect).collect()
