@@ -466,8 +466,45 @@ object WindowCatalog {
       FROM f ORDER BY l_returnflag, day""")
   )
 
+  /** W16 capability: ratio-to-report — each order's share of its
+    * customer's total spend (the classic `RATIO_TO_REPORT` window other
+    * warehouses name explicitly; in Spark it is value ÷ sum over the
+    * partition-wide frame). The denominator is an exact decimal window
+    * sum, the share is one division of deterministic operands (r6).
+    * Top 25 shares under a total order. Same one-shuffle shape as the
+    * rest of the W family.
+    */
+  val w16RatioToReport = QueryDef(
+    "q_w16_ratio_report",
+    (s, dir) => {
+      val all = Window.partitionBy("o_custkey")
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+        .withColumn("cust_total",
+          sum(col("o_totalprice").cast("decimal(28,6)")).over(all)
+            .cast("double"))
+        .withColumn("n_orders", count(lit(1)).over(all))
+        .where(col("n_orders") >= 5)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          r6(col("o_totalprice") / col("cust_total")).as("share"))
+        .orderBy(desc("share"), col("o_custkey"), col("o_orderkey"))
+        .limit(25)
+    },
+    Some(s"""
+      WITH w AS (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(28,6)))
+                 OVER (PARTITION BY o_custkey) AS DOUBLE) AS cust_total,
+               count(*) OVER (PARTITION BY o_custkey) AS n_orders
+        FROM orders)
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ${sqlR6("o_totalprice / cust_total")} AS share
+      FROM w WHERE n_orders >= 5
+      ORDER BY share DESC, o_custkey, o_orderkey LIMIT 25""")
+  )
+
   val all: Seq[QueryDef] = Seq(
     w1Lead, w2PctChange, w3Zscore, w4w5Rolling, w6Cumsum, w7Drawdown,
     w8RollingCorr, w9Standardize, w10Split, w11RankFamily, w12Ewma,
-    w13Decile, w14RollingMedian, w15RangeFrame)
+    w13Decile, w14RollingMedian, w15RangeFrame, w16RatioToReport)
 }
