@@ -2198,10 +2198,93 @@ object MiningCatalog {
     }
   )
 
+  /** M30 capability: Wald–Wolfowitz runs test on daily return signs per
+    * flag — are up/down days independent, or do they streak/alternate
+    * beyond chance? R = number of sign runs (a lag comparison + integer
+    * sum), μ_R = 2n₊n₋/n + 1, σ²_R = 2n₊n₋(2n₊n₋ − n)/(n²(n−1)); all
+    * counts exact integers, z a fixed float tree of them (division and
+    * sqrt correctly rounded) → r6. Zero returns are dropped (the
+    * standard convention). One lag window on the calendar-bounded daily
+    * series — the randomness diagnostic that pairs with q_f_streaks'
+    * descriptive run lengths.
+    */
+  val m30RunsTest = QueryDef(
+    "q_m30_runs_test",
+    (s, dir) => {
+      val byDay = Window.partitionBy("l_returnflag").orderBy("day")
+      val signs = t(s, dir, "lineitem")
+        .withColumn("day",
+          date_trunc("day", col("l_shipdate")).cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "day")
+        .agg((sum(col("l_extendedprice").cast("decimal(28,6)"))
+          .cast("double") / count(lit(1))).as("y"))
+        .withColumn("ret", col("y") / lag(col("y"), 1).over(byDay) - 1)
+        .where(col("ret").isNotNull && col("ret") =!= 0.0)
+        .withColumn("sgn", when(col("ret") > 0, 1).otherwise(-1))
+      val runs = signs
+        .withColumn("prev", lag(col("sgn"), 1).over(byDay))
+        .groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(when(col("sgn") === 1, 1L).otherwise(0L)).as("n_up"),
+          sum(when(col("sgn") === -1, 1L).otherwise(0L)).as("n_down"),
+          (sum(when(col("prev").isNull ||
+            col("prev") =!= col("sgn"), 1L).otherwise(0L))).as("r_runs"))
+      val n = col("n").cast("double")
+      val p2 = lit(2.0) * col("n_up").cast("double") *
+        col("n_down").cast("double")
+      val muR = p2 / n + lit(1.0)
+      val varR = p2 * (p2 - n) / (n * n * (n - lit(1.0)))
+      runs.select(col("l_returnflag"), col("n"), col("n_up"),
+          col("n_down"), col("r_runs"),
+          r6((col("r_runs").cast("double") - muR) / sqrt(varR)).as("z"))
+        .orderBy("l_returnflag")
+    },
+    Some(s"""
+      WITH daily AS (
+        SELECT l_returnflag, date_trunc('day', l_shipdate) AS day,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE)
+                 / count(*) AS y
+        FROM lineitem GROUP BY 1, 2),
+      rets AS (
+        SELECT l_returnflag, day,
+               y / lag(y, 1) OVER (PARTITION BY l_returnflag ORDER BY day)
+                 - 1 AS ret
+        FROM daily),
+      sg AS (
+        SELECT l_returnflag, day,
+               CASE WHEN ret > 0 THEN 1 ELSE -1 END AS sgn
+        FROM rets WHERE ret IS NOT NULL AND ret <> 0),
+      lagged AS (
+        SELECT l_returnflag, sgn,
+               lag(sgn, 1) OVER (PARTITION BY l_returnflag ORDER BY day)
+                 AS prev
+        FROM sg),
+      agg AS (
+        SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN sgn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_up,
+               CAST(sum(CASE WHEN sgn = -1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_down,
+               CAST(sum(CASE WHEN prev IS NULL OR prev <> sgn
+                 THEN 1 ELSE 0 END) AS BIGINT) AS r_runs
+        FROM lagged GROUP BY 1)
+      SELECT l_returnflag, n, n_up, n_down, r_runs,
+             ${sqlR6("""(CAST(r_runs AS DOUBLE)
+                - (2.0e0 * CAST(n_up AS DOUBLE) * CAST(n_down AS DOUBLE)
+                   / CAST(n AS DOUBLE) + 1.0e0))
+               / sqrt(2.0e0 * CAST(n_up AS DOUBLE) * CAST(n_down AS DOUBLE)
+                 * (2.0e0 * CAST(n_up AS DOUBLE) * CAST(n_down AS DOUBLE)
+                    - CAST(n AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                    * (CAST(n AS DOUBLE) - 1.0e0)))""")} AS z
+      FROM agg ORDER BY l_returnflag""")
+  )
+
   val all: Seq[QueryDef] = Seq(m1Ols, m2OlsNextDay, m4Anomalies, m5Ridge,
     m6Cv, m7Mwu, m8Ks, m9Nbayes, m10LogregStep, m11Welch, m12Spearman,
     m13Robust, m14Anova, m15Kendall, m16Cusum, m17TheilSen, m18Pca,
     m19Bootstrap, m20JarqueBera, m21Assoc, m22Adamic, m23Isotonic,
     m24Mahalanobis, m25EmStep, m26Pettitt, m27Wilcoxon, m28Huber,
-    m29Granger)
+    m29Granger, m30RunsTest)
 }

@@ -972,6 +972,69 @@ object MiscCatalog {
     )
   }
 
+  /** Tukey-fence outlier census: global Q1/Q3 of price via the exact
+    * histogram-bisection quantiles (no global sort), fences
+    * Q1−1.5·IQR / Q3+1.5·IQR as fixed float trees of the two SELECTED
+    * raw values, then per-flag counts below/above — the box-plot
+    * outlier readout (the detection complement of q_a23_winsor's
+    * clipping transform). Counts are exact integers from one scan with
+    * a broadcast 1-row fence; cross-engine exact because the fences
+    * are built from identical selected values.
+    */
+  val qIqrOutliers = QueryDef(
+    "q_a27_iqr_outliers",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val qs = graft.analytics.ExactQuantiles.quantiles(
+        li, "l_extendedprice", Seq(0.25, 0.75), buckets = 1024,
+        cutoff = 2000)
+      val fence = qs.agg(
+        max(when(col("q") === 0.25, col("value"))).as("q1"),
+        max(when(col("q") === 0.75, col("value"))).as("q3"))
+        .select(col("q1"), col("q3"),
+          (col("q1") - lit(1.5) * (col("q3") - col("q1"))).as("lo"),
+          (col("q3") + lit(1.5) * (col("q3") - col("q1"))).as("hi"))
+      li.crossJoin(broadcast(fence))
+        .groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(when(col("l_extendedprice") < col("lo"), 1L).otherwise(0L))
+            .as("n_below"),
+          sum(when(col("l_extendedprice") > col("hi"), 1L).otherwise(0L))
+            .as("n_above"),
+          max(col("lo")).as("fence_lo"), max(col("hi")).as("fence_hi"))
+        .orderBy("l_returnflag")
+    },
+    Some("""
+      WITH n AS (SELECT count(*) AS cnt FROM lineitem),
+      s AS (
+        SELECT l_extendedprice AS value,
+               row_number() OVER (ORDER BY l_extendedprice) AS rn
+        FROM lineitem),
+      qs AS (SELECT CAST(unnest([0.25, 0.75]) AS DOUBLE) AS q),
+      r AS (
+        SELECT qs.q AS q,
+               CAST(floor(qs.q * (n.cnt - 1)) AS BIGINT) + 1 AS rn
+        FROM qs, n),
+      qv AS (
+        SELECT max(CASE WHEN q = 0.25 THEN value END) AS q1,
+               max(CASE WHEN q = 0.75 THEN value END) AS q3
+        FROM r JOIN s USING (rn)),
+      fence AS (
+        SELECT q1, q3,
+               q1 - 1.5e0 * (q3 - q1) AS lo,
+               q3 + 1.5e0 * (q3 - q1) AS hi
+        FROM qv)
+      SELECT l.l_returnflag, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN l.l_extendedprice < f.lo THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_below,
+             CAST(sum(CASE WHEN l.l_extendedprice > f.hi THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_above,
+             max(f.lo) AS fence_lo, max(f.hi) AS fence_hi
+      FROM lineitem l CROSS JOIN fence f
+      GROUP BY 1 ORDER BY 1""")
+  )
+
   /** PageRank over the customer↔supplier interaction graph (distinct
     * trade pairs from lineitem ⋈ orders, symmetrized so the bipartite
     * graph has no dangling mass). Integer floor-div arithmetic makes all
@@ -2271,6 +2334,7 @@ object MiscCatalog {
     qChi2, qHhi,
     qProfile, qBenford, qGini, qEntropy, qMi, qSnapshotDiff, qWinsor,
     qFkAudit, qMoments, qAssortativity, qPartitionedScan, qKcore,
-    qLabelProp, qScd2AsOf, qSkewProfile, qHits, qExpectations, qDegreeDist)
+    qLabelProp, qScd2AsOf, qSkewProfile, qHits, qExpectations, qDegreeDist,
+    qIqrOutliers)
 }
 

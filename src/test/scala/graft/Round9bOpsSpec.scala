@@ -406,6 +406,29 @@ class Round9bOpsSpec extends SparkSpec {
     assert(cnts.sliding(2).forall { case Array(a, b) => a >= b; case _ => true })
   }
 
+  test("q_m30_runs_test: run-count bounds hold (1 ≤ R ≤ n, counts " +
+      "partition n)") {
+    val rows = q("q_m30_runs_test", sfCorrect).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n")
+      val runs = r.getAs[Long]("r_runs")
+      assert(r.getAs[Long]("n_up") + r.getAs[Long]("n_down") == n)
+      assert(runs >= 1 && runs <= n)
+    }
+  }
+
+  test("q_a27_iqr_outliers: fences ordered, outliers a strict minority") {
+    val rows = q("q_a27_iqr_outliers", sfCorrect).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("fence_lo") < r.getAs[Double]("fence_hi"))
+      val out = r.getAs[Long]("n_below") + r.getAs[Long]("n_above")
+      assert(out < r.getAs[Long]("n") / 4,
+        "Tukey fences must flag a minority of rows")
+    }
+  }
+
   test("q_f_sortino: downside deviation positive, ratio sign matches " +
       "mean return sign") {
     val rows = q("q_f_sortino", sfCorrect).collect()
