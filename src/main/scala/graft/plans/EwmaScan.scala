@@ -85,6 +85,11 @@ object EwmaScan {
       buckets: Int = 32): (DataFrame, DataFrame) = {
     require(alpha > 0.0 && alpha < 1.0, s"alpha must be in (0,1): $alpha")
     require(buckets > 0, s"buckets must be positive: $buckets")
+    // duplicate input names survive into the checkpointed LogicalRDD schema
+    // and trip Spark's ambiguous-output WARN on every run — refuse loudly
+    require(df.schema.fieldNames.distinct.length == df.schema.fieldNames.length,
+      s"EwmaScan: duplicate column names in input: " +
+        df.schema.fieldNames.diff(df.schema.fieldNames.distinct).mkString(","))
     val spark = df.sparkSession
     val om = 1.0 - alpha
 

@@ -1691,13 +1691,17 @@ object MiningCatalog {
             (col("s2") / col("n"))).as("v12"))
       val dx = col("l_extendedprice") - col("mu1")
       val dy = col("l_quantity") - col("mu2")
+      val det = col("v11") * col("v22") - col("v12") * col("v12")
       val d2 = (dx * dx * col("v22") - lit(2.0) * dx * dy * col("v12") +
-        dy * dy * col("v11")) /
-        (col("v11") * col("v22") - col("v12") * col("v12"))
+        dy * dy * col("v11")) / det
       li.join(broadcast(mom), "l_returnflag")
         .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
           col("l_extendedprice"), col("l_quantity"),
-          floor(d2 * 1e6 + lit(0.5)).cast("long").as("d2_u6"))
+          // degenerate-covariance guard: det ≤ 0 (collinear columns) makes
+          // d² undefined — NULL in both engines instead of NaN/Inf, which
+          // Spark would NULL on cast but DuckDB would error on
+          when(det > 0, floor(d2 * 1e6 + lit(0.5)).cast("long"))
+            .otherwise(lit(null).cast("long")).as("d2_u6"))
         .orderBy(col("d2_u6").desc, col("l_returnflag"), col("l_orderkey"),
           col("l_linenumber"))
         .limit(20)
@@ -1721,10 +1725,12 @@ object MiningCatalog {
         FROM mom)
       SELECT l.l_returnflag, l.l_orderkey, l.l_linenumber,
              l.l_extendedprice, l.l_quantity,
-             CAST(floor((((l.l_extendedprice - mu1) * (l.l_extendedprice - mu1) * v22
-                - 2e0 * (l.l_extendedprice - mu1) * (l.l_quantity - mu2) * v12
-                + (l.l_quantity - mu2) * (l.l_quantity - mu2) * v11)
-               / (v11 * v22 - v12 * v12)) * 1e6 + 0.5) AS BIGINT) AS d2_u6
+             CASE WHEN v11 * v22 - v12 * v12 > 0 THEN
+               CAST(floor((((l.l_extendedprice - mu1) * (l.l_extendedprice - mu1) * v22
+                  - 2e0 * (l.l_extendedprice - mu1) * (l.l_quantity - mu2) * v12
+                  + (l.l_quantity - mu2) * (l.l_quantity - mu2) * v11)
+                 / (v11 * v22 - v12 * v12)) * 1e6 + 0.5) AS BIGINT)
+             ELSE NULL END AS d2_u6
       FROM lineitem l JOIN st ON st.l_returnflag = l.l_returnflag
       ORDER BY d2_u6 DESC, l.l_returnflag, l.l_orderkey, l.l_linenumber
       LIMIT 20""")

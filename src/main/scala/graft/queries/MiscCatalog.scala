@@ -1631,7 +1631,7 @@ object MiscCatalog {
           .join(dim.select(col(pk).as(fk)), Seq(fk), "left_anti")
         keys.agg(count(lit(1)).as("n_rows"),
           sum(when(col(fk).isNull, 1L).otherwise(0L)).as("n_null_fk"))
-          .crossJoin(orphans.agg(count(lit(1)).as("n_orphans")))
+          .crossJoin(broadcast(orphans.agg(count(lit(1)).as("n_orphans"))))
           .select(lit(name).as("edge"), col("n_rows"), col("n_null_fk"),
             col("n_orphans"))
       }
@@ -1824,7 +1824,7 @@ object MiscCatalog {
         s380(col("dy") * col("dy")).as("syy"),
         s380(col("dx") * col("dy")).as("sxy"))
       val n = col("n_edges").cast("double")
-      m.crossJoin(nNodes).select(
+      m.crossJoin(broadcast(nNodes)).select(
         col("n_edges"), col("n_nodes"),
         r6((n * col("sxy") - col("sx") * col("sy")) /
           sqrt((n * col("sxx") - col("sx") * col("sx")) *

@@ -381,16 +381,25 @@ object SimilarityCatalog {
       WITH q AS (SELECT vec_id AS query_id,
                    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
                  FROM embeddings WHERE vec_id < $RecallQMax),
+      -- the brute side mirrors Ann.bruteForceTopK's exact operand order:
+      -- L2-normalize EACH vector first, then dot the normalized vectors
+      -- (dot-raw-then-divide computes the same cosine only up to 1 ulp,
+      -- which can flip rank-k membership on near-ties across engines)
+      qn AS (SELECT query_id,
+               list_transform(qv, x -> x /
+                 sqrt(list_sum(list_transform(qv, y -> y * y)))) AS qv
+             FROM q),
+      cn AS (SELECT nn_id,
+               list_transform(cv, x -> x /
+                 sqrt(list_sum(list_transform(cv, y -> y * y)))) AS cv
+             FROM (SELECT vec_id AS nn_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+                   FROM embeddings)),
       bscored AS (
-        SELECT q.query_id, e.vec_id AS nn_id,
-               list_sum(list_transform(
-                 list_zip(list_transform(e.embedding,
-                   x -> CAST(x AS DOUBLE)), q.qv), p -> p[1] * p[2]))
-               / (sqrt(list_sum(list_transform(e.embedding,
-                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-                  * sqrt(list_sum(list_transform(q.qv, x -> x * x))))
-                 AS cos
-        FROM embeddings e CROSS JOIN q),
+        SELECT qn.query_id, cn.nn_id,
+               list_sum(list_transform(list_zip(cn.cv, qn.qv),
+                 p -> p[1] * p[2])) AS cos
+        FROM cn CROSS JOIN qn),
       btruth AS (
         SELECT query_id, nn_id FROM (
           SELECT query_id, nn_id,

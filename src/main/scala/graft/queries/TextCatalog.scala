@@ -804,7 +804,8 @@ object TextCatalog {
       val inter = a.join(b, Seq("w")).where(col("sa") < col("sb"))
         .groupBy("sa", "sb").agg(count(lit(1)).as("n_inter"))
       val pairs = sizes.select(col("source").as("sa"), col("v").as("va"))
-        .crossJoin(sizes.select(col("source").as("sb"), col("v").as("vb")))
+        .crossJoin(broadcast(
+          sizes.select(col("source").as("sb"), col("v").as("vb"))))
         .where(col("sa") < col("sb"))
       pairs.join(inter, Seq("sa", "sb"), "left")
         .withColumn("n_inter", coalesce(col("n_inter"), lit(0L)))
@@ -877,7 +878,7 @@ object TextCatalog {
           s18(termB).as("tb"), s18(col("p")).as("pa"),
           s18(col("q")).as("pb"))
       val pairs = tot.select(col("source").as("sa"))
-        .crossJoin(tot.select(col("source").as("sb")))
+        .crossJoin(broadcast(tot.select(col("source").as("sb"))))
         .where(col("sa") < col("sb"))
       pairs.join(shared, Seq("sa", "sb"), "left")
         .select(col("sa"), col("sb"),

@@ -269,8 +269,12 @@ object WindowCatalog {
     * oracle replays from MUST come from the same invocation parameters.
     */
   private def ewmaParts(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    // .distinct: ewmaOrder already ends in the value column — a duplicate
+    // name survives the select and trips Spark's LogicalRDD schema WARN on
+    // every checkpointed run
     val li = t(s, dir, "lineitem").select(
-      (Seq("l_returnflag") ++ ewmaOrder :+ "l_extendedprice").map(col): _*)
+      (Seq("l_returnflag") ++ ewmaOrder :+ "l_extendedprice")
+        .distinct.map(col): _*)
     graft.plans.EwmaScan.ewmaWithSeeds(li, Seq("l_returnflag"), ewmaOrder,
       unix_date(col("l_shipdate").cast("date")), "l_extendedprice",
       EwmaAlpha, "ewma", EwmaBuckets)

@@ -26,12 +26,10 @@ import org.apache.spark.sql.functions._
   * and happen on the driver — at 100 TB this is one footer per input
   * file listing, the same metadata Spark's own scan planning touches.
   *
-  * Invariant: one timestamp unit per events table. `conversion` inspects
-  * a single representative file (the lexicographically-first parquet under
-  * a directory); a multi-file table with MIXED units would silently use
-  * that file's conversion. Every writer of a multi-file events table must
-  * keep the unit uniform — which every sane writer (including this
-  * engine's sinks and Spark itself) already does.
+  * Invariant: one timestamp unit per events table — ENFORCED. `conversion`
+  * inspects every parquet footer under a directory and errors loudly if
+  * the units disagree, so a multi-file table with mixed units can never
+  * silently ride one file's conversion.
   */
 object EventsTs {
 
@@ -54,17 +52,37 @@ object EventsTs {
     new java.util.concurrent.ConcurrentHashMap[String, Conv]()
 
   /** The µs conversion for `path` (an events parquet file, or a directory
-    * holding staged copies of one — the streaming-source layout).
+    * holding staged copies of one — the streaming-source layout). For a
+    * directory, EVERY parquet footer underneath is inspected and the units
+    * must all agree — a mixed-unit table errors loudly instead of silently
+    * applying one file's conversion to the others (footers are a few KB of
+    * driver-side metadata each, the same listing Spark's scan planning
+    * already walks, so this stays cheap even on wide multi-file tables).
     */
   def conversion(path: String): Conv = {
     val conf = new Configuration()
     val p = new HPath(path)
     val fs = p.getFileSystem(conf)
-    val file = resolveParquet(fs, p)
-    val st = fs.getFileStatus(file)
-    val key = Seq(file.toString, st.getModificationTime.toString,
-      st.getLen.toString).mkString("|")
-    cache.computeIfAbsent(key, _ => inspect(file, conf))
+    val files = resolveParquet(fs, p)
+    // one cache key over the whole fileset identity: any added/removed/
+    // rewritten file re-inspects instead of serving a superseded unit
+    val key = files
+      .map { f =>
+        val st = fs.getFileStatus(f)
+        s"${f.toString}|${st.getModificationTime}|${st.getLen}"
+      }
+      .mkString("||")
+    cache.computeIfAbsent(key, _ => {
+      val convs = files.map(f => f -> inspect(f, conf))
+      val distinct = convs.map(_._2).distinct
+      if (distinct.length > 1)
+        sys.error("EventsTs: MIXED `ts` units across files of one table — " +
+          "refusing to pick one (a wrong unit silently collapses the " +
+          "timeline): " + convs.map { case (f, c) =>
+            s"${f.getName}=div${c.divToUs}/mul${c.mulToUs}"
+          }.mkString(", "))
+      distinct.head
+    })
   }
 
   /** Batch-read events with `ts` normalized to epoch µs. */
@@ -82,9 +100,10 @@ object EventsTs {
     df.withColumn("ts", conversion(path).us("ts"))
 
   // Hadoop-FS path resolution (not java.nio) so hdfs:// and s3a:// URIs
-  // resolve exactly like the footer read below.
-  private def resolveParquet(fs: FileSystem, p: HPath): HPath = {
-    if (!fs.getFileStatus(p).isDirectory) p
+  // resolve exactly like the footer read below. Returns ALL parquet files
+  // (name-sorted) — the caller asserts their units agree.
+  private def resolveParquet(fs: FileSystem, p: HPath): Seq[HPath] = {
+    if (!fs.getFileStatus(p).isDirectory) Seq(p)
     else {
       val files = fs.listStatus(p).iterator
         .map(_.getPath)
@@ -93,7 +112,7 @@ object EventsTs {
         .sortBy(_.getName)
       if (files.isEmpty)
         sys.error(s"EventsTs: no parquet file under directory $p")
-      files.head
+      files.toIndexedSeq
     }
   }
 

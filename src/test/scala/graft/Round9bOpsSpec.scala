@@ -150,6 +150,12 @@ class Round9bOpsSpec extends SparkSpec {
     daily.groupBy(_._1).foreach { case (g, pts) =>
       val ys = pts.sortBy(_._2.getTime).map(_._3)
       val n = ys.length
+      // the query documents a no-exact-ties assumption (sign-based Pettitt
+      // silently departs from the midrank definition on ties) — assert it
+      // so a future data change surfaces loudly instead of drifting
+      assert(ys.distinct.length == n,
+        s"$g: exact ties in daily means — the sign-based statistic no " +
+          "longer matches the Pettitt definition on this data")
       val us = (1 until n).map { t =>
         var u = 0L
         for (i <- 0 until t; j <- t until n)
@@ -207,6 +213,30 @@ class Round9bOpsSpec extends SparkSpec {
   test("q_m27_wilcoxon: rank-sum identity W+ + W- = m(m+1)/2") {
     val rows = q("q_m27_wilcoxon", sfCorrect).collect()
     assert(rows.nonEmpty)
+    // tie-freeness of |diff| per flag — the row_number ranking equals the
+    // midrank Wilcoxon definition only when no two |d| are exactly equal;
+    // assert it so a data change that introduces ties fails loudly
+    locally {
+      val sp = spark
+      import sp.implicits._
+      val byDay = org.apache.spark.sql.expressions.Window
+        .partitionBy("l_returnflag").orderBy("day")
+      val ads = spark.read.parquet(s"$sfCorrect/lineitem.parquet")
+        .withColumn("day", date_trunc("day", col("l_shipdate")))
+        .groupBy("l_returnflag", "day")
+        .agg((sum(col("l_extendedprice").cast("decimal(28,6)"))
+          .cast("double") / count(lit(1))).as("y"))
+        .withColumn("d", col("y") - lag(col("y"), 1).over(byDay))
+        .where(col("d").isNotNull && col("d") =!= 0.0)
+        .select(col("l_returnflag"), abs(col("d")).as("ad"))
+      val perFlag = ads.groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), count_distinct(col("ad")).as("nd"))
+        .as[(String, Long, Long)].collect()
+      perFlag.foreach { case (g, n, nd) =>
+        assert(n == nd, s"$g: exact ties in |diff| — row_number ranking " +
+          "no longer equals the midrank Wilcoxon definition on this data")
+      }
+    }
     rows.foreach { r =>
       val m = r.getAs[Long]("m")
       val wp = r.getAs[Long]("w_plus")

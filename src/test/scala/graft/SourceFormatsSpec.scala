@@ -33,6 +33,36 @@ class SourceFormatsSpec extends SparkSpec {
         "timestampFormat" -> "yyyy-MM-dd'T'HH:mm:ss.SSSXXX"))
   }
 
+  test("EventsTs rejects a multi-file table with MIXED ts units") {
+    val d = java.nio.file.Files.createTempDirectory("graft_mixed_units")
+    val ev = graft.sources.EventsTs.read(spark, sfSmoke).limit(50)
+    // file 1: raw INT64 ts (the engine's own epoch-µs convention)
+    ev.coalesce(1).write.mode("append").parquet(d.toString)
+    // file 2: TIMESTAMP(MILLIS)-annotated ts — a different unit
+    val prev = spark.conf.getOption("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MILLIS")
+    try {
+      ev.withColumn("ts", (col("ts") / 1000000L).cast("timestamp"))
+        .coalesce(1).write.mode("append").parquet(d.toString)
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.parquet.outputTimestampType", v)
+      case None => spark.conf.unset("spark.sql.parquet.outputTimestampType")
+    }
+    val ex = intercept[RuntimeException] {
+      graft.sources.EventsTs.conversion(d.toString)
+    }
+    assert(ex.getMessage.contains("MIXED"), s"wrong error: ${ex.getMessage}")
+  }
+
+  test("EventsTs accepts a multi-file table with UNIFORM ts units") {
+    val d = java.nio.file.Files.createTempDirectory("graft_uniform_units")
+    val ev = graft.sources.EventsTs.read(spark, sfSmoke).limit(50)
+    ev.coalesce(1).write.mode("append").parquet(d.toString)
+    ev.coalesce(1).write.mode("append").parquet(d.toString)
+    val conv = graft.sources.EventsTs.conversion(d.toString)
+    assert(conv == graft.sources.EventsTs.Conv(1L, 1L))
+  }
+
   test("streaming dedup drops the planted duplicate batch") {
     import graft.streaming.EventStreams
     val d = java.nio.file.Files.createTempDirectory("graft_dedup_stream")
