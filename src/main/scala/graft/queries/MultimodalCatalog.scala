@@ -3,31 +3,104 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import QueryDef._
-import graft.multimodal.{Codecs, Multimodal}
+import graft.multimodal.{Codecs, ImageIo, Multimodal}
 
-/** Multimodal binary-column twins (builder brief). The decode kernels in
-  * multimodal.Multimodal are environment-stubbed (no codec libraries
-  * here), but the binary PLUMBING — blob columns, bytewise slicing, frame
-  * explode, metadata aggregation — is real Spark surface, and these gates
-  * hash-check it against DuckDB byte-for-byte (frames compared as hex of
-  * the raw bytes, not via any engine hash).
+/** Multimodal binary-column twins (builder brief). Decode is REAL for
+  * every format the JVM can parse: pure-JVM WAV/BMP codecs
+  * (multimodal.Codecs) and JDK `javax.imageio` PNG/JPEG/multi-frame GIF
+  * (multimodal.ImageIo). Each gate synthesizes media blobs engine-side
+  * from the table's own integer keys, containerizes, decodes with the
+  * REAL parser, and reports integer-exact statistics that DuckDB
+  * recomputes relationally from the synthesis formula — so any
+  * header/layout/pixel/frame bug in the real codec path breaks the hash.
   *
-  * documents.text stands in for the media payload (testdata ships no real
-  * media); the UTF-8 encoding step is identical in both engines, so every
-  * downstream byte offset matches.
+  * documents.text stands in for opaque payloads in the sharding/ingest
+  * gates (testdata ships no media files); the UTF-8 encoding step is
+  * identical in both engines, so every downstream byte offset matches.
   */
 object MultimodalCatalog {
 
   private val NFrames = 4
 
-  /** Frame sampling through the typed operator (Multimodal.sampleFrames —
-    * the explode-to-frames flatMap a video pipeline uses), gated on exact
-    * frame bytes: step = max(1, len/n), n evenly spaced byte slices,
-    * trailing remainder dropped. Docs with under `NFrames` bytes yield one
-    * frame per byte; empty payloads yield none.
+  /** REAL multi-frame decode, oracle-gated end-to-end: per returnflag the
+    * engine synthesizes 4 grayscale 16×12 frames from the first 192
+    * row-keys, containerizes them as an ANIMATED GIF
+    * (ImageIo.encodeGifGray — LZW, gray palette, lossless), walks the
+    * frame directory with the REAL JDK reader
+    * (ImageReader.getNumImages/read(i) via Multimodal.GifFrameKernel),
+    * re-emits each decoded frame as a standalone BMP blob, re-parses THAT
+    * with the pure-JVM BMP decoder, and reports per-frame dims, exact BMP
+    * byte size, and the exact gray pixel sum. DuckDB replays the frame
+    * pixel formula relationally — any GIF frame-walk, palette, BMP
+    * re-encode, or re-parse bug breaks the hash.
     */
-  val mmFrames = QueryDef(
-    "q_mm_frames",
+  val mmFrames = {
+    val FW = 16
+    val FH = 12
+    val NPix = FW * FH
+    QueryDef(
+      "q_mm_frames",
+      (s, dir) => {
+        val sp = s
+        import sp.implicits._
+        val media = t(s, dir, "lineitem")
+          .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"))
+          .as[(String, Long, Int)]
+          .groupByKey(_._1)
+          .mapGroups { (flag, it) =>
+            val rows = it.toArray.sortBy(r => (r._2, r._3)).take(NPix)
+            require(rows.length == NPix,
+              s"group $flag has under $NPix rows — shrink the frame")
+            val frames = (0 until NFrames).map { f =>
+              rows.map { case (_, ok, ln) =>
+                ((ok * 31 + ln + f * 17) % 256).toByte
+              }
+            }
+            (flag.codePointAt(0).toLong,
+              ImageIo.encodeGifGray(FW, FH, frames))
+          }
+          .toDF("media_id", "blob")
+        Multimodal.sampleFrames(s, media, Multimodal.GifFrameKernel)
+          .map { fr =>
+            val img = Codecs.decodeBmp(fr.frame) // REAL re-parse of the frame
+            var gs = 0L
+            var i = 0
+            while (i < img.pixels.length) { gs += img.pixels(i) & 0xff; i += 3 }
+            (fr.media_id, fr.frame_idx, img.width.toLong, img.height.toLong,
+              fr.frame.length.toLong, gs)
+          }
+          .toDF("media_id", "frame_idx", "width", "height", "n_bytes",
+            "gray_sum")
+          .orderBy("media_id", "frame_idx")
+      },
+      Some(s"""
+        WITH r AS (
+          SELECT l_returnflag AS flag,
+                 row_number() OVER (PARTITION BY l_returnflag
+                   ORDER BY l_orderkey, l_linenumber) - 1 AS rn,
+                 l_orderkey AS ok, l_linenumber AS ln
+          FROM lineitem),
+        px AS (SELECT flag, ok, ln FROM r WHERE rn < $NPix),
+        f AS (SELECT CAST(unnest(range($NFrames)) AS INT) AS fi),
+        g AS (SELECT flag, fi, sum((ok * 31 + ln + fi * 17) % 256) AS gs
+              FROM px CROSS JOIN f GROUP BY 1, 2)
+        SELECT CAST(ascii(flag) AS BIGINT) AS media_id, fi AS frame_idx,
+               CAST($FW AS BIGINT) AS width, CAST($FH AS BIGINT) AS height,
+               CAST(54 + (($FW * 3 + 3) // 4 * 4) * $FH AS BIGINT)
+                 AS n_bytes,
+               CAST(gs AS BIGINT) AS gray_sum
+        FROM g ORDER BY media_id, frame_idx""")
+    )
+  }
+
+  /** Byte-range sharding of OPAQUE payloads (Multimodal.ByteSliceKernel —
+    * splitting blobs for parallel transport, not decoding), gated on
+    * exact slice bytes: step = max(1, len/n), n evenly spaced slices,
+    * trailing remainder dropped. Docs with under `NFrames` bytes yield
+    * one slice per byte; empty payloads yield none.
+    */
+  val mmChunks = QueryDef(
+    "q_mm_chunks",
     (s, dir) => {
       val media = Multimodal.asMediaTable(
         t(s, dir, "documents").filter(col("text").isNotNull),
@@ -64,12 +137,72 @@ object MultimodalCatalog {
       FROM frames ORDER BY media_id, frame_idx""")
   )
 
-  /** Binary metadata aggregation per source: media count, exact total and
-    * max payload bytes — the catalog-stats scan a media lake runs before
-    * any decode.
+  /** REAL container-header metadata, oracle-gated across THREE formats:
+    * per doc (bounded: doc_id < 300) the engine synthesizes an image
+    * whose dims derive from the doc key — encoded as BMP, PNG, or
+    * single-frame GIF cycling on doc_id%3 — then asMediaTable sniffs the
+    * magic bytes and parses width/height from the REAL container header
+    * (PNG IHDR big-endian, GIF logical screen little-endian, BMP
+    * BITMAPINFOHEADER little-endian) with native codegen'd expressions.
+    * The aggregate gates the parsed dims (and the deterministic BMP byte
+    * size) per source; any endianness/offset/magic bug breaks the hash.
     */
   val mmMeta = QueryDef(
     "q_mm_meta",
+    (s, dir) => {
+      val sp = s
+      import sp.implicits._
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 300)
+        .select(col("doc_id"), col("source"))
+      val blobs = docs.select(col("doc_id")).as[Long].map { id =>
+        val w = 8 + (id % 16).toInt
+        val h = 4 + (id % 8).toInt
+        val blob = (id % 3) match {
+          case 0 =>
+            val px = Array.tabulate(w * h * 3)(i =>
+              ((id * 7 + i * 13) % 256).toByte)
+            Codecs.encodeBmp(Codecs.BgrImage(w, h, px))
+          case 1 =>
+            val px = Array.tabulate(w * h * 3)(i =>
+              ((id * 7 + i * 13) % 256).toByte)
+            ImageIo.encodePng(Codecs.BgrImage(w, h, px))
+          case _ =>
+            val px = Array.tabulate(w * h)(i =>
+              ((id * 7 + i * 13) % 256).toByte)
+            ImageIo.encodeGifGray(w, h, Seq(px))
+        }
+        (id, blob)
+      }.toDF("doc_id", "blob")
+      Multimodal.asMediaTable(blobs, "doc_id", "blob", "image/auto")
+        .join(broadcast(docs.select(col("doc_id").as("media_id"),
+          col("source"))), Seq("media_id"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_media"),
+          sum(col("meta.width").cast("long")).as("sum_width"),
+          sum(col("meta.height").cast("long")).as("sum_height"),
+          sum(when(pmod(col("media_id"), lit(3)) === 0, col("meta.n_bytes"))
+            .otherwise(0L)).as("bmp_bytes"))
+        .orderBy("source")
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id, source, 8 + doc_id % 16 AS w, 4 + doc_id % 8 AS h
+        FROM documents WHERE doc_id < 300)
+      SELECT source, count(*) AS n_media,
+             CAST(sum(w) AS BIGINT) AS sum_width,
+             CAST(sum(h) AS BIGINT) AS sum_height,
+             CAST(sum(CASE WHEN doc_id % 3 = 0
+               THEN 54 + ((w * 3 + 3) // 4 * 4) * h ELSE 0 END) AS BIGINT)
+               AS bmp_bytes
+      FROM d GROUP BY 1 ORDER BY 1""")
+  )
+
+  /** Per-source byte stats over the raw blob column — the catalog-stats
+    * scan a media lake runs before any decode (no parsing needed, pure
+    * length aggregation).
+    */
+  val mmBytes = QueryDef(
+    "q_mm_bytes",
     (s, dir) => {
       val docs = t(s, dir, "documents").filter(col("text").isNotNull)
       Multimodal.asMediaTable(docs, "doc_id", "text", "text/plain")
@@ -88,6 +221,147 @@ object MultimodalCatalog {
       FROM documents WHERE text IS NOT NULL
       GROUP BY 1 ORDER BY 1""")
   )
+
+  /** REAL PNG decode through the FULL multimodal plumbing, oracle-gated:
+    * per returnflag the first 41×32 row-keys become a 24bpp image,
+    * encoded as PNG (ImageIo.encodePng — DEFLATE, lossless), wrapped by
+    * asMediaTable (dims from the REAL IHDR big-endian header parse, not
+    * the synthesis variables), then featurized partition-wise through
+    * extractFeatures with the REAL ImageIoKernel (full inflate +
+    * unfilter + pixel scan). Channel means come from exact integer sums
+    * over the DECODED pixels; PNG is lossless, so DuckDB replays them
+    * from the pixel formula — one double division and one float rounding
+    * per mean, identical IEEE ops both sides.
+    */
+  val mmPngDecode = {
+    val SrcW = 41
+    val SrcH = 32
+    val NPix = SrcW * SrcH
+    QueryDef(
+      "q_mm_png_decode",
+      (s, dir) => {
+        val sp = s
+        import sp.implicits._
+        val blobs = t(s, dir, "lineitem")
+          .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"))
+          .as[(String, Long, Int)]
+          .groupByKey(_._1)
+          .mapGroups { (flag, it) =>
+            val rows = it.toArray.sortBy(r => (r._2, r._3)).take(NPix)
+            require(rows.length == NPix,
+              s"group $flag has under $NPix rows — shrink the image")
+            val px = new Array[Byte](NPix * 3)
+            rows.zipWithIndex.foreach { case ((_, ok, ln), i) =>
+              px(i * 3) = ((ok * 31 + ln) % 256).toByte
+              px(i * 3 + 1) = ((ok * 7 + ln * 3) % 256).toByte
+              px(i * 3 + 2) = ((ln * 13) % 256).toByte
+            }
+            (flag.codePointAt(0).toLong,
+              ImageIo.encodePng(Codecs.BgrImage(SrcW, SrcH, px)))
+          }
+          .toDF("media_id", "blob")
+        val media = Multimodal.asMediaTable(blobs, "media_id", "blob",
+          "image/png")
+        val feats = Multimodal.extractFeatures(s, media,
+          ImageIo.ImageIoKernel).toDF()
+        media.join(feats, Seq("media_id"))
+          .select(col("media_id"),
+            col("meta.width").cast("long").as("width"), // REAL IHDR parse
+            col("meta.height").cast("long").as("height"),
+            element_at(col("feature"), 3).cast("double").as("mean_b"),
+            element_at(col("feature"), 4).cast("double").as("mean_g"),
+            element_at(col("feature"), 5).cast("double").as("mean_r"),
+            element_at(col("feature"), 6).cast("double").as("mean_luma"))
+          .orderBy("media_id")
+      },
+      Some(s"""
+        WITH r AS (
+          SELECT l_returnflag AS flag,
+                 row_number() OVER (PARTITION BY l_returnflag
+                   ORDER BY l_orderkey, l_linenumber) - 1 AS rn,
+                 l_orderkey AS ok, l_linenumber AS ln
+          FROM lineitem),
+        px AS (
+          SELECT flag, (ok * 31 + ln) % 256 AS b,
+                 (ok * 7 + ln * 3) % 256 AS g, (ln * 13) % 256 AS r
+          FROM r WHERE rn < $NPix),
+        m AS (SELECT flag, sum(b) AS sb, sum(g) AS sg, sum(r) AS sr
+              FROM px GROUP BY 1)
+        SELECT CAST(ascii(flag) AS BIGINT) AS media_id,
+               CAST($SrcW AS BIGINT) AS width,
+               CAST($SrcH AS BIGINT) AS height,
+               CAST(CAST(CAST(sb AS DOUBLE) / $NPix AS REAL) AS DOUBLE)
+                 AS mean_b,
+               CAST(CAST(CAST(sg AS DOUBLE) / $NPix AS REAL) AS DOUBLE)
+                 AS mean_g,
+               CAST(CAST(CAST(sr AS DOUBLE) / $NPix AS REAL) AS DOUBLE)
+                 AS mean_r,
+               CAST(CAST(CAST(sr * 299 + sg * 587 + sb * 114 AS DOUBLE)
+                 / (1e3 * $NPix) AS REAL) AS DOUBLE) AS mean_luma
+        FROM m ORDER BY media_id""")
+    )
+  }
+
+  /** REAL JPEG encode + header parse + decode, oracle-gated on what a
+    * LOSSY codec can guarantee: per returnflag a smooth 41×32 gradient
+    * (base offset = Σ(orderkey+linenumber) mod 64 — data-dependent) is
+    * JPEG-encoded, the header is parsed WITHOUT pixel decode
+    * (ImageIo.headerInfo: format name, dims, frame count), and the full
+    * DCT decode's mean gray must land within 3 levels of the source mean
+    * (a smooth gradient keeps DCT error far below that; a decoder that
+    * misparses components/subsampling lands far outside). Dims, format,
+    * frame count, and base are exact; mean_ok is the bounded-error gate.
+    */
+  val mmJpegMeta = {
+    val SrcW = 41
+    val SrcH = 32
+    QueryDef(
+      "q_mm_jpeg_meta",
+      (s, dir) => {
+        val sp = s
+        import sp.implicits._
+        t(s, dir, "lineitem")
+          .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"))
+          .as[(String, Long, Int)]
+          .groupByKey(_._1)
+          .mapGroups { (flag, it) =>
+            var keySum = 0L
+            it.foreach(r => keySum += r._2 + r._3)
+            val base = (keySum % 64).toInt
+            val px = new Array[Byte](SrcW * SrcH * 3)
+            var srcSumG = 0L
+            for (y <- 0 until SrcH; x <- 0 until SrcW) {
+              val v = 20 + base + 2 * x + 2 * y // smooth, no wraparound
+              val i = (y * SrcW + x) * 3
+              px(i) = v.toByte; px(i + 1) = v.toByte; px(i + 2) = v.toByte
+              srcSumG += v
+            }
+            val jpg = ImageIo.encodeJpeg(Codecs.BgrImage(SrcW, SrcH, px))
+            val hdr = ImageIo.headerInfo(jpg) // header-only parse
+            val back = ImageIo.decodeImage(jpg) // REAL DCT decode
+            var decSumG = 0L
+            var i = 1
+            while (i < back.pixels.length) {
+              decSumG += back.pixels(i) & 0xff; i += 3
+            }
+            (flag, hdr.format, hdr.width.toLong, hdr.height.toLong,
+              hdr.nFrames.toLong, base.toLong,
+              math.abs(decSumG - srcSumG) <= 3L * SrcW * SrcH)
+          }
+          .toDF("flag", "fmt", "width", "height", "n_frames", "base",
+            "mean_ok")
+          .orderBy("flag")
+      },
+      Some(s"""
+        SELECT l_returnflag AS flag, 'JPEG' AS fmt,
+               CAST($SrcW AS BIGINT) AS width,
+               CAST($SrcH AS BIGINT) AS height,
+               CAST(1 AS BIGINT) AS n_frames,
+               CAST(sum(l_orderkey + l_linenumber) % 64 AS BIGINT) AS base,
+               TRUE AS mean_ok
+        FROM lineitem GROUP BY 1 ORDER BY 1""")
+    )
+  }
 
   /** REAL decode, oracle-gated end-to-end: per returnflag the engine
     * SYNTHESIZES a PCM16 waveform from the table's own integer keys,
@@ -444,6 +718,6 @@ object MultimodalCatalog {
   )
 
   val all: Seq[QueryDef] =
-    Seq(mmFrames, mmMeta, mmWavDecode, mmBmpResize, mmDhash, mmAudioFeats,
-      mmBinarySource)
+    Seq(mmFrames, mmChunks, mmMeta, mmBytes, mmPngDecode, mmJpegMeta,
+      mmWavDecode, mmBmpResize, mmDhash, mmAudioFeats, mmBinarySource)
 }
