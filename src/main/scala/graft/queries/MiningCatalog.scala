@@ -684,7 +684,7 @@ object MiningCatalog {
         .select(col("n").as("n_r"), col("mu").as("mu_r"), col("v").as("v_r"))
       val se2a = col("v_a") / col("n_a").cast("double")
       val se2r = col("v_r") / col("n_r").cast("double")
-      a.crossJoin(r).select(
+      a.crossJoin(broadcast(r)).select(
         col("n_a"), col("n_r"),
         r6((col("mu_a") - col("mu_r")) / sqrt(se2a + se2r)).as("t_stat"),
         r2((se2a + se2r) * (se2a + se2r) /
@@ -1702,8 +1702,11 @@ object MiningCatalog {
           // Spark would NULL on cast but DuckDB would error on
           when(det > 0, floor(d2 * 1e6 + lit(0.5)).cast("long"))
             .otherwise(lit(null).cast("long")).as("d2_u6"))
-        .orderBy(col("d2_u6").desc, col("l_returnflag"), col("l_orderkey"),
-          col("l_linenumber"))
+        // NULLS LAST pinned explicitly: DuckDB's default_null_order is
+        // config/version-dependent, so the cross-engine order must not
+        // rely on either engine's default
+        .orderBy(col("d2_u6").desc_nulls_last, col("l_returnflag"),
+          col("l_orderkey"), col("l_linenumber"))
         .limit(20)
     },
     Some(s"""
@@ -1732,7 +1735,8 @@ object MiningCatalog {
                  / (v11 * v22 - v12 * v12)) * 1e6 + 0.5) AS BIGINT)
              ELSE NULL END AS d2_u6
       FROM lineitem l JOIN st ON st.l_returnflag = l.l_returnflag
-      ORDER BY d2_u6 DESC, l.l_returnflag, l.l_orderkey, l.l_linenumber
+      ORDER BY d2_u6 DESC NULLS LAST, l.l_returnflag, l.l_orderkey,
+        l.l_linenumber
       LIMIT 20""")
   )
 

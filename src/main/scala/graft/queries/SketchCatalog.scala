@@ -117,7 +117,7 @@ object SketchCatalog {
       val parts = Hll.estimate(regs, Seq("o_orderpriority"), P)
         .agg(sumE(col("hll_est")).as("sum_parts"))
       val exact = o.agg(countDistinct(col("o_custkey")).as("exact_distinct"))
-      union.crossJoin(parts).crossJoin(exact)
+      union.crossJoin(broadcast(parts)).crossJoin(broadcast(exact))
         .select(r6(col("hll_est")).as("hll_union"),
           r6(col("sum_parts")).as("sum_parts"), col("exact_distinct"))
     },

@@ -1220,10 +1220,108 @@ object TextCatalog {
       FROM pairs GROUP BY 1 ORDER BY cnt DESC, pair LIMIT 15""")
   )
 
+  /** BPE TRAINING, K=5 merges (Sennrich et al. 2016) — the full iterative
+    * trainer loop, not just one argmax step (q_t_bpe_step): words become
+    * bracket-delimited token sequences ('<h><e><l><l><o>'), each round
+    * counts adjacent token pairs weighted by word frequency, merges the
+    * winning pair (count desc, pair asc tiebreak) across the whole
+    * vocabulary with string `replace` — non-overlapping left-to-right in
+    * BOTH engines, which is exactly the greedy merge order BPE specifies
+    * ('<a><a><a>' + merge (a,a) → '<aa><a>') — and repeats. Vocabulary is
+    * pre-tokenized to [a-z0-9]+ words so the bracket markers can't
+    * collide with token text, and the bracketed rendering is a bijection
+    * of the token sequence, so merged words never alias. Each round's
+    * argmax is a bounded driver aggregate (exactly ONE row — the k-means
+    * centers pattern) and the vocab is localCheckpointed per round to
+    * truncate lineage; pair fanout is bounded by Σ|word| over the
+    * DISTINCT vocabulary, not the corpus, so the loop scales with
+    * dictionary size at 100 TB. The oracle replays all 5 rounds as
+    * chained CTEs (the PageRank/HITS pattern) — exact integer counts,
+    * exact strings.
+    */
+  val tBpeTrain5 = {
+    val K = 5
+    QueryDef(
+      "q_t_bpe_train5",
+      (s, dir) => {
+        val sp = s
+        import sp.implicits._
+        val vocab0 = t(s, dir, "documents")
+          .select(lower(TextAnalysis.normText(col("text"))).as("nt"))
+          .filter(length(col("nt")) > 0)
+          .select(explode(split(col("nt"), " ")).as("w"))
+          .filter(col("w").rlike("^[a-z0-9]+$") && length(col("w")) >= 2)
+          .groupBy("w").agg(count(lit(1)).as("c"))
+          .select(concat(lit("<"),
+            array_join(split(col("w"), ""), "><"), lit(">")).as("toks"),
+            col("c"))
+        var vocab = vocab0.localCheckpoint()
+        val merges = Seq.newBuilder[(Int, String, String, Long)]
+        for (k <- 1 to K) {
+          val best = vocab
+            .select(col("c"),
+              split(regexp_replace(col("toks"), "^<|>$", ""), "><").as("ts"))
+            .filter(size(col("ts")) >= 2)
+            .select(col("c"), col("ts"),
+              explode(sequence(lit(1), size(col("ts")) - 1)).as("i"))
+            .select(element_at(col("ts"), col("i")).as("a"),
+              element_at(col("ts"), col("i") + 1).as("b"), col("c"))
+            .groupBy("a", "b").agg(sum("c").as("cnt"))
+            .select(concat(lit("<"), col("a"), lit("><"), col("b"),
+              lit(">")).as("pair"), col("a"), col("b"), col("cnt"))
+            .orderBy(col("cnt").desc, col("pair"))
+            .limit(1).collect()(0) // bounded: exactly one row per round
+          val (pair, a, b, cnt) = (best.getString(0), best.getString(1),
+            best.getString(2), best.getLong(3))
+          merges += ((k, a, b, cnt))
+          vocab = vocab.select(
+            replace(col("toks"), lit(pair), lit(s"<$a$b>")).as("toks"),
+            col("c")).localCheckpoint()
+        }
+        merges.result().toDF("step", "tok_a", "tok_b", "cnt")
+          .orderBy("step")
+      },
+      Some {
+        val rounds = (1 to K).map { k =>
+          s"""
+      p$k AS (
+        SELECT list_extract(ts, i) AS a, list_extract(ts, i + 1) AS b, c
+        FROM (SELECT string_split(substring(toks, 2, length(toks) - 2),
+                 '><') AS ts, c FROM v${k - 1}) q,
+             unnest(range(1, len(ts))) AS u(i)),
+      m$k AS (
+        SELECT '<' || a || '><' || b || '>' AS pair, a, b,
+               CAST(sum(c) AS BIGINT) AS cnt
+        FROM p$k GROUP BY 1, 2, 3 ORDER BY cnt DESC, pair LIMIT 1),
+      v$k AS (
+        SELECT replace(toks, (SELECT pair FROM m$k),
+                 '<' || (SELECT a FROM m$k) || (SELECT b FROM m$k) || '>')
+                 AS toks, c
+        FROM v${k - 1})"""
+        }.mkString(",")
+        val sel = (1 to K).map(k =>
+          s"SELECT $k AS step, a AS tok_a, b AS tok_b, cnt FROM m$k")
+          .mkString("\n      UNION ALL ")
+        s"""
+      WITH t AS (
+        SELECT lower($sqlNorm) AS nt FROM documents
+        WHERE length($sqlNorm) > 0),
+      v0 AS (
+        SELECT '<' || array_to_string(string_split(w, ''), '><') || '>'
+                 AS toks, count(*) AS c
+        FROM (SELECT unnest(string_split(nt, ' ')) AS w FROM t) u
+        WHERE regexp_full_match(w, '[a-z0-9]+') AND length(w) >= 2
+        GROUP BY 1),$rounds
+      $sel
+      ORDER BY step"""
+      }
+    )
+  }
+
   val all: Seq[QueryDef] =
     Seq(tQuality, tTokens, tFingerprint, tLangId, tExplode,
       tRepetition, tLmScore, tSplit, tStratSample, tTfIdf, tPmi,
       tPii, tVocab, tComposition, tPack, tShuffle, tDecontaminate,
       tLineDedup, tBm25, tDsir, tWsample, tVocabOverlap, tMixture, tJsd,
-      tFeatHash, tDupSpans, tZipf, tLangConfusion, tBpeStep)
+      tFeatHash, tDupSpans, tZipf, tLangConfusion, tBpeStep, tBpeTrain5)
 }

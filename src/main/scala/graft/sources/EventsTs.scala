@@ -46,10 +46,13 @@ object EventsTs {
       else expr(s"$name div $divToUs")
   }
 
-  // keyed by resolved parquet path + mtime + size so a regenerated file
-  // re-inspects instead of serving the superseded unit
+  // keyed by the REQUESTED path, storing the fileset identity (resolved
+  // file|mtime|len list) alongside the conversion: a changed fileset
+  // REPLACES its entry (re-inspect, never serve a superseded unit) rather
+  // than stranding the old one — bounded by the number of distinct tables,
+  // not by file churn underneath them
   private val cache =
-    new java.util.concurrent.ConcurrentHashMap[String, Conv]()
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Conv)]()
 
   /** The µs conversion for `path` (an events parquet file, or a directory
     * holding staged copies of one — the streaming-source layout). For a
@@ -64,25 +67,28 @@ object EventsTs {
     val p = new HPath(path)
     val fs = p.getFileSystem(conf)
     val files = resolveParquet(fs, p)
-    // one cache key over the whole fileset identity: any added/removed/
-    // rewritten file re-inspects instead of serving a superseded unit
-    val key = files
+    // fileset identity: any added/removed/rewritten file re-inspects
+    // instead of serving a superseded unit
+    val filesetId = files
       .map { f =>
         val st = fs.getFileStatus(f)
         s"${f.toString}|${st.getModificationTime}|${st.getLen}"
       }
       .mkString("||")
-    cache.computeIfAbsent(key, _ => {
-      val convs = files.map(f => f -> inspect(f, conf))
-      val distinct = convs.map(_._2).distinct
-      if (distinct.length > 1)
-        sys.error("EventsTs: MIXED `ts` units across files of one table — " +
-          "refusing to pick one (a wrong unit silently collapses the " +
-          "timeline): " + convs.map { case (f, c) =>
-            s"${f.getName}=div${c.divToUs}/mul${c.mulToUs}"
-          }.mkString(", "))
-      distinct.head
-    })
+    cache.compute(path, (_, prev) => {
+      if (prev != null && prev._1 == filesetId) prev
+      else {
+        val convs = files.map(f => f -> inspect(f, conf))
+        val distinct = convs.map(_._2).distinct
+        if (distinct.length > 1)
+          sys.error("EventsTs: MIXED `ts` units across files of one table — " +
+            "refusing to pick one (a wrong unit silently collapses the " +
+            "timeline): " + convs.map { case (f, c) =>
+              s"${f.getName}=div${c.divToUs}/mul${c.mulToUs}"
+            }.mkString(", "))
+        (filesetId, distinct.head)
+      }
+    })._2
   }
 
   /** Batch-read events with `ts` normalized to epoch µs. */

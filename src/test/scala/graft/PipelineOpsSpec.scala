@@ -448,7 +448,9 @@ class PipelineOpsSpec extends SparkSpec {
       "meta.n_bytes").collect()
     assert(metas.length == 10)
     metas.foreach { r =>
-      assert(r.getInt(1) >= 128 && r.getInt(2) >= 128 && r.getLong(3) > 0)
+      // non-image payloads carry no container header → dims are 0×0
+      // (real header dims for PNG/GIF/BMP are covered by ImageIoSpec)
+      assert(r.getInt(1) == 0 && r.getInt(2) == 0 && r.getLong(3) > 0)
     }
     val feats = Multimodal.extractFeatures(spark, media).collect()
     assert(feats.length == 10 && feats.forall(_.feature.length == 8))
