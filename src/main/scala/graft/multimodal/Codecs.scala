@@ -40,8 +40,23 @@ object Codecs {
     buf.array()
   }
 
+  /** G.711 μ-law expansion (ITU-T G.711, the 8-bit telephony companding
+    * standard): complement, split sign/exponent/mantissa, rebuild the
+    * 13-bit magnitude with the +0x84 bias trick, apply sign. Pure integer
+    * arithmetic — bit-exact everywhere.
+    */
+  def ulawToPcm16(b: Byte): Short = {
+    val u = (~b) & 0xff
+    val exponent = (u >> 4) & 0x07
+    val mantissa = u & 0x0f
+    val mag = (((mantissa << 3) + 0x84) << exponent) - 0x84
+    (if ((u & 0x80) != 0) -mag else mag).toShort
+  }
+
   /** Parse a RIFF/WAVE blob: walks chunks in any order (skipping unknown
-    * ones — LIST/INFO etc. are legal), requires PCM 16-bit. */
+    * ones — LIST/INFO etc. are legal). Supported sample codings: format 1
+    * (PCM, 16-bit) and format 7 (G.711 μ-law, 8-bit → expanded to PCM16).
+    */
   def decodeWav(blob: Array[Byte]): WavPcm = {
     def fail(msg: String) =
       throw new IllegalArgumentException(s"WAV decode: $msg")
@@ -53,8 +68,8 @@ object Codecs {
     buf.getInt // declared riff size; trust actual length instead
     buf.get(magic)
     if (new String(magic, "US-ASCII") != "WAVE") fail("not a WAVE form")
-    var fmt: Option[(Int, Int)] = None // (channels, sampleRate)
-    var data: Option[Array[Short]] = None
+    var fmt: Option[(Int, Int, Int)] = None // (format, channels, sampleRate)
+    var data: Option[Array[Byte]] = None // raw — decoded after the walk
     while (buf.remaining() >= 8) {
       buf.get(magic)
       val id = new String(magic, "US-ASCII")
@@ -64,28 +79,67 @@ object Codecs {
       id match {
         case "fmt " =>
           if (len < 16) fail(s"fmt chunk too short ($len)")
-          val audioFormat = buf.getShort
-          if (audioFormat != 1) fail(s"not PCM (format=$audioFormat)")
+          val audioFormat = buf.getShort.toInt
           val channels = buf.getShort.toInt
           val rate = buf.getInt
           buf.getInt // byte rate
           buf.getShort // block align
-          val bits = buf.getShort
-          if (bits != 16) fail(s"only 16-bit PCM supported (bits=$bits)")
+          val bits = buf.getShort.toInt
+          (audioFormat, bits) match {
+            case (1, 16) => // PCM16
+            case (7, 8) => // G.711 μ-law
+            case _ => fail("unsupported coding " +
+              s"(format=$audioFormat, bits=$bits; PCM16 and μ-law/8 only)")
+          }
           buf.position(buf.position() + (len - 16)) // fmt extensions
-          fmt = Some((channels, rate))
+          fmt = Some((audioFormat, channels, rate))
         case "data" =>
-          val out = new Array[Short](len / 2)
-          var i = 0
-          while (i < out.length) { out(i) = buf.getShort; i += 1 }
+          val raw = new Array[Byte](len)
+          buf.get(raw)
           if ((len & 1) == 1) buf.get() // odd chunks are padded
-          data = Some(out)
+          data = Some(raw)
         case _ => // LIST, fact, cue , ... — skip (plus pad byte)
           buf.position(buf.position() + len + (len & 1))
       }
     }
-    val (ch, rate) = fmt.getOrElse(fail("no fmt chunk"))
-    WavPcm(rate, ch, data.getOrElse(fail("no data chunk")))
+    val (format, ch, rate) = fmt.getOrElse(fail("no fmt chunk"))
+    val raw = data.getOrElse(fail("no data chunk"))
+    val samples = format match {
+      case 1 =>
+        val out = new Array[Short](raw.length / 2)
+        val db = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
+        var i = 0
+        while (i < out.length) { out(i) = db.getShort; i += 1 }
+        out
+      case 7 =>
+        val out = new Array[Short](raw.length)
+        var i = 0
+        while (i < out.length) { out(i) = ulawToPcm16(raw(i)); i += 1 }
+        out
+    }
+    WavPcm(rate, ch, samples)
+  }
+
+  /** RIFF/WAVE container for G.711 μ-law bytes (format 7, 8 bits/sample). */
+  def encodeWavUlaw(sampleRate: Int, channels: Int,
+      ulaw: Array[Byte]): Array[Byte] = {
+    val dataLen = ulaw.length
+    val pad = dataLen & 1
+    val buf = ByteBuffer.allocate(44 + dataLen + pad)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen + pad)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(7) // G.711 μ-law
+      .putShort(channels.toShort)
+      .putInt(sampleRate)
+      .putInt(sampleRate * channels) // byte rate (1 byte/sample)
+      .putShort(channels.toShort) // block align
+      .putShort(8) // bits per sample
+    buf.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    buf.put(ulaw)
+    if (pad == 1) buf.put(0: Byte)
+    buf.array()
   }
 
   // ---------------------------------------------------------------- BMP
@@ -175,6 +229,167 @@ object Codecs {
       y += 1
     }
     BgrImage(w, h, out)
+  }
+
+  // ---------------------------------------------------------------- AVI
+
+  /** Decoded AVI video: frame rate plus fully decoded frames. */
+  final case class AviVideo(fps: Int, frames: Seq[BgrImage])
+
+  /** RIFF/AVI container with one uncompressed 24bpp DIB video stream —
+    * the classic 'vids'/'DIB ' AVI (Microsoft AVI RIFF spec): hdrl LIST
+    * (avih + strl[strh,strf]) then movi LIST with one '00db' chunk per
+    * frame, rows bottom-up and 4-byte padded exactly like BMP pixel data.
+    */
+  def encodeAviDib(fps: Int, frames: Seq[BgrImage]): Array[Byte] = {
+    require(frames.nonEmpty, "AVI needs at least one frame")
+    require(fps > 0, s"bad fps $fps")
+    val w = frames.head.width
+    val h = frames.head.height
+    frames.foreach(f => require(f.width == w && f.height == h,
+      s"all frames must be ${w}x$h"))
+    val stride = bmpRowStride(w)
+    val frameLen = stride * h
+    def frameBytes(img: BgrImage): Array[Byte] = {
+      val out = new Array[Byte](frameLen)
+      var y = 0
+      while (y < h) { // bottom-up, padded — the DIB layout BMP uses
+        System.arraycopy(img.pixels, (h - 1 - y) * w * 3, out, y * stride,
+          w * 3)
+        y += 1
+      }
+      out
+    }
+    val moviLen = 4 + frames.length * (8 + frameLen) // 'movi' + chunks
+    val strlLen = 4 + (8 + 56) + (8 + 40) // 'strl' + strh + strf
+    val hdrlLen = 4 + (8 + 56) + (8 + strlLen) // 'hdrl' + avih + LIST strl
+    val riffLen = 4 + (8 + hdrlLen) + (8 + moviLen)
+    val buf = ByteBuffer.allocate(8 + riffLen).order(ByteOrder.LITTLE_ENDIAN)
+    def fourcc(s: String): Unit = buf.put(s.getBytes("US-ASCII"))
+    fourcc("RIFF"); buf.putInt(riffLen); fourcc("AVI ")
+    fourcc("LIST"); buf.putInt(hdrlLen); fourcc("hdrl")
+    fourcc("avih"); buf.putInt(56)
+    buf.putInt(1000000 / fps) // dwMicroSecPerFrame
+      .putInt(0).putInt(0).putInt(0) // maxBytesPerSec, padding, flags
+      .putInt(frames.length).putInt(0).putInt(1) // totalFrames, initial, streams
+      .putInt(frameLen).putInt(w).putInt(h) // suggestedBuffer, width, height
+      .putInt(0).putInt(0).putInt(0).putInt(0) // reserved
+    fourcc("LIST"); buf.putInt(strlLen); fourcc("strl")
+    fourcc("strh"); buf.putInt(56)
+    fourcc("vids"); fourcc("DIB ")
+    buf.putInt(0).putShort(0).putShort(0).putInt(0) // flags, prio, lang, initial
+      .putInt(1).putInt(fps) // dwScale=1, dwRate=fps → fps frames/sec
+      .putInt(0).putInt(frames.length) // start, length (frames)
+      .putInt(frameLen).putInt(0).putInt(0) // suggestedBuffer, quality, sampleSize
+      .putShort(0).putShort(0) // rcFrame left, top
+      .putShort(w.toShort).putShort(h.toShort) // rcFrame right, bottom
+    fourcc("strf"); buf.putInt(40)
+    buf.putInt(40).putInt(w).putInt(h) // BITMAPINFOHEADER
+      .putShort(1).putShort(24).putInt(0).putInt(frameLen)
+      .putInt(0).putInt(0).putInt(0).putInt(0)
+    fourcc("LIST"); buf.putInt(moviLen); fourcc("movi")
+    frames.foreach { img =>
+      fourcc("00db"); buf.putInt(frameLen); buf.put(frameBytes(img))
+    }
+    buf.array()
+  }
+
+  /** Parse a RIFF/AVI blob with a REAL container walk: RIFF form check,
+    * hdrl LIST → strh ('vids'/'DIB ' only) + strf (BITMAPINFOHEADER,
+    * 24bpp uncompressed), movi LIST → every '##db' frame chunk, each
+    * converted from bottom-up padded DIB rows to a top-down [[BgrImage]].
+    * Unknown chunks are skipped (odd lengths padded), exactly like the
+    * WAV walker; malformed structure fails loudly.
+    */
+  def decodeAviDib(blob: Array[Byte]): AviVideo = {
+    def fail(msg: String) =
+      throw new IllegalArgumentException(s"AVI decode: $msg")
+    if (blob.length < 12) fail(s"truncated header (${blob.length} bytes)")
+    val buf = ByteBuffer.wrap(blob).order(ByteOrder.LITTLE_ENDIAN)
+    val magic = new Array[Byte](4)
+    def fourcc(): String = { buf.get(magic); new String(magic, "US-ASCII") }
+    if (fourcc() != "RIFF") fail("not a RIFF file")
+    buf.getInt // declared size; trust actual length instead
+    if (fourcc() != "AVI ") fail("not an AVI form")
+    var dims: Option[(Int, Int)] = None // from strf
+    var fps = 0
+    val rawFrames = Seq.newBuilder[Array[Byte]]
+    // walk chunks between [buf.position, end); LIST chunks recurse
+    def walk(end: Int): Unit = {
+      while (end - buf.position() >= 8) {
+        val id = fourcc()
+        val len = buf.getInt
+        if (len < 0 || len > end - buf.position())
+          fail(s"chunk '$id' overruns its parent (len=$len)")
+        val next = buf.position() + len + (len & 1)
+        id match {
+          case "LIST" =>
+            fourcc() // list type (hdrl/strl/movi/...) — contents decide
+            walk(buf.position() + len - 4)
+          case "strh" =>
+            if (len < 56) fail(s"strh too short ($len)")
+            val fccType = fourcc()
+            val handler = fourcc()
+            if (fccType == "vids") {
+              if (handler != "DIB " && handler != "    ")
+                fail(s"unsupported video codec '$handler' (DIB only)")
+              buf.getInt; buf.getShort; buf.getShort; buf.getInt // flags..initial
+              val scale = buf.getInt
+              val rate = buf.getInt
+              if (scale <= 0 || rate <= 0 || rate % scale != 0)
+                fail(s"unsupported frame timing rate=$rate scale=$scale")
+              fps = rate / scale
+            }
+          case "strf" =>
+            if (dims.isEmpty) { // first video strf wins
+              if (len < 40) fail(s"strf too short ($len)")
+              buf.getInt // biSize
+              val w = buf.getInt
+              val h = buf.getInt
+              buf.getShort // planes
+              val bpp = buf.getShort
+              val compression = buf.getInt
+              if (bpp != 24) fail(s"only 24bpp DIB supported (bpp=$bpp)")
+              if (compression != 0)
+                fail(s"compressed AVI stream unsupported ($compression)")
+              if (w <= 0 || h <= 0) fail(s"bad dims ${w}x$h")
+              dims = Some((w, h))
+            }
+          case _ if id.length == 4 && id.endsWith("db") =>
+            val raw = new Array[Byte](len)
+            buf.get(raw)
+            rawFrames += raw
+          case _ => // idx1, JUNK, audio chunks, ... — skip
+        }
+        buf.position(next)
+      }
+    }
+    walk(blob.length)
+    val (w, h) = dims.getOrElse(fail("no video strf header"))
+    val stride = bmpRowStride(w)
+    val frames = rawFrames.result().map { raw =>
+      if (raw.length < stride * h)
+        fail(s"frame chunk ${raw.length} bytes < ${stride * h}")
+      val out = new Array[Byte](w * h * 3)
+      var y = 0
+      while (y < h) { // bottom-up → top-down
+        System.arraycopy(raw, (h - 1 - y) * stride, out, y * w * 3, w * 3)
+        y += 1
+      }
+      BgrImage(w, h, out)
+    }
+    if (frames.isEmpty) fail("no frame chunks in movi")
+    AviVideo(fps, frames)
+  }
+
+  /** REAL video frame extraction over the [[Multimodal.FrameKernel]]
+    * seam: walks the AVI container and re-emits each decoded frame as a
+    * standalone BMP blob (deterministic layout) — the video sibling of
+    * [[Multimodal.GifFrameKernel]].
+    */
+  object AviFrameKernel extends Multimodal.FrameKernel {
+    override def frames(blob: Array[Byte]): Seq[Array[Byte]] =
+      decodeAviDib(blob).frames.map(encodeBmp)
   }
 
   // ------------------------------------------------------------ kernels

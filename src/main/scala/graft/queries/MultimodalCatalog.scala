@@ -717,7 +717,149 @@ object MultimodalCatalog {
       ORDER BY doc_id""")
   )
 
+  /** REAL G.711 μ-law audio decode (ITU-T G.711 — the 8-bit telephony
+    * companding every speech corpus crawl encounters), oracle-gated: per
+    * returnflag the row keys become μ-law bytes, containerized as a
+    * format-7 RIFF/WAVE blob (Codecs.encodeWavUlaw), decoded back
+    * through the REAL chunk walk + μ-law expansion
+    * (Codecs.ulawToPcm16: complement, exponent/mantissa split, +0x84
+    * bias, sign), and summarized with exact integer statistics. DuckDB
+    * replays the expansion formula bit-for-bit with xor/shift/modulo —
+    * any companding-table or chunk-walk bug breaks the hash.
+    */
+  val mmUlawDecode = QueryDef(
+    "q_mm_ulaw_decode",
+    (s, dir) => {
+      val sp = s
+      import sp.implicits._
+      t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"))
+        .as[(String, Long, Int)]
+        .groupByKey(_._1)
+        .mapGroups { (flag, it) =>
+          val ulaw = it.map { case (_, ok, ln) =>
+            ((ok * 13 + ln * 7) % 256).toByte
+          }.toArray
+          val blob = Codecs.encodeWavUlaw(8000, 1, ulaw)
+          val wav = Codecs.decodeWav(blob) // REAL walk + μ-law expansion
+          var sum = 0L
+          var peak = 0L
+          var neg = 0L
+          wav.samples.foreach { v =>
+            sum += v
+            if (math.abs(v.toLong) > peak) peak = math.abs(v.toLong)
+            if (v < 0) neg += 1
+          }
+          (flag, wav.samples.length.toLong, wav.sampleRate.toLong, sum,
+            peak, neg)
+        }
+        .toDF("flag", "n_samples", "sample_rate", "sum_pcm", "peak", "n_neg")
+        .orderBy("flag")
+    },
+    Some("""
+      WITH r AS (
+        SELECT l_returnflag AS flag,
+               xor((l_orderkey * 13 + l_linenumber * 7) % 256, 255) AS u
+        FROM lineitem),
+      d AS (
+        SELECT flag,
+               CASE WHEN u >= 128 THEN
+                 -((((u % 16) * 8 + 132) << ((u // 16) % 8)) - 132)
+               ELSE (((u % 16) * 8 + 132) << ((u // 16) % 8)) - 132
+               END AS v
+        FROM r)
+      SELECT flag, count(*) AS n_samples,
+             CAST(8000 AS BIGINT) AS sample_rate,
+             CAST(sum(v) AS BIGINT) AS sum_pcm,
+             CAST(max(abs(v)) AS BIGINT) AS peak,
+             CAST(sum(CASE WHEN v < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg
+      FROM d GROUP BY 1 ORDER BY 1""")
+  )
+
+  /** REAL VIDEO container decode, oracle-gated end-to-end: per returnflag
+    * the first 80 row-keys become three 10×8 24bpp frames (width 10
+    * forces a 32-byte padded DIB stride), containerized as a RIFF/AVI
+    * 'vids'/'DIB ' stream (Codecs.encodeAviDib: hdrl/strl/strf headers +
+    * movi '00db' chunks), then decoded with the REAL recursive container
+    * walk (Codecs.AviFrameKernel over the FrameKernel seam), each frame
+    * re-emitted as BMP and re-parsed for exact channel sums. DuckDB
+    * replays the per-frame pixel formulas — any header-offset, stride,
+    * row-order, or frame-directory bug in the video path breaks the hash.
+    */
+  val mmAviFrames = {
+    val NF = 3
+    val FW = 10
+    val FH = 8
+    val NPix = FW * FH
+    QueryDef(
+      "q_mm_avi_frames",
+      (s, dir) => {
+        val sp = s
+        import sp.implicits._
+        val media = t(s, dir, "lineitem")
+          .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"))
+          .as[(String, Long, Int)]
+          .groupByKey(_._1)
+          .mapGroups { (flag, it) =>
+            val rows = it.toArray.sortBy(r => (r._2, r._3)).take(NPix)
+            require(rows.length == NPix,
+              s"group $flag has under $NPix rows — shrink the frame")
+            val frames = (0 until NF).map { f =>
+              val px = new Array[Byte](NPix * 3)
+              rows.zipWithIndex.foreach { case ((_, ok, ln), i) =>
+                px(i * 3) = ((ok * 31 + ln + f * 7) % 256).toByte
+                px(i * 3 + 1) = ((ok * 7 + ln * 3 + f * 11) % 256).toByte
+                px(i * 3 + 2) = ((ln * 13 + f * 19) % 256).toByte
+              }
+              Codecs.BgrImage(FW, FH, px)
+            }
+            (flag.codePointAt(0).toLong, Codecs.encodeAviDib(10, frames))
+          }
+          .toDF("media_id", "blob")
+        Multimodal.sampleFrames(s, media, Codecs.AviFrameKernel)
+          .map { fr =>
+            val img = Codecs.decodeBmp(fr.frame) // REAL re-parse per frame
+            var (sb, sg, sr) = (0L, 0L, 0L)
+            var i = 0
+            while (i < img.pixels.length) {
+              sb += img.pixels(i) & 0xff
+              sg += img.pixels(i + 1) & 0xff
+              sr += img.pixels(i + 2) & 0xff
+              i += 3
+            }
+            (fr.media_id, fr.frame_idx, img.width.toLong, img.height.toLong,
+              fr.frame.length.toLong, sb, sg, sr)
+          }
+          .toDF("media_id", "frame_idx", "width", "height", "n_bytes",
+            "sum_b", "sum_g", "sum_r")
+          .orderBy("media_id", "frame_idx")
+      },
+      Some(s"""
+        WITH r AS (
+          SELECT l_returnflag AS flag,
+                 row_number() OVER (PARTITION BY l_returnflag
+                   ORDER BY l_orderkey, l_linenumber) - 1 AS rn,
+                 l_orderkey AS ok, l_linenumber AS ln
+          FROM lineitem),
+        px AS (SELECT flag, ok, ln FROM r WHERE rn < $NPix),
+        f AS (SELECT CAST(unnest(range($NF)) AS INT) AS fi),
+        g AS (SELECT flag, fi,
+                     sum((ok * 31 + ln + fi * 7) % 256) AS sb,
+                     sum((ok * 7 + ln * 3 + fi * 11) % 256) AS sg,
+                     sum((ln * 13 + fi * 19) % 256) AS sr
+              FROM px CROSS JOIN f GROUP BY 1, 2)
+        SELECT CAST(ascii(flag) AS BIGINT) AS media_id, fi AS frame_idx,
+               CAST($FW AS BIGINT) AS width, CAST($FH AS BIGINT) AS height,
+               CAST(54 + (($FW * 3 + 3) // 4 * 4) * $FH AS BIGINT)
+                 AS n_bytes,
+               CAST(sb AS BIGINT) AS sum_b, CAST(sg AS BIGINT) AS sum_g,
+               CAST(sr AS BIGINT) AS sum_r
+        FROM g ORDER BY media_id, frame_idx""")
+    )
+  }
+
   val all: Seq[QueryDef] =
     Seq(mmFrames, mmChunks, mmMeta, mmBytes, mmPngDecode, mmJpegMeta,
-      mmWavDecode, mmBmpResize, mmDhash, mmAudioFeats, mmBinarySource)
+      mmWavDecode, mmBmpResize, mmDhash, mmAudioFeats, mmUlawDecode,
+      mmAviFrames, mmBinarySource)
 }

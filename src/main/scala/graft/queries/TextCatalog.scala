@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 import QueryDef._
-import graft.text.TextAnalysis
+import graft.text.{Bpe, TextAnalysis}
 
 /** Text-analysis twins over the `documents` table: token counting, quality
   * scoring, language ID, fingerprinting (builder brief: training-data
@@ -1239,70 +1239,32 @@ object TextCatalog {
     * chained CTEs (the PageRank/HITS pattern) — exact integer counts,
     * exact strings.
     */
-  val tBpeTrain5 = {
-    val K = 5
-    QueryDef(
-      "q_t_bpe_train5",
-      (s, dir) => {
-        val sp = s
-        import sp.implicits._
-        val vocab0 = t(s, dir, "documents")
-          .select(lower(TextAnalysis.normText(col("text"))).as("nt"))
-          .filter(length(col("nt")) > 0)
-          .select(explode(split(col("nt"), " ")).as("w"))
-          .filter(col("w").rlike("^[a-z0-9]+$") && length(col("w")) >= 2)
-          .groupBy("w").agg(count(lit(1)).as("c"))
-          .select(concat(lit("<"),
-            array_join(split(col("w"), ""), "><"), lit(">")).as("toks"),
-            col("c"))
-        var vocab = vocab0.localCheckpoint()
-        val merges = Seq.newBuilder[(Int, String, String, Long)]
-        for (k <- 1 to K) {
-          val best = vocab
-            .select(col("c"),
-              split(regexp_replace(col("toks"), "^<|>$", ""), "><").as("ts"))
-            .filter(size(col("ts")) >= 2)
-            .select(col("c"), col("ts"),
-              explode(sequence(lit(1), size(col("ts")) - 1)).as("i"))
-            .select(element_at(col("ts"), col("i")).as("a"),
-              element_at(col("ts"), col("i") + 1).as("b"), col("c"))
-            .groupBy("a", "b").agg(sum("c").as("cnt"))
-            .select(concat(lit("<"), col("a"), lit("><"), col("b"),
-              lit(">")).as("pair"), col("a"), col("b"), col("cnt"))
-            .orderBy(col("cnt").desc, col("pair"))
-            .limit(1).collect()(0) // bounded: exactly one row per round
-          val (pair, a, b, cnt) = (best.getString(0), best.getString(1),
-            best.getString(2), best.getLong(3))
-          merges += ((k, a, b, cnt))
-          vocab = vocab.select(
-            replace(col("toks"), lit(pair), lit(s"<$a$b>")).as("toks"),
-            col("c")).localCheckpoint()
-        }
-        merges.result().toDF("step", "tok_a", "tok_b", "cnt")
-          .orderBy("step")
-      },
-      Some {
-        val rounds = (1 to K).map { k =>
-          s"""
-      p$k AS (
-        SELECT list_extract(ts, i) AS a, list_extract(ts, i + 1) AS b, c
+  private val BpeK = 5
+
+  /** DuckDB replay of text.Bpe.train's K rounds as chained CTEs (the
+    * PageRank/HITS pattern): CTEs t, v0, and per round k: pair explode
+    * p_k, one-row argmax m_k, merged vocabulary v_k. The caller appends
+    * its own final SELECT over m_1..m_K / v_K.
+    */
+  private def sqlBpeCtes(k: Int): String = {
+    val rounds = (1 to k).map { i =>
+      s"""
+      p$i AS (
+        SELECT list_extract(ts, j) AS a, list_extract(ts, j + 1) AS b, c
         FROM (SELECT string_split(substring(toks, 2, length(toks) - 2),
-                 '><') AS ts, c FROM v${k - 1}) q,
-             unnest(range(1, len(ts))) AS u(i)),
-      m$k AS (
+                 '><') AS ts, c FROM v${i - 1}) q,
+             unnest(range(1, len(ts))) AS u(j)),
+      m$i AS (
         SELECT '<' || a || '><' || b || '>' AS pair, a, b,
                CAST(sum(c) AS BIGINT) AS cnt
-        FROM p$k GROUP BY 1, 2, 3 ORDER BY cnt DESC, pair LIMIT 1),
-      v$k AS (
-        SELECT replace(toks, (SELECT pair FROM m$k),
-                 '<' || (SELECT a FROM m$k) || (SELECT b FROM m$k) || '>')
+        FROM p$i GROUP BY 1, 2, 3 ORDER BY cnt DESC, pair LIMIT 1),
+      v$i AS (
+        SELECT replace(toks, (SELECT pair FROM m$i),
+                 '<' || (SELECT a FROM m$i) || (SELECT b FROM m$i) || '>')
                  AS toks, c
-        FROM v${k - 1})"""
-        }.mkString(",")
-        val sel = (1 to K).map(k =>
-          s"SELECT $k AS step, a AS tok_a, b AS tok_b, cnt FROM m$k")
-          .mkString("\n      UNION ALL ")
-        s"""
+        FROM v${i - 1})"""
+    }.mkString(",")
+    s"""
       WITH t AS (
         SELECT lower($sqlNorm) AS nt FROM documents
         WHERE length($sqlNorm) > 0),
@@ -1311,17 +1273,64 @@ object TextCatalog {
                  AS toks, count(*) AS c
         FROM (SELECT unnest(string_split(nt, ' ')) AS w FROM t) u
         WHERE regexp_full_match(w, '[a-z0-9]+') AND length(w) >= 2
-        GROUP BY 1),$rounds
+        GROUP BY 1),$rounds"""
+  }
+
+  val tBpeTrain5 = QueryDef(
+    "q_t_bpe_train5",
+    (s, dir) => {
+      val sp = s
+      import sp.implicits._
+      val (merges, _) = Bpe.train(s,
+        Bpe.vocab0(t(s, dir, "documents"), "text"), BpeK)
+      merges.map(m => (m.step, m.a, m.b, m.cnt))
+        .toDF("step", "tok_a", "tok_b", "cnt")
+        .orderBy("step")
+    },
+    Some {
+      val sel = (1 to BpeK).map(k =>
+        s"SELECT $k AS step, a AS tok_a, b AS tok_b, cnt FROM m$k")
+        .mkString("\n      UNION ALL ")
+      s"""${sqlBpeCtes(BpeK)}
       $sel
       ORDER BY step"""
-      }
-    )
-  }
+    }
+  )
+
+  /** BPE ENCODING with the trained merges — the tokenizer APPLY side:
+    * after the K training rounds, the encoded vocabulary IS the
+    * tokenized corpus (each distinct word carries its frequency), so the
+    * corpus token stream falls out of one explode over the bounded
+    * vocabulary — no second corpus scan. Reports the top-15 subword
+    * tokens by corpus frequency (count desc, token asc — total order) —
+    * the vocabulary head a tokenizer-training pipeline inspects before
+    * freezing the merge table. Exact integer counts; the oracle replays
+    * training AND encoding through the same chained CTEs.
+    */
+  val tBpeEncode = QueryDef(
+    "q_t_bpe_encode",
+    (s, dir) => {
+      val (_, vocab) = Bpe.train(s,
+        Bpe.vocab0(t(s, dir, "documents"), "text"), BpeK)
+      Bpe.explodeTokens(vocab)
+        .groupBy("tok").agg(sum("c").as("cnt"))
+        .orderBy(col("cnt").desc, col("tok"))
+        .limit(15)
+    },
+    Some(s"""${sqlBpeCtes(BpeK)},
+      toks AS (
+        SELECT unnest(string_split(substring(toks, 2, length(toks) - 2),
+                 '><')) AS tok, c
+        FROM v$BpeK)
+      SELECT tok, CAST(sum(c) AS BIGINT) AS cnt
+      FROM toks GROUP BY 1 ORDER BY cnt DESC, tok LIMIT 15""")
+  )
 
   val all: Seq[QueryDef] =
     Seq(tQuality, tTokens, tFingerprint, tLangId, tExplode,
       tRepetition, tLmScore, tSplit, tStratSample, tTfIdf, tPmi,
       tPii, tVocab, tComposition, tPack, tShuffle, tDecontaminate,
       tLineDedup, tBm25, tDsir, tWsample, tVocabOverlap, tMixture, tJsd,
-      tFeatHash, tDupSpans, tZipf, tLangConfusion, tBpeStep, tBpeTrain5)
+      tFeatHash, tDupSpans, tZipf, tLangConfusion, tBpeStep, tBpeTrain5,
+      tBpeEncode)
 }
