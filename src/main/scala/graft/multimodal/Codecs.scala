@@ -53,9 +53,25 @@ object Codecs {
     (if ((u & 0x80) != 0) -mag else mag).toShort
   }
 
+  /** G.711 A-law expansion (the European telephony companding half):
+    * XOR with 0x55, split sign/exponent/mantissa, rebuild the 12-bit
+    * magnitude ((m<<4)+8 in the linear segment, ((m<<4)+0x108)<<(e−1)
+    * above it), apply sign. Pure integer arithmetic — bit-exact.
+    */
+  def alawToPcm16(b: Byte): Short = {
+    val u = (b ^ 0x55) & 0xff
+    val exponent = (u >> 4) & 0x07
+    val mantissa = u & 0x0f
+    val mag =
+      if (exponent == 0) (mantissa << 4) + 8
+      else ((mantissa << 4) + 0x108) << (exponent - 1)
+    (if ((u & 0x80) != 0) mag else -mag).toShort
+  }
+
   /** Parse a RIFF/WAVE blob: walks chunks in any order (skipping unknown
     * ones — LIST/INFO etc. are legal). Supported sample codings: format 1
-    * (PCM, 16-bit) and format 7 (G.711 μ-law, 8-bit → expanded to PCM16).
+    * (PCM, 16-bit), format 6 (G.711 A-law, 8-bit) and format 7 (G.711
+    * μ-law, 8-bit), both expanded to PCM16.
     */
   def decodeWav(blob: Array[Byte]): WavPcm = {
     def fail(msg: String) =
@@ -87,9 +103,10 @@ object Codecs {
           val bits = buf.getShort.toInt
           (audioFormat, bits) match {
             case (1, 16) => // PCM16
+            case (6, 8) => // G.711 A-law
             case (7, 8) => // G.711 μ-law
             case _ => fail("unsupported coding " +
-              s"(format=$audioFormat, bits=$bits; PCM16 and μ-law/8 only)")
+              s"(format=$audioFormat, bits=$bits; PCM16, A-law/8, μ-law/8 only)")
           }
           buf.position(buf.position() + (len - 16)) // fmt extensions
           fmt = Some((audioFormat, channels, rate))
@@ -111,6 +128,11 @@ object Codecs {
         var i = 0
         while (i < out.length) { out(i) = db.getShort; i += 1 }
         out
+      case 6 =>
+        val out = new Array[Short](raw.length)
+        var i = 0
+        while (i < out.length) { out(i) = alawToPcm16(raw(i)); i += 1 }
+        out
       case 7 =>
         val out = new Array[Short](raw.length)
         var i = 0
@@ -120,27 +142,36 @@ object Codecs {
     WavPcm(rate, ch, samples)
   }
 
-  /** RIFF/WAVE container for G.711 μ-law bytes (format 7, 8 bits/sample). */
-  def encodeWavUlaw(sampleRate: Int, channels: Int,
-      ulaw: Array[Byte]): Array[Byte] = {
-    val dataLen = ulaw.length
+  private def encodeWavG711(format: Short, sampleRate: Int, channels: Int,
+      data: Array[Byte]): Array[Byte] = {
+    val dataLen = data.length
     val pad = dataLen & 1
     val buf = ByteBuffer.allocate(44 + dataLen + pad)
       .order(ByteOrder.LITTLE_ENDIAN)
     buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen + pad)
       .put("WAVE".getBytes("US-ASCII"))
     buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
-      .putShort(7) // G.711 μ-law
+      .putShort(format)
       .putShort(channels.toShort)
       .putInt(sampleRate)
       .putInt(sampleRate * channels) // byte rate (1 byte/sample)
       .putShort(channels.toShort) // block align
       .putShort(8) // bits per sample
     buf.put("data".getBytes("US-ASCII")).putInt(dataLen)
-    buf.put(ulaw)
+    buf.put(data)
     if (pad == 1) buf.put(0: Byte)
     buf.array()
   }
+
+  /** RIFF/WAVE container for G.711 μ-law bytes (format 7, 8 bits/sample). */
+  def encodeWavUlaw(sampleRate: Int, channels: Int,
+      ulaw: Array[Byte]): Array[Byte] =
+    encodeWavG711(7, sampleRate, channels, ulaw)
+
+  /** RIFF/WAVE container for G.711 A-law bytes (format 6, 8 bits/sample). */
+  def encodeWavAlaw(sampleRate: Int, channels: Int,
+      alaw: Array[Byte]): Array[Byte] =
+    encodeWavG711(6, sampleRate, channels, alaw)
 
   // ---------------------------------------------------------------- BMP
 

@@ -278,7 +278,99 @@ object JoinCatalog {
       ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 20""")
   )
 
+  /** Bloom-filter FALSE-POSITIVE-RATE audit — the companion measurement
+    * to q_j_bloom's pre-filtered join: build an m=4096-bit, k=3 Bloom
+    * filter over the DISTINCT order custkeys relationally (position =
+    * portable 60-bit md5 hash of `i#key` mod m — the repo's cross-engine
+    * hash, computed by the native Md5Prefix60 expression), probe it with
+    * every customer that has NO orders (anti-join — true non-members),
+    * and count the keys whose probe positions are ALL set. Reports the
+    * measured FPR next to the textbook expectation (s/m)^k from the
+    * actual set-bit count — the calibration check a pipeline runs before
+    * trusting a Bloom pre-filter at 100 TB. Everything is exact-integer
+    * except two audited ratios (one division each + an explicit
+    * cube, identical op order both engines, r6). Scale shape: the bit
+    * table is bounded by m (broadcast), probes shuffle once on key.
+    */
+  val jBloomFpr = {
+    val M = 4096
+    val K = 3
+    QueryDef(
+      "q_j_bloom_fpr",
+      (s, dir) => {
+        import graft.functions.Md5Prefix60.md5Prefix60
+        def positions(df: org.apache.spark.sql.DataFrame) =
+          df.select(col("k"), explode(array(
+            (1 to K).map(i => pmod(md5Prefix60(Seq(lit(i), col("k"))),
+              lit(M.toLong))): _*)).as("pos"))
+        val members = t(s, dir, "orders")
+          .select(col("o_custkey").as("k")).distinct()
+        val bits = positions(members).select("pos").distinct()
+        val probes = t(s, dir, "customer")
+          .select(col("c_custkey").as("k"))
+          .join(members, Seq("k"), "left_anti")
+        val probePos = positions(probes).distinct() // (k, pos) pairs
+        val perKey = probePos
+          .join(broadcast(bits.withColumn("hit", lit(1))), Seq("pos"), "left")
+          .groupBy("k")
+          .agg(count(lit(1)).as("n_pos"), sum(coalesce(col("hit"),
+            lit(0))).as("n_hit"))
+        val probeAgg = perKey.agg(
+          count(lit(1)).as("n_probes"),
+          sum(when(col("n_hit") === col("n_pos"), 1L).otherwise(0L))
+            .as("n_fp"))
+        val ratio = col("n_bits_set").cast("double") / lit(M.toDouble)
+        broadcast(members.agg(count(lit(1)).as("n_members")))
+          .crossJoin(broadcast(bits.agg(count(lit(1)).as("n_bits_set"))))
+          .crossJoin(broadcast(probeAgg))
+          .select(col("n_members"), col("n_bits_set"), col("n_probes"),
+            col("n_fp"),
+            r6(col("n_fp").cast("double") / col("n_probes").cast("double"))
+              .as("fpr"),
+            r6(ratio * ratio * ratio).as("exp_fpr"))
+      },
+      Some {
+        // the hash60 value is nonnegative, so plain % equals pmod
+        def h(i: Int) = "(CAST(('0x' || substr(md5(" +
+          s"'$i' || '#' || CAST(k AS VARCHAR)), 1, 15)) AS BIGINT) % $M)"
+        s"""
+        WITH members AS (SELECT DISTINCT o_custkey AS k FROM orders),
+        bits AS (
+          SELECT DISTINCT pos FROM (
+            ${(1 to K).map(i => s"SELECT ${h(i)} AS pos FROM members")
+          .mkString("\n            UNION ALL ")})),
+        probes AS (
+          SELECT c_custkey AS k FROM customer
+          WHERE c_custkey NOT IN (SELECT k FROM members)),
+        ppos AS (
+          SELECT DISTINCT k, pos FROM (
+            ${(1 to K).map(i => s"SELECT k, ${h(i)} AS pos FROM probes")
+          .mkString("\n            UNION ALL ")})),
+        perkey AS (
+          SELECT p.k, count(*) AS n_pos,
+                 CAST(sum(CASE WHEN b.pos IS NOT NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_hit
+          FROM ppos p LEFT JOIN bits b ON b.pos = p.pos
+          GROUP BY 1),
+        pa AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_probes,
+                 CAST(sum(CASE WHEN n_hit = n_pos THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_fp
+          FROM perkey),
+        ma AS (SELECT CAST(count(*) AS BIGINT) AS n_members FROM members),
+        ba AS (SELECT CAST(count(*) AS BIGINT) AS n_bits_set FROM bits)
+        SELECT n_members, n_bits_set, n_probes, n_fp,
+               ${sqlR6("CAST(n_fp AS DOUBLE) / CAST(n_probes AS DOUBLE)")}
+                 AS fpr,
+               ${sqlR6(s"(CAST(n_bits_set AS DOUBLE) / ${M.toDouble}e0)" +
+          s" * (CAST(n_bits_set AS DOUBLE) / ${M.toDouble}e0)" +
+          s" * (CAST(n_bits_set AS DOUBLE) / ${M.toDouble}e0)")} AS exp_fpr
+        FROM ma CROSS JOIN ba CROSS JOIN pa"""
+      }
+    )
+  }
+
   val all: Seq[QueryDef] =
     Seq(j1SpikeJoin, j2Union, jStarRevenue, jSemi, jAnti, jSalted, jBloom,
-      jQ3Shape, jQ18Shape)
+      jBloomFpr, jQ3Shape, jQ18Shape)
 }

@@ -776,6 +776,64 @@ object MultimodalCatalog {
       FROM d GROUP BY 1 ORDER BY 1""")
   )
 
+  /** REAL G.711 A-law decode — the European companding half (format 6),
+    * same end-to-end gate shape as q_mm_ulaw_decode but a different
+    * expansion law (XOR 0x55, linear low segment, biased upper segments):
+    * DuckDB replays Codecs.alawToPcm16 bit-for-bit. Together the two
+    * G.711 gates pin the decoder's format dispatch: a swapped law or a
+    * misread fmt code breaks exactly one of them.
+    */
+  val mmAlawDecode = QueryDef(
+    "q_mm_alaw_decode",
+    (s, dir) => {
+      val sp = s
+      import sp.implicits._
+      t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"))
+        .as[(String, Long, Int)]
+        .groupByKey(_._1)
+        .mapGroups { (flag, it) =>
+          val alaw = it.map { case (_, ok, ln) =>
+            ((ok * 11 + ln * 5) % 256).toByte
+          }.toArray
+          val blob = Codecs.encodeWavAlaw(8000, 1, alaw)
+          val wav = Codecs.decodeWav(blob) // REAL walk + A-law expansion
+          var sum = 0L
+          var peak = 0L
+          var neg = 0L
+          wav.samples.foreach { v =>
+            sum += v
+            if (math.abs(v.toLong) > peak) peak = math.abs(v.toLong)
+            if (v < 0) neg += 1
+          }
+          (flag, wav.samples.length.toLong, wav.sampleRate.toLong, sum,
+            peak, neg)
+        }
+        .toDF("flag", "n_samples", "sample_rate", "sum_pcm", "peak", "n_neg")
+        .orderBy("flag")
+    },
+    Some("""
+      WITH r AS (
+        SELECT l_returnflag AS flag,
+               xor((l_orderkey * 11 + l_linenumber * 5) % 256, 85) AS u
+        FROM lineitem),
+      m AS (
+        SELECT flag, u,
+               CASE WHEN ((u // 16) % 8) = 0 THEN (u % 16) * 16 + 8
+                    ELSE ((u % 16) * 16 + 264) << (((u // 16) % 8) - 1)
+               END AS mag
+        FROM r),
+      d AS (
+        SELECT flag, CASE WHEN u >= 128 THEN mag ELSE -mag END AS v
+        FROM m)
+      SELECT flag, count(*) AS n_samples,
+             CAST(8000 AS BIGINT) AS sample_rate,
+             CAST(sum(v) AS BIGINT) AS sum_pcm,
+             CAST(max(abs(v)) AS BIGINT) AS peak,
+             CAST(sum(CASE WHEN v < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg
+      FROM d GROUP BY 1 ORDER BY 1""")
+  )
+
   /** REAL VIDEO container decode, oracle-gated end-to-end: per returnflag
     * the first 80 row-keys become three 10×8 24bpp frames (width 10
     * forces a 32-byte padded DIB stride), containerized as a RIFF/AVI
@@ -861,5 +919,5 @@ object MultimodalCatalog {
   val all: Seq[QueryDef] =
     Seq(mmFrames, mmChunks, mmMeta, mmBytes, mmPngDecode, mmJpegMeta,
       mmWavDecode, mmBmpResize, mmDhash, mmAudioFeats, mmUlawDecode,
-      mmAviFrames, mmBinarySource)
+      mmAlawDecode, mmAviFrames, mmBinarySource)
 }

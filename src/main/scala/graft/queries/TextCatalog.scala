@@ -1326,11 +1326,93 @@ object TextCatalog {
       FROM toks GROUP BY 1 ORDER BY cnt DESC, tok LIMIT 15""")
   )
 
+  /** BLEU-style modified n-gram precision (Papineni et al. 2002) at
+    * corpus scale — the eval-pipeline scan that scores generated text
+    * against references without a model: even doc_ids are candidates,
+    * doc_id+1 is the paired reference; per pair and n∈{1,2}, the clipped
+    * n-gram count is Σ_g min(count_cand(g), count_ref(g)) (missing
+    * references clip to 0). Corpus-level totals are exact integers —
+    * the actual gate — with the two precisions one division each (r6).
+    * Scale shape: n-gram counts shuffle once per n on (doc, gram); the
+    * pair join is key-bounded (each candidate meets one reference);
+    * final totals are 1-row broadcast aggregates.
+    */
+  val tBleu = QueryDef(
+    "q_t_bleu",
+    (s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"),
+          lower(TextAnalysis.normText(col("text"))).as("nt"))
+        .filter(length(col("nt")) > 0)
+        .select(col("doc_id"), split(col("nt"), " ").as("ts"))
+      def counts(n: Int) = {
+        val grams =
+          if (n == 1) toks.select(col("doc_id"), explode(col("ts")).as("g"))
+          else toks.filter(size(col("ts")) >= n)
+            .select(col("doc_id"),
+              explode(sequence(lit(1), size(col("ts")) - (n - 1))).as("i"),
+              col("ts"))
+            .select(col("doc_id"), concat_ws(" ",
+              (0 until n).map(d => element_at(col("ts"), col("i") + d)): _*)
+              .as("g"))
+        grams.groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      }
+      def clipped(n: Int) = {
+        val cand = counts(n).filter(pmod(col("doc_id"), lit(2)) === 0)
+          .select(col("doc_id").as("cid"), col("g"), col("c").as("cc"))
+        val ref = counts(n).filter(pmod(col("doc_id"), lit(2)) === 1)
+          .select((col("doc_id") - 1).as("cid"), col("g"), col("c").as("rc"))
+        cand.join(ref, Seq("cid", "g"), "left")
+          .agg(sum(least(col("cc"), coalesce(col("rc"), lit(0L))))
+            .as(s"clip$n"), sum(col("cc")).as(s"tot$n"))
+      }
+      broadcast(clipped(1)).crossJoin(broadcast(clipped(2)))
+        .select(col("clip1"), col("tot1"), col("clip2"), col("tot2"),
+          r6(col("clip1").cast("double") / col("tot1").cast("double"))
+            .as("p1"),
+          r6(col("clip2").cast("double") / col("tot2").cast("double"))
+            .as("p2"))
+    },
+    Some(s"""
+      WITH t AS (
+        SELECT doc_id, lower($sqlNorm) AS nt FROM documents
+        WHERE length($sqlNorm) > 0),
+      ts AS (SELECT doc_id, string_split(nt, ' ') AS ts FROM t),
+      c1 AS (
+        SELECT doc_id, g, count(*) AS c FROM (
+          SELECT doc_id, unnest(ts) AS g FROM ts)
+        GROUP BY 1, 2),
+      c2 AS (
+        SELECT doc_id, g, count(*) AS c FROM (
+          SELECT doc_id,
+                 list_extract(ts, i) || ' ' || list_extract(ts, i + 1) AS g
+          FROM ts, unnest(range(1, len(ts))) AS u(i))
+        GROUP BY 1, 2),
+      k1 AS (
+        SELECT CAST(sum(least(a.c, coalesce(b.c, 0))) AS BIGINT) AS clip1,
+               CAST(sum(a.c) AS BIGINT) AS tot1
+        FROM (SELECT * FROM c1 WHERE doc_id % 2 = 0) a
+        LEFT JOIN (SELECT doc_id - 1 AS cid, g, c FROM c1
+                   WHERE doc_id % 2 = 1) b
+          ON b.cid = a.doc_id AND b.g = a.g),
+      k2 AS (
+        SELECT CAST(sum(least(a.c, coalesce(b.c, 0))) AS BIGINT) AS clip2,
+               CAST(sum(a.c) AS BIGINT) AS tot2
+        FROM (SELECT * FROM c2 WHERE doc_id % 2 = 0) a
+        LEFT JOIN (SELECT doc_id - 1 AS cid, g, c FROM c2
+                   WHERE doc_id % 2 = 1) b
+          ON b.cid = a.doc_id AND b.g = a.g)
+      SELECT clip1, tot1, clip2, tot2,
+             ${sqlR6("CAST(clip1 AS DOUBLE) / CAST(tot1 AS DOUBLE)")} AS p1,
+             ${sqlR6("CAST(clip2 AS DOUBLE) / CAST(tot2 AS DOUBLE)")} AS p2
+      FROM k1 CROSS JOIN k2""")
+  )
+
   val all: Seq[QueryDef] =
     Seq(tQuality, tTokens, tFingerprint, tLangId, tExplode,
       tRepetition, tLmScore, tSplit, tStratSample, tTfIdf, tPmi,
       tPii, tVocab, tComposition, tPack, tShuffle, tDecontaminate,
       tLineDedup, tBm25, tDsir, tWsample, tVocabOverlap, tMixture, tJsd,
       tFeatHash, tDupSpans, tZipf, tLangConfusion, tBpeStep, tBpeTrain5,
-      tBpeEncode)
+      tBpeEncode, tBleu)
 }

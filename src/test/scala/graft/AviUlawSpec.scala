@@ -93,9 +93,28 @@ class AviUlawSpec extends SparkSpec {
     assert(wav.samples.toSeq == ulaw.map(Codecs.ulawToPcm16).toSeq)
   }
 
+  test("A-law expansion matches the G.711 identities") {
+    // transmitted codes are XOR 0x55: 0x55 → −8 and 0xD5 → +8 (the
+    // smallest magnitudes — A-law has no ±0 codes)
+    assert(Codecs.alawToPcm16(0x55.toByte) == -8)
+    assert(Codecs.alawToPcm16(0xd5.toByte) == 8)
+    // extreme codes: 0x2A → −32256, 0xAA → +32256
+    assert(Codecs.alawToPcm16(0x2a.toByte) == -32256)
+    assert(Codecs.alawToPcm16(0xaa.toByte) == 32256)
+    // every decoded magnitude is even and bounded by 32256
+    val all = (0 to 255).map(b => Codecs.alawToPcm16(b.toByte).toInt)
+    assert(all.forall(v => math.abs(v) <= 32256 && v % 2 == 0))
+  }
+
+  test("A-law WAV round-trip through the real chunk walk") {
+    val alaw = Array.tabulate(100)(i => (i * 11 % 256).toByte)
+    val wav = Codecs.decodeWav(Codecs.encodeWavAlaw(8000, 1, alaw))
+    assert(wav.samples.toSeq == alaw.map(Codecs.alawToPcm16).toSeq)
+  }
+
   test("WAV decoder refuses unsupported codings loudly") {
     val bad = Codecs.encodeWavUlaw(8000, 1, Array[Byte](1, 2))
-    bad(20) = 6 // A-law — not implemented, must not decode as μ-law
+    bad(20) = 2 // ADPCM — not implemented, must not decode as G.711
     intercept[IllegalArgumentException](Codecs.decodeWav(bad))
   }
 }
