@@ -173,6 +173,24 @@ object Codecs {
       alaw: Array[Byte]): Array[Byte] =
     encodeWavG711(6, sampleRate, channels, alaw)
 
+  /** 2× audio decimation with pair averaging (mono): out[i] =
+    * (s[2i] + s[2i+1]) / 2 in truncating integer division, trailing odd
+    * sample dropped, sample rate halved — the cheap anti-aliased
+    * downsample a speech pipeline runs to normalize corpus rates.
+    */
+  def downsample2(pcm: WavPcm): WavPcm = {
+    require(pcm.channels == 1, "downsample2 is mono-only " +
+      s"(channels=${pcm.channels}); deinterleave first")
+    val n = pcm.samples.length / 2
+    val out = new Array[Short](n)
+    var i = 0
+    while (i < n) {
+      out(i) = ((pcm.samples(2 * i) + pcm.samples(2 * i + 1)) / 2).toShort
+      i += 1
+    }
+    WavPcm(pcm.sampleRate / 2, pcm.channels, out)
+  }
+
   // ---------------------------------------------------------------- BMP
 
   /** Decoded 24-bit image: BGR bytes, row-major, TOP-DOWN, 3 bytes/px. */
@@ -254,6 +272,60 @@ object Codecs {
       while (x < w) {
         val sx = (x.toLong * img.width / w).toInt
         System.arraycopy(img.pixels, (sy * img.width + sx) * 3,
+          out, (y * w + x) * 3, 3)
+        x += 1
+      }
+      y += 1
+    }
+    BgrImage(w, h, out)
+  }
+
+  /** Crop to the `w`×`h` window at (x0, y0) — bounds-checked, real pixel
+    * copy (the augmentation primitive every vision data pipeline runs).
+    */
+  def crop(img: BgrImage, x0: Int, y0: Int, w: Int, h: Int): BgrImage = {
+    require(x0 >= 0 && y0 >= 0 && w > 0 && h > 0 &&
+      x0 + w <= img.width && y0 + h <= img.height,
+      s"crop ${w}x$h@($x0,$y0) outside ${img.width}x${img.height}")
+    val out = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      System.arraycopy(img.pixels, ((y0 + y) * img.width + x0) * 3,
+        out, y * w * 3, w * 3)
+      y += 1
+    }
+    BgrImage(w, h, out)
+  }
+
+  /** Horizontal mirror: out(x, y) = in(w−1−x, y). */
+  def hflip(img: BgrImage): BgrImage = {
+    val out = new Array[Byte](img.pixels.length)
+    var y = 0
+    while (y < img.height) {
+      var x = 0
+      while (x < img.width) {
+        System.arraycopy(img.pixels,
+          (y * img.width + (img.width - 1 - x)) * 3,
+          out, (y * img.width + x) * 3, 3)
+        x += 1
+      }
+      y += 1
+    }
+    BgrImage(img.width, img.height, out)
+  }
+
+  /** Rotate 90° clockwise: dims swap, out(x, y) = in(y, H_in−1−x). */
+  def rot90cw(img: BgrImage): BgrImage = {
+    val w = img.height // out dims
+    val h = img.width
+    val out = new Array[Byte](img.pixels.length)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        // out(x, y) = in(xi = y, yi = H_in−1−x)
+        System.arraycopy(img.pixels,
+          ((img.height - 1 - x) * img.width + y) * 3,
           out, (y * w + x) * 3, 3)
         x += 1
       }

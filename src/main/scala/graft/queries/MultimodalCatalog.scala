@@ -506,6 +506,154 @@ object MultimodalCatalog {
     )
   }
 
+  /** Image AUGMENTATION chain — center-crop → horizontal flip → 90°
+    * clockwise rotation, the standard vision-training transforms — run as
+    * REAL pixel operations (Codecs.crop/hflip/rot90cw) on the decoded
+    * 41×32 BMP (same synthesis as q_mm_bmp_resize), oracle-gated on a
+    * PERMUTATION-SENSITIVE checksum: plain channel sums only pin the crop
+    * window (flip/rotate permute pixels), so the gate adds
+    * position-weighted sums Σ(y·W+x)·channel over the final 16×20 image.
+    * The oracle composes the three index maps into one closed form
+    * (final (x,y) ← source rn = (23−x)·41 + (29−y)) and replays the
+    * weighted sums relationally — any off-by-one in any transform, or a
+    * wrong composition order, breaks the hash. All exact integers.
+    */
+  val mmAugment = {
+    val SrcW = 41
+    val SrcH = 32
+    val NPix = SrcW * SrcH
+    QueryDef(
+      "q_mm_augment",
+      (s, dir) => {
+        val sp = s
+        import sp.implicits._
+        t(s, dir, "lineitem")
+          .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"))
+          .as[(String, Long, Int)]
+          .groupByKey(_._1)
+          .mapGroups { (flag, it) =>
+            val rows = it.toArray.sortBy(r => (r._2, r._3)).take(NPix)
+            require(rows.length == NPix,
+              s"group $flag has under $NPix rows — shrink the image")
+            val px = new Array[Byte](NPix * 3)
+            rows.zipWithIndex.foreach { case ((_, ok, ln), i) =>
+              px(i * 3) = ((ok * 31 + ln) % 256).toByte
+              px(i * 3 + 1) = ((ok * 7 + ln * 3) % 256).toByte
+              px(i * 3 + 2) = ((ln * 13) % 256).toByte
+            }
+            val blob = Codecs.encodeBmp(Codecs.BgrImage(SrcW, SrcH, px))
+            val img = Codecs.rot90cw(Codecs.hflip(
+              Codecs.crop(Codecs.decodeBmp(blob), 10, 8, 20, 16)))
+            var (sb, sg, sr, wb, wg) = (0L, 0L, 0L, 0L, 0L)
+            var y = 0
+            while (y < img.height) {
+              var x = 0
+              while (x < img.width) {
+                val i = (y * img.width + x) * 3
+                val b = img.pixels(i) & 0xff
+                val g = img.pixels(i + 1) & 0xff
+                sb += b
+                sg += g
+                sr += img.pixels(i + 2) & 0xff
+                wb += (y.toLong * img.width + x) * b
+                wg += (y.toLong * img.width + x) * g
+                x += 1
+              }
+              y += 1
+            }
+            (flag, img.width.toLong, img.height.toLong, sb, sg, sr, wb, wg)
+          }
+          .toDF("flag", "width", "height", "sum_b", "sum_g", "sum_r",
+            "wsum_b", "wsum_g")
+          .orderBy("flag")
+      },
+      Some(s"""
+        WITH r AS (
+          SELECT l_returnflag AS flag,
+                 row_number() OVER (PARTITION BY l_returnflag
+                   ORDER BY l_orderkey, l_linenumber) - 1 AS rn,
+                 l_orderkey AS ok, l_linenumber AS ln
+          FROM lineitem),
+        px AS (
+          SELECT flag, rn, (ok * 31 + ln) % 256 AS b,
+                 (ok * 7 + ln * 3) % 256 AS g, (ln * 13) % 256 AS r
+          FROM r WHERE rn < $NPix),
+        -- crop(10,8,20,16) ∘ hflip ∘ rot90cw composed:
+        -- final (tx, ty) ← src(29 − ty, 23 − tx), rn = y·41 + x
+        grid AS (
+          SELECT tx, ty, (23 - tx) * $SrcW + (29 - ty) AS rn_s
+          FROM (SELECT unnest(range(16)) AS tx)
+          CROSS JOIN (SELECT unnest(range(20)) AS ty)),
+        samp AS (
+          SELECT px.flag, grid.tx, grid.ty, px.b, px.g, px.r
+          FROM px JOIN grid ON px.rn = grid.rn_s)
+        SELECT flag, CAST(16 AS BIGINT) AS width, CAST(20 AS BIGINT)
+                 AS height,
+               CAST(sum(b) AS BIGINT) AS sum_b,
+               CAST(sum(g) AS BIGINT) AS sum_g,
+               CAST(sum(r) AS BIGINT) AS sum_r,
+               CAST(sum((ty * 16 + tx) * b) AS BIGINT) AS wsum_b,
+               CAST(sum((ty * 16 + tx) * g) AS BIGINT) AS wsum_g
+        FROM samp GROUP BY flag ORDER BY flag""")
+    )
+  }
+
+  /** REAL audio downsampling (2× decimation with pair averaging —
+    * Codecs.downsample2) over the REAL WAV decode: per flag, the
+    * q_mm_wav_decode synthesis is containerized, decoded, then decimated
+    * (truncating integer pair mean, trailing odd sample dropped, rate
+    * halved). DuckDB rebuilds the ordered sample sequence, pairs rows by
+    * rank, and replays the truncating mean — exact integers throughout;
+    * a dropped-sample or off-by-one pairing bug breaks the hash.
+    */
+  val mmDownsample = QueryDef(
+    "q_mm_downsample",
+    (s, dir) => {
+      val sp = s
+      import sp.implicits._
+      t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"))
+        .as[(String, Long, Int)]
+        .groupByKey(_._1)
+        .mapGroups { (flag, it) =>
+          val rows = it.toArray.sortBy(r => (r._2, r._3))
+          val samples = rows.map { case (_, ok, ln) =>
+            ((ok * 7 + ln * 13) % 65536 - 32768).toShort
+          }
+          val wav = Codecs.decodeWav(Codecs.encodeWav(16000, 1, samples))
+          val ds = Codecs.downsample2(wav) // REAL decimation
+          var sum = 0L
+          var peak = 0L
+          ds.samples.foreach { v =>
+            sum += v
+            if (math.abs(v.toLong) > peak) peak = math.abs(v.toLong)
+          }
+          (flag, ds.samples.length.toLong, ds.sampleRate.toLong, sum, peak)
+        }
+        .toDF("flag", "n_samples", "sample_rate", "sum_pcm", "peak")
+        .orderBy("flag")
+    },
+    Some("""
+      WITH r AS (
+        SELECT l_returnflag AS flag,
+               row_number() OVER (PARTITION BY l_returnflag
+                 ORDER BY l_orderkey, l_linenumber) - 1 AS rn,
+               (l_orderkey * 7 + l_linenumber * 13) % 65536 - 32768 AS v
+        FROM lineitem),
+      p AS (
+        SELECT flag, rn // 2 AS pair,
+               max(CASE WHEN rn % 2 = 0 THEN v END) AS v0,
+               max(CASE WHEN rn % 2 = 1 THEN v END) AS v1,
+               count(*) AS n
+        FROM r GROUP BY 1, 2),
+      d AS (SELECT flag, (v0 + v1) // 2 AS v FROM p WHERE n = 2)
+      SELECT flag, count(*) AS n_samples,
+             CAST(8000 AS BIGINT) AS sample_rate,
+             CAST(sum(v) AS BIGINT) AS sum_pcm,
+             CAST(max(abs(v)) AS BIGINT) AS peak
+      FROM d GROUP BY 1 ORDER BY 1""")
+  )
+
   /** Image NEAR-DUP via difference hash (dHash — the aHash/pHash family of
     * perceptual image fingerprints every multimodal dedup pipeline runs
     * before training): decode the REAL BMP (same per-flag synthesis as
@@ -919,5 +1067,5 @@ object MultimodalCatalog {
   val all: Seq[QueryDef] =
     Seq(mmFrames, mmChunks, mmMeta, mmBytes, mmPngDecode, mmJpegMeta,
       mmWavDecode, mmBmpResize, mmDhash, mmAudioFeats, mmUlawDecode,
-      mmAlawDecode, mmAviFrames, mmBinarySource)
+      mmAlawDecode, mmAviFrames, mmAugment, mmDownsample, mmBinarySource)
 }

@@ -117,4 +117,52 @@ class AviUlawSpec extends SparkSpec {
     bad(20) = 2 // ADPCM — not implemented, must not decode as G.711
     intercept[IllegalArgumentException](Codecs.decodeWav(bad))
   }
+
+  // pixel (x, y) encodes its own coordinates in (B, G) for geometry tests
+  private def coordImage(w: Int, h: Int): BgrImage = {
+    val px = new Array[Byte](w * h * 3)
+    for (y <- 0 until h; x <- 0 until w) {
+      px((y * w + x) * 3) = x.toByte
+      px((y * w + x) * 3 + 1) = y.toByte
+      px((y * w + x) * 3 + 2) = 7.toByte
+    }
+    BgrImage(w, h, px)
+  }
+  private def at(img: BgrImage, x: Int, y: Int): (Int, Int) = {
+    val i = (y * img.width + x) * 3
+    (img.pixels(i) & 0xff, img.pixels(i + 1) & 0xff)
+  }
+
+  test("crop picks the exact window; out-of-bounds refuses") {
+    val img = coordImage(9, 7)
+    val c = Codecs.crop(img, 2, 3, 4, 3)
+    assert(c.width == 4 && c.height == 3)
+    assert(at(c, 0, 0) == ((2, 3)) && at(c, 3, 2) == ((5, 5)))
+    intercept[IllegalArgumentException](Codecs.crop(img, 6, 0, 4, 3))
+  }
+
+  test("hflip mirrors x; rot90cw maps (x,y) → source (y, H−1−x)") {
+    val img = coordImage(5, 4)
+    val f = Codecs.hflip(img)
+    assert(at(f, 0, 2) == ((4, 2)) && at(f, 4, 0) == ((0, 0)))
+    val r = Codecs.rot90cw(img) // 5×4 → 4×5
+    assert(r.width == 4 && r.height == 5)
+    // out(x, y) = in(y, 3 − x): left column of out = bottom row of in
+    assert(at(r, 0, 0) == ((0, 3)) && at(r, 3, 4) == ((4, 0)))
+    // double flip and four rotations are identities
+    assert(Codecs.hflip(f).pixels.toSeq == img.pixels.toSeq)
+    assert(Codecs.rot90cw(Codecs.rot90cw(Codecs.rot90cw(r))).pixels.toSeq
+      == img.pixels.toSeq)
+  }
+
+  test("downsample2 truncating pair mean, odd tail dropped, rate halved") {
+    val pcm = Codecs.WavPcm(16000, 1, Array[Short](10, 13, -7, -8, 5))
+    val ds = Codecs.downsample2(pcm)
+    assert(ds.sampleRate == 8000)
+    // (10+13)/2 = 11 (truncates), (-7-8)/2 = -7 (truncates toward zero,
+    // matching SQL integer division); trailing 5 dropped
+    assert(ds.samples.toSeq == Seq[Short](11, -7))
+    intercept[IllegalArgumentException](
+      Codecs.downsample2(Codecs.WavPcm(16000, 2, Array[Short](1, 2))))
+  }
 }
