@@ -94,6 +94,11 @@ object ImageIo {
     */
   def encodeJpeg(img: Codecs.BgrImage): Array[Byte] = write(img, "jpg")
 
+  /** Lossless TIFF encode (JDK default — LZW or none; either way
+    * `decodeImage(encodeTiff(img)) == img` exactly).
+    */
+  def encodeTiff(img: Codecs.BgrImage): Array[Byte] = write(img, "tiff")
+
   /** Full pixel decode of any JDK-readable container (PNG/JPEG/GIF/BMP/
     * TIFF/WBMP), normalized to BGR bytes. Loud on unrecognized input.
     */

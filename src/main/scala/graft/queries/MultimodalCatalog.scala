@@ -924,6 +924,135 @@ object MultimodalCatalog {
       FROM d GROUP BY 1 ORDER BY 1""")
   )
 
+  /** REAL TIFF decode — the remaining lossless format in the JDK codec
+    * set (PNG/GIF/BMP gated above; JPEG is the lossy one): same 41×32
+    * synthesis as q_mm_png_decode, encoded with the JDK TIFF writer,
+    * header-parsed (dims + frame count without pixel decode) and fully
+    * decoded for exact channel sums. TIFF's default JDK compression is
+    * lossless, so DuckDB replays the sums from the pixel formula; the
+    * format name is gated as a normalized boolean (reader spelling
+    * varies: 'tif'/'TIFF').
+    */
+  val mmTiffDecode = {
+    val SrcW = 41
+    val SrcH = 32
+    val NPix = SrcW * SrcH
+    QueryDef(
+      "q_mm_tiff_decode",
+      (s, dir) => {
+        val sp = s
+        import sp.implicits._
+        t(s, dir, "lineitem")
+          .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"))
+          .as[(String, Long, Int)]
+          .groupByKey(_._1)
+          .mapGroups { (flag, it) =>
+            val rows = it.toArray.sortBy(r => (r._2, r._3)).take(NPix)
+            require(rows.length == NPix,
+              s"group $flag has under $NPix rows — shrink the image")
+            val px = new Array[Byte](NPix * 3)
+            rows.zipWithIndex.foreach { case ((_, ok, ln), i) =>
+              px(i * 3) = ((ok * 31 + ln) % 256).toByte
+              px(i * 3 + 1) = ((ok * 7 + ln * 3) % 256).toByte
+              px(i * 3 + 2) = ((ln * 13) % 256).toByte
+            }
+            val tiff = ImageIo.encodeTiff(Codecs.BgrImage(SrcW, SrcH, px))
+            val hdr = ImageIo.headerInfo(tiff) // header-only parse
+            val back = ImageIo.decodeImage(tiff) // REAL TIFF decode
+            var (sb, sg, sr) = (0L, 0L, 0L)
+            var i = 0
+            while (i < back.pixels.length) {
+              sb += back.pixels(i) & 0xff
+              sg += back.pixels(i + 1) & 0xff
+              sr += back.pixels(i + 2) & 0xff
+              i += 3
+            }
+            (flag, Set("tif", "tiff").contains(hdr.format.toLowerCase),
+              hdr.width.toLong, hdr.height.toLong, hdr.nFrames.toLong,
+              sb, sg, sr)
+          }
+          .toDF("flag", "fmt_ok", "width", "height", "n_frames",
+            "sum_b", "sum_g", "sum_r")
+          .orderBy("flag")
+      },
+      Some(s"""
+        WITH r AS (
+          SELECT l_returnflag AS flag,
+                 row_number() OVER (PARTITION BY l_returnflag
+                   ORDER BY l_orderkey, l_linenumber) - 1 AS rn,
+                 l_orderkey AS ok, l_linenumber AS ln
+          FROM lineitem),
+        px AS (
+          SELECT flag, (ok * 31 + ln) % 256 AS b,
+                 (ok * 7 + ln * 3) % 256 AS g, (ln * 13) % 256 AS r
+          FROM r WHERE rn < $NPix)
+        SELECT flag, TRUE AS fmt_ok,
+               CAST($SrcW AS BIGINT) AS width,
+               CAST($SrcH AS BIGINT) AS height,
+               CAST(1 AS BIGINT) AS n_frames,
+               CAST(sum(b) AS BIGINT) AS sum_b,
+               CAST(sum(g) AS BIGINT) AS sum_g,
+               CAST(sum(r) AS BIGINT) AS sum_r
+        FROM px GROUP BY flag ORDER BY flag""")
+    )
+  }
+
+  /** Voice-activity-style ENERGY WINDOWING over the REAL WAV decode — the
+    * framing pass every speech pipeline runs before VAD/ASR: the decoded
+    * sample stream is cut into 400-sample frames (rank // 400, partial
+    * tail kept), per-frame energy is the exact integer Σv², and frames
+    * above a fixed threshold count as voiced. DuckDB rebuilds the ordered
+    * stream and replays the framing with integer division — window
+    * boundaries, energy sums, and the voiced count are all exact.
+    */
+  val mmVadWindows = {
+    val Win = 400
+    val Threshold = 100000000000L // 1e11 ≈ mean uniform energy per frame
+    QueryDef(
+      "q_mm_vad_windows",
+      (s, dir) => {
+        val sp = s
+        import sp.implicits._
+        t(s, dir, "lineitem")
+          .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"))
+          .as[(String, Long, Int)]
+          .groupByKey(_._1)
+          .mapGroups { (flag, it) =>
+            val rows = it.toArray.sortBy(r => (r._2, r._3))
+            val samples = rows.map { case (_, ok, ln) =>
+              ((ok * 7 + ln * 13) % 65536 - 32768).toShort
+            }
+            val wav = Codecs.decodeWav(Codecs.encodeWav(16000, 1, samples))
+            val energies = wav.samples.grouped(Win)
+              .map(_.foldLeft(0L)((a, v) => a + v.toLong * v)).toArray
+            (flag, energies.length.toLong,
+              energies.count(_ > Threshold).toLong,
+              energies.sum, energies.max)
+          }
+          .toDF("flag", "n_windows", "n_voiced", "total_energy",
+            "max_window_energy")
+          .orderBy("flag")
+      },
+      Some(s"""
+        WITH r AS (
+          SELECT l_returnflag AS flag,
+                 row_number() OVER (PARTITION BY l_returnflag
+                   ORDER BY l_orderkey, l_linenumber) - 1 AS rn,
+                 (l_orderkey * 7 + l_linenumber * 13) % 65536 - 32768 AS v
+          FROM lineitem),
+        w AS (
+          SELECT flag, rn // $Win AS win,
+                 CAST(sum(CAST(v AS BIGINT) * v) AS BIGINT) AS energy
+          FROM r GROUP BY 1, 2)
+        SELECT flag, count(*) AS n_windows,
+               CAST(sum(CASE WHEN energy > $Threshold THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_voiced,
+               CAST(sum(energy) AS BIGINT) AS total_energy,
+               CAST(max(energy) AS BIGINT) AS max_window_energy
+        FROM w GROUP BY 1 ORDER BY 1""")
+    )
+  }
+
   /** REAL G.711 A-law decode — the European companding half (format 6),
     * same end-to-end gate shape as q_mm_ulaw_decode but a different
     * expansion law (XOR 0x55, linear low segment, biased upper segments):
@@ -1067,5 +1196,6 @@ object MultimodalCatalog {
   val all: Seq[QueryDef] =
     Seq(mmFrames, mmChunks, mmMeta, mmBytes, mmPngDecode, mmJpegMeta,
       mmWavDecode, mmBmpResize, mmDhash, mmAudioFeats, mmUlawDecode,
-      mmAlawDecode, mmAviFrames, mmAugment, mmDownsample, mmBinarySource)
+      mmAlawDecode, mmAviFrames, mmAugment, mmDownsample, mmTiffDecode,
+      mmVadWindows, mmBinarySource)
 }

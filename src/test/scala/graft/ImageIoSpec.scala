@@ -23,6 +23,16 @@ class ImageIoSpec extends SparkSpec {
     assert(back.pixels.toSeq == img.pixels.toSeq)
   }
 
+  test("TIFF round-trip is bit-exact (lossless)") {
+    val img = testImage(23, 17)
+    val tiff = ImageIo.encodeTiff(img)
+    val hdr = ImageIo.headerInfo(tiff)
+    assert(Set("tif", "tiff").contains(hdr.format.toLowerCase))
+    assert(hdr.width == 23 && hdr.height == 17)
+    val back = ImageIo.decodeImage(tiff)
+    assert(back.pixels.toSeq == img.pixels.toSeq)
+  }
+
   test("headerInfo parses dims without decode; PNG IHDR matches") {
     val img = testImage(13, 7)
     val hdr = ImageIo.headerInfo(ImageIo.encodePng(img))
