@@ -99,6 +99,42 @@ object ImageIo {
     */
   def encodeTiff(img: Codecs.BgrImage): Array[Byte] = write(img, "tiff")
 
+  /** 1-bit WBMP encode (WAP bitmap — the minimal monochrome container):
+    * `bits(y*w + x)` true = white. Lossless by construction.
+    */
+  def encodeWbmp(width: Int, height: Int,
+      bits: Array[Boolean]): Array[Byte] = {
+    require(bits.length == width * height,
+      s"bit buffer ${bits.length} != ${width}x$height")
+    val bi = new BufferedImage(width, height,
+      BufferedImage.TYPE_BYTE_BINARY)
+    val ras = bi.getRaster
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        ras.setSample(x, y, 0, if (bits(y * width + x)) 1 else 0)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    if (!ImageIO.write(bi, "wbmp", bos)) fail("no JDK WBMP writer")
+    bos.toByteArray
+  }
+
+  /** 1-bit WBMP decode: true = white pixel. Loud on unrecognized input. */
+  def decodeWbmp(blob: Array[Byte]): (Int, Int, Array[Boolean]) = {
+    val img = decodeImage(blob)
+    val out = new Array[Boolean](img.width * img.height)
+    var i = 0
+    while (i < out.length) {
+      out(i) = (img.pixels(i * 3) & 0xff) > 127
+      i += 1
+    }
+    (img.width, img.height, out)
+  }
+
   /** Full pixel decode of any JDK-readable container (PNG/JPEG/GIF/BMP/
     * TIFF/WBMP), normalized to BGR bytes. Loud on unrecognized input.
     */

@@ -997,6 +997,74 @@ object MultimodalCatalog {
     )
   }
 
+  /** REAL 1-bit WBMP round-trip — the monochrome container (and the last
+    * JDK image format): per returnflag the 41×32 blue-channel formula is
+    * thresholded at >127 into a bitmap, encoded as WBMP, header-parsed
+    * and decoded back; the gate counts white pixels per ROW-BAND (four
+    * 8-row bands — position-sensitive, so a row-order or bit-packing bug
+    * breaks it, not just the total). DuckDB replays threshold + banding
+    * relationally — all exact integers.
+    */
+  val mmWbmp = {
+    val SrcW = 41
+    val SrcH = 32
+    val NPix = SrcW * SrcH
+    QueryDef(
+      "q_mm_wbmp",
+      (s, dir) => {
+        val sp = s
+        import sp.implicits._
+        t(s, dir, "lineitem")
+          .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"))
+          .as[(String, Long, Int)]
+          .groupByKey(_._1)
+          .mapGroups { (flag, it) =>
+            val rows = it.toArray.sortBy(r => (r._2, r._3)).take(NPix)
+            require(rows.length == NPix,
+              s"group $flag has under $NPix rows — shrink the image")
+            val bits = rows.map { case (_, ok, ln) =>
+              (ok * 31 + ln) % 256 > 127
+            }
+            val blob = ImageIo.encodeWbmp(SrcW, SrcH, bits)
+            val hdr = ImageIo.headerInfo(blob)
+            val (w, h, back) = ImageIo.decodeWbmp(blob) // REAL 1-bit decode
+            val bands = (0 until 4).map { band =>
+              (band * 8 until (band + 1) * 8).map(y =>
+                (0 until w).count(x => back(y * w + x))).sum.toLong
+            }
+            (flag, hdr.format.toLowerCase, w.toLong, h.toLong,
+              bands(0), bands(1), bands(2), bands(3))
+          }
+          .toDF("flag", "fmt", "width", "height", "white_b0", "white_b1",
+            "white_b2", "white_b3")
+          .orderBy("flag")
+      },
+      Some(s"""
+        WITH r AS (
+          SELECT l_returnflag AS flag,
+                 row_number() OVER (PARTITION BY l_returnflag
+                   ORDER BY l_orderkey, l_linenumber) - 1 AS rn,
+                 l_orderkey AS ok, l_linenumber AS ln
+          FROM lineitem),
+        px AS (
+          SELECT flag, rn // ($SrcW * 8) AS band,
+                 CASE WHEN (ok * 31 + ln) % 256 > 127 THEN 1 ELSE 0 END
+                   AS white
+          FROM r WHERE rn < $NPix)
+        SELECT flag, 'wbmp' AS fmt, CAST($SrcW AS BIGINT) AS width,
+               CAST($SrcH AS BIGINT) AS height,
+               CAST(sum(CASE WHEN band = 0 THEN white ELSE 0 END)
+                 AS BIGINT) AS white_b0,
+               CAST(sum(CASE WHEN band = 1 THEN white ELSE 0 END)
+                 AS BIGINT) AS white_b1,
+               CAST(sum(CASE WHEN band = 2 THEN white ELSE 0 END)
+                 AS BIGINT) AS white_b2,
+               CAST(sum(CASE WHEN band = 3 THEN white ELSE 0 END)
+                 AS BIGINT) AS white_b3
+        FROM px GROUP BY flag ORDER BY flag""")
+    )
+  }
+
   /** Voice-activity-style ENERGY WINDOWING over the REAL WAV decode — the
     * framing pass every speech pipeline runs before VAD/ASR: the decoded
     * sample stream is cut into 400-sample frames (rank // 400, partial
@@ -1197,5 +1265,5 @@ object MultimodalCatalog {
     Seq(mmFrames, mmChunks, mmMeta, mmBytes, mmPngDecode, mmJpegMeta,
       mmWavDecode, mmBmpResize, mmDhash, mmAudioFeats, mmUlawDecode,
       mmAlawDecode, mmAviFrames, mmAugment, mmDownsample, mmTiffDecode,
-      mmVadWindows, mmBinarySource)
+      mmVadWindows, mmWbmp, mmBinarySource)
 }

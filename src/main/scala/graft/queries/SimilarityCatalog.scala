@@ -456,5 +456,97 @@ object SimilarityCatalog {
       FROM cnts""")
   )
 
-  val all: Seq[QueryDef] = Seq(sBrute, sIvf, sPq, sSq, sSparse, sRecallIvf)
+  /** Johnson–Lindenstrauss random-sign projection + DISTORTION AUDIT —
+    * the dimensionality-reduction step an ANN pipeline runs before
+    * indexing (Achlioptas 2003: ±1 signs suffice), made cross-engine
+    * EXACT by quantizing: each float coordinate becomes the integer
+    * q = ⌊x·10⁶⌋ (identical float→double→floor in both engines), signs
+    * come from the portable md5-60 parity of `j#d` (a 512-row broadcast
+    * table, NOT recomputed per row), and each of the k=8 projections is
+    * an exact integer Σ±q. The audit pairs adjacent vec_ids and compares
+    * Σ‖Δproj‖² against k·Σ‖Δorig‖² — the JL expectation — as exact
+    * integer sums with ONE final division (r6). Scale shape: one
+    * explode-to-dims pass, a 512-row broadcast join, two bounded
+    * aggregations; no all-pairs anywhere.
+    */
+  val sJlProject = {
+    val K = 8
+    val Dim = 64
+    QueryDef(
+      "q_s_jl_distortion",
+      (s, dir) => {
+        import graft.functions.Md5Prefix60.md5Prefix60
+        val dims = t(s, dir, "embeddings")
+          .select(col("vec_id"), posexplode(col("embedding"))
+            .as(Seq("d", "e")))
+          .select(col("vec_id"), col("d").cast("long").as("d"),
+            floor(col("e").cast("double") * 1e6).cast("long").as("q"))
+        val signs = broadcast(s.range(K).select(col("id").as("j"))
+          .crossJoin(s.range(Dim).select(col("id").as("d")))
+          .select(col("j"), col("d"),
+            when(pmod(md5Prefix60(Seq(col("j"), col("d"))), lit(2L)) === 0L,
+              1L).otherwise(-1L).as("sgn")))
+        val proj = dims.join(signs, Seq("d"))
+          .groupBy("vec_id", "j")
+          .agg(sum(col("sgn") * col("q")).as("y"))
+        def pairs(df: org.apache.spark.sql.DataFrame, axis: String,
+            v: String) = {
+          val a = df.filter(pmod(col("vec_id"), lit(2)) === 0)
+            .select(col("vec_id").as("pid"), col(axis), col(v).as("va"))
+          val b = df.filter(pmod(col("vec_id"), lit(2)) === 1)
+            .select((col("vec_id") - 1).as("pid"), col(axis),
+              col(v).as("vb"))
+          a.join(b, Seq("pid", axis))
+            .agg(countDistinct(col("pid")).as("n_pairs"),
+              sum((col("va") - col("vb")) * (col("va") - col("vb")))
+                .as("d2"))
+        }
+        broadcast(pairs(proj, "j", "y")
+          .select(col("n_pairs"), col("d2").as("d2_proj")))
+          .crossJoin(broadcast(pairs(dims, "d", "q")
+            .select(col("d2").as("d2_orig"))))
+          .select(col("n_pairs"), col("d2_orig"), col("d2_proj"),
+            r6(col("d2_proj").cast("double") /
+              (col("d2_orig").cast("double") * lit(K.toDouble)))
+              .as("distortion"))
+      },
+      Some {
+        val h = "CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || '#' || " +
+          "CAST(d AS VARCHAR)), 1, 15)) AS BIGINT)"
+        s"""
+        WITH dims AS (
+          SELECT vec_id, CAST(i - 1 AS BIGINT) AS d,
+                 CAST(floor(CAST(list_extract(embedding, i) AS DOUBLE)
+                   * 1e6) AS BIGINT) AS q
+          FROM embeddings, unnest(range(1, ${Dim + 1})) AS u(i)),
+        signs AS (
+          SELECT j, d, CASE WHEN $h % 2 = 0 THEN 1 ELSE -1 END AS sgn
+          FROM (SELECT unnest(range($K)) AS j)
+          CROSS JOIN (SELECT unnest(range($Dim)) AS d)),
+        proj AS (
+          SELECT vec_id, j, CAST(sum(sgn * q) AS BIGINT) AS y
+          FROM dims JOIN signs USING (d) GROUP BY 1, 2),
+        pp AS (
+          SELECT CAST(count(DISTINCT a.vec_id) AS BIGINT) AS n_pairs,
+                 CAST(sum((a.y - b.y) * (a.y - b.y)) AS BIGINT) AS d2_proj
+          FROM (SELECT * FROM proj WHERE vec_id % 2 = 0) a
+          JOIN (SELECT vec_id - 1 AS pid, j, y FROM proj
+                WHERE vec_id % 2 = 1) b
+            ON b.pid = a.vec_id AND b.j = a.j),
+        op AS (
+          SELECT CAST(sum((a.q - b.q) * (a.q - b.q)) AS BIGINT) AS d2_orig
+          FROM (SELECT * FROM dims WHERE vec_id % 2 = 0) a
+          JOIN (SELECT vec_id - 1 AS pid, d, q FROM dims
+                WHERE vec_id % 2 = 1) b
+            ON b.pid = a.vec_id AND b.d = a.d)
+        SELECT n_pairs, d2_orig, d2_proj,
+               ${sqlR6(s"CAST(d2_proj AS DOUBLE) / " +
+          s"(CAST(d2_orig AS DOUBLE) * ${K.toDouble}e0)")} AS distortion
+        FROM pp CROSS JOIN op"""
+      }
+    )
+  }
+
+  val all: Seq[QueryDef] =
+    Seq(sBrute, sIvf, sPq, sSq, sSparse, sRecallIvf, sJlProject)
 }

@@ -139,6 +139,19 @@ class ImageIoSpec extends SparkSpec {
     assert(viaPng.toSeq == viaBmp.toSeq) // PNG lossless ⇒ identical stats
   }
 
+  test("WBMP 1-bit round-trip is exact") {
+    val w = 17 // not a multiple of 8 — exercises row bit packing
+    val h = 5
+    val bits = Array.tabulate(w * h)(i => (i * 7 + 1) % 3 == 0)
+    val blob = ImageIo.encodeWbmp(w, h, bits)
+    val hdr = ImageIo.headerInfo(blob)
+    assert(hdr.format.equalsIgnoreCase("wbmp"))
+    assert(hdr.width == w && hdr.height == h)
+    val (bw, bh, back) = ImageIo.decodeWbmp(blob)
+    assert(bw == w && bh == h)
+    assert(back.toSeq == bits.toSeq)
+  }
+
   test("garbage input fails loudly, never plausible output") {
     intercept[IllegalArgumentException](
       ImageIo.decodeImage(Array[Byte](1, 2, 3, 4)))
