@@ -1408,11 +1408,73 @@ object TextCatalog {
       FROM k1 CROSS JOIN k2""")
   )
 
+  /** Overlapping-window document CHUNKING — the RAG/pretraining prep op
+    * that cuts each document into fixed token windows with stride
+    * overlap (W=50, S=40 → 10-token overlap): token at position p lands
+    * in chunks max(0, (p−(W−S))/S) … p/S (truncating division — at most
+    * ⌈W/S⌉=2 chunks per token), generated by one bounded explode, never
+    * a range self-join. The gate counts docs, distinct chunks, and
+    * duplicated chunk-tokens per source, plus position/chunk checksums
+    * (Σp, Σc over every (doc, chunk, token) triple) — exact integers
+    * that break on any boundary off-by-one. Scale shape: one tokenize
+    * pass, fanout ≤ 2×, one aggregation keyed by source.
+    */
+  val tChunkOverlap = {
+    val W = 50
+    val S = 40
+    QueryDef(
+      "q_t_chunk_overlap",
+      (s, dir) => {
+        val toks = t(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            lower(TextAnalysis.normText(col("text"))).as("nt"))
+          .filter(length(col("nt")) > 0)
+          .select(col("doc_id"), col("source"),
+            posexplode(split(col("nt"), " ")).as(Seq("p", "w")))
+        // `div` truncates toward zero exactly like DuckDB's `//`; the
+        // only negative numerator (p < W−S) clamps to 0 either way
+        val chunks = toks
+          .select(col("doc_id"), col("source"), col("p").cast("long").as("p"))
+          .withColumn("c", explode(sequence(
+            greatest(lit(0L), expr(s"(p - ${W - S}) div $S")),
+            expr(s"p div $S"))))
+        chunks
+          .groupBy("source")
+          .agg(countDistinct(col("doc_id")).as("n_docs"),
+            countDistinct(col("doc_id") * 100000L + col("c"))
+              .as("n_chunks"),
+            count(lit(1)).as("n_chunk_tokens"),
+            sum(col("p")).as("sum_pos"),
+            sum(col("c")).as("sum_chunk"))
+          .orderBy("source")
+      },
+      Some(s"""
+        WITH t AS (
+          SELECT doc_id, source, lower($sqlNorm) AS nt FROM documents
+          WHERE length($sqlNorm) > 0),
+        tok AS (
+          SELECT doc_id, source, CAST(i - 1 AS BIGINT) AS p
+          FROM (SELECT doc_id, source, string_split(nt, ' ') AS ts FROM t) q,
+               unnest(range(1, len(ts) + 1)) AS u(i)),
+        ch AS (
+          SELECT doc_id, source, p, c
+          FROM tok, unnest(range(greatest(0, (p - ${W - S}) // $S),
+                 p // $S + 1)) AS v(c))
+        SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               CAST(count(DISTINCT doc_id * 100000 + c) AS BIGINT)
+                 AS n_chunks,
+               count(*) AS n_chunk_tokens,
+               CAST(sum(p) AS BIGINT) AS sum_pos,
+               CAST(sum(c) AS BIGINT) AS sum_chunk
+        FROM ch GROUP BY 1 ORDER BY 1""")
+    )
+  }
+
   val all: Seq[QueryDef] =
     Seq(tQuality, tTokens, tFingerprint, tLangId, tExplode,
       tRepetition, tLmScore, tSplit, tStratSample, tTfIdf, tPmi,
       tPii, tVocab, tComposition, tPack, tShuffle, tDecontaminate,
       tLineDedup, tBm25, tDsir, tWsample, tVocabOverlap, tMixture, tJsd,
       tFeatHash, tDupSpans, tZipf, tLangConfusion, tBpeStep, tBpeTrain5,
-      tBpeEncode, tBleu)
+      tBpeEncode, tBleu, tChunkOverlap)
 }
