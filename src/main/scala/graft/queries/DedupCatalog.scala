@@ -670,7 +670,108 @@ object DedupCatalog {
       FROM cnts""")
   )
 
+  /** b-BIT MINWISE HASHING estimator audit (Li & König, "b-Bit Minwise
+    * Hashing", WWW 2010 — the storage-shrinking refinement every
+    * large-scale MinHash deployment uses: keep only the lowest b bits of
+    * each minhash): k=16 portable md5-60 minhashes per doc, b=4 low bits
+    * each, collision count c per adjacent-doc pair, and the
+    * bias-corrected estimate Ĵ = (c/k − 2⁻ᵇ)/(1 − 2⁻ᵇ) next to the
+    * EXACT Jaccard from the shingle tables. Unlike the xxhash64 LSH path
+    * (aux-dump replay), the md5-60 minhashes are FULLY recomputable in
+    * DuckDB, so this gate checks the hashing itself end to end. All
+    * divisors are exact binary fractions (1/16, 15/16) — bit-identical
+    * arithmetic. Bounded: doc_id < 100 → ≤50 audited pairs; the perm
+    * fanout is k× the DISTINCT shingle table, map-side combined.
+    */
+  val dBbitMinhash = {
+    val K = 16
+    val BMask = 16L // 2^4
+    QueryDef(
+      "q_d_bbit_minhash",
+      (s, dir) => {
+        import graft.functions.Md5Prefix60.md5Prefix60
+        val sh = Dedup.shingles(
+          t(s, dir, "documents").filter(col("doc_id") < 100),
+          "doc_id", "text", ShingleN) // (id, shingle) DISTINCT
+        val lb = sh
+          .select(col("id"), col("shingle"),
+            explode(array((0 until K).map(lit): _*)).as("i"))
+          .groupBy("id", "i")
+          .agg(min(md5Prefix60(Seq(col("i"), col("shingle")))).as("mh"))
+          .select(col("id"), col("i"), pmod(col("mh"), lit(BMask)).as("lb"))
+        val coll = lb.filter(pmod(col("id"), lit(2)) === 0)
+          .select(col("id").as("id1"), col("i"), col("lb").as("la"))
+          .join(lb.filter(pmod(col("id"), lit(2)) === 1)
+            .select((col("id") - 1).as("id1"), col("id").as("id2"),
+              col("i"), col("lb").as("lbb")), Seq("id1", "i"))
+          .groupBy("id1", "id2")
+          .agg(sum(when(col("la") === col("lbb"), 1L).otherwise(0L))
+            .as("n_coll"))
+        val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+        val common = sh.filter(pmod(col("id"), lit(2)) === 0)
+          .select(col("id").as("id1"), col("shingle"))
+          .join(sh.filter(pmod(col("id"), lit(2)) === 1)
+            .select((col("id") - 1).as("id1"), col("shingle")),
+            Seq("id1", "shingle"))
+          .groupBy("id1").agg(count(lit(1)).as("c"))
+        val jHat = (col("n_coll").cast("double") / lit(K.toDouble) -
+          lit(0.0625)) / lit(0.9375)
+        coll
+          .join(common, Seq("id1"), "left")
+          .join(sizes.select(col("id").as("id1"), col("sz").as("sz1")), "id1")
+          .join(sizes.select(col("id").as("id2"), col("sz").as("sz2")), "id2")
+          .select(col("id1"), col("id2"), col("n_coll"),
+            r6(jHat).as("j_hat"),
+            r6(coalesce(col("c"), lit(0L)).cast("double") /
+              (col("sz1") + col("sz2") - coalesce(col("c"), lit(0L)))
+                .cast("double")).as("j_exact"))
+          .orderBy("id1")
+      },
+      Some(s"""
+        WITH toks AS (
+          SELECT doc_id, string_split($sqlNorm, ' ') AS tk
+          FROM documents WHERE doc_id < 100),
+        sh AS (
+          SELECT DISTINCT doc_id,
+                 unnest(list_transform(range(1, len(tk) - ${ShingleN - 2}),
+                   i -> ${(0 until ShingleN).map(k => s"tk[i+$k]")
+          .mkString(" || ' ' || ")})) AS shingle
+          FROM toks WHERE len(tk) >= $ShingleN),
+        lb AS (
+          SELECT doc_id, i,
+                 min(CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || '#' ||
+                   shingle), 1, 15)) AS BIGINT)) % $BMask AS lb
+          FROM sh CROSS JOIN (SELECT unnest(range($K)) AS i)
+          GROUP BY 1, 2),
+        coll AS (
+          SELECT a.doc_id AS id1, b.doc_id AS id2,
+                 CAST(sum(CASE WHEN a.lb = b.lb THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_coll
+          FROM (SELECT * FROM lb WHERE doc_id % 2 = 0) a
+          JOIN (SELECT * FROM lb WHERE doc_id % 2 = 1) b
+            ON b.doc_id = a.doc_id + 1 AND b.i = a.i
+          GROUP BY 1, 2),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        common AS (
+          SELECT a.doc_id AS id1, count(*) AS c
+          FROM (SELECT * FROM sh WHERE doc_id % 2 = 0) a
+          JOIN sh b ON b.doc_id = a.doc_id + 1 AND b.shingle = a.shingle
+          GROUP BY 1)
+        SELECT coll.id1, coll.id2, coll.n_coll,
+               ${sqlR6(s"(CAST(n_coll AS DOUBLE) / ${K.toDouble}e0" +
+          " - 0.0625e0) / 0.9375e0")} AS j_hat,
+               ${sqlR6("CAST(coalesce(c, 0) AS DOUBLE) / " +
+          "CAST(s1.sz + s2.sz - coalesce(c, 0) AS DOUBLE)")} AS j_exact
+        FROM coll
+        LEFT JOIN common ON common.id1 = coll.id1
+        JOIN sizes s1 ON s1.doc_id = coll.id1
+        JOIN sizes s2 ON s2.doc_id = coll.id2
+        ORDER BY coll.id1""")
+    )
+  }
+
   val all: Seq[QueryDef] =
     Seq(dExact, dJaccard, dComponents, dClusterSizes, dMinHash, dSimHash,
-      dEmbed, dSemantic, dFuzzy, dFellegi, dContainment, dLshRecall)
+      dEmbed, dSemantic, dFuzzy, dFellegi, dContainment, dLshRecall,
+      dBbitMinhash)
 }
