@@ -2,16 +2,16 @@ package graft.multimodal
 
 import java.nio.{ByteBuffer, ByteOrder}
 
-/** REAL pure-JVM codecs for the uncompressed container formats that need
-  * no codec library — WAV (RIFF/PCM16) and BMP (BITMAPINFOHEADER/24bpp).
-  *
-  * The builder brief stubs decode because "the image/audio libs aren't in
-  * this container" — true for JPEG/H.264/FLAC, which stay behind the
-  * [[Multimodal.MediaKernel]] seam as honest stubs. But uncompressed
-  * containers are plain byte layout, so these two decode paths are real:
-  * header parsing, chunk walking, sample/pixel extraction, re-encoding,
-  * nearest-neighbor resize. Malformed input fails loudly (the EventsTs
-  * contract: a wrong parse must never produce plausible garbage).
+/** REAL pure-JVM codecs for the byte-layout container formats that need
+  * no codec library at all: WAV (RIFF; PCM16 + G.711 μ-law/A-law), BMP
+  * (BITMAPINFOHEADER/24bpp), and AVI (RIFF 'vids'/'DIB ' video) — plus
+  * the pixel/sample transforms behind the multimodal operators (resize,
+  * crop, flip, rotate, decimation). Compressed image formats decode for
+  * real too, via the JDK readers in [[ImageIo]]; only formats whose
+  * codecs the JVM genuinely lacks (H.264, FLAC) remain stubbed behind
+  * the [[Multimodal.MediaKernel]] seam. Malformed input fails loudly
+  * (the EventsTs contract: a wrong parse must never produce plausible
+  * garbage).
   */
 object Codecs {
 
