@@ -770,8 +770,54 @@ object DedupCatalog {
     )
   }
 
+  /** N-GRAM NOVELTY per source — the corpus-freshness audit a data-mixing
+    * pipeline runs before adding a new source: of each source's DISTINCT
+    * trigram shingles, how many appear in NO other source (its genuinely
+    * novel contribution) vs shared vocabulary. One distinct
+    * (source, shingle) table (Dedup.shingles keyed by source), one
+    * per-shingle source-count aggregation, one join back — exact integer
+    * counts, one r6 share.
+    */
+  val dNgramNovelty = QueryDef(
+    "q_d_ngram_novelty",
+    (s, dir) => {
+      val sh = Dedup.shingles(t(s, dir, "documents"), "source", "text",
+        ShingleN) // DISTINCT (source, shingle)
+      val spread = sh.groupBy("shingle")
+        .agg(countDistinct(col("id")).as("n_sources"))
+      sh.join(spread, "shingle")
+        .groupBy(col("id").as("source"))
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("n_sources") === 1, 1L).otherwise(0L))
+            .as("n_novel"))
+        .select(col("source"), col("n_shingles"), col("n_novel"),
+          r6(col("n_novel").cast("double") /
+            col("n_shingles").cast("double")).as("novelty"))
+        .orderBy("source")
+    },
+    Some(s"""
+      WITH toks AS (
+        SELECT source, string_split($sqlNorm, ' ') AS tk FROM documents),
+      sh AS (
+        SELECT DISTINCT source,
+               unnest(list_transform(range(1, len(tk) - ${ShingleN - 2}),
+                 i -> ${(0 until ShingleN).map(k => s"tk[i+$k]")
+        .mkString(" || ' ' || ")})) AS shingle
+        FROM toks WHERE len(tk) >= $ShingleN),
+      spread AS (
+        SELECT shingle, count(DISTINCT source) AS n_sources
+        FROM sh GROUP BY 1)
+      SELECT sh.source, count(*) AS n_shingles,
+             CAST(sum(CASE WHEN spread.n_sources = 1 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_novel,
+             ${sqlR6("CAST(sum(CASE WHEN spread.n_sources = 1 THEN 1 " +
+        "ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)")} AS novelty
+      FROM sh JOIN spread USING (shingle)
+      GROUP BY 1 ORDER BY 1""")
+  )
+
   val all: Seq[QueryDef] =
     Seq(dExact, dJaccard, dComponents, dClusterSizes, dMinHash, dSimHash,
       dEmbed, dSemantic, dFuzzy, dFellegi, dContainment, dLshRecall,
-      dBbitMinhash)
+      dBbitMinhash, dNgramNovelty)
 }

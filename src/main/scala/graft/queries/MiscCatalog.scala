@@ -2326,6 +2326,51 @@ object MiscCatalog {
       FROM b GROUP BY 1 ORDER BY 1""")
   )
 
+  /** SKYLINE / Pareto frontier (Börzsönyi et al., "The Skyline
+    * Operator", ICDE 2001) — the multi-criteria shortlist every
+    * recommender/curation pipeline computes (here: orders maximizing
+    * BOTH price and quantity per flag, neither dominated by another).
+    * The scale-safe plan: collapse to max-q per distinct price (one
+    * aggregation), then ONE descending-price window scan keeps the
+    * points whose q beats the running max over all strictly-higher
+    * prices — O(n log n) via range-partitioned sort, never the naive
+    * all-pairs dominance join. Exact column values from the scan, no
+    * arithmetic at all — hash-exact by construction.
+    */
+  val qSkyline = QueryDef(
+    "q_skyline",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val agg = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_extendedprice").as("price"))
+        .agg(max(col("l_quantity")).as("qty"),
+          count(lit(1)).as("n_at_price"))
+      val w = Window.partitionBy("l_returnflag")
+        .orderBy(col("price").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      agg
+        .withColumn("mq", max(col("qty")).over(w))
+        .filter(col("mq").isNull || col("qty") > col("mq"))
+        .select(col("l_returnflag"), col("price"), col("qty"),
+          col("n_at_price"))
+        .orderBy(col("l_returnflag"), col("price"))
+    },
+    Some("""
+      WITH agg AS (
+        SELECT l_returnflag, l_extendedprice AS price,
+               max(l_quantity) AS qty,
+               CAST(count(*) AS BIGINT) AS n_at_price
+        FROM lineitem GROUP BY 1, 2),
+      sc AS (
+        SELECT l_returnflag, price, qty, n_at_price,
+               max(qty) OVER (PARTITION BY l_returnflag ORDER BY price DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mq
+        FROM agg)
+      SELECT l_returnflag, price, qty, n_at_price
+      FROM sc WHERE mq IS NULL OR qty > mq
+      ORDER BY l_returnflag, price""")
+  )
+
   val all: Seq[QueryDef] = Seq(oTopK, aSpikeSummary, eJson, aSummary,
     mKmeans, mLloydStep, qAsof, qRange, qRollup, qCube, qGroupingSets,
     qPercentile, qHistogram, qZOrder, qHilbert, qCompactPlan, qScd2, qScd1,
@@ -2335,6 +2380,6 @@ object MiscCatalog {
     qProfile, qBenford, qGini, qEntropy, qMi, qSnapshotDiff, qWinsor,
     qFkAudit, qMoments, qAssortativity, qPartitionedScan, qKcore,
     qLabelProp, qScd2AsOf, qSkewProfile, qHits, qExpectations, qDegreeDist,
-    qIqrOutliers)
+    qIqrOutliers, qSkyline)
 }
 
