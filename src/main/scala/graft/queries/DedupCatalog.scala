@@ -816,8 +816,62 @@ object DedupCatalog {
       GROUP BY 1 ORDER BY 1""")
   )
 
+  /** DEDUP IMPACT report — the before/after accounting every curation
+    * pipeline publishes when it applies exact dedup: per source, how many
+    * documents and whitespace tokens survive keep-first dedup
+    * (keeper = min doc_id per fingerprint, groups spanning sources) and
+    * how many are removed. Same fingerprint (md5 of normalized text) and
+    * keep-first semantics as q_d_exact — this gate measures the POLICY's
+    * effect, that one gates the mechanism. Exact integers + one r6 share.
+    */
+  val dDedupImpact = QueryDef(
+    "q_d_dedup_impact",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), col("source"),
+          graft.text.TextAnalysis.fingerprint(col("text")).as("fp"),
+          graft.text.TextAnalysis.wsTokenCount(col("text")).as("n_tok"))
+      val keepers = docs.groupBy("fp").agg(min(col("doc_id")).as("keep_id"))
+      docs.join(keepers, "fp")
+        .withColumn("removed", col("doc_id") =!= col("keep_id"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("removed"), 1L).otherwise(0L)).as("n_removed"),
+          sum(col("n_tok")).as("n_tokens"),
+          sum(when(col("removed"), col("n_tok")).otherwise(0L))
+            .as("n_tokens_removed"))
+        .select(col("source"), col("n_docs"), col("n_removed"),
+          col("n_tokens"), col("n_tokens_removed"),
+          r6(col("n_tokens_removed").cast("double") /
+            col("n_tokens").cast("double")).as("token_removal_share"))
+        .orderBy("source")
+    },
+    Some(s"""
+      WITH d AS (
+        SELECT doc_id, source,
+               md5(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp,
+               CASE WHEN length(trim(regexp_replace(text, '\\s+', ' ',
+                 'g'))) = 0 THEN 0
+               ELSE len(string_split(trim(regexp_replace(text, '\\s+', ' ',
+                 'g')), ' ')) END AS n_tok
+        FROM documents WHERE text IS NOT NULL),
+      k AS (SELECT fp, min(doc_id) AS keep_id FROM d GROUP BY 1)
+      SELECT source, count(*) AS n_docs,
+             CAST(sum(CASE WHEN d.doc_id <> k.keep_id THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_removed,
+             CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+             CAST(sum(CASE WHEN d.doc_id <> k.keep_id THEN n_tok ELSE 0
+               END) AS BIGINT) AS n_tokens_removed,
+             ${sqlR6("CAST(sum(CASE WHEN d.doc_id <> k.keep_id THEN " +
+        "n_tok ELSE 0 END) AS DOUBLE) / CAST(sum(n_tok) AS DOUBLE)")}
+               AS token_removal_share
+      FROM d JOIN k USING (fp)
+      GROUP BY 1 ORDER BY 1""")
+  )
+
   val all: Seq[QueryDef] =
     Seq(dExact, dJaccard, dComponents, dClusterSizes, dMinHash, dSimHash,
       dEmbed, dSemantic, dFuzzy, dFellegi, dContainment, dLshRecall,
-      dBbitMinhash, dNgramNovelty)
+      dBbitMinhash, dNgramNovelty, dDedupImpact)
 }
