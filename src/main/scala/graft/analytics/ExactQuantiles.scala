@@ -54,6 +54,27 @@ object ExactQuantiles {
     rows.toDF("q", "value")
   }
 
+  /** The exact rank-th smallest value (1-based) of `valueCol` — the
+    * rank-parameterized entry point (conformal calibration wants
+    * k = ⌈(1−α)(n+1)⌉, not a [0,1] quantile). Same bisection as
+    * `quantiles`; driver work stays one bounded histogram per pass.
+    */
+  def kthSmallest(
+      df: DataFrame,
+      valueCol: String,
+      rank: Long,
+      buckets: Int = 1024,
+      cutoff: Long = 100000): Double = {
+    val v = col(valueCol)
+    val base = df.filter(v.isNotNull).select(v.cast("double").as("v"))
+    val g = base.agg(count(lit(1)), min(col("v")).cast("double"),
+      max(col("v")).cast("double")).first()
+    val n = g.getLong(0)
+    require(n > 0 && rank >= 1 && rank <= n,
+      s"rank $rank out of range for $n rows")
+    selectRank(base, rank, g.getDouble(1), g.getDouble(2), n, buckets, cutoff)
+  }
+
   /** The rank-th smallest value (1-based) among rows of `base` ("v"). */
   private def selectRank(base: DataFrame, rank0: Long, lo0: Double,
       hi0: Double, n0: Long, buckets: Int, cutoff: Long): Double = {

@@ -2291,10 +2291,152 @@ object MiningCatalog {
       FROM agg ORDER BY l_returnflag""")
   )
 
+  /** M31 — decile lift / gains chart, the standard model-evaluation report
+    * (score = o_totalprice DESC as the "model", response = status 'F').
+    * Global ranking uses the scale-safe SequenceOps.runningSum
+    * range-partitioned prefix scan (the W10/W13 shape — no single-partition
+    * window over the data); the cumulative-gain window runs over the 10
+    * decile rows only. All rates are exact-integer ratios → one division →
+    * r6, so both engines agree bit-for-bit.
+    */
+  val m31Lift = QueryDef(
+    "q_m31_lift",
+    (s, dir) => {
+      val src = t(s, dir, "orders")
+        .select(col("o_orderkey"), (-col("o_totalprice")).as("neg"),
+          (col("o_orderstatus") === "F").cast("long").as("pos"),
+          lit(1L).as("one"))
+      val rn = graft.plans.SequenceOps.runningSum(
+        src, Seq(), Seq("neg", "o_orderkey"), "one", "rn")
+      val tot = broadcast(rn.agg(max(col("rn")).as("n"),
+        sum(col("pos")).as("p")))
+      rn.crossJoin(tot)
+        .withColumn("decile", expr("(rn - 1) * 10 div n") + lit(1L))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n_orders"), sum(col("pos")).as("n_pos"),
+          max(col("n")).as("nn"), max(col("p")).as("pp"))
+        .withColumn("cum_pos", sum(col("n_pos")).over(Window.orderBy("decile")))
+        .select(col("decile"), col("n_orders"), col("n_pos"),
+          r6(col("n_pos").cast("double") / col("n_orders").cast("double"))
+            .as("resp_rate"),
+          r6((col("n_pos").cast("double") / col("n_orders").cast("double"))
+            / (col("pp").cast("double") / col("nn").cast("double")))
+            .as("lift"),
+          r6(col("cum_pos").cast("double") / col("pp").cast("double"))
+            .as("cum_gain"))
+        .orderBy("decile")
+    },
+    Some(s"""
+      WITH r AS (
+        SELECT CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS pos,
+               row_number() OVER (ORDER BY -o_totalprice, o_orderkey) AS rn,
+               count(*) OVER () AS n,
+               sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                 OVER () AS p
+        FROM orders),
+      d AS (SELECT pos, (rn - 1) * 10 // n + 1 AS decile, n, p FROM r),
+      g AS (
+        SELECT decile, count(*) AS n_orders,
+               CAST(sum(pos) AS BIGINT) AS n_pos,
+               CAST(max(n) AS BIGINT) AS nn, CAST(max(p) AS BIGINT) AS pp
+        FROM d GROUP BY 1),
+      c AS (SELECT *, sum(n_pos) OVER (ORDER BY decile) AS cum_pos FROM g)
+      SELECT decile, n_orders, n_pos,
+             ${sqlR6("CAST(n_pos AS DOUBLE) / CAST(n_orders AS DOUBLE)")}
+               AS resp_rate,
+             ${sqlR6("(CAST(n_pos AS DOUBLE) / CAST(n_orders AS DOUBLE))" +
+      " / (CAST(pp AS DOUBLE) / CAST(nn AS DOUBLE))")} AS lift,
+             ${sqlR6("CAST(cum_pos AS DOUBLE) / CAST(pp AS DOUBLE)")}
+               AS cum_gain
+      FROM c ORDER BY decile""")
+  )
+
+  /** M32 — split-conformal prediction coverage (Vovk et al.; the
+    * distribution-free intervals audit a model-serving pipeline runs):
+    * OLS y~x fit on the train split (exact-decimal moments → bit-identical
+    * slope/intercept in both engines), q̂ = ⌈0.9·(n_cal+1)⌉-th smallest
+    * absolute calibration residual (exact selection via
+    * ExactQuantiles.kthSmallest — histogram bisection, no global sort),
+    * then empirical coverage of ŷ±q̂ on the held-out test split. The
+    * orderkey%5 group-level split keeps all three subsets
+    * deterministic; residuals are the same IEEE op chain per row, so the
+    * order statistic and every count are bit-exact.
+    */
+  val m32Conformal = QueryDef(
+    "q_m32_conformal",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select((col("l_orderkey") % 5).as("g"),
+          col("l_quantity").cast("double").as("x"),
+          col("l_extendedprice").as("y"))
+      val mom = broadcast(li.filter(col("g") < 3).agg(
+          count(lit(1)).cast("double").as("nn"),
+          decD(sum(col("x").cast("decimal(28,6)"))).as("sx"),
+          decD(sum(col("y").cast("decimal(28,6)"))).as("sy"),
+          decD(sum((col("x") * col("y")).cast("decimal(28,6)"))).as("sxy"),
+          decD(sum((col("x") * col("x")).cast("decimal(28,6)"))).as("sxx"))
+        .withColumn("b", (col("nn") * col("sxy") - col("sx") * col("sy")) /
+          (col("nn") * col("sxx") - col("sx") * col("sx")))
+        .withColumn("a", (col("sy") - col("b") * col("sx")) / col("nn")))
+      val withR = li.crossJoin(mom)
+        .withColumn("r", abs(col("y") - (col("a") + col("b") * col("x"))))
+      val cal = withR.filter(col("g") === 3)
+      val nCal = cal.count()
+      val k = math.min(nCal, (9L * (nCal + 1) + 9) / 10)
+      val qhat = graft.analytics.ExactQuantiles.kthSmallest(
+        cal, "r", k, buckets = 1024, cutoff = 2000)
+      val cov = broadcast(withR.filter(col("g") === 4).agg(
+        count(lit(1)).as("n_test"),
+        sum(when(col("r") <= lit(qhat), 1L).otherwise(0L)).as("n_cov")))
+      mom.select(col("nn").cast("long").as("n_train"),
+          r6(col("b")).as("slope"), r2(col("a")).as("intercept"))
+        .crossJoin(cov)
+        .select(col("n_train"), lit(nCal).as("n_cal"), col("n_test"),
+          col("slope"), col("intercept"), r2(lit(qhat)).as("qhat"),
+          r6(col("n_cov").cast("double") / col("n_test").cast("double"))
+            .as("coverage"))
+    },
+    Some(s"""
+      WITH li AS (
+        SELECT l_orderkey % 5 AS g, CAST(l_quantity AS DOUBLE) AS x,
+               l_extendedprice AS y
+        FROM lineitem),
+      m0 AS (
+        SELECT CAST(count(*) AS DOUBLE) AS nn,
+               ${sqlDecD("sum(CAST(x AS DECIMAL(28,6)))")} AS sx,
+               ${sqlDecD("sum(CAST(y AS DECIMAL(28,6)))")} AS sy,
+               ${sqlDecD("sum(CAST(x * y AS DECIMAL(28,6)))")} AS sxy,
+               ${sqlDecD("sum(CAST(x * x AS DECIMAL(28,6)))")} AS sxx
+        FROM li WHERE g < 3),
+      ab1 AS (
+        SELECT nn, sx, sy,
+               (nn * sxy - sx * sy) / (nn * sxx - sx * sx) AS b
+        FROM m0),
+      ab AS (SELECT nn, b, (sy - b * sx) / nn AS a FROM ab1),
+      rr AS (SELECT g, abs(y - (a + b * x)) AS r FROM li, ab),
+      cal AS (SELECT r FROM rr WHERE g = 3),
+      kk AS (
+        SELECT count(*) AS n_cal,
+               least(count(*), (9 * (count(*) + 1) + 9) // 10) AS k
+        FROM cal),
+      q AS (
+        SELECT r AS qhat FROM
+          (SELECT r, row_number() OVER (ORDER BY r) AS rn FROM cal) s
+        JOIN kk ON s.rn = kk.k),
+      tst AS (SELECT r FROM rr WHERE g = 4)
+      SELECT CAST(ab.nn AS BIGINT) AS n_train, kk.n_cal AS n_cal,
+             count(*) AS n_test, ${sqlR6("ab.b")} AS slope,
+             ${sqlR2("ab.a")} AS intercept, ${sqlR2("q.qhat")} AS qhat,
+             ${sqlR6("CAST(sum(CASE WHEN tst.r <= q.qhat THEN 1 ELSE 0 " +
+      "END) AS DOUBLE) / CAST(count(*) AS DOUBLE)")} AS coverage
+      FROM tst, ab, kk, q
+      GROUP BY ab.nn, ab.b, ab.a, kk.n_cal, q.qhat""")
+  )
+
   val all: Seq[QueryDef] = Seq(m1Ols, m2OlsNextDay, m4Anomalies, m5Ridge,
     m6Cv, m7Mwu, m8Ks, m9Nbayes, m10LogregStep, m11Welch, m12Spearman,
     m13Robust, m14Anova, m15Kendall, m16Cusum, m17TheilSen, m18Pca,
     m19Bootstrap, m20JarqueBera, m21Assoc, m22Adamic, m23Isotonic,
     m24Mahalanobis, m25EmStep, m26Pettitt, m27Wilcoxon, m28Huber,
-    m29Granger, m30RunsTest)
+    m29Granger, m30RunsTest, m31Lift, m32Conformal)
 }

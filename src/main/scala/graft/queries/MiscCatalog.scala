@@ -2371,6 +2371,45 @@ object MiscCatalog {
       ORDER BY l_returnflag, price""")
   )
 
+  /** UNPIVOT / melt — the inverse of the A1/A3 pivots and the one
+    * reshaping direction the catalog lacked: a wide per-flag aggregate
+    * (three exact-decimal measures) melted to long (flag, measure, value)
+    * form with Spark's native `Dataset.unpivot` (ANSI UNPIVOT semantics;
+    * Catalyst `Expand` — one pass, no shuffle beyond the feeding agg).
+    * The oracle spells the same reshape as a measure-per-branch UNION ALL,
+    * which is definitionally UNPIVOT. Values are r2-rounded sumE sums, so
+    * both engines melt identical doubles.
+    */
+  val qUnpivot = QueryDef(
+    "q_unpivot",
+    (s, dir) => {
+      val wide = t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(r2(sumE(col("l_quantity"))).as("sum_qty"),
+          r2(sumE(col("l_extendedprice"))).as("sum_price"),
+          r2(sumE(col("l_discount"))).as("sum_disc"))
+      wide.unpivot(
+          Array(col("l_returnflag")),
+          Array(col("sum_qty"), col("sum_price"), col("sum_disc")),
+          "measure", "value")
+        .orderBy("l_returnflag", "measure")
+    },
+    Some(s"""
+      WITH w AS (
+        SELECT l_returnflag,
+               ${sqlR2(sqlSumE("l_quantity"))} AS sum_qty,
+               ${sqlR2(sqlSumE("l_extendedprice"))} AS sum_price,
+               ${sqlR2(sqlSumE("l_discount"))} AS sum_disc
+        FROM lineitem GROUP BY 1)
+      SELECT l_returnflag, measure, value FROM (
+        SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM w
+        UNION ALL
+        SELECT l_returnflag, 'sum_price' AS measure, sum_price FROM w
+        UNION ALL
+        SELECT l_returnflag, 'sum_disc' AS measure, sum_disc FROM w)
+      ORDER BY l_returnflag, measure""")
+  )
+
   val all: Seq[QueryDef] = Seq(oTopK, aSpikeSummary, eJson, aSummary,
     mKmeans, mLloydStep, qAsof, qRange, qRollup, qCube, qGroupingSets,
     qPercentile, qHistogram, qZOrder, qHilbert, qCompactPlan, qScd2, qScd1,
@@ -2380,6 +2419,6 @@ object MiscCatalog {
     qProfile, qBenford, qGini, qEntropy, qMi, qSnapshotDiff, qWinsor,
     qFkAudit, qMoments, qAssortativity, qPartitionedScan, qKcore,
     qLabelProp, qScd2AsOf, qSkewProfile, qHits, qExpectations, qDegreeDist,
-    qIqrOutliers, qSkyline)
+    qIqrOutliers, qSkyline, qUnpivot)
 }
 

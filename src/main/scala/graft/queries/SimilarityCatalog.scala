@@ -547,6 +547,69 @@ object SimilarityCatalog {
     )
   }
 
+  /** Per-label embedding-centroid separation report — the data-mixing /
+    * drift audit a curation pipeline runs per source or cluster: mean
+    * embedding per label, then pairwise cosine between the 10 centroids
+    * (45 rows). Components are quantized to exact integers
+    * (floor(e·1e3), the q_s_jl_distortion idiom) so the per-label sums
+    * are exact and order-independent; the mean is ONE double division;
+    * dot and norms are decimal sums of bit-identical per-dim double
+    * products; cos is the same op chain in both engines. Scale shape:
+    * one groupBy on (label, dim) — label cardinality is bounded, so the
+    * centroid table is tiny and the pair join is a broadcast, never
+    * all-pairs over rows.
+    */
+  val sCentroidCos = {
+    val Dim = 64
+    QueryDef(
+      "q_s_centroid_cos",
+      (s, dir) => {
+        val dims = t(s, dir, "embeddings")
+          .select(col("label"),
+            posexplode(col("embedding")).as(Seq("d", "e")))
+          .select(col("label"), col("d").cast("long").as("d"),
+            floor(col("e").cast("double") * 1e3).cast("long").as("q"))
+        val cent = dims.groupBy("label", "d")
+          .agg((sum(col("q")).cast("double") /
+            count(lit(1)).cast("double")).as("m"))
+        val a = cent.select(col("label").as("label_a"), col("d"),
+          col("m").as("ma"))
+        val b = cent.select(col("label").as("label_b"), col("d"),
+          col("m").as("mb"))
+        a.join(broadcast(b),
+            a("d") === b("d") && col("label_a") < col("label_b"))
+          .groupBy("label_a", "label_b")
+          .agg(sumE(col("ma") * col("mb")).as("dot"),
+            sumE(col("ma") * col("ma")).as("na"),
+            sumE(col("mb") * col("mb")).as("nb"))
+          .select(col("label_a"), col("label_b"),
+            r6(col("dot") / (sqrt(col("na")) * sqrt(col("nb")))).as("cos"))
+          .orderBy("label_a", "label_b")
+      },
+      Some(s"""
+        WITH dims AS (
+          SELECT label, CAST(i - 1 AS BIGINT) AS d,
+                 CAST(floor(CAST(list_extract(embedding, i) AS DOUBLE)
+                   * 1e3) AS BIGINT) AS q
+          FROM embeddings, unnest(range(1, ${Dim + 1})) AS u(i)),
+        cent AS (
+          SELECT label, d,
+                 CAST(sum(q) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS m
+          FROM dims GROUP BY 1, 2),
+        p AS (
+          SELECT a.label AS label_a, b.label AS label_b,
+                 ${sqlSumE("a.m * b.m")} AS dot,
+                 ${sqlSumE("a.m * a.m")} AS na,
+                 ${sqlSumE("b.m * b.m")} AS nb
+          FROM cent a JOIN cent b ON a.d = b.d AND a.label < b.label
+          GROUP BY 1, 2)
+        SELECT label_a, label_b,
+               ${sqlR6("dot / (sqrt(na) * sqrt(nb))")} AS cos
+        FROM p ORDER BY label_a, label_b""")
+    )
+  }
+
   val all: Seq[QueryDef] =
-    Seq(sBrute, sIvf, sPq, sSq, sSparse, sRecallIvf, sJlProject)
+    Seq(sBrute, sIvf, sPq, sSq, sSparse, sRecallIvf, sJlProject,
+      sCentroidCos)
 }

@@ -535,7 +535,89 @@ object SketchCatalog {
       ORDER BY est.ga, est.gb""")
   )
 
+  /** Mergeable equi-width-histogram quantile sketch + error audit — the
+    * classic fixed-B histogram estimator (the mergeable-summary baseline
+    * every quantile sketch is judged against; see Greenwald–Khanna 2001's
+    * problem setup): B=64 bin counts over [min,max] (merge = vector add,
+    * what makes it a sketch), estimate = linear interpolation inside the
+    * bin containing the target rank, audited against the EXACT discrete
+    * quantile (ExactQuantiles histogram bisection — no global sort). Same
+    * target rank k = (n−1)·p/100 + 1 on both sides (exact integer
+    * arithmetic), so est vs exact is an apples-to-apples rank comparison.
+    * Bin assignment is one identical IEEE op chain per row → identical
+    * bins; counts are exact integers; the interpolation is the same op
+    * order in both engines. The ≤64-row cumulative window is bounded by B,
+    * not by data.
+    */
+  val skHistQuantile = {
+    val B = 64
+    QueryDef(
+      "q_sk_hist_quantile",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem").select(col("l_extendedprice").as("x"))
+        val stats = broadcast(li.agg(min(col("x")).as("lo"),
+          max(col("x")).as("hi"), count(lit(1)).as("n")))
+        val w = (col("hi") - col("lo")) / lit(B.toDouble)
+        val hist = li.crossJoin(stats)
+          .select(least(floor((col("x") - col("lo")) / w), lit((B - 1).toLong))
+            .as("bin"))
+          .groupBy("bin").agg(count(lit(1)).as("cnt"))
+        val cum = hist.withColumn("cum",
+          sum(col("cnt")).over(Window.orderBy("bin")))
+        val pq = s.range(1, 4).select((col("id") * 25).as("pnum"))
+        val ks = stats.crossJoin(broadcast(pq))
+          .withColumn("k", expr("(n - 1) * pnum div 100") + lit(1L))
+        val est = broadcast(ks).join(cum,
+            cum("cum") >= ks("k") && (cum("cum") - cum("cnt")) < ks("k"))
+          .select(col("pnum"), col("k"),
+            (col("lo") + w * col("bin").cast("double")
+              + w * ((col("k") - (col("cum") - col("cnt"))).cast("double")
+                / col("cnt").cast("double"))).as("est"))
+        val exact = graft.analytics.ExactQuantiles.quantiles(
+            t(s, dir, "lineitem"), "l_extendedprice", Seq(0.25, 0.5, 0.75),
+            buckets = 1024, cutoff = 2000)
+          .select((col("q") * 100).cast("long").as("pnum"),
+            col("value").as("exact"))
+        est.join(broadcast(exact), "pnum")
+          .select((col("pnum").cast("double") / lit(100.0)).as("q"),
+            r2(col("est")).as("est"), col("exact"),
+            r2(abs(col("est") - col("exact"))).as("abs_err"))
+          .orderBy("q")
+      },
+      Some(s"""
+        WITH st AS (
+          SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi,
+                 count(*) AS n
+          FROM lineitem),
+        h AS (
+          SELECT CAST(least(floor((l_extendedprice - lo) /
+                   ((hi - lo) / ${B}e0)), ${B - 1}e0) AS BIGINT) AS bin,
+                 count(*) AS cnt
+          FROM lineitem, st GROUP BY 1),
+        c AS (SELECT bin, cnt, sum(cnt) OVER (ORDER BY bin) AS cum FROM h),
+        ks AS (
+          SELECT lo, hi, n, pnum, (n - 1) * pnum // 100 + 1 AS k
+          FROM st, (SELECT CAST(unnest([25, 50, 75]) AS BIGINT) AS pnum)),
+        e AS (
+          SELECT pnum, k,
+                 lo + (hi - lo) / ${B}e0 * CAST(bin AS DOUBLE)
+                   + (hi - lo) / ${B}e0
+                     * (CAST(k - (cum - cnt) AS DOUBLE)
+                        / CAST(cnt AS DOUBLE)) AS est
+          FROM ks JOIN c ON cum >= k AND (cum - cnt) < k),
+        sx AS (
+          SELECT l_extendedprice AS v,
+                 row_number() OVER (ORDER BY l_extendedprice) AS rn
+          FROM lineitem),
+        x AS (SELECT pnum, v AS exact FROM ks JOIN sx ON sx.rn = ks.k)
+        SELECT CAST(pnum AS DOUBLE) / 100e0 AS q,
+               ${sqlR2("est")} AS est, exact,
+               ${sqlR2("abs(est - exact)")} AS abs_err
+        FROM e JOIN x USING (pnum) ORDER BY q""")
+    )
+  }
+
   val all: Seq[QueryDef] =
     Seq(hllDistinct, hllMerge, cmsTopk, kmvDistinct, kmvJaccard, hllStream,
-      cmsTopkStream)
+      cmsTopkStream, skHistQuantile)
 }
