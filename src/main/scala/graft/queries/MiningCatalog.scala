@@ -2351,6 +2351,117 @@ object MiningCatalog {
       FROM c ORDER BY decile""")
   )
 
+  /** M33 — grid-based DBSCAN (the GriDBSCAN / cell-DBSCAN family):
+    * density clustering of the embedding cloud's first two dims without
+    * any all-pairs distance work. Points quantize to an eps-grid (ONE
+    * groupBy — the only data-scale shuffle; everything after runs on the
+    * ≤|grid| bounded cell table), a cell is core when its 3×3
+    * neighborhood holds ≥ MinPts points, and clusters are connected
+    * components of core cells under 8-adjacency via `Iters` rounds of
+    * min-label propagation (chained-CTE oracle, the q_g_labelprop /
+    * PageRank idiom; localCheckpoint truncates lineage per round). The
+    * `frontier` column counts label-disagreeing adjacencies after the
+    * last round — 0 proves convergence inside the gate itself.
+    */
+  val m33Dbscan = {
+    val MinPts = 10L // 3×3-neighborhood density threshold
+    val Iters = 16 // ≥ grid diameter for this data (frontier audits it)
+    QueryDef(
+      "q_m33_dbscan",
+      (s, dir) => {
+        val sp = s
+        import sp.implicits._
+        val cells = t(s, dir, "embeddings")
+          .select(floor(col("embedding").getItem(0).cast("double") * 10)
+            .as("cx"),
+            floor(col("embedding").getItem(1).cast("double") * 10).as("cy"))
+          .groupBy("cx", "cy").agg(count(lit(1)).as("c"))
+        val offs = broadcast(Seq(-1L, 0L, 1L)
+          .flatMap(dx => Seq(-1L, 0L, 1L).map(dy => (dx, dy)))
+          .toDF("dx", "dy"))
+        val den = cells.crossJoin(offs)
+          .groupBy((col("cx") + col("dx")).as("tx"),
+            (col("cy") + col("dy")).as("ty"))
+          .agg(sum(col("c")).as("den"))
+        val core = cells.join(den,
+            cells("cx") === den("tx") && cells("cy") === den("ty"))
+          .filter(col("den") >= MinPts)
+          .select(col("cx"), col("cy"), col("c"),
+            ((col("cx") + 16) * 64 + (col("cy") + 16)).as("id"))
+          .localCheckpoint(true)
+        val nbr = core.select(col("cx").as("nx"), col("cy").as("ny"),
+          col("id").as("nid"))
+        val edges = core.crossJoin(offs)
+          .select(col("id"), (col("cx") + col("dx")).as("tx"),
+            (col("cy") + col("dy")).as("ty"))
+          .join(nbr, col("tx") === col("nx") && col("ty") === col("ny"))
+          .select(col("id"), col("nid"))
+          .localCheckpoint(true)
+        var lab = core.select(col("id"), col("id").as("lbl"))
+        for (_ <- 1 to Iters) {
+          lab = edges
+            .join(lab.select(col("id").as("nid"), col("lbl")), Seq("nid"))
+            .groupBy("id").agg(min(col("lbl")).as("lbl"))
+            .localCheckpoint(true)
+        }
+        val frontier = broadcast(edges
+          .join(lab.select(col("id"), col("lbl").as("la")), Seq("id"))
+          .join(lab.select(col("id").as("nid"), col("lbl").as("lb")),
+            Seq("nid"))
+          .agg(sum(when(col("la") =!= col("lb"), 1L).otherwise(0L))
+            .as("frontier")))
+        lab.join(core.select(col("id"), col("c")), Seq("id"))
+          .groupBy(col("lbl").as("cluster_id"))
+          .agg(count(lit(1)).as("n_cells"), sum(col("c")).as("n_pts"))
+          .crossJoin(frontier)
+          .orderBy(desc("n_pts"), col("cluster_id"))
+      },
+      Some {
+        val rounds = (1 to Iters).map { k =>
+          s"""l$k AS (
+          SELECT e.id, min(l.lbl) AS lbl
+          FROM edges e JOIN l${k - 1} l ON l.id = e.nid GROUP BY 1)"""
+        }.mkString(",\n        ")
+        s"""
+        WITH cells AS (
+          SELECT CAST(floor(CAST(list_extract(embedding, 1) AS DOUBLE)
+                   * 10) AS BIGINT) AS cx,
+                 CAST(floor(CAST(list_extract(embedding, 2) AS DOUBLE)
+                   * 10) AS BIGINT) AS cy,
+                 count(*) AS c
+          FROM embeddings GROUP BY 1, 2),
+        offs AS (
+          SELECT dx, dy
+          FROM (SELECT CAST(unnest(range(-1, 2)) AS BIGINT) AS dx),
+               (SELECT CAST(unnest(range(-1, 2)) AS BIGINT) AS dy)),
+        den AS (
+          SELECT cx + dx AS tx, cy + dy AS ty, CAST(sum(c) AS BIGINT) AS den
+          FROM cells, offs GROUP BY 1, 2),
+        core AS (
+          SELECT cx, cy, c, (cx + 16) * 64 + (cy + 16) AS id
+          FROM cells JOIN den ON cx = tx AND cy = ty
+          WHERE den >= $MinPts),
+        edges AS (
+          SELECT a.id, n.id AS nid
+          FROM core a, offs
+          JOIN core n ON n.cx = a.cx + dx AND n.cy = a.cy + dy),
+        l0 AS (SELECT id, id AS lbl FROM core),
+        $rounds,
+        fr AS (
+          SELECT CAST(sum(CASE WHEN a.lbl <> b.lbl THEN 1 ELSE 0 END)
+                   AS BIGINT) AS frontier
+          FROM edges e
+          JOIN l$Iters a ON a.id = e.id
+          JOIN l$Iters b ON b.id = e.nid)
+        SELECT lbl AS cluster_id, count(*) AS n_cells,
+               CAST(sum(c) AS BIGINT) AS n_pts, frontier
+        FROM l$Iters JOIN core USING (id), fr
+        GROUP BY 1, frontier
+        ORDER BY n_pts DESC, cluster_id"""
+      }
+    )
+  }
+
   /** M32 — split-conformal prediction coverage (Vovk et al.; the
     * distribution-free intervals audit a model-serving pipeline runs):
     * OLS y~x fit on the train split (exact-decimal moments → bit-identical
@@ -2438,5 +2549,5 @@ object MiningCatalog {
     m13Robust, m14Anova, m15Kendall, m16Cusum, m17TheilSen, m18Pca,
     m19Bootstrap, m20JarqueBera, m21Assoc, m22Adamic, m23Isotonic,
     m24Mahalanobis, m25EmStep, m26Pettitt, m27Wilcoxon, m28Huber,
-    m29Granger, m30RunsTest, m31Lift, m32Conformal)
+    m29Granger, m30RunsTest, m31Lift, m32Conformal, m33Dbscan)
 }

@@ -2371,6 +2371,91 @@ object MiscCatalog {
       ORDER BY l_returnflag, price""")
   )
 
+  /** Population Stability Index — THE drift metric an ML-monitoring
+    * pipeline computes between a reference window and a live window
+    * (PSI = Σ (p_a − p_e)·ln(p_a/p_e); <0.1 stable, >0.25 action). Here:
+    * 1997 orders as expected vs 1998 as actual, per priority, over a
+    * FIXED 12-bin price grid with +0.5 Laplace smoothing so empty bins
+    * are defined and deterministic. Per-bin ln terms are decimal-summed
+    * (order-independent, the q_a21_entropy idiom); the bin grid is a
+    * bounded generated dimension, so the whole query is two count
+    * shuffles + a broadcast grid join.
+    */
+  val qPsi = {
+    val B = 12
+    QueryDef(
+      "q_a28_psi",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+          .withColumn("yr", year(col("o_orderdate")))
+          .filter(col("yr").isin(1997, 1998))
+          .select(col("o_orderpriority").as("prio"), col("yr"),
+            least(floor(col("o_totalprice") / lit(50000.0)),
+              lit((B - 1).toLong)).as("bin"))
+        val cnt = o.groupBy("prio", "yr", "bin").agg(count(lit(1)).as("c"))
+        val grid = o.select("prio").distinct()
+          .crossJoin(broadcast(s.range(B).select(col("id").as("bin"))))
+          .crossJoin(broadcast(s.range(1997, 1999)
+            .select(col("id").cast("int").as("yr"))))
+        val full = grid.join(cnt, Seq("prio", "yr", "bin"), "left")
+          .select(col("prio"), col("yr"), col("bin"),
+            coalesce(col("c"), lit(0L)).as("c"))
+        val tot = full.groupBy("prio", "yr").agg(sum(col("c")).as("n"))
+        val p = full.join(broadcast(tot), Seq("prio", "yr"))
+          .select(col("prio"), col("yr"), col("bin"), col("c"), col("n"),
+            ((col("c").cast("double") + lit(0.5)) /
+              (col("n").cast("double") + lit(0.5 * B))).as("p"))
+        val e = p.filter(col("yr") === 1997)
+          .select(col("prio"), col("bin"), col("p").as("pe"),
+            col("n").as("n_exp"))
+        val a = p.filter(col("yr") === 1998)
+          .select(col("prio"), col("bin"), col("p").as("pa"),
+            col("n").as("n_act"))
+        e.join(a, Seq("prio", "bin"))
+          .select(col("prio"), col("n_exp"), col("n_act"),
+            ((col("pa") - col("pe")) * log(col("pa") / col("pe")))
+              .as("term"))
+          .groupBy("prio")
+          .agg(max(col("n_exp")).as("n_exp"), max(col("n_act")).as("n_act"),
+            r6(sum(col("term").cast("decimal(38,18)")).cast("double"))
+              .as("psi"))
+          .orderBy("prio")
+      },
+      Some(s"""
+        WITH o AS (
+          SELECT o_orderpriority AS prio, year(o_orderdate) AS yr,
+                 CAST(least(floor(o_totalprice / 50000e0), ${B - 1}e0)
+                   AS BIGINT) AS bin
+          FROM orders WHERE year(o_orderdate) IN (1997, 1998)),
+        cnt AS (SELECT prio, yr, bin, count(*) AS c FROM o GROUP BY 1, 2, 3),
+        grid AS (
+          SELECT prio, yr, bin
+          FROM (SELECT DISTINCT prio FROM o),
+               (SELECT CAST(unnest(range($B)) AS BIGINT) AS bin),
+               (SELECT CAST(unnest([1997, 1998]) AS INTEGER) AS yr)),
+        full_ AS (
+          SELECT g.prio, g.yr, g.bin, coalesce(c, 0) AS c
+          FROM grid g LEFT JOIN cnt USING (prio, yr, bin)),
+        tot AS (SELECT prio, yr, CAST(sum(c) AS BIGINT) AS n
+                FROM full_ GROUP BY 1, 2),
+        p AS (
+          SELECT f.prio, f.yr, f.bin, f.c, t.n,
+                 (CAST(f.c AS DOUBLE) + 0.5e0)
+                   / (CAST(t.n AS DOUBLE) + ${sqlD(0.5 * B)}) AS p
+          FROM full_ f JOIN tot t USING (prio, yr)),
+        j AS (
+          SELECT e.prio, e.n AS n_exp, a.n AS n_act,
+                 (a.p - e.p) * ln(a.p / e.p) AS term
+          FROM (SELECT * FROM p WHERE yr = 1997) e
+          JOIN (SELECT * FROM p WHERE yr = 1998) a
+            ON e.prio = a.prio AND e.bin = a.bin)
+        SELECT prio, max(n_exp) AS n_exp, max(n_act) AS n_act,
+               ${sqlR6("CAST(sum(CAST(term AS DECIMAL(38,18))) AS DOUBLE)")}
+                 AS psi
+        FROM j GROUP BY 1 ORDER BY 1""")
+    )
+  }
+
   /** UNPIVOT / melt — the inverse of the A1/A3 pivots and the one
     * reshaping direction the catalog lacked: a wide per-flag aggregate
     * (three exact-decimal measures) melted to long (flag, measure, value)
@@ -2419,6 +2504,6 @@ object MiscCatalog {
     qProfile, qBenford, qGini, qEntropy, qMi, qSnapshotDiff, qWinsor,
     qFkAudit, qMoments, qAssortativity, qPartitionedScan, qKcore,
     qLabelProp, qScd2AsOf, qSkewProfile, qHits, qExpectations, qDegreeDist,
-    qIqrOutliers, qSkyline, qUnpivot)
+    qIqrOutliers, qSkyline, qUnpivot, qPsi)
 }
 

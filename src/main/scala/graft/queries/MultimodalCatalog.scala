@@ -1261,9 +1261,102 @@ object MultimodalCatalog {
     )
   }
 
+  /** Fixed-point 16-point DFT spectral energy — the spectrogram primitive
+    * of an audio-featurization pipeline, done the way embedded DSPs do it:
+    * an INTEGER twiddle table (round(cos·1e6), computed once at class
+    * init and interpolated into the oracle as literals) makes every
+    * per-frame re/im an exact integer sum — order-independent, no
+    * cross-engine transcendental anywhere. The audio goes through the
+    * REAL WAV codec round-trip (q_mm_wav_decode synthesis), frames are 16
+    * samples (full frames only), and per-(flag, k) mean frame energy is a
+    * decimal sum of bit-identical per-frame doubles. Frame fan-out is
+    * bounded per key; the only data-scale shuffle is the final groupBy.
+    */
+  val mmDftEnergy = {
+    val W = 16
+    val cosQ = Array.tabulate(W)(i =>
+      Math.round(Math.cos(2 * Math.PI * i / W) * 1e6))
+    val sinQ = Array.tabulate(W)(i =>
+      Math.round(Math.sin(2 * Math.PI * i / W) * 1e6))
+    QueryDef(
+      "q_mm_dft_energy",
+      (s, dir) => {
+        val sp = s
+        import sp.implicits._
+        t(s, dir, "lineitem")
+          .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"))
+          .as[(String, Long, Int)]
+          .groupByKey(_._1)
+          .flatMapGroups { (flag, it) =>
+            val rows = it.toArray.sortBy(r => (r._2, r._3))
+            val samples = rows.map { case (_, ok, ln) =>
+              ((ok * 7 + ln * 13) % 65536 - 32768).toShort
+            }
+            val blob = Codecs.encodeWav(16000, 1, samples)
+            val wav = Codecs.decodeWav(blob) // the REAL RIFF/PCM parse
+            wav.samples.grouped(W).zipWithIndex
+              .filter(_._1.length == W)
+              .flatMap { case (frame, f) =>
+                (0 to W / 2).map { k =>
+                  var re = 0L
+                  var im = 0L
+                  var n = 0
+                  while (n < W) {
+                    val x = frame(n).toLong
+                    re += x * cosQ((k * n) % W)
+                    im -= x * sinQ((k * n) % W)
+                    n += 1
+                  }
+                  (flag, k.toLong, f.toLong,
+                    (re.toDouble * re.toDouble + im.toDouble * im.toDouble)
+                      / 1e12)
+                }
+              }
+          }
+          .toDF("flag", "k", "frame", "e")
+          .groupBy("flag", "k")
+          .agg(count(lit(1)).as("n_frames"),
+            r2(decD(sum(col("e").cast("decimal(38,6)")))
+              / count(lit(1)).cast("double")).as("avg_energy"))
+          .orderBy("flag", "k")
+      },
+      Some {
+        val cosL = cosQ.mkString("[", ", ", "]")
+        val sinL = sinQ.mkString("[", ", ", "]")
+        s"""
+        WITH s AS (
+          SELECT l_returnflag AS flag,
+                 CAST((l_orderkey * 7 + l_linenumber * 13) % 65536 - 32768
+                   AS BIGINT) AS x,
+                 CAST(row_number() OVER (PARTITION BY l_returnflag
+                   ORDER BY l_orderkey, l_linenumber) - 1 AS BIGINT) AS rn
+          FROM lineitem),
+        fk AS (
+          SELECT flag, x, rn // $W AS frame, rn % $W AS n, k
+          FROM s, (SELECT CAST(unnest(range(${W / 2 + 1})) AS BIGINT) AS k)),
+        ri AS (
+          SELECT flag, k, frame,
+                 CAST(sum(x * list_extract($cosL, (k * n) % $W + 1))
+                   AS BIGINT) AS re,
+                 CAST(sum(-x * list_extract($sinL, (k * n) % $W + 1))
+                   AS BIGINT) AS im
+          FROM fk GROUP BY 1, 2, 3 HAVING count(*) = $W),
+        e AS (
+          SELECT flag, k,
+                 (CAST(re AS DOUBLE) * CAST(re AS DOUBLE)
+                  + CAST(im AS DOUBLE) * CAST(im AS DOUBLE)) / 1e12 AS e
+          FROM ri)
+        SELECT flag, k, count(*) AS n_frames,
+               ${sqlR2(sqlDecD("sum(CAST(e AS DECIMAL(38,6)))") +
+          " / CAST(count(*) AS DOUBLE)")} AS avg_energy
+        FROM e GROUP BY 1, 2 ORDER BY 1, 2"""
+      }
+    )
+  }
+
   val all: Seq[QueryDef] =
     Seq(mmFrames, mmChunks, mmMeta, mmBytes, mmPngDecode, mmJpegMeta,
       mmWavDecode, mmBmpResize, mmDhash, mmAudioFeats, mmUlawDecode,
       mmAlawDecode, mmAviFrames, mmAugment, mmDownsample, mmTiffDecode,
-      mmVadWindows, mmWbmp, mmBinarySource)
+      mmVadWindows, mmWbmp, mmBinarySource, mmDftEnergy)
 }

@@ -1470,11 +1470,133 @@ object TextCatalog {
     )
   }
 
+  /** Reciprocal-rank fusion (Cormack et al. 2009) — the standard hybrid-
+    * search combiner: a LEXICAL ranker (whitespace-token Jaccard vs the
+    * query document — exact integer set sizes, one division) and a
+    * SEMANTIC ranker (brute cosine vs the query doc's embedding, the
+    * q_s_cosine_topk normalize-then-dot path) each produce a top-100
+    * list; fused score = Σ 1/(60+rank) over the lists a doc appears in
+    * (missing → 0, the real RRF convention — which is also what makes it
+    * scale-safe: only two bounded top-N lists ever meet, never full
+    * rankings). Ranks are integers, so the fused doubles are
+    * bit-identical; ties break on doc_id.
+    */
+  val tRrf = {
+    val QDoc = 7L
+    val N = 100
+    val K = 10
+    QueryDef(
+      "q_t_rrf",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val toks = t(s, dir, "documents")
+          .select(col("doc_id"),
+            lower(TextAnalysis.normText(col("text"))).as("nt"))
+          .filter(length(col("nt")) > 0)
+          .select(col("doc_id"), explode(split(col("nt"), " ")).as("w"))
+          .distinct()
+        val qtok = toks.filter(col("doc_id") === QDoc).select("w")
+        val qn = broadcast(qtok.agg(count(lit(1)).as("qn")))
+        val sz = toks.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+        val iv = toks.join(broadcast(qtok), Seq("w"))
+          .groupBy("doc_id").agg(count(lit(1)).as("i"))
+        val jac = sz.join(iv, Seq("doc_id"), "left").crossJoin(qn)
+          .filter(col("doc_id") =!= QDoc)
+          .select(col("doc_id"),
+            (coalesce(col("i"), lit(0L)).cast("double") /
+              (col("sz") + col("qn") - coalesce(col("i"), lit(0L)))
+                .cast("double")).as("j"))
+        val lex = jac.orderBy(desc("j"), col("doc_id")).limit(N)
+          .withColumn("r_lex",
+            row_number().over(Window.orderBy(desc("j"), col("doc_id"))))
+          .select(col("doc_id"), col("r_lex").cast("long").as("r_lex"))
+        val e = t(s, dir, "embeddings")
+        val sem = graft.similarity.Ann.bruteForceTopK(
+            e, e.filter(col("vec_id") === QDoc), "vec_id", "embedding",
+            "vec_id", k = N + 1)
+          .filter(col("nn_id") =!= QDoc)
+          .withColumn("r_sem",
+            row_number().over(Window.orderBy(desc("cos"), col("nn_id"))))
+          .filter(col("r_sem") <= N)
+          .select(col("nn_id").as("doc_id"),
+            col("r_sem").cast("long").as("r_sem"))
+        val fused = lex.join(sem, Seq("doc_id"), "full")
+          .select(col("doc_id"), col("r_lex"), col("r_sem"),
+            (coalesce(lit(1.0) / (lit(60.0) + col("r_lex").cast("double")),
+              lit(0.0)) +
+             coalesce(lit(1.0) / (lit(60.0) + col("r_sem").cast("double")),
+               lit(0.0))).as("rrf"))
+        fused.orderBy(desc("rrf"), col("doc_id")).limit(K)
+          .withColumn("rank",
+            row_number().over(Window.orderBy(desc("rrf"), col("doc_id"))))
+          .select(col("rank").cast("long").as("rank"), col("doc_id"),
+            col("r_lex"), col("r_sem"), r6(col("rrf")).as("rrf"))
+          .orderBy("rank")
+      },
+      Some(s"""
+        WITH t AS (
+          SELECT doc_id, lower($sqlNorm) AS nt
+          FROM documents WHERE length($sqlNorm) > 0),
+        tok AS (
+          SELECT DISTINCT doc_id, unnest(string_split(nt, ' ')) AS w
+          FROM t),
+        q AS (SELECT w FROM tok WHERE doc_id = $QDoc),
+        qn AS (SELECT count(*) AS qn FROM q),
+        sz AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY 1),
+        iv AS (SELECT tok.doc_id, count(*) AS i
+               FROM tok JOIN q USING (w) GROUP BY 1),
+        jac AS (
+          SELECT sz.doc_id,
+                 CAST(coalesce(i, 0) AS DOUBLE)
+                   / CAST(sz + qn.qn - coalesce(i, 0) AS DOUBLE) AS j
+          FROM sz LEFT JOIN iv USING (doc_id) CROSS JOIN qn
+          WHERE sz.doc_id <> $QDoc),
+        lex AS (
+          SELECT doc_id,
+                 CAST(row_number() OVER (ORDER BY j DESC, doc_id)
+                   AS BIGINT) AS r_lex
+          FROM jac QUALIFY r_lex <= $N),
+        qv AS (
+          SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings WHERE vec_id = $QDoc),
+        qnm AS (
+          SELECT list_transform(v, x -> x /
+                   sqrt(list_sum(list_transform(v, y -> y * y)))) AS v
+          FROM qv),
+        cn AS (
+          SELECT vec_id, list_transform(cv, x -> x /
+                   sqrt(list_sum(list_transform(cv, y -> y * y)))) AS cv
+          FROM (SELECT vec_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+                FROM embeddings)
+          WHERE vec_id <> $QDoc),
+        sem AS (
+          SELECT vec_id AS doc_id,
+                 CAST(row_number() OVER (ORDER BY cos DESC, vec_id)
+                   AS BIGINT) AS r_sem
+          FROM (SELECT cn.vec_id,
+                  list_sum(list_transform(list_zip(cn.cv, qnm.v),
+                    p -> p[1] * p[2])) AS cos
+                FROM cn CROSS JOIN qnm)
+          QUALIFY r_sem <= $N),
+        f AS (
+          SELECT doc_id, r_lex, r_sem,
+                 coalesce(1e0 / (60e0 + CAST(r_lex AS DOUBLE)), 0e0)
+                   + coalesce(1e0 / (60e0 + CAST(r_sem AS DOUBLE)), 0e0)
+                   AS rrf
+          FROM lex FULL JOIN sem USING (doc_id))
+        SELECT CAST(row_number() OVER (ORDER BY rrf DESC, doc_id)
+                 AS BIGINT) AS rank,
+               doc_id, r_lex, r_sem, ${sqlR6("rrf")} AS rrf
+        FROM f QUALIFY rank <= $K ORDER BY rank""")
+    )
+  }
+
   val all: Seq[QueryDef] =
     Seq(tQuality, tTokens, tFingerprint, tLangId, tExplode,
       tRepetition, tLmScore, tSplit, tStratSample, tTfIdf, tPmi,
       tPii, tVocab, tComposition, tPack, tShuffle, tDecontaminate,
       tLineDedup, tBm25, tDsir, tWsample, tVocabOverlap, tMixture, tJsd,
       tFeatHash, tDupSpans, tZipf, tLangConfusion, tBpeStep, tBpeTrain5,
-      tBpeEncode, tBleu, tChunkOverlap)
+      tBpeEncode, tBleu, tChunkOverlap, tRrf)
 }
