@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -2544,10 +2545,132 @@ object MiningCatalog {
       GROUP BY ab.nn, ab.b, ab.a, kk.n_cal, q.qhat""")
   )
 
+  /** M34 — Chow structural-break test (Chow 1960): does the price~quantity
+    * regression change between the pre-1997 and 1997+ shipping periods?
+    * Per flag: separate OLS fits on each period plus the pooled fit, all
+    * from ONE pass of exact-decimal conditional moments (CASE-gated sums
+    * — order-independent, bit-identical), SSRs in closed form
+    * (Syy_c − b·Sxy_c), and F = ((SSR_p − SSR_a − SSR_b)/k) /
+    * ((SSR_a + SSR_b)/(n−2k)) with k=2. Identical double op chains in
+    * both engines; no second scan, no shuffle beyond the flag groupBy.
+    */
+  val m34Chow = QueryDef(
+    "q_m34_chow",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_returnflag").as("flag"),
+          (year(col("l_shipdate")) >= 1997).as("p"),
+          col("l_quantity").cast("double").as("x"),
+          col("l_extendedprice").as("y"))
+      def cm(cond: Column, e: Column) =
+        decD(sum(when(cond, e).otherwise(lit(0.0)).cast("decimal(28,6)")))
+      def cn(cond: Column) =
+        sum(when(cond, 1L).otherwise(0L))
+      val a = !col("p")
+      val b = col("p")
+      val m = li.groupBy("flag").agg(
+        cn(a).as("na_l"), cn(b).as("nb_l"),
+        cm(a, col("x")).as("sxa"), cm(a, col("y")).as("sya"),
+        cm(a, col("x") * col("x")).as("sxxa"),
+        cm(a, col("x") * col("y")).as("sxya"),
+        cm(a, col("y") * col("y")).as("syya"),
+        cm(b, col("x")).as("sxb"), cm(b, col("y")).as("syb"),
+        cm(b, col("x") * col("x")).as("sxxb"),
+        cm(b, col("x") * col("y")).as("sxyb"),
+        cm(b, col("y") * col("y")).as("syyb"),
+        decD(sum(col("x").cast("decimal(28,6)"))).as("sxp"),
+        decD(sum(col("y").cast("decimal(28,6)"))).as("syp"),
+        decD(sum((col("x") * col("x")).cast("decimal(28,6)"))).as("sxxp"),
+        decD(sum((col("x") * col("y")).cast("decimal(28,6)"))).as("sxyp"),
+        decD(sum((col("y") * col("y")).cast("decimal(28,6)"))).as("syyp"),
+        count(lit(1)).cast("double").as("np"))
+        .withColumn("na", col("na_l").cast("double"))
+        .withColumn("nb", col("nb_l").cast("double"))
+      def slope(n: String, sx: String, sy: String, sxx: String,
+          sxy: String) =
+        (col(n) * col(sxy) - col(sx) * col(sy)) /
+          (col(n) * col(sxx) - col(sx) * col(sx))
+      def ssr(bCol: Column, n: String, sx: String, sy: String, sxy: String,
+          syy: String) =
+        (col(syy) - col(sy) * col(sy) / col(n)) -
+          bCol * (col(sxy) - col(sx) * col(sy) / col(n))
+      m.withColumn("ba", slope("na", "sxa", "sya", "sxxa", "sxya"))
+        .withColumn("bb", slope("nb", "sxb", "syb", "sxxb", "sxyb"))
+        .withColumn("bp", slope("np", "sxp", "syp", "sxxp", "sxyp"))
+        .withColumn("ssra",
+          ssr(col("ba"), "na", "sxa", "sya", "sxya", "syya"))
+        .withColumn("ssrb",
+          ssr(col("bb"), "nb", "sxb", "syb", "sxyb", "syyb"))
+        .withColumn("ssrp",
+          ssr(col("bp"), "np", "sxp", "syp", "sxyp", "syyp"))
+        .select(col("flag"), col("na_l").as("n_a"), col("nb_l").as("n_b"),
+          r6(col("ba")).as("slope_a"), r6(col("bb")).as("slope_b"),
+          r6(((col("ssrp") - col("ssra") - col("ssrb")) / lit(2.0)) /
+            ((col("ssra") + col("ssrb")) /
+              (col("na") + col("nb") - lit(4.0)))).as("f_chow"))
+        .orderBy("flag")
+    },
+    Some {
+      def dm(cond: String, e: String) =
+        sqlDecD(s"sum(CAST(CASE WHEN $cond THEN $e ELSE 0e0 END " +
+          "AS DECIMAL(28,6)))")
+      def sl(n: String, sx: String, sy: String, sxx: String, sxy: String) =
+        s"($n * $sxy - $sx * $sy) / ($n * $sxx - $sx * $sx)"
+      def sr(b: String, n: String, sx: String, sy: String, sxy: String,
+          syy: String) =
+        s"(($syy - $sy * $sy / $n) - $b * ($sxy - $sx * $sy / $n))"
+      s"""
+      WITH li AS (
+        SELECT l_returnflag AS flag,
+               year(l_shipdate) >= 1997 AS p,
+               CAST(l_quantity AS DOUBLE) AS x, l_extendedprice AS y
+        FROM lineitem),
+      m AS (
+        SELECT flag,
+               CAST(sum(CASE WHEN NOT p THEN 1 ELSE 0 END) AS BIGINT)
+                 AS na_l,
+               CAST(sum(CASE WHEN p THEN 1 ELSE 0 END) AS BIGINT) AS nb_l,
+               ${dm("NOT p", "x")} AS sxa, ${dm("NOT p", "y")} AS sya,
+               ${dm("NOT p", "x * x")} AS sxxa,
+               ${dm("NOT p", "x * y")} AS sxya,
+               ${dm("NOT p", "y * y")} AS syya,
+               ${dm("p", "x")} AS sxb, ${dm("p", "y")} AS syb,
+               ${dm("p", "x * x")} AS sxxb, ${dm("p", "x * y")} AS sxyb,
+               ${dm("p", "y * y")} AS syyb,
+               ${sqlDecD("sum(CAST(x AS DECIMAL(28,6)))")} AS sxp,
+               ${sqlDecD("sum(CAST(y AS DECIMAL(28,6)))")} AS syp,
+               ${sqlDecD("sum(CAST(x * x AS DECIMAL(28,6)))")} AS sxxp,
+               ${sqlDecD("sum(CAST(x * y AS DECIMAL(28,6)))")} AS sxyp,
+               ${sqlDecD("sum(CAST(y * y AS DECIMAL(28,6)))")} AS syyp,
+               CAST(count(*) AS DOUBLE) AS np
+        FROM li GROUP BY 1),
+      m2 AS (
+        SELECT *, CAST(na_l AS DOUBLE) AS na, CAST(nb_l AS DOUBLE) AS nb
+        FROM m),
+      bs AS (
+        SELECT *,
+               ${sl("na", "sxa", "sya", "sxxa", "sxya")} AS ba,
+               ${sl("nb", "sxb", "syb", "sxxb", "sxyb")} AS bb,
+               ${sl("np", "sxp", "syp", "sxxp", "sxyp")} AS bp
+        FROM m2),
+      sr AS (
+        SELECT *,
+               ${sr("ba", "na", "sxa", "sya", "sxya", "syya")} AS ssra,
+               ${sr("bb", "nb", "sxb", "syb", "sxyb", "syyb")} AS ssrb,
+               ${sr("bp", "np", "sxp", "syp", "sxyp", "syyp")} AS ssrp
+        FROM bs)
+      SELECT flag, na_l AS n_a, nb_l AS n_b,
+             ${sqlR6("ba")} AS slope_a, ${sqlR6("bb")} AS slope_b,
+             ${sqlR6("((ssrp - ssra - ssrb) / 2e0) " +
+        "/ ((ssra + ssrb) / (na + nb - 4e0))")} AS f_chow
+      FROM sr ORDER BY flag"""
+    }
+  )
+
   val all: Seq[QueryDef] = Seq(m1Ols, m2OlsNextDay, m4Anomalies, m5Ridge,
     m6Cv, m7Mwu, m8Ks, m9Nbayes, m10LogregStep, m11Welch, m12Spearman,
     m13Robust, m14Anova, m15Kendall, m16Cusum, m17TheilSen, m18Pca,
     m19Bootstrap, m20JarqueBera, m21Assoc, m22Adamic, m23Isotonic,
     m24Mahalanobis, m25EmStep, m26Pettitt, m27Wilcoxon, m28Huber,
-    m29Granger, m30RunsTest, m31Lift, m32Conformal, m33Dbscan)
+    m29Granger, m30RunsTest, m31Lift, m32Conformal, m33Dbscan, m34Chow)
 }

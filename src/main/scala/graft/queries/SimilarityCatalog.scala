@@ -609,7 +609,118 @@ object SimilarityCatalog {
     )
   }
 
+  /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein 1998) —
+    * the diversity-aware selection step after retrieval: from the top-10
+    * cosine candidates for query doc 3, greedily pick 5 maximizing
+    * 0.7·rel − 0.3·max-sim-to-already-picked. The candidate set is
+    * BOUNDED (10), so every round is a join over ≤10×10 rows — the greedy
+    * loop never touches data scale; the only big work is the one brute
+    * scan producing candidates. Both rel and pairwise sims are r6-ROUNDED
+    * cosines (the q_t_bm25 rounded-ranking-key rule) and the score
+    * arithmetic is the same op chain, so each round's argmax (ties →
+    * doc_id) is bit-deterministic; the oracle replays all 5 rounds as
+    * chained CTEs.
+    */
+  val sMmr = {
+    val QDoc = 3L
+    val C = 10
+    val K = 5
+    QueryDef(
+      "q_s_mmr",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = t(s, dir, "embeddings")
+        val cand = Ann.bruteForceTopK(e, e.filter(col("vec_id") === QDoc),
+            "vec_id", "embedding", "vec_id", k = C + 1)
+          .filter(col("nn_id") =!= QDoc)
+          .withColumn("rk",
+            row_number().over(Window.orderBy(desc("cos"), col("nn_id"))))
+          .filter(col("rk") <= C)
+          .select(col("nn_id").as("doc_id"), r6(col("cos")).as("rel"))
+          .localCheckpoint(true)
+        val cp = e.join(broadcast(cand.select(col("doc_id").as("vec_id"))),
+          Seq("vec_id"))
+        val sims = Ann.bruteForceTopK(cp, cp, "vec_id", "embedding",
+            "vec_id", k = C)
+          .filter(col("nn_id") =!= col("query_id"))
+          .select(col("query_id").as("a"), col("nn_id").as("b"),
+            r6(col("cos")).as("sim"))
+          .localCheckpoint(true)
+        var sel = cand.orderBy(desc("rel"), col("doc_id")).limit(1)
+          .select(col("doc_id"), lit(1L).as("pick"))
+          .localCheckpoint(true)
+        for (k <- 2 to K) {
+          val pen = sims
+            .join(sel.select(col("doc_id").as("b")), Seq("b"))
+            .groupBy(col("a").as("doc_id")).agg(max(col("sim")).as("pen"))
+          val next = cand.join(sel.select("doc_id"), Seq("doc_id"),
+              "left_anti")
+            .join(pen, Seq("doc_id"))
+            .select(col("doc_id"),
+              (lit(0.7) * col("rel") - lit(0.3) * col("pen")).as("score"))
+            .orderBy(desc("score"), col("doc_id")).limit(1)
+            .select(col("doc_id"), lit(k.toLong).as("pick"))
+          sel = sel.unionByName(next).localCheckpoint(true)
+        }
+        sel.join(cand, Seq("doc_id"))
+          .select(col("pick"), col("doc_id"), col("rel"))
+          .orderBy("pick")
+      },
+      Some {
+        val rounds = (2 to K).map { k =>
+          s"""s$k AS (
+          SELECT * FROM s${k - 1} UNION ALL
+          SELECT doc_id, CAST($k AS BIGINT) AS pick FROM (
+            SELECT c.doc_id,
+                   ${sqlD(0.7)} * c.rel - ${sqlD(0.3)} * p.pen AS score
+            FROM cand c
+            JOIN (SELECT a AS doc_id, max(sim) AS pen
+                  FROM sims JOIN s${k - 1} sl ON sims.b = sl.doc_id
+                  GROUP BY 1) p USING (doc_id)
+            WHERE c.doc_id NOT IN (SELECT doc_id FROM s${k - 1})
+            ORDER BY score DESC, doc_id LIMIT 1))"""
+        }.mkString(",\n        ")
+        s"""
+        WITH qv AS (
+          SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings WHERE vec_id = $QDoc),
+        qnm AS (
+          SELECT list_transform(v, x -> x /
+                   sqrt(list_sum(list_transform(v, y -> y * y)))) AS v
+          FROM qv),
+        cn AS (
+          SELECT vec_id, list_transform(cv, x -> x /
+                   sqrt(list_sum(list_transform(cv, y -> y * y)))) AS cv
+          FROM (SELECT vec_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+                FROM embeddings)),
+        cand AS (
+          SELECT vec_id AS doc_id, ${sqlR6("cos")} AS rel
+          FROM (SELECT cn.vec_id,
+                  list_sum(list_transform(list_zip(cn.cv, qnm.v),
+                    p -> p[1] * p[2])) AS cos
+                FROM cn CROSS JOIN qnm
+                WHERE cn.vec_id <> $QDoc)
+          QUALIFY row_number() OVER (ORDER BY cos DESC, vec_id) <= $C),
+        sims AS (
+          SELECT x.vec_id AS a, y.vec_id AS b,
+                 ${sqlR6("""list_sum(list_transform(list_zip(x.cv, y.cv),
+                   p -> p[1] * p[2]))""")} AS sim
+          FROM cn x JOIN cand ca ON x.vec_id = ca.doc_id
+          CROSS JOIN (SELECT cn2.vec_id, cn2.cv FROM cn cn2
+                      JOIN cand cb ON cn2.vec_id = cb.doc_id) y
+          WHERE x.vec_id <> y.vec_id),
+        s1 AS (
+          SELECT doc_id, CAST(1 AS BIGINT) AS pick FROM cand
+          ORDER BY rel DESC, doc_id LIMIT 1),
+        $rounds
+        SELECT pick, doc_id, rel
+        FROM s$K JOIN cand USING (doc_id) ORDER BY pick"""
+      }
+    )
+  }
+
   val all: Seq[QueryDef] =
     Seq(sBrute, sIvf, sPq, sSq, sSparse, sRecallIvf, sJlProject,
-      sCentroidCos)
+      sCentroidCos, sMmr)
 }

@@ -55,6 +55,39 @@ class DriftClusterSpec extends SparkSpec {
     }
   }
 
+  test("q_s_mmr: 5 distinct picks, first is the most relevant candidate") {
+    val out = graft.queries.SimilarityCatalog.sMmr.query(spark, sf).collect()
+    assert(out.map(_.getAs[Long]("pick")).toSeq == (1L to 5L))
+    val ids = out.map(_.getAs[Long]("doc_id"))
+    assert(ids.distinct.length == 5, "picks must be distinct")
+    // pick 1 is pure relevance: no later pick may have higher rel
+    val rels = out.sortBy(_.getAs[Long]("pick")).map(_.getAs[Double]("rel"))
+    assert(rels.head >= rels.tail.max,
+      s"first pick rel ${rels.head} not maximal among ${rels.toSeq}")
+  }
+
+  test("q_m34_chow: slopes match covar/var fits, F nonnegative") {
+    import org.apache.spark.sql.functions.{col, covar_samp, var_samp,
+      year => yr}
+    val out = MiningCatalog.m34Chow.query(spark, sf).collect()
+    assert(out.length == 3)
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    out.foreach { r =>
+      val flag = r.getAs[String]("flag")
+      def fit(pre: Boolean): Double = {
+        val base = li.filter(col("l_returnflag") === flag)
+          .filter(if (pre) yr(col("l_shipdate")) < 1997
+            else yr(col("l_shipdate")) >= 1997)
+        base.agg(covar_samp(col("l_extendedprice"), col("l_quantity"))
+            / var_samp(col("l_quantity"))).first().getDouble(0)
+      }
+      assert(math.abs(r.getAs[Double]("slope_a") - fit(pre = true)) < 1e-4)
+      assert(math.abs(r.getAs[Double]("slope_b") - fit(pre = false)) < 1e-4)
+      // pooled SSR >= split SSRs by least-squares optimality
+      assert(r.getAs[Double]("f_chow") >= 0.0)
+    }
+  }
+
   test("q_mm_dft_energy: full one-sided bin set, equal frames, energy >= 0") {
     val out = MultimodalCatalog.mmDftEnergy.query(spark, sf).collect()
     val byFlag = out.groupBy(_.getAs[String]("flag"))
