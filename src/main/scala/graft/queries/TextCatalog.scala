@@ -1481,6 +1481,104 @@ object TextCatalog {
     * rankings). Ranks are integers, so the fused doubles are
     * bit-identical; ties break on doc_id.
     */
+  /** Lexical ranker shared by q_t_rrf/q_t_rbo: top-`n` docs by exact
+    * whitespace-token Jaccard against the query doc (query token set
+    * broadcast; one division per doc), ranks tie-broken on doc_id.
+    */
+  private def lexTopN(s: org.apache.spark.sql.SparkSession, dir: String,
+      qdoc: Long, n: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = t(s, dir, "documents")
+      .select(col("doc_id"),
+        lower(TextAnalysis.normText(col("text"))).as("nt"))
+      .filter(length(col("nt")) > 0)
+      .select(col("doc_id"), explode(split(col("nt"), " ")).as("w"))
+      .distinct()
+    val qtok = toks.filter(col("doc_id") === qdoc).select("w")
+    val qn = broadcast(qtok.agg(count(lit(1)).as("qn")))
+    val sz = toks.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val iv = toks.join(broadcast(qtok), Seq("w"))
+      .groupBy("doc_id").agg(count(lit(1)).as("i"))
+    val jac = sz.join(iv, Seq("doc_id"), "left").crossJoin(qn)
+      .filter(col("doc_id") =!= qdoc)
+      .select(col("doc_id"),
+        (coalesce(col("i"), lit(0L)).cast("double") /
+          (col("sz") + col("qn") - coalesce(col("i"), lit(0L)))
+            .cast("double")).as("j"))
+    jac.orderBy(desc("j"), col("doc_id")).limit(n)
+      .withColumn("r_lex",
+        row_number().over(Window.orderBy(desc("j"), col("doc_id"))))
+      .select(col("doc_id"), col("r_lex").cast("long").as("r_lex"))
+  }
+
+  /** Semantic ranker shared by q_t_rrf/q_t_rbo: top-`n` docs by brute
+    * cosine to the query doc's embedding (normalize-then-dot, the
+    * q_s_cosine_topk path), self excluded, ranks tie-broken on id.
+    */
+  private def semTopN(s: org.apache.spark.sql.SparkSession, dir: String,
+      qdoc: Long, n: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = t(s, dir, "embeddings")
+    graft.similarity.Ann.bruteForceTopK(
+        e, e.filter(col("vec_id") === qdoc), "vec_id", "embedding",
+        "vec_id", k = n + 1)
+      .filter(col("nn_id") =!= qdoc)
+      .withColumn("r_sem",
+        row_number().over(Window.orderBy(desc("cos"), col("nn_id"))))
+      .filter(col("r_sem") <= n)
+      .select(col("nn_id").as("doc_id"),
+        col("r_sem").cast("long").as("r_sem"))
+  }
+
+  /** DuckDB CTE chain replaying lexTopN → `lex(doc_id, r_lex)`. */
+  private def sqlLexCtes(qdoc: Long, n: Int): String = s"""t AS (
+          SELECT doc_id, lower($sqlNorm) AS nt
+          FROM documents WHERE length($sqlNorm) > 0),
+        tok AS (
+          SELECT DISTINCT doc_id, unnest(string_split(nt, ' ')) AS w
+          FROM t),
+        q AS (SELECT w FROM tok WHERE doc_id = $qdoc),
+        qn AS (SELECT count(*) AS qn FROM q),
+        sz AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY 1),
+        iv AS (SELECT tok.doc_id, count(*) AS i
+               FROM tok JOIN q USING (w) GROUP BY 1),
+        jac AS (
+          SELECT sz.doc_id,
+                 CAST(coalesce(i, 0) AS DOUBLE)
+                   / CAST(sz + qn.qn - coalesce(i, 0) AS DOUBLE) AS j
+          FROM sz LEFT JOIN iv USING (doc_id) CROSS JOIN qn
+          WHERE sz.doc_id <> $qdoc),
+        lex AS (
+          SELECT doc_id,
+                 CAST(row_number() OVER (ORDER BY j DESC, doc_id)
+                   AS BIGINT) AS r_lex
+          FROM jac QUALIFY r_lex <= $n)"""
+
+  /** DuckDB CTE chain replaying semTopN → `sem(doc_id, r_sem)`. */
+  private def sqlSemCtes(qdoc: Long, n: Int): String = s"""qv AS (
+          SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings WHERE vec_id = $qdoc),
+        qnm AS (
+          SELECT list_transform(v, x -> x /
+                   sqrt(list_sum(list_transform(v, y -> y * y)))) AS v
+          FROM qv),
+        cn AS (
+          SELECT vec_id, list_transform(cv, x -> x /
+                   sqrt(list_sum(list_transform(cv, y -> y * y)))) AS cv
+          FROM (SELECT vec_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+                FROM embeddings)
+          WHERE vec_id <> $qdoc),
+        sem AS (
+          SELECT vec_id AS doc_id,
+                 CAST(row_number() OVER (ORDER BY cos DESC, vec_id)
+                   AS BIGINT) AS r_sem
+          FROM (SELECT cn.vec_id,
+                  list_sum(list_transform(list_zip(cn.cv, qnm.v),
+                    p -> p[1] * p[2])) AS cos
+                FROM cn CROSS JOIN qnm)
+          QUALIFY r_sem <= $n)"""
+
   val tRrf = {
     val QDoc = 7L
     val N = 100
@@ -1489,37 +1587,8 @@ object TextCatalog {
       "q_t_rrf",
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
-        val toks = t(s, dir, "documents")
-          .select(col("doc_id"),
-            lower(TextAnalysis.normText(col("text"))).as("nt"))
-          .filter(length(col("nt")) > 0)
-          .select(col("doc_id"), explode(split(col("nt"), " ")).as("w"))
-          .distinct()
-        val qtok = toks.filter(col("doc_id") === QDoc).select("w")
-        val qn = broadcast(qtok.agg(count(lit(1)).as("qn")))
-        val sz = toks.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-        val iv = toks.join(broadcast(qtok), Seq("w"))
-          .groupBy("doc_id").agg(count(lit(1)).as("i"))
-        val jac = sz.join(iv, Seq("doc_id"), "left").crossJoin(qn)
-          .filter(col("doc_id") =!= QDoc)
-          .select(col("doc_id"),
-            (coalesce(col("i"), lit(0L)).cast("double") /
-              (col("sz") + col("qn") - coalesce(col("i"), lit(0L)))
-                .cast("double")).as("j"))
-        val lex = jac.orderBy(desc("j"), col("doc_id")).limit(N)
-          .withColumn("r_lex",
-            row_number().over(Window.orderBy(desc("j"), col("doc_id"))))
-          .select(col("doc_id"), col("r_lex").cast("long").as("r_lex"))
-        val e = t(s, dir, "embeddings")
-        val sem = graft.similarity.Ann.bruteForceTopK(
-            e, e.filter(col("vec_id") === QDoc), "vec_id", "embedding",
-            "vec_id", k = N + 1)
-          .filter(col("nn_id") =!= QDoc)
-          .withColumn("r_sem",
-            row_number().over(Window.orderBy(desc("cos"), col("nn_id"))))
-          .filter(col("r_sem") <= N)
-          .select(col("nn_id").as("doc_id"),
-            col("r_sem").cast("long").as("r_sem"))
+        val lex = lexTopN(s, dir, QDoc, N)
+        val sem = semTopN(s, dir, QDoc, N)
         val fused = lex.join(sem, Seq("doc_id"), "full")
           .select(col("doc_id"), col("r_lex"), col("r_sem"),
             (coalesce(lit(1.0) / (lit(60.0) + col("r_lex").cast("double")),
@@ -1534,51 +1603,8 @@ object TextCatalog {
           .orderBy("rank")
       },
       Some(s"""
-        WITH t AS (
-          SELECT doc_id, lower($sqlNorm) AS nt
-          FROM documents WHERE length($sqlNorm) > 0),
-        tok AS (
-          SELECT DISTINCT doc_id, unnest(string_split(nt, ' ')) AS w
-          FROM t),
-        q AS (SELECT w FROM tok WHERE doc_id = $QDoc),
-        qn AS (SELECT count(*) AS qn FROM q),
-        sz AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY 1),
-        iv AS (SELECT tok.doc_id, count(*) AS i
-               FROM tok JOIN q USING (w) GROUP BY 1),
-        jac AS (
-          SELECT sz.doc_id,
-                 CAST(coalesce(i, 0) AS DOUBLE)
-                   / CAST(sz + qn.qn - coalesce(i, 0) AS DOUBLE) AS j
-          FROM sz LEFT JOIN iv USING (doc_id) CROSS JOIN qn
-          WHERE sz.doc_id <> $QDoc),
-        lex AS (
-          SELECT doc_id,
-                 CAST(row_number() OVER (ORDER BY j DESC, doc_id)
-                   AS BIGINT) AS r_lex
-          FROM jac QUALIFY r_lex <= $N),
-        qv AS (
-          SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-          FROM embeddings WHERE vec_id = $QDoc),
-        qnm AS (
-          SELECT list_transform(v, x -> x /
-                   sqrt(list_sum(list_transform(v, y -> y * y)))) AS v
-          FROM qv),
-        cn AS (
-          SELECT vec_id, list_transform(cv, x -> x /
-                   sqrt(list_sum(list_transform(cv, y -> y * y)))) AS cv
-          FROM (SELECT vec_id,
-                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
-                FROM embeddings)
-          WHERE vec_id <> $QDoc),
-        sem AS (
-          SELECT vec_id AS doc_id,
-                 CAST(row_number() OVER (ORDER BY cos DESC, vec_id)
-                   AS BIGINT) AS r_sem
-          FROM (SELECT cn.vec_id,
-                  list_sum(list_transform(list_zip(cn.cv, qnm.v),
-                    p -> p[1] * p[2])) AS cos
-                FROM cn CROSS JOIN qnm)
-          QUALIFY r_sem <= $N),
+        WITH ${sqlLexCtes(QDoc, N)},
+        ${sqlSemCtes(QDoc, N)},
         f AS (
           SELECT doc_id, r_lex, r_sem,
                  coalesce(1e0 / (60e0 + CAST(r_lex AS DOUBLE)), 0e0)
@@ -1592,11 +1618,116 @@ object TextCatalog {
     )
   }
 
+  /** Rank-biased overlap (Webber et al. 2010) between the lexical and the
+    * semantic top-10 — the ranking-agreement metric a hybrid-search stack
+    * reports next to RRF: Σ_d (1−p)p^(d−1)·|A∩B @d|/d with p=0.9,
+    * truncated at depth 10. The p-powers are PRECOMPUTED literals (no
+    * cross-engine pow), depth-d overlaps are exact integer counts from
+    * greatest(r_lex, r_sem) ≤ d, and the cumulative sum runs over 10
+    * decimal-cast rows — everything downstream of the two bounded rank
+    * lists is bit-exact.
+    */
+  val tRbo = {
+    val QDoc = 7L
+    val D = 10
+    val wts = Array.tabulate(D)(i => 0.1 * math.pow(0.9, i))
+    QueryDef(
+      "q_t_rbo",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val lex = lexTopN(s, dir, QDoc, D)
+        val sem = semTopN(s, dir, QDoc, D)
+        val ov = lex.join(sem, Seq("doc_id"))
+          .select(greatest(col("r_lex"), col("r_sem")).as("m"))
+        val cm = broadcast(ov.groupBy("m").agg(count(lit(1)).as("c")))
+        val ds = s.range(1, D + 1).select(col("id").as("d"))
+        val xd = ds.join(cm, col("m") <= col("d"), "left")
+          .groupBy("d").agg(coalesce(sum(col("c")), lit(0L)).as("x_d"))
+        val wArr = typedlit(wts.toSeq)
+        xd.select(col("d"), col("x_d"),
+            (element_at(wArr, col("d").cast("int")) *
+              (col("x_d").cast("double") / col("d").cast("double")))
+              .as("term"))
+          .withColumn("rbo_cum",
+            r6(sum(col("term").cast("decimal(38,18)"))
+              .over(Window.orderBy("d")).cast("double")))
+          .select(col("d"), col("x_d"), r6(col("term")).as("term"),
+            col("rbo_cum"))
+          .orderBy("d")
+      },
+      Some {
+        val wl = wts.map(sqlD).mkString("[", ", ", "]")
+        s"""
+        WITH ${sqlLexCtes(QDoc, D)},
+        ${sqlSemCtes(QDoc, D)},
+        ov AS (
+          SELECT greatest(r_lex, r_sem) AS m
+          FROM lex JOIN sem USING (doc_id)),
+        cm AS (SELECT m, count(*) AS c FROM ov GROUP BY 1),
+        ds AS (SELECT CAST(unnest(range(1, ${D + 1})) AS BIGINT) AS d),
+        xd AS (
+          SELECT d, CAST(coalesce(sum(c), 0) AS BIGINT) AS x_d
+          FROM ds LEFT JOIN cm ON m <= d GROUP BY 1),
+        tm AS (
+          SELECT d, x_d,
+                 list_extract($wl, CAST(d AS INTEGER))
+                   * (CAST(x_d AS DOUBLE) / CAST(d AS DOUBLE)) AS term
+          FROM xd)
+        SELECT d, x_d, ${sqlR6("term")} AS term,
+               ${sqlR6("CAST(sum(CAST(term AS DECIMAL(38,18))) " +
+          "OVER (ORDER BY d) AS DOUBLE)")} AS rbo_cum
+        FROM tm ORDER BY d"""
+      }
+    )
+  }
+
+  /** Temperature-scaled mixture weights — the multilingual/multi-source
+    * sampling formula (p_i^α / Σ p_j^α; mBERT/XLM-R style upsampling of
+    * rare sources) at α = 0.5, i.e. τ = 2, where the power IS `sqrt` —
+    * an exact IEEE op in both engines, so unlike a general pow there is
+    * no cross-engine transcendental anywhere: shares are exact-integer
+    * ratios, the normalizer is a decimal sum of bit-identical square
+    * roots, and `boost` (weight/share) shows the rare-source upsampling
+    * factor directly. One groupBy + two broadcast 1-row joins.
+    */
+  val tTempMixture = QueryDef(
+    "q_t_temp_mixture",
+    (s, dir) => {
+      val cnt = t(s, dir, "documents").groupBy("source")
+        .agg(count(lit(1)).as("n_docs"))
+      val tot = broadcast(cnt.agg(sum(col("n_docs")).as("nt")))
+      val p = cnt.crossJoin(tot)
+        .select(col("source"), col("n_docs"),
+          (col("n_docs").cast("double") / col("nt").cast("double")).as("p"))
+        .withColumn("w", sqrt(col("p")))
+      val z = broadcast(p.agg(
+        sum(col("w").cast("decimal(38,18)")).cast("double").as("z")))
+      p.crossJoin(z)
+        .select(col("source"), col("n_docs"), r6(col("p")).as("share"),
+          r6(col("w") / col("z")).as("weight"),
+          r6((col("w") / col("z")) / col("p")).as("boost"))
+        .orderBy("source")
+    },
+    Some(s"""
+      WITH c AS (SELECT source, count(*) AS n_docs
+                 FROM documents GROUP BY 1),
+      tt AS (SELECT CAST(sum(n_docs) AS BIGINT) AS nt FROM c),
+      p AS (SELECT source, n_docs,
+              CAST(n_docs AS DOUBLE) / CAST(nt AS DOUBLE) AS p,
+              sqrt(CAST(n_docs AS DOUBLE) / CAST(nt AS DOUBLE)) AS w
+            FROM c, tt),
+      z AS (SELECT CAST(sum(CAST(w AS DECIMAL(38,18))) AS DOUBLE) AS z
+            FROM p)
+      SELECT source, n_docs, ${sqlR6("p")} AS share,
+             ${sqlR6("w / z")} AS weight, ${sqlR6("(w / z) / p")} AS boost
+      FROM p, z ORDER BY source""")
+  )
+
   val all: Seq[QueryDef] =
     Seq(tQuality, tTokens, tFingerprint, tLangId, tExplode,
       tRepetition, tLmScore, tSplit, tStratSample, tTfIdf, tPmi,
       tPii, tVocab, tComposition, tPack, tShuffle, tDecontaminate,
       tLineDedup, tBm25, tDsir, tWsample, tVocabOverlap, tMixture, tJsd,
       tFeatHash, tDupSpans, tZipf, tLangConfusion, tBpeStep, tBpeTrain5,
-      tBpeEncode, tBleu, tChunkOverlap, tRrf)
+      tBpeEncode, tBleu, tChunkOverlap, tRrf, tRbo, tTempMixture)
 }

@@ -418,6 +418,62 @@ object WindowCatalog {
       FROM b ORDER BY o_custkey, o_orderkey""")
   )
 
+  /** W17 capability: Hampel filter — the robust rolling-outlier detector
+    * (|x − rolling median| > 3·1.4826·rolling MAD) that survives the very
+    * spikes a z-score window is distorted by. The 11-row frame is ODD, so
+    * both the median and the MAD are EXACT middle elements of sorted
+    * arrays — `array_sort`+`element_at` on the collected frame (all
+    * native codegen'd collection expressions; the nested "median of
+    * |x−med|" is a lambda over the same frame array, no second window) —
+    * identical doubles in both engines, so every outlier verdict is an
+    * exact comparison. Same single custkey-partition shuffle as the rest
+    * of the W family; per-customer summary keeps the output bounded.
+    */
+  val w17Hampel = {
+    val K = 3.0 * 1.4826 // Hampel's gaussian-consistent MAD multiplier
+    QueryDef(
+      "q_w17_hampel",
+      (s, dir) => {
+        val wr = w.rowsBetween(-10, 0)
+        val fr = base(s, dir)
+          .withColumn("arr", collect_list(col("o_totalprice")).over(wr))
+          .filter(size(col("arr")) === 11)
+          .withColumn("med", element_at(array_sort(col("arr")), 6))
+          .withColumn("mad", element_at(array_sort(
+            transform(col("arr"), e => abs(e - col("med")))), 6))
+          .withColumn("dev", abs(col("o_totalprice") - col("med")))
+          .withColumn("is_out", col("dev") > lit(K) * col("mad"))
+        fr.groupBy("o_custkey")
+          .agg(count(lit(1)).as("n_frames"),
+            sum(when(col("is_out"), 1L).otherwise(0L)).as("n_outliers"),
+            r2(max(col("dev"))).as("max_dev"))
+          .orderBy("o_custkey")
+      },
+      Some(s"""
+        WITH b AS (
+          SELECT o_custkey, o_totalprice,
+                 list(o_totalprice) $overCust
+                   ROWS BETWEEN 10 PRECEDING AND CURRENT ROW) AS arr
+          FROM orders),
+        f AS (SELECT * FROM b WHERE len(arr) = 11),
+        m AS (
+          SELECT o_custkey, o_totalprice, arr,
+                 list_extract(list_sort(arr), 6) AS med
+          FROM f),
+        d AS (
+          SELECT o_custkey,
+                 abs(o_totalprice - med) AS dev,
+                 list_extract(list_sort(
+                   list_transform(arr, e -> abs(e - med))), 6) AS mad
+          FROM m)
+        SELECT o_custkey, count(*) AS n_frames,
+               CAST(sum(CASE WHEN dev > ${sqlD(K)} * mad THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_outliers,
+               ${sqlR2("max(dev)")} AS max_dev
+        FROM d GROUP BY 1 ORDER BY 1""")
+    )
+  }
+
   /** W15 capability: calendar RANGE frame — the 7-day trailing mean over
     * the per-flag DAILY series using a VALUE-based window
     * (`rangeBetween(-6, 0)` on the integer day number), the frame
@@ -510,5 +566,5 @@ object WindowCatalog {
   val all: Seq[QueryDef] = Seq(
     w1Lead, w2PctChange, w3Zscore, w4w5Rolling, w6Cumsum, w7Drawdown,
     w8RollingCorr, w9Standardize, w10Split, w11RankFamily, w12Ewma,
-    w13Decile, w14RollingMedian, w15RangeFrame, w16RatioToReport)
+    w13Decile, w14RollingMedian, w15RangeFrame, w16RatioToReport, w17Hampel)
 }
