@@ -720,7 +720,176 @@ object SimilarityCatalog {
     )
   }
 
+  /** Random-hyperplane LSH ANN (Charikar 2002, SimHash for vectors) +
+    * RECALL AUDIT — the brief's "LSH-bucketed variant as the scale path"
+    * next to IVF, with the same acceptance gate as [[sRecallIvf]]. T=4
+    * hash tables × B=8 hyperplanes: each hyperplane's ±1 coefficients
+    * come from the portable md5-60 parity of `t#b#d` (a 2048-row
+    * broadcast, the q_s_jl_distortion idiom), each float coordinate is
+    * quantized to ⌊x·10⁶⌋ so every signature bit is sign(Σ±q) — an EXACT
+    * integer comparison in both engines — and each table's 8 bits pack
+    * into one integer bucket. Candidates = bucket-equality join in ANY
+    * table (never all-pairs; self collides by construction), re-ranked
+    * by exact cosine in Ann's normalize-then-dot operand order. The
+    * audit reports candidate count (the work bound LSH buys: ~|q|·T·
+    * bucket-occupancy vs brute's |q|·N) and recall vs brute truth, all
+    * exact integer counts with ONE r6 division. The oracle recomputes
+    * BOTH sides raw in DuckDB — no aux dumps.
+    */
+  val sLshRecall = {
+    val T = 4 // hash tables
+    val B = 8 // hyperplanes (signature bits) per table
+    val Dim = 64
+    QueryDef(
+      "q_s_lsh_recall",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        import graft.functions.Md5Prefix60.md5Prefix60
+        graft.functions.VectorFunctions.register(s)
+        val e = t(s, dir, "embeddings")
+        val dims = e
+          .select(col("vec_id"), posexplode(col("embedding"))
+            .as(Seq("d", "x")))
+          .select(col("vec_id"), col("d").cast("long").as("d"),
+            floor(col("x").cast("double") * 1e6).cast("long").as("q"))
+        val signs = broadcast(s.range(T).select(col("id").as("tb"))
+          .crossJoin(s.range(B).select(col("id").as("b")))
+          .crossJoin(s.range(Dim).select(col("id").as("d")))
+          .select(col("tb"), col("b"), col("d"),
+            when(pmod(md5Prefix60(Seq(col("tb"), col("b"), col("d"))),
+              lit(2L)) === 0L, 1L).otherwise(-1L).as("sgn")))
+        val sig = dims.join(signs, Seq("d"))
+          .groupBy("vec_id", "tb", "b")
+          .agg(sum(col("sgn") * col("q")).as("acc"))
+          .select(col("vec_id"), col("tb"),
+            (when(col("acc") >= 0, 1L).otherwise(0L) *
+              expr("shiftleft(CAST(1 AS BIGINT), CAST(b AS INT))"))
+              .as("bit"))
+          .groupBy("vec_id", "tb").agg(sum(col("bit")).as("bucket"))
+        val qs = sig.filter(col("vec_id") < RecallQMax)
+          .select(col("vec_id").as("query_id"), col("tb"), col("bucket"))
+        val cand = sig.join(qs, Seq("tb", "bucket"))
+          .select(col("query_id"), col("vec_id").as("nn_id"))
+          .distinct()
+        def normed(df: DataFrame, idOut: String, vecOut: String) = {
+          val v = transform(col("embedding"), _.cast("double"))
+          val n = sqrt(aggregate(transform(v, x => x * x), lit(0.0),
+            _ + _))
+          df.select(col("vec_id").as(idOut), transform(v, _ / n)
+            .as(vecOut))
+        }
+        val cvn = normed(e, "nn_id", "cv")
+        val qvn = broadcast(normed(e.filter(col("vec_id") < RecallQMax),
+          "query_id", "qv"))
+        val w = Window.partitionBy("query_id")
+          .orderBy(desc("cos"), col("nn_id"))
+        val pred = cand.join(cvn, Seq("nn_id")).join(qvn, Seq("query_id"))
+          .withColumn("cos",
+            call_function("graft_dot", col("cv"), col("qv")))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= TopK)
+          .filter(col("nn_id") =!= col("query_id"))
+          .select("query_id", "nn_id")
+        val truth = Ann.bruteForceTopK(e,
+            e.filter(col("vec_id") < RecallQMax), "vec_id", "embedding",
+            "vec_id", k = TopK)
+          .filter(col("nn_id") =!= col("query_id"))
+          .select("query_id", "nn_id")
+        val nt = truth.agg(count(lit(1)).as("n_true"),
+          count_distinct(col("query_id")).as("n_queries"))
+        val nc = cand.filter(col("nn_id") =!= col("query_id"))
+          .agg(count(lit(1)).as("n_cand"))
+        val np = pred.agg(count(lit(1)).as("n_pred"))
+        val tp = truth.join(pred, Seq("query_id", "nn_id"))
+          .agg(count(lit(1)).as("n_tp"))
+        nt.crossJoin(broadcast(nc)).crossJoin(broadcast(np))
+          .crossJoin(broadcast(tp))
+          .select(col("n_queries"), col("n_true"), col("n_cand"),
+            col("n_pred"), col("n_tp"),
+            r6(col("n_tp").cast("double") / col("n_true").cast("double"))
+              .as("recall"))
+      },
+      Some {
+        val h = "CAST(('0x' || substr(md5(CAST(tb AS VARCHAR) || '#' || " +
+          "CAST(b AS VARCHAR) || '#' || CAST(d AS VARCHAR)), 1, 15)) " +
+          "AS BIGINT)"
+        s"""
+        WITH dims AS (
+          SELECT vec_id, CAST(i - 1 AS BIGINT) AS d,
+                 CAST(floor(CAST(list_extract(embedding, i) AS DOUBLE)
+                   * 1e6) AS BIGINT) AS q
+          FROM embeddings, unnest(range(1, ${Dim + 1})) AS u(i)),
+        signs AS (
+          SELECT tb, b, d, CASE WHEN $h % 2 = 0 THEN 1 ELSE -1 END AS sgn
+          FROM (SELECT unnest(range($T)) AS tb)
+          CROSS JOIN (SELECT unnest(range($B)) AS b)
+          CROSS JOIN (SELECT unnest(range($Dim)) AS d)),
+        sig AS (
+          SELECT vec_id, tb,
+                 CAST(sum(CASE WHEN acc >= 0 THEN
+                   CAST(1 AS BIGINT) << CAST(b AS INTEGER)
+                   ELSE 0 END) AS BIGINT) AS bucket
+          FROM (SELECT vec_id, tb, b, sum(sgn * q) AS acc
+                FROM dims JOIN signs USING (d) GROUP BY 1, 2, 3)
+          GROUP BY 1, 2),
+        qsb AS (SELECT vec_id AS query_id, tb, bucket FROM sig
+                WHERE vec_id < $RecallQMax),
+        cand AS (
+          SELECT DISTINCT qsb.query_id, sig.vec_id AS nn_id
+          FROM sig JOIN qsb USING (tb, bucket)),
+        cn AS (SELECT vec_id AS nn_id,
+                 list_transform(cv, x -> x /
+                   sqrt(list_sum(list_transform(cv, y -> y * y)))) AS cv
+               FROM (SELECT vec_id,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE))
+                         AS cv
+                     FROM embeddings)),
+        qn AS (SELECT nn_id AS query_id, cv AS qv FROM cn
+               WHERE nn_id < $RecallQMax),
+        pscored AS (
+          SELECT cand.query_id, cand.nn_id,
+                 list_sum(list_transform(list_zip(cn.cv, qn.qv),
+                   p -> p[1] * p[2])) AS cos
+          FROM cand JOIN cn USING (nn_id) JOIN qn USING (query_id)),
+        ipred AS (
+          SELECT query_id, nn_id FROM (
+            SELECT query_id, nn_id,
+                   row_number() OVER (PARTITION BY query_id
+                     ORDER BY cos DESC, nn_id) AS rank
+            FROM pscored)
+          WHERE rank <= $TopK AND nn_id <> query_id),
+        bscored AS (
+          SELECT qn.query_id, cn.nn_id,
+                 list_sum(list_transform(list_zip(cn.cv, qn.qv),
+                   p -> p[1] * p[2])) AS cos
+          FROM cn CROSS JOIN qn),
+        btruth AS (
+          SELECT query_id, nn_id FROM (
+            SELECT query_id, nn_id,
+                   row_number() OVER (PARTITION BY query_id
+                     ORDER BY cos DESC, nn_id) AS rank
+            FROM bscored)
+          WHERE rank <= $TopK AND nn_id <> query_id),
+        cnts AS (
+          SELECT (SELECT CAST(count(*) AS BIGINT) FROM btruth) AS n_true,
+                 (SELECT CAST(count(DISTINCT query_id) AS BIGINT)
+                  FROM btruth) AS n_queries,
+                 (SELECT CAST(count(*) AS BIGINT) FROM cand
+                  WHERE nn_id <> query_id) AS n_cand,
+                 (SELECT CAST(count(*) AS BIGINT) FROM ipred) AS n_pred,
+                 (SELECT CAST(count(*) AS BIGINT)
+                  FROM btruth t JOIN ipred p
+                    ON p.query_id = t.query_id AND p.nn_id = t.nn_id)
+                   AS n_tp)
+        SELECT n_queries, n_true, n_cand, n_pred, n_tp,
+               ${sqlR6("CAST(n_tp AS DOUBLE) / CAST(n_true AS DOUBLE)")}
+                 AS recall
+        FROM cnts"""
+      }
+    )
+  }
+
   val all: Seq[QueryDef] =
     Seq(sBrute, sIvf, sPq, sSq, sSparse, sRecallIvf, sJlProject,
-      sCentroidCos, sMmr)
+      sCentroidCos, sMmr, sLshRecall)
 }
