@@ -1723,11 +1723,113 @@ object TextCatalog {
       FROM p, z ORDER BY source""")
   )
 
+  /** ROUGE-L (Lin 2004) — the recall-oriented summarization metric BLEU's
+    * precision twin doesn't cover, over the same even/odd candidate/
+    * reference pairing as q_t_bleu (first 8 pairs, tokens truncated to
+    * [[RougeT]]). The LCS is a full O(na·nb) dynamic program run as a
+    * NESTED FOLD of native higher-order functions — Spark `aggregate`
+    * over rows of the DP table carrying the previous row as an
+    * array<int> accumulator, DuckDB `list_reduce` with the seed row
+    * prepended (1.0.0 has no initial-value arg, so elements carry their
+    * own index) — ALL integer arithmetic, no kernel, no UDF, no
+    * recursion limit. P/R/F1 are three IEEE divisions of identical
+    * integers. Scale shape: per-pair work is bounded by the T×T
+    * truncation and embarrassingly parallel — exactly how a
+    * summarization-eval sweep shards on a cluster.
+    */
+  val tRouge = {
+    val P = 8 // pairs: candidate doc 2i vs reference doc 2i+1, i < P
+    val T = 30 // token truncation bound per side → ≤ 900 DP cells
+    QueryDef(
+      "q_t_rouge",
+      (s, dir) => {
+        val toks = t(s, dir, "documents")
+          .filter(col("doc_id") < 2 * P)
+          .select(col("doc_id"),
+            lower(TextAnalysis.normText(col("text"))).as("nt"))
+          .filter(length(col("nt")) > 0)
+          .select(col("doc_id"),
+            slice(split(col("nt"), " "), 1, T).as("ts"))
+        val a = toks.filter(pmod(col("doc_id"), lit(2)) === 0)
+          .select(expr("doc_id DIV 2").as("pid"), col("ts").as("ta"))
+        val b = toks.filter(pmod(col("doc_id"), lit(2)) === 1)
+          .select(expr("doc_id DIV 2").as("pid"), col("ts").as("tb"))
+        val na = size(col("ta"))
+        val nb = size(col("tb"))
+        val dp = aggregate(
+          sequence(lit(1), na),
+          array_repeat(lit(0), nb + lit(1)),
+          (prev, i) => aggregate(
+            sequence(lit(1), nb),
+            array(lit(0)),
+            (acc, j) => concat(acc, array(greatest(
+              element_at(prev, j + 1),
+              element_at(acc, j),
+              element_at(prev, j) +
+                when(element_at(col("ta"), i) === element_at(col("tb"), j),
+                  1).otherwise(0))))))
+        val pr = a.join(b, Seq("pid"))
+          .withColumn("lcs", element_at(dp, nb + lit(1)).cast("long"))
+          .select(col("pid"), na.cast("long").as("na"),
+            nb.cast("long").as("nb"), col("lcs"))
+        val pcol = col("lcs").cast("double") / col("na").cast("double")
+        val rcol = col("lcs").cast("double") / col("nb").cast("double")
+        pr.select(col("pid"), col("na"), col("nb"), col("lcs"),
+            r6(pcol).as("rouge_p"), r6(rcol).as("rouge_r"),
+            when(col("lcs") === 0L, lit(0.0))
+              .otherwise(r6(lit(2.0) * pcol * rcol / (pcol + rcol)))
+              .as("rouge_f1"))
+          .orderBy("pid")
+      },
+      Some(s"""
+        WITH t AS (
+          SELECT doc_id, lower($sqlNorm) AS nt FROM documents
+          WHERE length($sqlNorm) > 0 AND doc_id < ${2 * P}),
+        ts AS (SELECT doc_id, string_split(nt, ' ')[1:$T] AS ts FROM t),
+        pr AS (
+          SELECT a.doc_id // 2 AS pid, a.ts AS ta, b.ts AS tb
+          FROM (SELECT * FROM ts WHERE doc_id % 2 = 0) a
+          JOIN (SELECT * FROM ts WHERE doc_id % 2 = 1) b
+            ON b.doc_id = a.doc_id + 1),
+        lc AS (
+          SELECT pid, CAST(len(ta) AS BIGINT) AS na,
+                 CAST(len(tb) AS BIGINT) AS nb,
+                 CAST(list_reduce(
+                   list_prepend(
+                     list_transform(range(0, len(tb) + 1),
+                       x -> CAST(0 AS INTEGER)),
+                     list_transform(range(1, len(ta) + 1),
+                       i -> [CAST(i AS INTEGER)])),
+                   (prev, cur) -> list_reduce(
+                     list_prepend([CAST(0 AS INTEGER)],
+                       list_transform(range(1, len(tb) + 1),
+                         j -> [CAST(j AS INTEGER)])),
+                     (acc, jc) -> list_append(acc,
+                       greatest(prev[jc[1] + 1], acc[jc[1]],
+                         prev[jc[1]] + CASE WHEN ta[cur[1]] = tb[jc[1]]
+                           THEN 1 ELSE 0 END))))[len(tb) + 1]
+                   AS BIGINT) AS lcs
+          FROM pr)
+        SELECT pid, na, nb, lcs,
+               ${sqlR6("CAST(lcs AS DOUBLE) / CAST(na AS DOUBLE)")}
+                 AS rouge_p,
+               ${sqlR6("CAST(lcs AS DOUBLE) / CAST(nb AS DOUBLE)")}
+                 AS rouge_r,
+               CASE WHEN lcs = 0 THEN 0e0 ELSE ${sqlR6(
+          "2e0 * (CAST(lcs AS DOUBLE) / CAST(na AS DOUBLE))" +
+            " * (CAST(lcs AS DOUBLE) / CAST(nb AS DOUBLE))" +
+            " / ((CAST(lcs AS DOUBLE) / CAST(na AS DOUBLE))" +
+            " + (CAST(lcs AS DOUBLE) / CAST(nb AS DOUBLE)))")} END
+                 AS rouge_f1
+        FROM lc ORDER BY pid""")
+    )
+  }
+
   val all: Seq[QueryDef] =
     Seq(tQuality, tTokens, tFingerprint, tLangId, tExplode,
       tRepetition, tLmScore, tSplit, tStratSample, tTfIdf, tPmi,
       tPii, tVocab, tComposition, tPack, tShuffle, tDecontaminate,
       tLineDedup, tBm25, tDsir, tWsample, tVocabOverlap, tMixture, tJsd,
       tFeatHash, tDupSpans, tZipf, tLangConfusion, tBpeStep, tBpeTrain5,
-      tBpeEncode, tBleu, tChunkOverlap, tRrf, tRbo, tTempMixture)
+      tBpeEncode, tBleu, tChunkOverlap, tRrf, tRbo, tTempMixture, tRouge)
 }
