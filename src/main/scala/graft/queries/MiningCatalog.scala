@@ -2667,10 +2667,114 @@ object MiningCatalog {
     }
   )
 
+  /** Ljung–Box portmanteau test (Ljung & Box 1978) at lags 1–5 over the
+    * daily mean-price return series per flag — the "is this series white
+    * noise" gate run on residuals after every forecasting fit (the
+    * q_f_acf chart's formal test). Unlike q_f_acf's `corr`, every
+    * autocorrelation here is EXACT: the mean is a decimal(38,18) sum ÷ n,
+    * per-row deviation products are identical doubles cast to decimal and
+    * summed order-independently (sumE idiom), the decimal→double exits go
+    * through decD, so each ρ_k is one IEEE division and
+    * Q = n(n+2)·Σρ_k²/(n−k) is a short identical op chain → r6 is pure
+    * formality. One shuffle for the daily aggregate, one window pass for
+    * all five lags, 3-row output.
+    */
+  val m35LjungBox = {
+    val H = 5
+    QueryDef(
+      "q_m35_ljungbox",
+      (s, dir) => {
+        val byDay = Window.partitionBy("l_returnflag").orderBy("day")
+        val daily = t(s, dir, "lineitem")
+          .withColumn("day",
+            date_trunc("day", col("l_shipdate")).cast("timestamp_ntz"))
+          .groupBy("l_returnflag", "day")
+          .agg((sum(col("l_extendedprice").cast("decimal(28,6)"))
+            .cast("double") / count(lit(1))).as("y"))
+        val rets = daily
+          .withColumn("ret", col("y") / lag(col("y"), 1).over(byDay) - 1)
+          .where(col("ret").isNotNull)
+        val mean = rets.groupBy("l_returnflag")
+          .agg(decD(sum(col("ret").cast("decimal(38,18)"))).as("sr"),
+            count(lit(1)).as("n"))
+          .select(col("l_returnflag"), (col("sr") / col("n")).as("mu"),
+            col("n"))
+        val dev = rets.join(broadcast(mean), Seq("l_returnflag"))
+          .withColumn("dv", col("ret") - col("mu"))
+        val lagged = dev.select(
+          col("l_returnflag") +: col("day") +: col("n") +: col("dv") +:
+            (1 to H).map(k => lag(col("dv"), k).over(byDay).as(s"d$k")): _*)
+        val aggs =
+          decD(sum((col("dv") * col("dv")).cast("decimal(38,18)")))
+            .as("s0") +:
+          (1 to H).map(k =>
+            decD(sum((col("dv") * col(s"d$k")).cast("decimal(38,18)")))
+              .as(s"s$k"))
+        val a = lagged.groupBy("l_returnflag")
+          .agg(max(col("n")).as("n"), aggs: _*)
+        def rho(k: Int) = col(s"s$k") / col("s0")
+        val nD = col("n").cast("double")
+        val qStat = nD * (nD + lit(2.0)) * (1 to H)
+          .map(k => rho(k) * rho(k) / (nD - lit(k.toDouble)))
+          .reduce(_ + _)
+        a.select(col("l_returnflag") +: col("n") +:
+            (1 to H).map(k => r6(rho(k)).as(s"rho$k")) :+
+            r6(qStat).as("q_lb"): _*)
+          .orderBy("l_returnflag")
+      },
+      Some {
+        val lagCols = (1 to H).map(k =>
+          s"lag(dv, $k) OVER w AS d$k").mkString(", ")
+        val sCols = (1 to H).map(k =>
+          s"${sqlDecD(s"sum(CAST(dv * d$k AS DECIMAL(38,18)))")} AS s$k")
+          .mkString(", ")
+        val rhoCols = (1 to H).map(k =>
+          s"${sqlR6(s"s$k / s0")} AS rho$k").mkString(", ")
+        val qExpr = (1 to H).map(k =>
+          s"(s$k / s0) * (s$k / s0) / (CAST(n AS DOUBLE) - ${k.toDouble}e0)")
+          .mkString(" + ")
+        s"""
+        WITH daily AS (
+          SELECT l_returnflag, date_trunc('day', l_shipdate) AS day,
+                 CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6)))
+                   AS DOUBLE) / count(*) AS y
+          FROM lineitem GROUP BY 1, 2),
+        rets AS (
+          SELECT l_returnflag, day, y / lag(y, 1) OVER w - 1 AS ret
+          FROM daily
+          WINDOW w AS (PARTITION BY l_returnflag ORDER BY day)),
+        rr AS (SELECT * FROM rets WHERE ret IS NOT NULL),
+        m AS (
+          SELECT l_returnflag,
+                 ${sqlDecD("sum(CAST(ret AS DECIMAL(38,18)))")} / count(*)
+                   AS mu,
+                 count(*) AS n
+          FROM rr GROUP BY 1),
+        d AS (
+          SELECT rr.l_returnflag, day, n, ret - mu AS dv
+          FROM rr JOIN m USING (l_returnflag)),
+        lg AS (
+          SELECT l_returnflag, n, dv, $lagCols
+          FROM d
+          WINDOW w AS (PARTITION BY l_returnflag ORDER BY day)),
+        a AS (
+          SELECT l_returnflag, max(n) AS n,
+                 ${sqlDecD("sum(CAST(dv * dv AS DECIMAL(38,18)))")} AS s0,
+                 $sCols
+          FROM lg GROUP BY 1)
+        SELECT l_returnflag, n, $rhoCols,
+               ${sqlR6(s"CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2e0)" +
+          s" * ($qExpr)")} AS q_lb
+        FROM a ORDER BY 1"""
+      }
+    )
+  }
+
   val all: Seq[QueryDef] = Seq(m1Ols, m2OlsNextDay, m4Anomalies, m5Ridge,
     m6Cv, m7Mwu, m8Ks, m9Nbayes, m10LogregStep, m11Welch, m12Spearman,
     m13Robust, m14Anova, m15Kendall, m16Cusum, m17TheilSen, m18Pca,
     m19Bootstrap, m20JarqueBera, m21Assoc, m22Adamic, m23Isotonic,
     m24Mahalanobis, m25EmStep, m26Pettitt, m27Wilcoxon, m28Huber,
-    m29Granger, m30RunsTest, m31Lift, m32Conformal, m33Dbscan, m34Chow)
+    m29Granger, m30RunsTest, m31Lift, m32Conformal, m33Dbscan, m34Chow,
+    m35LjungBox)
 }

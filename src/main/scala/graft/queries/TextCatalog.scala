@@ -1825,11 +1825,93 @@ object TextCatalog {
     )
   }
 
+  /** Token-budget epoch scheduler — the planning step that turns a
+    * mixture (temperature-weighted on TOKEN counts, α=0.5 ⇒ sqrt, the
+    * q_t_temp_mixture formula on a different base measure) plus a total
+    * token budget into per-source epoch counts, with the ≤4-epoch repeat
+    * cap (Muennighoff et al. 2023: repeating beyond ~4 epochs stops
+    * helping). Per source: target = wᵢ/Z·B, epochs = target/tᵢ,
+    * eff_epochs = min(epochs, 4), and the shortfall a capped source
+    * leaves on the table. Token counts are exact integers, sqrt/÷ are
+    * exact IEEE ops, Z is a decimal sum — the whole schedule is
+    * bit-identical before the final r-rounding. One groupBy + two 1-row
+    * broadcasts.
+    */
+  val tTokenBudget = {
+    val B = 1e6 // total training-token budget at this SF
+    val Cap = 4.0 // max epochs per source
+    QueryDef(
+      "q_t_token_budget",
+      (s, dir) => {
+        val cnt = t(s, dir, "documents")
+          .select(col("source"),
+            lower(TextAnalysis.normText(col("text"))).as("nt"))
+          .filter(length(col("nt")) > 0)
+          .select(col("source"),
+            size(split(col("nt"), " ")).cast("long").as("tk"))
+          .groupBy("source").agg(sum(col("tk")).as("n_tokens"))
+        val tot = broadcast(cnt.agg(sum(col("n_tokens")).as("tt")))
+        val p = cnt.crossJoin(tot)
+          .select(col("source"), col("n_tokens"),
+            sqrt(col("n_tokens").cast("double") / col("tt").cast("double"))
+              .as("w"))
+        val z = broadcast(p.agg(
+          sum(col("w").cast("decimal(38,18)")).cast("double").as("z")))
+        val sched = p.crossJoin(z)
+          .withColumn("target", col("w") / col("z") * lit(B))
+          .withColumn("epochs", col("target") / col("n_tokens")
+            .cast("double"))
+        sched.select(col("source"), col("n_tokens"),
+            r6(col("w") / col("z")).as("weight"),
+            r2(col("target")).as("target_tokens"),
+            r6(col("epochs")).as("epochs"),
+            r6(least(col("epochs"), lit(Cap))).as("eff_epochs"),
+            r2(least(col("epochs"), lit(Cap)) *
+              col("n_tokens").cast("double")).as("eff_tokens"),
+            r2(greatest(col("target") - least(col("epochs"), lit(Cap)) *
+              col("n_tokens").cast("double"), lit(0.0))).as("shortfall"))
+          .orderBy("source")
+      },
+      Some(s"""
+        WITH t AS (
+          SELECT source, lower($sqlNorm) AS nt FROM documents
+          WHERE length($sqlNorm) > 0),
+        c AS (
+          SELECT source,
+                 CAST(sum(len(string_split(nt, ' '))) AS BIGINT)
+                   AS n_tokens
+          FROM t GROUP BY 1),
+        tt AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tt FROM c),
+        p AS (
+          SELECT source, n_tokens,
+                 sqrt(CAST(n_tokens AS DOUBLE) / CAST(tt AS DOUBLE)) AS w
+          FROM c, tt),
+        z AS (SELECT CAST(sum(CAST(w AS DECIMAL(38,18))) AS DOUBLE) AS z
+              FROM p),
+        sc AS (
+          SELECT source, n_tokens, w, z,
+                 w / z * ${sqlD(B)} AS target,
+                 w / z * ${sqlD(B)} / CAST(n_tokens AS DOUBLE) AS epochs
+          FROM p, z)
+        SELECT source, n_tokens,
+               ${sqlR6("w / z")} AS weight,
+               ${sqlR2("target")} AS target_tokens,
+               ${sqlR6("epochs")} AS epochs,
+               ${sqlR6(s"least(epochs, ${sqlD(Cap)})")} AS eff_epochs,
+               ${sqlR2(s"least(epochs, ${sqlD(Cap)})" +
+          " * CAST(n_tokens AS DOUBLE)")} AS eff_tokens,
+               ${sqlR2(s"greatest(target - least(epochs, ${sqlD(Cap)})" +
+          " * CAST(n_tokens AS DOUBLE), 0e0)")} AS shortfall
+        FROM sc ORDER BY source""")
+    )
+  }
+
   val all: Seq[QueryDef] =
     Seq(tQuality, tTokens, tFingerprint, tLangId, tExplode,
       tRepetition, tLmScore, tSplit, tStratSample, tTfIdf, tPmi,
       tPii, tVocab, tComposition, tPack, tShuffle, tDecontaminate,
       tLineDedup, tBm25, tDsir, tWsample, tVocabOverlap, tMixture, tJsd,
       tFeatHash, tDupSpans, tZipf, tLangConfusion, tBpeStep, tBpeTrain5,
-      tBpeEncode, tBleu, tChunkOverlap, tRrf, tRbo, tTempMixture, tRouge)
+      tBpeEncode, tBleu, tChunkOverlap, tRrf, tRbo, tTempMixture, tRouge,
+      tTokenBudget)
 }
