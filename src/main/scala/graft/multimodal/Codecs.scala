@@ -3,7 +3,8 @@ package graft.multimodal
 import java.nio.{ByteBuffer, ByteOrder}
 
 /** REAL pure-JVM codecs for the byte-layout container formats that need
-  * no codec library at all: WAV (RIFF; PCM16 + G.711 μ-law/A-law), BMP
+  * no codec library at all: WAV (RIFF; PCM16 + G.711 μ-law/A-law +
+  * IMA ADPCM), BMP
   * (BITMAPINFOHEADER/24bpp), and AVI (RIFF 'vids'/'DIB ' video) — plus
   * the pixel/sample transforms behind the multimodal operators (resize,
   * crop, flip, rotate, decimation). Compressed image formats decode for
@@ -68,10 +69,48 @@ object Codecs {
     (if ((u & 0x80) != 0) mag else -mag).toShort
   }
 
+  /** IMA ADPCM step-size table (IMA "Recommended Practices for Enhancing
+    * Digital Audio Compatibility", 1992 — the table every fmt-0x11 WAV
+    * decoder ships verbatim): 89 quantizer steps, ~1.1× geometric growth.
+    */
+  private val ImaStepTable: Array[Int] = Array(
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767)
+
+  /** IMA ADPCM index-adjust table, indexed by the nibble's 3 magnitude
+    * bits (the sign bit does not move the step index).
+    */
+  private val ImaIndexTable: Array[Int] = Array(-1, -1, -1, -1, 2, 4, 6, 8)
+
+  /** One IMA ADPCM decode step: (predictor, stepIndex, nibble) → updated
+    * (predictor, stepIndex). diff = step/8 + bit-selected step, step/2,
+    * step/4 halves; sign bit subtracts; both outputs clamped. Pure
+    * integer arithmetic — bit-exact everywhere.
+    */
+  def imaAdpcmStep(pred: Int, idx: Int, nibble: Int): (Int, Int) = {
+    val n = nibble & 0xf
+    val step = ImaStepTable(idx)
+    var diff = step >> 3
+    if ((n & 4) != 0) diff += step
+    if ((n & 2) != 0) diff += step >> 1
+    if ((n & 1) != 0) diff += step >> 2
+    var p = if ((n & 8) != 0) pred - diff else pred + diff
+    if (p > 32767) p = 32767 else if (p < -32768) p = -32768
+    var i = idx + ImaIndexTable(n & 7)
+    if (i < 0) i = 0 else if (i > 88) i = 88
+    (p, i)
+  }
+
   /** Parse a RIFF/WAVE blob: walks chunks in any order (skipping unknown
     * ones — LIST/INFO etc. are legal). Supported sample codings: format 1
-    * (PCM, 16-bit), format 6 (G.711 A-law, 8-bit) and format 7 (G.711
-    * μ-law, 8-bit), both expanded to PCM16.
+    * (PCM, 16-bit), format 6 (G.711 A-law, 8-bit), format 7 (G.711
+    * μ-law, 8-bit) and format 17 (IMA ADPCM, 4-bit, mono block walk) —
+    * all expanded to PCM16.
     */
   def decodeWav(blob: Array[Byte]): WavPcm = {
     def fail(msg: String) =
@@ -85,6 +124,7 @@ object Codecs {
     buf.get(magic)
     if (new String(magic, "US-ASCII") != "WAVE") fail("not a WAVE form")
     var fmt: Option[(Int, Int, Int)] = None // (format, channels, sampleRate)
+    var blockAlign = 0 // needed for the ADPCM block walk
     var data: Option[Array[Byte]] = None // raw — decoded after the walk
     while (buf.remaining() >= 8) {
       buf.get(magic)
@@ -99,14 +139,17 @@ object Codecs {
           val channels = buf.getShort.toInt
           val rate = buf.getInt
           buf.getInt // byte rate
-          buf.getShort // block align
+          blockAlign = buf.getShort.toInt
           val bits = buf.getShort.toInt
           (audioFormat, bits) match {
             case (1, 16) => // PCM16
             case (6, 8) => // G.711 A-law
             case (7, 8) => // G.711 μ-law
+            case (17, 4) => // IMA ADPCM
+              if (channels != 1) fail("IMA ADPCM: mono only")
             case _ => fail("unsupported coding " +
-              s"(format=$audioFormat, bits=$bits; PCM16, A-law/8, μ-law/8 only)")
+              s"(format=$audioFormat, bits=$bits; " +
+              "PCM16, A-law/8, μ-law/8, IMA-ADPCM/4 only)")
           }
           buf.position(buf.position() + (len - 16)) // fmt extensions
           fmt = Some((audioFormat, channels, rate))
@@ -138,8 +181,78 @@ object Codecs {
         var i = 0
         while (i < out.length) { out(i) = ulawToPcm16(raw(i)); i += 1 }
         out
+      case 17 =>
+        // block walk: 4-byte header (initial predictor int16, step index
+        // byte, reserved) emits the predictor as the block's first
+        // sample, then each data byte carries two nibbles, low first
+        val ba = if (blockAlign >= 8) blockAlign else raw.length
+        val out = scala.collection.mutable.ArrayBuffer.empty[Short]
+        var off = 0
+        while (off + 4 <= raw.length) {
+          val blk = math.min(ba, raw.length - off)
+          var pred = ((raw(off) & 0xff) | (raw(off + 1) << 8)).toShort.toInt
+          var idx = raw(off + 2) & 0xff
+          if (idx > 88) fail(s"ADPCM block step index $idx > 88")
+          out += pred.toShort
+          var i = off + 4
+          while (i < off + blk) {
+            val b = raw(i) & 0xff
+            var half = 0
+            while (half < 2) {
+              val n = if (half == 0) b & 0xf else (b >> 4) & 0xf
+              val (p2, i2) = imaAdpcmStep(pred, idx, n)
+              pred = p2
+              idx = i2
+              out += pred.toShort
+              half += 1
+            }
+            i += 1
+          }
+          off += blk
+        }
+        out.toArray
     }
     WavPcm(rate, ch, samples)
+  }
+
+  /** RIFF/WAVE container for IMA ADPCM (format 17, 4 bits/sample, mono,
+    * ONE block): 4-byte block header carrying the initial predictor and
+    * step index, then the nibbles packed two per byte, low nibble first.
+    * Writes the fmt extension (samples-per-block) and the fact chunk the
+    * compressed-WAV spec expects; [[decodeWav]] round-trips it through
+    * the real block walk + [[imaAdpcmStep]].
+    */
+  def encodeWavImaAdpcm(sampleRate: Int, nibbles: Array[Byte],
+      pred0: Short = 0, idx0: Int = 0): Array[Byte] = {
+    require(nibbles.length % 2 == 0, "pad the nibble stream to even length")
+    require(idx0 >= 0 && idx0 <= 88, s"step index $idx0 out of [0, 88]")
+    val dataLen = 4 + nibbles.length / 2
+    val samplesPerBlock = 1 + nibbles.length
+    val pad = dataLen & 1
+    val buf = ByteBuffer.allocate(12 + (8 + 20) + (8 + 4) + 8 + dataLen + pad)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII"))
+      .putInt(4 + (8 + 20) + (8 + 4) + 8 + dataLen + pad)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(20)
+      .putShort(17) // IMA ADPCM
+      .putShort(1) // mono
+      .putInt(sampleRate)
+      .putInt(sampleRate * dataLen / samplesPerBlock) // byte rate
+      .putShort(dataLen.toShort) // block align = the single block
+      .putShort(4) // bits per sample
+      .putShort(2) // cbSize
+      .putShort(samplesPerBlock.toShort)
+    buf.put("fact".getBytes("US-ASCII")).putInt(4).putInt(samplesPerBlock)
+    buf.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    buf.putShort(pred0).put(idx0.toByte).put(0: Byte)
+    var i = 0
+    while (i < nibbles.length) {
+      buf.put((((nibbles(i + 1) & 0xf) << 4) | (nibbles(i) & 0xf)).toByte)
+      i += 2
+    }
+    if (pad == 1) buf.put(0: Byte)
+    buf.array()
   }
 
   private def encodeWavG711(format: Short, sampleRate: Int, channels: Int,

@@ -1354,9 +1354,111 @@ object MultimodalCatalog {
     )
   }
 
+  /** REAL IMA ADPCM decode (WAV format 0x11 — the 4-bit predictive
+    * codec voicemail/telephony corpora arrive in, and the first
+    * STATEFUL audio coding in the catalog: G.711 expands each byte
+    * independently, ADPCM threads a (predictor, step-index) state
+    * machine through every nibble). Per returnflag the first
+    * [[AdpcmN]] row keys (ordered by primary key) become a nibble
+    * stream, containerized as a format-17 RIFF/WAVE block
+    * (Codecs.encodeWavImaAdpcm: block header + packed nibbles), and
+    * decoded back through the REAL chunk walk + block walk +
+    * Codecs.imaAdpcmStep. DuckDB replays the state machine as a
+    * RECURSIVE CTE over the same nibble stream with the 89-entry step
+    * table as a list literal — any table, clamp, or nibble-order bug
+    * breaks the hash. All-integer; bounded recursion depth AdpcmN.
+    */
+  val mmAdpcmDecode = {
+    val AdpcmN = 256 // nibbles per clip (even; recursion bound)
+    QueryDef(
+      "q_mm_adpcm_decode",
+      (s, dir) => {
+        val sp = s
+        import sp.implicits._
+        t(s, dir, "lineitem")
+          .select(col("l_returnflag"), col("l_orderkey"),
+            col("l_linenumber"))
+          .as[(String, Long, Int)]
+          .groupByKey(_._1)
+          .mapGroups { (flag, it) =>
+            val rows = it.toArray.sortBy(r => (r._2, r._3)).take(AdpcmN)
+            require(rows.length == AdpcmN,
+              s"group $flag has under $AdpcmN rows")
+            val nib = rows.map { case (_, ok, ln) =>
+              ((ok * 11 + ln * 5) % 16).toByte
+            }
+            val blob = Codecs.encodeWavImaAdpcm(8000, nib)
+            val wav = Codecs.decodeWav(blob) // REAL block walk + steps
+            var sum = 0L
+            var peak = 0L
+            var neg = 0L
+            wav.samples.foreach { v =>
+              sum += v
+              if (math.abs(v.toLong) > peak) peak = math.abs(v.toLong)
+              if (v < 0) neg += 1
+            }
+            (flag, wav.samples.length.toLong, sum, peak, neg,
+              wav.samples.last.toLong)
+          }
+          .toDF("flag", "n_samples", "sum_pcm", "peak", "n_neg",
+            "end_pred")
+          .orderBy("flag")
+      },
+      Some {
+        val st = Array(7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23,
+          25, 28, 31, 34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97,
+          107, 118, 130, 143, 157, 173, 190, 209, 230, 253, 279, 307,
+          337, 371, 408, 449, 494, 544, 598, 658, 724, 796, 876, 963,
+          1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066, 2272, 2499,
+          2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894, 6484,
+          7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+          16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767)
+          .mkString("[", ", ", "]")
+        val it = "[-1, -1, -1, -1, 2, 4, 6, 8]"
+        // one decode step's diff, spelled from the shared step variable
+        val diff = "(stp >> 3)" +
+          " + CASE WHEN (n % 8) >= 4 THEN stp ELSE 0 END" +
+          " + CASE WHEN (n % 4) >= 2 THEN (stp >> 1) ELSE 0 END" +
+          " + CASE WHEN (n % 2) = 1 THEN (stp >> 2) ELSE 0 END"
+        s"""
+        WITH RECURSIVE nib AS (
+          SELECT flag, rn, (ok * 11 + ln * 5) % 16 AS n FROM (
+            SELECT l_returnflag AS flag,
+                   row_number() OVER (PARTITION BY l_returnflag
+                     ORDER BY l_orderkey, l_linenumber) - 1 AS rn,
+                   l_orderkey AS ok, l_linenumber AS ln
+            FROM lineitem)
+          WHERE rn < $AdpcmN),
+        dec AS (
+          SELECT flag, CAST(-1 AS BIGINT) AS rn, 0 AS pred, 0 AS idx
+          FROM (SELECT DISTINCT flag FROM nib)
+          UNION ALL
+          SELECT flag, rn, least(greatest(pd, -32768), 32767) AS pred,
+                 least(greatest(idx + list_extract($it,
+                   CAST(n % 8 AS INTEGER) + 1), 0), 88) AS idx
+          FROM (
+            SELECT d.flag, nib.rn, nib.n, d.idx,
+                   d.pred + CASE WHEN n >= 8 THEN -($diff)
+                                 ELSE ($diff) END AS pd
+            FROM (SELECT dd.*,
+                    list_extract($st, CAST(dd.idx AS INTEGER) + 1) AS stp
+                  FROM dec dd) d
+            JOIN nib ON nib.flag = d.flag AND nib.rn = d.rn + 1))
+        SELECT flag, CAST(count(*) AS BIGINT) AS n_samples,
+               CAST(sum(pred) AS BIGINT) AS sum_pcm,
+               CAST(max(abs(pred)) AS BIGINT) AS peak,
+               CAST(sum(CASE WHEN pred < 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_neg,
+               CAST(max(CASE WHEN rn = $AdpcmN - 1 THEN pred END)
+                 AS BIGINT) AS end_pred
+        FROM dec GROUP BY 1 ORDER BY 1"""
+      }
+    )
+  }
+
   val all: Seq[QueryDef] =
     Seq(mmFrames, mmChunks, mmMeta, mmBytes, mmPngDecode, mmJpegMeta,
       mmWavDecode, mmBmpResize, mmDhash, mmAudioFeats, mmUlawDecode,
       mmAlawDecode, mmAviFrames, mmAugment, mmDownsample, mmTiffDecode,
-      mmVadWindows, mmWbmp, mmBinarySource, mmDftEnergy)
+      mmVadWindows, mmWbmp, mmBinarySource, mmDftEnergy, mmAdpcmDecode)
 }

@@ -46,6 +46,41 @@ class CodecsSpec extends SparkSpec {
     intercept[IllegalArgumentException](Codecs.decodeWav(bad))
   }
 
+  test("IMA ADPCM: known-vector decode through the real container") {
+    // hand-computed against the IMA-1992 tables: nibbles 0,7,15,3 from
+    // (pred 0, idx 0) → samples 0(header),0,11,-19,10
+    val blob = Codecs.encodeWavImaAdpcm(8000, Array[Byte](0, 7, 15, 3))
+    val wav = Codecs.decodeWav(blob)
+    assert(wav.sampleRate == 8000 && wav.channels == 1)
+    assert(wav.samples.toSeq == Seq[Short](0, 0, 11, -19, 10))
+  }
+
+  test("IMA ADPCM: predictor clamps at both rails") {
+    // at idx 88 (step 32767) one max-magnitude nibble overshoots the rail
+    val up = Codecs.decodeWav(
+      Codecs.encodeWavImaAdpcm(8000, Array[Byte](7, 0), 32000, 88))
+    assert(up.samples(1) == 32767)
+    val dn = Codecs.decodeWav(
+      Codecs.encodeWavImaAdpcm(8000, Array[Byte](15, 0), -32000, 88))
+    assert(dn.samples(1) == -32768)
+    // step index clamps at 88: a second loud nibble must not overrun the
+    // 89-entry table
+    val twice = Codecs.decodeWav(
+      Codecs.encodeWavImaAdpcm(8000, Array[Byte](7, 7), 0, 88))
+    assert(twice.samples.length == 3)
+  }
+
+  test("IMA ADPCM: malformed inputs fail loudly") {
+    intercept[IllegalArgumentException](
+      Codecs.encodeWavImaAdpcm(8000, Array[Byte](1))) // odd nibble count
+    intercept[IllegalArgumentException](
+      Codecs.encodeWavImaAdpcm(8000, Array[Byte](1, 2), 0, 89)) // idx > 88
+    val blob = Codecs.encodeWavImaAdpcm(8000, Array[Byte](1, 2))
+    // data layout from the end: [pred0 ×2, idx, reserved, packed, pad]
+    blob(blob.length - 4) = 90 // corrupt the block's step index past 88
+    intercept[IllegalArgumentException](Codecs.decodeWav(blob))
+  }
+
   test("BMP round-trip incl. row padding (width not divisible by 4)") {
     // 3x2 top-down BGR gradient — stride pads 9 bytes to 12
     val px = Array.tabulate(3 * 2 * 3)(i => (i * 7 % 251).toByte)
