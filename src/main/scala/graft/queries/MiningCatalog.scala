@@ -2770,11 +2770,202 @@ object MiningCatalog {
     )
   }
 
+  /** RANSAC line fit (Fischler & Bolles 1981) over each flag's daily
+    * mean-price series — the robust estimator that, unlike Huber/Theil–
+    * Sen (q_m28/q_m17), fits on a MINIMAL sample and scores by inlier
+    * consensus. Determinism: the "random" 2-point samples for the K=8
+    * hypotheses come from ranking days by the portable md5-60 of
+    * `flag#seed#x` (the repo's rand() replacement), so both engines draw
+    * identical samples; each hypothesis line is two IEEE ops on exact
+    * inputs (x is a dense day rank, y an exact decimal daily mean), the
+    * inlier test |y−(a+bx)| ≤ τ compares identical doubles, and the
+    * winner is an integer argmax (inliers desc, seed). Scale shape: the
+    * hypothesis draw is a days×K window rank, scoring is one
+    * broadcast-join pass over the series — RANSAC's classic
+    * embarrassingly-parallel structure, no iteration.
+    */
+  val m36Ransac = {
+    val K = 8 // hypotheses per flag
+    val Tau = 250.0 // inlier band around the candidate line
+    QueryDef(
+      "q_m36_ransac",
+      (s, dir) => {
+        import graft.functions.Md5Prefix60.md5Prefix60
+        val byDay = Window.partitionBy("l_returnflag").orderBy("day")
+        val daily = t(s, dir, "lineitem")
+          .withColumn("day",
+            date_trunc("day", col("l_shipdate")).cast("timestamp_ntz"))
+          .groupBy("l_returnflag", "day")
+          .agg((sum(col("l_extendedprice").cast("decimal(28,6)"))
+            .cast("double") / count(lit(1))).as("y"))
+          .withColumn("x", row_number().over(byDay).cast("long"))
+          .select(col("l_returnflag").as("flag"), col("x"), col("y"))
+        val seeds = broadcast(s.range(K).select(col("id").as("seed")))
+        val drawn = daily.crossJoin(seeds)
+          .withColumn("h",
+            md5Prefix60(Seq(col("flag"), col("seed"), col("x"))))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("flag", "seed").orderBy("h", "x")))
+          .filter(col("rn") <= 2)
+        val p1 = drawn.filter(col("rn") === 1)
+          .select(col("flag"), col("seed"), col("x").as("x1"),
+            col("y").as("y1"))
+        val p2 = drawn.filter(col("rn") === 2)
+          .select(col("flag"), col("seed"), col("x").as("x2"),
+            col("y").as("y2"))
+        val models = p1.join(p2, Seq("flag", "seed"))
+          .select(col("flag"), col("seed"),
+            ((col("y2") - col("y1")) /
+              (col("x2") - col("x1")).cast("double")).as("b"),
+            (col("y1") - (col("y2") - col("y1")) /
+              (col("x2") - col("x1")).cast("double") *
+              col("x1").cast("double")).as("a"))
+        val scored = daily.join(broadcast(models), Seq("flag"))
+          .groupBy("flag", "seed")
+          .agg(max(col("a")).as("a"), max(col("b")).as("b"),
+            count(lit(1)).as("n_days"),
+            sum(when(abs(col("y") - (col("a") +
+              col("b") * col("x").cast("double"))) <= lit(Tau), 1L)
+              .otherwise(0L)).as("n_inliers"))
+        scored.withColumn("pick", row_number().over(
+            Window.partitionBy("flag")
+              .orderBy(desc("n_inliers"), col("seed"))))
+          .filter(col("pick") === 1)
+          .select(col("flag"), col("seed"), col("n_days"),
+            col("n_inliers"), r6(col("b")).as("slope"),
+            r2(col("a")).as("intercept"))
+          .orderBy("flag")
+      },
+      Some {
+        val h = "CAST(('0x' || substr(md5(flag || '#' || " +
+          "CAST(seed AS VARCHAR) || '#' || CAST(x AS VARCHAR)), 1, 15)) " +
+          "AS BIGINT)"
+        s"""
+        WITH daily AS (
+          SELECT flag, CAST(row_number() OVER (PARTITION BY flag
+                   ORDER BY day) AS BIGINT) AS x, y
+          FROM (
+            SELECT l_returnflag AS flag,
+                   date_trunc('day', l_shipdate) AS day,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6)))
+                     AS DOUBLE) / count(*) AS y
+            FROM lineitem GROUP BY 1, 2)),
+        drawn AS (
+          SELECT flag, seed, x, y,
+                 row_number() OVER (PARTITION BY flag, seed
+                   ORDER BY $h, x) AS rn
+          FROM daily
+          CROSS JOIN (SELECT CAST(unnest(range($K)) AS BIGINT) AS seed)),
+        models AS (
+          SELECT p1.flag, p1.seed,
+                 (p2.y - p1.y) / CAST(p2.x - p1.x AS DOUBLE) AS b,
+                 p1.y - (p2.y - p1.y) / CAST(p2.x - p1.x AS DOUBLE)
+                   * CAST(p1.x AS DOUBLE) AS a
+          FROM (SELECT * FROM drawn WHERE rn = 1) p1
+          JOIN (SELECT * FROM drawn WHERE rn = 2) p2
+            ON p2.flag = p1.flag AND p2.seed = p1.seed),
+        scored AS (
+          SELECT daily.flag, seed, max(a) AS a, max(b) AS b,
+                 CAST(count(*) AS BIGINT) AS n_days,
+                 CAST(sum(CASE WHEN abs(y - (a + b * CAST(x AS DOUBLE)))
+                   <= ${sqlD(Tau)} THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_inliers
+          FROM daily JOIN models ON models.flag = daily.flag
+          GROUP BY 1, 2)
+        SELECT flag, seed, n_days, n_inliers,
+               ${sqlR6("b")} AS slope, ${sqlR2("a")} AS intercept
+        FROM (SELECT *, row_number() OVER (PARTITION BY flag
+                ORDER BY n_inliers DESC, seed) AS pick
+              FROM scored)
+        WHERE pick = 1 ORDER BY flag"""
+      }
+    )
+  }
+
+  /** McNemar's test (1947, with Edwards' continuity correction) on the
+    * PAIRED daily up/down outcomes of the A and R series — the
+    * marginal-homogeneity check a paired classifier comparison runs,
+    * where the unpaired χ² (q_a17) would be wrong. The discordant-pair
+    * counts b (A up, R down) and c (A down, R up) are exact integers
+    * from comparisons of identical doubles (each series' up-day flag
+    * compares an exact decimal daily mean against its lag), and
+    * χ² = (|b−c|−1)²/(b+c) is three IEEE ops. One daily aggregate, one
+    * self-join on day, 1-row output.
+    */
+  val m37McNemar = QueryDef(
+    "q_m37_mcnemar",
+    (s, dir) => {
+      val byDay = Window.partitionBy("l_returnflag").orderBy("day")
+      val daily = t(s, dir, "lineitem")
+        .filter(col("l_returnflag").isin("A", "R"))
+        .withColumn("day",
+          date_trunc("day", col("l_shipdate")).cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "day")
+        .agg((sum(col("l_extendedprice").cast("decimal(28,6)"))
+          .cast("double") / count(lit(1))).as("y"))
+        .withColumn("up",
+          when(col("y") > lag(col("y"), 1).over(byDay), 1L).otherwise(0L))
+        .withColumn("has_prev", lag(col("y"), 1).over(byDay).isNotNull)
+        .filter(col("has_prev"))
+      val a = daily.filter(col("l_returnflag") === "A")
+        .select(col("day"), col("up").as("up_a"))
+      val r = daily.filter(col("l_returnflag") === "R")
+        .select(col("day"), col("up").as("up_r"))
+      a.join(r, Seq("day"))
+        .agg(count(lit(1)).as("n_days"),
+          sum(when(col("up_a") === 1L && col("up_r") === 1L, 1L)
+            .otherwise(0L)).as("n_both_up"),
+          sum(when(col("up_a") === 0L && col("up_r") === 0L, 1L)
+            .otherwise(0L)).as("n_both_down"),
+          sum(when(col("up_a") === 1L && col("up_r") === 0L, 1L)
+            .otherwise(0L)).as("n_b"),
+          sum(when(col("up_a") === 0L && col("up_r") === 1L, 1L)
+            .otherwise(0L)).as("n_c"))
+        .select(col("n_days"), col("n_both_up"), col("n_both_down"),
+          col("n_b"), col("n_c"),
+          r6((abs(col("n_b") - col("n_c")).cast("double") - lit(1.0)) *
+            (abs(col("n_b") - col("n_c")).cast("double") - lit(1.0)) /
+            (col("n_b") + col("n_c")).cast("double")).as("mcnemar_chi2"))
+    },
+    Some(s"""
+      WITH daily AS (
+        SELECT l_returnflag AS flag, date_trunc('day', l_shipdate) AS day,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6)))
+                 AS DOUBLE) / count(*) AS y
+        FROM lineitem WHERE l_returnflag IN ('A', 'R') GROUP BY 1, 2),
+      ud AS (
+        SELECT flag, day,
+               CASE WHEN y > lag(y, 1) OVER w THEN 1 ELSE 0 END AS up,
+               lag(y, 1) OVER w IS NOT NULL AS has_prev
+        FROM daily WINDOW w AS (PARTITION BY flag ORDER BY day)),
+      p AS (
+        SELECT a.day, a.up AS up_a, r.up AS up_r
+        FROM (SELECT * FROM ud WHERE flag = 'A' AND has_prev) a
+        JOIN (SELECT * FROM ud WHERE flag = 'R' AND has_prev) r
+          ON r.day = a.day),
+      k AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_days,
+               CAST(sum(CASE WHEN up_a = 1 AND up_r = 1 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_both_up,
+               CAST(sum(CASE WHEN up_a = 0 AND up_r = 0 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_both_down,
+               CAST(sum(CASE WHEN up_a = 1 AND up_r = 0 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_b,
+               CAST(sum(CASE WHEN up_a = 0 AND up_r = 1 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_c
+        FROM p)
+      SELECT n_days, n_both_up, n_both_down, n_b, n_c,
+             ${sqlR6("(CAST(abs(n_b - n_c) AS DOUBLE) - 1e0)" +
+        " * (CAST(abs(n_b - n_c) AS DOUBLE) - 1e0)" +
+        " / CAST(n_b + n_c AS DOUBLE)")} AS mcnemar_chi2
+      FROM k""")
+  )
+
   val all: Seq[QueryDef] = Seq(m1Ols, m2OlsNextDay, m4Anomalies, m5Ridge,
     m6Cv, m7Mwu, m8Ks, m9Nbayes, m10LogregStep, m11Welch, m12Spearman,
     m13Robust, m14Anova, m15Kendall, m16Cusum, m17TheilSen, m18Pca,
     m19Bootstrap, m20JarqueBera, m21Assoc, m22Adamic, m23Isotonic,
     m24Mahalanobis, m25EmStep, m26Pettitt, m27Wilcoxon, m28Huber,
     m29Granger, m30RunsTest, m31Lift, m32Conformal, m33Dbscan, m34Chow,
-    m35LjungBox)
+    m35LjungBox, m36Ransac, m37McNemar)
 }
