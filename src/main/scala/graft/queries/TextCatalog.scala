@@ -1906,6 +1906,110 @@ object TextCatalog {
     )
   }
 
+  /** Content-defined chunking (the FastCDC/rolling-hash idea behind
+    * dedup-friendly storage and chunk-level training-data dedup):
+    * a chunk boundary opens wherever the hash of the trailing 4-token
+    * window clears a 1-in-8 threshold — so boundaries move WITH the
+    * content, and a one-token insertion re-chunks only its
+    * neighborhood, unlike q_t_chunk_overlap's fixed windows. The window
+    * hash is the portable md5-60 of the 4 tokens (lag×3 + current, with
+    * an explicit pos≥3 guard because concat_ws would silently skip a
+    * null lag), chunk ids are a prefix sum of boundary flags, and the
+    * per-source audit reports chunk-content dedup (count distinct of
+    * the reassembled chunk string — at 100 TB you'd count distinct
+    * 60-bit chunk hashes instead; the grouping and prefix sum shapes
+    * are unchanged). All counts exact integers; two r6 divisions.
+    */
+  val tCdcChunks = QueryDef(
+    "q_t_cdc_chunks",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import graft.functions.Md5Prefix60.md5Prefix60
+      val byPos = Window.partitionBy("doc_id").orderBy("pos")
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          lower(TextAnalysis.normText(col("text"))).as("nt"))
+        .filter(length(col("nt")) > 0)
+        .select(col("doc_id"), col("source"),
+          posexplode(split(col("nt"), " ")).as(Seq("pos", "w")))
+      val flagged = toks
+        .withColumn("w1", lag(col("w"), 1).over(byPos))
+        .withColumn("w2", lag(col("w"), 2).over(byPos))
+        .withColumn("w3", lag(col("w"), 3).over(byPos))
+        .withColumn("b",
+          when(col("pos") === 0, true)
+            .when(col("pos") >= 3,
+              pmod(md5Prefix60(Seq(col("w3"), col("w2"), col("w1"),
+                col("w"))), lit(64L)) < 8L)
+            .otherwise(false))
+        .withColumn("chunk_no",
+          sum(when(col("b"), 1L).otherwise(0L)).over(
+            byPos.rowsBetween(Window.unboundedPreceding,
+              Window.currentRow)))
+      val chunks = flagged.groupBy("doc_id", "source", "chunk_no")
+        .agg(count(lit(1)).as("clen"),
+          array_join(transform(
+            sort_array(collect_list(struct(col("pos"), col("w")))),
+            x => x.getField("w")), " ").as("cstr"))
+      chunks.groupBy("source")
+        .agg(sum(col("clen")).as("n_tokens"),
+          count(lit(1)).as("n_chunks"),
+          countDistinct(col("cstr")).as("n_distinct"),
+          max(col("clen")).as("max_len"))
+        .select(col("source"), col("n_tokens"), col("n_chunks"),
+          col("n_distinct"),
+          r6(lit(1.0) - col("n_distinct").cast("double") /
+            col("n_chunks").cast("double")).as("dup_ratio"),
+          r6(col("n_tokens").cast("double") /
+            col("n_chunks").cast("double")).as("mean_len"),
+          col("max_len"))
+        .orderBy("source")
+    },
+    Some {
+      val h = "CAST(('0x' || substr(md5(w3 || '#' || w2 || '#' || w1 " +
+        "|| '#' || w), 1, 15)) AS BIGINT)"
+      s"""
+      WITH t AS (
+        SELECT doc_id, source, lower($sqlNorm) AS nt FROM documents
+        WHERE length($sqlNorm) > 0),
+      ts AS (SELECT doc_id, source, string_split(nt, ' ') AS l FROM t),
+      tok AS (
+        SELECT doc_id, source, CAST(i - 1 AS BIGINT) AS pos,
+               list_extract(l, i) AS w
+        FROM ts, unnest(range(1, len(l) + 1)) AS u(i)),
+      fl AS (
+        SELECT doc_id, source, pos, w,
+               CASE WHEN pos = 0 THEN TRUE
+                    WHEN pos >= 3 AND ($h) % 64 < 8 THEN TRUE
+                    ELSE FALSE END AS b
+        FROM (SELECT doc_id, source, pos, w,
+                     lag(w, 1) OVER win AS w1, lag(w, 2) OVER win AS w2,
+                     lag(w, 3) OVER win AS w3
+              FROM tok
+              WINDOW win AS (PARTITION BY doc_id ORDER BY pos))),
+      cn AS (
+        SELECT doc_id, source, pos, w,
+               sum(CASE WHEN b THEN 1 ELSE 0 END) OVER (
+                 PARTITION BY doc_id ORDER BY pos
+                 ROWS UNBOUNDED PRECEDING) AS chunk_no
+        FROM fl),
+      ch AS (
+        SELECT doc_id, source, chunk_no,
+               CAST(count(*) AS BIGINT) AS clen,
+               array_to_string(list(w ORDER BY pos), ' ') AS cstr
+        FROM cn GROUP BY 1, 2, 3)
+      SELECT source, CAST(sum(clen) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS n_chunks,
+             CAST(count(DISTINCT cstr) AS BIGINT) AS n_distinct,
+             ${sqlR6("1e0 - CAST(count(DISTINCT cstr) AS DOUBLE)" +
+        " / CAST(count(*) AS DOUBLE)")} AS dup_ratio,
+             ${sqlR6("CAST(sum(clen) AS DOUBLE)" +
+        " / CAST(count(*) AS DOUBLE)")} AS mean_len,
+             CAST(max(clen) AS BIGINT) AS max_len
+      FROM ch GROUP BY 1 ORDER BY 1"""
+    }
+  )
+
   val all: Seq[QueryDef] =
     Seq(tQuality, tTokens, tFingerprint, tLangId, tExplode,
       tRepetition, tLmScore, tSplit, tStratSample, tTfIdf, tPmi,
@@ -1913,5 +2017,5 @@ object TextCatalog {
       tLineDedup, tBm25, tDsir, tWsample, tVocabOverlap, tMixture, tJsd,
       tFeatHash, tDupSpans, tZipf, tLangConfusion, tBpeStep, tBpeTrain5,
       tBpeEncode, tBleu, tChunkOverlap, tRrf, tRbo, tTempMixture, tRouge,
-      tTokenBudget)
+      tTokenBudget, tCdcChunks)
 }
