@@ -1861,6 +1861,51 @@ object MiscCatalog {
       FROM m CROSS JOIN nn""")
   )
 
+  /** ORC source/sink round trip — the OTHER columnar format a warehouse
+    * must ingest (Spark ships the ORC DataSource in-box; vectorized
+    * reader, predicate pushdown and column pruning all apply exactly as
+    * for parquet). Writes a lineitem projection as ORC, reads it back
+    * with a year filter — the predicate reaches the ORC scan as
+    * PushedFilters — and aggregates. Gated against the same aggregate
+    * computed straight from the parquet base table in DuckDB, proving
+    * the ORC round trip lossless (values AND row multiplicity). Exact
+    * decimal sum → bit-exact.
+    */
+  val qOrcScan = QueryDef(
+    "q_src_orc",
+    (s, dir) => {
+      import java.nio.file.Files
+      val stage = Files.createTempDirectory("graft_orc")
+      try {
+        t(s, dir, "lineitem")
+          .select(col("l_returnflag"), col("l_shipdate"),
+            col("l_quantity"), col("l_extendedprice"))
+          .write.mode("overwrite").orc(stage.toString)
+        s.read.orc(stage.toString)
+          .filter(year(col("l_shipdate")) === 1994)
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            sumE(col("l_quantity")).as("sum_qty"),
+            sumE(col("l_extendedprice")).as("sum_price"))
+          .orderBy("l_returnflag")
+          .localCheckpoint() // materialize before the staged dir is deleted
+      } finally {
+        try {
+          val w = Files.walk(stage)
+          try w.sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => { Files.deleteIfExists(f); () })
+          finally w.close()
+        } catch { case _: java.io.IOException => () }
+      }
+    },
+    Some(s"""
+      SELECT l_returnflag, count(*) AS n,
+             ${sqlSumE("l_quantity")} AS sum_qty,
+             ${sqlSumE("l_extendedprice")} AS sum_price
+      FROM lineitem WHERE year(l_shipdate) = 1994
+      GROUP BY 1 ORDER BY 1""")
+  )
+
   /** Hive-style partitioned parquet round trip with partition PRUNING —
     * the layout decision that turns a 100 TB scan into a 1-year scan:
     * write lineitem partitioned by ship year, read it back filtered to
@@ -2504,6 +2549,6 @@ object MiscCatalog {
     qProfile, qBenford, qGini, qEntropy, qMi, qSnapshotDiff, qWinsor,
     qFkAudit, qMoments, qAssortativity, qPartitionedScan, qKcore,
     qLabelProp, qScd2AsOf, qSkewProfile, qHits, qExpectations, qDegreeDist,
-    qIqrOutliers, qSkyline, qUnpivot, qPsi)
+    qIqrOutliers, qSkyline, qUnpivot, qPsi, qOrcScan)
 }
 

@@ -2010,6 +2010,65 @@ object TextCatalog {
     }
   )
 
+  /** Cohen's kappa (1960) for the language-ID classifier against the
+    * labeled truth — the chance-corrected agreement figure a labeling
+    * pipeline reports next to raw accuracy (q_t_lang_confusion shows the
+    * cells; kappa collapses them to one calibrated score). Observed
+    * agreement and the marginal products are exact integer counts, so
+    * κ = (p_o − p_e)/(1 − p_e) is four IEEE ops on identical operands.
+    * Two count aggregates + one broadcast join of the label marginals.
+    */
+  val tKappa = QueryDef(
+    "q_t_kappa",
+    (s, dir) => {
+      val scored = TextAnalysis.withLangId(t(s, dir, "documents"))
+        .select(col("lang"), col("lang_pred"))
+      val n = scored.agg(count(lit(1)).as("n_docs"),
+        sum(when(col("lang") === col("lang_pred"), 1L).otherwise(0L))
+          .as("n_agree"))
+      val rows = scored.groupBy("lang").agg(count(lit(1)).as("rk"))
+      val cols = scored.groupBy("lang_pred").agg(count(lit(1)).as("ck"))
+      val marg = rows.join(cols, col("lang") === col("lang_pred"))
+        .agg(sum(col("rk") * col("ck")).as("s_marg"))
+      val po = col("n_agree").cast("double") / col("n_docs").cast("double")
+      val pe = col("s_marg").cast("double") /
+        (col("n_docs") * col("n_docs")).cast("double")
+      n.crossJoin(broadcast(marg))
+        .select(col("n_docs"), col("n_agree"), col("s_marg"),
+          r6(po).as("accuracy"), r6(pe).as("p_chance"),
+          r6((po - pe) / (lit(1.0) - pe)).as("kappa"))
+    },
+    Some {
+      val langs = TextAnalysis.LangMarkers.keys.toSeq.sorted
+      def score(l: String) = TextAnalysis.LangMarkers(l).map(w =>
+        s"len(regexp_extract_all(' ' || lower($sqlNorm) || ' ', ' $w ', 0))")
+        .mkString(" + ")
+      val scoreCols = langs.map(l => s"(${score(l)}) AS s_$l").mkString(", ")
+      val caseChain = langs.map(l =>
+        s"WHEN ${langs.map(o => s"s_$l >= s_$o").mkString(" AND ")} THEN '$l'")
+        .mkString(" ")
+      val po = "CAST(n_agree AS DOUBLE) / CAST(n_docs AS DOUBLE)"
+      val pe = "CAST(s_marg AS DOUBLE) / CAST(n_docs * n_docs AS DOUBLE)"
+      s"""
+      WITH s AS (SELECT doc_id, lang, $scoreCols FROM documents),
+      p AS (SELECT lang, CASE $caseChain END AS lang_pred FROM s),
+      n AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN lang = lang_pred THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_agree
+        FROM p),
+      rk AS (SELECT lang, count(*) AS rk FROM p GROUP BY 1),
+      ck AS (SELECT lang_pred, count(*) AS ck FROM p GROUP BY 1),
+      mg AS (
+        SELECT CAST(sum(rk * ck) AS BIGINT) AS s_marg
+        FROM rk JOIN ck ON ck.lang_pred = rk.lang)
+      SELECT n_docs, n_agree, s_marg,
+             ${sqlR6(po)} AS accuracy, ${sqlR6(pe)} AS p_chance,
+             ${sqlR6(s"(($po) - ($pe)) / (1e0 - ($pe))")} AS kappa
+      FROM n CROSS JOIN mg"""
+    }
+  )
+
   val all: Seq[QueryDef] =
     Seq(tQuality, tTokens, tFingerprint, tLangId, tExplode,
       tRepetition, tLmScore, tSplit, tStratSample, tTfIdf, tPmi,
@@ -2017,5 +2076,5 @@ object TextCatalog {
       tLineDedup, tBm25, tDsir, tWsample, tVocabOverlap, tMixture, tJsd,
       tFeatHash, tDupSpans, tZipf, tLangConfusion, tBpeStep, tBpeTrain5,
       tBpeEncode, tBleu, tChunkOverlap, tRrf, tRbo, tTempMixture, tRouge,
-      tTokenBudget, tCdcChunks)
+      tTokenBudget, tCdcChunks, tKappa)
 }
