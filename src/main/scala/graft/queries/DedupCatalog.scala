@@ -870,8 +870,88 @@ object DedupCatalog {
       GROUP BY 1 ORDER BY 1""")
   )
 
+  /** Survivorship — the step that APPLIES the near-dup clustering: per
+    * connected component (q_d_components' label propagation, checked
+    * there against an exact transitive closure) keep exactly one
+    * canonical document — the longest (max n_chars), ties to the
+    * smallest doc_id — the CCNet/RefinedWeb keep-the-best rule, vs
+    * q_d_exact's keep-the-first. Per-source accounting of what survives:
+    * all integer counts (n_chars is a column, not derived), keep-rate is
+    * one r6 division. The keeper pick is a per-component row_number —
+    * one shuffle on the component key, singleton docs pass through
+    * untouched via the left join.
+    */
+  val dSurvivorship = QueryDef(
+    "q_d_survivorship",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", n = ShingleN,
+        threshold = JaccardThreshold, maxShingleFreq = MaxShingleFreq)
+      val comp = Dedup.connectedComponents(pairs, "id1", "id2")
+        .withColumnRenamed("id", "doc_id")
+      val labeled = docs.select(col("doc_id"), col("source"),
+          col("n_chars").cast("long").as("n_chars"))
+        .join(comp, Seq("doc_id"), "left")
+        .withColumn("component",
+          coalesce(col("comp"), col("doc_id")))
+        .withColumn("keep",
+          row_number().over(Window.partitionBy("component")
+            .orderBy(desc("n_chars"), col("doc_id"))) === 1)
+      labeled.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"),
+          sum(when(!col("keep"), 1L).otherwise(0L)).as("n_drop"),
+          sum(col("n_chars")).as("chars_total"),
+          sum(when(col("keep"), col("n_chars")).otherwise(0L))
+            .as("chars_keep"))
+        .select(col("source"), col("n_docs"), col("n_keep"),
+          col("n_drop"), col("chars_total"), col("chars_keep"),
+          r6(col("n_keep").cast("double") / col("n_docs").cast("double"))
+            .as("keep_rate"))
+        .orderBy("source")
+    },
+    Some(s"""
+      WITH RECURSIVE $jaccardCtes,
+      pairs AS (
+        SELECT id1, id2 FROM common
+        JOIN sizes s1 ON s1.doc_id = id1
+        JOIN sizes s2 ON s2.doc_id = id2
+        WHERE c / CAST(s1.sz + s2.sz - c AS DOUBLE) >= $JaccardThreshold),
+      edges AS (
+        SELECT id1 AS a, id2 AS b FROM pairs
+        UNION
+        SELECT id2, id1 FROM pairs),
+      walk(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT w.a, e.b FROM walk w JOIN edges e ON w.b = e.a),
+      comp AS (
+        SELECT a AS doc_id, least(a, min(b)) AS component
+        FROM walk GROUP BY a),
+      lab AS (
+        SELECT d.doc_id, d.source, CAST(d.n_chars AS BIGINT) AS n_chars,
+               coalesce(c.component, d.doc_id) AS component
+        FROM documents d LEFT JOIN comp c USING (doc_id)),
+      kp AS (
+        SELECT *, row_number() OVER (PARTITION BY component
+                 ORDER BY n_chars DESC, doc_id) = 1 AS keep
+        FROM lab)
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_keep,
+             CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_drop,
+             CAST(sum(n_chars) AS BIGINT) AS chars_total,
+             CAST(sum(CASE WHEN keep THEN n_chars ELSE 0 END) AS BIGINT)
+               AS chars_keep,
+             ${sqlR6("sum(CASE WHEN keep THEN 1 ELSE 0 END)" +
+      " / CAST(count(*) AS DOUBLE)")} AS keep_rate
+      FROM kp GROUP BY 1 ORDER BY 1""")
+  )
+
   val all: Seq[QueryDef] =
     Seq(dExact, dJaccard, dComponents, dClusterSizes, dMinHash, dSimHash,
       dEmbed, dSemantic, dFuzzy, dFellegi, dContainment, dLshRecall,
-      dBbitMinhash, dNgramNovelty, dDedupImpact)
+      dBbitMinhash, dNgramNovelty, dDedupImpact, dSurvivorship)
 }

@@ -1861,6 +1861,75 @@ object MiscCatalog {
       FROM m CROSS JOIN nn""")
   )
 
+  /** Cramér's V (1946) over the orderstatus × orderpriority contingency — the
+    * effect-size companion q_a17's raw χ² terms lack (χ² grows with n;
+    * V = √(χ²/(n·min(r−1,c−1))) is scale-free in [0,1], the figure a
+    * data-drift dashboard actually thresholds). Observed/expected come
+    * from exact integer marginals; the 15 per-cell terms are identical
+    * doubles summed ORDER-INDEPENDENTLY via decimal(38,18) casts (the
+    * sumE idiom — q_a17 sidesteps the cross-engine sum by emitting
+    * per-cell rows, this query must total them), and r/c are count
+    * distincts. One grouped count + three broadcast marginals.
+    */
+  val qCramersV = QueryDef(
+    "q_m38_cramers_v",
+    (s, dir) => {
+      val li = t(s, dir, "orders")
+      val obs = li.groupBy("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("o"))
+      val rowT = obs.groupBy("o_orderstatus").agg(sum(col("o")).as("rt"))
+      val colT = obs.groupBy("o_orderpriority").agg(sum(col("o")).as("ct"))
+      val tot = obs.agg(sum(col("o")).as("n"),
+        count_distinct(col("o_orderstatus")).as("r"),
+        count_distinct(col("o_orderpriority")).as("c"))
+      val e = col("rt").cast("double") * col("ct").cast("double") /
+        col("n").cast("double")
+      val term = (col("o").cast("double") - e) *
+        (col("o").cast("double") - e) / e
+      obs.join(broadcast(rowT), "o_orderstatus")
+        .join(broadcast(colT), "o_orderpriority")
+        .crossJoin(broadcast(tot))
+        .agg(max(col("n")).as("n"), max(col("r")).as("n_rows"),
+          max(col("c")).as("n_cols"),
+          decD(sum(term.cast("decimal(38,18)"))).as("chi2"))
+        .select(col("n"), col("n_rows"), col("n_cols"),
+          r6(col("chi2")).as("chi2"),
+          r6(sqrt(col("chi2") / (col("n").cast("double") *
+            least(col("n_rows") - 1, col("n_cols") - 1).cast("double"))))
+            .as("cramers_v"))
+    },
+    Some(s"""
+      WITH obs AS (
+        SELECT o_orderstatus, o_orderpriority, count(*) AS o
+        FROM orders GROUP BY 1, 2),
+      rt AS (SELECT o_orderstatus, CAST(sum(o) AS BIGINT) AS rt
+             FROM obs GROUP BY 1),
+      ct AS (SELECT o_orderpriority, CAST(sum(o) AS BIGINT) AS ct
+             FROM obs GROUP BY 1),
+      tot AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+                     CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS r,
+                     CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS c
+              FROM obs),
+      cells AS (
+        SELECT obs.o,
+               CAST(rt.rt AS DOUBLE) * CAST(ct.ct AS DOUBLE)
+                 / CAST(tot.n AS DOUBLE) AS e,
+               tot.n, tot.r, tot.c
+        FROM obs JOIN rt USING (o_orderstatus)
+        JOIN ct USING (o_orderpriority) CROSS JOIN tot),
+      a AS (
+        SELECT max(n) AS n, max(r) AS n_rows, max(c) AS n_cols,
+               ${sqlDecD("""sum(CAST((CAST(o AS DOUBLE) - e)
+                 * (CAST(o AS DOUBLE) - e) / e AS DECIMAL(38,18)))""")}
+                 AS chi2
+        FROM cells)
+      SELECT n, n_rows, n_cols, ${sqlR6("chi2")} AS chi2,
+             ${sqlR6("""sqrt(chi2 / (CAST(n AS DOUBLE)
+               * CAST(least(n_rows - 1, n_cols - 1) AS DOUBLE)))""")}
+               AS cramers_v
+      FROM a""")
+  )
+
   /** ORC source/sink round trip — the OTHER columnar format a warehouse
     * must ingest (Spark ships the ORC DataSource in-box; vectorized
     * reader, predicate pushdown and column pruning all apply exactly as
@@ -1882,7 +1951,11 @@ object MiscCatalog {
             col("l_quantity"), col("l_extendedprice"))
           .write.mode("overwrite").orc(stage.toString)
         s.read.orc(stage.toString)
-          .filter(year(col("l_shipdate")) === 1994)
+          // range predicate, not year(): a function of the column would
+          // not reach the ORC reader — this pushes down as two
+          // PushedFilters and skips whole stripes via min/max stats
+          .filter(col("l_shipdate") >= lit("1994-01-01").cast("timestamp")
+            && col("l_shipdate") < lit("1995-01-01").cast("timestamp"))
           .groupBy("l_returnflag")
           .agg(count(lit(1)).as("n"),
             sumE(col("l_quantity")).as("sum_qty"),
@@ -2549,6 +2622,6 @@ object MiscCatalog {
     qProfile, qBenford, qGini, qEntropy, qMi, qSnapshotDiff, qWinsor,
     qFkAudit, qMoments, qAssortativity, qPartitionedScan, qKcore,
     qLabelProp, qScd2AsOf, qSkewProfile, qHits, qExpectations, qDegreeDist,
-    qIqrOutliers, qSkyline, qUnpivot, qPsi, qOrcScan)
+    qIqrOutliers, qSkyline, qUnpivot, qPsi, qOrcScan, qCramersV)
 }
 
