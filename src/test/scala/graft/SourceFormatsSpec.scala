@@ -24,6 +24,25 @@ class SourceFormatsSpec extends SparkSpec {
   }
 
   test("ORC round-trip")  { roundTrip("orc") }
+
+  test("ORC range predicate reaches the reader as a pushed filter") {
+    val d = java.nio.file.Files.createTempDirectory("graft_orc_push")
+    try {
+      li.select("l_orderkey", "l_shipdate", "l_quantity")
+        .write.mode("overwrite").orc(d.toString)
+      val filtered = spark.read.orc(d.toString)
+        .filter(col("l_shipdate") >= lit("1994-01-01").cast("timestamp"))
+      val plan = filtered.queryExecution.executedPlan.toString
+      assert(plan.replaceAll("\\s+", " ")
+        .matches(".*PushedFilters: \\[[^\\]]*l_shipdate[^\\]]*\\].*"),
+        s"expected a pushed l_shipdate filter in:\n$plan")
+    } finally {
+      val w = java.nio.file.Files.walk(d)
+      try w.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
+      finally w.close()
+    }
+  }
   test("JSON round-trip") { roundTrip("json") }
   test("CSV round-trip") {
     roundTrip("csv",
