@@ -370,7 +370,60 @@ object JoinCatalog {
     )
   }
 
+  /** TPC-H Q5 shape — the LOCAL-supplier star: q_j5's four-dim star plus
+    * the supplier dimension and Q5's distinguishing theta condition
+    * `c_nationkey = s_nationkey` (revenue only counts when the customer's
+    * nation supplied its own order), which no other join in the catalog
+    * exercises: an equality between columns of two DIFFERENT broadcast
+    * dimensions, resolved after both joins. Plan shape: one shuffle join
+    * (lineitem ⋈ orders on orderkey, the only two big tables) and four
+    * broadcast joins; the nation-nation filter is a post-broadcast
+    * predicate, never a shuffle. Exact decimal revenue → r2.
+    */
+  val jQ5Shape = QueryDef(
+    "q_j8_q5_local",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("rev"))
+      val o = t(s, dir, "orders")
+        .filter(year(col("o_orderdate")) === 1996)
+        .select("o_orderkey", "o_custkey")
+      val c = t(s, dir, "customer").select("c_custkey", "c_nationkey")
+      val su = t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+      val n = t(s, dir, "nation")
+        .select("n_nationkey", "n_regionkey", "n_name")
+      val r = t(s, dir, "region").filter(col("r_name") === "ASIA")
+        .select("r_regionkey")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(su), li("l_suppkey") === su("s_suppkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .filter(col("c_nationkey") === col("s_nationkey")) // Q5's theta
+        .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy("n_name")
+        .agg(r2(sumE(col("rev"))).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(desc("revenue"), col("n_name"))
+    },
+    Some(s"""
+      SELECT n.n_name,
+             ${sqlR2(sqlSumE("l.l_extendedprice * (1 - l.l_discount)"))}
+               AS revenue,
+             count(*) AS n_items
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      WHERE c.c_nationkey = s.s_nationkey
+        AND r.r_name = 'ASIA' AND year(o.o_orderdate) = 1996
+      GROUP BY 1 ORDER BY revenue DESC, n_name""")
+  )
+
   val all: Seq[QueryDef] =
     Seq(j1SpikeJoin, j2Union, jStarRevenue, jSemi, jAnti, jSalted, jBloom,
-      jBloomFpr, jQ3Shape, jQ18Shape)
+      jBloomFpr, jQ3Shape, jQ18Shape, jQ5Shape)
 }

@@ -2961,11 +2961,182 @@ object MiningCatalog {
       FROM k""")
   )
 
+  /** Page–Hinkley drift detector (Page 1954; the sequential
+    * change-of-mean monitor streaming ML systems run beside PSI/CUSUM —
+    * q_a28 bins distributions, q_m16 cusums around the GLOBAL mean,
+    * PH tracks deviation from the RUNNING mean, so it needs no training
+    * window). Everything is prefix-shaped, no recursion: the running
+    * mean is an exact decimal prefix sum ÷ row_number (identical IEEE
+    * division), the PH series m_t is a second exact decimal prefix sum
+    * of identical per-row terms, and the alarm statistic
+    * PH = m_T − min_t m_t is a window min of identical doubles. Scale:
+    * three window passes over the calendar-bounded daily series — on a
+    * cluster this is SequenceOps.runningSum's range-partitioned scan
+    * shape.
+    */
+  val m39PageHinkley = QueryDef(
+    "q_m39_page_hinkley",
+    (s, dir) => {
+      val byDay = Window.partitionBy("l_returnflag").orderBy("day")
+      val cum = byDay.rowsBetween(Window.unboundedPreceding,
+        Window.currentRow)
+      val all = Window.partitionBy("l_returnflag")
+      val daily = t(s, dir, "lineitem")
+        .withColumn("day",
+          date_trunc("day", col("l_shipdate")).cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "day")
+        .agg((sum(col("l_extendedprice").cast("decimal(28,6)"))
+          .cast("double") / count(lit(1))).as("y"))
+      val ph = daily
+        .withColumn("i", row_number().over(byDay))
+        .withColumn("mu",
+          decD(sum(col("y").cast("decimal(28,6)")).over(cum)) /
+            col("i").cast("double"))
+        .withColumn("m",
+          decD(sum((col("y") - col("mu")).cast("decimal(28,6)"))
+            .over(cum)))
+        .withColumn("m_min", min(col("m")).over(all))
+        .withColumn("m_fin", last(col("m")).over(
+          byDay.rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)))
+      ph.groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_days"),
+          r2(max(col("m_fin"))).as("m_final"),
+          r2(max(col("m_min"))).as("m_min"),
+          r2(max(col("m_fin")) - max(col("m_min"))).as("ph_stat"))
+        .orderBy("l_returnflag")
+    },
+    Some(s"""
+      WITH daily AS (
+        SELECT l_returnflag, date_trunc('day', l_shipdate) AS day,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6)))
+                 AS DOUBLE) / count(*) AS y
+        FROM lineitem GROUP BY 1, 2),
+      st AS (
+        SELECT l_returnflag, day, y,
+               row_number() OVER w AS i,
+               ${sqlDecD("sum(CAST(y AS DECIMAL(28,6))) OVER cw")} AS sy
+        FROM daily
+        WINDOW w AS (PARTITION BY l_returnflag ORDER BY day),
+               cw AS (PARTITION BY l_returnflag ORDER BY day
+                      ROWS UNBOUNDED PRECEDING)),
+      tm AS (
+        SELECT l_returnflag, day,
+               y - sy / CAST(i AS DOUBLE) AS term
+        FROM st),
+      ms AS (
+        SELECT l_returnflag, day,
+               ${sqlDecD("sum(CAST(term AS DECIMAL(28,6))) OVER cw")} AS m
+        FROM tm
+        WINDOW cw AS (PARTITION BY l_returnflag ORDER BY day
+                      ROWS UNBOUNDED PRECEDING)),
+      fin AS (
+        SELECT l_returnflag, count(*) AS n_days,
+               min(m) AS mmin,
+               max(CASE WHEN rn = 1 THEN m END) AS mfin
+        FROM (SELECT *, row_number() OVER (PARTITION BY l_returnflag
+                ORDER BY day DESC) AS rn
+              FROM ms)
+        GROUP BY 1)
+      SELECT l_returnflag, CAST(n_days AS BIGINT) AS n_days,
+             ${sqlR2("mfin")} AS m_final, ${sqlR2("mmin")} AS m_min,
+             ${sqlR2("mfin - mmin")} AS ph_stat
+      FROM fin ORDER BY 1""")
+  )
+
+  /** Cohen's d with Hedges' g correction — the effect size behind the
+    * A-vs-R Welch test (q_m11 reports the t statistic; a 100 TB A/B
+    * readout reports d so significance can't masquerade as magnitude).
+    * Means and variances come from exact decimal Σx and Σx² of the two
+    * return series (moment formulas, identical per-row doubles), the
+    * pooled SD and d/g are a short pinned IEEE chain → r6. Two grouped
+    * aggregates and a 1-row broadcast cross join.
+    */
+  val m40CohensD = QueryDef(
+    "q_m40_cohens_d",
+    (s, dir) => {
+      val byDay = Window.partitionBy("l_returnflag").orderBy("day")
+      val rets = t(s, dir, "lineitem")
+        .filter(col("l_returnflag").isin("A", "R"))
+        .withColumn("day",
+          date_trunc("day", col("l_shipdate")).cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "day")
+        .agg((sum(col("l_extendedprice").cast("decimal(28,6)"))
+          .cast("double") / count(lit(1))).as("y"))
+        .withColumn("ret", col("y") / lag(col("y"), 1).over(byDay) - 1)
+        .where(col("ret").isNotNull)
+      val mom = rets.groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          decD(sum(col("ret").cast("decimal(38,18)"))).as("sx"),
+          decD(sum((col("ret") * col("ret")).cast("decimal(38,18)")))
+            .as("sxx"))
+        .select(col("l_returnflag"), col("n"), col("sx"), col("sxx"),
+          (col("sx") / col("n").cast("double")).as("mean"),
+          ((col("sxx") - col("sx") * col("sx") / col("n").cast("double"))
+            / (col("n") - 1).cast("double")).as("v"))
+      val a = mom.filter(col("l_returnflag") === "A")
+        .select(col("n").as("n_a"), col("mean").as("mean_a"),
+          col("v").as("v_a"))
+      val r = mom.filter(col("l_returnflag") === "R")
+        .select(col("n").as("n_r"), col("mean").as("mean_r"),
+          col("v").as("v_r"))
+      val nn = (col("n_a") + col("n_r")).cast("double")
+      val sp = sqrt(((col("n_a") - 1).cast("double") * col("v_a") +
+        (col("n_r") - 1).cast("double") * col("v_r")) / (nn - lit(2.0)))
+      val d = (col("mean_a") - col("mean_r")) / sp
+      broadcast(a).crossJoin(broadcast(r))
+        .select(col("n_a"), col("n_r"),
+          r6(col("mean_a")).as("mean_a"), r6(col("mean_r")).as("mean_r"),
+          r6(sp).as("pooled_sd"), r6(d).as("cohens_d"),
+          r6(d * (lit(1.0) - lit(3.0) / (lit(4.0) * nn - lit(9.0))))
+            .as("hedges_g"))
+    },
+    Some(s"""
+      WITH daily AS (
+        SELECT l_returnflag, date_trunc('day', l_shipdate) AS day,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6)))
+                 AS DOUBLE) / count(*) AS y
+        FROM lineitem WHERE l_returnflag IN ('A', 'R') GROUP BY 1, 2),
+      rets AS (
+        SELECT l_returnflag, y / lag(y, 1) OVER w - 1 AS ret
+        FROM daily
+        WINDOW w AS (PARTITION BY l_returnflag ORDER BY day)),
+      mom AS (
+        SELECT l_returnflag, count(*) AS n,
+               ${sqlDecD("sum(CAST(ret AS DECIMAL(38,18)))")} AS sx,
+               ${sqlDecD("sum(CAST(ret * ret AS DECIMAL(38,18)))")} AS sxx
+        FROM rets WHERE ret IS NOT NULL GROUP BY 1),
+      mv AS (
+        SELECT l_returnflag, n, sx / CAST(n AS DOUBLE) AS mean,
+               (sxx - sx * sx / CAST(n AS DOUBLE))
+                 / CAST(n - 1 AS DOUBLE) AS v
+        FROM mom),
+      ab AS (
+        SELECT a.n AS n_a, a.mean AS mean_a, a.v AS v_a,
+               r.n AS n_r, r.mean AS mean_r, r.v AS v_r
+        FROM (SELECT * FROM mv WHERE l_returnflag = 'A') a
+        CROSS JOIN (SELECT * FROM mv WHERE l_returnflag = 'R') r)
+      SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_r AS BIGINT) AS n_r,
+             ${sqlR6("mean_a")} AS mean_a, ${sqlR6("mean_r")} AS mean_r,
+             ${sqlR6("""sqrt((CAST(n_a - 1 AS DOUBLE) * v_a
+               + CAST(n_r - 1 AS DOUBLE) * v_r)
+               / (CAST(n_a + n_r AS DOUBLE) - 2e0))""")} AS pooled_sd,
+             ${sqlR6("""(mean_a - mean_r) / sqrt((CAST(n_a - 1 AS DOUBLE)
+               * v_a + CAST(n_r - 1 AS DOUBLE) * v_r)
+               / (CAST(n_a + n_r AS DOUBLE) - 2e0))""")} AS cohens_d,
+             ${sqlR6("""(mean_a - mean_r) / sqrt((CAST(n_a - 1 AS DOUBLE)
+               * v_a + CAST(n_r - 1 AS DOUBLE) * v_r)
+               / (CAST(n_a + n_r AS DOUBLE) - 2e0))
+               * (1e0 - 3e0 / (4e0 * CAST(n_a + n_r AS DOUBLE) - 9e0))""")}
+               AS hedges_g
+      FROM ab""")
+  )
+
   val all: Seq[QueryDef] = Seq(m1Ols, m2OlsNextDay, m4Anomalies, m5Ridge,
     m6Cv, m7Mwu, m8Ks, m9Nbayes, m10LogregStep, m11Welch, m12Spearman,
     m13Robust, m14Anova, m15Kendall, m16Cusum, m17TheilSen, m18Pca,
     m19Bootstrap, m20JarqueBera, m21Assoc, m22Adamic, m23Isotonic,
     m24Mahalanobis, m25EmStep, m26Pettitt, m27Wilcoxon, m28Huber,
     m29Granger, m30RunsTest, m31Lift, m32Conformal, m33Dbscan, m34Chow,
-    m35LjungBox, m36Ransac, m37McNemar)
+    m35LjungBox, m36Ransac, m37McNemar, m39PageHinkley, m40CohensD)
 }
