@@ -889,7 +889,64 @@ object SimilarityCatalog {
     )
   }
 
+  /** Mutual nearest neighbors between two embedding groups — the
+    * bitext-/pair-mining primitive (Artetxe & Schwenk 2019 strip the
+    * margin term; the MNN core is this): x∈A and y∈B match iff y is
+    * x's top-1 in B AND x is y's top-1 in A. Both directions rank with
+    * the exact normalize-then-dot cosine under the (cos desc, id) total
+    * order (the q_s_recall_ivf contract), the mutual set is an integer
+    * join of the two top-1 tables, and cos is r6'd only for display.
+    * Scale: each direction is a |A|×|B| block — at 100 TB you shard A
+    * and broadcast B's (much smaller) candidate set per block, the
+    * same shape Ann.bruteForceTopK already has.
+    */
+  val sMutualNn = QueryDef(
+    "q_s_mutual_nn",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val a = e.filter(col("label") === 0)
+      val b = e.filter(col("label") === 1)
+      val ab = Ann.bruteForceTopK(b, a, "vec_id", "embedding", "vec_id",
+          k = 1)
+        .select(col("query_id").as("a_id"), col("nn_id").as("b_id"),
+          col("cos"))
+      val ba = Ann.bruteForceTopK(a, b, "vec_id", "embedding", "vec_id",
+          k = 1)
+        .select(col("nn_id").as("a_id"), col("query_id").as("b_id"))
+      ab.join(ba, Seq("a_id", "b_id"))
+        .select(col("a_id"), col("b_id"), r6(col("cos")).as("cos"))
+        .orderBy("a_id")
+    },
+    Some(s"""
+      WITH cn AS (
+        SELECT vec_id, label,
+               list_transform(cv, x -> x /
+                 sqrt(list_sum(list_transform(cv, y -> y * y)))) AS v
+        FROM (SELECT vec_id, label,
+                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+              FROM embeddings WHERE label IN (0, 1))),
+      sc AS (
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+               list_sum(list_transform(list_zip(b.v, a.v),
+                 p -> p[1] * p[2])) AS cos
+        FROM (SELECT * FROM cn WHERE label = 0) a
+        CROSS JOIN (SELECT * FROM cn WHERE label = 1) b),
+      ab AS (
+        SELECT a_id, b_id, cos FROM (
+          SELECT *, row_number() OVER (PARTITION BY a_id
+            ORDER BY cos DESC, b_id) AS rk FROM sc)
+        WHERE rk = 1),
+      ba AS (
+        SELECT a_id, b_id FROM (
+          SELECT *, row_number() OVER (PARTITION BY b_id
+            ORDER BY cos DESC, a_id) AS rk FROM sc)
+        WHERE rk = 1)
+      SELECT ab.a_id, ab.b_id, ${sqlR6("ab.cos")} AS cos
+      FROM ab JOIN ba ON ba.a_id = ab.a_id AND ba.b_id = ab.b_id
+      ORDER BY ab.a_id""")
+  )
+
   val all: Seq[QueryDef] =
     Seq(sBrute, sIvf, sPq, sSq, sSparse, sRecallIvf, sJlProject,
-      sCentroidCos, sMmr, sLshRecall)
+      sCentroidCos, sMmr, sLshRecall, sMutualNn)
 }

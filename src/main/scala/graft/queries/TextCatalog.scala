@@ -2069,6 +2069,79 @@ object TextCatalog {
     }
   )
 
+  /** End-to-end preprocessing FUNNEL audit — the per-stage doc/token
+    * accounting every curation run publishes (the C4/RefinedWeb table:
+    * how much survived each filter): raw → language filter (en) →
+    * quality filter (≥20 tokens, mean word length in [2,12] — spelled
+    * as INTEGER bounds nosp ∈ [2·tk, 12·tk], no division) → exact
+    * dedup (keep min doc_id per md5 fingerprint). Every stage is a
+    * deterministic predicate over exact integers, so the funnel is
+    * bit-exact; each stage is one filter over the same scan, the dedup
+    * stage one hash shuffle — the whole audit is a single pass plus
+    * four bounded aggregates.
+    */
+  val tFunnel = QueryDef(
+    "q_t_pipeline_funnel",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val base = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          lower(TextAnalysis.normText(col("text"))).as("nt"))
+        .filter(length(col("nt")) > 0)
+        .withColumn("tk", size(split(col("nt"), " ")).cast("long"))
+        .withColumn("nosp", (length(col("nt")) - (col("tk") - 1))
+          .cast("long"))
+      val s2 = base.filter(col("lang") === "en")
+      val s3 = s2.filter(col("tk") >= 20 &&
+        col("nosp") >= col("tk") * 2 && col("nosp") <= col("tk") * 12)
+      val s4 = s3.withColumn("rn", row_number().over(
+          Window.partitionBy(md5(col("nt"))).orderBy("doc_id")))
+        .filter(col("rn") === 1)
+      def stage(df: org.apache.spark.sql.DataFrame, i: Int,
+          name: String) =
+        df.agg(count(lit(1)).as("n_docs"), sum(col("tk")).as("n_tokens"))
+          .select(lit(i.toLong).as("stage"), lit(name).as("stage_name"),
+            col("n_docs"), col("n_tokens"))
+      stage(base, 1, "raw")
+        .unionByName(stage(s2, 2, "lang_en"))
+        .unionByName(stage(s3, 3, "quality"))
+        .unionByName(stage(s4, 4, "exact_dedup"))
+        .orderBy("stage")
+    },
+    Some(s"""
+      WITH base AS (
+        SELECT doc_id, lang, lower($sqlNorm) AS nt FROM documents
+        WHERE length($sqlNorm) > 0),
+      f AS (
+        SELECT doc_id, lang, nt,
+               CAST(len(string_split(nt, ' ')) AS BIGINT) AS tk,
+               CAST(length(nt) - (len(string_split(nt, ' ')) - 1)
+                 AS BIGINT) AS nosp
+        FROM base),
+      s2 AS (SELECT * FROM f WHERE lang = 'en'),
+      s3 AS (SELECT * FROM s2 WHERE tk >= 20
+             AND nosp >= 2 * tk AND nosp <= 12 * tk),
+      s4 AS (
+        SELECT * FROM (
+          SELECT *, row_number() OVER (PARTITION BY md5(nt)
+            ORDER BY doc_id) AS rn FROM s3)
+        WHERE rn = 1)
+      SELECT * FROM (
+        SELECT CAST(1 AS BIGINT) AS stage, 'raw' AS stage_name,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(tk) AS BIGINT) AS n_tokens FROM f
+        UNION ALL
+        SELECT 2, 'lang_en', CAST(count(*) AS BIGINT),
+               CAST(sum(tk) AS BIGINT) FROM s2
+        UNION ALL
+        SELECT 3, 'quality', CAST(count(*) AS BIGINT),
+               CAST(sum(tk) AS BIGINT) FROM s3
+        UNION ALL
+        SELECT 4, 'exact_dedup', CAST(count(*) AS BIGINT),
+               CAST(sum(tk) AS BIGINT) FROM s4)
+      ORDER BY stage""")
+  )
+
   val all: Seq[QueryDef] =
     Seq(tQuality, tTokens, tFingerprint, tLangId, tExplode,
       tRepetition, tLmScore, tSplit, tStratSample, tTfIdf, tPmi,
@@ -2076,5 +2149,5 @@ object TextCatalog {
       tLineDedup, tBm25, tDsir, tWsample, tVocabOverlap, tMixture, tJsd,
       tFeatHash, tDupSpans, tZipf, tLangConfusion, tBpeStep, tBpeTrain5,
       tBpeEncode, tBleu, tChunkOverlap, tRrf, tRbo, tTempMixture, tRouge,
-      tTokenBudget, tCdcChunks, tKappa)
+      tTokenBudget, tCdcChunks, tKappa, tFunnel)
 }
