@@ -447,6 +447,41 @@ object Codecs {
     BgrImage(w, h, out)
   }
 
+  /** BT.601 integer luma per pixel: (29·B + 150·G + 77·R) >> 8 — the
+    * fixed-point spelling of 0.114/0.587/0.299 every integer RGB→gray
+    * pipeline uses. Pure integer, bit-exact everywhere.
+    */
+  def grayLuma(img: BgrImage): Array[Int] = {
+    val n = img.width * img.height
+    val out = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      out(i) = (29 * (img.pixels(i * 3) & 0xff) +
+        150 * (img.pixels(i * 3 + 1) & 0xff) +
+        77 * (img.pixels(i * 3 + 2) & 0xff)) >> 8
+      i += 1
+    }
+    out
+  }
+
+  /** Histogram equalization over an 8-bit luma plane: the truncating
+    * CDF map v ↦ (cdf(v)·255) / n — integer division, so both the LUT
+    * and the remapped plane are bit-exact across engines.
+    */
+  def equalize(luma: Array[Int]): Array[Int] = {
+    val hist = new Array[Long](256)
+    luma.foreach(v => hist(v) += 1)
+    val lut = new Array[Int](256)
+    var cdf = 0L
+    var v = 0
+    while (v < 256) {
+      cdf += hist(v)
+      lut(v) = (cdf * 255 / luma.length).toInt
+      v += 1
+    }
+    luma.map(lut)
+  }
+
   // ---------------------------------------------------------------- AVI
 
   /** Decoded AVI video: frame rate plus fully decoded frames. */

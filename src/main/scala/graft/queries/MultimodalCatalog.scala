@@ -1456,9 +1456,93 @@ object MultimodalCatalog {
     )
   }
 
+  /** RGB→grayscale + histogram EQUALIZATION — the color-space op the
+    * image family lacked (augment moves pixels, downsample averages
+    * them; this one remaps VALUES): BT.601 integer luma
+    * ((29B+150G+77R)>>8, Codecs.grayLuma) through the real BMP
+    * round-trip, then the truncating-CDF equalization LUT
+    * (Codecs.equalize) — contrast stretch as preprocessing before
+    * vision-model ingestion. DuckDB replays luma arithmetic, the
+    * per-flag histogram CDF (a window sum over luma levels) and the
+    * integer-division LUT — all exact integers, so the hash pins the
+    * LUT convention itself.
+    */
+  val mmGrayscale = {
+    val SrcW = 41
+    val SrcH = 32
+    val NPix = SrcW * SrcH
+    QueryDef(
+      "q_mm_grayscale",
+      (s, dir) => {
+        val sp = s
+        import sp.implicits._
+        t(s, dir, "lineitem")
+          .select(col("l_returnflag"), col("l_orderkey"),
+            col("l_linenumber"))
+          .as[(String, Long, Int)]
+          .groupByKey(_._1)
+          .mapGroups { (flag, it) =>
+            val rows = it.toArray.sortBy(r => (r._2, r._3)).take(NPix)
+            require(rows.length == NPix,
+              s"group $flag has under $NPix rows — shrink the image")
+            val px = new Array[Byte](NPix * 3)
+            rows.zipWithIndex.foreach { case ((_, ok, ln), i) =>
+              px(i * 3) = ((ok * 31 + ln) % 256).toByte
+              px(i * 3 + 1) = ((ok * 7 + ln * 3) % 256).toByte
+              px(i * 3 + 2) = ((ln * 13) % 256).toByte
+            }
+            val blob = Codecs.encodeBmp(Codecs.BgrImage(SrcW, SrcH, px))
+            val luma = Codecs.grayLuma(Codecs.decodeBmp(blob))
+            val eq = Codecs.equalize(luma)
+            (flag, luma.length.toLong,
+              luma.map(_.toLong).sum, luma.distinct.length.toLong,
+              eq.map(_.toLong).sum, eq.min.toLong, eq.max.toLong)
+          }
+          .toDF("flag", "n_pix", "sum_luma", "n_levels", "sum_eq",
+            "min_eq", "max_eq")
+          .orderBy("flag")
+      },
+      Some(s"""
+        WITH r AS (
+          SELECT l_returnflag AS flag,
+                 row_number() OVER (PARTITION BY l_returnflag
+                   ORDER BY l_orderkey, l_linenumber) - 1 AS rn,
+                 l_orderkey AS ok, l_linenumber AS ln
+          FROM lineitem),
+        px AS (
+          SELECT flag, (ok * 31 + ln) % 256 AS b,
+                 (ok * 7 + ln * 3) % 256 AS g, (ln * 13) % 256 AS r
+          FROM r WHERE rn < $NPix),
+        lm AS (
+          SELECT flag, (29 * b + 150 * g + 77 * r) // 256 AS y FROM px),
+        h AS (SELECT flag, y, count(*) AS c FROM lm GROUP BY 1, 2),
+        cd AS (
+          SELECT flag, y,
+                 (sum(c) OVER (PARTITION BY flag ORDER BY y) * 255)
+                   // $NPix AS ey
+          FROM h),
+        eq AS (
+          SELECT lm.flag, cd.ey
+          FROM lm JOIN cd ON cd.flag = lm.flag AND cd.y = lm.y),
+        a1 AS (
+          SELECT flag, CAST(count(*) AS BIGINT) AS n_pix,
+                 CAST(sum(y) AS BIGINT) AS sum_luma,
+                 CAST(count(DISTINCT y) AS BIGINT) AS n_levels
+          FROM lm GROUP BY 1),
+        a2 AS (
+          SELECT flag, CAST(sum(ey) AS BIGINT) AS sum_eq,
+                 CAST(min(ey) AS BIGINT) AS min_eq,
+                 CAST(max(ey) AS BIGINT) AS max_eq
+          FROM eq GROUP BY 1)
+        SELECT flag, n_pix, sum_luma, n_levels, sum_eq, min_eq, max_eq
+        FROM a1 JOIN a2 USING (flag) ORDER BY flag""")
+    )
+  }
+
   val all: Seq[QueryDef] =
     Seq(mmFrames, mmChunks, mmMeta, mmBytes, mmPngDecode, mmJpegMeta,
       mmWavDecode, mmBmpResize, mmDhash, mmAudioFeats, mmUlawDecode,
       mmAlawDecode, mmAviFrames, mmAugment, mmDownsample, mmTiffDecode,
-      mmVadWindows, mmWbmp, mmBinarySource, mmDftEnergy, mmAdpcmDecode)
+      mmVadWindows, mmWbmp, mmBinarySource, mmDftEnergy, mmAdpcmDecode,
+      mmGrayscale)
 }
