@@ -1979,6 +1979,69 @@ object MiscCatalog {
       GROUP BY 1 ORDER BY 1""")
   )
 
+  /** PERMISSIVE corrupt-record handling — the malformed-row machinery a
+    * 100 TB CSV ingest lives or dies by (S1's messy-CSV reader repairs
+    * known damage; this gates Spark's GENERIC quarantine path).
+    * Deterministic corpus: every order whose key ≡ 0 (mod 7) emits a
+    * malformed price field; read back with an explicit schema +
+    * PERMISSIVE + columnNameOfCorruptRecord, so bad rows parse their
+    * good leading columns, null the bad one, and capture the raw line.
+    * The oracle derives the same accounting from the parquet base table
+    * and the mod-7 rule alone — if Spark quarantined one row too many
+    * or too few, the hash breaks. Good-row prices round-trip text→double
+    * exactly (shortest-round-trip printing), summed as exact decimals.
+    */
+  val qCsvCorrupt = QueryDef(
+    "q_src_csv_corrupt",
+    (s, dir) => {
+      import java.nio.file.Files
+      import org.apache.spark.sql.types._
+      val stage = Files.createTempDirectory("graft_csv_corrupt")
+      try {
+        t(s, dir, "orders")
+          .select(when(pmod(col("o_orderkey"), lit(7)) === 0,
+            concat_ws(",", col("o_orderkey"), col("o_orderstatus"),
+              lit("not_a_number")))
+            .otherwise(concat_ws(",", col("o_orderkey"),
+              col("o_orderstatus"), col("o_totalprice")))
+            .as("value"))
+          .write.mode("overwrite").text(stage.toString)
+        val schema = StructType(Seq(
+          StructField("o_orderkey", LongType),
+          StructField("o_orderstatus", StringType),
+          StructField("o_totalprice", DoubleType),
+          StructField("_corrupt", StringType)))
+        s.read.schema(schema)
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_corrupt")
+          .csv(stage.toString)
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n_rows"),
+            sum(when(col("_corrupt").isNotNull, 1L).otherwise(0L))
+              .as("n_corrupt"),
+            r2(sumE(coalesce(col("o_totalprice"), lit(0.0))))
+              .as("sum_price_good"))
+          .orderBy("o_orderstatus")
+          .localCheckpoint() // materialize before the staged dir is deleted
+      } finally {
+        try {
+          val w = Files.walk(stage)
+          try w.sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => { Files.deleteIfExists(f); () })
+          finally w.close()
+        } catch { case _: java.io.IOException => () }
+      }
+    },
+    Some(s"""
+      SELECT o_orderstatus, count(*) AS n_rows,
+             CAST(sum(CASE WHEN o_orderkey % 7 = 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_corrupt,
+             ${sqlR2(sqlSumE(
+        "CASE WHEN o_orderkey % 7 = 0 THEN 0 ELSE o_totalprice END"))}
+               AS sum_price_good
+      FROM orders GROUP BY 1 ORDER BY 1""")
+  )
+
   /** Hive-style partitioned parquet round trip with partition PRUNING —
     * the layout decision that turns a 100 TB scan into a 1-year scan:
     * write lineitem partitioned by ship year, read it back filtered to
@@ -2622,6 +2685,7 @@ object MiscCatalog {
     qProfile, qBenford, qGini, qEntropy, qMi, qSnapshotDiff, qWinsor,
     qFkAudit, qMoments, qAssortativity, qPartitionedScan, qKcore,
     qLabelProp, qScd2AsOf, qSkewProfile, qHits, qExpectations, qDegreeDist,
-    qIqrOutliers, qSkyline, qUnpivot, qPsi, qOrcScan, qCramersV)
+    qIqrOutliers, qSkyline, qUnpivot, qPsi, qOrcScan, qCramersV,
+    qCsvCorrupt)
 }
 

@@ -2142,6 +2142,78 @@ object TextCatalog {
       ORDER BY stage""")
   )
 
+  /** Bigram language-model scoring — the CONDITIONAL upgrade of
+    * q_t_lm_score's unigram model (CCNet's KenLM shape at n=2):
+    * per-token add-one log P(w₂|w₁) = ln((c(w₁w₂)+1)/(c(w₁)+V)),
+    * averaged per doc with the decimal order-independent mean. Same
+    * determinism contract as lm_score/tf-idf: identical ln inputs both
+    * engines, avgE18 kills reduction order. Shapes: one lead window for
+    * bigrams, vocabulary-bounded count joins, a 1-row broadcast for V —
+    * never corpus × corpus.
+    */
+  val tBigramLm = QueryDef(
+    "q_t_bigram_lm",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"),
+          lower(TextAnalysis.normText(col("text"))).as("nt"))
+        .filter(length(col("nt")) > 0)
+        .select(col("doc_id"), posexplode(split(col("nt"), " "))
+          .as(Seq("pos", "w")))
+      val big = toks
+        .withColumn("w2", lead(col("w"), 1).over(
+          Window.partitionBy("doc_id").orderBy("pos")))
+        .filter(col("w2").isNotNull)
+        .select("doc_id", "w", "w2")
+      val c1 = toks.groupBy("w").agg(count(lit(1)).as("c1"))
+      val c2 = big.groupBy("w", "w2").agg(count(lit(1)).as("c2"))
+      val v = broadcast(c1.agg(count(lit(1)).as("vv")))
+      val lp = big.join(c2, Seq("w", "w2")).join(c1, Seq("w"))
+        .crossJoin(v)
+        .select(col("doc_id"),
+          log((col("c2") + 1).cast("double") /
+            (col("c1") + col("vv")).cast("double")).as("lp"))
+      val per = lp.groupBy("doc_id")
+        .agg(avgE18(col("lp")).as("bg"), count(lit(1)).as("n_bigrams"))
+      t(s, dir, "documents").select("doc_id")
+        .join(per, Seq("doc_id"), "left")
+        .select(col("doc_id"), r6(col("bg")).as("bigram_logprob"),
+          col("n_bigrams"))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH t AS (
+        SELECT doc_id, lower($sqlNorm) AS nt
+        FROM documents WHERE length($sqlNorm) > 0),
+      tok AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS pos,
+               list_extract(l, i) AS w
+        FROM (SELECT doc_id, string_split(nt, ' ') AS l FROM t),
+             unnest(range(1, len(l) + 1)) AS u(i)),
+      big AS (
+        SELECT doc_id, w, w2 FROM (
+          SELECT doc_id, w, lead(w, 1) OVER (PARTITION BY doc_id
+            ORDER BY pos) AS w2
+          FROM tok)
+        WHERE w2 IS NOT NULL),
+      c1 AS (SELECT w, count(*) AS c1 FROM tok GROUP BY 1),
+      c2 AS (SELECT w, w2, count(*) AS c2 FROM big GROUP BY 1, 2),
+      vv AS (SELECT count(*) AS vv FROM c1),
+      lp AS (
+        SELECT big.doc_id,
+               ln((c2 + 1) / CAST(c1 + vv AS DOUBLE)) AS lp
+        FROM big JOIN c2 USING (w, w2) JOIN c1 USING (w) CROSS JOIN vv),
+      per AS (
+        SELECT doc_id, ${sqlAvgE18("lp")} AS bg,
+               count(*) AS n_bigrams
+        FROM lp GROUP BY 1)
+      SELECT d.doc_id, ${sqlR6("bg")} AS bigram_logprob,
+             CAST(n_bigrams AS BIGINT) AS n_bigrams
+      FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
+      ORDER BY d.doc_id""")
+  )
+
   val all: Seq[QueryDef] =
     Seq(tQuality, tTokens, tFingerprint, tLangId, tExplode,
       tRepetition, tLmScore, tSplit, tStratSample, tTfIdf, tPmi,
@@ -2149,5 +2221,5 @@ object TextCatalog {
       tLineDedup, tBm25, tDsir, tWsample, tVocabOverlap, tMixture, tJsd,
       tFeatHash, tDupSpans, tZipf, tLangConfusion, tBpeStep, tBpeTrain5,
       tBpeEncode, tBleu, tChunkOverlap, tRrf, tRbo, tTempMixture, tRouge,
-      tTokenBudget, tCdcChunks, tKappa, tFunnel)
+      tTokenBudget, tCdcChunks, tKappa, tFunnel, tBigramLm)
 }
