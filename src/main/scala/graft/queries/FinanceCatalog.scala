@@ -1764,8 +1764,97 @@ object FinanceCatalog {
       FROM best WHERE rk = 1 ORDER BY l_returnflag""")
   )
 
+  /** Engle–Granger cointegration step 1+2 (1987) on the A/R daily mean
+    * pair — the pairs-trading/spread-monitoring primitive: OLS
+    * y_A = α + β·y_R from exact decimal moments (the q_m1 contract,
+    * decD exits since Σxy's scaled integer tops 2^53), then the
+    * RESIDUAL spread's AR(1) coefficient ρ = Σe·e₋₁/Σe₋₁² from exact
+    * decimal sums of identical per-row products — ρ far below 1 is the
+    * mean-reversion signal (the full ADF p-value needs response-surface
+    * tables; ρ is the statistic it is built from). One day-aligned
+    * join, two moment aggregates, a 1-row broadcast.
+    */
+  val coint = QueryDef(
+    "q_f_coint",
+    (s, dir) => {
+      def series(flag: String, out: String) =
+        t(s, dir, "lineitem").filter(col("l_returnflag") === flag)
+          .withColumn("day",
+            date_trunc("day", col("l_shipdate")).cast("timestamp_ntz"))
+          .groupBy("day")
+          .agg((sum(col("l_extendedprice").cast("decimal(28,6)"))
+            .cast("double") / count(lit(1))).as(out))
+      val pair = series("A", "ya").join(series("R", "xr"), Seq("day"))
+      val mom = broadcast(pair.agg(
+        count(lit(1)).as("n"),
+        decD(sum(col("xr").cast("decimal(38,6)"))).as("sx"),
+        decD(sum(col("ya").cast("decimal(38,6)"))).as("sy"),
+        decD(sum((col("xr") * col("xr")).cast("decimal(38,6)")))
+          .as("sxx"),
+        decD(sum((col("xr") * col("ya")).cast("decimal(38,6)")))
+          .as("sxy")))
+      val nD = col("n").cast("double")
+      val betaC = (nD * col("sxy") - col("sx") * col("sy")) /
+        (nD * col("sxx") - col("sx") * col("sx"))
+      val withModel = pair.crossJoin(mom)
+        .withColumn("beta", betaC)
+        .withColumn("alpha", (col("sy") - col("beta") * col("sx")) / nD)
+        .withColumn("e",
+          col("ya") - (col("alpha") + col("beta") * col("xr")))
+        .withColumn("e1", lag(col("e"), 1).over(Window.orderBy("day")))
+      withModel.agg(
+          max(col("n")).as("n_days"),
+          r2(max(col("alpha"))).as("alpha"),
+          r6(max(col("beta"))).as("beta"),
+          r6(decD(sum((col("e") * col("e1")).cast("decimal(38,6)"))) /
+            decD(sum((col("e1") * col("e1")).cast("decimal(38,6)"))))
+            .as("resid_ar1"))
+    },
+    Some(s"""
+      WITH da AS (
+        SELECT date_trunc('day', l_shipdate) AS day,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6)))
+                 AS DOUBLE) / count(*) AS ya
+        FROM lineitem WHERE l_returnflag = 'A' GROUP BY 1),
+      dr AS (
+        SELECT date_trunc('day', l_shipdate) AS day,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6)))
+                 AS DOUBLE) / count(*) AS xr
+        FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1),
+      pair AS (SELECT da.day, ya, xr FROM da JOIN dr USING (day)),
+      mom AS (
+        SELECT count(*) AS n,
+               ${sqlDecD("sum(CAST(xr AS DECIMAL(38,6)))")} AS sx,
+               ${sqlDecD("sum(CAST(ya AS DECIMAL(38,6)))")} AS sy,
+               ${sqlDecD("sum(CAST(xr * xr AS DECIMAL(38,6)))")} AS sxx,
+               ${sqlDecD("sum(CAST(xr * ya AS DECIMAL(38,6)))")} AS sxy
+        FROM pair),
+      md AS (
+        SELECT n, sx, sy,
+               (CAST(n AS DOUBLE) * sxy - sx * sy)
+                 / (CAST(n AS DOUBLE) * sxx - sx * sx) AS beta
+        FROM mom),
+      m2 AS (
+        SELECT n, beta, (sy - beta * sx) / CAST(n AS DOUBLE) AS alpha
+        FROM md),
+      res AS (
+        SELECT pair.day, ya - (alpha + beta * xr) AS e, n, alpha, beta
+        FROM pair CROSS JOIN m2),
+      rl AS (
+        SELECT n, alpha, beta, e,
+               lag(e, 1) OVER (ORDER BY day) AS e1
+        FROM res)
+      SELECT CAST(max(n) AS BIGINT) AS n_days,
+             ${sqlR2("max(alpha)")} AS alpha,
+             ${sqlR6("max(beta)")} AS beta,
+             ${sqlR6(s"${sqlDecD("sum(CAST(e * e1 AS DECIMAL(38,6)))")}" +
+        s" / ${sqlDecD("sum(CAST(e1 * e1 AS DECIMAL(38,6)))")}")}
+               AS resid_ar1
+      FROM rl""")
+  )
+
   val all: Seq[QueryDef] =
     Seq(ohlcWeekly, bollinger, beta, ffill, rsi, macd, streaks, obv,
       stochastic, acf, seasonality, interp, varEs, holt, ar2, holtWinters,
-      dw, kalman, sortino, garch, forecastAcc, underwater)
+      dw, kalman, sortino, garch, forecastAcc, underwater, coint)
 }

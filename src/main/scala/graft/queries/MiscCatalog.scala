@@ -1160,6 +1160,96 @@ object MiscCatalog {
       FROM pn ORDER BY triangles DESC, node LIMIT 20""")
   )
 
+  /** Global + average-local clustering coefficient over the co-purchase
+    * graph (same edges as q_g_triangles) — the graph-density summary
+    * next to the per-node triangle ranking: C_global = 3T/W with W the
+    * exact integer wedge count Σd(d−1)/2, and the Watts–Strogatz average
+    * local coefficient mean(2t_v/(d_v(d_v−1))) over nodes of degree ≥ 2,
+    * decimal-averaged (avgE18) since every per-node ratio is an
+    * identical double. Reuses the degree-ordered triangle enumeration
+    * (each triangle counted once, wedge fanout √m-bounded); one degree
+    * aggregate on top.
+    */
+  val qClustCoef = QueryDef(
+    "q_g_clustcoef",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .where(col("l_quantity") >= TriMinQty)
+        .select("l_orderkey", "l_partkey").distinct()
+      val pairs = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+        .distinct()
+      val deg = pairs.select(col("src").as("node"))
+        .unionAll(pairs.select(col("dst").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      val tri = graft.graph.Triangles.perNode(pairs)
+        .select(col("node"), col("triangles"))
+      val local = deg.join(tri, Seq("node"), "left")
+        .select(col("node"), col("deg"),
+          coalesce(col("triangles"), lit(0L)).as("t"))
+      val agg = local.agg(
+        count(lit(1)).as("n_nodes"),
+        sum(col("deg")).as("deg_sum"),
+        sum(expr("(deg * (deg - 1)) DIV 2")).as("n_wedges"),
+        sum(col("t")).as("t3"),
+        avgE18(when(col("deg") >= 2,
+          (col("t") * 2).cast("double") /
+            (col("deg") * (col("deg") - 1)).cast("double")))
+          .as("avg_local_cc"))
+      agg.select(col("n_nodes"), expr("deg_sum DIV 2").as("n_edges"),
+        col("n_wedges"), expr("t3 DIV 3").as("n_triangles"),
+        r6(col("t3").cast("double") / col("n_wedges").cast("double"))
+          .as("global_cc"),
+        r6(col("avg_local_cc")).as("avg_local_cc"))
+    },
+    Some(s"""
+      WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+                  WHERE l_quantity >= $TriMinQty),
+      e AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      deg AS (
+        SELECT node, count(*) AS deg FROM (
+          SELECT u AS node FROM e UNION ALL SELECT v FROM e) GROUP BY 1),
+      d AS (
+        SELECT CASE WHEN (du.deg, e.u) <= (dv.deg, e.v) THEN e.u ELSE e.v
+                 END AS src,
+               CASE WHEN (du.deg, e.u) <= (dv.deg, e.v) THEN e.v ELSE e.u
+                 END AS dst
+        FROM e JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v),
+      tri AS (
+        SELECT e1.src AS x, e1.dst AS y, e2.dst AS z
+        FROM d e1 JOIN d e2 ON e1.dst = e2.src
+        WHERE EXISTS (SELECT 1 FROM d e3
+                      WHERE e3.src = e1.src AND e3.dst = e2.dst)),
+      pn AS (
+        SELECT node, count(*) AS t FROM (
+          SELECT x AS node FROM tri UNION ALL SELECT y FROM tri
+          UNION ALL SELECT z FROM tri) GROUP BY 1),
+      loc AS (
+        SELECT deg.node, deg.deg, coalesce(pn.t, 0) AS t
+        FROM deg LEFT JOIN pn USING (node)),
+      a AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+               CAST(sum(deg) AS BIGINT) AS deg_sum,
+               CAST(sum(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges,
+               CAST(sum(t) AS BIGINT) AS t3,
+               ${sqlAvgE18("""CASE WHEN deg >= 2 THEN
+                 CAST(t * 2 AS DOUBLE)
+                   / CAST(deg * (deg - 1) AS DOUBLE) END""")}
+                 AS avg_local_cc
+        FROM loc)
+      SELECT n_nodes, CAST(deg_sum // 2 AS BIGINT) AS n_edges, n_wedges,
+             CAST(t3 // 3 AS BIGINT) AS n_triangles,
+             ${sqlR6("CAST(t3 AS DOUBLE) / CAST(n_wedges AS DOUBLE)")}
+               AS global_cc,
+             ${sqlR6("avg_local_cc")} AS avg_local_cc
+      FROM a""")
+  )
+
   /** Content checksum audit: an ORDER-INDEPENDENT per-group table
     * fingerprint (row digest = md5 over a canonical field encoding; group
     * checksum = exact decimal SUM of the digests' 60-bit prefixes, plus
@@ -2686,6 +2776,6 @@ object MiscCatalog {
     qFkAudit, qMoments, qAssortativity, qPartitionedScan, qKcore,
     qLabelProp, qScd2AsOf, qSkewProfile, qHits, qExpectations, qDegreeDist,
     qIqrOutliers, qSkyline, qUnpivot, qPsi, qOrcScan, qCramersV,
-    qCsvCorrupt)
+    qCsvCorrupt, qClustCoef)
 }
 

@@ -1539,10 +1539,96 @@ object MultimodalCatalog {
     )
   }
 
+  /** Run-length encoding audit over the luma plane — the compression
+    * primitive (RLE is BMP/TIFF/PCX's native codec and the degenerate
+    * case every columnar encoder special-cases): run boundaries are
+    * exact integer inequality flags on consecutive lumas, run ids a
+    * prefix sum, the longest run a per-run count max — the same
+    * gaps-and-islands machinery as q_f_streaks pointed at pixel data.
+    * compression_ratio = runs/pixels (each run stores value+length)
+    * tells whether RLE would pay for this plane. All integers; one r6.
+    */
+  val mmRle = {
+    val SrcW = 41
+    val SrcH = 32
+    val NPix = SrcW * SrcH
+    QueryDef(
+      "q_mm_rle",
+      (s, dir) => {
+        val sp = s
+        import sp.implicits._
+        t(s, dir, "lineitem")
+          .select(col("l_returnflag"), col("l_orderkey"),
+            col("l_linenumber"))
+          .as[(String, Long, Int)]
+          .groupByKey(_._1)
+          .mapGroups { (flag, it) =>
+            val rows = it.toArray.sortBy(r => (r._2, r._3)).take(NPix)
+            require(rows.length == NPix,
+              s"group $flag has under $NPix rows — shrink the image")
+            val px = new Array[Byte](NPix * 3)
+            rows.zipWithIndex.foreach { case ((_, ok, ln), i) =>
+              px(i * 3) = ((ok * 31 + ln) % 256).toByte
+              px(i * 3 + 1) = ((ok * 7 + ln * 3) % 256).toByte
+              px(i * 3 + 2) = ((ln * 13) % 256).toByte
+            }
+            val blob = Codecs.encodeBmp(Codecs.BgrImage(SrcW, SrcH, px))
+            val luma = Codecs.grayLuma(Codecs.decodeBmp(blob))
+            var runs = 1L
+            var maxRun = 1L
+            var cur = 1L
+            var i = 1
+            while (i < luma.length) {
+              if (luma(i) == luma(i - 1)) { cur += 1 }
+              else { runs += 1; if (cur > maxRun) maxRun = cur; cur = 1 }
+              i += 1
+            }
+            if (cur > maxRun) maxRun = cur
+            (flag, luma.length.toLong, runs, maxRun)
+          }
+          .toDF("flag", "n_pix", "n_runs", "max_run")
+          .withColumn("compression_ratio",
+            r6(col("n_runs").cast("double") / col("n_pix").cast("double")))
+          .orderBy("flag")
+      },
+      Some(s"""
+        WITH r AS (
+          SELECT l_returnflag AS flag,
+                 row_number() OVER (PARTITION BY l_returnflag
+                   ORDER BY l_orderkey, l_linenumber) - 1 AS rn,
+                 l_orderkey AS ok, l_linenumber AS ln
+          FROM lineitem),
+        lm AS (
+          SELECT flag, rn,
+                 (29 * ((ok * 31 + ln) % 256)
+                  + 150 * ((ok * 7 + ln * 3) % 256)
+                  + 77 * ((ln * 13) % 256)) // 256 AS y
+          FROM r WHERE rn < $NPix),
+        fl AS (
+          SELECT flag, rn, y,
+                 CASE WHEN lag(y) OVER w IS NULL
+                        OR y <> lag(y) OVER w THEN 1 ELSE 0 END AS b
+          FROM lm WINDOW w AS (PARTITION BY flag ORDER BY rn)),
+        gr AS (
+          SELECT flag, sum(b) OVER (PARTITION BY flag ORDER BY rn
+                   ROWS UNBOUNDED PRECEDING) AS run_id
+          FROM fl),
+        rl AS (
+          SELECT flag, run_id, count(*) AS len
+          FROM gr GROUP BY 1, 2)
+        SELECT flag, CAST(sum(len) AS BIGINT) AS n_pix,
+               CAST(count(*) AS BIGINT) AS n_runs,
+               CAST(max(len) AS BIGINT) AS max_run,
+               ${sqlR6("CAST(count(*) AS DOUBLE)" +
+        " / CAST(sum(len) AS DOUBLE)")} AS compression_ratio
+        FROM rl GROUP BY 1 ORDER BY 1""")
+    )
+  }
+
   val all: Seq[QueryDef] =
     Seq(mmFrames, mmChunks, mmMeta, mmBytes, mmPngDecode, mmJpegMeta,
       mmWavDecode, mmBmpResize, mmDhash, mmAudioFeats, mmUlawDecode,
       mmAlawDecode, mmAviFrames, mmAugment, mmDownsample, mmTiffDecode,
       mmVadWindows, mmWbmp, mmBinarySource, mmDftEnergy, mmAdpcmDecode,
-      mmGrayscale)
+      mmGrayscale, mmRle)
 }
