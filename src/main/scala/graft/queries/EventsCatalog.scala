@@ -1682,6 +1682,69 @@ object EventsCatalog {
       FROM m""")
   )
 
+  /** Bot / automation detection by inter-arrival REGULARITY — the
+    * abuse-filtering heuristic every event pipeline runs before
+    * analytics (scripted clients tick on a timer; humans are bursty):
+    * per-user gaps between consecutive events (epoch-µs integers under
+    * the (ts, event_id) total order), coefficient of variation from
+    * exact moments — Σd is an exact decimal, Σd² is decimal-summed with
+    * a HUGEINT-safe pre-cast (d² overflows BIGINT at ~hour gaps) and
+    * exits through decD, so mean/var/cv are identical IEEE chains. The
+    * 20 most-regular users surface under the (r6(cv), user) total
+    * order. One shuffle on user_id; gaps via a per-user window.
+    */
+  val eBotFlag = QueryDef(
+    "q_e_bot_flag",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val byTs = Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+      val gaps = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("ts").as("us"))
+        .withColumn("d", col("us") - lag(col("us"), 1).over(byTs))
+        .where(col("d").isNotNull)
+      val mom = gaps.groupBy("user_id")
+        .agg(count(lit(1)).as("n_gaps"),
+          decD(sum(col("d").cast("decimal(38,0)"))).as("sd"),
+          decD(sum((col("d").cast("decimal(38,0)") * col("d"))))
+            .as("sdd"))
+        .where(col("n_gaps") >= 5)
+      val nD = col("n_gaps").cast("double")
+      val mean = col("sd") / nD
+      val variance = (col("sdd") - col("sd") * col("sd") / nD) /
+        (nD - lit(1.0))
+      val cv = sqrt(variance) / mean
+      mom.select(col("user_id"), col("n_gaps"),
+          r2(mean / lit(1e6)).as("mean_gap_s"), r6(cv).as("cv"))
+        .orderBy(col("cv"), col("user_id"))
+        .limit(20)
+    },
+    Some(s"""
+      WITH e AS (
+        SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+      g AS (
+        SELECT user_id,
+               us - lag(us, 1) OVER (PARTITION BY user_id
+                 ORDER BY us, event_id) AS d
+        FROM e),
+      mom AS (
+        SELECT user_id, count(*) AS n_gaps,
+               ${sqlDecD("sum(CAST(d AS DECIMAL(38,0)))")} AS sd,
+               ${sqlDecD("sum(CAST(d AS HUGEINT) * d)")} AS sdd
+        FROM g WHERE d IS NOT NULL GROUP BY 1
+        HAVING count(*) >= 5),
+      m AS (
+        SELECT user_id, n_gaps,
+               sd / CAST(n_gaps AS DOUBLE) AS mean,
+               (sdd - sd * sd / CAST(n_gaps AS DOUBLE))
+                 / (CAST(n_gaps AS DOUBLE) - 1e0) AS v
+        FROM mom)
+      SELECT user_id, CAST(n_gaps AS BIGINT) AS n_gaps,
+             ${sqlR2("mean / 1e6")} AS mean_gap_s,
+             ${sqlR6("sqrt(v) / mean")} AS cv
+      FROM m ORDER BY ${sqlR6("sqrt(v) / mean")}, user_id LIMIT 20""")
+  )
+
   val all: Seq[QueryDef] =
     Seq(eHourly, eSessions, eHourlyStream, eSessionizeStream,
       eSessionWindow, eFunnel, eDedup, eDedupStream, eIntervalStream,
@@ -1689,5 +1752,5 @@ object EventsCatalog {
       eEnrichStream,
       eHoltStream, eMarkov, eAttribution,
       eSurvival, eScdStream, eAbTest, eCuped, eCusumStream, eFunnelStream,
-      eHwStream, eRfm, eSessionWindowStream, eDid, eLateness)
+      eHwStream, eRfm, eSessionWindowStream, eDid, eLateness, eBotFlag)
 }

@@ -423,7 +423,42 @@ object JoinCatalog {
       GROUP BY 1 ORDER BY revenue DESC, n_name""")
   )
 
+  /** NULL-aware anti join — the `NOT IN (subquery)` three-valued-logic
+    * trap, planned by Spark as a dedicated NullAwareAntiJoin (a plain
+    * anti join would be WRONG): one NULL in the subquery makes every
+    * `NOT IN` row UNKNOWN, so the with-null count must be exactly 0
+    * while the clean count is the real anti-join count. Gated against
+    * DuckDB evaluating the identical ANSI SQL — if either engine
+    * "fixed" NOT IN into anti-join semantics the hash would break. The
+    * null is planted deterministically (every 97th orderkey).
+    */
+  val jNotInNull = QueryDef(
+    "q_j_not_in_null",
+    (s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("v_customer")
+      t(s, dir, "orders").createOrReplaceTempView("v_orders")
+      s.sql("""
+        SELECT
+          (SELECT count(*) FROM v_customer WHERE c_custkey NOT IN
+             (SELECT o_custkey FROM v_orders
+              WHERE o_orderstatus = 'F')) AS n_clean,
+          (SELECT count(*) FROM v_customer WHERE c_custkey NOT IN
+             (SELECT CASE WHEN o_orderkey % 97 = 0 THEN NULL
+                          ELSE o_custkey END
+              FROM v_orders WHERE o_orderstatus = 'F')) AS n_with_null""")
+    },
+    Some("""
+      SELECT
+        (SELECT count(*) FROM customer WHERE c_custkey NOT IN
+           (SELECT o_custkey FROM orders
+            WHERE o_orderstatus = 'F')) AS n_clean,
+        (SELECT count(*) FROM customer WHERE c_custkey NOT IN
+           (SELECT CASE WHEN o_orderkey % 97 = 0 THEN NULL
+                        ELSE o_custkey END
+            FROM orders WHERE o_orderstatus = 'F')) AS n_with_null""")
+  )
+
   val all: Seq[QueryDef] =
     Seq(j1SpikeJoin, j2Union, jStarRevenue, jSemi, jAnti, jSalted, jBloom,
-      jBloomFpr, jQ3Shape, jQ18Shape, jQ5Shape)
+      jBloomFpr, jQ3Shape, jQ18Shape, jQ5Shape, jNotInNull)
 }

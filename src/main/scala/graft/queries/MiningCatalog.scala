@@ -3132,11 +3132,67 @@ object MiningCatalog {
       FROM ab""")
   )
 
+  /** Weighted median (quantity-weighted price per flag) — the
+    * order-statistic the plain median family (q_m13, q_w14) can't
+    * express: the smallest price whose cumulative weight covers half
+    * the total. Entirely exact: prices become integer cents via a
+    * DECIMAL(18,2) cast (they carry 2 decimals by construction),
+    * weights are integer quantities, and the selection predicate is
+    * the integer comparison 2·cum ≥ W — no halving, no floats until
+    * the final cents→price division. Histogram + prefix sum per flag
+    * (the q_a20_gini shape), never a global sort of raw rows.
+    */
+  val m41WeightedMedian = QueryDef(
+    "q_m41_weighted_median",
+    (s, dir) => {
+      val byPrice = Window.partitionBy("l_returnflag").orderBy("cents")
+      val hist = t(s, dir, "lineitem")
+        .select(col("l_returnflag"),
+          (col("l_extendedprice").cast("decimal(18,2)") * 100)
+            .cast("long").as("cents"),
+          col("l_quantity").cast("long").as("w"))
+        .groupBy("l_returnflag", "cents")
+        .agg(sum(col("w")).as("cw"))
+      val cum = hist
+        .withColumn("cum", sum(col("cw")).over(
+          byPrice.rowsBetween(Window.unboundedPreceding,
+            Window.currentRow)))
+        .withColumn("tot", sum(col("cw")).over(
+          Window.partitionBy("l_returnflag")))
+      cum.filter(col("cum") * 2 >= col("tot"))
+        .groupBy("l_returnflag")
+        .agg(max(col("tot")).as("w_total"),
+          min(col("cents")).as("med_cents"))
+        .select(col("l_returnflag"), col("w_total"),
+          (col("med_cents").cast("double") / 100.0)
+            .as("weighted_median"))
+        .orderBy("l_returnflag")
+    },
+    Some("""
+      WITH h AS (
+        SELECT l_returnflag,
+               CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                 AS BIGINT) AS cents,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS cw
+        FROM lineitem GROUP BY 1, 2),
+      c AS (
+        SELECT l_returnflag, cents, cw,
+               sum(cw) OVER (PARTITION BY l_returnflag ORDER BY cents
+                 ROWS UNBOUNDED PRECEDING) AS cum,
+               sum(cw) OVER (PARTITION BY l_returnflag) AS tot
+        FROM h)
+      SELECT l_returnflag, CAST(max(tot) AS BIGINT) AS w_total,
+             CAST(min(cents) AS DOUBLE) / 100e0 AS weighted_median
+      FROM c WHERE cum * 2 >= tot
+      GROUP BY 1 ORDER BY 1""")
+  )
+
   val all: Seq[QueryDef] = Seq(m1Ols, m2OlsNextDay, m4Anomalies, m5Ridge,
     m6Cv, m7Mwu, m8Ks, m9Nbayes, m10LogregStep, m11Welch, m12Spearman,
     m13Robust, m14Anova, m15Kendall, m16Cusum, m17TheilSen, m18Pca,
     m19Bootstrap, m20JarqueBera, m21Assoc, m22Adamic, m23Isotonic,
     m24Mahalanobis, m25EmStep, m26Pettitt, m27Wilcoxon, m28Huber,
     m29Granger, m30RunsTest, m31Lift, m32Conformal, m33Dbscan, m34Chow,
-    m35LjungBox, m36Ransac, m37McNemar, m39PageHinkley, m40CohensD)
+    m35LjungBox, m36Ransac, m37McNemar, m39PageHinkley, m40CohensD,
+    m41WeightedMedian)
 }
