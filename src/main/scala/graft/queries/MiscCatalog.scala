@@ -2044,8 +2044,8 @@ object MiscCatalog {
           // range predicate, not year(): a function of the column would
           // not reach the ORC reader — this pushes down as two
           // PushedFilters and skips whole stripes via min/max stats
-          .filter(col("l_shipdate") >= lit("1994-01-01").cast("timestamp")
-            && col("l_shipdate") < lit("1995-01-01").cast("timestamp"))
+          .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+            && col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
           .groupBy("l_returnflag")
           .agg(count(lit(1)).as("n"),
             sumE(col("l_quantity")).as("sum_qty"),
@@ -2065,7 +2065,7 @@ object MiscCatalog {
       SELECT l_returnflag, count(*) AS n,
              ${sqlSumE("l_quantity")} AS sum_qty,
              ${sqlSumE("l_extendedprice")} AS sum_price
-      FROM lineitem WHERE year(l_shipdate) = 1994
+      FROM lineitem WHERE year(l_shipdate) = 1996
       GROUP BY 1 ORDER BY 1""")
   )
 
