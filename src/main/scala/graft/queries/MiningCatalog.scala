@@ -3187,6 +3187,156 @@ object MiningCatalog {
       GROUP BY 1 ORDER BY 1""")
   )
 
+  /** M42 capability: ROC AUC + Gini coefficient for a binary classifier
+    * (score = event value in cents, positive class = 'purchase') — the
+    * classifier-evaluation primitive every training pipeline reports.
+    * Shaped for scale exactly like M7/M8: one groupBy builds the score
+    * HISTOGRAM, plans.SequenceOps.runningSum (range-partitioned exact
+    * prefix sum — no global sort, no single-partition window) accumulates
+    * TP down the descending-score axis, and the trapezoid area under the
+    * ROC curve is the EXACT INTEGER Σ fp·(2·cumTP − tp) (tie-handling
+    * identical to the rank/Mann-Whitney formulation). Only the final
+    * AUC division composes in double from identical operands →
+    * bit-exact with no rounding at all.
+    */
+  val m42Auc = QueryDef(
+    "q_m42_auc",
+    (s, dir) => {
+      import graft.plans.SequenceOps
+      val h = t(s, dir, "events")
+        .select(
+          expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L).as("pos"))
+        .groupBy("cents")
+        .agg(sum(col("pos")).as("tp"),
+          (count(lit(1)) - sum(col("pos"))).as("fp"))
+        // descending-score sweep: classify score ≥ t as positive
+        .withColumn("neg_cents", -col("cents"))
+      val c = SequenceOps.runningSum(h, Nil, Seq("neg_cents"), "tp", "cum_tp")
+      val a = c
+        .agg(
+          sum((col("fp") * (lit(2L) * col("cum_tp") - col("tp")))
+            .cast("decimal(38,0)")).as("area2"),
+          sum(col("tp")).as("n_pos"), sum(col("fp")).as("n_neg"))
+      val auc = col("area2").cast("double") /
+        (lit(2.0) * col("n_pos").cast("double") * col("n_neg").cast("double"))
+      a.select(col("n_pos"), col("n_neg"), auc.as("auc"),
+        (lit(2.0) * auc - lit(1.0)).as("gini"))
+    },
+    Some(s"""
+      WITH src AS (
+        SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+        FROM events),
+      h AS (
+        SELECT cents, CAST(sum(pos) AS BIGINT) AS tp,
+               CAST(count(*) - sum(pos) AS BIGINT) AS fp
+        FROM src GROUP BY 1),
+      c AS (
+        SELECT tp, fp,
+               CAST(sum(tp) OVER (ORDER BY cents DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS cum_tp
+        FROM h),
+      a AS (
+        SELECT CAST(sum(CAST(fp * (2 * cum_tp - tp) AS DECIMAL(38,0)))
+                 AS DECIMAL(38,0)) AS area2,
+               CAST(sum(tp) AS BIGINT) AS n_pos,
+               CAST(sum(fp) AS BIGINT) AS n_neg
+        FROM c)
+      SELECT n_pos, n_neg,
+             CAST(area2 AS DOUBLE)
+               / (2e0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)) AS auc,
+             2e0 * (CAST(area2 AS DOUBLE)
+               / (2e0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)))
+               - 1e0 AS gini
+      FROM a""")
+  )
+
+  /** M43 capability: decision-stump split finding — the histogram-based
+    * best-split scan at the heart of every distributed tree learner
+    * (XGBoost/LightGBM grow trees from exactly this primitive). Predicts
+    * order fulfillment (o_orderstatus = 'F') from the order date; every
+    * distinct day is a candidate threshold. One groupBy builds the
+    * (day → count, positives) histogram, two runningSum passes give exact
+    * integer left-side totals, and the split criterion
+    * Σside (pos² + neg²)/|side| (monotone in Gini-impurity decrease)
+    * composes in double from EXACT INTEGER operands in a pinned op order
+    * — so the argmax (score desc, day asc tie-break) is deterministic
+    * cross-engine with no rounding. No global sort anywhere; the argmax
+    * is a top-1 TakeOrdered.
+    */
+  val m43Stump = QueryDef(
+    "q_m43_stump",
+    (s, dir) => {
+      import graft.plans.SequenceOps
+      val h = t(s, dir, "orders")
+        .select(
+          datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
+            .cast("long").as("d"),
+          when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("pos"))
+        .groupBy("d")
+        .agg(sum(col("pos")).as("p"), count(lit(1)).as("n"))
+      val c = SequenceOps.runningSum(
+        SequenceOps.runningSum(h, Nil, Seq("d"), "p", "cp"),
+        Nil, Seq("d"), "n", "cn")
+      val tot = h.agg(sum(col("p")).as("tp"), sum(col("n")).as("tn"))
+      val sc = c.crossJoin(broadcast(tot))
+        .filter(col("cn") < col("tn")) // both sides non-empty
+        .withColumn("s",
+          (col("cp") * col("cp")
+            + (col("cn") - col("cp")) * (col("cn") - col("cp")))
+            .cast("double") / col("cn").cast("double")
+            + ((col("tp") - col("cp")) * (col("tp") - col("cp"))
+              + (col("tn") - col("cn") - (col("tp") - col("cp")))
+                * (col("tn") - col("cn") - (col("tp") - col("cp"))))
+              .cast("double") / (col("tn") - col("cn")).cast("double"))
+      val parent = (col("tp") * col("tp")
+        + (col("tn") - col("tp")) * (col("tn") - col("tp")))
+        .cast("double") / col("tn").cast("double")
+      sc.orderBy(desc("s"), col("d")).limit(1)
+        .select(col("d").as("split_day"),
+          col("cn").as("n_left"), (col("tn") - col("cn")).as("n_right"),
+          col("cp").as("pos_left"), (col("tp") - col("cp")).as("pos_right"),
+          (col("s") / col("tn").cast("double")).as("purity"),
+          ((col("s") - parent) / col("tn").cast("double")).as("gain"))
+    },
+    Some(s"""
+      WITH src AS (
+        SELECT date_diff('day', DATE '1970-01-01',
+                 CAST(o_orderdate AS DATE)) AS d,
+               CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS pos
+        FROM orders),
+      h AS (
+        SELECT d, CAST(sum(pos) AS BIGINT) AS p, count(*) AS n
+        FROM src GROUP BY 1),
+      c AS (
+        SELECT d,
+               CAST(sum(p) OVER w AS BIGINT) AS cp,
+               CAST(sum(n) OVER w AS BIGINT) AS cn
+        FROM h
+        WINDOW w AS (ORDER BY d
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      tot AS (
+        SELECT CAST(sum(p) AS BIGINT) AS tp, CAST(sum(n) AS BIGINT) AS tn
+        FROM h),
+      sc AS (
+        SELECT d, cp, cn, tp, tn,
+               CAST(cp * cp + (cn - cp) * (cn - cp) AS DOUBLE)
+                 / CAST(cn AS DOUBLE)
+               + CAST((tp - cp) * (tp - cp)
+                   + (tn - cn - (tp - cp)) * (tn - cn - (tp - cp))
+                   AS DOUBLE) / CAST(tn - cn AS DOUBLE) AS s
+        FROM c CROSS JOIN tot
+        WHERE cn < tn)
+      SELECT d AS split_day, cn AS n_left, tn - cn AS n_right,
+             cp AS pos_left, tp - cp AS pos_right,
+             s / CAST(tn AS DOUBLE) AS purity,
+             (s - CAST(tp * tp + (tn - tp) * (tn - tp) AS DOUBLE)
+                / CAST(tn AS DOUBLE)) / CAST(tn AS DOUBLE) AS gain
+      FROM sc ORDER BY s DESC, d LIMIT 1""")
+  )
+
   val all: Seq[QueryDef] = Seq(m1Ols, m2OlsNextDay, m4Anomalies, m5Ridge,
     m6Cv, m7Mwu, m8Ks, m9Nbayes, m10LogregStep, m11Welch, m12Spearman,
     m13Robust, m14Anova, m15Kendall, m16Cusum, m17TheilSen, m18Pca,
@@ -3194,5 +3344,5 @@ object MiningCatalog {
     m24Mahalanobis, m25EmStep, m26Pettitt, m27Wilcoxon, m28Huber,
     m29Granger, m30RunsTest, m31Lift, m32Conformal, m33Dbscan, m34Chow,
     m35LjungBox, m36Ransac, m37McNemar, m39PageHinkley, m40CohensD,
-    m41WeightedMedian)
+    m41WeightedMedian, m42Auc, m43Stump)
 }

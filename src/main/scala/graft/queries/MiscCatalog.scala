@@ -2766,6 +2766,110 @@ object MiscCatalog {
       ORDER BY l_returnflag, measure""")
   )
 
+  /** k-anonymity audit — the privacy gate a training-data release runs
+    * before shipping: group by the quasi-identifier tuple (nation,
+    * market segment, account-balance bucket) and count cells below the
+    * k=5 re-identification floor, at two generalization levels of the
+    * balance bucket (100 vs 1000) so the generalization ladder's effect
+    * is measurable in one result. Pure two-level aggregation — one
+    * shuffle per level, exact integer counts; bucket = floor(bal/g)·g is
+    * the identical IEEE op sequence in both engines.
+    */
+  val qKanon = QueryDef(
+    "q_p_kanon",
+    (s, dir) => {
+      val c = t(s, dir, "customer")
+      def level(bucket: Int) = c
+        .select(col("c_nationkey"), col("c_mktsegment"),
+          (floor(col("c_acctbal") / lit(bucket.toDouble)).cast("long")
+            * lit(bucket.toLong)).as("bal_bucket"))
+        .groupBy("c_nationkey", "c_mktsegment", "bal_bucket")
+        .agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("n_groups"),
+          sum(when(col("n") < 5, 1L).otherwise(0L)).as("n_unsafe_groups"),
+          sum(when(col("n") < 5, col("n")).otherwise(0L))
+            .as("n_unsafe_rows"),
+          sum(col("n")).as("n_rows"))
+        .select(lit(bucket.toLong).as("bal_granularity"), col("n_rows"),
+          col("n_groups"), col("n_unsafe_groups"), col("n_unsafe_rows"),
+          r6(col("n_unsafe_rows").cast("double")
+            / col("n_rows").cast("double")).as("pct_unsafe"))
+      level(100).unionByName(level(1000)).orderBy("bal_granularity")
+    },
+    Some(s"""
+      WITH g AS (
+        SELECT 100 AS bal_granularity, c_nationkey, c_mktsegment,
+               CAST(floor(c_acctbal / 100e0) AS BIGINT) * 100 AS bal_bucket,
+               count(*) AS n
+        FROM customer GROUP BY 2, 3, 4
+        UNION ALL
+        SELECT 1000, c_nationkey, c_mktsegment,
+               CAST(floor(c_acctbal / 1000e0) AS BIGINT) * 1000,
+               count(*)
+        FROM customer GROUP BY 2, 3, 4)
+      SELECT CAST(bal_granularity AS BIGINT) AS bal_granularity,
+             CAST(sum(n) AS BIGINT) AS n_rows,
+             count(*) AS n_groups,
+             CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_unsafe_groups,
+             CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+               AS n_unsafe_rows,
+             ${sqlR6("""CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END)
+               AS DOUBLE) / CAST(sum(n) AS DOUBLE)""")} AS pct_unsafe
+      FROM g GROUP BY 1 ORDER BY 1""")
+  )
+
+  /** Parquet schema-evolution read (mergeSchema) — a 100 TB lake always
+    * holds files written under several schema versions; this gates
+    * Spark's footer-merging union-schema read. Two staged file sets share
+    * only the key column (one adds price, the other priority); the
+    * merged read must surface the union schema with NULLs where a file
+    * lacks a column. The oracle derives the same accounting from the
+    * base table and the key-parity rule alone — a row mis-NULLed either
+    * way breaks the exact counts/decimal sum.
+    */
+  val qMergeSchema = QueryDef(
+    "q_src_merge_schema",
+    (s, dir) => {
+      import java.nio.file.Files
+      val stage = Files.createTempDirectory("graft_merge")
+      try {
+        val o = t(s, dir, "orders")
+        o.filter(pmod(col("o_orderkey"), lit(2)) === 0)
+          .select(col("o_orderkey"), col("o_totalprice"))
+          .write.mode("overwrite").parquet(stage.toString + "/v1")
+        o.filter(pmod(col("o_orderkey"), lit(2)) === 1)
+          .select(col("o_orderkey"), col("o_orderpriority"))
+          .write.mode("overwrite").parquet(stage.toString + "/v2")
+        s.read.option("mergeSchema", "true")
+          .parquet(stage.toString + "/v1", stage.toString + "/v2")
+          .agg(count(lit(1)).as("n_rows"),
+            count(col("o_totalprice")).as("n_price"),
+            count(col("o_orderpriority")).as("n_priority"),
+            r2(sumE(coalesce(col("o_totalprice"), lit(0.0))))
+              .as("sum_price"))
+          .localCheckpoint() // materialize before the staged dir is deleted
+      } finally {
+        try {
+          val w = Files.walk(stage)
+          try w.sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => { Files.deleteIfExists(f); () })
+          finally w.close()
+        } catch { case _: java.io.IOException => () }
+      }
+    },
+    Some(s"""
+      SELECT count(*) AS n_rows,
+             CAST(sum(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_price,
+             CAST(sum(CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_priority,
+             ${sqlR2(sqlSumE(
+        "CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice ELSE 0 END"))}
+               AS sum_price
+      FROM orders""")
+  )
+
   val all: Seq[QueryDef] = Seq(oTopK, aSpikeSummary, eJson, aSummary,
     mKmeans, mLloydStep, qAsof, qRange, qRollup, qCube, qGroupingSets,
     qPercentile, qHistogram, qZOrder, qHilbert, qCompactPlan, qScd2, qScd1,
@@ -2776,6 +2880,6 @@ object MiscCatalog {
     qFkAudit, qMoments, qAssortativity, qPartitionedScan, qKcore,
     qLabelProp, qScd2AsOf, qSkewProfile, qHits, qExpectations, qDegreeDist,
     qIqrOutliers, qSkyline, qUnpivot, qPsi, qOrcScan, qCramersV,
-    qCsvCorrupt, qClustCoef)
+    qCsvCorrupt, qClustCoef, qKanon, qMergeSchema)
 }
 

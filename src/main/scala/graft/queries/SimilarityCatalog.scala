@@ -946,7 +946,128 @@ object SimilarityCatalog {
       ORDER BY ab.a_id""")
   )
 
+  // nDCG@10 position discounts as 1e6-scaled INTEGERS — floor(1e6 /
+  // log2(rank+1) + 0.5), precomputed once and shared verbatim by the
+  // Spark query and the DuckDB oracle, so no engine evaluates a
+  // transcendental at query time (libm log2 is not guaranteed
+  // bit-identical across runtimes; a fixed integer table is).
+  private val NdcgDisc: Seq[Long] = Seq(1000000L, 630930L, 500000L,
+    430677L, 386853L, 356207L, 333333L, 315465L, 301030L, 289065L)
+
+  private def ndcgDiscCase(rankCol: String): String =
+    s"CASE $rankCol " + NdcgDisc.zipWithIndex
+      .map { case (d, i) => s"WHEN ${i + 1} THEN $d" }
+      .mkString(" ") + " END"
+
+  /** Retrieval-quality eval: nDCG@10 over the brute-force cosine ranking
+    * (graded relevance from embedding labels: same label → gain 7 = 2³−1,
+    * adjacent label → gain 1, else 0). The position discount is a fixed
+    * 1e6-scaled integer table (see NdcgDisc), so DCG and ideal-DCG are
+    * EXACT INTEGER sums — cross-engine bit-exactness needs no rounding;
+    * the one final ratio divides two exact integers. IDCG re-ranks the
+    * retrieved list by gain (the standard "ideal permutation of the
+    * retrieved set" normalization). Ranking determinism = the proven
+    * normalize-then-dot order of q_s_cosine_topk; windows partition by
+    * query_id (bounded: 10 queries × 11 rows).
+    */
+  val sNdcg = QueryDef(
+    "q_s_ndcg",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = t(s, dir, "embeddings")
+      val labels = e.select(col("vec_id"), col("label"))
+      val retrieved = Ann.bruteForceTopK(e,
+          e.filter(pmod(col("vec_id"), lit(50)) === 0),
+          "vec_id", "embedding", "vec_id", k = 11)
+        .filter(col("nn_id") =!= col("query_id"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(desc("cos"), col("nn_id"))
+      val top10 = retrieved.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 10)
+      val graded = top10
+        .join(broadcast(labels.withColumnRenamed("vec_id", "query_id")
+          .withColumnRenamed("label", "ql")), Seq("query_id"))
+        .join(broadcast(labels.withColumnRenamed("vec_id", "nn_id")
+          .withColumnRenamed("label", "nl")), Seq("nn_id"))
+        .withColumn("gain",
+          when(col("ql") === col("nl"), 7L)
+            .when(abs(col("ql") - col("nl")) === 1, 1L)
+            .otherwise(0L))
+      val iw = Window.partitionBy("query_id")
+        .orderBy(desc("gain"), col("nn_id"))
+      val disc = typedlit(NdcgDisc)
+      graded.withColumn("irk", row_number().over(iw))
+        .withColumn("c", col("gain") * element_at(disc, col("rk")))
+        .withColumn("ic", col("gain") * element_at(disc, col("irk")))
+        .groupBy("query_id")
+        .agg(sum(when(col("gain") > 0, 1L).otherwise(0L)).as("n_rel"),
+          sum(col("c")).as("dcg2"), sum(col("ic")).as("idcg2"))
+        .select(col("query_id"), col("n_rel"),
+          (col("dcg2").cast("double") / lit(1e6)).as("dcg"),
+          when(col("idcg2") > 0,
+            col("dcg2").cast("double") / col("idcg2").cast("double"))
+            .otherwise(lit(null).cast("double")).as("ndcg"))
+        .orderBy("query_id")
+    },
+    Some(s"""
+      WITH q AS (SELECT vec_id AS query_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+                 FROM embeddings WHERE vec_id % 50 = 0),
+      qn AS (SELECT query_id,
+               list_transform(qv, x -> x /
+                 sqrt(list_sum(list_transform(qv, y -> y * y)))) AS qv
+             FROM q),
+      cn AS (SELECT nn_id,
+               list_transform(cv, x -> x /
+                 sqrt(list_sum(list_transform(cv, y -> y * y)))) AS cv
+             FROM (SELECT vec_id AS nn_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+                   FROM embeddings)),
+      scored AS (
+        SELECT qn.query_id, cn.nn_id,
+               list_sum(list_transform(list_zip(cn.cv, qn.qv),
+                 p -> p[1] * p[2])) AS cos
+        FROM cn CROSS JOIN qn),
+      ranked AS (
+        SELECT query_id, nn_id, cos,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos DESC, nn_id) AS rank0
+        FROM scored),
+      top AS (
+        SELECT query_id, nn_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos DESC, nn_id) AS rk
+        FROM ranked WHERE rank0 <= 11 AND nn_id <> query_id),
+      graded AS (
+        SELECT t.query_id, t.nn_id, t.rk,
+               CASE WHEN lq.label = ln.label THEN 7
+                    WHEN abs(lq.label - ln.label) = 1 THEN 1
+                    ELSE 0 END AS gain
+        FROM top t
+        JOIN embeddings lq ON lq.vec_id = t.query_id
+        JOIN embeddings ln ON ln.vec_id = t.nn_id
+        WHERE t.rk <= 10),
+      ideal AS (
+        SELECT query_id, rk, gain,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY gain DESC, nn_id) AS irk
+        FROM graded),
+      a AS (
+        SELECT query_id,
+               CAST(sum(CASE WHEN gain > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_rel,
+               CAST(sum(gain * ${ndcgDiscCase("rk")}) AS BIGINT) AS dcg2,
+               CAST(sum(gain * ${ndcgDiscCase("irk")}) AS BIGINT) AS idcg2
+        FROM ideal GROUP BY 1)
+      SELECT query_id, n_rel,
+             CAST(dcg2 AS DOUBLE) / 1e6 AS dcg,
+             CASE WHEN idcg2 > 0
+               THEN CAST(dcg2 AS DOUBLE) / CAST(idcg2 AS DOUBLE)
+             END AS ndcg
+      FROM a ORDER BY query_id""")
+  )
+
   val all: Seq[QueryDef] =
     Seq(sBrute, sIvf, sPq, sSq, sSparse, sRecallIvf, sJlProject,
-      sCentroidCos, sMmr, sLshRecall, sMutualNn)
+      sCentroidCos, sMmr, sLshRecall, sMutualNn, sNdcg)
 }
