@@ -3337,6 +3337,97 @@ object MiningCatalog {
       FROM sc ORDER BY s DESC, d LIMIT 1""")
   )
 
+  /** M44 capability: calibration-reliability table + Brier decomposition
+    * — the probability-quality eval that pairs with M42's AUC (AUC ranks,
+    * calibration checks the probabilities themselves). The "model" is the
+    * rank-percentile predictor p = (rank−½)/n over tie-averaged score
+    * ranks, so every prediction is the exact rational pr_num/(2n) and the
+    * whole table — decile bins via integer division, per-bin Σp, and the
+    * Brier numerator Σ y·(pr−2n)² + (1−y)·pr² — is EXACT INTEGER
+    * arithmetic over the score histogram (cells carry row weights; no
+    * per-row pass). Three final divisions compose in double from
+    * identical operands; Σ brier_part over bins IS the Brier score.
+    */
+  val m44Calibration = QueryDef(
+    "q_m44_calibration",
+    (s, dir) => {
+      import graft.plans.SequenceOps
+      val h = t(s, dir, "events")
+        .select(
+          expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L).as("pos"))
+        .groupBy("cents")
+        .agg(sum(col("pos")).as("p"), count(lit(1)).as("n"))
+      val c = SequenceOps.runningSum(h, Nil, Seq("cents"), "n", "cum")
+      val tot = h.agg(sum(col("n")).as("nt"))
+      val cells = c.crossJoin(broadcast(tot))
+        .withColumn("pr_num", lit(2L) * col("cum") - col("n"))
+        .withColumn("bin", expr("pr_num * 10 div (2 * nt)"))
+        .withColumn("bnum",
+          (col("p") * (col("pr_num") - lit(2L) * col("nt"))
+            * (col("pr_num") - lit(2L) * col("nt"))
+            + (col("n") - col("p")) * col("pr_num") * col("pr_num"))
+            .cast("decimal(38,0)"))
+      cells.groupBy("bin")
+        .agg(sum(col("n")).as("n"), sum(col("p")).as("n_pos"),
+          sum((col("n") * col("pr_num")).cast("decimal(38,0)"))
+            .as("sum_pr"),
+          sum(col("bnum")).as("brier_num"),
+          max(col("nt")).as("nt"))
+        .select(col("bin"), col("n"), col("n_pos"),
+          (col("sum_pr").cast("double")
+            / (lit(2.0) * col("nt").cast("double") * col("n").cast("double")))
+            .as("mean_pred"),
+          (col("n_pos").cast("double") / col("n").cast("double"))
+            .as("obs_rate"),
+          (col("brier_num").cast("double")
+            / (lit(4.0) * col("nt").cast("double") * col("nt").cast("double")
+              * col("nt").cast("double"))).as("brier_part"))
+        .orderBy("bin")
+    },
+    Some(s"""
+      WITH src AS (
+        SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+        FROM events),
+      h AS (
+        SELECT cents, CAST(sum(pos) AS BIGINT) AS p, count(*) AS n
+        FROM src GROUP BY 1),
+      c AS (
+        SELECT p, n,
+               CAST(sum(n) OVER (ORDER BY cents
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS cum
+        FROM h),
+      tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM h),
+      cells AS (
+        SELECT p, n, nt, 2 * cum - n AS pr_num
+        FROM c CROSS JOIN tot),
+      b AS (
+        SELECT pr_num * 10 // (2 * nt) AS bin, p, n, nt, pr_num,
+               p * (pr_num - 2 * nt) * (pr_num - 2 * nt)
+                 + (n - p) * pr_num * pr_num AS bnum
+        FROM cells),
+      a AS (
+        SELECT bin, CAST(sum(n) AS BIGINT) AS n,
+               CAST(sum(p) AS BIGINT) AS n_pos,
+               CAST(sum(CAST(n * pr_num AS DECIMAL(38,0)))
+                 AS DECIMAL(38,0)) AS sum_pr,
+               CAST(sum(CAST(bnum AS DECIMAL(38,0)))
+                 AS DECIMAL(38,0)) AS brier_num,
+               max(nt) AS nt
+        FROM b GROUP BY 1)
+      SELECT CAST(bin AS BIGINT) AS bin, n, n_pos,
+             CAST(sum_pr AS DOUBLE)
+               / (2e0 * CAST(nt AS DOUBLE) * CAST(n AS DOUBLE))
+               AS mean_pred,
+             CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS obs_rate,
+             CAST(brier_num AS DOUBLE)
+               / (4e0 * CAST(nt AS DOUBLE) * CAST(nt AS DOUBLE)
+                  * CAST(nt AS DOUBLE)) AS brier_part
+      FROM a ORDER BY bin""")
+  )
+
   val all: Seq[QueryDef] = Seq(m1Ols, m2OlsNextDay, m4Anomalies, m5Ridge,
     m6Cv, m7Mwu, m8Ks, m9Nbayes, m10LogregStep, m11Welch, m12Spearman,
     m13Robust, m14Anova, m15Kendall, m16Cusum, m17TheilSen, m18Pca,
@@ -3344,5 +3435,5 @@ object MiningCatalog {
     m24Mahalanobis, m25EmStep, m26Pettitt, m27Wilcoxon, m28Huber,
     m29Granger, m30RunsTest, m31Lift, m32Conformal, m33Dbscan, m34Chow,
     m35LjungBox, m36Ransac, m37McNemar, m39PageHinkley, m40CohensD,
-    m41WeightedMedian, m42Auc, m43Stump)
+    m41WeightedMedian, m42Auc, m43Stump, m44Calibration)
 }

@@ -1625,10 +1625,113 @@ object MultimodalCatalog {
     )
   }
 
+  /** Shot-boundary detection — the video-curation primitive (scene cuts
+    * feed frame-sampling and clip-level dedup in a multimodal training
+    * pipeline): consecutive-frame sum-of-absolute-differences (SAD) over
+    * REAL container decode. Eight synthesized frames per returnflag carry
+    * a scene regime that changes every 3 frames; the AVI round-trips
+    * through Codecs.encodeAviDib → AviFrameKernel's recursive RIFF walk,
+    * each frame re-parsed as BMP, and SAD/cut/shot-id computed in a
+    * per-media mapGroups (NF frames — bounded by the op's charter).
+    * SAD is an exact integer; the oracle replays the per-pixel |Δ|
+    * formulas relationally, so a stride, row-order, or frame-directory
+    * bug shifts a byte and breaks the hash.
+    */
+  val mmShots = {
+    val NF = 8
+    val FW = 10
+    val FH = 8
+    val NPix = FW * FH
+    val Th = 4000L
+    QueryDef(
+      "q_mm_shots",
+      (s, dir) => {
+        val sp = s
+        import sp.implicits._
+        val media = t(s, dir, "lineitem")
+          .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"))
+          .as[(String, Long, Int)]
+          .groupByKey(_._1)
+          .mapGroups { (flag, it) =>
+            val rows = it.toArray.sortBy(r => (r._2, r._3)).take(NPix)
+            require(rows.length == NPix,
+              s"group $flag has under $NPix rows — shrink the frame")
+            val frames = (0 until NF).map { f =>
+              val scene = f / 3
+              val px = new Array[Byte](NPix * 3)
+              rows.zipWithIndex.foreach { case ((_, ok, ln), i) =>
+                px(i * 3) = ((ok * 31 + ln + scene * 101 + f) % 256).toByte
+                px(i * 3 + 1) =
+                  ((ok * 7 + ln * 3 + scene * 57 + f * 2) % 256).toByte
+                px(i * 3 + 2) =
+                  ((ln * 13 + scene * 29 + f * 3) % 256).toByte
+              }
+              Codecs.BgrImage(FW, FH, px)
+            }
+            (flag.codePointAt(0).toLong, Codecs.encodeAviDib(10, frames))
+          }
+          .toDF("media_id", "blob")
+        Multimodal.sampleFrames(s, media, Codecs.AviFrameKernel)
+          .groupByKey(_.media_id)
+          .flatMapGroups { (id, it) =>
+            val fs = it.toArray.sortBy(_.frame_idx)
+            val imgs = fs.map(f => Codecs.decodeBmp(f.frame).pixels)
+            var shot = 0L
+            (1 until fs.length).iterator.map { i =>
+              val a = imgs(i - 1)
+              val b = imgs(i)
+              var sad = 0L
+              var j = 0
+              while (j < a.length) {
+                sad += math.abs((b(j) & 0xff) - (a(j) & 0xff))
+                j += 1
+              }
+              val cut = if (sad > Th) 1L else 0L
+              shot += cut
+              (id, i.toLong, sad, cut, shot)
+            }
+          }
+          .toDF("media_id", "frame_idx", "sad", "is_cut", "shot_id")
+          .orderBy("media_id", "frame_idx")
+      },
+      Some(s"""
+        WITH r AS (
+          SELECT l_returnflag AS flag,
+                 row_number() OVER (PARTITION BY l_returnflag
+                   ORDER BY l_orderkey, l_linenumber) - 1 AS rn,
+                 l_orderkey AS ok, l_linenumber AS ln
+          FROM lineitem),
+        px AS (SELECT flag, ok, ln FROM r WHERE rn < $NPix),
+        f AS (SELECT CAST(unnest(range(1, $NF)) AS BIGINT) AS fi),
+        d AS (
+          SELECT flag, fi,
+                 sum(abs((ok * 31 + ln + (fi // 3) * 101 + fi) % 256
+                       - (ok * 31 + ln + ((fi - 1) // 3) * 101 + (fi - 1))
+                         % 256)
+                   + abs((ok * 7 + ln * 3 + (fi // 3) * 57 + fi * 2) % 256
+                       - (ok * 7 + ln * 3 + ((fi - 1) // 3) * 57
+                          + (fi - 1) * 2) % 256)
+                   + abs((ln * 13 + (fi // 3) * 29 + fi * 3) % 256
+                       - (ln * 13 + ((fi - 1) // 3) * 29 + (fi - 1) * 3)
+                         % 256)) AS sad
+          FROM px CROSS JOIN f GROUP BY 1, 2),
+        c AS (
+          SELECT flag, fi, CAST(sad AS BIGINT) AS sad,
+                 CASE WHEN sad > $Th THEN 1 ELSE 0 END AS is_cut
+          FROM d)
+        SELECT CAST(ascii(flag) AS BIGINT) AS media_id, fi AS frame_idx,
+               sad, CAST(is_cut AS BIGINT) AS is_cut,
+               CAST(sum(is_cut) OVER (PARTITION BY flag ORDER BY fi
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS shot_id
+        FROM c ORDER BY media_id, frame_idx""")
+    )
+  }
+
   val all: Seq[QueryDef] =
     Seq(mmFrames, mmChunks, mmMeta, mmBytes, mmPngDecode, mmJpegMeta,
       mmWavDecode, mmBmpResize, mmDhash, mmAudioFeats, mmUlawDecode,
       mmAlawDecode, mmAviFrames, mmAugment, mmDownsample, mmTiffDecode,
       mmVadWindows, mmWbmp, mmBinarySource, mmDftEnergy, mmAdpcmDecode,
-      mmGrayscale, mmRle)
+      mmGrayscale, mmRle, mmShots)
 }
