@@ -2200,37 +2200,51 @@ object MiscCatalog {
     * id, state is one label per node; the GraphX/Graphframes LPA shape.
     * Output: the 20 largest communities. Exact integers end-to-end.
     */
-  val qLabelProp = {
-    val LpMinQty = 31
-    val LpIters = 2
+  // LPA parameters + the shared edge/label computation — q_g_labelprop
+  // (community sizes) and q_g_modularity (partition quality) must score
+  // the IDENTICAL partition, so both build from this one helper.
+  private val LpMinQty = 31
+  private val LpIters = 2
+
+  /** Bulk co-purchase graph + `LpIters` synchronous LPA rounds. Returns
+    * (undirected edge set e0, directed arc list, final node→label map).
+    */
+  private def lpaState(s: org.apache.spark.sql.SparkSession, dir: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame) = {
+    val li = t(s, dir, "lineitem").where(col("l_quantity") >= LpMinQty)
+    val o = t(s, dir, "orders")
+    val e0 = li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .select((col("o_custkey") * 2).cast("long").as("cust"),
+        (col("l_suppkey") * 2 + 1).cast("long").as("supp"))
+      .distinct()
+    // materialize once: each LPA round joins the edge list, and the
+    // initial-node distinct scans it too — without a checkpoint every
+    // consumer re-runs the fact join + distinct (same fix as
+    // graph.Hits/PageRank, −0.7 s at sf0.1)
+    val edges = e0.select(col("cust").as("src"), col("supp").as("dst"))
+      .unionByName(e0.select(col("supp").as("src"), col("cust").as("dst")))
+      .localCheckpoint(true)
+    val nodes = edges.select(col("src").as("node")).distinct()
+    var lab = nodes.withColumn("lbl", col("node"))
+    for (_ <- 1 to LpIters) {
+      val nb = edges
+        .join(lab.withColumnRenamed("node", "dst"), Seq("dst"))
+        .groupBy(col("src").as("node"), col("lbl"))
+        .agg(count(lit(1)).as("c"))
+      val rn = row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy("node").orderBy(col("c").desc, col("lbl")))
+      lab = nb.withColumn("rn", rn).where(col("rn") === 1)
+        .select("node", "lbl")
+    }
+    (e0, edges, lab)
+  }
+
+  val qLabelProp =
     QueryDef(
       "q_g_labelprop",
       (s, dir) => {
-        val li = t(s, dir, "lineitem").where(col("l_quantity") >= LpMinQty)
-        val o = t(s, dir, "orders")
-        val e0 = li.join(o, li("l_orderkey") === o("o_orderkey"))
-          .select((col("o_custkey") * 2).cast("long").as("cust"),
-            (col("l_suppkey") * 2 + 1).cast("long").as("supp"))
-          .distinct()
-        // materialize once: each LPA round joins the edge list, and the
-        // initial-node distinct scans it too — without a checkpoint every
-        // consumer re-runs the fact join + distinct (same fix as
-        // graph.Hits/PageRank, −0.7 s at sf0.1)
-        val edges = e0.select(col("cust").as("src"), col("supp").as("dst"))
-          .unionByName(e0.select(col("supp").as("src"), col("cust").as("dst")))
-          .localCheckpoint(true)
-        val nodes = edges.select(col("src").as("node")).distinct()
-        var lab = nodes.withColumn("lbl", col("node"))
-        for (_ <- 1 to LpIters) {
-          val nb = edges
-            .join(lab.withColumnRenamed("node", "dst"), Seq("dst"))
-            .groupBy(col("src").as("node"), col("lbl"))
-            .agg(count(lit(1)).as("c"))
-          val rn = row_number().over(org.apache.spark.sql.expressions.Window
-            .partitionBy("node").orderBy(col("c").desc, col("lbl")))
-          lab = nb.withColumn("rn", rn).where(col("rn") === 1)
-            .select("node", "lbl")
-        }
+        val (_, _, lab) = lpaState(s, dir)
         lab.groupBy(col("lbl").as("community"))
           .agg(count(lit(1)).as("size"))
           .select(
@@ -2240,9 +2254,22 @@ object MiscCatalog {
           .orderBy(col("size").desc, col("seed_type"), col("seed_key"))
           .limit(20)
       },
-      Some {
-        val iters = (1 to LpIters).map { k =>
-          s"""n$k AS (
+      Some(s"""
+        WITH $lpaOracleCtes
+        SELECT CASE WHEN lbl % 2 = 0 THEN 'customer' ELSE 'supplier' END
+                 AS seed_type,
+               lbl // 2 AS seed_key, CAST(count(*) AS BIGINT) AS size
+        FROM l$LpIters
+        GROUP BY lbl
+        ORDER BY size DESC, seed_type, seed_key LIMIT 20""")
+    )
+
+  /** Shared DuckDB replay of lpaState: edge construction + the unrolled
+    * synchronous LPA rounds, ending at CTE `l$LpIters` (node, lbl).
+    */
+  private def lpaOracleCtes: String = {
+    val iters = (1 to LpIters).map { k =>
+      s"""n$k AS (
           SELECT e.src AS node, l.lbl, count(*) AS c
           FROM eall e JOIN l${k - 1} l ON l.node = e.dst GROUP BY 1, 2),
         l$k AS (
@@ -2250,9 +2277,8 @@ object MiscCatalog {
             SELECT node, lbl, row_number() OVER (
               PARTITION BY node ORDER BY c DESC, lbl) AS rn
             FROM n$k) WHERE rn = 1)"""
-        }.mkString(",\n        ")
-        s"""
-        WITH e0 AS (
+    }.mkString(",\n        ")
+    s"""e0 AS (
           SELECT DISTINCT o.o_custkey * 2 AS cust, l.l_suppkey * 2 + 1 AS supp
           FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
           WHERE l.l_quantity >= $LpMinQty),
@@ -2261,16 +2287,70 @@ object MiscCatalog {
           UNION ALL SELECT supp AS src, cust AS dst FROM e0),
         l0 AS (
           SELECT DISTINCT src AS node, src AS lbl FROM eall),
-        $iters
-        SELECT CASE WHEN lbl % 2 = 0 THEN 'customer' ELSE 'supplier' END
-                 AS seed_type,
-               lbl // 2 AS seed_key, CAST(count(*) AS BIGINT) AS size
-        FROM l$LpIters
-        GROUP BY lbl
-        ORDER BY size DESC, seed_type, seed_key LIMIT 20"""
-      }
-    )
+        $iters"""
   }
+
+  /** Modularity of the LPA partition (Newman–Girvan Q) — the quality
+    * score community detection is judged by, and the natural companion
+    * gate: q_g_labelprop proves the partition, this proves its score.
+    * Q = intra/(2m) − Σ_c (d_c/2m)² computed as the EXACT INTEGER
+    * numerator 2m·intra − Σ d_c² over one degree aggregate, one
+    * label-equality arc join, and one per-community degree sum — every
+    * shuffle on node/community id; the single final division composes in
+    * double from identical operands. Bit-exact, no rounding.
+    */
+  val qModularity = QueryDef(
+    "q_g_modularity",
+    (s, dir) => {
+      val (e0, edges, lab) = lpaState(s, dir)
+      val m = e0.agg(count(lit(1)).as("m"))
+      val nNodes = lab.agg(count(lit(1)).as("n_nodes"),
+        count_distinct(col("lbl")).as("n_comm"))
+      val intra = edges
+        .join(lab.withColumnRenamed("node", "src")
+          .withColumnRenamed("lbl", "sl"), Seq("src"))
+        .join(lab.withColumnRenamed("node", "dst")
+          .withColumnRenamed("lbl", "dl"), Seq("dst"))
+        .filter(col("sl") === col("dl"))
+        .agg(count(lit(1)).as("intra_arcs"))
+      val deg = edges.groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("d"))
+      val sd2 = lab.join(deg, Seq("node"))
+        .groupBy("lbl").agg(sum(col("d")).as("dc"))
+        .agg(sum((col("dc") * col("dc")).cast("decimal(38,0)")).as("sd2"))
+      nNodes.crossJoin(broadcast(m)).crossJoin(broadcast(intra))
+        .crossJoin(broadcast(sd2))
+        .select(col("n_nodes"), col("m").as("n_edges"), col("n_comm"),
+          col("intra_arcs"),
+          ((lit(2L) * col("m") * col("intra_arcs")
+            - col("sd2").cast("long")).cast("double")
+            / (lit(4.0) * col("m").cast("double") * col("m").cast("double")))
+            .as("modularity"))
+    },
+    Some(s"""
+      WITH $lpaOracleCtes,
+      mm AS (SELECT count(*) AS m FROM e0),
+      nn AS (SELECT count(*) AS n_nodes, count(DISTINCT lbl) AS n_comm
+             FROM l$LpIters),
+      ia AS (SELECT count(*) AS intra_arcs
+             FROM eall e
+             JOIN l$LpIters a ON a.node = e.src
+             JOIN l$LpIters b ON b.node = e.dst
+             WHERE a.lbl = b.lbl),
+      deg AS (SELECT src AS node, count(*) AS d FROM eall GROUP BY 1),
+      dc AS (SELECT l.lbl, CAST(sum(d.d) AS BIGINT) AS dc
+             FROM l$LpIters l JOIN deg d ON d.node = l.node GROUP BY 1),
+      s2 AS (SELECT CAST(sum(CAST(dc * dc AS DECIMAL(38,0)))
+               AS DECIMAL(38,0)) AS sd2 FROM dc)
+      SELECT CAST(n_nodes AS BIGINT) AS n_nodes, CAST(m AS BIGINT)
+               AS n_edges,
+             CAST(n_comm AS BIGINT) AS n_comm,
+             CAST(intra_arcs AS BIGINT) AS intra_arcs,
+             CAST(2 * m * intra_arcs - CAST(sd2 AS BIGINT) AS DOUBLE)
+               / (4e0 * CAST(m AS DOUBLE) * CAST(m AS DOUBLE))
+               AS modularity
+      FROM nn CROSS JOIN mm CROSS JOIN ia CROSS JOIN s2""")
+  )
 
   val qKcore = QueryDef(
     "q_g_kcore",
@@ -2880,6 +2960,6 @@ object MiscCatalog {
     qFkAudit, qMoments, qAssortativity, qPartitionedScan, qKcore,
     qLabelProp, qScd2AsOf, qSkewProfile, qHits, qExpectations, qDegreeDist,
     qIqrOutliers, qSkyline, qUnpivot, qPsi, qOrcScan, qCramersV,
-    qCsvCorrupt, qClustCoef, qKanon, qMergeSchema)
+    qCsvCorrupt, qClustCoef, qKanon, qMergeSchema, qModularity)
 }
 
