@@ -1853,8 +1853,93 @@ object FinanceCatalog {
       FROM rl""")
   )
 
+  /** Markowitz minimum-variance two-asset portfolio (closed form:
+    * w_A = (σ_R² − σ_AR)/(σ_A² + σ_R² − 2σ_AR)) over the A/R daily
+    * price series paired by day — the allocation primitive behind
+    * risk-parity dashboards, and the covariance consumer that pairs
+    * with q_a12's matrix. Moments are EXACT decimal sums (Σy, Σy²,
+    * Σ y_A·y_R — the Welch idiom), so variances/covariance compose in
+    * double from identical operands in a pinned order; the weight takes
+    * r6 and the portfolio variance/diversification ratio derive from the
+    * ROUNDED weight. One shuffle (daily groupBy), one day-key join, one
+    * global aggregate.
+    */
+  val minVar = QueryDef(
+    "q_f_minvar",
+    (s, dir) => {
+      def s18(c: org.apache.spark.sql.Column) =
+        sum(c.cast("decimal(38,6)")).cast("double")
+      val daily = t(s, dir, "lineitem")
+        .where(col("l_returnflag").isin("A", "R"))
+        .select(col("l_returnflag"),
+          col("l_shipdate").cast("date").as("day"), col("l_extendedprice"))
+        .groupBy("l_returnflag", "day")
+        .agg((sum(col("l_extendedprice").cast("decimal(28,6)"))
+          .cast("double") / count(lit(1))).as("y"))
+      val a = daily.where(col("l_returnflag") === "A")
+        .select(col("day"), col("y").as("ya"))
+      val r = daily.where(col("l_returnflag") === "R")
+        .select(col("day"), col("y").as("yr"))
+      val g = a.join(r, "day")
+        .agg(count(lit(1)).as("n"),
+          s18(col("ya")).as("sa"), s18(col("yr")).as("sr"),
+          s18(col("ya") * col("ya")).as("saa"),
+          s18(col("yr") * col("yr")).as("srr"),
+          s18(col("ya") * col("yr")).as("sar"))
+      val nD = col("n").cast("double")
+      val va = (col("saa") - col("sa") * col("sa") / nD) / nD
+      val vr = (col("srr") - col("sr") * col("sr") / nD) / nD
+      val cab = (col("sar") - col("sa") * col("sr") / nD) / nD
+      val waR = r6((vr - cab) / (va + vr - lit(2.0) * cab))
+      val wrR = lit(1.0) - waR
+      val pv = (waR * waR * va + wrR * wrR * vr) +
+        lit(2.0) * waR * wrR * cab
+      g.select(col("n").as("n_days"), waR.as("w_a"), wrR.as("w_r"),
+        r2(pv).as("port_var"),
+        r6(lit(1.0) - pv / least(va, vr)).as("var_reduction"))
+    },
+    Some(s"""
+      WITH daily AS (
+        SELECT l_returnflag, CAST(l_shipdate AS DATE) AS day,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE)
+                 / count(*) AS y
+        FROM lineitem WHERE l_returnflag IN ('A', 'R') GROUP BY 1, 2),
+      j AS (
+        SELECT a.day, a.y AS ya, r.y AS yr
+        FROM (SELECT * FROM daily WHERE l_returnflag = 'A') a
+        JOIN (SELECT * FROM daily WHERE l_returnflag = 'R') r
+          USING (day)),
+      g AS (
+        SELECT count(*) AS n,
+               CAST(sum(CAST(ya AS DECIMAL(38,6))) AS DOUBLE) AS sa,
+               CAST(sum(CAST(yr AS DECIMAL(38,6))) AS DOUBLE) AS sr,
+               CAST(sum(CAST(ya * ya AS DECIMAL(38,6))) AS DOUBLE) AS saa,
+               CAST(sum(CAST(yr * yr AS DECIMAL(38,6))) AS DOUBLE) AS srr,
+               CAST(sum(CAST(ya * yr AS DECIMAL(38,6))) AS DOUBLE) AS sar
+        FROM j),
+      v AS (
+        SELECT n,
+               (saa - sa * sa / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE) AS va,
+               (srr - sr * sr / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE) AS vr,
+               (sar - sa * sr / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE) AS cab
+        FROM g),
+      w AS (
+        SELECT n, va, vr, cab,
+               ${sqlR6("(vr - cab) / (va + vr - 2e0 * cab)")} AS w_a
+        FROM v),
+      p AS (
+        SELECT n, va, vr, cab, w_a, 1e0 - w_a AS w_r,
+               w_a * w_a * va + (1e0 - w_a) * (1e0 - w_a) * vr
+                 + 2e0 * w_a * (1e0 - w_a) * cab AS pv
+        FROM w)
+      SELECT CAST(n AS BIGINT) AS n_days, w_a, w_r,
+             ${sqlR2("pv")} AS port_var,
+             ${sqlR6("1e0 - pv / least(va, vr)")} AS var_reduction
+      FROM p""")
+  )
+
   val all: Seq[QueryDef] =
     Seq(ohlcWeekly, bollinger, beta, ffill, rsi, macd, streaks, obv,
       stochastic, acf, seasonality, interp, varEs, holt, ar2, holtWinters,
-      dw, kalman, sortino, garch, forecastAcc, underwater, coint)
+      dw, kalman, sortino, garch, forecastAcc, underwater, coint, minVar)
 }
