@@ -3428,6 +3428,182 @@ object MiningCatalog {
       FROM a ORDER BY bin""")
   )
 
+  /** M45 capability: Kruskal–Wallis H — the rank-based one-way test over
+    * ALL THREE returnflag groups (the nonparametric complement of M14's
+    * ANOVA, extending M7's two-sample machinery to k groups). Same
+    * scale shape as M7/M8: one value-histogram groupBy carries per-group
+    * counts, one range-partitioned prefix sum yields tie-averaged ranks
+    * as 2×-SCALED INTEGERS, and per-group rank sums + the tie term
+    * Σ(t³−t) are exact integers. Groups pivot to COLUMNS (conditional
+    * aggregation), so H composes from three explicitly-ordered terms —
+    * no order-dependent double sum anywhere.
+    */
+  val m45Kruskal = QueryDef(
+    "q_m45_kruskal",
+    (s, dir) => {
+      import graft.plans.SequenceOps
+      val h = t(s, dir, "lineitem")
+        .select(
+          expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)")
+            .as("cents"),
+          col("l_returnflag").as("g"))
+        .groupBy("cents")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("g") === "A", 1L).otherwise(0L)).as("na"),
+          sum(when(col("g") === "N", 1L).otherwise(0L)).as("nn"),
+          sum(when(col("g") === "R", 1L).otherwise(0L)).as("nr"))
+      val c = SequenceOps.runningSum(h, Nil, Seq("cents"), "n", "cum")
+        .withColumn("rank2", lit(2L) * col("cum") - col("n") + lit(1L))
+      val a = c.agg(
+        sum(col("na")).as("n_a"), sum(col("nn")).as("n_n"),
+        sum(col("nr")).as("n_r"),
+        sum(col("na") * col("rank2")).as("r2a"),
+        sum(col("nn") * col("rank2")).as("r2n"),
+        sum(col("nr") * col("rank2")).as("r2r"),
+        sum(col("n") * col("n") * col("n") - col("n")).as("sum_t"))
+      def term(r2: Column, n: Column): Column = {
+        val half = r2.cast("double") / lit(2.0)
+        half * half / n.cast("double")
+      }
+      val nTot = (col("n_a") + col("n_n") + col("n_r"))
+      val nD = nTot.cast("double")
+      val hStat = lit(12.0) / (nD * (nD + lit(1.0))) *
+        ((term(col("r2a"), col("n_a")) + term(col("r2n"), col("n_n"))) +
+          term(col("r2r"), col("n_r"))) -
+        lit(3.0) * (nD + lit(1.0))
+      val tieCorr = lit(1.0) - col("sum_t").cast("double")
+        ./((nTot * nTot * nTot - nTot).cast("double"))
+      a.select(col("n_a"), col("n_n"), col("n_r"),
+        r6(hStat).as("h"), r6(hStat / tieCorr).as("h_tie"))
+    },
+    Some(s"""
+      WITH src AS (
+        SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+               l_returnflag AS g
+        FROM lineitem),
+      h AS (
+        SELECT cents, count(*) AS n,
+               CAST(sum(CASE WHEN g = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+                 AS na,
+               CAST(sum(CASE WHEN g = 'N' THEN 1 ELSE 0 END) AS BIGINT)
+                 AS nn,
+               CAST(sum(CASE WHEN g = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+                 AS nr
+        FROM src GROUP BY 1),
+      c AS (
+        SELECT n, na, nn, nr,
+               2 * CAST(sum(n) OVER (ORDER BY cents
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) - n + 1 AS rank2
+        FROM h),
+      a AS (
+        SELECT CAST(sum(na) AS BIGINT) AS n_a,
+               CAST(sum(nn) AS BIGINT) AS n_n,
+               CAST(sum(nr) AS BIGINT) AS n_r,
+               CAST(sum(na * rank2) AS BIGINT) AS r2a,
+               CAST(sum(nn * rank2) AS BIGINT) AS r2n,
+               CAST(sum(nr * rank2) AS BIGINT) AS r2r,
+               CAST(sum(n * n * n - n) AS BIGINT) AS sum_t
+        FROM c),
+      z AS (
+        SELECT n_a, n_n, n_r, sum_t, n_a + n_n + n_r AS nt,
+               CAST(n_a + n_n + n_r AS DOUBLE) AS nd,
+               (CAST(r2a AS DOUBLE) / 2e0) * (CAST(r2a AS DOUBLE) / 2e0)
+                 / CAST(n_a AS DOUBLE) AS ta,
+               (CAST(r2n AS DOUBLE) / 2e0) * (CAST(r2n AS DOUBLE) / 2e0)
+                 / CAST(n_n AS DOUBLE) AS tn,
+               (CAST(r2r AS DOUBLE) / 2e0) * (CAST(r2r AS DOUBLE) / 2e0)
+                 / CAST(n_r AS DOUBLE) AS tr
+        FROM a),
+      f AS (
+        SELECT n_a, n_n, n_r,
+               12e0 / (nd * (nd + 1e0)) * ((ta + tn) + tr)
+                 - 3e0 * (nd + 1e0) AS hs,
+               1e0 - CAST(sum_t AS DOUBLE)
+                 / CAST(nt * nt * nt - nt AS DOUBLE) AS tc
+        FROM z)
+      SELECT n_a, n_n, n_r, ${sqlR6("hs")} AS h,
+             ${sqlR6("hs / tc")} AS h_tie
+      FROM f""")
+  )
+
+  /** M46 capability: partial correlation r_xy·z — quantity↔price with the
+    * discount's influence removed (the multivariate-dependence primitive
+    * behind feature-selection and causal screens). All three pairwise
+    * correlations come from ONE pass of exact decimal moments (Σx, Σx²,
+    * Σxy …), so each r and the closed-form partial compose in double
+    * from identical operands; only the published values take r6.
+    */
+  val m46PartialCorr = QueryDef(
+    "q_m46_pcorr",
+    (s, dir) => {
+      def s18(c: Column) = sum(c.cast("decimal(38,6)")).cast("double")
+      val m = t(s, dir, "lineitem")
+        .select(col("l_quantity").as("x"), col("l_extendedprice").as("y"),
+          col("l_discount").as("z"))
+        .agg(count(lit(1)).as("n"),
+          s18(col("x")).as("sx"), s18(col("y")).as("sy"),
+          s18(col("z")).as("sz"),
+          s18(col("x") * col("x")).as("sxx"),
+          s18(col("y") * col("y")).as("syy"),
+          s18(col("z") * col("z")).as("szz"),
+          s18(col("x") * col("y")).as("sxy"),
+          s18(col("x") * col("z")).as("sxz"),
+          s18(col("y") * col("z")).as("syz"))
+      val nD = col("n").cast("double")
+      def r(sab: Column, sa: Column, sb: Column,
+          saa: Column, sbb: Column): Column =
+        (nD * sab - sa * sb)
+          ./(sqrt((nD * saa - sa * sa) * (nD * sbb - sb * sb)))
+      val rxy = r(col("sxy"), col("sx"), col("sy"), col("sxx"), col("syy"))
+      val rxz = r(col("sxz"), col("sx"), col("sz"), col("sxx"), col("szz"))
+      val ryz = r(col("syz"), col("sy"), col("sz"), col("syy"), col("szz"))
+      val pc = (rxy - rxz * ryz)
+        ./(sqrt((lit(1.0) - rxz * rxz) * (lit(1.0) - ryz * ryz)))
+      m.select(col("n"), r6(rxy).as("r_xy"), r6(rxz).as("r_xz"),
+        r6(ryz).as("r_yz"), r6(pc).as("pcorr_xy_z"))
+    },
+    Some(s"""
+      WITH m AS (
+        SELECT count(*) AS n,
+               CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)
+                 AS sy,
+               CAST(sum(CAST(l_discount AS DECIMAL(38,6))) AS DOUBLE) AS sz,
+               CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(38,6)))
+                 AS DOUBLE) AS sxx,
+               CAST(sum(CAST(l_extendedprice * l_extendedprice
+                 AS DECIMAL(38,6))) AS DOUBLE) AS syy,
+               CAST(sum(CAST(l_discount * l_discount AS DECIMAL(38,6)))
+                 AS DOUBLE) AS szz,
+               CAST(sum(CAST(l_quantity * l_extendedprice
+                 AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+               CAST(sum(CAST(l_quantity * l_discount AS DECIMAL(38,6)))
+                 AS DOUBLE) AS sxz,
+               CAST(sum(CAST(l_extendedprice * l_discount
+                 AS DECIMAL(38,6))) AS DOUBLE) AS syz
+        FROM lineitem),
+      rr AS (
+        SELECT n, CAST(n AS DOUBLE) AS nd, sx, sy, sz, sxx, syy, szz,
+               sxy, sxz, syz
+        FROM m),
+      c AS (
+        SELECT n,
+               (nd * sxy - sx * sy)
+                 / sqrt((nd * sxx - sx * sx) * (nd * syy - sy * sy)) AS rxy,
+               (nd * sxz - sx * sz)
+                 / sqrt((nd * sxx - sx * sx) * (nd * szz - sz * sz)) AS rxz,
+               (nd * syz - sy * sz)
+                 / sqrt((nd * syy - sy * sy) * (nd * szz - sz * sz)) AS ryz
+        FROM rr)
+      SELECT n, ${sqlR6("rxy")} AS r_xy, ${sqlR6("rxz")} AS r_xz,
+             ${sqlR6("ryz")} AS r_yz,
+             ${sqlR6("""(rxy - rxz * ryz)
+               / sqrt((1e0 - rxz * rxz) * (1e0 - ryz * ryz))""")}
+               AS pcorr_xy_z
+      FROM c""")
+  )
+
   val all: Seq[QueryDef] = Seq(m1Ols, m2OlsNextDay, m4Anomalies, m5Ridge,
     m6Cv, m7Mwu, m8Ks, m9Nbayes, m10LogregStep, m11Welch, m12Spearman,
     m13Robust, m14Anova, m15Kendall, m16Cusum, m17TheilSen, m18Pca,
@@ -3435,5 +3611,6 @@ object MiningCatalog {
     m24Mahalanobis, m25EmStep, m26Pettitt, m27Wilcoxon, m28Huber,
     m29Granger, m30RunsTest, m31Lift, m32Conformal, m33Dbscan, m34Chow,
     m35LjungBox, m36Ransac, m37McNemar, m39PageHinkley, m40CohensD,
-    m41WeightedMedian, m42Auc, m43Stump, m44Calibration)
+    m41WeightedMedian, m42Auc, m43Stump, m44Calibration, m45Kruskal,
+    m46PartialCorr)
 }
