@@ -2950,6 +2950,95 @@ object MiscCatalog {
       FROM orders""")
   )
 
+  /** JSON-lines source round trip — the interchange format every ingest
+    * edge speaks. Writes an orders projection as JSONL, reads it back
+    * with an EXPLICIT schema (no sampling-based inference — at 100 TB
+    * schema inference is a full extra pass), and aggregates. Doubles
+    * survive the text round trip exactly (Spark prints shortest
+    * round-trip decimals; string→double parsing is correctly rounded),
+    * so the decimal sum gates value fidelity, not just row counts.
+    */
+  val qJsonl = QueryDef(
+    "q_src_jsonl",
+    (s, dir) => {
+      import java.nio.file.Files
+      import org.apache.spark.sql.types._
+      val stage = Files.createTempDirectory("graft_jsonl")
+      try {
+        t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            col("o_totalprice"))
+          .write.mode("overwrite").json(stage.toString)
+        val schema = StructType(Seq(
+          StructField("o_orderkey", LongType),
+          StructField("o_orderstatus", StringType),
+          StructField("o_totalprice", DoubleType)))
+        s.read.schema(schema).json(stage.toString)
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"),
+            r2(sumE(col("o_totalprice"))).as("sum_price"))
+          .orderBy("o_orderstatus")
+          .localCheckpoint() // materialize before the staged dir is deleted
+      } finally {
+        try {
+          val w = Files.walk(stage)
+          try w.sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => { Files.deleteIfExists(f); () })
+          finally w.close()
+        } catch { case _: java.io.IOException => () }
+      }
+    },
+    Some(s"""
+      SELECT o_orderstatus, count(*) AS n,
+             ${sqlR2(sqlSumE("o_totalprice"))} AS sum_price
+      FROM orders GROUP BY 1 ORDER BY 1""")
+  )
+
+  /** Gzip-compressed CSV round trip — compressed text is the most common
+    * raw-landing format a lake ingests (and gzip is NOT splittable: one
+    * file = one task, which is why the write shards first — documented
+    * here because at 100 TB the sharding IS the parallelism). Values
+    * re-parse exactly (shortest-round-trip printing), gated by exact
+    * counts + decimal sum per status.
+    */
+  val qCsvGzip = QueryDef(
+    "q_src_csv_gzip",
+    (s, dir) => {
+      import java.nio.file.Files
+      import org.apache.spark.sql.types._
+      val stage = Files.createTempDirectory("graft_csvgz")
+      try {
+        t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            col("o_totalprice"))
+          .repartition(8) // gzip is unsplittable: shard BEFORE compressing
+          .write.mode("overwrite").option("codec", "gzip")
+          .option("header", "true").csv(stage.toString)
+        val schema = StructType(Seq(
+          StructField("o_orderkey", LongType),
+          StructField("o_orderstatus", StringType),
+          StructField("o_totalprice", DoubleType)))
+        s.read.schema(schema).option("header", "true").csv(stage.toString)
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"),
+            r2(sumE(col("o_totalprice"))).as("sum_price"))
+          .orderBy("o_orderstatus")
+          .localCheckpoint() // materialize before the staged dir is deleted
+      } finally {
+        try {
+          val w = Files.walk(stage)
+          try w.sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => { Files.deleteIfExists(f); () })
+          finally w.close()
+        } catch { case _: java.io.IOException => () }
+      }
+    },
+    Some(s"""
+      SELECT o_orderstatus, count(*) AS n,
+             ${sqlR2(sqlSumE("o_totalprice"))} AS sum_price
+      FROM orders GROUP BY 1 ORDER BY 1""")
+  )
+
   val all: Seq[QueryDef] = Seq(oTopK, aSpikeSummary, eJson, aSummary,
     mKmeans, mLloydStep, qAsof, qRange, qRollup, qCube, qGroupingSets,
     qPercentile, qHistogram, qZOrder, qHilbert, qCompactPlan, qScd2, qScd1,
@@ -2960,6 +3049,7 @@ object MiscCatalog {
     qFkAudit, qMoments, qAssortativity, qPartitionedScan, qKcore,
     qLabelProp, qScd2AsOf, qSkewProfile, qHits, qExpectations, qDegreeDist,
     qIqrOutliers, qSkyline, qUnpivot, qPsi, qOrcScan, qCramersV,
-    qCsvCorrupt, qClustCoef, qKanon, qMergeSchema, qModularity)
+    qCsvCorrupt, qClustCoef, qKanon, qMergeSchema, qModularity,
+    qJsonl, qCsvGzip)
 }
 
