@@ -2214,6 +2214,44 @@ object TextCatalog {
       ORDER BY d.doc_id""")
   )
 
+  /** Training-shard manifest — the LAST step of a curation pipeline:
+    * deterministic content-hash sharding (shard = md5-60(text) mod 16,
+    * so assignment is reproducible across reruns and clusters — never
+    * row order or task id) plus the per-shard manifest a trainer
+    * validates against: doc/char counts, id range, and an
+    * order-independent content checksum (Σ fingerprints as exact
+    * decimal). One shuffle on shard id; at 100 TB each shard group IS
+    * the write task for its output file.
+    */
+  val tShards = QueryDef(
+    "q_t_shards",
+    (s, dir) => {
+      import graft.functions.Md5Prefix60.md5Prefix60
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          md5Prefix60(col("text")).as("fp"))
+        .withColumn("shard", pmod(col("fp"), lit(16L)))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"),
+          min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"),
+          decD(sum(col("fp").cast("decimal(38,0)"))).as("checksum"))
+        .orderBy("shard")
+    },
+    Some(s"""
+      WITH f AS (
+        SELECT doc_id, n_chars,
+               CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS fp
+        FROM documents),
+      g AS (
+        SELECT fp % 16 AS shard, doc_id, n_chars, fp FROM f)
+      SELECT shard, count(*) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS n_chars,
+             min(doc_id) AS min_doc, max(doc_id) AS max_doc,
+             ${sqlDecD("CAST(sum(CAST(fp AS DECIMAL(38,0))) AS DECIMAL(38,0))")}
+               AS checksum
+      FROM g GROUP BY 1 ORDER BY 1""")
+  )
+
   val all: Seq[QueryDef] =
     Seq(tQuality, tTokens, tFingerprint, tLangId, tExplode,
       tRepetition, tLmScore, tSplit, tStratSample, tTfIdf, tPmi,
@@ -2221,5 +2259,5 @@ object TextCatalog {
       tLineDedup, tBm25, tDsir, tWsample, tVocabOverlap, tMixture, tJsd,
       tFeatHash, tDupSpans, tZipf, tLangConfusion, tBpeStep, tBpeTrain5,
       tBpeEncode, tBleu, tChunkOverlap, tRrf, tRbo, tTempMixture, tRouge,
-      tTokenBudget, tCdcChunks, tKappa, tFunnel, tBigramLm)
+      tTokenBudget, tCdcChunks, tKappa, tFunnel, tBigramLm, tShards)
 }

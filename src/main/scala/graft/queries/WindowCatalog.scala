@@ -563,8 +563,70 @@ object WindowCatalog {
       ORDER BY share DESC, o_custkey, o_orderkey LIMIT 25""")
   )
 
+  /** W18 capability: lag-feature assembly — the feature-table build every
+    * forecasting/ML pipeline runs before training (lags + rolling mean +
+    * rolling variance as ONE pass of windows over the per-flag daily
+    * series). Rolling Σy and Σy² are DECIMAL window sums (exact, order-
+    * independent — a plain double frame sum is accumulation-order-
+    * dependent and NOT portable across engines), so the mean/variance
+    * features compose in double from identical operands; lags copy exact
+    * values. min_periods semantics: rows emit only once the frame is
+    * full AND lag5 exists. Three calendar-bounded partitions.
+    */
+  val w18LagFeatures = QueryDef(
+    "q_w18_lag_features",
+    (s, dir) => {
+      val daily = t(s, dir, "lineitem")
+        .select(col("l_returnflag").as("flag"),
+          date_trunc("day", col("l_shipdate")).as("day"),
+          col("l_extendedprice"))
+        .groupBy("flag", "day")
+        .agg((sum(col("l_extendedprice").cast("decimal(28,6)"))
+          .cast("double") / count(lit(1))).as("y"))
+      val w = Window.partitionBy("flag").orderBy("day")
+      val f5 = Window.partitionBy("flag").orderBy("day").rowsBetween(-4, 0)
+      daily
+        .withColumn("lag1", lag(col("y"), 1).over(w))
+        .withColumn("lag5", lag(col("y"), 5).over(w))
+        .withColumn("c5", count(col("y")).over(f5))
+        .withColumn("s1",
+          sum(col("y").cast("decimal(38,6)")).over(f5).cast("double"))
+        .withColumn("s2",
+          sum((col("y") * col("y")).cast("decimal(38,6)")).over(f5)
+            .cast("double"))
+        .filter(col("c5") === 5 && col("lag5").isNotNull)
+        .select(col("flag"), col("day"), col("y"), col("lag1"), col("lag5"),
+          (col("s1") / lit(5.0)).as("ma5"),
+          ((col("s2") - col("s1") * col("s1") / lit(5.0)) / lit(5.0))
+            .as("vol5"))
+        .orderBy("flag", "day")
+    },
+    Some(s"""
+      WITH daily AS (
+        SELECT l_returnflag AS flag, date_trunc('day', l_shipdate) AS day,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE)
+                 / count(*) AS y
+        FROM lineitem GROUP BY 1, 2),
+      f AS (
+        SELECT flag, day, y,
+               lag(y, 1) OVER w AS lag1, lag(y, 5) OVER w AS lag5,
+               count(y) OVER f5 AS c5,
+               CAST(sum(CAST(y AS DECIMAL(38,6))) OVER f5 AS DOUBLE) AS s1,
+               CAST(sum(CAST(y * y AS DECIMAL(38,6))) OVER f5 AS DOUBLE)
+                 AS s2
+        FROM daily
+        WINDOW w AS (PARTITION BY flag ORDER BY day),
+        f5 AS (PARTITION BY flag ORDER BY day
+          ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))
+      SELECT flag, day, y, lag1, lag5, s1 / 5e0 AS ma5,
+             (s2 - s1 * s1 / 5e0) / 5e0 AS vol5
+      FROM f WHERE c5 = 5 AND lag5 IS NOT NULL
+      ORDER BY flag, day""")
+  )
+
   val all: Seq[QueryDef] = Seq(
     w1Lead, w2PctChange, w3Zscore, w4w5Rolling, w6Cumsum, w7Drawdown,
     w8RollingCorr, w9Standardize, w10Split, w11RankFamily, w12Ewma,
-    w13Decile, w14RollingMedian, w15RangeFrame, w16RatioToReport, w17Hampel)
+    w13Decile, w14RollingMedian, w15RangeFrame, w16RatioToReport, w17Hampel,
+    w18LagFeatures)
 }
