@@ -3039,6 +3039,66 @@ object MiscCatalog {
       FROM orders GROUP BY 1 ORDER BY 1""")
   )
 
+  /** Hierarchy flattening (BFS level assignment) — the recursive-CTE
+    * workload Spark has no native construct for (org charts, BOM
+    * explosion, referral trees): a synthetic irregular tree over customer
+    * keys (parent = c/2 for even c, max(c/3, 1) for odd — every chain
+    * strictly decreases to root 1) is walked breadth-first, one
+    * frontier-join per level, state localCheckpointed per round (the
+    * PageRank/k-core loop lifecycle — plans stay flat, each round is ONE
+    * key-partitioned join). The loop exits when the frontier empties and
+    * ASSERTS full coverage, so a dropped subtree fails loudly rather
+    * than truncating. The oracle is DuckDB's native WITH RECURSIVE —
+    * engine iteration vs declarative recursion, same exact integers.
+    */
+  val qTreeDepth = QueryDef(
+    "q_g_treedepth",
+    (s, dir) => {
+      val nodes = t(s, dir, "customer")
+        .select((col("c_custkey").cast("long") + 1L).as("c")) // keys 1-based
+        .localCheckpoint(false)
+      val edges = nodes.filter(col("c") > 1)
+        .withColumn("p", expr(
+          "CASE WHEN c % 2 = 0 THEN c div 2 ELSE greatest(c div 3, 1) END"))
+        .localCheckpoint(false)
+      var levels = nodes.filter(col("c") === 1).withColumn("d", lit(0L))
+        .localCheckpoint(false)
+      var frontier = levels
+      var round = 0
+      while (round < 64 && !frontier.isEmpty) {
+        frontier = edges
+          .join(frontier.select(col("c").as("p"), col("d")), Seq("p"))
+          .select(col("c"), (col("d") + 1L).as("d"))
+          .localCheckpoint(false)
+        levels = levels.unionByName(frontier).localCheckpoint(false)
+        round += 1
+      }
+      val nNodes = nodes.count()
+      val nAssigned = levels.count()
+      require(nAssigned == nNodes,
+        s"BFS covered $nAssigned of $nNodes nodes — dropped subtree")
+      levels.groupBy(col("d").as("depth"))
+        .agg(count(lit(1)).as("n_nodes"), min(col("c")).as("min_key"),
+          max(col("c")).as("max_key"), sum(col("c")).as("sum_keys"))
+        .orderBy("depth")
+    },
+    Some(s"""
+      WITH RECURSIVE n AS (
+        SELECT CAST(c_custkey + 1 AS BIGINT) AS c FROM customer),
+      e AS (
+        SELECT c,
+               CASE WHEN c % 2 = 0 THEN c // 2
+                    ELSE greatest(c // 3, 1) END AS p
+        FROM n WHERE c > 1),
+      walk(c, d) AS (
+        SELECT CAST(1 AS BIGINT), CAST(0 AS BIGINT)
+        UNION ALL
+        SELECT e.c, walk.d + 1 FROM e JOIN walk ON e.p = walk.c)
+      SELECT d AS depth, count(*) AS n_nodes, min(c) AS min_key,
+             max(c) AS max_key, CAST(sum(c) AS BIGINT) AS sum_keys
+      FROM walk GROUP BY 1 ORDER BY 1""")
+  )
+
   val all: Seq[QueryDef] = Seq(oTopK, aSpikeSummary, eJson, aSummary,
     mKmeans, mLloydStep, qAsof, qRange, qRollup, qCube, qGroupingSets,
     qPercentile, qHistogram, qZOrder, qHilbert, qCompactPlan, qScd2, qScd1,
@@ -3050,6 +3110,6 @@ object MiscCatalog {
     qLabelProp, qScd2AsOf, qSkewProfile, qHits, qExpectations, qDegreeDist,
     qIqrOutliers, qSkyline, qUnpivot, qPsi, qOrcScan, qCramersV,
     qCsvCorrupt, qClustCoef, qKanon, qMergeSchema, qModularity,
-    qJsonl, qCsvGzip)
+    qJsonl, qCsvGzip, qTreeDepth)
 }
 
