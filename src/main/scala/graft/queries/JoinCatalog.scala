@@ -458,7 +458,47 @@ object JoinCatalog {
             FROM orders WHERE o_orderstatus = 'F')) AS n_with_null""")
   )
 
+  /** J9 capability: pure-inequality theta join — the ONE join shape with
+    * no equi key at all, which Spark can only execute as a nested-loop
+    * join. Both sides here are 1-aggregate-per-group tables (5 priorities
+    * × 3 statuses), so the correct plan is BroadcastNestedLoopJoin with
+    * the smaller side broadcast — at scale a non-equi join is only ever
+    * viable when one side is tiny (or is first bucketed into a band
+    * join, the plans.RangeJoin path); this gate pins the tiny-side
+    * discipline. Exact decimal averages make the > comparison and the
+    * published gap deterministic.
+    */
+  val jThetaBnlj = QueryDef(
+    "q_j9_theta_bnlj",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      val byPrio = o.groupBy(col("o_orderpriority").as("prio"))
+        .agg(avgE(col("o_totalprice")).as("avg_p"))
+      val byStatus = o.groupBy(col("o_orderstatus").as("status"))
+        .agg(avgE(col("o_totalprice")).as("avg_s"))
+      byPrio.join(broadcast(byStatus), col("avg_p") > col("avg_s"))
+        .select(col("prio"), col("status"),
+          r2(col("avg_p")).as("avg_p"), r2(col("avg_s")).as("avg_s"),
+          r2(col("avg_p") - col("avg_s")).as("gap"))
+        .orderBy("prio", "status")
+    },
+    Some(s"""
+      WITH p AS (
+        SELECT o_orderpriority AS prio,
+               ${sqlAvgE("o_totalprice")} AS avg_p
+        FROM orders GROUP BY 1),
+      st AS (
+        SELECT o_orderstatus AS status,
+               ${sqlAvgE("o_totalprice")} AS avg_s
+        FROM orders GROUP BY 1)
+      SELECT prio, status, ${sqlR2("avg_p")} AS avg_p,
+             ${sqlR2("avg_s")} AS avg_s,
+             ${sqlR2("avg_p - avg_s")} AS gap
+      FROM p JOIN st ON avg_p > avg_s
+      ORDER BY prio, status""")
+  )
+
   val all: Seq[QueryDef] =
     Seq(j1SpikeJoin, j2Union, jStarRevenue, jSemi, jAnti, jSalted, jBloom,
-      jBloomFpr, jQ3Shape, jQ18Shape, jQ5Shape, jNotInNull)
+      jBloomFpr, jQ3Shape, jQ18Shape, jQ5Shape, jNotInNull, jThetaBnlj)
 }

@@ -111,6 +111,16 @@ class Round11dOpsSpec extends SparkSpec {
       "min-variance portfolio lost to a single leg")
   }
 
+  test("q_j9_theta_bnlj: non-equi join plans as broadcast nested loop") {
+    val df = graft.queries.JoinCatalog.jThetaBnlj.query(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"pure-inequality join must broadcast-nested-loop:\n${plan.take(1500)}")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Double]("gap") > 0))
+  }
+
   test("q_m44_calibration: bins tile the population, Brier in range") {
     val rows = MiningCatalog.m44Calibration.query(spark, sf).collect()
     val total = spark.read.parquet(s"$sf/events.parquet").count()
