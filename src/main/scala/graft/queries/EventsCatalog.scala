@@ -1745,6 +1745,43 @@ object EventsCatalog {
       FROM m ORDER BY ${sqlR6("sqrt(v) / mean")}, user_id LIMIT 20""")
   )
 
+  /** Sliding-window aggregation — overlapping 2-hour windows every 30
+    * minutes via Spark's `window(ts, len, slide)` (each event lands in
+    * exactly len/slide = 4 windows; the tumbling case is q_e_hourly).
+    * The oracle replays Spark's epoch-aligned window assignment by
+    * EXPANDING each event into its 4 slide starts — if Spark's
+    * alignment, inclusive/exclusive bounds, or expansion factor drifted,
+    * counts and the exact decimal value sum would break. Scale shape:
+    * the expansion is the shuffle input (4× rows), then one groupBy —
+    * exactly how a streaming engine materializes slides.
+    */
+  val eSliding = QueryDef(
+    "q_e_sliding",
+    (s, dir) => {
+      t(s, dir, "events")
+        .withColumn("tts", timestamp_micros(col("ts")))
+        .groupBy(window(col("tts"), "2 hours", "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"),
+          count_distinct(col("user_id")).as("n_users"),
+          r2(sumE(col("value"))).as("sum_value"))
+        .select(col("w.start").as("win_start"), col("n_events"),
+          col("n_users"), col("sum_value"))
+        .orderBy("win_start")
+    },
+    Some(s"""
+      WITH k AS (SELECT CAST(unnest(range(4)) AS BIGINT) AS k),
+      ex AS (
+        SELECT make_timestamp(
+                 epoch_us(ts) // 1800000000 * 1800000000
+                   - k.k * 1800000000) AS win_start,
+               user_id, value
+        FROM events CROSS JOIN k)
+      SELECT win_start, count(*) AS n_events,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+             ${sqlR2(sqlSumE("value"))} AS sum_value
+      FROM ex GROUP BY 1 ORDER BY 1""")
+  )
+
   val all: Seq[QueryDef] =
     Seq(eHourly, eSessions, eHourlyStream, eSessionizeStream,
       eSessionWindow, eFunnel, eDedup, eDedupStream, eIntervalStream,
@@ -1752,5 +1789,6 @@ object EventsCatalog {
       eEnrichStream,
       eHoltStream, eMarkov, eAttribution,
       eSurvival, eScdStream, eAbTest, eCuped, eCusumStream, eFunnelStream,
-      eHwStream, eRfm, eSessionWindowStream, eDid, eLateness, eBotFlag)
+      eHwStream, eRfm, eSessionWindowStream, eDid, eLateness, eBotFlag,
+      eSliding)
 }

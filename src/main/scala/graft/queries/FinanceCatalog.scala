@@ -1938,8 +1938,83 @@ object FinanceCatalog {
       FROM p""")
   )
 
+  /** XmR (individuals + moving range) control chart — the SPC monitor a
+    * data-quality pipeline puts on any daily metric: center = mean(y),
+    * limits = center ± 2.66·mean(|Δy|) (the classic Shewhart individuals
+    * constant), breach census per side. mean(y) and mean(mR) are EXACT
+    * decimal sums over the daily series, the limits a pinned IEEE chain,
+    * and breach comparisons run raw-double vs raw-limit (identical
+    * operands both engines). One window pass for Δy, two aggregates.
+    */
+  val xmr = QueryDef(
+    "q_f_xmr",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = t(s, dir, "lineitem")
+        .select(col("l_returnflag").as("flag"),
+          date_trunc("day", col("l_shipdate")).as("day"),
+          col("l_extendedprice"))
+        .groupBy("flag", "day")
+        .agg((sum(col("l_extendedprice").cast("decimal(28,6)"))
+          .cast("double") / count(lit(1))).as("y"))
+      val w = Window.partitionBy("flag").orderBy("day")
+      val withMr = daily
+        .withColumn("mr", abs(col("y") - lag(col("y"), 1).over(w)))
+      val stats = withMr.groupBy("flag")
+        .agg(count(lit(1)).as("n_days"),
+          (sum(col("y").cast("decimal(38,6)")).cast("double")
+            / count(lit(1))).as("center"),
+          (sum(col("mr").cast("decimal(38,6)")).cast("double")
+            / count(col("mr"))).as("mrbar"))
+        .withColumn("ucl", col("center") + lit(2.66) * col("mrbar"))
+        .withColumn("lcl", col("center") - lit(2.66) * col("mrbar"))
+      withMr.join(broadcast(stats), Seq("flag"))
+        .groupBy(col("flag"), col("n_days"), col("center"), col("ucl"),
+          col("lcl"))
+        .agg(sum(when(col("y") > col("ucl"), 1L).otherwise(0L))
+          .as("n_above"),
+          sum(when(col("y") < col("lcl"), 1L).otherwise(0L)).as("n_below"))
+        .select(col("flag"), col("n_days"), r2(col("center")).as("center"),
+          r2(col("ucl")).as("ucl"), r2(col("lcl")).as("lcl"),
+          col("n_above"), col("n_below"))
+        .orderBy("flag")
+    },
+    Some(s"""
+      WITH daily AS (
+        SELECT l_returnflag AS flag, date_trunc('day', l_shipdate) AS day,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE)
+                 / count(*) AS y
+        FROM lineitem GROUP BY 1, 2),
+      d AS (
+        SELECT flag, y,
+               abs(y - lag(y, 1) OVER (PARTITION BY flag ORDER BY day))
+                 AS mr
+        FROM daily),
+      st AS (
+        SELECT flag, count(*) AS n_days,
+               CAST(sum(CAST(y AS DECIMAL(38,6))) AS DOUBLE) / count(*)
+                 AS center,
+               CAST(sum(CAST(mr AS DECIMAL(38,6))) AS DOUBLE) / count(mr)
+                 AS mrbar
+        FROM d GROUP BY 1),
+      li AS (
+        SELECT flag, n_days, center,
+               center + 2.66e0 * mrbar AS ucl,
+               center - 2.66e0 * mrbar AS lcl
+        FROM st)
+      SELECT d.flag, li.n_days, ${sqlR2("li.center")} AS center,
+             ${sqlR2("li.ucl")} AS ucl, ${sqlR2("li.lcl")} AS lcl,
+             CAST(sum(CASE WHEN d.y > li.ucl THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_above,
+             CAST(sum(CASE WHEN d.y < li.lcl THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_below
+      FROM d JOIN li ON li.flag = d.flag
+      GROUP BY 1, 2, 3, 4, 5 ORDER BY 1""")
+  )
+
   val all: Seq[QueryDef] =
     Seq(ohlcWeekly, bollinger, beta, ffill, rsi, macd, streaks, obv,
       stochastic, acf, seasonality, interp, varEs, holt, ar2, holtWinters,
-      dw, kalman, sortino, garch, forecastAcc, underwater, coint, minVar)
+      dw, kalman, sortino, garch, forecastAcc, underwater, coint, minVar,
+      xmr)
 }
