@@ -3604,6 +3604,112 @@ object MiningCatalog {
       FROM c""")
   )
 
+  // The (name, integral-feature SQL) candidates M47 ranks — shared text
+  // between the Spark expr() and the oracle CTEs so they cannot drift.
+  private val StumpFeatures: Seq[(String, String)] = Seq(
+    "order_day" ->
+      "CAST(datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') AS BIGINT)",
+    "price_cents" -> "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)",
+    "cust_key" -> "CAST(o_custkey AS BIGINT)")
+
+  // DuckDB spelling of each feature (datediff has no 2-arg DuckDB form).
+  private val StumpFeaturesSql: Seq[(String, String)] = Seq(
+    "order_day" ->
+      "date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))",
+    "price_cents" -> "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)",
+    "cust_key" -> "CAST(o_custkey AS BIGINT)")
+
+  /** M47 capability: feature ranking by split gain — M43's histogram
+    * best-split scan applied to EVERY candidate feature, ranked by the
+    * impurity decrease of its best threshold (the single-feature
+    * importance a tree learner's level-0 evaluation computes; the
+    * feature-selection step before training). Each feature runs the
+    * same exact-integer machinery (histogram, two prefix sums, pinned
+    * double criterion, top-1 argmax); the published ranking orders by
+    * gain desc with the feature name as tiebreak.
+    */
+  val m47FeatureRank = QueryDef(
+    "q_m47_feature_rank",
+    (s, dir) => {
+      import graft.plans.SequenceOps
+      val scans = StumpFeatures.map { case (name, fe) =>
+        val h = t(s, dir, "orders")
+          .select(expr(fe).as("f"),
+            when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("pos"))
+          .groupBy("f")
+          .agg(sum(col("pos")).as("p"), count(lit(1)).as("n"))
+        val c = SequenceOps.runningSum(
+          SequenceOps.runningSum(h, Nil, Seq("f"), "p", "cp"),
+          Nil, Seq("f"), "n", "cn")
+        val tot = h.agg(sum(col("p")).as("tp"), sum(col("n")).as("tn"))
+        val sc = c.crossJoin(broadcast(tot))
+          .filter(col("cn") < col("tn"))
+          .withColumn("s",
+            (col("cp") * col("cp")
+              + (col("cn") - col("cp")) * (col("cn") - col("cp")))
+              .cast("double") / col("cn").cast("double")
+              + ((col("tp") - col("cp")) * (col("tp") - col("cp"))
+                + (col("tn") - col("cn") - (col("tp") - col("cp")))
+                  * (col("tn") - col("cn") - (col("tp") - col("cp"))))
+                .cast("double") / (col("tn") - col("cn")).cast("double"))
+        val parent = (col("tp") * col("tp")
+          + (col("tn") - col("tp")) * (col("tn") - col("tp")))
+          .cast("double") / col("tn").cast("double")
+        sc.orderBy(desc("s"), col("f")).limit(1)
+          .select(lit(name).as("feature"), col("f").as("split_value"),
+            col("cn").as("n_left"), (col("tn") - col("cn")).as("n_right"),
+            ((col("s") - parent) / col("tn").cast("double")).as("gain"))
+      }
+      scans.reduce(_ unionByName _)
+        .orderBy(desc("gain"), col("feature"))
+    },
+    Some {
+      val blocks = StumpFeaturesSql.map { case (name, fe) =>
+        s"""h_$name AS (
+        SELECT $fe AS f,
+               CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS p,
+               count(*) AS n
+        FROM orders GROUP BY 1),
+      c_$name AS (
+        SELECT f,
+               CAST(sum(p) OVER w AS BIGINT) AS cp,
+               CAST(sum(n) OVER w AS BIGINT) AS cn
+        FROM h_$name
+        WINDOW w AS (ORDER BY f
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      t_$name AS (
+        SELECT CAST(sum(p) AS BIGINT) AS tp, CAST(sum(n) AS BIGINT) AS tn
+        FROM h_$name),
+      b_$name AS (
+        SELECT '$name' AS feature, f AS split_value, cn AS n_left,
+               tn - cn AS n_right,
+               (CAST(cp * cp + (cn - cp) * (cn - cp) AS DOUBLE)
+                  / CAST(cn AS DOUBLE)
+                + CAST((tp - cp) * (tp - cp)
+                    + (tn - cn - (tp - cp)) * (tn - cn - (tp - cp))
+                    AS DOUBLE) / CAST(tn - cn AS DOUBLE)
+                - CAST(tp * tp + (tn - tp) * (tn - tp) AS DOUBLE)
+                  / CAST(tn AS DOUBLE)) / CAST(tn AS DOUBLE) AS gain
+        FROM c_$name CROSS JOIN t_$name
+        WHERE cn < tn
+        ORDER BY CAST(cp * cp + (cn - cp) * (cn - cp) AS DOUBLE)
+                   / CAST(cn AS DOUBLE)
+                 + CAST((tp - cp) * (tp - cp)
+                     + (tn - cn - (tp - cp)) * (tn - cn - (tp - cp))
+                     AS DOUBLE)
+                   / CAST(tn - cn AS DOUBLE) DESC, f
+        LIMIT 1)"""
+      }.mkString(",\n      ")
+      s"""
+      WITH $blocks
+      SELECT * FROM b_order_day
+      UNION ALL SELECT * FROM b_price_cents
+      UNION ALL SELECT * FROM b_cust_key
+      ORDER BY gain DESC, feature"""
+    }
+  )
+
   val all: Seq[QueryDef] = Seq(m1Ols, m2OlsNextDay, m4Anomalies, m5Ridge,
     m6Cv, m7Mwu, m8Ks, m9Nbayes, m10LogregStep, m11Welch, m12Spearman,
     m13Robust, m14Anova, m15Kendall, m16Cusum, m17TheilSen, m18Pca,
@@ -3612,5 +3718,5 @@ object MiningCatalog {
     m29Granger, m30RunsTest, m31Lift, m32Conformal, m33Dbscan, m34Chow,
     m35LjungBox, m36Ransac, m37McNemar, m39PageHinkley, m40CohensD,
     m41WeightedMedian, m42Auc, m43Stump, m44Calibration, m45Kruskal,
-    m46PartialCorr)
+    m46PartialCorr, m47FeatureRank)
 }

@@ -1067,7 +1067,99 @@ object SimilarityCatalog {
       FROM a ORDER BY query_id""")
   )
 
+  /** kNN classification eval — leave-one-out majority vote over the
+    * brute cosine ranking (k=5): the standard probe for "do these
+    * embeddings separate the labels?", and the companion to q_s_ndcg
+    * (graded ranking quality) and q_s_recall_ivf (index quality). Votes
+    * are exact integer counts; the majority is a deterministic top-1
+    * (count desc, label asc); per-label accuracy published. All 500
+    * queries run against the full corpus — the brute all-pairs is the
+    * eval-set path (bounded by charter); production inference routes
+    * through the IVF/PQ indexes gated above.
+    */
+  val sKnn = QueryDef(
+    "q_s_knn",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = t(s, dir, "embeddings")
+      val labels = e.select(col("vec_id"), col("label"))
+      val top5 = Ann.bruteForceTopK(e, e, "vec_id", "embedding",
+          "vec_id", k = 6)
+        .filter(col("nn_id") =!= col("query_id"))
+        .withColumn("rk", row_number().over(Window.partitionBy("query_id")
+          .orderBy(desc("cos"), col("nn_id"))))
+        .filter(col("rk") <= 5)
+      val votes = top5
+        .join(broadcast(labels.withColumnRenamed("vec_id", "query_id")
+          .withColumnRenamed("label", "ql")), Seq("query_id"))
+        .join(broadcast(labels.withColumnRenamed("vec_id", "nn_id")
+          .withColumnRenamed("label", "nl")), Seq("nn_id"))
+        .groupBy("query_id", "ql", "nl")
+        .agg(count(lit(1)).as("c"))
+      val pred = votes
+        .withColumn("vr", row_number().over(Window.partitionBy("query_id")
+          .orderBy(desc("c"), col("nl"))))
+        .filter(col("vr") === 1)
+      pred.groupBy(col("ql").as("label"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("nl") === col("ql"), 1L).otherwise(0L))
+            .as("n_correct"))
+        .select(col("label"), col("n"), col("n_correct"),
+          r6(col("n_correct").cast("double") / col("n").cast("double"))
+            .as("accuracy"))
+        .orderBy("label")
+    },
+    Some(s"""
+      WITH q AS (SELECT vec_id AS query_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+                 FROM embeddings),
+      qn AS (SELECT query_id,
+               list_transform(qv, x -> x /
+                 sqrt(list_sum(list_transform(qv, y -> y * y)))) AS qv
+             FROM q),
+      cn AS (SELECT nn_id,
+               list_transform(cv, x -> x /
+                 sqrt(list_sum(list_transform(cv, y -> y * y)))) AS cv
+             FROM (SELECT vec_id AS nn_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+                   FROM embeddings)),
+      scored AS (
+        SELECT qn.query_id, cn.nn_id,
+               list_sum(list_transform(list_zip(cn.cv, qn.qv),
+                 p -> p[1] * p[2])) AS cos
+        FROM cn CROSS JOIN qn),
+      ranked AS (
+        SELECT query_id, nn_id, cos,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos DESC, nn_id) AS rank0
+        FROM scored),
+      top5 AS (
+        SELECT query_id, nn_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos DESC, nn_id) AS rk
+        FROM ranked WHERE rank0 <= 6 AND nn_id <> query_id),
+      votes AS (
+        SELECT t.query_id, lq.label AS ql, ln.label AS nl,
+               count(*) AS c
+        FROM top5 t
+        JOIN embeddings lq ON lq.vec_id = t.query_id
+        JOIN embeddings ln ON ln.vec_id = t.nn_id
+        WHERE t.rk <= 5
+        GROUP BY 1, 2, 3),
+      pred AS (
+        SELECT query_id, ql, nl,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY c DESC, nl) AS vr
+        FROM votes)
+      SELECT ql AS label, count(*) AS n,
+             CAST(sum(CASE WHEN nl = ql THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_correct,
+             ${sqlR6("""CAST(sum(CASE WHEN nl = ql THEN 1 ELSE 0 END)
+               AS DOUBLE) / CAST(count(*) AS DOUBLE)""")} AS accuracy
+      FROM pred WHERE vr = 1 GROUP BY 1 ORDER BY 1""")
+  )
+
   val all: Seq[QueryDef] =
     Seq(sBrute, sIvf, sPq, sSq, sSparse, sRecallIvf, sJlProject,
-      sCentroidCos, sMmr, sLshRecall, sMutualNn, sNdcg)
+      sCentroidCos, sMmr, sLshRecall, sMutualNn, sNdcg, sKnn)
 }
