@@ -46,6 +46,26 @@ object Codecs {
     * 13-bit magnitude with the +0x84 bias trick, apply sign. Pure integer
     * arithmetic — bit-exact everywhere.
     */
+  /** G.711 μ-law compression (the encode half of [[ulawToPcm16]] — CCITT
+    * linear2ulaw): clip to 32635, add the 0x84 bias, locate the exponent
+    * segment (MSB position − 7), take the 4-bit mantissa below it, pack
+    * sign|exp|mantissa and complement for the wire. Pure integer
+    * arithmetic. Round-trips every wire code except 0x7F (the −0 code:
+    * both ±0 decode to 0, which re-encodes to +0's 0xFF — the standard's
+    * one collapsed pair).
+    */
+  def pcm16ToUlaw(pcm: Short): Byte = {
+    val sign = if (pcm < 0) 0x80 else 0
+    var x = if (pcm < 0) -pcm.toInt else pcm.toInt
+    if (x > 32635) x = 32635
+    x += 0x84
+    var exp = 7
+    var mask = 0x4000
+    while (exp > 0 && (x & mask) == 0) { exp -= 1; mask >>= 1 }
+    val mant = (x >> (exp + 3)) & 0x0f
+    (~(sign | (exp << 4) | mant)).toByte
+  }
+
   def ulawToPcm16(b: Byte): Short = {
     val u = (~b) & 0xff
     val exponent = (u >> 4) & 0x07

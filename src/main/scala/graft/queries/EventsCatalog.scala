@@ -1782,6 +1782,48 @@ object EventsCatalog {
       FROM ex GROUP BY 1 ORDER BY 1""")
   )
 
+  /** Sample-ratio-mismatch check — the first sanity gate any
+    * experimentation platform runs before reading an A/B result (a
+    * biased assignment invalidates q_e_abtest/q_e_cuped downstream):
+    * deterministic 50/50 assignment by user-id parity, χ² against the
+    * expected split computed as the EXACT INTEGER (n_a−n_b)²/n (the
+    * 2-cell χ² closed form), flagged at the α=0.05 critical value.
+    * Distinct users first (one aggregate), then one tiny census.
+    */
+  val eSrm = QueryDef(
+    "q_e_srm",
+    (s, dir) => {
+      val users = t(s, dir, "events")
+        .select(col("user_id")).distinct()
+        .select(pmod(col("user_id"), lit(2)).as("variant"))
+      users.agg(count(lit(1)).as("n"),
+        sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n_b"))
+        .select(col("n"), col("n_a"), col("n_b"),
+          (((col("n_a") - col("n_b")) * (col("n_a") - col("n_b")))
+            .cast("double") / col("n").cast("double")).as("chi2"),
+          (((col("n_a") - col("n_b")) * (col("n_a") - col("n_b")))
+            .cast("double") / col("n").cast("double") > lit(3.841))
+            .as("srm_detected"))
+    },
+    Some(s"""
+      WITH u AS (SELECT DISTINCT user_id FROM events),
+      v AS (SELECT user_id % 2 AS variant FROM u),
+      a AS (
+        SELECT count(*) AS n,
+               CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_a,
+               CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_b
+        FROM v)
+      SELECT n, n_a, n_b,
+             CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE) / CAST(n AS DOUBLE)
+               AS chi2,
+             CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE) / CAST(n AS DOUBLE)
+               > 3.841e0 AS srm_detected
+      FROM a""")
+  )
+
   val all: Seq[QueryDef] =
     Seq(eHourly, eSessions, eHourlyStream, eSessionizeStream,
       eSessionWindow, eFunnel, eDedup, eDedupStream, eIntervalStream,
@@ -1790,5 +1832,5 @@ object EventsCatalog {
       eHoltStream, eMarkov, eAttribution,
       eSurvival, eScdStream, eAbTest, eCuped, eCusumStream, eFunnelStream,
       eHwStream, eRfm, eSessionWindowStream, eDid, eLateness, eBotFlag,
-      eSliding)
+      eSliding, eSrm)
 }

@@ -1728,10 +1728,92 @@ object MultimodalCatalog {
     )
   }
 
+  /** Codec-quality audit: SNR of the FULL G.711 μ-law round trip —
+    * PCM → Codecs.pcm16ToUlaw (the encode half, new) → real WAV
+    * container → decodeWav's μ-law expansion — against the original
+    * signal. Signal and noise powers are EXACT INTEGER Σv² / Σ(v−v̂)²
+    * (order-independent, so the unordered mapGroups iterator is fine);
+    * the oracle replays compress+expand purely arithmetically (segment
+    * thresholds, mantissa shifts, bias). A one-bit error in either
+    * codec half shifts a power sum and breaks the hash.
+    */
+  val mmCodecSnr = QueryDef(
+    "q_mm_codec_snr",
+    (s, dir) => {
+      val sp = s
+      import sp.implicits._
+      t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"))
+        .as[(String, Long, Int)]
+        .groupByKey(_._1)
+        .mapGroups { (flag, it) =>
+          val pcm = it.map { case (_, ok, ln) =>
+            (((ok * 37 + ln * 17) % 60001) - 30000).toShort
+          }.toArray
+          val blob = Codecs.encodeWavUlaw(8000, 1,
+            pcm.map(Codecs.pcm16ToUlaw))
+          val dec = Codecs.decodeWav(blob).samples
+          var sp2 = 0L
+          var np2 = 0L
+          var maxe = 0L
+          var i = 0
+          while (i < pcm.length) {
+            val v = pcm(i).toLong
+            val e = v - dec(i)
+            sp2 += v * v
+            np2 += e * e
+            if (math.abs(e) > maxe) maxe = math.abs(e)
+            i += 1
+          }
+          (flag, pcm.length.toLong, sp2, np2, maxe,
+            sp2.toDouble / np2.toDouble)
+        }
+        .toDF("flag", "n_samples", "signal_power", "noise_power",
+          "max_err", "snr_ratio")
+        .orderBy("flag")
+    },
+    Some("""
+      WITH r AS (
+        SELECT l_returnflag AS flag,
+               (l_orderkey * 37 + l_linenumber * 17) % 60001 - 30000 AS v
+        FROM lineitem),
+      e AS (
+        SELECT flag, v,
+               CASE WHEN v < 0 THEN 1 ELSE 0 END AS neg,
+               least(abs(v), 32635) + 132 AS x
+        FROM r),
+      s AS (
+        SELECT flag, v, neg, x,
+               CASE WHEN x >= 16384 THEN 7 WHEN x >= 8192 THEN 6
+                    WHEN x >= 4096 THEN 5 WHEN x >= 2048 THEN 4
+                    WHEN x >= 1024 THEN 3 WHEN x >= 512 THEN 2
+                    WHEN x >= 256 THEN 1 ELSE 0 END AS ex
+        FROM e),
+      m AS (
+        SELECT flag, v, neg, ex,
+               (x // (8 * (1 << ex))) % 16 AS mant
+        FROM s),
+      d AS (
+        SELECT flag, v,
+               CASE WHEN neg = 1
+                 THEN -((mant * 8 + 132) * (1 << ex) - 132)
+                 ELSE (mant * 8 + 132) * (1 << ex) - 132
+               END AS dv
+        FROM m)
+      SELECT flag, count(*) AS n_samples,
+             CAST(sum(v * v) AS BIGINT) AS signal_power,
+             CAST(sum((v - dv) * (v - dv)) AS BIGINT) AS noise_power,
+             CAST(max(abs(v - dv)) AS BIGINT) AS max_err,
+             CAST(CAST(sum(v * v) AS BIGINT) AS DOUBLE)
+               / CAST(CAST(sum((v - dv) * (v - dv)) AS BIGINT) AS DOUBLE)
+               AS snr_ratio
+      FROM d GROUP BY 1 ORDER BY 1""")
+  )
+
   val all: Seq[QueryDef] =
     Seq(mmFrames, mmChunks, mmMeta, mmBytes, mmPngDecode, mmJpegMeta,
       mmWavDecode, mmBmpResize, mmDhash, mmAudioFeats, mmUlawDecode,
       mmAlawDecode, mmAviFrames, mmAugment, mmDownsample, mmTiffDecode,
       mmVadWindows, mmWbmp, mmBinarySource, mmDftEnergy, mmAdpcmDecode,
-      mmGrayscale, mmRle, mmShots)
+      mmGrayscale, mmRle, mmShots, mmCodecSnr)
 }

@@ -14,6 +14,21 @@ class CodecsSpec extends SparkSpec {
     Array.tabulate(n)(i =>
       math.round(amp * math.sin(2 * math.Pi * i / period)).toShort)
 
+  test("μ-law encoder: involution over wire codes, bounded error") {
+    // encode(decode(b)) == b for every wire code except 0x7F (the -0
+    // code collapses onto +0's 0xFF -- the standard's one merged pair)
+    (0 until 256).map(_.toByte).foreach { b =>
+      val rt = Codecs.pcm16ToUlaw(Codecs.ulawToPcm16(b))
+      if ((b & 0xff) == 0x7f) assert((rt & 0xff) == 0xff)
+      else assert(rt == b, f"code 0x${b & 0xff}%02x round-tripped to 0x${rt & 0xff}%02x")
+    }
+    // quantization error bounded by half the largest segment step (1<<7 * 8 / 2 = 512)
+    Seq(-30000, -12345, -1, 0, 1, 77, 1234, 30000, 32767, -32768).foreach { v =>
+      val err = math.abs(Codecs.ulawToPcm16(Codecs.pcm16ToUlaw(v.toShort)) - v)
+      assert(err <= 1024, s"pcm $v error $err beyond segment bound")
+    }
+  }
+
   test("WAV round-trip: encode → decode recovers rate, channels, samples") {
     val s = sine(4800, 3000.0, 48)
     val wav = Codecs.decodeWav(Codecs.encodeWav(16000, 1, s))
