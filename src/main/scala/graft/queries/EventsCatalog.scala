@@ -1824,6 +1824,56 @@ object EventsCatalog {
       FROM a""")
   )
 
+  /** Weekly engagement stickiness (avg-DAU / WAU) — the product-analytics
+    * staple beside q_e_retention: per ISO week, distinct weekly actives,
+    * daily-active counts, and the stickiness ratio (how much of the
+    * weekly audience shows up on an average day). All counts exact
+    * integers; the ratio is one pinned double chain. Two aggregates
+    * (day-level, week-level) joined on the week key.
+    */
+  val eStickiness = QueryDef(
+    "q_e_stickiness",
+    (s, dir) => {
+      val e = t(s, dir, "events")
+        .withColumn("tts", timestamp_micros(col("ts")))
+        .withColumn("week", date_trunc("week", col("tts")))
+        .withColumn("day", date_trunc("day", col("tts")))
+      val daily = e.groupBy("week", "day")
+        .agg(count_distinct(col("user_id")).as("dau"))
+      val byWeek = daily.groupBy("week")
+        .agg(count(lit(1)).as("n_days"), sum(col("dau")).as("sum_dau"))
+      val wau = e.groupBy("week")
+        .agg(count_distinct(col("user_id")).as("wau"))
+      byWeek.join(wau, Seq("week"))
+        .select(unix_micros(col("week")).as("wk_us"), col("n_days"),
+          col("wau"),
+          r6(col("sum_dau").cast("double") / col("n_days").cast("double")
+            / col("wau").cast("double")).as("stickiness"))
+        .orderBy("wk_us")
+    },
+    Some(s"""
+      WITH e AS (
+        SELECT date_trunc('week', ts) AS week, date_trunc('day', ts) AS day,
+               user_id
+        FROM events),
+      daily AS (
+        SELECT week, day, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+        FROM e GROUP BY 1, 2),
+      bw AS (
+        SELECT week, count(*) AS n_days,
+               CAST(sum(dau) AS BIGINT) AS sum_dau
+        FROM daily GROUP BY 1),
+      wk AS (
+        SELECT week, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+        FROM e GROUP BY 1)
+      SELECT epoch_us(bw.week) AS wk_us, bw.n_days, wk.wau,
+             ${sqlR6("""CAST(bw.sum_dau AS DOUBLE)
+               / CAST(bw.n_days AS DOUBLE) / CAST(wk.wau AS DOUBLE)""")}
+               AS stickiness
+      FROM bw JOIN wk ON wk.week = bw.week
+      ORDER BY 1""")
+  )
+
   val all: Seq[QueryDef] =
     Seq(eHourly, eSessions, eHourlyStream, eSessionizeStream,
       eSessionWindow, eFunnel, eDedup, eDedupStream, eIntervalStream,
@@ -1832,5 +1882,5 @@ object EventsCatalog {
       eHoltStream, eMarkov, eAttribution,
       eSurvival, eScdStream, eAbTest, eCuped, eCusumStream, eFunnelStream,
       eHwStream, eRfm, eSessionWindowStream, eDid, eLateness, eBotFlag,
-      eSliding, eSrm)
+      eSliding, eSrm, eStickiness)
 }

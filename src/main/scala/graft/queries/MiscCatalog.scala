@@ -3099,6 +3099,77 @@ object MiscCatalog {
       FROM walk GROUP BY 1 ORDER BY 1""")
   )
 
+  /** Per-group five-number summary (boxplot feed) — min/Q1/median/Q3/max
+    * per returnflag via EXACT order-statistic selection over the value
+    * histogram: one groupBy builds (flag, cents) counts, one
+    * range-partitioned prefix sum (SequenceOps, grouped by flag) gives
+    * cumulative positions, and each quartile is the Σ v·indicator
+    * selection (the medianMad idiom) at type-1 ranks ⌈p·n⌉ — no global
+    * sort, no approximate percentile. All integers → bit-exact.
+    */
+  val qBoxplot = QueryDef(
+    "q_a29_boxplot",
+    (s, dir) => {
+      import graft.plans.SequenceOps
+      val h = t(s, dir, "lineitem")
+        .select(col("l_returnflag").as("flag"),
+          expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)")
+            .as("cents"))
+        .groupBy("flag", "cents")
+        .agg(count(lit(1)).as("n"))
+      val cum = SequenceOps.runningSum(h, Seq("flag"), Seq("cents"),
+        "n", "cum")
+      val tot = h.groupBy("flag")
+        .agg(sum(col("n")).as("nt"), min(col("cents")).as("min_cents"),
+          max(col("cents")).as("max_cents"))
+      def sel(r: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        sum(col("cents") * when(col("cum") - col("n") < r && r <= col("cum"),
+          1L).otherwise(0L))
+      cum.join(broadcast(tot), Seq("flag"))
+        .withColumn("r1", expr("(nt + 3) div 4"))
+        .withColumn("rm", expr("(nt + 1) div 2"))
+        .withColumn("r3", expr("(3 * nt + 3) div 4"))
+        .groupBy(col("flag"), col("nt").as("n"), col("min_cents"),
+          col("max_cents"))
+        .agg(sel(col("r1")).as("q1_cents"), sel(col("rm")).as("med_cents"),
+          sel(col("r3")).as("q3_cents"))
+        .select(col("flag"), col("n"), col("min_cents"), col("q1_cents"),
+          col("med_cents"), col("q3_cents"), col("max_cents"))
+        .orderBy("flag")
+    },
+    Some(s"""
+      WITH src AS (
+        SELECT l_returnflag AS flag,
+               CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM lineitem),
+      h AS (SELECT flag, cents, count(*) AS n FROM src GROUP BY 1, 2),
+      c AS (
+        SELECT flag, cents, n,
+               CAST(sum(n) OVER (PARTITION BY flag ORDER BY cents
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS cum
+        FROM h),
+      tot AS (
+        SELECT flag, CAST(sum(n) AS BIGINT) AS nt,
+               min(cents) AS min_cents, max(cents) AS max_cents
+        FROM h GROUP BY 1),
+      j AS (
+        SELECT c.flag, c.cents, c.n, c.cum, tot.nt, tot.min_cents,
+               tot.max_cents,
+               (tot.nt + 3) // 4 AS r1, (tot.nt + 1) // 2 AS rm,
+               (3 * tot.nt + 3) // 4 AS r3
+        FROM c JOIN tot ON tot.flag = c.flag)
+      SELECT flag, nt AS n, min_cents,
+             CAST(sum(cents * CASE WHEN cum - n < r1 AND r1 <= cum
+               THEN 1 ELSE 0 END) AS BIGINT) AS q1_cents,
+             CAST(sum(cents * CASE WHEN cum - n < rm AND rm <= cum
+               THEN 1 ELSE 0 END) AS BIGINT) AS med_cents,
+             CAST(sum(cents * CASE WHEN cum - n < r3 AND r3 <= cum
+               THEN 1 ELSE 0 END) AS BIGINT) AS q3_cents,
+             max_cents
+      FROM j GROUP BY 1, 2, 3, 7 ORDER BY 1""")
+  )
+
   val all: Seq[QueryDef] = Seq(oTopK, aSpikeSummary, eJson, aSummary,
     mKmeans, mLloydStep, qAsof, qRange, qRollup, qCube, qGroupingSets,
     qPercentile, qHistogram, qZOrder, qHilbert, qCompactPlan, qScd2, qScd1,
@@ -3110,6 +3181,6 @@ object MiscCatalog {
     qLabelProp, qScd2AsOf, qSkewProfile, qHits, qExpectations, qDegreeDist,
     qIqrOutliers, qSkyline, qUnpivot, qPsi, qOrcScan, qCramersV,
     qCsvCorrupt, qClustCoef, qKanon, qMergeSchema, qModularity,
-    qJsonl, qCsvGzip, qTreeDepth)
+    qJsonl, qCsvGzip, qTreeDepth, qBoxplot)
 }
 
