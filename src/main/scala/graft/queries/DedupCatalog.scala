@@ -950,8 +950,56 @@ object DedupCatalog {
       FROM kp GROUP BY 1 ORDER BY 1""")
   )
 
+  /** Transposition-aware fuzzy matching: the q_d_fuzzy blocking (brand ×
+    * first name token) re-verified with the native unrestricted
+    * Damerau–Levenshtein expression (functions.StringDistance) instead of
+    * plain Levenshtein — swapped-adjacent-letter typos cost 1, not 2.
+    * Both distances are exact integers, so the gate (against DuckDB's
+    * `levenshtein` / `damerau_levenshtein` built-ins) is a pure algorithm
+    * cross-check with no rounding anywhere; rows where dl < lev are the
+    * transposition wins. Kernel runs only on blocked candidate pairs.
+    */
+  val dDamerau = QueryDef(
+    "q_d_damerau",
+    (s, dir) => {
+      val p = t(s, dir, "part")
+        .select(col("p_partkey"), col("p_name"), col("p_brand"),
+          split(col("p_name"), " ").getItem(0).as("tok"))
+      val a = p.select(col("p_partkey").as("id1"), col("p_name").as("name1"),
+        col("p_brand"), col("tok"))
+      val b = p.select(col("p_partkey").as("id2"), col("p_name").as("name2"),
+        col("p_brand"), col("tok"))
+      a.join(b, Seq("p_brand", "tok"))
+        .where(col("id1") < col("id2"))
+        .select(col("id1"), col("id2"), col("name1"), col("name2"),
+          levenshtein(col("name1"), col("name2")).as("lev"),
+          graft.functions.StringDistance
+            .damerauCol(s, col("name1"), col("name2")).cast("int").as("dl"))
+        .where(col("dl").between(1, FuzzyMaxDist))
+        .orderBy("dl", "id1", "id2")
+        .limit(25)
+    },
+    Some(s"""
+      WITH p AS (
+        SELECT p_partkey, p_name, p_brand,
+               split_part(p_name, ' ', 1) AS tok
+        FROM part),
+      c AS (
+        SELECT a.p_partkey AS id1, b.p_partkey AS id2,
+               a.p_name AS name1, b.p_name AS name2,
+               levenshtein(a.p_name, b.p_name) AS lev,
+               damerau_levenshtein(a.p_name, b.p_name) AS dl
+        FROM p a JOIN p b
+          ON a.p_brand = b.p_brand AND a.tok = b.tok
+            AND a.p_partkey < b.p_partkey)
+      SELECT id1, id2, name1, name2, CAST(lev AS INT) AS lev,
+             CAST(dl AS INT) AS dl
+      FROM c WHERE dl BETWEEN 1 AND $FuzzyMaxDist
+      ORDER BY dl, id1, id2 LIMIT 25""")
+  )
+
   val all: Seq[QueryDef] =
     Seq(dExact, dJaccard, dComponents, dClusterSizes, dMinHash, dSimHash,
       dEmbed, dSemantic, dFuzzy, dFellegi, dContainment, dLshRecall,
-      dBbitMinhash, dNgramNovelty, dDedupImpact, dSurvivorship)
+      dBbitMinhash, dNgramNovelty, dDedupImpact, dSurvivorship, dDamerau)
 }

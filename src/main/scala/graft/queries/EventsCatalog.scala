@@ -1874,6 +1874,105 @@ object EventsCatalog {
       ORDER BY 1""")
   )
 
+  /** Power-user curve (the "L5/L7" engagement histogram): per ISO week,
+    * how many users were active on exactly k distinct days. Three exact
+    * integer aggregations — (week,day,user) distinct, per-user day count,
+    * per-(week,k) user count — no doubles anywhere, so the gate is pure
+    * count-equality. At scale each stage is one shuffle on progressively
+    * smaller keys.
+    */
+  val ePowercurve = QueryDef(
+    "q_e_powercurve",
+    (s, dir) => {
+      val e = t(s, dir, "events")
+        .withColumn("tts", timestamp_micros(col("ts")))
+      val perUser = e
+        .select(date_trunc("week", col("tts")).as("week"),
+          date_trunc("day", col("tts")).as("day"), col("user_id"))
+        .distinct()
+        .groupBy("week", "user_id")
+        .agg(count(lit(1)).as("n_days"))
+      perUser.groupBy("week", "n_days")
+        .agg(count(lit(1)).as("n_users"))
+        .select(unix_micros(col("week")).as("wk_us"), col("n_days"),
+          col("n_users"))
+        .orderBy("wk_us", "n_days")
+    },
+    Some("""
+      WITH d AS (
+        SELECT DISTINCT date_trunc('week', ts) AS week,
+               date_trunc('day', ts) AS day, user_id
+        FROM events),
+      u AS (
+        SELECT week, user_id, count(*) AS n_days
+        FROM d GROUP BY 1, 2)
+      SELECT epoch_us(week) AS wk_us, n_days, count(*) AS n_users
+      FROM u GROUP BY 1, 2 ORDER BY 1, 2""")
+  )
+
+  /** Weekly churn / retention accounting: full-outer join of this week's
+    * active-user set against last week's (shifted +7 days) classifies every
+    * user as retained / churned / new, all exact integers; the churn rate
+    * divides churned by last week's actives (= retained + churned, exactly)
+    * in one pinned double chain. The join key is (week, user) so the
+    * shuffle is the same hash partitioning both sides — no broadcast
+    * needed and no skew (users are near-uniform).
+    */
+  val eChurn = QueryDef(
+    "q_e_churn",
+    (s, dir) => {
+      val w = t(s, dir, "events")
+        .select(date_trunc("week", timestamp_micros(col("ts"))).as("week"),
+          col("user_id"))
+        .distinct()
+      val cur = w.withColumn("c", lit(1L))
+      val prev = w.select(
+        (col("week") + expr("INTERVAL 7 DAYS")).as("week"),
+        col("user_id"), lit(1L).as("p"))
+      cur.join(prev, Seq("week", "user_id"), "full_outer")
+        .groupBy("week")
+        .agg(sum(coalesce(col("c"), lit(0L))).as("actives"),
+          sum(when(col("c") === 1L && col("p") === 1L, 1L).otherwise(0L))
+            .as("retained"),
+          sum(when(col("c").isNull, 1L).otherwise(0L)).as("churned"),
+          sum(when(col("p").isNull, 1L).otherwise(0L)).as("new_users"))
+        .select(unix_micros(col("week")).as("wk_us"), col("actives"),
+          col("retained"), col("new_users"), col("churned"),
+          when(col("retained") + col("churned") > 0L,
+            r6(col("churned").cast("double")
+              / (col("retained") + col("churned")).cast("double")))
+            .as("churn_rate"))
+        .orderBy("wk_us")
+    },
+    Some(s"""
+      WITH w AS (
+        SELECT DISTINCT date_trunc('week', ts) AS week, user_id
+        FROM events),
+      cur AS (SELECT week, user_id, 1 AS c FROM w),
+      prev AS (
+        SELECT week + INTERVAL 7 DAY AS week, user_id, 1 AS p FROM w),
+      j AS (
+        SELECT COALESCE(cur.week, prev.week) AS week, c, p
+        FROM cur FULL JOIN prev
+          ON cur.week = prev.week AND cur.user_id = prev.user_id),
+      a AS (
+        SELECT week,
+               CAST(sum(COALESCE(c, 0)) AS BIGINT) AS actives,
+               CAST(sum(CASE WHEN c = 1 AND p = 1 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS retained,
+               CAST(sum(CASE WHEN c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS churned,
+               CAST(sum(CASE WHEN p IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS new_users
+        FROM j GROUP BY 1)
+      SELECT epoch_us(week) AS wk_us, actives, retained, new_users, churned,
+             CASE WHEN retained + churned > 0 THEN
+               ${sqlR6("""CAST(churned AS DOUBLE)
+                 / CAST(retained + churned AS DOUBLE)""")}
+             END AS churn_rate
+      FROM a ORDER BY 1""")
+  )
+
   val all: Seq[QueryDef] =
     Seq(eHourly, eSessions, eHourlyStream, eSessionizeStream,
       eSessionWindow, eFunnel, eDedup, eDedupStream, eIntervalStream,
@@ -1882,5 +1981,5 @@ object EventsCatalog {
       eHoltStream, eMarkov, eAttribution,
       eSurvival, eScdStream, eAbTest, eCuped, eCusumStream, eFunnelStream,
       eHwStream, eRfm, eSessionWindowStream, eDid, eLateness, eBotFlag,
-      eSliding, eSrm, eStickiness)
+      eSliding, eSrm, eStickiness, ePowercurve, eChurn)
 }

@@ -2012,9 +2012,66 @@ object FinanceCatalog {
       GROUP BY 1, 2, 3, 4, 5 ORDER BY 1""")
   )
 
+  /** Omega ratio at threshold 0 — the gain/loss probability-weighted ratio
+    * Σ max(ret,0) / Σ max(−ret,0) over the per-flag daily return series
+    * (same series as sortino). Unlike Sharpe/Sortino it uses the WHOLE
+    * return distribution, no moment assumptions. Per-row returns are
+    * pinned doubles; both one-sided sums are exact DECIMAL(38,18)
+    * accumulations, so partitioning order can't move the ratio.
+    */
+  val omega = QueryDef(
+    "q_f_omega",
+    (s, dir) => {
+      val byDay = Window.partitionBy("l_returnflag").orderBy("day")
+      val daily = t(s, dir, "lineitem")
+        .withColumn("day",
+          date_trunc("day", col("l_shipdate")).cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "day")
+        .agg((sum(col("l_extendedprice").cast("decimal(28,6)"))
+          .cast("double") / count(lit(1))).as("y"))
+      val rets = daily
+        .withColumn("ret", col("y") / lag(col("y"), 1).over(byDay) - 1)
+        .where(col("ret").isNotNull)
+      rets.groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_days"),
+          sum(greatest(col("ret"), lit(0.0)).cast("decimal(38,18)"))
+            .cast("double").as("gain_sum"),
+          sum(greatest(-col("ret"), lit(0.0)).cast("decimal(38,18)"))
+            .cast("double").as("loss_sum"))
+        .select(col("l_returnflag"), col("n_days"),
+          r6(col("gain_sum")).as("gain_sum"),
+          r6(col("loss_sum")).as("loss_sum"),
+          r6(col("gain_sum") / col("loss_sum")).as("omega"))
+        .orderBy("l_returnflag")
+    },
+    Some(s"""
+      WITH daily AS (
+        SELECT l_returnflag, date_trunc('day', l_shipdate) AS day,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE)
+                 / count(*) AS y
+        FROM lineitem GROUP BY 1, 2),
+      rets AS (
+        SELECT l_returnflag,
+               y / lag(y, 1) OVER (PARTITION BY l_returnflag ORDER BY day)
+                 - 1 AS ret
+        FROM daily),
+      m AS (
+        SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_days,
+               CAST(sum(CAST(greatest(ret, 0e0) AS DECIMAL(38,18)))
+                 AS DOUBLE) AS gain_sum,
+               CAST(sum(CAST(greatest(-ret, 0e0) AS DECIMAL(38,18)))
+                 AS DOUBLE) AS loss_sum
+        FROM rets WHERE ret IS NOT NULL GROUP BY 1)
+      SELECT l_returnflag, n_days,
+             ${sqlR6("gain_sum")} AS gain_sum,
+             ${sqlR6("loss_sum")} AS loss_sum,
+             ${sqlR6("gain_sum / loss_sum")} AS omega
+      FROM m ORDER BY l_returnflag""")
+  )
+
   val all: Seq[QueryDef] =
     Seq(ohlcWeekly, bollinger, beta, ffill, rsi, macd, streaks, obv,
       stochastic, acf, seasonality, interp, varEs, holt, ar2, holtWinters,
       dw, kalman, sortino, garch, forecastAcc, underwater, coint, minVar,
-      xmr)
+      xmr, omega)
 }

@@ -3710,6 +3710,185 @@ object MiningCatalog {
     }
   )
 
+  /** Threshold sweep of the full confusion-matrix scorecard — precision,
+    * recall, F1, accuracy, and Matthews correlation for a fixed rule
+    * (predict "purchase" when value ≥ θ) at three operating points. The
+    * four cells are exact integers from one pass; every metric is then a
+    * single pinned IEEE chain per row (MCC's denominator multiplies the
+    * four marginals as doubles — the integer product would overflow BIGINT
+    * at scale — and sqrt is correctly rounded in both engines).
+    */
+  val m48Prf = QueryDef(
+    "q_m48_prf",
+    (s, dir) => {
+      val sp = s
+      import sp.implicits._
+      val base = t(s, dir, "events")
+        .select(col("value"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
+      val cm = base
+        .crossJoin(broadcast(Seq(50L, 100L, 200L).toDF("thr")))
+        .withColumn("pred",
+          when(col("value") >= col("thr").cast("double"), 1L).otherwise(0L))
+        .groupBy("thr")
+        .agg(
+          sum(when(col("pred") === 1L && col("y") === 1L, 1L).otherwise(0L))
+            .as("tp"),
+          sum(when(col("pred") === 1L && col("y") === 0L, 1L).otherwise(0L))
+            .as("fp"),
+          sum(when(col("pred") === 0L && col("y") === 1L, 1L).otherwise(0L))
+            .as("fn"),
+          sum(when(col("pred") === 0L && col("y") === 0L, 1L).otherwise(0L))
+            .as("tn"))
+      cm.select(col("thr"), col("tp"), col("fp"), col("fn"), col("tn"),
+        when(col("tp") + col("fp") > 0L,
+          r6(col("tp").cast("double")
+            / (col("tp") + col("fp")).cast("double"))).as("precision"),
+        when(col("tp") + col("fn") > 0L,
+          r6(col("tp").cast("double")
+            / (col("tp") + col("fn")).cast("double"))).as("recall"),
+        when(lit(2L) * col("tp") + col("fp") + col("fn") > 0L,
+          r6(lit(2.0) * col("tp").cast("double")
+            / (lit(2L) * col("tp") + col("fp") + col("fn")).cast("double")))
+          .as("f1"),
+        r6((col("tp") + col("tn")).cast("double")
+          / (col("tp") + col("fp") + col("fn") + col("tn")).cast("double"))
+          .as("accuracy"),
+        r6((col("tp") * col("tn") - col("fp") * col("fn")).cast("double")
+          / sqrt((col("tp") + col("fp")).cast("double")
+            * (col("tp") + col("fn")).cast("double")
+            * (col("tn") + col("fp")).cast("double")
+            * (col("tn") + col("fn")).cast("double"))).as("mcc"))
+        .orderBy("thr")
+    },
+    Some(s"""
+      WITH base AS (
+        SELECT value,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        FROM events),
+      cm AS (
+        SELECT thr,
+               CAST(sum(CASE WHEN value >= CAST(thr AS DOUBLE) AND y = 1
+                 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+               CAST(sum(CASE WHEN value >= CAST(thr AS DOUBLE) AND y = 0
+                 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+               CAST(sum(CASE WHEN value < CAST(thr AS DOUBLE) AND y = 1
+                 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+               CAST(sum(CASE WHEN value < CAST(thr AS DOUBLE) AND y = 0
+                 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+        FROM base CROSS JOIN (VALUES (CAST(50 AS BIGINT)), (100), (200))
+          t(thr)
+        GROUP BY 1)
+      SELECT thr, tp, fp, fn, tn,
+             CASE WHEN tp + fp > 0 THEN
+               ${sqlR6("CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE)")}
+             END AS precision,
+             CASE WHEN tp + fn > 0 THEN
+               ${sqlR6("CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE)")}
+             END AS recall,
+             CASE WHEN 2 * tp + fp + fn > 0 THEN
+               ${sqlR6("""2e0 * CAST(tp AS DOUBLE)
+                 / CAST(2 * tp + fp + fn AS DOUBLE)""")}
+             END AS f1,
+             ${sqlR6("""CAST(tp + tn AS DOUBLE)
+               / CAST(tp + fp + fn + tn AS DOUBLE)""")} AS accuracy,
+             ${sqlR6("""CAST(tp * tn - fp * fn AS DOUBLE)
+               / sqrt(CAST(tp + fp AS DOUBLE) * CAST(tp + fn AS DOUBLE)
+                 * CAST(tn + fp AS DOUBLE) * CAST(tn + fn AS DOUBLE))""")}
+               AS mcc
+      FROM cm ORDER BY thr""")
+  )
+
+  /** Mood's median test — the nonparametric ANOVA alternative that only
+    * needs counts: is each flag's share of values above the POOLED median
+    * what the margins predict? The pooled median is an exact type-1
+    * order-statistic selection over the global cents histogram (the
+    * boxplot/medianMad idiom: runningSum prefix + Σ v·indicator at rank
+    * ⌈(N+1)/2⌉, broadcast as one row); per-group above/below cells are
+    * exact integers, and each χ² contribution is one pinned double chain
+    * from those integers. Scale shape: two histogram aggregations + two
+    * broadcast one-row joins — no global sort.
+    */
+  val m49Mood = QueryDef(
+    "q_m49_mood",
+    (s, dir) => {
+      import graft.plans.SequenceOps
+      val src = t(s, dir, "lineitem")
+        .select(col("l_returnflag").as("flag"),
+          expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)")
+            .as("cents"))
+      val h = src.groupBy("cents").agg(count(lit(1)).as("n"))
+      val cum = SequenceOps.runningSum(h, Nil, Seq("cents"), "n", "cum")
+      val tot = h.agg(sum(col("n")).as("nt"))
+      val med = cum.crossJoin(broadcast(tot))
+        .withColumn("rm", expr("(nt + 1) div 2"))
+        .agg(sum(col("cents")
+          * when(col("cum") - col("n") < col("rm") && col("rm") <= col("cum"),
+            1L).otherwise(0L)).as("med"))
+      val g = src.crossJoin(broadcast(med))
+        .groupBy("flag")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("cents") > col("med"), 1L).otherwise(0L))
+            .as("n_above"))
+      val m = g.agg(sum(col("n")).as("nt"), sum(col("n_above")).as("a"))
+      val ea = col("n").cast("double") * col("a").cast("double") /
+        col("nt").cast("double")
+      val el = col("n").cast("double") *
+        (col("nt") - col("a")).cast("double") / col("nt").cast("double")
+      val da = col("n_above").cast("double") - ea
+      val dl = (col("n") - col("n_above")).cast("double") - el
+      g.crossJoin(broadcast(m))
+        .select(col("flag"), col("n"), col("n_above"),
+          (col("n") - col("n_above")).as("n_le"),
+          r6(ea).as("exp_above"),
+          r6(da * da / ea + dl * dl / el).as("chi2_part"))
+        .orderBy("flag")
+    },
+    Some(s"""
+      WITH src AS (
+        SELECT l_returnflag AS flag,
+               CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM lineitem),
+      h AS (SELECT cents, count(*) AS n FROM src GROUP BY 1),
+      c AS (
+        SELECT cents, n,
+               CAST(sum(n) OVER (ORDER BY cents
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS cum
+        FROM h),
+      tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM h),
+      med AS (
+        SELECT CAST(sum(cents * CASE WHEN cum - n < (nt + 1) // 2
+                 AND (nt + 1) // 2 <= cum THEN 1 ELSE 0 END) AS BIGINT)
+               AS med
+        FROM c CROSS JOIN tot),
+      g AS (
+        SELECT flag, count(*) AS n,
+               CAST(sum(CASE WHEN cents > med THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_above
+        FROM src CROSS JOIN med GROUP BY 1),
+      m AS (
+        SELECT CAST(sum(n) AS BIGINT) AS nt, CAST(sum(n_above) AS BIGINT)
+               AS a
+        FROM g)
+      SELECT flag, n, n_above, n - n_above AS n_le,
+             ${sqlR6("""CAST(n AS DOUBLE) * CAST(a AS DOUBLE)
+               / CAST(nt AS DOUBLE)""")} AS exp_above,
+             ${sqlR6("""(CAST(n_above AS DOUBLE) - CAST(n AS DOUBLE)
+                 * CAST(a AS DOUBLE) / CAST(nt AS DOUBLE))
+               * (CAST(n_above AS DOUBLE) - CAST(n AS DOUBLE)
+                 * CAST(a AS DOUBLE) / CAST(nt AS DOUBLE))
+               / (CAST(n AS DOUBLE) * CAST(a AS DOUBLE)
+                 / CAST(nt AS DOUBLE))
+               + (CAST(n - n_above AS DOUBLE) - CAST(n AS DOUBLE)
+                 * CAST(nt - a AS DOUBLE) / CAST(nt AS DOUBLE))
+               * (CAST(n - n_above AS DOUBLE) - CAST(n AS DOUBLE)
+                 * CAST(nt - a AS DOUBLE) / CAST(nt AS DOUBLE))
+               / (CAST(n AS DOUBLE) * CAST(nt - a AS DOUBLE)
+                 / CAST(nt AS DOUBLE))""")} AS chi2_part
+      FROM g CROSS JOIN m ORDER BY flag""")
+  )
+
   val all: Seq[QueryDef] = Seq(m1Ols, m2OlsNextDay, m4Anomalies, m5Ridge,
     m6Cv, m7Mwu, m8Ks, m9Nbayes, m10LogregStep, m11Welch, m12Spearman,
     m13Robust, m14Anova, m15Kendall, m16Cusum, m17TheilSen, m18Pca,
@@ -3718,5 +3897,5 @@ object MiningCatalog {
     m29Granger, m30RunsTest, m31Lift, m32Conformal, m33Dbscan, m34Chow,
     m35LjungBox, m36Ransac, m37McNemar, m39PageHinkley, m40CohensD,
     m41WeightedMedian, m42Auc, m43Stump, m44Calibration, m45Kruskal,
-    m46PartialCorr, m47FeatureRank)
+    m46PartialCorr, m47FeatureRank, m48Prf, m49Mood)
 }

@@ -3170,6 +3170,50 @@ object MiscCatalog {
       FROM j GROUP BY 1, 2, 3, 7 ORDER BY 1""")
   )
 
+  /** l-diversity audit — the companion to [[qKanon]]: k-anonymity bounds
+    * group SIZE, l-diversity bounds how many distinct SENSITIVE values each
+    * quasi-identifier group carries (a k=50 group whose 50 rows all share
+    * one salary bucket still leaks). QI = (nation, segment); sensitive =
+    * 1000-wide balance bucket. One groupBy computing size + distinct
+    * sensitive count per group, one single-row rollup — all exact integers
+    * plus one pinned ratio.
+    */
+  val qLdiversity = QueryDef(
+    "q_p_ldiversity",
+    (s, dir) => {
+      val g = t(s, dir, "customer")
+        .select(col("c_nationkey"), col("c_mktsegment"),
+          (floor(col("c_acctbal") / lit(1000.0)).cast("long") * lit(1000L))
+            .as("bal_bucket"))
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          count_distinct(col("bal_bucket")).as("l"))
+      g.agg(count(lit(1)).as("n_groups"), sum(col("n")).as("n_rows"),
+        min(col("l")).as("min_l"),
+        sum(when(col("l") < 3L, 1L).otherwise(0L)).as("groups_lt3"),
+        sum(when(col("l") < 3L, col("n")).otherwise(0L)).as("rows_at_risk"))
+        .select(col("n_groups"), col("n_rows"), col("min_l"),
+          col("groups_lt3"), col("rows_at_risk"),
+          r6(col("rows_at_risk").cast("double")
+            / col("n_rows").cast("double")).as("pct_at_risk"))
+    },
+    Some(s"""
+      WITH g AS (
+        SELECT c_nationkey, c_mktsegment, count(*) AS n,
+               CAST(count(DISTINCT CAST(floor(c_acctbal / 1000e0) AS BIGINT)
+                 * 1000) AS BIGINT) AS l
+        FROM customer GROUP BY 1, 2)
+      SELECT count(*) AS n_groups, CAST(sum(n) AS BIGINT) AS n_rows,
+             min(l) AS min_l,
+             CAST(sum(CASE WHEN l < 3 THEN 1 ELSE 0 END) AS BIGINT)
+               AS groups_lt3,
+             CAST(sum(CASE WHEN l < 3 THEN n ELSE 0 END) AS BIGINT)
+               AS rows_at_risk,
+             ${sqlR6("""CAST(sum(CASE WHEN l < 3 THEN n ELSE 0 END)
+               AS DOUBLE) / CAST(sum(n) AS DOUBLE)""")} AS pct_at_risk
+      FROM g""")
+  )
+
   val all: Seq[QueryDef] = Seq(oTopK, aSpikeSummary, eJson, aSummary,
     mKmeans, mLloydStep, qAsof, qRange, qRollup, qCube, qGroupingSets,
     qPercentile, qHistogram, qZOrder, qHilbert, qCompactPlan, qScd2, qScd1,
@@ -3181,6 +3225,6 @@ object MiscCatalog {
     qLabelProp, qScd2AsOf, qSkewProfile, qHits, qExpectations, qDegreeDist,
     qIqrOutliers, qSkyline, qUnpivot, qPsi, qOrcScan, qCramersV,
     qCsvCorrupt, qClustCoef, qKanon, qMergeSchema, qModularity,
-    qJsonl, qCsvGzip, qTreeDepth, qBoxplot)
+    qJsonl, qCsvGzip, qTreeDepth, qBoxplot, qLdiversity)
 }
 

@@ -2252,6 +2252,57 @@ object TextCatalog {
       FROM g GROUP BY 1 ORDER BY 1""")
   )
 
+  /** Lexical-diversity profile per language: per-document type/token ratio
+    * and hapax-legomena ratio (share of words occurring exactly once in the
+    * doc), aggregated per lang. TTR is the classic repetitive-boilerplate
+    * detector that complements q_t_repetition's n-gram view: machine-
+    * generated or template text has LOW ttr. Counts are exact integers;
+    * each per-doc ratio is one pinned double, averaged with the exact
+    * decimal mean so group order can't perturb the result. Explode→two
+    * groupBys, all map-side combinable.
+    */
+  val tTtr = QueryDef(
+    "q_t_ttr",
+    (s, dir) => {
+      val perTok = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          explode(split(col("text"), " ")).as("tok"))
+        .where(col("tok") =!= "")
+        .groupBy("doc_id", "lang", "tok")
+        .agg(count(lit(1)).as("c"))
+      val perDoc = perTok.groupBy("doc_id", "lang")
+        .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_types"),
+          sum(when(col("c") === 1L, 1L).otherwise(0L)).as("n_hapax"))
+      perDoc.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"),
+          r6(avgE18(col("n_types").cast("double")
+            / col("n_tokens").cast("double"))).as("avg_ttr"),
+          r6(avgE18(col("n_hapax").cast("double")
+            / col("n_tokens").cast("double"))).as("avg_hapax"))
+        .orderBy("lang")
+    },
+    Some(s"""
+      WITH tok AS (
+        SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+        FROM documents),
+      pt AS (
+        SELECT doc_id, lang, tok, count(*) AS c
+        FROM tok WHERE tok <> '' GROUP BY 1, 2, 3),
+      pd AS (
+        SELECT doc_id, lang, CAST(sum(c) AS BIGINT) AS n_tokens,
+               count(*) AS n_types,
+               CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_hapax
+        FROM pt GROUP BY 1, 2)
+      SELECT lang, count(*) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+             ${sqlR6(sqlAvgE18(
+      "CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE)"))} AS avg_ttr,
+             ${sqlR6(sqlAvgE18(
+      "CAST(n_hapax AS DOUBLE) / CAST(n_tokens AS DOUBLE)"))} AS avg_hapax
+      FROM pd GROUP BY 1 ORDER BY 1""")
+  )
+
   val all: Seq[QueryDef] =
     Seq(tQuality, tTokens, tFingerprint, tLangId, tExplode,
       tRepetition, tLmScore, tSplit, tStratSample, tTfIdf, tPmi,
@@ -2259,5 +2310,5 @@ object TextCatalog {
       tLineDedup, tBm25, tDsir, tWsample, tVocabOverlap, tMixture, tJsd,
       tFeatHash, tDupSpans, tZipf, tLangConfusion, tBpeStep, tBpeTrain5,
       tBpeEncode, tBleu, tChunkOverlap, tRrf, tRbo, tTempMixture, tRouge,
-      tTokenBudget, tCdcChunks, tKappa, tFunnel, tBigramLm, tShards)
+      tTokenBudget, tCdcChunks, tKappa, tFunnel, tBigramLm, tShards, tTtr)
 }

@@ -1,0 +1,134 @@
+package graft
+
+import org.apache.spark.sql.functions.{call_function, col, levenshtein, lit}
+
+import graft.functions.StringDistance
+import graft.queries.{DedupCatalog, EventsCatalog, FinanceCatalog,
+  MiningCatalog, MiscCatalog, TextCatalog}
+
+/** Semantic invariants for the round-11 engagement/eval/fuzzy batch,
+  * beyond the oracle gates: the Damerau kernel's textbook values and its
+  * dominance relations vs Levenshtein, churn/retention conservation
+  * identities, the power-curve partitioning all weekly actives, PRF
+  * metric ranges and their confusion-cell identities, Mood's-test cell
+  * conservation, boxplot quartile ordering, and Omega's gain/loss
+  * decomposition.
+  */
+class Round11eOpsSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("damerau kernel: textbook values, never exceeds levenshtein") {
+    def d(a: String, b: String): Int = StringDistance.damerau(
+      org.apache.spark.unsafe.types.UTF8String.fromString(a),
+      org.apache.spark.unsafe.types.UTF8String.fromString(b))
+    assert(d("", "") == 0)
+    assert(d("", "abc") == 3 && d("abc", "") == 3)
+    assert(d("abc", "abc") == 0)
+    assert(d("ab", "ba") == 1) // one transposition (levenshtein: 2)
+    assert(d("CA", "ABC") == 2) // UNRESTRICTED DL; OSA would give 3
+    assert(d("kitten", "sitting") == 3) // no transpositions: == levenshtein
+    assert(d("smtih", "smith") == 1)
+    assert(d("abcdef", "badcfe") == 3) // three disjoint transpositions
+    // expression registration + dominance over part names
+    StringDistance.register(spark)
+    val viol = spark.read.parquet(s"$sf/part.parquet")
+      .select(col("p_name").as("a"),
+        org.apache.spark.sql.functions.reverse(col("p_name")).as("b"))
+      .select(call_function("graft_damerau", col("a"), col("b")).as("dl"),
+        levenshtein(col("a"), col("b")).as("lev"))
+      .where(col("dl") > col("lev") || col("dl") < lit(0))
+      .count()
+    assert(viol == 0, s"$viol rows where DL exceeds levenshtein")
+  }
+
+  test("q_e_churn: actives = retained + new; churned come from last week") {
+    val rows = EventsCatalog.eChurn.query(spark, sf).collect()
+    assert(rows.nonEmpty)
+    var prevActives = -1L
+    rows.foreach { r =>
+      val (act, ret, nw, ch) = (r.getAs[Long]("actives"),
+        r.getAs[Long]("retained"), r.getAs[Long]("new_users"),
+        r.getAs[Long]("churned"))
+      assert(act == ret + nw, s"actives $act != retained $ret + new $nw")
+      if (prevActives >= 0)
+        assert(ret + ch == prevActives,
+          s"retained $ret + churned $ch != last week's actives $prevActives")
+      prevActives = act
+    }
+  }
+
+  test("q_e_powercurve: histogram partitions each week's actives") {
+    val pc = EventsCatalog.ePowercurve.query(spark, sf).collect()
+      .groupBy(_.getAs[Long]("wk_us"))
+      .view.mapValues(_.map(_.getAs[Long]("n_users")).sum).toMap
+    val churnActives = EventsCatalog.eChurn.query(spark, sf).collect()
+      .filter(_.getAs[Long]("actives") > 0)
+      .map(r => r.getAs[Long]("wk_us") -> r.getAs[Long]("actives")).toMap
+    assert(pc == churnActives,
+      s"power-curve user totals $pc != weekly actives $churnActives")
+  }
+
+  test("q_m48_prf: ranges, F1 harmonic identity, cells partition the table") {
+    val rows = MiningCatalog.m48Prf.query(spark, sf).collect()
+    assert(rows.length == 3)
+    val total = spark.read.parquet(s"$sf/events.parquet").count()
+    rows.foreach { r =>
+      val (tp, fp, fn, tn) = (r.getAs[Long]("tp"), r.getAs[Long]("fp"),
+        r.getAs[Long]("fn"), r.getAs[Long]("tn"))
+      assert(tp + fp + fn + tn == total)
+      val (p, rec, f1) = (r.getAs[Double]("precision"),
+        r.getAs[Double]("recall"), r.getAs[Double]("f1"))
+      Seq(p, rec, f1, r.getAs[Double]("accuracy")).foreach(v =>
+        assert(v >= 0.0 && v <= 1.0, s"metric $v out of [0,1]"))
+      assert(math.abs(r.getAs[Double]("mcc")) <= 1.0 + 1e-12)
+      // F1 = harmonic mean of P and R (both nonzero here); r6 rounding
+      // on each side bounds the drift
+      assert(math.abs(f1 - 2 * p * rec / (p + rec)) < 1e-4,
+        s"F1 $f1 != harmonic($p, $rec)")
+    }
+  }
+
+  test("q_m49_mood: cells conserve rows; chi2 parts nonnegative") {
+    val rows = MiningCatalog.m49Mood.query(spark, sf).collect()
+    val total = spark.read.parquet(s"$sf/lineitem.parquet").count()
+    assert(rows.map(_.getAs[Long]("n")).sum == total)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_above") + r.getAs[Long]("n_le") ==
+        r.getAs[Long]("n"))
+      assert(r.getAs[Double]("chi2_part") >= 0.0)
+      assert(r.getAs[Double]("exp_above") >= 0.0)
+    }
+  }
+
+  test("q_a29_boxplot: five numbers are ordered and inside the range") {
+    MiscCatalog.qBoxplot.query(spark, sf).collect().foreach { r =>
+      val (mn, q1, md, q3, mx) = (r.getAs[Long]("min_cents"),
+        r.getAs[Long]("q1_cents"), r.getAs[Long]("med_cents"),
+        r.getAs[Long]("q3_cents"), r.getAs[Long]("max_cents"))
+      assert(mn <= q1 && q1 <= md && md <= q3 && q3 <= mx,
+        s"five-number summary out of order: $mn $q1 $md $q3 $mx")
+    }
+  }
+
+  test("q_f_omega: one-sided sums nonnegative, omega consistent") {
+    FinanceCatalog.omega.query(spark, sf).collect().foreach { r =>
+      val (g, l, o) = (r.getAs[Double]("gain_sum"),
+        r.getAs[Double]("loss_sum"), r.getAs[Double]("omega"))
+      assert(g >= 0.0 && l >= 0.0)
+      assert(math.abs(o - g / l) < 1e-4, s"omega $o != $g / $l")
+    }
+  }
+
+  test("q_t_ttr / q_p_ldiversity: ratio ranges") {
+    TextCatalog.tTtr.query(spark, sf).collect().foreach { r =>
+      Seq("avg_ttr", "avg_hapax").foreach { c =>
+        val v = r.getAs[Double](c)
+        assert(v > 0.0 && v <= 1.0, s"$c $v out of (0,1]")
+      }
+    }
+    val ld = MiscCatalog.qLdiversity.query(spark, sf).collect()(0)
+    assert(ld.getAs[Long]("min_l") >= 1)
+    assert(ld.getAs[Long]("rows_at_risk") <= ld.getAs[Long]("n_rows"))
+  }
+}
