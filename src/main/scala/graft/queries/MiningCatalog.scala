@@ -3889,6 +3889,321 @@ object MiningCatalog {
       FROM g CROSS JOIN m ORDER BY flag""")
   )
 
+  /** Brown–Forsythe homogeneity-of-variance test (the robust Levene
+    * variant): one-way ANOVA on |x − group MEDIAN|. Medians are exact
+    * type-1 order statistics per flag (grouped runningSum + Σ v·indicator
+    * selection); deviations are then INTEGERS, so the group sums Σd and
+    * Σd² are exact (Σd² accumulated as DECIMAL(38,0) — a long would
+    * overflow around 10⁹ rows; the scale-0 decimal→double cast is one
+    * correctly-rounded conversion in both engines). The three groups are
+    * pivoted to COLUMNS so the final F chain is a fixed-order IEEE
+    * sequence — no order-dependent double sum over rows anywhere.
+    */
+  val m50Levene = QueryDef(
+    "q_m50_levene",
+    (s, dir) => {
+      import graft.plans.SequenceOps
+      val src = t(s, dir, "lineitem")
+        .select(col("l_returnflag").as("flag"),
+          expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)")
+            .as("cents"))
+      val h = src.groupBy("flag", "cents").agg(count(lit(1)).as("n"))
+      val cum = SequenceOps.runningSum(h, Seq("flag"), Seq("cents"),
+        "n", "cum")
+      val tot = h.groupBy("flag").agg(sum(col("n")).as("nt"))
+      val med = cum.join(broadcast(tot), Seq("flag"))
+        .withColumn("rm", expr("(nt + 1) div 2"))
+        .groupBy("flag")
+        .agg(sum(col("cents")
+          * when(col("cum") - col("n") < col("rm") && col("rm") <= col("cum"),
+            1L).otherwise(0L)).as("med"))
+      val g = src.join(broadcast(med), Seq("flag"))
+        .select(col("flag"), abs(col("cents") - col("med")).as("dev"),
+          col("med"))
+        .groupBy("flag")
+        .agg(count(lit(1)).as("n"), sum(col("dev")).as("s1"),
+          sum((col("dev") * col("dev")).cast("decimal(38,0)")).as("s2"),
+          max(col("med")).as("med"))
+      def pick(f: String, c: String) =
+        max(when(col("flag") === f, col(c))).as(s"${c}_${f.toLowerCase}")
+      val p = g.agg(pick("A", "n"), pick("A", "s1"), pick("A", "s2"),
+        pick("A", "med"), pick("N", "n"), pick("N", "s1"), pick("N", "s2"),
+        pick("N", "med"), pick("R", "n"), pick("R", "s1"), pick("R", "s2"),
+        pick("R", "med"))
+      def d(c: String) = col(c).cast("double")
+      def b(f: String) = d(s"s1_$f") * d(s"s1_$f") / d(s"n_$f")
+      val nTot = (col("n_a") + col("n_n") + col("n_r")).cast("double")
+      val grand = (col("s1_a") + col("s1_n") + col("s1_r")).cast("double")
+      val ssb = b("a") + b("n") + b("r") - grand * grand / nTot
+      val ssw = (d("s2_a") - b("a")) + (d("s2_n") - b("n")) +
+        (d("s2_r") - b("r"))
+      p.select((col("n_a") + col("n_n") + col("n_r")).as("n"),
+        col("med_a"), col("med_n"), col("med_r"),
+        ssb.as("ssb"), ssw.as("ssw"),
+        r6((ssb / lit(2.0)) / (ssw / (nTot - lit(3.0)))).as("f_stat"))
+    },
+    Some(s"""
+      WITH src AS (
+        SELECT l_returnflag AS flag,
+               CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM lineitem),
+      h AS (SELECT flag, cents, count(*) AS n FROM src GROUP BY 1, 2),
+      c AS (
+        SELECT flag, cents, n,
+               CAST(sum(n) OVER (PARTITION BY flag ORDER BY cents
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS cum
+        FROM h),
+      tot AS (
+        SELECT flag, CAST(sum(n) AS BIGINT) AS nt FROM h GROUP BY 1),
+      med AS (
+        SELECT c.flag,
+               CAST(sum(cents * CASE WHEN cum - n < (nt + 1) // 2
+                 AND (nt + 1) // 2 <= cum THEN 1 ELSE 0 END) AS BIGINT)
+                 AS med
+        FROM c JOIN tot ON tot.flag = c.flag GROUP BY 1),
+      g AS (
+        SELECT src.flag, count(*) AS n,
+               CAST(sum(abs(cents - med)) AS BIGINT) AS s1,
+               sum(CAST(abs(cents - med) * abs(cents - med)
+                 AS DECIMAL(38,0))) AS s2,
+               max(med) AS med
+        FROM src JOIN med ON med.flag = src.flag GROUP BY 1),
+      p AS (
+        SELECT max(CASE WHEN flag = 'A' THEN n END) AS n_a,
+               max(CASE WHEN flag = 'A' THEN s1 END) AS s1_a,
+               max(CASE WHEN flag = 'A' THEN s2 END) AS s2_a,
+               max(CASE WHEN flag = 'A' THEN med END) AS med_a,
+               max(CASE WHEN flag = 'N' THEN n END) AS n_n,
+               max(CASE WHEN flag = 'N' THEN s1 END) AS s1_n,
+               max(CASE WHEN flag = 'N' THEN s2 END) AS s2_n,
+               max(CASE WHEN flag = 'N' THEN med END) AS med_n,
+               max(CASE WHEN flag = 'R' THEN n END) AS n_r,
+               max(CASE WHEN flag = 'R' THEN s1 END) AS s1_r,
+               max(CASE WHEN flag = 'R' THEN s2 END) AS s2_r,
+               max(CASE WHEN flag = 'R' THEN med END) AS med_r
+        FROM g),
+      e AS (
+        SELECT n_a + n_n + n_r AS n, med_a, med_n, med_r,
+               CAST(s1_a AS DOUBLE) * CAST(s1_a AS DOUBLE)
+                 / CAST(n_a AS DOUBLE) AS b_a,
+               CAST(s1_n AS DOUBLE) * CAST(s1_n AS DOUBLE)
+                 / CAST(n_n AS DOUBLE) AS b_n,
+               CAST(s1_r AS DOUBLE) * CAST(s1_r AS DOUBLE)
+                 / CAST(n_r AS DOUBLE) AS b_r,
+               CAST(s1_a + s1_n + s1_r AS DOUBLE) AS grand,
+               CAST(n_a + n_n + n_r AS DOUBLE) AS ntd,
+               CAST(s2_a AS DOUBLE) AS s2a, CAST(s2_n AS DOUBLE) AS s2n,
+               CAST(s2_r AS DOUBLE) AS s2r
+        FROM p),
+      f AS (
+        SELECT n, med_a, med_n, med_r,
+               b_a + b_n + b_r - grand * grand / ntd AS ssb,
+               (s2a - b_a) + (s2n - b_n) + (s2r - b_r) AS ssw,
+               ntd
+        FROM e)
+      SELECT n, med_a, med_n, med_r, ssb, ssw,
+             ${sqlR6("(ssb / 2e0) / (ssw / (ntd - 3e0))")} AS f_stat
+      FROM f""")
+  )
+
+  /** Two-sample log-rank test (Mantel–Cox) on time-to-ship with
+    * administrative censoring at day 365: arm 1 = returned lines. The
+    * survival counting process collapses to a ≤366-row (time × arm)
+    * histogram after one aggregation — at-risk counts come from a tiny
+    * broadcast theta-join (obs with t' < t) rather than a per-row scan, so
+    * the heavy table is touched exactly once at any scale. Every per-time
+    * hypergeometric term (E₁ₜ = dₜ·n₁ₜ/nₜ and its variance) is a pinned
+    * double from exact integers; the Σ over times accumulates in
+    * DECIMAL(38,18) and converts back via the split decD cast (scaled
+    * integer > 2⁵³). χ² = (O₁−E₁)²/V is the final pinned chain.
+    */
+  val m51Logrank = QueryDef(
+    "q_m51_logrank",
+    (s, dir) => {
+      val obs = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(
+          when(col("l_returnflag") === "R", 1L).otherwise(0L).as("arm"),
+          datediff(col("l_shipdate"), col("o_orderdate")).cast("long")
+            .as("traw"))
+        .where(col("traw") >= 0L)
+        .select(col("arm"), least(col("traw"), lit(365L)).as("tobs"),
+          when(col("traw") <= 365L, 1L).otherwise(0L).as("event"))
+      val h = obs.groupBy("arm", "tobs")
+        .agg(count(lit(1)).as("n"), sum(col("event")).as("d"))
+        .localCheckpoint(false)
+      val totals = h.groupBy("arm").agg(sum(col("n")).as("n_arm"))
+      val times = h.where(col("d") > 0L).select(col("tobs").as("t"))
+        .distinct()
+      // at-risk in `arm` at t = n_arm − #obs with tobs < t (tiny theta join)
+      val before = times.crossJoin(broadcast(totals))
+        .join(broadcast(h.select(col("arm").as("ha"), col("tobs"),
+          col("n").as("hn"))),
+          col("ha") === col("arm") && col("tobs") < col("t"), "left")
+        .groupBy("t", "arm", "n_arm")
+        .agg(coalesce(sum(col("hn")), lit(0L)).as("gone"))
+        .select(col("t"), col("arm"), (col("n_arm") - col("gone")).as("nr"))
+      val deaths = h.select(col("arm"), col("tobs").as("t"), col("d"))
+      val cells = before.join(broadcast(deaths), Seq("t", "arm"), "left")
+        .na.fill(0L, Seq("d"))
+      val row = cells.groupBy("t")
+        .agg(sum(when(col("arm") === 1L, col("nr")).otherwise(0L)).as("n1"),
+          sum(when(col("arm") === 0L, col("nr")).otherwise(0L)).as("n0"),
+          sum(when(col("arm") === 1L, col("d")).otherwise(0L)).as("d1"),
+          sum(when(col("arm") === 0L, col("d")).otherwise(0L)).as("d0"))
+        .withColumn("nt", col("n1") + col("n0"))
+        .withColumn("dt", col("d1") + col("d0"))
+        .where(col("dt") > 0L && col("nt") > 1L)
+      val n1d = col("n1").cast("double")
+      val ntd = col("nt").cast("double")
+      val dtd = col("dt").cast("double")
+      val agg = row.agg(
+        count(lit(1)).as("n_times"),
+        sum(col("d1")).as("o1"),
+        sum((dtd * n1d / ntd).cast("decimal(38,18)")).as("e1dec"),
+        sum((dtd * (n1d / ntd) * (lit(1.0) - n1d / ntd)
+          * ((ntd - dtd) / (ntd - lit(1.0)))).cast("decimal(38,18)"))
+          .as("vdec"))
+      agg.select(col("n_times"), col("o1"),
+        r6(decD(col("e1dec"))).as("e1"),
+        r6(decD(col("vdec"))).as("v"),
+        r6((col("o1").cast("double") - decD(col("e1dec")))
+          * (col("o1").cast("double") - decD(col("e1dec")))
+          / decD(col("vdec"))).as("chi2"))
+    },
+    Some(s"""
+      WITH obs AS (
+        SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS arm,
+               least(date_diff('day', o_orderdate, l_shipdate), 365)
+                 AS tobs,
+               CASE WHEN date_diff('day', o_orderdate, l_shipdate) <= 365
+                 THEN 1 ELSE 0 END AS event
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE date_diff('day', o_orderdate, l_shipdate) >= 0),
+      h AS (
+        SELECT arm, tobs, count(*) AS n, CAST(sum(event) AS BIGINT) AS d
+        FROM obs GROUP BY 1, 2),
+      totals AS (
+        SELECT arm, CAST(sum(n) AS BIGINT) AS n_arm FROM h GROUP BY 1),
+      times AS (SELECT DISTINCT tobs AS t FROM h WHERE d > 0),
+      brisk AS (
+        SELECT t, totals.arm, n_arm,
+               n_arm - COALESCE(CAST(sum(CASE WHEN h.tobs < t THEN h.n END)
+                 AS BIGINT), 0) AS nr
+        FROM times CROSS JOIN totals
+          LEFT JOIN h ON h.arm = totals.arm AND h.tobs < t
+        GROUP BY 1, 2, 3),
+      cells AS (
+        SELECT b.t, b.arm, b.nr, COALESCE(h.d, 0) AS d
+        FROM brisk b LEFT JOIN h ON h.arm = b.arm AND h.tobs = b.t),
+      r AS (
+        SELECT t,
+               CAST(sum(CASE WHEN arm = 1 THEN nr ELSE 0 END) AS BIGINT)
+                 AS n1,
+               CAST(sum(CASE WHEN arm = 0 THEN nr ELSE 0 END) AS BIGINT)
+                 AS n0,
+               CAST(sum(CASE WHEN arm = 1 THEN d ELSE 0 END) AS BIGINT)
+                 AS d1,
+               CAST(sum(CASE WHEN arm = 0 THEN d ELSE 0 END) AS BIGINT)
+                 AS d0
+        FROM cells GROUP BY 1),
+      rr AS (
+        SELECT t, n1, d1, n1 + n0 AS nt, d1 + d0 AS dt FROM r
+        WHERE d1 + d0 > 0 AND n1 + n0 > 1),
+      a AS (
+        SELECT count(*) AS n_times, CAST(sum(d1) AS BIGINT) AS o1,
+               sum(CAST(CAST(dt AS DOUBLE) * CAST(n1 AS DOUBLE)
+                 / CAST(nt AS DOUBLE) AS DECIMAL(38,18))) AS e1dec,
+               sum(CAST(CAST(dt AS DOUBLE)
+                 * (CAST(n1 AS DOUBLE) / CAST(nt AS DOUBLE))
+                 * (1e0 - CAST(n1 AS DOUBLE) / CAST(nt AS DOUBLE))
+                 * ((CAST(nt AS DOUBLE) - CAST(dt AS DOUBLE))
+                   / (CAST(nt AS DOUBLE) - 1e0)) AS DECIMAL(38,18)))
+                 AS vdec
+        FROM rr)
+      SELECT n_times, o1,
+             ${sqlR6(sqlDecD("e1dec"))} AS e1,
+             ${sqlR6(sqlDecD("vdec"))} AS v,
+             ${sqlR6(s"""(CAST(o1 AS DOUBLE) - ${sqlDecD("e1dec")})
+               * (CAST(o1 AS DOUBLE) - ${sqlDecD("e1dec")})
+               / ${sqlDecD("vdec")}""")} AS chi2
+      FROM a""")
+  )
+
+  /** Somers' D — the ASYMMETRIC rank association (Somers 1962): the
+    * q_m15_kendall pair machinery re-read with a dependent variable, as
+    * used for ordinal regression diagnostics and credit-scoring
+    * concordance (D(Y|X) is the Gini/AUC analogue for ordered pairs).
+    * Identical exact pair counts; the two directed coefficients divide by
+    * the pairs UNTIED on the conditioning variable only.
+    */
+  val m52SomersD = QueryDef(
+    "q_m52_somersd",
+    (s, dir) => {
+      val m = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag").as("g"),
+          date_trunc("month", col("l_shipdate")).cast("timestamp_ntz")
+            .as("mth"))
+        .agg(avgE(col("l_quantity")).as("x"),
+          avgE(col("l_extendedprice")).as("y"))
+      val a = m.select(col("g"), col("mth").as("m1"), col("x").as("x1"),
+        col("y").as("y1"))
+      val b = m.select(col("g").as("g2"), col("mth").as("m2"),
+        col("x").as("x2"), col("y").as("y2"))
+      val pairs = a.join(b, col("g") === col("g2") && col("m1") < col("m2"))
+      val c = sum(when((col("x1") < col("x2") && col("y1") < col("y2")) ||
+        (col("x1") > col("x2") && col("y1") > col("y2")), 1L)
+        .otherwise(0L))
+      val d = sum(when((col("x1") < col("x2") && col("y1") > col("y2")) ||
+        (col("x1") > col("x2") && col("y1") < col("y2")), 1L)
+        .otherwise(0L))
+      val tx = sum(when(col("x1") === col("x2") && col("y1") =!= col("y2"),
+        1L).otherwise(0L))
+      val ty = sum(when(col("y1") === col("y2") && col("x1") =!= col("x2"),
+        1L).otherwise(0L))
+      pairs.groupBy("g")
+        .agg(c.as("conc"), d.as("disc"), tx.as("ties_x"), ty.as("ties_y"))
+        .select(col("g"), col("conc"), col("disc"), col("ties_x"),
+          col("ties_y"),
+          r6((col("conc") - col("disc")).cast("double")
+            / (col("conc") + col("disc") + col("ties_y")).cast("double"))
+            .as("d_yx"),
+          r6((col("conc") - col("disc")).cast("double")
+            / (col("conc") + col("disc") + col("ties_x")).cast("double"))
+            .as("d_xy"))
+        .orderBy("g")
+    },
+    Some(s"""
+      WITH m AS (
+        SELECT l_returnflag AS g,
+               date_trunc('month', l_shipdate) AS mth,
+               ${sqlAvgE("l_quantity")} AS x,
+               ${sqlAvgE("l_extendedprice")} AS y
+        FROM lineitem GROUP BY 1, 2),
+      p AS (
+        SELECT a.g,
+          CAST(sum(CASE WHEN (a.x < b.x AND a.y < b.y)
+                          OR (a.x > b.x AND a.y > b.y) THEN 1 ELSE 0 END)
+            AS BIGINT) AS conc,
+          CAST(sum(CASE WHEN (a.x < b.x AND a.y > b.y)
+                          OR (a.x > b.x AND a.y < b.y) THEN 1 ELSE 0 END)
+            AS BIGINT) AS disc,
+          CAST(sum(CASE WHEN a.x = b.x AND a.y <> b.y THEN 1 ELSE 0 END)
+            AS BIGINT) AS ties_x,
+          CAST(sum(CASE WHEN a.y = b.y AND a.x <> b.x THEN 1 ELSE 0 END)
+            AS BIGINT) AS ties_y
+        FROM m a JOIN m b ON a.g = b.g AND a.mth < b.mth
+        GROUP BY a.g)
+      SELECT g, conc, disc, ties_x, ties_y,
+             ${sqlR6("""CAST(conc - disc AS DOUBLE)
+               / CAST(conc + disc + ties_y AS DOUBLE)""")} AS d_yx,
+             ${sqlR6("""CAST(conc - disc AS DOUBLE)
+               / CAST(conc + disc + ties_x AS DOUBLE)""")} AS d_xy
+      FROM p ORDER BY g""")
+  )
+
   val all: Seq[QueryDef] = Seq(m1Ols, m2OlsNextDay, m4Anomalies, m5Ridge,
     m6Cv, m7Mwu, m8Ks, m9Nbayes, m10LogregStep, m11Welch, m12Spearman,
     m13Robust, m14Anova, m15Kendall, m16Cusum, m17TheilSen, m18Pca,
@@ -3897,5 +4212,6 @@ object MiningCatalog {
     m29Granger, m30RunsTest, m31Lift, m32Conformal, m33Dbscan, m34Chow,
     m35LjungBox, m36Ransac, m37McNemar, m39PageHinkley, m40CohensD,
     m41WeightedMedian, m42Auc, m43Stump, m44Calibration, m45Kruskal,
-    m46PartialCorr, m47FeatureRank, m48Prf, m49Mood)
+    m46PartialCorr, m47FeatureRank, m48Prf, m49Mood, m50Levene,
+    m51Logrank, m52SomersD)
 }

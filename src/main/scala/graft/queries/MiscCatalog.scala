@@ -3214,6 +3214,158 @@ object MiscCatalog {
       FROM g""")
   )
 
+  /** Closeness + harmonic centrality from three fixed sources over the
+    * q_g_treedepth tree, traversed UNDIRECTED: driver-synchronized
+    * frontier BFS (anti-join against the visited set keeps each node's
+    * FIRST — i.e. minimal — distance; localCheckpoint truncates the
+    * growing lineage). All distances are exact integers; closeness is one
+    * pinned division and harmonic centrality an exact DECIMAL(38,18)
+    * accumulation of pinned per-node 1/d terms. Oracle replays the BFS as
+    * a depth-capped recursive CTE with min(d) collapse — revisits enumerate
+    * longer walks, the min keeps the BFS answer.
+    */
+  val qCloseness = QueryDef(
+    "q_g_closeness",
+    (s, dir) => {
+      val sp = s
+      import sp.implicits._
+      val nodes = t(s, dir, "customer")
+        .select((col("c_custkey").cast("long") + 1L).as("c"))
+        .localCheckpoint(false)
+      val edges = nodes.filter(col("c") > 1)
+        .withColumn("p", expr(
+          "CASE WHEN c % 2 = 0 THEN c div 2 ELSE greatest(c div 3, 1) END"))
+      val und = edges.select(col("c").as("u"), col("p").as("v"))
+        .unionByName(edges.select(col("p").as("u"), col("c").as("v")))
+        .localCheckpoint(false)
+      var levels = Seq(1L, 2L, 7L).toDF("src")
+        .select(col("src"), col("src").as("c"), lit(0L).as("d"))
+        .localCheckpoint(false)
+      var frontier = levels
+      var round = 0
+      while (round < 64 && !frontier.isEmpty) {
+        frontier = und
+          .join(frontier.select(col("src"), col("c").as("u"), col("d")),
+            Seq("u"))
+          .select(col("src"), col("v").as("c"), (col("d") + 1L).as("d"))
+          .distinct()
+          .join(levels.select("src", "c"), Seq("src", "c"), "left_anti")
+          .localCheckpoint(false)
+        levels = levels.unionByName(frontier).localCheckpoint(false)
+        round += 1
+      }
+      levels.where(col("d") > 0L)
+        .groupBy("src")
+        .agg(count(lit(1)).as("n_reached"), sum(col("d")).as("sum_dist"),
+          max(col("d")).as("eccentricity"),
+          sum((lit(1.0) / col("d").cast("double")).cast("decimal(38,18)"))
+            .cast("double").as("h"))
+        .select(col("src"), col("n_reached"), col("sum_dist"),
+          col("eccentricity"),
+          r6(col("n_reached").cast("double")
+            / col("sum_dist").cast("double")).as("closeness"),
+          r6(col("h")).as("harmonic"))
+        .orderBy("src")
+    },
+    Some(s"""
+      WITH RECURSIVE n AS (
+        SELECT CAST(c_custkey + 1 AS BIGINT) AS c FROM customer),
+      e AS (
+        SELECT c,
+               CASE WHEN c % 2 = 0 THEN c // 2
+                    ELSE greatest(c // 3, 1) END AS p
+        FROM n WHERE c > 1),
+      und AS (
+        SELECT c AS u, p AS v FROM e
+        UNION ALL SELECT p, c FROM e),
+      walk(src, c, d) AS (
+        SELECT src, src, CAST(0 AS BIGINT)
+        FROM (VALUES (CAST(1 AS BIGINT)), (2), (7)) s(src)
+        UNION
+        SELECT w.src, und.v, w.d + 1
+        FROM walk w JOIN und ON und.u = w.c WHERE w.d < 60),
+      m AS (
+        SELECT src, c, min(d) AS d FROM walk GROUP BY 1, 2)
+      SELECT src, count(*) AS n_reached, CAST(sum(d) AS BIGINT) AS sum_dist,
+             max(d) AS eccentricity,
+             ${sqlR6("""CAST(count(*) AS DOUBLE)
+               / CAST(sum(d) AS DOUBLE)""")} AS closeness,
+             ${sqlR6("""CAST(sum(CAST(1e0 / CAST(d AS DOUBLE)
+               AS DECIMAL(38,18))) AS DOUBLE)""")} AS harmonic
+      FROM m WHERE d > 0 GROUP BY 1 ORDER BY 1""")
+  )
+
+  /** Lorenz-curve decile feed for revenue concentration: customers ranked
+    * by exact integer revenue cents, split into mid-rank deciles over the
+    * VALUE HISTOGRAM (no global row sort — the same prefix-scan selection
+    * as q_a29_boxplot), each decile reporting its customer count, exact
+    * revenue sum, share, and cumulative share. The cumulative sum runs
+    * over integers (SequenceOps), so shares are single pinned divisions —
+    * the curve q_a20_gini's scalar collapses.
+    */
+  val qLorenz = QueryDef(
+    "q_a30_lorenz",
+    (s, dir) => {
+      import graft.plans.SequenceOps
+      val rev = t(s, dir, "orders")
+        .select(col("o_custkey"),
+          expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+            .as("cents"))
+        .groupBy("o_custkey")
+        .agg(sum(col("cents")).as("rev"))
+      val h = rev.groupBy("rev").agg(count(lit(1)).as("n"))
+      val cum = SequenceOps.runningSum(h, Nil, Seq("rev"), "n", "cum")
+      val tot = h.agg(sum(col("n")).as("nt"))
+      val bins = cum.crossJoin(broadcast(tot))
+        .withColumn("bin", expr("(2 * cum - n) * 10 div (2 * nt)"))
+        .groupBy("bin")
+        .agg(sum(col("n")).as("n_cust"),
+          sum(col("rev") * col("n")).as("rev_cents"))
+      val run = SequenceOps.runningSum(bins, Nil, Seq("bin"), "rev_cents",
+        "cum_cents")
+      val tr = bins.agg(sum(col("rev_cents")).as("total_cents"))
+      run.crossJoin(broadcast(tr))
+        .select(col("bin"), col("n_cust"), col("rev_cents"),
+          r6(col("rev_cents").cast("double")
+            / col("total_cents").cast("double")).as("share"),
+          r6(col("cum_cents").cast("double")
+            / col("total_cents").cast("double")).as("cum_share"))
+        .orderBy("bin")
+    },
+    Some(s"""
+      WITH rev AS (
+        SELECT o_custkey,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                 AS BIGINT) AS rev
+        FROM orders GROUP BY 1),
+      h AS (SELECT rev, count(*) AS n FROM rev GROUP BY 1),
+      c AS (
+        SELECT rev, n,
+               CAST(sum(n) OVER (ORDER BY rev
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS cum
+        FROM h),
+      tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM h),
+      bins AS (
+        SELECT (2 * cum - n) * 10 // (2 * nt) AS bin,
+               CAST(sum(n) AS BIGINT) AS n_cust,
+               CAST(sum(rev * n) AS BIGINT) AS rev_cents
+        FROM c CROSS JOIN tot GROUP BY 1),
+      run AS (
+        SELECT bin, n_cust, rev_cents,
+               CAST(sum(rev_cents) OVER (ORDER BY bin
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS cum_cents,
+               CAST(sum(rev_cents) OVER () AS BIGINT) AS total_cents
+        FROM bins)
+      SELECT bin, n_cust, rev_cents,
+             ${sqlR6("""CAST(rev_cents AS DOUBLE)
+               / CAST(total_cents AS DOUBLE)""")} AS share,
+             ${sqlR6("""CAST(cum_cents AS DOUBLE)
+               / CAST(total_cents AS DOUBLE)""")} AS cum_share
+      FROM run ORDER BY bin""")
+  )
+
   val all: Seq[QueryDef] = Seq(oTopK, aSpikeSummary, eJson, aSummary,
     mKmeans, mLloydStep, qAsof, qRange, qRollup, qCube, qGroupingSets,
     qPercentile, qHistogram, qZOrder, qHilbert, qCompactPlan, qScd2, qScd1,
@@ -3225,6 +3377,7 @@ object MiscCatalog {
     qLabelProp, qScd2AsOf, qSkewProfile, qHits, qExpectations, qDegreeDist,
     qIqrOutliers, qSkyline, qUnpivot, qPsi, qOrcScan, qCramersV,
     qCsvCorrupt, qClustCoef, qKanon, qMergeSchema, qModularity,
-    qJsonl, qCsvGzip, qTreeDepth, qBoxplot, qLdiversity)
+    qJsonl, qCsvGzip, qTreeDepth, qBoxplot, qLdiversity, qCloseness,
+    qLorenz)
 }
 

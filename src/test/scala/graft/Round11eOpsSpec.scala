@@ -120,6 +120,73 @@ class Round11eOpsSpec extends SparkSpec {
     }
   }
 
+  test("q_m50_levene: row conservation, nonnegative sums of squares") {
+    val r = MiningCatalog.m50Levene.query(spark, sf).collect()(0)
+    val total = spark.read.parquet(s"$sf/lineitem.parquet").count()
+    assert(r.getAs[Long]("n") == total)
+    assert(r.getAs[Double]("ssb") >= 0.0, "between-group SS negative")
+    assert(r.getAs[Double]("ssw") > 0.0, "within-group SS not positive")
+    assert(r.getAs[Double]("f_stat") >= 0.0)
+  }
+
+  test("q_g_closeness: tree is connected, metrics consistent") {
+    val nNodes = spark.read.parquet(s"$sf/customer.parquet").count()
+    val rows = MiscCatalog.qCloseness.query(spark, sf).collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      val (nr, sd, ecc) = (r.getAs[Long]("n_reached"),
+        r.getAs[Long]("sum_dist"), r.getAs[Long]("eccentricity"))
+      assert(nr == nNodes - 1, s"BFS reached $nr of ${nNodes - 1}")
+      assert(ecc <= sd && ecc >= 1)
+      assert(sd >= nr, "sum of distances below one hop per node")
+      val cl = r.getAs[Double]("closeness")
+      assert(cl > 0.0 && cl <= 1.0)
+      assert(r.getAs[Double]("harmonic") <= nr.toDouble)
+    }
+  }
+
+  test("q_a30_lorenz: partition of customers, convex cumulative share") {
+    val rows = MiscCatalog.qLorenz.query(spark, sf).collect()
+      .sortBy(_.getAs[Long]("bin"))
+    val nCust = spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_custkey").distinct().count()
+    assert(rows.map(_.getAs[Long]("n_cust")).sum == nCust)
+    assert(math.abs(rows.map(_.getAs[Double]("share")).sum - 1.0) < 1e-4)
+    val cums = rows.map(_.getAs[Double]("cum_share"))
+    assert(cums.zip(cums.tail).forall { case (a, b) => a <= b },
+      "cumulative share not monotone")
+    assert(math.abs(cums.last - 1.0) < 1e-6)
+    // deciles are ordered by revenue → per-customer mean revenue rises
+    val means = rows.map(r =>
+      r.getAs[Long]("rev_cents").toDouble / r.getAs[Long]("n_cust"))
+    assert(means.zip(means.tail).forall { case (a, b) => a <= b },
+      "mean revenue per decile not monotone — binning broke the order")
+  }
+
+  test("q_m51_logrank: counting-process consistency") {
+    val r = MiningCatalog.m51Logrank.query(spark, sf).collect()(0)
+    assert(r.getAs[Long]("n_times") >= 1 && r.getAs[Long]("n_times") <= 366)
+    assert(r.getAs[Long]("o1") >= 0)
+    assert(r.getAs[Double]("e1") > 0.0)
+    assert(r.getAs[Double]("v") > 0.0)
+    assert(r.getAs[Double]("chi2") >= 0.0)
+  }
+
+  test("q_m52_somersd: range, sign agreement, tau_b geometric mean") {
+    val sd = MiningCatalog.m52SomersD.query(spark, sf).collect()
+    val tb = MiningCatalog.m15Kendall.query(spark, sf).collect()
+      .map(r => r.getAs[String]("g") -> r.getAs[Double]("tau_b")).toMap
+    sd.foreach { r =>
+      val (dyx, dxy) = (r.getAs[Double]("d_yx"), r.getAs[Double]("d_xy"))
+      assert(math.abs(dyx) <= 1.0 && math.abs(dxy) <= 1.0)
+      val tau = tb(r.getAs[String]("g"))
+      assert(dyx.sign == dxy.sign && (tau == 0.0 || tau.sign == dyx.sign))
+      // tau_b² = d_yx · d_xy (both share numerator C−D); r6 bounds drift
+      assert(math.abs(tau * tau - dyx * dxy) < 1e-4,
+        s"tau_b² ${tau * tau} != d_yx·d_xy ${dyx * dxy}")
+    }
+  }
+
   test("q_t_ttr / q_p_ldiversity: ratio ranges") {
     TextCatalog.tTtr.query(spark, sf).collect().foreach { r =>
       Seq("avg_ttr", "avg_hapax").foreach { c =>
