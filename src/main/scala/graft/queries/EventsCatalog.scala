@@ -1973,6 +1973,75 @@ object EventsCatalog {
       FROM a ORDER BY 1""")
   )
 
+  /** Cohort LTV curves: users are grouped by first-seen week, and each
+    * cohort's purchase revenue is tracked per week-since-signup with a
+    * cumulative (range-partitioned prefix-scan) running total and the
+    * per-user LTV. Revenue is exact integer cents throughout — the
+    * running sum never touches a double — and LTV is one pinned division
+    * by the exact cohort size. The first-seen week is a groupBy min, not
+    * a window over raw events.
+    */
+  val eLtv = QueryDef(
+    "q_e_ltv",
+    (s, dir) => {
+      import graft.plans.SequenceOps
+      val e = t(s, dir, "events")
+        .withColumn("week",
+          date_trunc("week", timestamp_micros(col("ts"))))
+      val first = e.groupBy("user_id").agg(min(col("week")).as("cohort"))
+      val sizes = first.groupBy("cohort")
+        .agg(count(lit(1)).as("cohort_size"))
+      val g = e.join(first, Seq("user_id"))
+        .withColumn("wk_idx",
+          expr("(unix_micros(week) - unix_micros(cohort))" +
+            " div 604800000000"))
+        .groupBy("cohort", "wk_idx")
+        .agg(count_distinct(col("user_id")).as("n_active"),
+          sum(when(col("event_type") === "purchase",
+            expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"))
+            .otherwise(0L)).as("rev_cents"))
+      val cum = SequenceOps.runningSum(g, Seq("cohort"), Seq("wk_idx"),
+        "rev_cents", "cum_cents")
+      cum.join(broadcast(sizes), Seq("cohort"))
+        .select(unix_micros(col("cohort")).as("cohort_us"), col("wk_idx"),
+          col("cohort_size"), col("n_active"), col("rev_cents"),
+          col("cum_cents"),
+          r6(col("cum_cents").cast("double") / lit(100.0)
+            / col("cohort_size").cast("double")).as("ltv"))
+        .orderBy("cohort_us", "wk_idx")
+    },
+    Some(s"""
+      WITH e AS (
+        SELECT user_id, event_type, value,
+               date_trunc('week', ts) AS week
+        FROM events),
+      first AS (
+        SELECT user_id, min(week) AS cohort FROM e GROUP BY 1),
+      sizes AS (
+        SELECT cohort, count(*) AS cohort_size FROM first GROUP BY 1),
+      g AS (
+        SELECT cohort,
+               (epoch_us(week) - epoch_us(cohort)) // 604800000000 AS wk_idx,
+               CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_active,
+               CAST(sum(CASE WHEN event_type = 'purchase'
+                 THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                 ELSE 0 END) AS BIGINT) AS rev_cents
+        FROM e JOIN first ON first.user_id = e.user_id
+        GROUP BY 1, 2),
+      c AS (
+        SELECT cohort, wk_idx, n_active, rev_cents,
+               CAST(sum(rev_cents) OVER (PARTITION BY cohort ORDER BY wk_idx
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS cum_cents
+        FROM g)
+      SELECT epoch_us(c.cohort) AS cohort_us, wk_idx, cohort_size,
+             n_active, rev_cents, cum_cents,
+             ${sqlR6("""CAST(cum_cents AS DOUBLE) / 100e0
+               / CAST(cohort_size AS DOUBLE)""")} AS ltv
+      FROM c JOIN sizes ON sizes.cohort = c.cohort
+      ORDER BY 1, 2""")
+  )
+
   val all: Seq[QueryDef] =
     Seq(eHourly, eSessions, eHourlyStream, eSessionizeStream,
       eSessionWindow, eFunnel, eDedup, eDedupStream, eIntervalStream,
@@ -1981,5 +2050,5 @@ object EventsCatalog {
       eHoltStream, eMarkov, eAttribution,
       eSurvival, eScdStream, eAbTest, eCuped, eCusumStream, eFunnelStream,
       eHwStream, eRfm, eSessionWindowStream, eDid, eLateness, eBotFlag,
-      eSliding, eSrm, eStickiness, ePowercurve, eChurn)
+      eSliding, eSrm, eStickiness, ePowercurve, eChurn, eLtv)
 }

@@ -2069,9 +2069,58 @@ object FinanceCatalog {
       FROM m ORDER BY l_returnflag""")
   )
 
+  /** Amihud (2002) illiquidity: mean of |daily return| per dollar of
+    * daily volume, scaled ×10¹² to a readable magnitude. Volume is an
+    * exact integer cents sum; each day's term is one pinned chain
+    * (|ret| ÷ exact-long-as-double × 2⁺-exact literal); the mean is the
+    * exact DECIMAL(38,18) average, so day order can't move it.
+    */
+  val amihud = QueryDef(
+    "q_f_amihud",
+    (s, dir) => {
+      val byDay = Window.partitionBy("l_returnflag").orderBy("day")
+      val daily = t(s, dir, "lineitem")
+        .withColumn("day",
+          date_trunc("day", col("l_shipdate")).cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "day")
+        .agg((sum(col("l_extendedprice").cast("decimal(28,6)"))
+          .cast("double") / count(lit(1))).as("y"),
+          sum(expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"))
+            .as("vol_cents"))
+      val rets = daily
+        .withColumn("ret", col("y") / lag(col("y"), 1).over(byDay) - 1)
+        .where(col("ret").isNotNull)
+      rets.groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_days"),
+          sum(col("vol_cents")).as("sum_vol_cents"),
+          r6(avgE18(abs(col("ret")) / col("vol_cents").cast("double")
+            * lit(1e12))).as("amihud_e12"))
+        .orderBy("l_returnflag")
+    },
+    Some(s"""
+      WITH daily AS (
+        SELECT l_returnflag, date_trunc('day', l_shipdate) AS day,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE)
+                 / count(*) AS y,
+               CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                 AS BIGINT) AS vol_cents
+        FROM lineitem GROUP BY 1, 2),
+      rets AS (
+        SELECT l_returnflag, vol_cents,
+               y / lag(y, 1) OVER (PARTITION BY l_returnflag ORDER BY day)
+                 - 1 AS ret
+        FROM daily)
+      SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(vol_cents) AS BIGINT) AS sum_vol_cents,
+             ${sqlR6(sqlAvgE18(
+      "abs(ret) / CAST(vol_cents AS DOUBLE) * 1e12"))} AS amihud_e12
+      FROM rets WHERE ret IS NOT NULL GROUP BY 1
+      ORDER BY l_returnflag""")
+  )
+
   val all: Seq[QueryDef] =
     Seq(ohlcWeekly, bollinger, beta, ffill, rsi, macd, streaks, obv,
       stochastic, acf, seasonality, interp, varEs, holt, ar2, holtWinters,
       dw, kalman, sortino, garch, forecastAcc, underwater, coint, minVar,
-      xmr, omega)
+      xmr, omega, amihud)
 }

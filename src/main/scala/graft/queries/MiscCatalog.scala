@@ -3366,6 +3366,76 @@ object MiscCatalog {
       FROM run ORDER BY bin""")
   )
 
+  /** Pareto concentration point: the smallest number of top customers
+    * whose revenue crosses 80% of the total. Customers are ranked by
+    * DESCENDING exact revenue over the value histogram (negated key into
+    * the same prefix scan as q_a30_lorenz); the crossing test
+    * 5·cum_cents ≥ 4·total is pure integer arithmetic, and because
+    * cum_n and cum_cents are co-monotone the two conditional mins pick
+    * the same crossing cell. No global row sort, no doubles until the
+    * two final ratio columns.
+    */
+  val qPareto = QueryDef(
+    "q_a31_pareto",
+    (s, dir) => {
+      import graft.plans.SequenceOps
+      val rev = t(s, dir, "orders")
+        .select(col("o_custkey"),
+          expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+            .as("cents"))
+        .groupBy("o_custkey")
+        .agg(sum(col("cents")).as("rev"))
+      val h = rev.groupBy("rev").agg(count(lit(1)).as("n"))
+        .withColumn("nrev", -col("rev"))
+        .withColumn("cell_cents", col("rev") * col("n"))
+      val r1 = SequenceOps.runningSum(h, Nil, Seq("nrev"), "n", "cum_n")
+      val r2 = SequenceOps.runningSum(r1, Nil, Seq("nrev"), "cell_cents",
+        "cum_cents")
+      val tot = h.agg(sum(col("n")).as("nt"),
+        sum(col("cell_cents")).as("tc"))
+      r2.crossJoin(broadcast(tot))
+        .agg(max(col("nt")).as("n_customers"), max(col("tc"))
+          .as("total_cents"),
+          min(when(col("cum_cents") * 5L >= col("tc") * 4L, col("cum_n")))
+            .as("n80"),
+          min(when(col("cum_cents") * 5L >= col("tc") * 4L,
+            col("cum_cents"))).as("cents80"))
+        .select(col("n_customers"), col("total_cents"), col("n80"),
+          r6(col("n80").cast("double") / col("n_customers").cast("double"))
+            .as("pct_customers"),
+          r6(col("cents80").cast("double")
+            / col("total_cents").cast("double")).as("share_at_crossing"))
+    },
+    Some(s"""
+      WITH rev AS (
+        SELECT o_custkey,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                 AS BIGINT) AS rev
+        FROM orders GROUP BY 1),
+      h AS (
+        SELECT rev, count(*) AS n, rev * count(*) AS cell_cents
+        FROM rev GROUP BY 1),
+      c AS (
+        SELECT CAST(sum(n) OVER w AS BIGINT) AS cum_n,
+               CAST(sum(cell_cents) OVER w AS BIGINT) AS cum_cents
+        FROM h
+        WINDOW w AS (ORDER BY rev DESC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      tot AS (
+        SELECT CAST(sum(n) AS BIGINT) AS nt,
+               CAST(sum(cell_cents) AS BIGINT) AS tc
+        FROM h)
+      SELECT nt AS n_customers, tc AS total_cents,
+             min(CASE WHEN cum_cents * 5 >= tc * 4 THEN cum_n END) AS n80,
+             ${sqlR6("""CAST(min(CASE WHEN cum_cents * 5 >= tc * 4
+                 THEN cum_n END) AS DOUBLE) / CAST(nt AS DOUBLE)""")}
+               AS pct_customers,
+             ${sqlR6("""CAST(min(CASE WHEN cum_cents * 5 >= tc * 4
+                 THEN cum_cents END) AS DOUBLE) / CAST(tc AS DOUBLE)""")}
+               AS share_at_crossing
+      FROM c CROSS JOIN tot GROUP BY 1, 2""")
+  )
+
   val all: Seq[QueryDef] = Seq(oTopK, aSpikeSummary, eJson, aSummary,
     mKmeans, mLloydStep, qAsof, qRange, qRollup, qCube, qGroupingSets,
     qPercentile, qHistogram, qZOrder, qHilbert, qCompactPlan, qScd2, qScd1,
@@ -3378,6 +3448,6 @@ object MiscCatalog {
     qIqrOutliers, qSkyline, qUnpivot, qPsi, qOrcScan, qCramersV,
     qCsvCorrupt, qClustCoef, qKanon, qMergeSchema, qModularity,
     qJsonl, qCsvGzip, qTreeDepth, qBoxplot, qLdiversity, qCloseness,
-    qLorenz)
+    qLorenz, qPareto)
 }
 

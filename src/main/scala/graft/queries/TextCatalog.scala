@@ -2303,6 +2303,100 @@ object TextCatalog {
       FROM pd GROUP BY 1 ORDER BY 1""")
   )
 
+  /** Gopher-style quality-gate audit (Rae et al. 2021 §A1.1 adapted to
+    * this corpus): five per-document rules — too short, too long, mean
+    * word length out of band, no stopwords, dominated by one repeated
+    * token — counted corpus-wide plus the clean-document rate. All rule
+    * predicates compare exact integers or single pinned ratios, so the
+    * audit is bit-stable; one explode + two aggregations, every stage
+    * map-side combinable. This is the FILTER an LLM-data pipeline runs
+    * ahead of dedup; the counters are its monitoring feed.
+    */
+  val tGopher = QueryDef(
+    "q_t_gopher",
+    (s, dir) => {
+      val pt = t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(split(col("text"), " ")).as("tok"))
+        .where(col("tok") =!= "")
+        .groupBy("doc_id", "tok")
+        .agg(count(lit(1)).as("c"))
+      val pd = pt.groupBy("doc_id")
+        .agg(sum(col("c")).as("n_tokens"),
+          sum(length(col("tok")) * col("c")).as("sum_len"),
+          max(col("c")).as("max_c"),
+          sum(when(col("tok").isin(
+            graft.text.TextAnalysis.Stopwords: _*), col("c"))
+            .otherwise(0L)).as("n_stop"))
+      val meanLen = col("sum_len").cast("double") /
+        col("n_tokens").cast("double")
+      val maxShare = col("max_c").cast("double") /
+        col("n_tokens").cast("double")
+      val flagged = pd.select(
+        when(col("n_tokens") < 30L, 1L).otherwise(0L).as("f_short"),
+        when(col("n_tokens") > 90L, 1L).otherwise(0L).as("f_long"),
+        when(meanLen < lit(3.8) || meanLen > lit(5.0), 1L).otherwise(0L)
+          .as("f_wordlen"),
+        when(col("n_stop") < 1L, 1L).otherwise(0L).as("f_nostop"),
+        when(maxShare > lit(0.2), 1L).otherwise(0L).as("f_repeat"))
+        .withColumn("f_any",
+          when(col("f_short") + col("f_long") + col("f_wordlen")
+            + col("f_nostop") + col("f_repeat") > 0L, 1L).otherwise(0L))
+      flagged.agg(count(lit(1)).as("n_docs"),
+        sum(col("f_short")).as("n_short"), sum(col("f_long")).as("n_long"),
+        sum(col("f_wordlen")).as("n_wordlen"),
+        sum(col("f_nostop")).as("n_nostop"),
+        sum(col("f_repeat")).as("n_repeat"), sum(col("f_any")).as("n_dirty"))
+        .select(col("n_docs"), col("n_short"), col("n_long"),
+          col("n_wordlen"), col("n_nostop"), col("n_repeat"),
+          (col("n_docs") - col("n_dirty")).as("n_clean"),
+          r6((col("n_docs") - col("n_dirty")).cast("double")
+            / col("n_docs").cast("double")).as("pct_clean"))
+    },
+    Some(s"""
+      WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents),
+      pt AS (
+        SELECT doc_id, tok, count(*) AS c
+        FROM tok WHERE tok <> '' GROUP BY 1, 2),
+      pd AS (
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+               CAST(sum(length(tok) * c) AS BIGINT) AS sum_len,
+               max(c) AS max_c,
+               CAST(sum(CASE WHEN tok IN (${graft.text.TextAnalysis
+      .Stopwords.map(w => s"'$w'").mkString(", ")})
+                 THEN c ELSE 0 END) AS BIGINT) AS n_stop
+        FROM pt GROUP BY 1),
+      f AS (
+        SELECT
+          CASE WHEN n_tokens < 30 THEN 1 ELSE 0 END AS f_short,
+          CASE WHEN n_tokens > 90 THEN 1 ELSE 0 END AS f_long,
+          CASE WHEN CAST(sum_len AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                 < 3.8e0
+                OR CAST(sum_len AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                 > 5e0
+            THEN 1 ELSE 0 END AS f_wordlen,
+          CASE WHEN n_stop < 1 THEN 1 ELSE 0 END AS f_nostop,
+          CASE WHEN CAST(max_c AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                 > 0.2e0
+            THEN 1 ELSE 0 END AS f_repeat
+        FROM pd)
+      SELECT count(*) AS n_docs,
+             CAST(sum(f_short) AS BIGINT) AS n_short,
+             CAST(sum(f_long) AS BIGINT) AS n_long,
+             CAST(sum(f_wordlen) AS BIGINT) AS n_wordlen,
+             CAST(sum(f_nostop) AS BIGINT) AS n_nostop,
+             CAST(sum(f_repeat) AS BIGINT) AS n_repeat,
+             count(*) - CAST(sum(CASE WHEN f_short + f_long + f_wordlen
+               + f_nostop + f_repeat > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_clean,
+             ${sqlR6("""CAST(count(*) - sum(CASE WHEN f_short + f_long
+                 + f_wordlen + f_nostop + f_repeat > 0 THEN 1 ELSE 0 END)
+                 AS DOUBLE) / CAST(count(*) AS DOUBLE)""")} AS pct_clean
+      FROM f""")
+  )
+
   val all: Seq[QueryDef] =
     Seq(tQuality, tTokens, tFingerprint, tLangId, tExplode,
       tRepetition, tLmScore, tSplit, tStratSample, tTfIdf, tPmi,
@@ -2310,5 +2404,6 @@ object TextCatalog {
       tLineDedup, tBm25, tDsir, tWsample, tVocabOverlap, tMixture, tJsd,
       tFeatHash, tDupSpans, tZipf, tLangConfusion, tBpeStep, tBpeTrain5,
       tBpeEncode, tBleu, tChunkOverlap, tRrf, tRbo, tTempMixture, tRouge,
-      tTokenBudget, tCdcChunks, tKappa, tFunnel, tBigramLm, tShards, tTtr)
+      tTokenBudget, tCdcChunks, tKappa, tFunnel, tBigramLm, tShards, tTtr,
+      tGopher)
 }

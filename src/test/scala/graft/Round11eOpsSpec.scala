@@ -187,6 +187,57 @@ class Round11eOpsSpec extends SparkSpec {
     }
   }
 
+  test("q_e_ltv: cohorts complete at week 0, cumulative monotone") {
+    val rows = EventsCatalog.eLtv.query(spark, sf).collect()
+    val byCohort = rows.groupBy(_.getAs[Long]("cohort_us"))
+    byCohort.foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("wk_idx"))
+      assert(sorted.head.getAs[Long]("wk_idx") == 0L,
+        "cohort's first activity week is its own definition — must exist")
+      assert(sorted.head.getAs[Long]("n_active") ==
+        sorted.head.getAs[Long]("cohort_size"),
+        "every cohort member is active in week 0 by construction")
+      val cums = sorted.map(_.getAs[Long]("cum_cents"))
+      assert(cums.zip(cums.tail).forall { case (a, b) => a <= b })
+      sorted.foreach(r => assert(r.getAs[Long]("n_active") <=
+        r.getAs[Long]("cohort_size")))
+    }
+  }
+
+  test("q_t_gopher: counters bounded, clean+flag accounting consistent") {
+    val r = TextCatalog.tGopher.query(spark, sf).collect()(0)
+    val nDocs = r.getAs[Long]("n_docs")
+    assert(nDocs == spark.read.parquet(s"$sf/documents.parquet").count())
+    val flags = Seq("n_short", "n_long", "n_wordlen", "n_nostop", "n_repeat")
+      .map(r.getAs[Long])
+    flags.foreach(f => assert(f >= 0 && f <= nDocs))
+    val clean = r.getAs[Long]("n_clean")
+    assert(clean <= nDocs && nDocs - clean <= flags.sum,
+      "dirty docs exceed the union bound of individual rules")
+  }
+
+  test("q_f_amihud: nonnegative, volume conserved") {
+    val rows = FinanceCatalog.amihud.query(spark, sf).collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("amihud_e12") >= 0.0)
+      assert(r.getAs[Long]("sum_vol_cents") > 0)
+    }
+  }
+
+  test("q_a31_pareto: crossing point dominates 80%, consistent with lorenz") {
+    val r = MiscCatalog.qPareto.query(spark, sf).collect()(0)
+    val (n, n80) = (r.getAs[Long]("n_customers"), r.getAs[Long]("n80"))
+    assert(n80 >= 1 && n80 <= n)
+    assert(r.getAs[Double]("share_at_crossing") >= 0.8)
+    assert(r.getAs[Double]("pct_customers") > 0.0 &&
+      r.getAs[Double]("pct_customers") <= 1.0)
+    val lorenzTotal = MiscCatalog.qLorenz.query(spark, sf).collect()
+      .map(_.getAs[Long]("rev_cents")).sum
+    assert(lorenzTotal == r.getAs[Long]("total_cents"),
+      "lorenz and pareto disagree on total revenue")
+  }
+
   test("q_t_ttr / q_p_ldiversity: ratio ranges") {
     TextCatalog.tTtr.query(spark, sf).collect().foreach { r =>
       Seq("avg_ttr", "avg_hapax").foreach { c =>
