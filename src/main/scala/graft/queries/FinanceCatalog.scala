@@ -2118,9 +2118,64 @@ object FinanceCatalog {
       ORDER BY l_returnflag""")
   )
 
+  /** Parkinson (1980) range-based volatility: σ² = Σ ln(Hᵢ/Lᵢ)² /(4·ln2·n)
+    * over weekly high/low of the daily mean price — ~5× more efficient per
+    * observation than close-to-close variance because it uses the intraweek
+    * RANGE. H and L are exact max/min of pinned daily doubles; each weekly
+    * term is one pinned ln chain (decimal-summed, r6 — the entropy
+    * argument); 4·ln2 is constant-folded to the same correctly-rounded
+    * double in both engines.
+    */
+  val parkinson = QueryDef(
+    "q_f_parkinson",
+    (s, dir) => {
+      val daily = t(s, dir, "lineitem")
+        .withColumn("day",
+          date_trunc("day", col("l_shipdate")).cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "day")
+        .agg((sum(col("l_extendedprice").cast("decimal(28,6)"))
+          .cast("double") / count(lit(1))).as("y"))
+      val weekly = daily
+        .withColumn("week", date_trunc("week", col("day")))
+        .groupBy("l_returnflag", "week")
+        .agg(max(col("y")).as("h"), min(col("y")).as("l"))
+        .where(col("l") > 0.0)
+      val term = log(col("h") / col("l")) * log(col("h") / col("l"))
+      weekly.groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_weeks"),
+          (sum(term.cast("decimal(38,18)")).cast("double")
+            / (lit(4.0) * log(lit(2.0)) * count(lit(1)).cast("double")))
+            .as("pvar"))
+        .select(col("l_returnflag"), col("n_weeks"),
+          r6(col("pvar")).as("parkinson_var"),
+          r6(sqrt(col("pvar"))).as("parkinson_vol"))
+        .orderBy("l_returnflag")
+    },
+    Some(s"""
+      WITH daily AS (
+        SELECT l_returnflag, date_trunc('day', l_shipdate) AS day,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE)
+                 / count(*) AS y
+        FROM lineitem GROUP BY 1, 2),
+      weekly AS (
+        SELECT l_returnflag, date_trunc('week', day) AS week,
+               max(y) AS h, min(y) AS l
+        FROM daily GROUP BY 1, 2),
+      m AS (
+        SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_weeks,
+               CAST(sum(CAST(ln(h / l) * ln(h / l) AS DECIMAL(38,18)))
+                   AS DOUBLE)
+                 / (4e0 * ln(2e0) * CAST(count(*) AS DOUBLE)) AS pvar
+        FROM weekly WHERE l > 0e0 GROUP BY 1)
+      SELECT l_returnflag, n_weeks,
+             ${sqlR6("pvar")} AS parkinson_var,
+             ${sqlR6("sqrt(pvar)")} AS parkinson_vol
+      FROM m ORDER BY l_returnflag""")
+  )
+
   val all: Seq[QueryDef] =
     Seq(ohlcWeekly, bollinger, beta, ffill, rsi, macd, streaks, obv,
       stochastic, acf, seasonality, interp, varEs, holt, ar2, holtWinters,
       dw, kalman, sortino, garch, forecastAcc, underwater, coint, minVar,
-      xmr, omega, amihud)
+      xmr, omega, amihud, parkinson)
 }

@@ -3436,6 +3436,64 @@ object MiscCatalog {
       FROM c CROSS JOIN tot GROUP BY 1, 2""")
   )
 
+  /** Theil inequality indices over customer revenue — the entropy-based
+    * complement to q_a20_gini that DECOMPOSES across subgroups: Theil T =
+    * (1/n)Σ(x/μ)ln(x/μ) and the mean log deviation L = (1/n)Σ ln(μ/x).
+    * Revenue is exact integer cents and μ one pinned division; each
+    * per-customer term is a single pinned transcendental chain whose ≤1-ulp
+    * cross-engine noise is crushed by the exact decimal mean + r6 (the
+    * q_a21_entropy argument). One aggregation + broadcast of a one-row
+    * total — no sort, no window.
+    */
+  val qTheil = QueryDef(
+    "q_a32_theil",
+    (s, dir) => {
+      val rev = t(s, dir, "orders")
+        .select(col("o_custkey"),
+          expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+            .as("cents"))
+        .groupBy("o_custkey")
+        .agg(sum(col("cents")).as("rev"))
+      val tot = rev.agg(count(lit(1)).as("n"), sum(col("rev")).as("tc"))
+      val mu = col("tc").cast("double") / col("n").cast("double")
+      val ratio = col("rev").cast("double") / mu
+      rev.crossJoin(broadcast(tot))
+        .select(col("n"), (ratio * log(ratio)).as("tt"),
+          log(mu / col("rev").cast("double")).as("tl"))
+        .groupBy("n")
+        .agg(
+          r6(sum(col("tt").cast("decimal(38,18)")).cast("double")
+            / col("n").cast("double")).as("theil_t"),
+          r6(sum(col("tl").cast("decimal(38,18)")).cast("double")
+            / col("n").cast("double")).as("theil_l"))
+        .select(col("n").as("n_customers"), col("theil_t"), col("theil_l"))
+    },
+    Some(s"""
+      WITH rev AS (
+        SELECT o_custkey,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                 AS BIGINT) AS rev
+        FROM orders GROUP BY 1),
+      tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(rev) AS BIGINT) AS tc
+        FROM rev),
+      term AS (
+        SELECT n,
+               (CAST(rev AS DOUBLE) / (CAST(tc AS DOUBLE)
+                   / CAST(n AS DOUBLE)))
+                 * ln(CAST(rev AS DOUBLE) / (CAST(tc AS DOUBLE)
+                   / CAST(n AS DOUBLE))) AS tt,
+               ln((CAST(tc AS DOUBLE) / CAST(n AS DOUBLE))
+                 / CAST(rev AS DOUBLE)) AS tl
+        FROM rev CROSS JOIN tot)
+      SELECT n AS n_customers,
+             ${sqlR6("""CAST(sum(CAST(tt AS DECIMAL(38,18))) AS DOUBLE)
+               / CAST(n AS DOUBLE)""")} AS theil_t,
+             ${sqlR6("""CAST(sum(CAST(tl AS DECIMAL(38,18))) AS DOUBLE)
+               / CAST(n AS DOUBLE)""")} AS theil_l
+      FROM term GROUP BY 1""")
+  )
+
   val all: Seq[QueryDef] = Seq(oTopK, aSpikeSummary, eJson, aSummary,
     mKmeans, mLloydStep, qAsof, qRange, qRollup, qCube, qGroupingSets,
     qPercentile, qHistogram, qZOrder, qHilbert, qCompactPlan, qScd2, qScd1,
@@ -3448,6 +3506,6 @@ object MiscCatalog {
     qIqrOutliers, qSkyline, qUnpivot, qPsi, qOrcScan, qCramersV,
     qCsvCorrupt, qClustCoef, qKanon, qMergeSchema, qModularity,
     qJsonl, qCsvGzip, qTreeDepth, qBoxplot, qLdiversity, qCloseness,
-    qLorenz, qPareto)
+    qLorenz, qPareto, qTheil)
 }
 

@@ -1810,10 +1810,199 @@ object MultimodalCatalog {
       FROM d GROUP BY 1 ORDER BY 1""")
   )
 
+  /** Laplacian sharpness / blur audit — the focus metric vision pipelines
+    * gate ingestion on (variance of the 4-neighbor Laplacian response):
+    * the kernel decodes the real BMP round-trip to luma and convolves the
+    * INTEGER Laplacian 4·y − up − down − left − right over interior
+    * pixels, returning exact integer Σ|v|, Σv² and a strong-edge count.
+    * The oracle replays the convolution as four self-joins on the pixel
+    * index (pure integer arithmetic), so the hash pins the geometry
+    * (row-major, W-stride) as well as the values. One r6 ratio.
+    */
+  val mmLaplacian = {
+    val SrcW = 41
+    val SrcH = 32
+    val NPix = SrcW * SrcH
+    QueryDef(
+      "q_mm_laplacian",
+      (s, dir) => {
+        val sp = s
+        import sp.implicits._
+        t(s, dir, "lineitem")
+          .select(col("l_returnflag"), col("l_orderkey"),
+            col("l_linenumber"))
+          .as[(String, Long, Int)]
+          .groupByKey(_._1)
+          .mapGroups { (flag, it) =>
+            val rows = it.toArray.sortBy(r => (r._2, r._3)).take(NPix)
+            require(rows.length == NPix,
+              s"group $flag has under $NPix rows — shrink the image")
+            val px = new Array[Byte](NPix * 3)
+            rows.zipWithIndex.foreach { case ((_, ok, ln), i) =>
+              px(i * 3) = ((ok * 31 + ln) % 256).toByte
+              px(i * 3 + 1) = ((ok * 7 + ln * 3) % 256).toByte
+              px(i * 3 + 2) = ((ln * 13) % 256).toByte
+            }
+            val blob = Codecs.encodeBmp(Codecs.BgrImage(SrcW, SrcH, px))
+            val luma = Codecs.grayLuma(Codecs.decodeBmp(blob))
+            var n = 0L
+            var sumAbs = 0L
+            var sumSq = 0L
+            var nStrong = 0L
+            var y = 1
+            while (y < SrcH - 1) {
+              var x = 1
+              while (x < SrcW - 1) {
+                val i = y * SrcW + x
+                val v = 4 * luma(i) - luma(i - 1) - luma(i + 1) -
+                  luma(i - SrcW) - luma(i + SrcW)
+                n += 1
+                sumAbs += math.abs(v)
+                sumSq += v.toLong * v
+                if (math.abs(v) > 128) nStrong += 1
+                x += 1
+              }
+              y += 1
+            }
+            (flag, n, sumAbs, sumSq, nStrong)
+          }
+          .toDF("flag", "n_interior", "lap_abs_sum", "lap_sq_sum",
+            "n_strong")
+          .withColumn("sharpness",
+            r6(col("lap_sq_sum").cast("double")
+              / col("n_interior").cast("double")))
+          .orderBy("flag")
+      },
+      Some(s"""
+        WITH r AS (
+          SELECT l_returnflag AS flag,
+                 row_number() OVER (PARTITION BY l_returnflag
+                   ORDER BY l_orderkey, l_linenumber) - 1 AS rn,
+                 l_orderkey AS ok, l_linenumber AS ln
+          FROM lineitem),
+        px AS (
+          SELECT flag, rn, (ok * 31 + ln) % 256 AS b,
+                 (ok * 7 + ln * 3) % 256 AS g, (ln * 13) % 256 AS r
+          FROM r WHERE rn < $NPix),
+        lm AS (
+          SELECT flag, rn, (29 * b + 150 * g + 77 * r) // 256 AS y
+          FROM px),
+        lap AS (
+          SELECT c.flag,
+                 4 * c.y - lf.y - rt.y - up.y - dn.y AS v
+          FROM lm c
+          JOIN lm lf ON lf.flag = c.flag AND lf.rn = c.rn - 1
+          JOIN lm rt ON rt.flag = c.flag AND rt.rn = c.rn + 1
+          JOIN lm up ON up.flag = c.flag AND up.rn = c.rn - $SrcW
+          JOIN lm dn ON dn.flag = c.flag AND dn.rn = c.rn + $SrcW
+          WHERE c.rn % $SrcW <> 0 AND c.rn % $SrcW <> ${SrcW - 1}
+            AND c.rn >= $SrcW AND c.rn < ${NPix - SrcW})
+        SELECT flag, count(*) AS n_interior,
+               CAST(sum(abs(v)) AS BIGINT) AS lap_abs_sum,
+               CAST(sum(v * v) AS BIGINT) AS lap_sq_sum,
+               CAST(sum(CASE WHEN abs(v) > 128 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_strong,
+               ${sqlR6("""CAST(sum(v * v) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE)""")} AS sharpness
+        FROM lap GROUP BY 1 ORDER BY 1""")
+    )
+  }
+
+  /** Luma-histogram entropy + RMS contrast — exposure/low-information
+    * screening for image ingestion. Spark-first split: the KERNEL only
+    * decodes (flatMapGroups emits one (flag, luma) row per pixel); the
+    * ANALYTICS are declarative DataFrame aggregations — the 256-level
+    * histogram, Shannon entropy via the exact-decimal-sum-of-pinned-terms
+    * idiom (q_a21_entropy), and contrast from exact integer Σy/Σy² — so
+    * Catalyst sees (and can fuse) the whole statistics pipeline.
+    */
+  val mmEntropy = {
+    val SrcW = 41
+    val SrcH = 32
+    val NPix = SrcW * SrcH
+    QueryDef(
+      "q_mm_entropy",
+      (s, dir) => {
+        val sp = s
+        import sp.implicits._
+        val lm = t(s, dir, "lineitem")
+          .select(col("l_returnflag"), col("l_orderkey"),
+            col("l_linenumber"))
+          .as[(String, Long, Int)]
+          .groupByKey(_._1)
+          .flatMapGroups { (flag, it) =>
+            val rows = it.toArray.sortBy(r => (r._2, r._3)).take(NPix)
+            require(rows.length == NPix,
+              s"group $flag has under $NPix rows — shrink the image")
+            val px = new Array[Byte](NPix * 3)
+            rows.zipWithIndex.foreach { case ((_, ok, ln), i) =>
+              px(i * 3) = ((ok * 31 + ln) % 256).toByte
+              px(i * 3 + 1) = ((ok * 7 + ln * 3) % 256).toByte
+              px(i * 3 + 2) = ((ln * 13) % 256).toByte
+            }
+            val blob = Codecs.encodeBmp(Codecs.BgrImage(SrcW, SrcH, px))
+            Codecs.grayLuma(Codecs.decodeBmp(blob)).iterator
+              .map(yv => (flag, yv.toLong))
+          }
+          .toDF("flag", "y")
+        val h = lm.groupBy("flag", "y").agg(count(lit(1)).as("c"))
+        val tot = lm.groupBy("flag")
+          .agg(count(lit(1)).as("n"), sum(col("y")).as("s1"),
+            sum(col("y") * col("y")).as("s2"))
+        val p = col("c").cast("double") / col("n").cast("double")
+        h.join(broadcast(tot), Seq("flag"))
+          .select(col("flag"), col("n"), col("s1"), col("s2"),
+            (-p * log(p)).as("term"))
+          .groupBy("flag")
+          .agg(max(col("n")).as("n_pix"), count(lit(1)).as("n_levels"),
+            r6(sum(col("term").cast("decimal(38,18)")).cast("double"))
+              .as("entropy"),
+            r6(sqrt((max(col("s2")).cast("double")
+              - max(col("s1")).cast("double") * max(col("s1")).cast("double")
+                / max(col("n")).cast("double"))
+              / max(col("n")).cast("double"))).as("rms_contrast"))
+          .orderBy("flag")
+      },
+      Some(s"""
+        WITH r AS (
+          SELECT l_returnflag AS flag,
+                 row_number() OVER (PARTITION BY l_returnflag
+                   ORDER BY l_orderkey, l_linenumber) - 1 AS rn,
+                 l_orderkey AS ok, l_linenumber AS ln
+          FROM lineitem),
+        px AS (
+          SELECT flag, (ok * 31 + ln) % 256 AS b,
+                 (ok * 7 + ln * 3) % 256 AS g, (ln * 13) % 256 AS r
+          FROM r WHERE rn < $NPix),
+        lm AS (
+          SELECT flag, (29 * b + 150 * g + 77 * r) // 256 AS y
+          FROM px),
+        h AS (SELECT flag, y, count(*) AS c FROM lm GROUP BY 1, 2),
+        tot AS (
+          SELECT flag, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(y) AS BIGINT) AS s1,
+                 CAST(sum(y * y) AS BIGINT) AS s2
+          FROM lm GROUP BY 1),
+        term AS (
+          SELECT h.flag, n, s1, s2,
+                 -(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                   * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) AS term
+          FROM h JOIN tot ON tot.flag = h.flag)
+        SELECT flag, max(n) AS n_pix, count(*) AS n_levels,
+               ${sqlR6("""CAST(sum(CAST(term AS DECIMAL(38,18)))
+                 AS DOUBLE)""")} AS entropy,
+               ${sqlR6("""sqrt((CAST(max(s2) AS DOUBLE)
+                 - CAST(max(s1) AS DOUBLE) * CAST(max(s1) AS DOUBLE)
+                   / CAST(max(n) AS DOUBLE))
+                 / CAST(max(n) AS DOUBLE))""")} AS rms_contrast
+        FROM term GROUP BY 1 ORDER BY 1""")
+    )
+  }
+
   val all: Seq[QueryDef] =
     Seq(mmFrames, mmChunks, mmMeta, mmBytes, mmPngDecode, mmJpegMeta,
       mmWavDecode, mmBmpResize, mmDhash, mmAudioFeats, mmUlawDecode,
       mmAlawDecode, mmAviFrames, mmAugment, mmDownsample, mmTiffDecode,
       mmVadWindows, mmWbmp, mmBinarySource, mmDftEnergy, mmAdpcmDecode,
-      mmGrayscale, mmRle, mmShots, mmCodecSnr)
+      mmGrayscale, mmRle, mmShots, mmCodecSnr, mmLaplacian, mmEntropy)
 }

@@ -1159,7 +1159,89 @@ object SimilarityCatalog {
       FROM pred WHERE vr = 1 GROUP BY 1 ORDER BY 1""")
   )
 
+  /** Greedy k-center (farthest-point) diversity sampling — the coreset
+    * seeding used to pick maximally-spread training examples (Gonzalez
+    * 1985, 2-approximation). Five rounds from seed vec 0: each round
+    * scans once for every point's min cosine distance to the selected set
+    * (a broadcast of ≤k normalized vectors — the driver holds only the k
+    * chosen IDs) and picks the farthest, ties broken by id. Distances use
+    * the proven normalize-then-dot operand order, so the min/argmax
+    * comparisons act on bit-identical doubles; the oracle replays the five
+    * rounds as chained CTEs with incremental `least`.
+    */
+  val sKcenter = QueryDef(
+    "q_s_kcenter",
+    (s, dir) => {
+      val sp = s
+      import sp.implicits._
+      graft.functions.VectorFunctions.register(s)
+      val v = transform(col("embedding"), _.cast("double"))
+      val nrm = sqrt(aggregate(transform(v, x => x * x), lit(0.0), _ + _))
+      val en = t(s, dir, "embeddings")
+        .select(col("vec_id"), transform(v, _ / nrm).as("nv"))
+        .localCheckpoint(false)
+      var selected = Vector(0L)
+      val picks = scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
+      for (i <- 1 to 5) {
+        val selVecs = en.where(col("vec_id").isin(selected: _*))
+          .select(col("nv").as("sv"))
+        val best = en.where(!col("vec_id").isin(selected: _*))
+          .crossJoin(broadcast(selVecs))
+          .select(col("vec_id"),
+            (lit(1.0) - call_function("graft_dot", col("nv"), col("sv")))
+              .as("d"))
+          .groupBy("vec_id").agg(min(col("d")).as("d"))
+          .orderBy(desc("d"), col("vec_id"))
+          .limit(1).collect()(0)
+        picks += ((i.toLong, best.getAs[Long]("vec_id"),
+          best.getAs[Double]("d")))
+        selected :+= best.getAs[Long]("vec_id")
+      }
+      picks.toSeq.toDF("sel_order", "vec_id", "dist")
+        .select(col("sel_order"), col("vec_id"), r6(col("dist")).as("dist"))
+        .orderBy("sel_order")
+    },
+    Some {
+      def dd(i: Int, prevPicks: String) =
+        s"""dd$i AS (
+        SELECT a.vec_id,
+               1e0 - list_sum(list_transform(list_zip(a.nv, s.nv),
+                 p -> p[1] * p[2])) AS d
+        FROM en a JOIN en s ON s.vec_id = (SELECT vec_id FROM p${i - 1})
+        WHERE a.vec_id <> 0),
+      m$i AS (
+        SELECT m.vec_id, least(m.d, dd$i.d) AS d
+        FROM m${i - 1} m JOIN dd$i ON dd$i.vec_id = m.vec_id
+        WHERE m.vec_id NOT IN ($prevPicks)),
+      p$i AS (SELECT vec_id, d FROM m$i ORDER BY d DESC, vec_id LIMIT 1)"""
+      val picksUpTo = (1 to 5).map(i =>
+        (1 until i).map(j => s"SELECT vec_id FROM p$j").mkString(" UNION "))
+      s"""
+      WITH raw AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE))
+          AS cv
+        FROM embeddings),
+      en AS (
+        SELECT vec_id, list_transform(cv, x -> x
+          / sqrt(list_sum(list_transform(cv, y -> y * y)))) AS nv
+        FROM raw),
+      m1 AS (
+        SELECT a.vec_id,
+               1e0 - list_sum(list_transform(list_zip(a.nv, s.nv),
+                 p -> p[1] * p[2])) AS d
+        FROM en a JOIN en s ON s.vec_id = 0
+        WHERE a.vec_id <> 0),
+      p1 AS (SELECT vec_id, d FROM m1 ORDER BY d DESC, vec_id LIMIT 1),
+      ${(2 to 5).map(i => dd(i, picksUpTo(i - 1))).mkString(",\n      ")}
+      SELECT sel_order, vec_id, ${sqlR6("d")} AS dist FROM (
+        ${(1 to 5).map(i =>
+        s"SELECT CAST($i AS BIGINT) AS sel_order, vec_id, d FROM p$i")
+        .mkString("\n        UNION ALL ")})
+      ORDER BY sel_order"""
+    }
+  )
+
   val all: Seq[QueryDef] =
     Seq(sBrute, sIvf, sPq, sSq, sSparse, sRecallIvf, sJlProject,
-      sCentroidCos, sMmr, sLshRecall, sMutualNn, sNdcg, sKnn)
+      sCentroidCos, sMmr, sLshRecall, sMutualNn, sNdcg, sKnn, sKcenter)
 }

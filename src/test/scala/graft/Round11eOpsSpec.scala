@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions.{call_function, col, levenshtein, lit}
 
 import graft.functions.StringDistance
 import graft.queries.{DedupCatalog, EventsCatalog, FinanceCatalog,
-  MiningCatalog, MiscCatalog, TextCatalog}
+  MiningCatalog, MiscCatalog, MultimodalCatalog, TextCatalog}
 
 /** Semantic invariants for the round-11 engagement/eval/fuzzy batch,
   * beyond the oracle gates: the Damerau kernel's textbook values and its
@@ -236,6 +236,60 @@ class Round11eOpsSpec extends SparkSpec {
       .map(_.getAs[Long]("rev_cents")).sum
     assert(lorenzTotal == r.getAs[Long]("total_cents"),
       "lorenz and pareto disagree on total revenue")
+  }
+
+  test("q_s_kcenter: greedy farthest-point picks distinct, radius shrinks") {
+    val rows = graft.queries.SimilarityCatalog.sKcenter.query(spark, sf)
+      .collect().sortBy(_.getAs[Long]("sel_order"))
+    assert(rows.length == 5)
+    val ids = rows.map(_.getAs[Long]("vec_id"))
+    assert(ids.distinct.length == 5 && !ids.contains(0L))
+    val dists = rows.map(_.getAs[Double]("dist"))
+    dists.foreach(d => assert(d >= 0.0 && d <= 2.0 + 1e-9))
+    // each pick's min-dist to the selected set can only shrink as the
+    // set grows (r6 rounding bounds the slack)
+    assert(dists.zip(dists.tail).forall { case (a, b) => b <= a + 1e-6 },
+      s"selection radius not non-increasing: ${dists.toSeq}")
+  }
+
+  test("q_a32_theil: both indices nonnegative (Jensen)") {
+    val r = MiscCatalog.qTheil.query(spark, sf).collect()(0)
+    assert(r.getAs[Double]("theil_t") >= 0.0)
+    assert(r.getAs[Double]("theil_l") >= 0.0)
+    assert(r.getAs[Long]("n_customers") > 0)
+  }
+
+  test("q_f_parkinson: variance nonnegative, vol consistent") {
+    FinanceCatalog.parkinson.query(spark, sf).collect().foreach { r =>
+      val (v, s2) = (r.getAs[Double]("parkinson_vol"),
+        r.getAs[Double]("parkinson_var"))
+      assert(s2 >= 0.0 && v >= 0.0)
+      assert(math.abs(v * v - s2) < 1e-4, s"vol² $v² != var $s2")
+    }
+  }
+
+  test("q_mm_laplacian: interior geometry exact, bounds hold") {
+    MultimodalCatalog.mmLaplacian.query(spark, sf).collect().foreach { r =>
+      assert(r.getAs[Long]("n_interior") == 39L * 30L)
+      assert(r.getAs[Long]("n_strong") <= r.getAs[Long]("n_interior"))
+      val sharp = r.getAs[Double]("sharpness")
+      assert(sharp >= 0.0 &&
+        math.abs(sharp - r.getAs[Long]("lap_sq_sum").toDouble /
+          r.getAs[Long]("n_interior")) < 1e-4)
+    }
+  }
+
+  test("q_mm_entropy: Shannon bound, contrast bound") {
+    MultimodalCatalog.mmEntropy.query(spark, sf).collect().foreach { r =>
+      assert(r.getAs[Long]("n_pix") == 41L * 32L)
+      val lv = r.getAs[Long]("n_levels")
+      assert(lv >= 1 && lv <= 256)
+      val e = r.getAs[Double]("entropy")
+      assert(e >= 0.0 && e <= math.log(lv.toDouble) + 1e-9,
+        s"entropy $e exceeds ln($lv)")
+      val c = r.getAs[Double]("rms_contrast")
+      assert(c >= 0.0 && c <= 128.0)
+    }
   }
 
   test("q_t_ttr / q_p_ldiversity: ratio ranges") {
