@@ -4204,6 +4204,136 @@ object MiningCatalog {
       FROM p ORDER BY g""")
   )
 
+  /** Regression stump (variance-reduction split) — the CART/GBM base
+    * learner beside q_m43's classification twin: best threshold on
+    * quantity predicting price, scored by the SSE decomposition
+    * Σ_L²/n_L + Σ_R²/n_R (equivalent to variance reduction, but computed
+    * from EXACT integer sums so no residual ever materializes). The
+    * candidate scan is a prefix sum over the ≤50-level quantity histogram;
+    * scores are pinned doubles compared exactly, ties broken by
+    * threshold. gain is left unrounded — it is one pinned chain from
+    * integers (magnitude too large for the r-helpers' long floor).
+    */
+  val m53RegStump = QueryDef(
+    "q_m53_regstump",
+    (s, dir) => {
+      import graft.plans.SequenceOps
+      val h = t(s, dir, "lineitem")
+        .select(col("l_quantity").cast("long").as("q"),
+          expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)")
+            .as("cents"))
+        .groupBy("q")
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sv"))
+      val c = SequenceOps.runningSum(
+        SequenceOps.runningSum(h, Nil, Seq("q"), "n", "cn"),
+        Nil, Seq("q"), "sv", "cs")
+      val tot = h.agg(sum(col("n")).as("tn"), sum(col("sv")).as("ts"))
+      val csd = col("cs").cast("double")
+      val cnd = col("cn").cast("double")
+      val tsd = col("ts").cast("double")
+      val tnd = col("tn").cast("double")
+      val rsd = (col("ts") - col("cs")).cast("double")
+      val rnd = (col("tn") - col("cn")).cast("double")
+      val sc = c.crossJoin(broadcast(tot))
+        .filter(col("cn") < col("tn"))
+        .withColumn("s", csd * csd / cnd + rsd * rsd / rnd)
+      sc.orderBy(desc("s"), col("q")).limit(1)
+        .select(col("q").as("split_qty"),
+          col("cn").as("n_left"), (col("tn") - col("cn")).as("n_right"),
+          col("cs").as("sum_left"), (col("ts") - col("cs")).as("sum_right"),
+          ((col("s") - tsd * tsd / tnd) / tnd).as("gain"))
+    },
+    Some(s"""
+      WITH src AS (
+        SELECT CAST(l_quantity AS BIGINT) AS q,
+               CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM lineitem),
+      h AS (
+        SELECT q, count(*) AS n, CAST(sum(cents) AS BIGINT) AS sv
+        FROM src GROUP BY 1),
+      c AS (
+        SELECT q,
+               CAST(sum(n) OVER w AS BIGINT) AS cn,
+               CAST(sum(sv) OVER w AS BIGINT) AS cs
+        FROM h
+        WINDOW w AS (ORDER BY q
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      tot AS (
+        SELECT CAST(sum(n) AS BIGINT) AS tn, CAST(sum(sv) AS BIGINT) AS ts
+        FROM h),
+      sc AS (
+        SELECT q, cn, cs, tn, ts,
+               CAST(cs AS DOUBLE) * CAST(cs AS DOUBLE) / CAST(cn AS DOUBLE)
+                 + CAST(ts - cs AS DOUBLE) * CAST(ts - cs AS DOUBLE)
+                   / CAST(tn - cn AS DOUBLE) AS s
+        FROM c CROSS JOIN tot WHERE cn < tn)
+      SELECT q AS split_qty, cn AS n_left, tn - cn AS n_right,
+             cs AS sum_left, ts - cs AS sum_right,
+             (s - CAST(ts AS DOUBLE) * CAST(ts AS DOUBLE)
+               / CAST(tn AS DOUBLE)) / CAST(tn AS DOUBLE) AS gain
+      FROM sc ORDER BY s DESC, q LIMIT 1""")
+  )
+
+  /** Two-sample Poisson rate comparison (conditional/C-test): are errors
+    * and purchases arriving at the same rate? Under H₀ the error count is
+    * Binomial(k₁+k₂, ½), so z = (2k₁−n)/√n needs only two exact integers;
+    * the per-day dispersion index (variance/mean of daily error counts)
+    * audits the Poisson assumption itself — overdispersion means the z
+    * test is anticonservative. All counts exact; three pinned chains.
+    */
+  val m54Poisson = QueryDef(
+    "q_m54_poisson",
+    (s, dir) => {
+      val e = t(s, dir, "events")
+        .where(col("event_type").isin("error", "purchase"))
+        .select(date_trunc("day", timestamp_micros(col("ts"))).as("day"),
+          when(col("event_type") === "error", 1L).otherwise(0L).as("is_err"))
+      val daily = e.groupBy("day")
+        .agg(sum(col("is_err")).as("k_err"),
+          sum(lit(1L) - col("is_err")).as("k_pur"))
+      val a = daily.agg(count(lit(1)).as("n_days"),
+        sum(col("k_err")).as("k1"), sum(col("k_pur")).as("k2"),
+        sum(col("k_err") * col("k_err")).as("s2"))
+      val k1d = col("k1").cast("double")
+      val k2d = col("k2").cast("double")
+      val nd = (col("k1") + col("k2")).cast("double")
+      val ndays = col("n_days").cast("double")
+      val mean = k1d / ndays
+      val variance = col("s2").cast("double") / ndays - mean * mean
+      a.select(col("n_days"), col("k1").as("n_errors"),
+        col("k2").as("n_purchases"),
+        r6(k1d / k2d).as("rate_ratio"),
+        r6((lit(2.0) * k1d - nd) / sqrt(nd)).as("z"),
+        r6(variance / mean).as("dispersion"))
+    },
+    Some(s"""
+      WITH e AS (
+        SELECT date_trunc('day', ts) AS day,
+               CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_err
+        FROM events WHERE event_type IN ('error', 'purchase')),
+      daily AS (
+        SELECT day, CAST(sum(is_err) AS BIGINT) AS k_err,
+               CAST(sum(1 - is_err) AS BIGINT) AS k_pur
+        FROM e GROUP BY 1),
+      a AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_days,
+               CAST(sum(k_err) AS BIGINT) AS k1,
+               CAST(sum(k_pur) AS BIGINT) AS k2,
+               CAST(sum(k_err * k_err) AS BIGINT) AS s2
+        FROM daily)
+      SELECT n_days, k1 AS n_errors, k2 AS n_purchases,
+             ${sqlR6("CAST(k1 AS DOUBLE) / CAST(k2 AS DOUBLE)")}
+               AS rate_ratio,
+             ${sqlR6("""(2e0 * CAST(k1 AS DOUBLE) - CAST(k1 + k2 AS DOUBLE))
+               / sqrt(CAST(k1 + k2 AS DOUBLE))""")} AS z,
+             ${sqlR6("""(CAST(s2 AS DOUBLE) / CAST(n_days AS DOUBLE)
+                 - (CAST(k1 AS DOUBLE) / CAST(n_days AS DOUBLE))
+                   * (CAST(k1 AS DOUBLE) / CAST(n_days AS DOUBLE)))
+               / (CAST(k1 AS DOUBLE) / CAST(n_days AS DOUBLE))""")}
+               AS dispersion
+      FROM a""")
+  )
+
   val all: Seq[QueryDef] = Seq(m1Ols, m2OlsNextDay, m4Anomalies, m5Ridge,
     m6Cv, m7Mwu, m8Ks, m9Nbayes, m10LogregStep, m11Welch, m12Spearman,
     m13Robust, m14Anova, m15Kendall, m16Cusum, m17TheilSen, m18Pca,
