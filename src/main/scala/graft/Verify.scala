@@ -2,7 +2,16 @@ package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * Hardened (round 12) after CORRECTNESS_r11.json came back `{}`:
+  * oracle_sql.json is written FIRST, so a driver-side timeout or crash
+  * mid-dump degrades to partial per-query results instead of zeroing the
+  * whole round; aux dumps run before query dumps (oracles replay from
+  * them); every dump logs its wall-clock to stderr so a hang is
+  * attributable to one query; and queries run cheap-first so a truncated
+  * run keeps the maximum number of greens.
+  */
 object Verify {
   def main(args: Array[String]): Unit = {
     // args: <sfDir> <outDir> [onlyQuery,onlyQuery,...]
@@ -23,33 +32,12 @@ object Verify {
     graft.functions.DotProductRewrite.install(spark)
     graft.functions.Md5ChainRewrite.install(spark)
     new java.io.File(outDir).mkdirs()
-    // drop caches a query pinned once its output is written — 50 queries
-    // share this JVM and un-freed caches skew heap/storage for later ones
-    def clearCaches(): Unit = {
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
-    }
-    SparkEntry.queries
-      .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
-      clearCaches()
-    }
-    // Spark-computed intermediates the LSH oracles replay in DuckDB
-    spark.conf.set("spark.sql.ansi.enabled", "false")
-    SparkEntry.auxDumps.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/aux/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] aux $name failed: ${e.getMessage}")
-      }
-      clearCaches()
-    }
+
+    // ---- oracle_sql.json FIRST ----------------------------------------
+    // The substitution (__VERIFY_OUT__ → absolute outDir) is known before
+    // any dump runs, so there is no reason to defer this write; deferring
+    // it is exactly what turned a mid-run driver timeout into an empty
+    // correctness artifact in round 11.
     val outAbs = new java.io.File(outDir).getAbsolutePath
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
@@ -68,6 +56,46 @@ object Verify {
         s"${q(k)}: ${q(v.replace("__VERIFY_OUT__", outAbs))}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+
+    // drop caches a query pinned once its output is written — 330 queries
+    // share this JVM and un-freed caches skew heap/storage for later ones
+    def clearCaches(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
+    def timed(tag: String)(body: => Unit): Unit = {
+      val t0 = System.nanoTime()
+      try { body; System.err.println(
+        f"[verify] $tag ok in ${(System.nanoTime() - t0) / 1e9}%.2fs") }
+      catch { case e: Throwable => System.err.println(
+        f"[verify] $tag FAILED in ${(System.nanoTime() - t0) / 1e9}%.2fs: " +
+          s"${e.getMessage}") }
+      clearCaches()
+    }
+
+    // ---- aux dumps BEFORE query dumps ----------------------------------
+    // Spark-computed intermediates the LSH oracles replay in DuckDB: if
+    // the run is truncated, every oracle whose query DID dump must still
+    // find its aux inputs.
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    SparkEntry.auxDumps.foreach { case (name, fn) =>
+      timed(s"aux $name") {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/aux/$name")
+      }
+    }
+
+    // ---- query dumps, cheap-first --------------------------------------
+    SparkEntry.verifyOrder
+      .filter(name => only.forall(_.contains(name)))
+      .foreach { name =>
+        val fn = SparkEntry.queries(name)
+        timed(name) {
+          fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+        }
+      }
     spark.stop()
   }
 }

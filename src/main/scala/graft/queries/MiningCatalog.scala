@@ -2388,7 +2388,12 @@ object MiningCatalog {
             cells("cx") === den("tx") && cells("cy") === den("ty"))
           .filter(col("den") >= MinPts)
           .select(col("cx"), col("cy"), col("c"),
-            ((col("cx") + 16) * 64 + (col("cy") + 16)).as("id"))
+            // collision-free cell id: |cy| < 50000 by construction (cy is
+            // floor(coord*10) of a unit-scale embedding coordinate), so
+            // cx*100000+cy is injective with no range assumption on cx —
+            // the old (cx+16)*64+(cy+16) aliased distinct cells outside
+            // [-16,48), silently merging unrelated clusters
+            (col("cx") * 100000L + col("cy")).as("id"))
           .localCheckpoint(true)
         val nbr = core.select(col("cx").as("nx"), col("cy").as("ny"),
           col("id").as("nid"))
@@ -2439,7 +2444,7 @@ object MiningCatalog {
           SELECT cx + dx AS tx, cy + dy AS ty, CAST(sum(c) AS BIGINT) AS den
           FROM cells, offs GROUP BY 1, 2),
         core AS (
-          SELECT cx, cy, c, (cx + 16) * 64 + (cy + 16) AS id
+          SELECT cx, cy, c, cx * 100000 + cy AS id
           FROM cells JOIN den ON cx = tx AND cy = ty
           WHERE den >= $MinPts),
         edges AS (

@@ -2322,8 +2322,14 @@ object MiscCatalog {
         .crossJoin(broadcast(sd2))
         .select(col("n_nodes"), col("m").as("n_edges"), col("n_comm"),
           col("intra_arcs"),
-          ((lit(2L) * col("m") * col("intra_arcs")
-            - col("sd2").cast("long")).cast("double")
+          // numerator stays in DECIMAL(38,0): 2m·intra in long wraps
+          // silently at ~1e12 edges under Spark's non-ANSI arithmetic
+          // while DuckDB's BIGINT errors — exact decimal subtract first,
+          // one cast to double at the end (identical in both engines for
+          // |v| < 2^53; the value is a count difference, far below that
+          // at any gate SF)
+          ((col("m").cast("decimal(38,0)") * col("intra_arcs") * lit(2)
+            - col("sd2")).cast("double")
             / (lit(4.0) * col("m").cast("double") * col("m").cast("double")))
             .as("modularity"))
     },
@@ -2346,7 +2352,7 @@ object MiscCatalog {
                AS n_edges,
              CAST(n_comm AS BIGINT) AS n_comm,
              CAST(intra_arcs AS BIGINT) AS intra_arcs,
-             CAST(2 * m * intra_arcs - CAST(sd2 AS BIGINT) AS DOUBLE)
+             CAST(CAST(m AS DECIMAL(38,0)) * intra_arcs * 2 - sd2 AS DOUBLE)
                / (4e0 * CAST(m AS DOUBLE) * CAST(m AS DOUBLE))
                AS modularity
       FROM nn CROSS JOIN mm CROSS JOIN ia CROSS JOIN s2""")

@@ -63,7 +63,10 @@ object Bpe {
         .select(concat(lit("<"), col("a"), lit("><"), col("b"),
           lit(">")).as("pair"), col("a"), col("b"), col("cnt"))
         .orderBy(col("cnt").desc, col("pair"))
-        .limit(1).collect()(0) // bounded: exactly one row per round
+        .limit(1).collect().headOption // bounded: ≤ one row per round
+        .getOrElse(throw new IllegalStateException(
+          s"BPE vocabulary exhausted after ${step - 1} of $k merges — " +
+            "no adjacent token pair left to merge"))
       val (pair, a, b, cnt) = (best.getString(0), best.getString(1),
         best.getString(2), best.getLong(3))
       merges += Merge(step, a, b, cnt)
