@@ -111,11 +111,14 @@ object DedupCatalog {
   )
 
   // Shared oracle CTE chain producing the n-gram-Jaccard candidate table
-  // (`common` + `sizes`), used by both the pair query and the
-  // connected-components query so their oracles can never drift.
-  private val jaccardCtes = s"""
+  // (`common` + `sizes`), used by the pair query, the
+  // connected-components query, and the e2e funnel so their oracles can
+  // never drift. `rel` must expose (doc_id, text); the shingle norm
+  // lowercases (mirroring Dedup.shingles) while fingerprint/quality norms
+  // do not.
+  private def jaccardCtesOn(rel: String) = s"""
       toks AS (
-        SELECT doc_id, string_split($sqlNorm, ' ') AS tk FROM documents),
+        SELECT doc_id, string_split($sqlNorm, ' ') AS tk FROM $rel),
       sh AS (
         SELECT DISTINCT doc_id,
                unnest(list_transform(range(1, len(tk) - ${ShingleN - 2}),
@@ -131,6 +134,8 @@ object DedupCatalog {
         FROM shf a JOIN shf b
           ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         GROUP BY 1, 2)"""
+
+  private val jaccardCtes = jaccardCtesOn("documents")
 
   /** n-gram Jaccard near-dup pairs (3-gram shingles, J ≥ 0.3, shingle
     * document-frequency cap 100).
@@ -998,8 +1003,148 @@ object DedupCatalog {
       ORDER BY dl, id1, id2 LIMIT 25""")
   )
 
+  // E2E funnel thresholds — mirror pipeline.CurationMain's defaults for
+  // the stages that are cross-engine SQL-expressible.
+  private val E2eMinTokens = 8
+  private val E2eMaxStopword = 0.9
+  private val E2eMinDistinct = 0.1
+  private val E2eMaxTopBigram = 0.9
+
+  /** End-to-end curation funnel — the composed pipeline gate: exact dedup
+    * (keep-first per content fingerprint) → n-gram-Jaccard near-dup
+    * clustering (connected components, keep each cluster's min id) →
+    * quality gate (min tokens + stopword-ratio cap) → repetition gate
+    * (Gopher-style distinct-token-ratio floor + top-bigram-ratio cap),
+    * reported as per-stage document/token survival counts. Proves the
+    * stages COMPOSE (each consumes the previous survivors), not just run
+    * individually; the oracle replays the whole funnel in one SQL chain,
+    * closing the near-dup graph with an exact recursive transitive
+    * closure. Every gate predicate is an exact rational (long/long
+    * division) or integer compare, so the funnel counts are bit-exact with
+    * no rounding anywhere.
+    *
+    * Scale: each stage shuffles on doc_id / fingerprint / shingle keys
+    * only; near-dup candidates stay DF-capped (never all-pairs); stages
+    * are eagerly localCheckpointed so the five 1-row stage aggregates read
+    * blocks instead of re-running upstream lineage (Verify's clearCaches
+    * frees them post-dump).
+    */
+  val dPipelineE2e = QueryDef(
+    "q_pipeline_e2e",
+    (s, dir) => {
+      import graft.text.TextAnalysis
+      val docs = t(s, dir, "documents").filter(col("text").isNotNull)
+        .localCheckpoint(true)
+      def stageRow(ord: Int, name: String, df: DataFrame): DataFrame =
+        df.agg(count(lit(1)).as("n_docs"),
+            sum(TextAnalysis.wsTokenCount(col("text"))).as("n_tokens"))
+          .select(lit(ord).as("stage_ord"), lit(name).as("stage"),
+            col("n_docs"), col("n_tokens"))
+      val exact = Dedup.dropExactDups(docs, "doc_id", "text")
+        .localCheckpoint(true)
+      val pairs = Dedup.jaccardPairs(exact, "doc_id", "text", n = ShingleN,
+        threshold = JaccardThreshold, maxShingleFreq = MaxShingleFreq)
+      val losers = Dedup.connectedComponents(pairs, "id1", "id2")
+        .filter(col("id") =!= col("comp"))
+        .select(col("id").as("doc_id"))
+      val near = exact.join(losers, Seq("doc_id"), "left_anti")
+        .localCheckpoint(true)
+      val quality = TextAnalysis.withQuality(near)
+        .filter(col("n_tokens") >= E2eMinTokens &&
+          col("stopword_ratio") <= E2eMaxStopword)
+        .select(near.columns.map(col): _*)
+        .localCheckpoint(true)
+      val keep = TextAnalysis.repetitionSignals(quality, "doc_id", "text")
+        .filter(col("distinct_token_ratio") >= E2eMinDistinct &&
+          (col("top_bigram_ratio").isNull ||
+            col("top_bigram_ratio") <= E2eMaxTopBigram))
+        .select("doc_id")
+      val gated = quality.join(keep, Seq("doc_id"))
+      Seq(stageRow(1, "input", docs), stageRow(2, "exact_dedup", exact),
+        stageRow(3, "near_dedup", near),
+        stageRow(4, "quality_gate", quality),
+        stageRow(5, "repetition_gate", gated))
+        .reduce(_ unionByName _)
+        .orderBy("stage_ord")
+    },
+    Some {
+      val stopSum = graft.text.TextAnalysis.Stopwords.map(w =>
+        s"len(regexp_extract_all(' ' || lower(nt) || ' ', ' $w ', 0))")
+        .mkString("(", " + ", ")")
+      s"""
+      WITH RECURSIVE
+      d0 AS (
+        SELECT doc_id, text,
+               trim(regexp_replace(text, '\\s+', ' ', 'g')) AS nt
+        FROM documents WHERE text IS NOT NULL),
+      dd AS (
+        SELECT doc_id, text, nt, md5(nt) AS fp,
+               CASE WHEN length(nt) = 0 THEN 0
+                    ELSE len(string_split(nt, ' ')) END AS n_tok
+        FROM d0),
+      k AS (SELECT fp, min(doc_id) AS keep_id FROM dd GROUP BY 1),
+      ex AS (SELECT dd.* FROM dd
+             JOIN k ON dd.fp = k.fp AND dd.doc_id = k.keep_id),
+      ${jaccardCtesOn("ex")},
+      prs AS (
+        SELECT id1, id2 FROM common
+        JOIN sizes s1 ON s1.doc_id = id1
+        JOIN sizes s2 ON s2.doc_id = id2
+        WHERE c / CAST(s1.sz + s2.sz - c AS DOUBLE) >= $JaccardThreshold),
+      edges AS (
+        SELECT id1 AS a, id2 AS b FROM prs
+        UNION SELECT id2, id1 FROM prs),
+      walk(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT w.a, e.b FROM walk w JOIN edges e ON w.b = e.a),
+      comp AS (
+        SELECT a AS doc_id, least(a, min(b)) AS component
+        FROM walk GROUP BY a),
+      nd AS (
+        SELECT ex.* FROM ex LEFT JOIN comp USING (doc_id)
+        WHERE comp.component IS NULL OR comp.component = ex.doc_id),
+      qg AS (
+        SELECT * FROM nd
+        WHERE n_tok >= $E2eMinTokens
+          AND $stopSum / CAST(n_tok AS DOUBLE) <= $E2eMaxStopword),
+      rtok AS (
+        SELECT doc_id, generate_subscripts(tk, 1) AS pos, unnest(tk) AS w
+        FROM (SELECT doc_id, string_split(nt, ' ') AS tk FROM qg)),
+      c1 AS (
+        SELECT doc_id, count(DISTINCT w) AS dist, count(*) AS total
+        FROM rtok GROUP BY 1),
+      c2c AS (
+        SELECT a.doc_id, a.w || ' ' || b.w AS gram, count(*) AS c
+        FROM rtok a JOIN rtok b
+          ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        GROUP BY 1, 2),
+      c2 AS (SELECT doc_id, max(c) AS topc, sum(c) AS total
+             FROM c2c GROUP BY 1),
+      kp AS (
+        SELECT c1.doc_id FROM c1 LEFT JOIN c2 ON c2.doc_id = c1.doc_id
+        WHERE c1.dist / CAST(c1.total AS DOUBLE) >= $E2eMinDistinct
+          AND (c2.doc_id IS NULL
+            OR c2.topc / CAST(c2.total AS DOUBLE) <= $E2eMaxTopBigram)),
+      rg AS (SELECT qg.* FROM qg JOIN kp USING (doc_id))
+      SELECT * FROM (
+        SELECT 1 AS stage_ord, 'input' AS stage, count(*) AS n_docs,
+               CAST(sum(n_tok) AS BIGINT) AS n_tokens FROM dd
+        UNION ALL SELECT 2, 'exact_dedup', count(*),
+               CAST(sum(n_tok) AS BIGINT) FROM ex
+        UNION ALL SELECT 3, 'near_dedup', count(*),
+               CAST(sum(n_tok) AS BIGINT) FROM nd
+        UNION ALL SELECT 4, 'quality_gate', count(*),
+               CAST(sum(n_tok) AS BIGINT) FROM qg
+        UNION ALL SELECT 5, 'repetition_gate', count(*),
+               CAST(sum(n_tok) AS BIGINT) FROM rg)
+      ORDER BY stage_ord"""
+    }
+  )
+
   val all: Seq[QueryDef] =
     Seq(dExact, dJaccard, dComponents, dClusterSizes, dMinHash, dSimHash,
       dEmbed, dSemantic, dFuzzy, dFellegi, dContainment, dLshRecall,
-      dBbitMinhash, dNgramNovelty, dDedupImpact, dSurvivorship, dDamerau)
+      dBbitMinhash, dNgramNovelty, dDedupImpact, dSurvivorship, dDamerau,
+      dPipelineE2e)
 }

@@ -370,7 +370,7 @@ object FinanceCatalog {
       cl AS (
         SELECT l_returnflag, day, l_extendedprice AS close
         FROM r WHERE rn = 1),
-      df AS (
+      df AS MATERIALIZED (
         SELECT l_returnflag, day,
                greatest(close - prev, 0) AS g, greatest(prev - close, 0) AS l
         FROM (
@@ -388,7 +388,7 @@ object FinanceCatalog {
                CAST(((CAST(day AS DATE) - DATE '1970-01-01') - lo)
                  // ((hi - lo) // $RsiBuckets + 1) AS INT) AS b
         FROM df, lohi),
-      base AS (
+      base AS MATERIALIZED (
         SELECT *, row_number() OVER (PARTITION BY b, l_returnflag
           ORDER BY day) AS rn
         FROM kb),
@@ -451,7 +451,7 @@ object FinanceCatalog {
                  PARTITION BY l_returnflag, date_trunc('day', l_shipdate)
                  ORDER BY $liOrderDescSql) AS rn
         FROM lineitem),
-      cl AS (
+      cl AS MATERIALIZED (
         SELECT l_returnflag, day, l_extendedprice AS close
         FROM r WHERE rn = 1),
       lohi AS (
@@ -463,7 +463,7 @@ object FinanceCatalog {
                CAST(((CAST(day AS DATE) - DATE '1970-01-01') - lo)
                  // ((hi - lo) // $RsiBuckets + 1) AS INT) AS b
         FROM cl, lohi),
-      base AS (
+      base AS MATERIALIZED (
         SELECT *, row_number() OVER (PARTITION BY b, l_returnflag
           ORDER BY day) AS rn
         FROM kb),
@@ -497,7 +497,7 @@ object FinanceCatalog {
         FROM rec p JOIN base n
           ON n.b = p.b AND n.l_returnflag = p.l_returnflag
             AND n.rn = p.rn + 1),
-      m AS (
+      m AS MATERIALIZED (
         SELECT b, l_returnflag, day, rn, yf - ys AS macd FROM rec),
       rec2 AS (
         SELECT k.b, k.l_returnflag, k.day, k.rn,
@@ -994,7 +994,7 @@ object FinanceCatalog {
                  PARTITION BY l_returnflag, date_trunc('day', l_shipdate)
                  ORDER BY $liOrderDescSql) AS rn
         FROM lineitem),
-      cl AS (
+      cl AS MATERIALIZED (
         SELECT l_returnflag, day, l_extendedprice AS close
         FROM r WHERE rn = 1),
       lohi AS (
@@ -1006,7 +1006,7 @@ object FinanceCatalog {
                CAST(((CAST(day AS DATE) - DATE '1970-01-01') - lo)
                  // ((hi - lo) // $RsiBuckets + 1) AS INT) AS b
         FROM cl, lohi),
-      base AS (
+      base AS MATERIALIZED (
         SELECT *, row_number() OVER (PARTITION BY b, l_returnflag
           ORDER BY day) AS rn
         FROM kb),
@@ -1208,7 +1208,7 @@ object FinanceCatalog {
       cl0 AS (
         SELECT l_returnflag, day, l_extendedprice AS close
         FROM r WHERE rn_t = 1),
-      cl AS (
+      cl AS MATERIALIZED (
         SELECT l_returnflag, day, close,
                row_number() OVER (PARTITION BY l_returnflag ORDER BY day)
                  AS rn
@@ -1223,7 +1223,7 @@ object FinanceCatalog {
                    THEN CAST(close AS DECIMAL(28,6)) END) AS DOUBLE)
                  / ${HwM}.0 AS m2v
         FROM cl WHERE rn <= ${2 * HwM} GROUP BY 1),
-      init AS (
+      init AS MATERIALIZED (
         SELECT cl.l_returnflag, m1v AS l, (m2v - m1v) / ${HwM}.0 AS b,
                $sInit
         FROM cl
@@ -1422,7 +1422,7 @@ object FinanceCatalog {
       cl0 AS (
         SELECT l_returnflag, day, l_extendedprice AS close
         FROM r WHERE rn_t = 1),
-      cl AS (
+      cl AS MATERIALIZED (
         SELECT l_returnflag, day, close,
                row_number() OVER (PARTITION BY l_returnflag ORDER BY day)
                  AS rn
@@ -1525,7 +1525,7 @@ object FinanceCatalog {
                row_number() OVER (PARTITION BY l_returnflag ORDER BY day)
                  AS rn
         FROM cl0),
-      rets AS (
+      rets AS MATERIALIZED (
         SELECT l_returnflag, day, rn,
                close / lag(close, 1) OVER (
                  PARTITION BY l_returnflag ORDER BY rn) - 1.0e0 AS ret

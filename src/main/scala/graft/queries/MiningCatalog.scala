@@ -2429,7 +2429,7 @@ object MiningCatalog {
           FROM edges e JOIN l${k - 1} l ON l.id = e.nid GROUP BY 1)"""
         }.mkString(",\n        ")
         s"""
-        WITH cells AS (
+        WITH cells AS MATERIALIZED (
           SELECT CAST(floor(CAST(list_extract(embedding, 1) AS DOUBLE)
                    * 10) AS BIGINT) AS cx,
                  CAST(floor(CAST(list_extract(embedding, 2) AS DOUBLE)
@@ -2443,11 +2443,11 @@ object MiningCatalog {
         den AS (
           SELECT cx + dx AS tx, cy + dy AS ty, CAST(sum(c) AS BIGINT) AS den
           FROM cells, offs GROUP BY 1, 2),
-        core AS (
+        core AS MATERIALIZED (
           SELECT cx, cy, c, cx * 100000 + cy AS id
           FROM cells JOIN den ON cx = tx AND cy = ty
           WHERE den >= $MinPts),
-        edges AS (
+        edges AS MATERIALIZED (
           SELECT a.id, n.id AS nid
           FROM core a, offs
           JOIN core n ON n.cx = a.cx + dx AND n.cy = a.cy + dy),

@@ -2423,7 +2423,7 @@ object MiscCatalog {
         SELECT cust AS src, supp AS dst FROM e0raw
         UNION ALL SELECT supp AS src, cust AS dst FROM e0raw),
       $rounds,
-      fin AS (SELECT src, count(*) AS d FROM e16 GROUP BY 1),
+      fin AS MATERIALIZED (SELECT src, count(*) AS d FROM e16 GROUP BY 1),
       conv AS (
         SELECT CASE WHEN (SELECT count(*) FROM e15)
                        = (SELECT count(*) FROM e16)

@@ -1421,7 +1421,7 @@ object MultimodalCatalog {
           " + CASE WHEN (n % 4) >= 2 THEN (stp >> 1) ELSE 0 END" +
           " + CASE WHEN (n % 2) = 1 THEN (stp >> 2) ELSE 0 END"
         s"""
-        WITH RECURSIVE nib AS (
+        WITH RECURSIVE nib AS MATERIALIZED (
           SELECT flag, rn, (ok * 11 + ln * 5) % 16 AS n FROM (
             SELECT l_returnflag AS flag,
                    row_number() OVER (PARTITION BY l_returnflag

@@ -1258,7 +1258,7 @@ object TextCatalog {
         SELECT '<' || a || '><' || b || '>' AS pair, a, b,
                CAST(sum(c) AS BIGINT) AS cnt
         FROM p$i GROUP BY 1, 2, 3 ORDER BY cnt DESC, pair LIMIT 1),
-      v$i AS (
+      v$i AS MATERIALIZED (
         SELECT replace(toks, (SELECT pair FROM m$i),
                  '<' || (SELECT a FROM m$i) || (SELECT b FROM m$i) || '>')
                  AS toks, c
@@ -1268,7 +1268,7 @@ object TextCatalog {
       WITH t AS (
         SELECT lower($sqlNorm) AS nt FROM documents
         WHERE length($sqlNorm) > 0),
-      v0 AS (
+      v0 AS MATERIALIZED (
         SELECT '<' || array_to_string(string_split(w, ''), '><') || '>'
                  AS toks, count(*) AS c
         FROM (SELECT unnest(string_split(nt, ' ')) AS w FROM t) u

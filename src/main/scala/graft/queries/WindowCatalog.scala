@@ -314,7 +314,7 @@ object WindowCatalog {
                CAST(((CAST(l_shipdate AS DATE) - DATE '1970-01-01') - lo)
                  // ((hi - lo) // $EwmaBuckets + 1) AS INT) AS b
         FROM lineitem, lohi),
-      base AS (
+      base AS MATERIALIZED (
         SELECT *, row_number() OVER (PARTITION BY b, l_returnflag
           ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity, x) AS rn
         FROM kb),

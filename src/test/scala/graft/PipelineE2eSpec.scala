@@ -1,0 +1,38 @@
+package graft
+
+import graft.queries.DedupCatalog
+
+/** Semantic invariants of the composed curation funnel (q_pipeline_e2e),
+  * beyond the oracle gate: the funnel only ever shrinks (each stage
+  * consumes the previous stage's survivors), stages arrive in order, and
+  * the exact-dedup stage agrees with an independent distinct-fingerprint
+  * count.
+  */
+class PipelineE2eSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("q_pipeline_e2e: monotone funnel, ordered stages, exact stage " +
+    "matches distinct fingerprints") {
+    val rows = DedupCatalog.dPipelineE2e.query(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("stage")).toSeq ==
+      Seq("input", "exact_dedup", "near_dedup", "quality_gate",
+        "repetition_gate"))
+    val docs = rows.map(_.getAs[Long]("n_docs"))
+    val toks = rows.map(_.getAs[Long]("n_tokens"))
+    assert(docs.head > 0, "empty input")
+    docs.sliding(2).foreach { case Array(a, b) =>
+      assert(b <= a, s"funnel grew: $a -> $b") }
+    toks.sliding(2).foreach { case Array(a, b) =>
+      assert(b <= a, s"token funnel grew: $a -> $b") }
+
+    import org.apache.spark.sql.functions._
+    val distinctFps = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("text").isNotNull)
+      .select(graft.text.TextAnalysis.fingerprint(col("text")))
+      .distinct().count()
+    assert(docs(1) == distinctFps,
+      s"exact_dedup kept ${docs(1)} docs, expected $distinctFps " +
+        "distinct fingerprints")
+  }
+}

@@ -12,6 +12,7 @@ checks; uses driver-side deps duckdb/pandas deliberately).
 import json
 import math
 import sys
+import time
 from pathlib import Path
 
 import duckdb
@@ -60,14 +61,17 @@ def main(sf_dir: str, out_dir: str) -> int:
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.loads((Path(out_dir) / "oracle_sql.json").read_text())
     n_ok = n_bad = 0
+    timings = []  # (seconds, name) — surfaces the oracles worth cheapening
     for name, sql in sorted(oracle.items()):
         pq = Path(out_dir) / name
+        t0 = time.monotonic()
         try:
             spark_df = pd.read_parquet(pq)
             duck_df = con.sql(sql).df()
             err = cmp_frames(spark_df, duck_df)
         except Exception as e:  # noqa: BLE001
             err = f"ERR {type(e).__name__}: {e}"
+        timings.append((time.monotonic() - t0, name))
         if err:
             n_bad += 1
             print(f"FAIL {name}: {err[:400]}")
@@ -87,7 +91,10 @@ def main(sf_dir: str, out_dir: str) -> int:
         if d.is_dir() and d.name not in oracle:
             n = len(pd.read_parquet(d))
             print(f"rows {d.name}: {n}{'' if n > 0 else '  <-- EMPTY'}")
-    print(f"\n{n_ok} ok, {n_bad} fail")
+    print(f"\n{n_ok} ok, {n_bad} fail, "
+          f"compare wall {sum(t for t, _ in timings):.1f}s")
+    for t, name in sorted(timings, reverse=True)[:15]:
+        print(f"  slow {t:6.2f}s  {name}")
     return 1 if n_bad else 0
 
 
