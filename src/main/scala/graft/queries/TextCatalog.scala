@@ -2397,6 +2397,112 @@ object TextCatalog {
       FROM f""")
   )
 
+  /** End-to-end mixture-assembly pipeline — the composed twin on the
+    * SELECTION side of training-data prep (q_pipeline_e2e composes the
+    * cleaning side): sqrt-share mixture weights allocate a 50%-of-corpus
+    * token budget per source → a content-addressed deterministic order
+    * (portable md5-60 of doc_id, the q_t_split/q_t_wsample mechanism)
+    * fixes WHICH docs fill each source's budget via a per-source running
+    * sum → survivors pack into 2048-token contiguous bins
+    * (text.Packing) → a per-source manifest audits selection and packing.
+    * Budgets are floors of an IEEE-identical double chain (exact-decimal
+    * Σ√tokens normalizer), every gate compare is integer vs integer, and
+    * the one ratio is r6 of an exact rational — bit-exact throughout.
+    *
+    * Scale: the running sums are SequenceOps range-partitioned prefix
+    * scans (low-cardinality `source` groups would serialize under
+    * Window.partitionBy); budgets/totals are 1-row broadcast aggregates;
+    * packing shuffles once on the range keys. Nothing is all-pairs and no
+    * driver loop touches data scale.
+    */
+  val tPackE2e = QueryDef(
+    "q_pipeline_pack_e2e",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          TextAnalysis.wsTokenCount(col("text")).as("tk"))
+        .filter(col("tk") > 0)
+      val cells = docs.groupBy("source").agg(sum("tk").as("n_tokens"))
+      val tot = broadcast(cells.agg(
+        sum(col("n_tokens")).as("tot"),
+        sum(sqrt(col("n_tokens").cast("double")).cast("decimal(38,18)"))
+          .cast("double").as("wsum")))
+      val budgets = cells.crossJoin(tot)
+        .select(col("source"), col("n_tokens"),
+          floor(sqrt(col("n_tokens").cast("double")) / col("wsum")
+            * (col("tot").cast("double") * 0.5)).cast("long").as("budget"))
+      val keyed = docs.withColumn("skey",
+        graft.functions.Md5Prefix60.md5Prefix60(col("doc_id")))
+      val cum = graft.plans.SequenceOps.runningSum(
+        keyed, Seq("source"), Seq("skey", "doc_id"), "tk", "cum")
+      val sel = cum
+        .join(broadcast(budgets.select("source", "budget")), Seq("source"))
+        .filter(col("cum") <= col("budget"))
+      val packed = graft.text.Packing.contiguousBins(
+        sel.select("doc_id", "source", "tk"), "doc_id", "tk", 2048L)
+        .localCheckpoint(true)
+      val packStats = broadcast(packed.agg(
+        (max(col("bin")) + 1).as("total_bins"),
+        sum("tk").as("packed_tokens")))
+      packed.groupBy("source")
+        .agg(count(lit(1)).as("n_sel"), sum("tk").as("sel_tokens"),
+          count_distinct(col("bin")).as("bins_touched"))
+        .join(broadcast(budgets), Seq("source"))
+        .crossJoin(packStats)
+        .select(col("source"), col("n_tokens"), col("budget"),
+          col("n_sel"), col("sel_tokens"), col("bins_touched"),
+          col("total_bins"), col("packed_tokens"),
+          r6(col("sel_tokens").cast("double") / col("budget").cast("double"))
+            .as("fill_ratio"))
+        .orderBy("source")
+    },
+    Some(s"""
+      WITH d AS (
+        SELECT doc_id, source, CAST($sqlWsTokens AS BIGINT) AS tk
+        FROM documents WHERE $sqlWsTokens > 0),
+      cells AS (SELECT source, CAST(sum(tk) AS BIGINT) AS n_tokens
+                FROM d GROUP BY 1),
+      tot AS (
+        SELECT CAST(sum(n_tokens) AS BIGINT) AS tot,
+               CAST(sum(CAST(sqrt(CAST(n_tokens AS DOUBLE))
+                 AS DECIMAL(38,18))) AS DOUBLE) AS wsum
+        FROM cells),
+      budgets AS (
+        SELECT source, n_tokens,
+               CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) / wsum
+                 * (CAST(tot AS DOUBLE) * 0.5e0)) AS BIGINT) AS budget
+        FROM cells, tot),
+      keyed AS (
+        SELECT d.*, CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+          1, 15)) AS BIGINT) AS skey
+        FROM d),
+      cum AS (
+        SELECT *, CAST(sum(tk) OVER (PARTITION BY source
+          ORDER BY skey, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c
+        FROM keyed),
+      sel AS (
+        SELECT cum.* FROM cum JOIN budgets USING (source)
+        WHERE c <= budget),
+      packed AS (
+        SELECT doc_id, source, tk,
+               (CAST(sum(tk) OVER (ORDER BY doc_id
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) - tk) // 2048 AS bin
+        FROM sel),
+      stats AS (
+        SELECT CAST(max(bin) + 1 AS BIGINT) AS total_bins,
+               CAST(sum(tk) AS BIGINT) AS packed_tokens
+        FROM packed)
+      SELECT source, n_tokens, budget, count(*) AS n_sel,
+             CAST(sum(tk) AS BIGINT) AS sel_tokens,
+             CAST(count(DISTINCT bin) AS BIGINT) AS bins_touched,
+             total_bins, packed_tokens,
+             ${sqlR6("CAST(sum(tk) AS DOUBLE) / CAST(budget AS DOUBLE)")}
+               AS fill_ratio
+      FROM packed JOIN budgets USING (source), stats
+      GROUP BY source, n_tokens, budget, total_bins, packed_tokens
+      ORDER BY source""")
+  )
+
   val all: Seq[QueryDef] =
     Seq(tQuality, tTokens, tFingerprint, tLangId, tExplode,
       tRepetition, tLmScore, tSplit, tStratSample, tTfIdf, tPmi,
@@ -2405,5 +2511,5 @@ object TextCatalog {
       tFeatHash, tDupSpans, tZipf, tLangConfusion, tBpeStep, tBpeTrain5,
       tBpeEncode, tBleu, tChunkOverlap, tRrf, tRbo, tTempMixture, tRouge,
       tTokenBudget, tCdcChunks, tKappa, tFunnel, tBigramLm, tShards, tTtr,
-      tGopher)
+      tGopher, tPackE2e)
 }

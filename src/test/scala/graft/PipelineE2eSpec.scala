@@ -35,4 +35,23 @@ class PipelineE2eSpec extends SparkSpec {
       s"exact_dedup kept ${docs(1)} docs, expected $distinctFps " +
         "distinct fingerprints")
   }
+
+  test("q_pipeline_pack_e2e: budgets respected, packing conserves tokens") {
+    val rows = graft.queries.TextCatalog.tPackE2e.query(spark, sf).collect()
+    assert(rows.nonEmpty, "empty manifest")
+    val packedTotal = rows.head.getAs[Long]("packed_tokens")
+    assert(rows.map(_.getAs[Long]("packed_tokens")).distinct.length == 1,
+      "global packed_tokens differs across manifest rows")
+    assert(rows.map(_.getAs[Long]("sel_tokens")).sum == packedTotal,
+      "packing lost or invented tokens")
+    rows.foreach { r =>
+      val (src, b, selTok) = (r.getAs[String]("source"),
+        r.getAs[Long]("budget"), r.getAs[Long]("sel_tokens"))
+      assert(selTok <= b, s"$src overfilled: $selTok > budget $b")
+      assert(r.getAs[Double]("fill_ratio") <= 1.0 + 1e-12)
+      assert(r.getAs[Long]("bins_touched") <=
+        r.getAs[Long]("total_bins"), s"$src touches phantom bins")
+      assert(r.getAs[Long]("n_sel") > 0, s"$src selected nothing")
+    }
+  }
 }
