@@ -50,8 +50,12 @@ object SparkEntry {
   }
 
   private val heavyLast: Set[String] = Set(
-    "q_s_pq_topk", "q_s_recall_ivf", "q_s_mmr", "q_src_partitioned",
-    "q_sk_hist_quantile", "q_skyline", "q_s_recall_lsh", "q_t_bpe_train5")
+    // top dump wall-clocks of the r12 profiled sf0.01 Verify run
+    "q_pipeline_e2e", "q_m23_isotonic", "q_e_left_join_stream",
+    "q_m33_dbscan", "q_m47_feature_rank", "q_e_interval_stream",
+    "q_m13_robust", "q_e_full_join_stream", "q_e_scd_stream",
+    "q_s_pq_topk", "q_g_hits", "q_m2_ols_next", "q_m12_spearman",
+    "q_m50_levene")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. SQL may

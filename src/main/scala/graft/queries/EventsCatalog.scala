@@ -2042,8 +2042,46 @@ object EventsCatalog {
       ORDER BY 1, 2""")
   )
 
+  /** End-to-end composed streaming pipeline — TWO stateful operators in
+    * ONE streaming query: watermarked per-hour (user, type) dedup chained
+    * into an hourly windowed aggregate (EventStreams.dedupHourlyActives),
+    * append mode, drained through the heartbeat-staged source so the
+    * watermark closes every real window (the heartbeat's own window stays
+    * open and never emits — no post-filter needed). The individual gates
+    * (q_e_dedup_stream, q_e_hourly_stream) prove each stateful operator
+    * alone; this proves the engine composes them — one checkpointed
+    * pipeline, dedup state and window state evicting off the same
+    * watermark. The batch oracle is DISTINCT-then-aggregate; counts are
+    * exact integers, bit-exact.
+    */
+  val ePipelineStream = QueryDef(
+    "q_pipeline_stream_e2e",
+    (s, dir) => {
+      val sink = "graft_pipeline_stream_sink"
+      s.catalog.dropTempView(sink) // idempotent across bench warm-up reps
+      withStatePartitions(s, 8) {
+        val q = graft.streaming.EventStreams
+          .dedupHourlyActives(s, streamableEventsDirWithHeartbeat(s, dir))
+          .select(unix_micros(col("hw.start")).as("hour_us"),
+            col("event_type"), col("n_active"))
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      s.table(sink).orderBy("hour_us", "event_type")
+    },
+    Some("""
+      WITH d AS (
+        SELECT DISTINCT user_id, event_type,
+               date_trunc('hour', ts) AS hour
+        FROM events)
+      SELECT epoch_us(hour) AS hour_us, event_type,
+             count(*) AS n_active
+      FROM d GROUP BY 1, 2 ORDER BY 1, 2""")
+  )
+
   val all: Seq[QueryDef] =
-    Seq(eHourly, eSessions, eHourlyStream, eSessionizeStream,
+    Seq(eHourly, eSessions, eHourlyStream, eSessionizeStream, ePipelineStream,
       eSessionWindow, eFunnel, eDedup, eDedupStream, eIntervalStream,
       eLeftJoinStream, eFullJoinStream, eClosedSessions, eRetention,
       eEnrichStream,

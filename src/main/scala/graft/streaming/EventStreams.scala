@@ -86,6 +86,28 @@ object EventStreams {
       .dropDuplicates(keyCols :+ "tsm")
   }
 
+  /** Composed MULTI-STATEFUL streaming pipeline: per-hour (user, type)
+    * dedup CHAINED INTO a windowed aggregate inside ONE streaming query —
+    * two stateful operators (dedup state, then window state) sharing one
+    * checkpoint lineage, the shape a real ingest pipeline needs (dedup at
+    * the door, aggregate downstream) and the engine capability Spark
+    * gates behind append mode + event-time watermarks on every stateful
+    * stage. The dedup key includes the event-time window itself, so both
+    * operators' state is watermark-evictable. Output is count-only by
+    * design: WHICH row of a dup group survives dropDuplicates is
+    * arrival-order dependent, so any value aggregate downstream of the
+    * dedup would be nondeterministic — the key SET is not.
+    */
+  def dedupHourlyActives(spark: SparkSession, dir: String,
+      watermark: String = "1 hour"): DataFrame =
+    readNormalized(spark, dir)
+      .withColumn("tsm", timestamp_micros(col("ts")))
+      .withWatermark("tsm", watermark)
+      .withColumn("hw", window(col("tsm"), "1 hour"))
+      .dropDuplicates(Seq("user_id", "event_type", "hw"))
+      .groupBy(col("hw"), col("event_type"))
+      .agg(count(lit(1)).as("n_active"))
+
   /** Watermarked stream-stream inner join: each purchase event joins the
     * same user's click events from the preceding `lagMinutes`. Both sides
     * carry watermarks AND the join condition bounds event time on both

@@ -54,4 +54,27 @@ class PipelineE2eSpec extends SparkSpec {
       assert(r.getAs[Long]("n_sel") > 0, s"$src selected nothing")
     }
   }
+
+  test("q_pipeline_stream_e2e: two chained stateful operators match the " +
+    "batch distinct-aggregate and the dedup stage is not a no-op") {
+    import org.apache.spark.sql.functions._
+    val got = graft.queries.EventsCatalog.ePipelineStream.query(spark, sf)
+      .collect().map(r => (r.getAs[Long]("hour_us"),
+        r.getAs[String]("event_type"), r.getAs[Long]("n_active")))
+    val ev = graft.queries.QueryDef.events(spark, sf)
+    val want = ev
+      .select(col("user_id"), col("event_type"),
+        (col("ts") - pmod(col("ts"), lit(3600000000L))).as("hour_us"))
+      .distinct()
+      .groupBy("hour_us", "event_type").agg(count(lit(1)).as("n_active"))
+      .orderBy("hour_us", "event_type")
+      .collect().map(r => (r.getAs[Long]("hour_us"),
+        r.getAs[String]("event_type"), r.getAs[Long]("n_active")))
+    assert(got.toSeq == want.toSeq,
+      s"streaming pipeline diverged from batch (got ${got.length} rows, " +
+        s"want ${want.length})")
+    val raw = ev.count()
+    assert(got.map(_._3).sum < raw,
+      "per-hour dedup removed nothing — the stage is a no-op on this data")
+  }
 }
