@@ -1999,10 +1999,168 @@ object MultimodalCatalog {
     )
   }
 
+  /** End-to-end MULTIMODAL dedup pipeline — the composed image-side twin
+    * of q_pipeline_e2e's text funnel: 16 synthesized images (one BMP per
+    * lineitem bucket; odd buckets are their even sibling PERTURBED on
+    * every 13th pixel, so near-dups exist by construction) run through
+    * the REAL codec kernel (encodeBmp → decodeBmp → nearest resize) →
+    * 64-bit dHash → 4×16-bit BAND-BUCKET candidate join (the LSH shape —
+    * at real scale candidates come from band equality, never all-pairs)
+    * → Hamming ≤ 10 verification → connected components → keep-min
+    * manifest. One row per image with its raw hash, cluster, and keep
+    * flag — any codec, sampling-grid, bit-packing, banding, or
+    * clustering bug moves the hash or the cluster. The oracle replays
+    * the whole chain relationally: pixel formula, floor-grid sampling,
+    * comparison bits, two's-complement packing, band extraction,
+    * xor/bit_count, and an exact recursive transitive closure. All
+    * integers — bit-exact, no rounding anywhere.
+    */
+  val mmPipelineE2e = {
+    val SrcW = 20
+    val SrcH = 16
+    val DstW = 9
+    val DstH = 8
+    val NPix = SrcW * SrcH // 320 ≤ the smallest sf0.001 bucket (332)
+    val NImg = 16
+    val HamT = 10
+    QueryDef(
+      "q_pipeline_mm_e2e",
+      (s, dir) => {
+        val sp = s
+        import sp.implicits._
+        val hashes = t(s, dir, "lineitem")
+          .select((col("l_orderkey") % NImg).as("b"), col("l_orderkey"),
+            col("l_linenumber"))
+          .as[(Long, Long, Int)]
+          .groupByKey(_._1)
+          .mapGroups { (b, it) =>
+            // pixel values depend only on (bucket, sorted index), so
+            // (ok, ln) ties are harmless — the stream is content-free
+            val n = it.map(_ => 1).sum
+            require(n >= NPix, s"bucket $b has $n rows, needs $NPix")
+            val pair = b / 2
+            val px = new Array[Byte](NPix * 3)
+            for (i <- 0 until NPix) {
+              val d = if (b % 2 == 1 && i % 13 == 0) 16L else 0L
+              px(i * 3) = ((pair * 37 + i * 31 + d) % 256).toByte
+              px(i * 3 + 1) = ((pair * 59 + i * 7 + d) % 256).toByte
+              px(i * 3 + 2) = ((pair * 17 + i * 13 + d) % 256).toByte
+            }
+            val blob = Codecs.encodeBmp(Codecs.BgrImage(SrcW, SrcH, px))
+            val back = Codecs.decodeBmp(blob) // the REAL 24bpp parse
+            val small = Codecs.resizeNearest(back, DstW, DstH)
+            def gray(x: Int, y: Int): Long = {
+              val i = (y * DstW + x) * 3
+              ((small.pixels(i) & 0xff) + (small.pixels(i + 1) & 0xff)
+                + (small.pixels(i + 2) & 0xff)) / 3L
+            }
+            var h = 0L
+            for (y <- 0 until DstH; x <- 0 until DstW - 1)
+              if (gray(x, y) > gray(x + 1, y))
+                h |= 1L << (y * (DstW - 1) + x)
+            (b, h)
+          }
+          .toDF("img_id", "dhash").localCheckpoint(true)
+        val bands = hashes.select(col("img_id"),
+            explode(array((0 until 4).map(k => struct(lit(k).as("k"),
+              shiftright(col("dhash"), 16 * k)
+                .bitwiseAND(lit(65535L)).as("v"))): _*)).as("band"))
+          .select(col("img_id"), col("band.k").as("k"),
+            col("band.v").as("v"))
+        val cand = bands.as("a")
+          .join(bands.as("c"), col("a.k") === col("c.k") &&
+            col("a.v") === col("c.v") &&
+            col("a.img_id") < col("c.img_id"))
+          .select(col("a.img_id").as("id1"), col("c.img_id").as("id2"))
+          .distinct()
+        val dup = cand
+          .join(broadcast(hashes.select(col("img_id").as("id1"),
+            col("dhash").as("h1"))), Seq("id1"))
+          .join(broadcast(hashes.select(col("img_id").as("id2"),
+            col("dhash").as("h2"))), Seq("id2"))
+          .filter(expr("bit_count(h1 ^ h2)") <= HamT)
+          .select("id1", "id2")
+        val comp = graft.dedup.Dedup.connectedComponents(dup, "id1", "id2")
+          .withColumnRenamed("id", "img_id")
+        hashes.join(comp, Seq("img_id"), "left")
+          .withColumn("cluster", coalesce(col("comp"), col("img_id")))
+          .select(col("img_id"), col("dhash"), col("cluster"),
+            (col("cluster") === col("img_id")).as("keep"))
+          .orderBy("img_id")
+      },
+      Some(s"""
+        WITH RECURSIVE
+        r AS (
+          SELECT l_orderkey % $NImg AS b,
+                 row_number() OVER (PARTITION BY l_orderkey % $NImg
+                   ORDER BY l_orderkey, l_linenumber) - 1 AS rn
+          FROM lineitem),
+        px AS (
+          SELECT b, rn,
+                 CASE WHEN b % 2 = 1 AND rn % 13 = 0 THEN 16 ELSE 0 END AS d
+          FROM r WHERE rn < $NPix),
+        g AS (
+          SELECT b, rn,
+                 (((b // 2) * 37 + rn * 31 + d) % 256
+                  + ((b // 2) * 59 + rn * 7 + d) % 256
+                  + ((b // 2) * 17 + rn * 13 + d) % 256) // 3 AS gray
+          FROM px),
+        grid AS (
+          SELECT tx, ty, ((ty * $SrcH) // $DstH) * $SrcW
+                   + ((tx * $SrcW) // $DstW) AS rn_s
+          FROM (SELECT unnest(range($DstW)) AS tx)
+          CROSS JOIN (SELECT unnest(range($DstH)) AS ty)),
+        samp AS (
+          SELECT g.b, grid.tx, grid.ty, g.gray
+          FROM g JOIN grid ON g.rn = grid.rn_s),
+        bits AS (
+          SELECT a.b, a.ty * ${DstW - 1} + a.tx AS idx,
+                 CASE WHEN a.gray > c.gray THEN 1 ELSE 0 END AS bit
+          FROM samp a JOIN samp c
+            ON c.b = a.b AND c.ty = a.ty AND c.tx = a.tx + 1),
+        h AS MATERIALIZED (
+          SELECT b AS img_id,
+                 CAST(sum(CASE WHEN bit = 1 THEN
+                   CASE WHEN idx = 63
+                        THEN CAST(-9223372036854775808 AS HUGEINT)
+                        ELSE CAST((CAST(1 AS BIGINT) << idx) AS HUGEINT)
+                   END ELSE 0 END) AS BIGINT) AS dhash
+          FROM bits GROUP BY 1),
+        bands AS (
+          SELECT img_id, k, (dhash >> (16 * k)) & 65535 AS v
+          FROM h, (SELECT CAST(unnest(range(4)) AS INT) AS k)),
+        cand AS (
+          SELECT DISTINCT a.img_id AS id1, c.img_id AS id2
+          FROM bands a JOIN bands c
+            ON a.k = c.k AND a.v = c.v AND a.img_id < c.img_id),
+        dup AS (
+          SELECT id1, id2 FROM cand
+          JOIN h h1 ON h1.img_id = id1
+          JOIN h h2 ON h2.img_id = id2
+          WHERE bit_count(xor(h1.dhash, h2.dhash)) <= $HamT),
+        edges AS (
+          SELECT id1 AS a, id2 AS b2 FROM dup
+          UNION SELECT id2, id1 FROM dup),
+        walk(a, b2) AS (
+          SELECT a, b2 FROM edges
+          UNION
+          SELECT w.a, e.b2 FROM walk w JOIN edges e ON w.b2 = e.a),
+        comp AS (
+          SELECT a AS img_id, least(a, min(b2)) AS component
+          FROM walk GROUP BY a)
+        SELECT h.img_id, h.dhash,
+               coalesce(c.component, h.img_id) AS cluster,
+               coalesce(c.component, h.img_id) = h.img_id AS keep
+        FROM h LEFT JOIN comp c USING (img_id)
+        ORDER BY h.img_id""")
+    )
+  }
+
   val all: Seq[QueryDef] =
     Seq(mmFrames, mmChunks, mmMeta, mmBytes, mmPngDecode, mmJpegMeta,
       mmWavDecode, mmBmpResize, mmDhash, mmAudioFeats, mmUlawDecode,
       mmAlawDecode, mmAviFrames, mmAugment, mmDownsample, mmTiffDecode,
       mmVadWindows, mmWbmp, mmBinarySource, mmDftEnergy, mmAdpcmDecode,
-      mmGrayscale, mmRle, mmShots, mmCodecSnr, mmLaplacian, mmEntropy)
+      mmGrayscale, mmRle, mmShots, mmCodecSnr, mmLaplacian, mmEntropy,
+      mmPipelineE2e)
 }

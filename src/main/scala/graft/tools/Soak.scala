@@ -106,7 +106,11 @@ object Soak {
       "q_g_hits", "q_m23_isotonic", "q_m24_mahalanobis", "q_m25_em_step",
       "q_m26_pettitt", "q_m27_wilcoxon", "q_m28_huber", "q_t_zipf",
       "q_f_sortino", "q_f_garch", "q_w15_range_frame", "q_p_expectations",
-      "q_j6_q3_shape", "q_j7_q18_shape", "q_d_lsh_recall")
+      "q_j6_q3_shape", "q_j7_q18_shape", "q_d_lsh_recall",
+      // round-12 composed pipelines: both scan `documents`, which scales.
+      // q_pipeline_stream_e2e is excluded — events is copied unscaled, so
+      // 10× would re-time identical data.
+      "q_pipeline_e2e", "q_pipeline_pack_e2e")
     // operators self-materialize shared intermediates (localCheckpoint);
     // free them between runs so timings don't pay earlier queries' blocks
     def clear(): Unit = {

@@ -77,4 +77,20 @@ class PipelineE2eSpec extends SparkSpec {
     assert(got.map(_._3).sum < raw,
       "per-hour dedup removed nothing — the stage is a no-op on this data")
   }
+
+  test("q_pipeline_mm_e2e: every odd image clusters with its even " +
+    "sibling, 8 clusters, keep-min") {
+    val rows = graft.queries.MultimodalCatalog.mmPipelineE2e
+      .query(spark, sf).collect()
+    assert(rows.length == 16, s"expected 16 images, got ${rows.length}")
+    rows.foreach { r =>
+      val (id, cl, keep) = (r.getAs[Long]("img_id"),
+        r.getAs[Long]("cluster"), r.getAs[Boolean]("keep"))
+      assert(cl == id - (id % 2),
+        s"image $id landed in cluster $cl, expected its even sibling " +
+          s"${id - (id % 2)} — banding/verify/CC broke the planted pairs")
+      assert(keep == (id % 2 == 0), s"keep-min violated at image $id")
+    }
+    assert(rows.map(_.getAs[Long]("cluster")).distinct.length == 8)
+  }
 }
