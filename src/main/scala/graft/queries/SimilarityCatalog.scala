@@ -64,6 +64,19 @@ object SimilarityCatalog {
           PqDim, PqM, PqK)
         .map { case (m, k, c) => (m, k, c.toSeq) }
         .toDF("m", "k", "c")
+    }),
+    // IVF-PQ: RAW coarse centroids (the gate's residuals subtract these)
+    // and the codebooks trained on the residuals — decimal-sum training
+    // makes both bit-identical to what the gated query computes
+    // independently, so the oracle replays assignment, residuals,
+    // encoding, and the probed ADC search from these + raw embeddings.
+    "ivfpq_centroids" -> ((s, dir) => ivfPqParts(s, dir)._3),
+    "ivfpq_codebooks" -> ((s, dir) => {
+      val sp = s
+      import sp.implicits._
+      ivfPqParts(s, dir)._5
+        .map { case (m, k, c) => (m, k, c.toSeq) }
+        .toDF("m", "k", "c")
     }))
 
   /** Exact top-3 neighbors (excluding self) for query vectors vec_id < 5. */
@@ -1241,7 +1254,174 @@ object SimilarityCatalog {
     }
   )
 
+  // ---- IVF-PQ: the composed billion-scale index (FAISS IVFPQ shape) ----
+
+  private val IpProbe = 3
+
+  /** Shared by the gate and its two aux dumps: RAW coarse centroids
+    * (residuals subtract these — the normalized variants are only for
+    * probe scoring), per-vector cell + residual, and the PQ codebooks
+    * trained on the RESIDUALS (the defining IVF-PQ property: quantization
+    * error is measured around each cell's centroid, not the origin).
+    */
+  private def ivfPqParts(s: SparkSession, dir: String) = {
+    val sp = s
+    import sp.implicits._
+    val e = t(s, dir, "embeddings")
+    val cents = hashCentroids(e, "vec_id", "embedding", IvfCells)
+    val centDf = cents.map { case (cid, c) => (cid, c.toSeq) }
+      .toDF("cell", "c")
+    val res = assignCells(e, "vec_id", "embedding", cents)
+      .join(broadcast(centDf), "cell")
+      .select(col("id"), col("cell"),
+        zip_with(col("v"), col("c"), (x, y) => x - y).as("r"))
+    val cb = graft.similarity.Pq.trainCodebooks(res, "id", "r",
+      PqDim, PqM, PqK)
+    (e, cents, centDf, res, cb)
+  }
+
+  /** End-to-end IVF-PQ search — the composed index lifecycle in one gate
+    * (q_s_recall_ivf gates the coarse index, q_s_pq_topk the codes; this
+    * gates their COMPOSITION, the structure production ANN actually
+    * ships): coarse cells → per-cell RESIDUALS → PQ codebooks trained on
+    * residuals → 8-byte codes as the inverted list → query probes its
+    * `IpProbe` best cells, builds one m×k ADC table per probed cell from
+    * its OWN residual against that cell, and scores only that cell's
+    * codes by table lookup. The oracle replays the entire lifecycle from
+    * the two aux dumps + raw embeddings: normalization, assignment
+    * (argmax with the max-struct tie-break), residual subtraction,
+    * encoding argmins, probe ranking, per-cell ADC tables, and the
+    * ordered lookup fold — every float op the same sequential IEEE chain
+    * in both engines, so ranks and r6(adc) are bit-exact.
+    *
+    * Scale: the scan touches only 8-byte codes (never raw vectors); the
+    * per-query work is nProbe cells' lists; codebooks/centroids are
+    * driver-bounded literals (m×k = 128 rows). The one data-scale shuffle
+    * is the cell assignment groupBy.
+    */
+  val sIvfPq = QueryDef(
+    "q_pipeline_ivfpq_e2e",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val sp = s
+      import sp.implicits._
+      val (e, cents, centDf, res, cb) = ivfPqParts(s, dir)
+      val inv = graft.similarity.Pq.encode(res, "id", "r", PqDim, cb, PqM)
+        .withColumnRenamed("id", "nn_id")
+        .join(res.select(col("id").as("nn_id"), col("cell")), "nn_id")
+        .localCheckpoint(true)
+      val cn = normalizeCentroids(cents)
+        .map { case (cid, c) => (cid, c.toSeq) }.toDF("cell", "cn")
+      val qv = e.filter(col("vec_id") < QueryIdMax)
+        .select(col("vec_id").as("query_id"),
+          transform(col("embedding"), _.cast("double")).as("qv"))
+      val probes = qv.join(broadcast(cn))
+        .select(col("query_id"), col("qv"), col("cell"),
+          aggregate(zip_with(col("qv"), col("cn"), (x, y) => x * y),
+            lit(0.0), _ + _).as("s"))
+        .withColumn("pr", row_number().over(
+          Window.partitionBy("query_id").orderBy(desc("s"), col("cell"))))
+        .filter(col("pr") <= IpProbe)
+      val lit_ = graft.similarity.Pq.codebookLit(cb, PqM)
+      val qtab = probes.join(broadcast(centDf), "cell")
+        .select(col("query_id"), col("cell"),
+          zip_with(col("qv"), col("c"), (x, y) => x - y).as("qr"))
+        .select(col("query_id"), col("cell"),
+          array((0 until PqM).map { mi =>
+            transform(element_at(lit_, mi + 1),
+              cc => graft.similarity.Pq.sqDist(
+                slice(col("qr"), mi * PqSub + 1, PqSub), cc))
+          }: _*).as("dtab"))
+      inv.join(broadcast(qtab), "cell")
+        .withColumn("adc", aggregate(
+          zip_with(col("codes"), col("dtab"),
+            (code, ds) => element_at(ds, code + 1)),
+          lit(0.0), _ + _))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("query_id").orderBy(col("adc"), col("nn_id"))))
+        .filter(col("rank") <= TopK && col("nn_id") =!= col("query_id"))
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("nn_id"), r6(col("adc")).as("adc"))
+        .orderBy("query_id", "rank")
+    },
+    Some(s"""
+      WITH cents AS MATERIALIZED (SELECT cell, c FROM
+        read_parquet('__VERIFY_OUT__/aux/ivfpq_centroids/*.parquet')),
+      cn AS (SELECT cell, list_transform(c, x -> x /
+               sqrt(list_sum(list_transform(c, y -> y * y)))) AS cnorm
+             FROM cents),
+      corpus AS MATERIALIZED (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      ascore AS MATERIALIZED (
+        SELECT corpus.vec_id, cn.cell,
+               list_sum(list_transform(list_zip(corpus.v, cn.cnorm),
+                 p -> p[1] * p[2])) AS s
+        FROM corpus CROSS JOIN cn),
+      assign AS MATERIALIZED (
+        SELECT vec_id, cell FROM (
+          SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+            ORDER BY s DESC, cell) AS rn
+          FROM ascore) WHERE rn = 1),
+      res AS MATERIALIZED (
+        SELECT corpus.vec_id, a.cell,
+               list_transform(list_zip(corpus.v, cents.c),
+                 p -> p[1] - p[2]) AS r
+        FROM corpus JOIN assign a USING (vec_id)
+        JOIN cents ON cents.cell = a.cell),
+      cb AS MATERIALIZED (SELECT m, k, c FROM
+        read_parquet('__VERIFY_OUT__/aux/ivfpq_codebooks/*.parquet')),
+      rd AS MATERIALIZED (
+        SELECT res.vec_id, res.cell, cb.m, cb.k,
+               list_sum(list_transform(
+                 list_zip(list_slice(res.r, cb.m*$PqSub + 1,
+                                     cb.m*$PqSub + $PqSub), cb.c),
+                 p -> (p[1]-p[2])*(p[1]-p[2]))) AS d
+        FROM res CROSS JOIN cb),
+      codes AS MATERIALIZED (
+        SELECT vec_id, cell, m, k AS code FROM (
+          SELECT vec_id, cell, m, k,
+                 row_number() OVER (PARTITION BY vec_id, m
+                   ORDER BY d, k) AS rn
+          FROM rd) WHERE rn = 1),
+      probes AS (
+        SELECT query_id, cell FROM (
+          SELECT vec_id AS query_id, cell,
+                 row_number() OVER (PARTITION BY vec_id
+                   ORDER BY s DESC, cell) AS rn
+          FROM ascore WHERE vec_id < $QueryIdMax) WHERE rn <= $IpProbe),
+      qres AS (
+        SELECT p.query_id, p.cell,
+               list_transform(list_zip(corpus.v, cents.c),
+                 q -> q[1] - q[2]) AS r
+        FROM probes p JOIN corpus ON corpus.vec_id = p.query_id
+        JOIN cents ON cents.cell = p.cell),
+      qd AS MATERIALIZED (
+        SELECT q.query_id, q.cell, cb.m, cb.k,
+               list_sum(list_transform(
+                 list_zip(list_slice(q.r, cb.m*$PqSub + 1,
+                                     cb.m*$PqSub + $PqSub), cb.c),
+                 p -> (p[1]-p[2])*(p[1]-p[2]))) AS d
+        FROM qres q CROSS JOIN cb),
+      adc AS (
+        SELECT qd.query_id, codes.vec_id AS nn_id,
+               list_sum(list(qd.d ORDER BY qd.m)) AS adc
+        FROM codes JOIN qd ON qd.cell = codes.cell AND qd.m = codes.m
+          AND qd.k = codes.code
+        GROUP BY 1, 2),
+      ranked AS (
+        SELECT query_id, nn_id, adc,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY adc, nn_id) AS rank
+        FROM adc)
+      SELECT query_id, CAST(rank AS BIGINT) AS rank, nn_id,
+             ${sqlR6("adc")} AS adc
+      FROM ranked WHERE rank <= $TopK AND nn_id <> query_id
+      ORDER BY query_id, rank""")
+  )
+
   val all: Seq[QueryDef] =
     Seq(sBrute, sIvf, sPq, sSq, sSparse, sRecallIvf, sJlProject,
-      sCentroidCos, sMmr, sLshRecall, sMutualNn, sNdcg, sKnn, sKcenter)
+      sCentroidCos, sMmr, sLshRecall, sMutualNn, sNdcg, sKnn, sKcenter,
+      sIvfPq)
 }

@@ -80,8 +80,11 @@ object Pq {
       }.sortBy(t => (t._1, t._2))
   }
 
-  /** Codebook as one literal: array(subspace → array(code → centroid)). */
-  private def codebookLit(cb: Seq[(Int, Int, Array[Double])], m: Int): Column =
+  /** Codebook as one literal: array(subspace → array(code → centroid)).
+    * Public so composed indexes (IVF-PQ) can build query ADC tables from
+    * an externally trained codebook.
+    */
+  def codebookLit(cb: Seq[(Int, Int, Array[Double])], m: Int): Column =
     array((0 until m).map { mi =>
       array(cb.filter(_._1 == mi).sortBy(_._2)
         .map { case (_, _, c) => array(c.map(lit): _*) }: _*)

@@ -93,4 +93,26 @@ class PipelineE2eSpec extends SparkSpec {
     }
     assert(rows.map(_.getAs[Long]("cluster")).distinct.length == 8)
   }
+
+  test("q_pipeline_ivfpq_e2e: self wins rank 1 in its own cell, adc " +
+    "monotone within each query") {
+    val rows = graft.queries.SimilarityCatalog.sIvfPq.query(spark, sf)
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("nn_id"), r.getAs[Double]("adc")))
+    val byQ = rows.groupBy(_._1)
+    assert(byQ.size == 5, s"expected 5 queries, got ${byQ.size}")
+    byQ.foreach { case (q, rs) =>
+      val sorted = rs.sortBy(_._2)
+      // rank 1 is always the query's own vector (its residual encodes to
+      // itself-adjacent codes, adc ≈ 0) and is dropped — the surviving
+      // ranks must be exactly 2..4
+      assert(sorted.map(_._2).toSeq == Seq(2L, 3L, 4L),
+        s"query $q ranks ${sorted.map(_._2).toSeq} — self did not win " +
+          "rank 1, the ADC lookup or probe selection is broken")
+      assert(!sorted.exists(_._3 == q), s"query $q returned itself")
+      sorted.map(_._4).sliding(2).foreach { w =>
+        assert(w(1) >= w(0), s"query $q adc not monotone with rank") }
+    }
+  }
 }
