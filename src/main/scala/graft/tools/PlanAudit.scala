@@ -17,7 +17,11 @@ object PlanAudit {
       else Seq("q1_pricing_summary", "q_a1_quarterly_price",
         "q_j5_star_revenue", "q_w3_zscore", "q_m4_anomalies",
         "q_d_exact", "q_s_cosine_topk", "q_d_components", "q_t_tfidf",
-        "q_t_pmi", "q_j_salted", "q_t_split")
+        "q_t_pmi", "q_j_salted", "q_t_split",
+        // round-12 composed pipelines: the manifest/funnel plans show the
+        // stage seams (checkpoint scans, broadcast budgets, range
+        // partitioning, band-bucket joins)
+        "q_pipeline_pack_e2e", "q_pipeline_ivfpq_e2e")
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
