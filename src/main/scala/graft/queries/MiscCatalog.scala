@@ -3500,6 +3500,76 @@ object MiscCatalog {
       FROM term GROUP BY 1""")
   )
 
+  /** Composed GRAPH pipeline — community influence analytics: the SAME
+    * bulk co-purchase graph feeds both LPA community detection (lpaState,
+    * the q_g_labelprop partition) and integer PageRank (graph.PageRank,
+    * the q_g_pagerank recursion), then one join scores every community by
+    * its total rank mass and names its most-influential member (max rank,
+    * ties to the smallest node id — the max-struct idiom). The "build a
+    * graph once, run N algorithms, join their outputs" shape every graph
+    * platform demo ships — here as a single gated query whose oracle
+    * replays BOTH iterative algorithms as chained CTEs off one shared
+    * edge list. Everything is exact integers (LPA labels, floor-div
+    * ranks, counts) — bit-exact, no rounding.
+    */
+  val qGraphE2e = {
+    val K = 3
+    val scale = 1000000000000L
+    val iterCtes = (1 to K).map { k =>
+      s"""c$k AS (
+        SELECT e.dst AS node,
+               CAST(sum((r.rank * 85) // (e.outdeg * 100)) AS BIGINT) AS s
+        FROM ed e JOIN r${k - 1} r ON r.node = e.src GROUP BY 1),
+      r$k AS (
+        SELECT n.node, b.base + coalesce(c.s, 0) AS rank
+        FROM nodes n CROSS JOIN b LEFT JOIN c$k c ON c.node = n.node)"""
+    }.mkString(",\n      ")
+    QueryDef(
+      "q_pipeline_graph_e2e",
+      (s, dir) => {
+        val (_, edges, lab) = lpaState(s, dir)
+        val pr = graft.graph.PageRank.run(edges, iterations = K,
+          scale = scale)
+        lab.join(pr, Seq("node"))
+          .groupBy(col("lbl").as("community"))
+          .agg(count(lit(1)).as("n_nodes"),
+            sum(col("rank")).as("rank_mass"),
+            max(struct(col("rank").as("r"), (-col("node")).as("nn")))
+              .as("m"))
+          .select(col("community"), col("n_nodes"), col("rank_mass"),
+            (-col("m.nn")).as("top_node"), col("m.r").as("top_rank"))
+          .orderBy(desc("rank_mass"), col("community"))
+          .limit(20)
+      },
+      Some(s"""
+      WITH $lpaOracleCtes,
+      deg AS (SELECT src, count(*) AS outdeg FROM eall GROUP BY 1),
+      ed AS (SELECT e.src, e.dst, d.outdeg
+             FROM eall e JOIN deg d USING (src)),
+      nodes AS (SELECT DISTINCT src AS node FROM eall),
+      b AS (
+        SELECT ($scale * 15) // (count(*) * 100) AS base,
+               $scale // count(*) AS init FROM nodes),
+      r0 AS (SELECT node, b.init AS rank FROM nodes CROSS JOIN b),
+      $iterCtes,
+      j AS MATERIALIZED (
+        SELECT l.lbl AS community, r.node, r.rank
+        FROM l$LpIters l JOIN r$K r ON r.node = l.node),
+      agg AS (SELECT community, count(*) AS n_nodes,
+                     CAST(sum(rank) AS BIGINT) AS rank_mass
+              FROM j GROUP BY 1),
+      tn AS (
+        SELECT community, node AS top_node, rank AS top_rank FROM (
+          SELECT community, node, rank, row_number() OVER (
+            PARTITION BY community ORDER BY rank DESC, node) AS rn
+          FROM j) WHERE rn = 1)
+      SELECT a.community, a.n_nodes, a.rank_mass, tn.top_node,
+             CAST(tn.top_rank AS BIGINT) AS top_rank
+      FROM agg a JOIN tn USING (community)
+      ORDER BY rank_mass DESC, community LIMIT 20""")
+    )
+  }
+
   val all: Seq[QueryDef] = Seq(oTopK, aSpikeSummary, eJson, aSummary,
     mKmeans, mLloydStep, qAsof, qRange, qRollup, qCube, qGroupingSets,
     qPercentile, qHistogram, qZOrder, qHilbert, qCompactPlan, qScd2, qScd1,
@@ -3512,6 +3582,6 @@ object MiscCatalog {
     qIqrOutliers, qSkyline, qUnpivot, qPsi, qOrcScan, qCramersV,
     qCsvCorrupt, qClustCoef, qKanon, qMergeSchema, qModularity,
     qJsonl, qCsvGzip, qTreeDepth, qBoxplot, qLdiversity, qCloseness,
-    qLorenz, qPareto, qTheil)
+    qLorenz, qPareto, qTheil, qGraphE2e)
 }
 

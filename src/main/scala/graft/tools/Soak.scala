@@ -52,10 +52,18 @@ object Soak {
     }
     // events carries a TIMESTAMP(NANOS) column Spark can't infer — read it
     // with the explicit schema like every other events consumer (the soak
-    // copy lands as plain int64 nanos, which Schemas.events reads the same)
-    spark.read.schema(graft.model.Schemas.events)
-      .parquet(s"$src/events.parquet").write.mode("overwrite")
-      .parquet(s"$outDir/events.parquet")
+    // copy lands as plain int64 nanos, which Schemas.events reads the
+    // same). Scaled like the fact tables since round 12: user_id/event_id
+    // shift per copy (so sessionization/retention/funnels see 10× the
+    // USERS — the axis an event stream actually grows on) while ts keeps
+    // its calendar range (watermark horizons and window counts hold).
+    val ev = spark.read.schema(graft.model.Schemas.events)
+      .parquet(s"$src/events.parquet")
+    (0 until copies).map { i =>
+      ev.withColumn("user_id", col("user_id") + lit(i * 10000000L))
+        .withColumn("event_id", col("event_id") + lit(i * 10000000L))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$outDir/events.parquet")
     println(f"[soak] built ${copies}x sf0.1 in ${(System.nanoTime()-t0)/1e9}%.1f s")
 
     val headline = Seq("q1_pricing_summary", "q_a1_quarterly_price",
@@ -107,10 +115,14 @@ object Soak {
       "q_m26_pettitt", "q_m27_wilcoxon", "q_m28_huber", "q_t_zipf",
       "q_f_sortino", "q_f_garch", "q_w15_range_frame", "q_p_expectations",
       "q_j6_q3_shape", "q_j7_q18_shape", "q_d_lsh_recall",
-      // round-12 composed pipelines: both scan `documents`, which scales.
-      // q_pipeline_stream_e2e is excluded — events is copied unscaled, so
-      // 10× would re-time identical data.
-      "q_pipeline_e2e", "q_pipeline_pack_e2e")
+      // round-12 composed pipelines: both scan `documents`, which scales
+      "q_pipeline_e2e", "q_pipeline_pack_e2e",
+      // round-12 events scaling (user-shifted copies): the events family
+      // now sees 10× the users — including the multi-stateful STREAMING
+      // pipeline driven through the real engine at 10× volume
+      "q_e_sessionize", "q_e_retention", "q_e_markov", "q_e_attribution",
+      "q_e_rfm", "q_e_funnel", "q_e_survival", "q_e_hourly",
+      "q_pipeline_stream_e2e")
     // operators self-materialize shared intermediates (localCheckpoint);
     // free them between runs so timings don't pay earlier queries' blocks
     def clear(): Unit = {

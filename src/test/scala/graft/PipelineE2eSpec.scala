@@ -115,4 +115,31 @@ class PipelineE2eSpec extends SparkSpec {
         assert(w(1) >= w(0), s"query $q adc not monotone with rank") }
     }
   }
+
+  test("q_pipeline_graph_e2e: community sizes agree with q_g_labelprop, " +
+    "rank mass bounds its top member") {
+    val e2e = graft.queries.MiscCatalog.qGraphE2e.query(spark, sf).collect()
+    assert(e2e.nonEmpty)
+    e2e.foreach { r =>
+      val (n, mass, topRank) = (r.getAs[Long]("n_nodes"),
+        r.getAs[Long]("rank_mass"), r.getAs[Long]("top_rank"))
+      assert(n >= 1 && topRank >= 1 && mass >= topRank,
+        s"community ${r.getAs[Long]("community")}: mass $mass < top " +
+          s"$topRank or empty")
+    }
+    // both gates score the IDENTICAL lpaState partition — sizes must agree
+    val sizes = graft.queries.MiscCatalog.qLabelProp.query(spark, sf)
+      .collect()
+      .map(r => (r.getAs[Long]("seed_key") * 2 +
+        (if (r.getAs[String]("seed_type") == "supplier") 1L else 0L),
+        r.getAs[Long]("size"))).toMap
+    val checked = e2e.flatMap { r =>
+      sizes.get(r.getAs[Long]("community"))
+        .map(sz => (r.getAs[Long]("community"), r.getAs[Long]("n_nodes"), sz))
+    }
+    assert(checked.nonEmpty, "no community overlap between the two gates")
+    checked.foreach { case (c, n, sz) =>
+      assert(n == sz, s"community $c: e2e n_nodes $n != labelprop size $sz")
+    }
+  }
 }
