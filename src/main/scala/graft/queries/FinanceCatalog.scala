@@ -100,8 +100,19 @@ object FinanceCatalog {
       val full = count(lit(1)).over(w) === 20
       val flat = max(col("o_totalprice")).over(w) ===
         min(col("o_totalprice")).over(w)
-      val mid = avg(col("o_totalprice")).over(w)
-      val sd = stddev_samp(col("o_totalprice")).over(w)
+      // rolling mean/σ on INTEGER cents: the raw price doubles are
+      // bit-identical across engines, so floor(p·100+0.5) is the same
+      // BIGINT in both and every windowed moment after it is exact
+      // integer/decimal arithmetic — the plain windowed avg/stddev_samp
+      // diverged at sf0.1 (DuckDB's segment-tree frame summation vs
+      // Spark's in-order recompute round differently on 20 doubles, and
+      // r2's granularity was straddled)
+      val pc = floor(col("o_totalprice") * 100 + lit(0.5)).cast("long")
+      val s1 = sum(pc).over(w).cast("decimal(38,0)")
+      val s2 = sum((pc * pc).cast("decimal(38,0)")).over(w)
+      val mid = s1.cast("double") / lit(2000.0)
+      val sd = sqrt((s2 * lit(20) - s1 * s1).cast("double")
+        / lit(20.0 * 19.0 * 10000.0))
       t(s, dir, "orders")
         .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
           col("o_totalprice"))
@@ -118,13 +129,24 @@ object FinanceCatalog {
       val over = "OVER (PARTITION BY o_custkey ORDER BY o_orderdate, " +
         "o_orderkey ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)"
       s"""
-      WITH b AS (
+      WITH p AS (
+        SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS pc
+        FROM orders),
+      b AS (
         SELECT o_custkey, o_orderkey, o_totalprice,
-               avg(o_totalprice) $over AS mid,
-               stddev_samp(o_totalprice) $over AS sd,
+               CAST(sum(pc) $over AS DECIMAL(38,0)) AS s1,
+               CAST(sum(CAST(pc * pc AS DECIMAL(38,0))) $over
+                 AS DECIMAL(38,0)) AS s2,
                count(*) $over AS n,
                max(o_totalprice) $over = min(o_totalprice) $over AS flat
-        FROM orders)
+        FROM p),
+      c AS (
+        SELECT o_custkey, o_orderkey, o_totalprice, n, flat,
+               CAST(s1 AS DOUBLE) / 2000e0 AS mid,
+               sqrt(CAST(s2 * 20 - s1 * s1 AS DOUBLE)
+                 / (20e0 * 19e0 * 10000e0)) AS sd
+        FROM b)
       SELECT o_custkey, o_orderkey,
              CASE WHEN n = 20 THEN ${sqlR2("mid")} END AS mid,
              CASE WHEN n = 20 THEN ${sqlR2("mid + 2 * sd")} END AS upper,
@@ -132,7 +154,7 @@ object FinanceCatalog {
              CASE WHEN n = 20 AND NOT flat
                THEN ${sqlR6("(o_totalprice - mid + 2 * sd) / (4 * sd)")}
              END AS pct_b
-      FROM b ORDER BY o_custkey, o_orderkey"""
+      FROM c ORDER BY o_custkey, o_orderkey"""
     }
   )
 

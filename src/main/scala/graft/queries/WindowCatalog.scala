@@ -585,20 +585,28 @@ object WindowCatalog {
           .cast("double") / count(lit(1))).as("y"))
       val w = Window.partitionBy("flag").orderBy("day")
       val f5 = Window.partitionBy("flag").orderBy("day").rowsBetween(-4, 0)
+      // rolling moments on INTEGER milli-units of y: the y doubles are
+      // bit-identical across engines, so floor(y·1e3+0.5) is the identical
+      // BIGINT in both — and every sum/square after it is exact integer
+      // arithmetic. (The previous CAST(y*y AS DECIMAL) formulation
+      // diverged at sf0.1: double→decimal rounding of a COMPUTED square
+      // follows Spark's shortest-string BigDecimal vs DuckDB's exact
+      // binary expansion, a documented 1-ulp-class divergence that the
+      // vol5 cancellation then amplified past tolerance.)
       daily
+        .withColumn("ym", floor(col("y") * 1000 + lit(0.5)).cast("long"))
         .withColumn("lag1", lag(col("y"), 1).over(w))
         .withColumn("lag5", lag(col("y"), 5).over(w))
         .withColumn("c5", count(col("y")).over(f5))
-        .withColumn("s1",
-          sum(col("y").cast("decimal(38,6)")).over(f5).cast("double"))
-        .withColumn("s2",
-          sum((col("y") * col("y")).cast("decimal(38,6)")).over(f5)
-            .cast("double"))
+        .withColumn("s1i", sum(col("ym")).over(f5))
+        .withColumn("s2i",
+          sum((col("ym") * col("ym")).cast("decimal(38,0)")).over(f5))
         .filter(col("c5") === 5 && col("lag5").isNotNull)
         .select(col("flag"), col("day"), col("y"), col("lag1"), col("lag5"),
-          (col("s1") / lit(5.0)).as("ma5"),
-          ((col("s2") - col("s1") * col("s1") / lit(5.0)) / lit(5.0))
-            .as("vol5"))
+          (col("s1i").cast("double") / lit(5000.0)).as("ma5"),
+          ((col("s2i") * lit(5) -
+            col("s1i").cast("decimal(38,0)") * col("s1i")).cast("double")
+            / lit(2.5e7)).as("vol5"))
         .orderBy("flag", "day")
     },
     Some(s"""
@@ -607,19 +615,25 @@ object WindowCatalog {
                CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE)
                  / count(*) AS y
         FROM lineitem GROUP BY 1, 2),
+      d2 AS (
+        SELECT flag, day, y,
+               CAST(floor(y * 1000 + 0.5) AS BIGINT) AS ym
+        FROM daily),
       f AS (
         SELECT flag, day, y,
                lag(y, 1) OVER w AS lag1, lag(y, 5) OVER w AS lag5,
                count(y) OVER f5 AS c5,
-               CAST(sum(CAST(y AS DECIMAL(38,6))) OVER f5 AS DOUBLE) AS s1,
-               CAST(sum(CAST(y * y AS DECIMAL(38,6))) OVER f5 AS DOUBLE)
-                 AS s2
-        FROM daily
+               CAST(sum(ym) OVER f5 AS BIGINT) AS s1i,
+               CAST(sum(CAST(ym * ym AS DECIMAL(38,0))) OVER f5
+                 AS DECIMAL(38,0)) AS s2i
+        FROM d2
         WINDOW w AS (PARTITION BY flag ORDER BY day),
         f5 AS (PARTITION BY flag ORDER BY day
           ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))
-      SELECT flag, day, y, lag1, lag5, s1 / 5e0 AS ma5,
-             (s2 - s1 * s1 / 5e0) / 5e0 AS vol5
+      SELECT flag, day, y, lag1, lag5,
+             CAST(s1i AS DOUBLE) / 5000e0 AS ma5,
+             CAST(s2i * 5 - CAST(s1i AS DECIMAL(38,0)) * s1i AS DOUBLE)
+               / 2.5e7 AS vol5
       FROM f WHERE c5 = 5 AND lag5 IS NOT NULL
       ORDER BY flag, day""")
   )
