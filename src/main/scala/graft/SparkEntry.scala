@@ -50,12 +50,13 @@ object SparkEntry {
   }
 
   private val heavyLast: Set[String] = Set(
-    // top dump wall-clocks of the r12 profiled sf0.01 Verify run
+    // top dump wall-clocks of the r12 profiled sf0.01 Verify runs
     "q_pipeline_e2e", "q_m23_isotonic", "q_e_left_join_stream",
     "q_m33_dbscan", "q_m47_feature_rank", "q_e_interval_stream",
     "q_m13_robust", "q_e_full_join_stream", "q_e_scd_stream",
     "q_s_pq_topk", "q_g_hits", "q_m2_ols_next", "q_m12_spearman",
-    "q_m50_levene")
+    "q_m50_levene", "q_pipeline_ivfpq_e2e", "q_pipeline_stream_e2e",
+    "q_pipeline_graph_e2e", "q_pipeline_pack_e2e", "q_pipeline_mm_e2e")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. SQL may

@@ -3570,6 +3570,142 @@ object MiscCatalog {
     )
   }
 
+  /** Composed CDC / incremental-view-maintenance pipeline: a
+    * deterministic change batch (updates that MOVE rows across segments,
+    * inserts of new keys, deletes) is applied to the customer snapshot
+    * with the MERGE semantics of q_scd1_merge, while the per-segment
+    * aggregate view is maintained TWO independent ways — incrementally
+    * (base aggregate + the delta algebra: −old +new for updates, +new
+    * for inserts, −old for deletes) and by full recompute over the merged
+    * snapshot. The gate row per segment publishes both results AND their
+    * exact-equality flag: balances ride DECIMAL(28,6) end-to-end, so IVM
+    * consistency is exact decimal equality, not a tolerance — any error
+    * in the delta algebra, the merge, or the segment-crossing bookkeeping
+    * flips a boolean and the hash. This is the maintenance loop every
+    * incremental warehouse runs; at 100 TB the delta side touches only
+    * the change batch (bounded), never the base table.
+    */
+  val qCdcE2e = QueryDef(
+    "q_pipeline_cdc_e2e",
+    (s, dir) => {
+      val dec = "decimal(28,6)"
+      val base = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
+        .localCheckpoint(true) // read by ops, merge, and the base aggregate
+      val upd = base
+        .filter(col("c_custkey") % 5 === 0 && col("c_custkey") % 13 =!= 0)
+        .select(col("c_custkey"), (col("c_acctbal") + 50.0).as("nb"),
+          lit("UPSERTED").as("ns"), col("c_acctbal").as("ob"),
+          col("c_mktsegment").as("os"))
+      val ins = base.filter(col("c_custkey") % 10 === 0)
+        .select((col("c_custkey") + 1000000L).as("c_custkey"),
+          (col("c_acctbal") + 50.0).as("c_acctbal"),
+          lit("UPSERTED").as("c_mktsegment"))
+      val del = base.filter(col("c_custkey") % 13 === 0)
+        .select("c_custkey", "c_acctbal", "c_mktsegment")
+      val merged = base
+        .join(del.select("c_custkey"), Seq("c_custkey"), "left_anti")
+        .join(upd.select("c_custkey", "nb", "ns"), Seq("c_custkey"), "left")
+        .select(col("c_custkey"),
+          coalesce(col("nb"), col("c_acctbal")).as("c_acctbal"),
+          coalesce(col("ns"), col("c_mktsegment")).as("c_mktsegment"))
+        .unionByName(ins)
+      // delta algebra per segment — negate AFTER the decimal cast so both
+      // engines negate the identical decimal, not the double
+      val d = upd.select(col("os").as("seg"), lit(-1L).as("dn"),
+          (-col("ob").cast(dec)).as("db"))
+        .unionByName(upd.select(col("ns").as("seg"), lit(1L).as("dn"),
+          col("nb").cast(dec).as("db")))
+        .unionByName(ins.select(col("c_mktsegment").as("seg"),
+          lit(1L).as("dn"), col("c_acctbal").cast(dec).as("db")))
+        .unionByName(del.select(col("c_mktsegment").as("seg"),
+          lit(-1L).as("dn"), (-col("c_acctbal").cast(dec)).as("db")))
+        .groupBy("seg")
+        .agg(sum(col("dn")).as("dn"), sum(col("db")).as("dbal"))
+      val baseAgg = base.groupBy(col("c_mktsegment").as("seg"))
+        .agg(count(lit(1)).as("n0"),
+          sum(col("c_acctbal").cast(dec)).as("b0"))
+      val incAgg = baseAgg.join(d, Seq("seg"), "full_outer")
+        .select(col("seg"),
+          (coalesce(col("n0"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+            .as("n_inc"),
+          (coalesce(col("b0"), lit(0).cast(dec))
+            + coalesce(col("dbal"), lit(0).cast(dec))).as("b_inc"))
+      val fullAgg = merged.groupBy(col("c_mktsegment").as("seg"))
+        .agg(count(lit(1)).as("n_full"),
+          sum(col("c_acctbal").cast(dec)).as("b_full"))
+      incAgg.join(fullAgg, Seq("seg"), "full_outer")
+        .select(col("seg"), col("n_inc"), col("n_full"),
+          decD(col("b_inc")).as("bal_inc"),
+          decD(col("b_full")).as("bal_full"),
+          (col("n_inc") === col("n_full") &&
+            col("b_inc") === col("b_full")).as("consistent"))
+        .orderBy("seg")
+    },
+    Some(s"""
+      WITH base AS (
+        SELECT c_custkey, c_acctbal, c_mktsegment FROM customer),
+      upd AS (
+        SELECT c_custkey, c_acctbal + 50.0 AS nb, 'UPSERTED' AS ns,
+               c_acctbal AS ob, c_mktsegment AS os
+        FROM base WHERE c_custkey % 5 = 0 AND c_custkey % 13 <> 0),
+      ins AS (
+        SELECT c_custkey + 1000000 AS c_custkey,
+               c_acctbal + 50.0 AS c_acctbal, 'UPSERTED' AS c_mktsegment
+        FROM base WHERE c_custkey % 10 = 0),
+      del AS (
+        SELECT c_custkey, c_acctbal, c_mktsegment
+        FROM base WHERE c_custkey % 13 = 0),
+      merged AS (
+        SELECT b.c_custkey,
+               coalesce(u.nb, b.c_acctbal) AS c_acctbal,
+               coalesce(u.ns, b.c_mktsegment) AS c_mktsegment
+        FROM base b
+        LEFT JOIN upd u ON u.c_custkey = b.c_custkey
+        WHERE b.c_custkey NOT IN (SELECT c_custkey FROM del)
+        UNION ALL
+        SELECT c_custkey, c_acctbal, c_mktsegment FROM ins),
+      d AS (
+        SELECT seg, CAST(sum(dn) AS BIGINT) AS dn,
+               CAST(sum(db) AS DECIMAL(38,6)) AS dbal
+        FROM (
+          SELECT os AS seg, -1 AS dn,
+                 -CAST(ob AS DECIMAL(28,6)) AS db FROM upd
+          UNION ALL
+          SELECT ns, 1, CAST(nb AS DECIMAL(28,6)) FROM upd
+          UNION ALL
+          SELECT c_mktsegment, 1, CAST(c_acctbal AS DECIMAL(28,6))
+          FROM ins
+          UNION ALL
+          SELECT c_mktsegment, -1, -CAST(c_acctbal AS DECIMAL(28,6))
+          FROM del)
+        GROUP BY 1),
+      base_agg AS (
+        SELECT c_mktsegment AS seg, count(*) AS n0,
+               CAST(sum(CAST(c_acctbal AS DECIMAL(28,6)))
+                 AS DECIMAL(38,6)) AS b0
+        FROM base GROUP BY 1),
+      inc_agg AS (
+        SELECT coalesce(b.seg, d.seg) AS seg,
+               coalesce(b.n0, 0) + coalesce(d.dn, 0) AS n_inc,
+               coalesce(b.b0, CAST(0 AS DECIMAL(38,6)))
+                 + coalesce(d.dbal, CAST(0 AS DECIMAL(38,6))) AS b_inc
+        FROM base_agg b FULL OUTER JOIN d ON d.seg = b.seg),
+      full_agg AS (
+        SELECT c_mktsegment AS seg, count(*) AS n_full,
+               CAST(sum(CAST(c_acctbal AS DECIMAL(28,6)))
+                 AS DECIMAL(38,6)) AS b_full
+        FROM merged GROUP BY 1)
+      SELECT coalesce(i.seg, f.seg) AS seg,
+             CAST(n_inc AS BIGINT) AS n_inc,
+             CAST(n_full AS BIGINT) AS n_full,
+             ${sqlDecD("b_inc")} AS bal_inc,
+             ${sqlDecD("b_full")} AS bal_full,
+             (n_inc = n_full AND b_inc = b_full) AS consistent
+      FROM inc_agg i FULL OUTER JOIN full_agg f ON f.seg = i.seg
+      ORDER BY seg""")
+  )
+
   val all: Seq[QueryDef] = Seq(oTopK, aSpikeSummary, eJson, aSummary,
     mKmeans, mLloydStep, qAsof, qRange, qRollup, qCube, qGroupingSets,
     qPercentile, qHistogram, qZOrder, qHilbert, qCompactPlan, qScd2, qScd1,
@@ -3582,6 +3718,6 @@ object MiscCatalog {
     qIqrOutliers, qSkyline, qUnpivot, qPsi, qOrcScan, qCramersV,
     qCsvCorrupt, qClustCoef, qKanon, qMergeSchema, qModularity,
     qJsonl, qCsvGzip, qTreeDepth, qBoxplot, qLdiversity, qCloseness,
-    qLorenz, qPareto, qTheil, qGraphE2e)
+    qLorenz, qPareto, qTheil, qGraphE2e, qCdcE2e)
 }
 

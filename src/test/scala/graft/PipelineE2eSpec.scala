@@ -142,4 +142,24 @@ class PipelineE2eSpec extends SparkSpec {
       assert(n == sz, s"community $c: e2e n_nodes $n != labelprop size $sz")
     }
   }
+
+  test("q_pipeline_cdc_e2e: incremental view exactly equals full " +
+    "recompute, row conservation holds") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.queries.MiscCatalog.qCdcE2e.query(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("consistent"),
+        s"segment ${r.getAs[String]("seg")}: incremental aggregate " +
+          "diverged from full recompute — the delta algebra is wrong")
+    }
+    assert(rows.exists(_.getAs[String]("seg") == "UPSERTED"),
+      "updates/inserts never landed in the UPSERTED segment")
+    val cust = spark.read.parquet(s"$sf/customer.parquet")
+    val nBase = cust.count()
+    val nDel = cust.filter(col("c_custkey") % 13 === 0).count()
+    val nIns = cust.filter(col("c_custkey") % 10 === 0).count()
+    assert(rows.map(_.getAs[Long]("n_full")).sum == nBase - nDel + nIns,
+      "merged snapshot lost or invented rows")
+  }
 }
