@@ -1254,7 +1254,9 @@ object SimilarityCatalog {
     }
   )
 
-  // ---- IVF-PQ: the composed billion-scale index (FAISS IVFPQ shape) ----
+  // ---- IVF-PQ: the composed billion-scale index (the IVFADC structure
+  // of Jégou, Douze & Schmid, "Product Quantization for Nearest Neighbor
+  // Search", TPAMI 2011 — the FAISS IndexIVFPQ shape) ----
 
   private val IpProbe = 3
 
