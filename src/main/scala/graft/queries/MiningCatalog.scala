@@ -4339,6 +4339,148 @@ object MiningCatalog {
       FROM a""")
   )
 
+  /** Composed ML train/serve pipeline — the last mile a feature table
+    * feeds: per-flag daily series → lag-1 feature assembly → DETERMINISTIC
+    * content-addressed 80/20 split (portable md5-60 of flag#day, the
+    * q_t_split mechanism — membership survives re-runs and engine
+    * migration, unlike rand()) → OLS y~lag1 fit on train via EXACT
+    * integer moments → held-out MSE/R² on test. Every float-sensitive
+    * spot is quantized to integer units FIRST (milli-units of y/x,
+    * micro-units of residuals and deviations — identical doubles →
+    * identical BIGINTs in both engines), so all moments, the normal
+    * equations' numerators/denominators, and both score sums are exact
+    * integer/decimal arithmetic with one correctly-rounded cast at the
+    * end — bit-exact with no tolerance anywhere. One row: the audit a
+    * model registry stores per training run.
+    */
+  val m53MlE2e = QueryDef(
+    "q_pipeline_ml_e2e",
+    (s, dir) => {
+      import graft.text.TextAnalysis
+      val dec0 = "decimal(38,0)"
+      val daily = t(s, dir, "lineitem")
+        .select(col("l_returnflag").as("flag"),
+          date_trunc("day", col("l_shipdate")).as("day"),
+          col("l_extendedprice"))
+        .groupBy("flag", "day")
+        .agg((sum(col("l_extendedprice").cast("decimal(28,6)"))
+          .cast("double") / count(lit(1))).as("y"))
+      val w = Window.partitionBy("flag").orderBy("day")
+      val feat = daily
+        .withColumn("lag1", lag(col("y"), 1).over(w))
+        .filter(col("lag1").isNotNull)
+        .withColumn("u", TextAnalysis.contentUniform(
+          concat_ws("#", col("flag"), col("day").cast("date").cast("string"))))
+        .withColumn("xm", floor(col("lag1") * 1000 + lit(0.5)).cast("long"))
+        .withColumn("ym", floor(col("y") * 1000 + lit(0.5)).cast("long"))
+        .localCheckpoint(true)
+      val train = feat.filter(col("u") < 0.8)
+      val test = feat.filter(col("u") >= 0.8)
+      val mom = broadcast(train.agg(
+        count(lit(1)).as("n"),
+        sum(col("xm")).as("sx"), sum(col("ym")).as("sy"),
+        sum(col("xm").cast(dec0) * col("ym")).as("sxy"),
+        sum(col("xm").cast(dec0) * col("xm")).as("sxx"))
+        .select(col("n"), col("sx"), col("sy"),
+          // slope is unit-free (both axes scaled 1e3); numerator and
+          // denominator are exact DECIMAL(38,0) integers, their double
+          // casts correctly rounded in both engines (scale-0 casts have
+          // no fractional-scale double-rounding), the division identical
+          ((col("n").cast(dec0) * col("sxy")
+            - col("sx").cast(dec0) * col("sy")).cast("double")
+            / (col("n").cast(dec0) * col("sxx")
+              - col("sx").cast(dec0) * col("sx")).cast("double")).as("b")))
+      // intercept in milli-y: one double chain on identical operands
+      val fit = broadcast(mom.select(col("n"), col("b"),
+        ((col("sy").cast("double") - col("b") * col("sx").cast("double"))
+          / col("n").cast("double")).as("am")))
+      // held-out residuals, quantized to micro-y before squaring
+      val scored = test.crossJoin(fit)
+        .withColumn("rq",
+          floor((col("ym").cast("double") - (col("am") + col("b")
+            * col("xm").cast("double"))) * 1000 + lit(0.5)).cast("long"))
+      val tmean = broadcast(test.agg(count(lit(1)).as("nt"),
+        sum(col("ym")).as("syt")))
+      val dev = test.crossJoin(tmean)
+        .withColumn("dq",
+          floor((col("ym").cast("double") - col("syt").cast("double")
+            / col("nt").cast("double")) * 1000 + lit(0.5)).cast("long"))
+      val sums = broadcast(scored
+        .agg(sum(col("rq").cast(dec0) * col("rq")).as("sr2")))
+      val dsum = broadcast(dev
+        .agg(sum(col("dq").cast(dec0) * col("dq")).as("sd2")))
+      fit.crossJoin(tmean).crossJoin(sums).crossJoin(dsum)
+        .select(col("n").as("n_train"), col("nt").as("n_test"),
+          r6(col("b")).as("slope"),
+          r2(col("am") / lit(1000.0)).as("intercept"),
+          // mse in y² units: rq is y·1e6 ⇒ rq²/1e12, averaged over test
+          r2(col("sr2").cast("double")
+            / (col("nt").cast("double") * lit(1e12))).as("mse"),
+          r6(lit(1.0) - col("sr2").cast("double")
+            / col("sd2").cast("double")).as("r2_score"))
+    },
+    Some(s"""
+      WITH daily AS (
+        SELECT l_returnflag AS flag, date_trunc('day', l_shipdate) AS day,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE)
+                 / count(*) AS y
+        FROM lineitem GROUP BY 1, 2),
+      feat AS MATERIALIZED (
+        SELECT flag, day, y, lag1,
+               (CAST(('0x' || substr(md5(flag || '#' ||
+                  CAST(CAST(day AS DATE) AS VARCHAR)), 1, 15)) AS BIGINT)
+                 + 1.0) / 1152921504606846976.0 AS u,
+               CAST(floor(lag1 * 1000 + 0.5) AS BIGINT) AS xm,
+               CAST(floor(y * 1000 + 0.5) AS BIGINT) AS ym
+        FROM (SELECT flag, day, y,
+                     lag(y, 1) OVER (PARTITION BY flag ORDER BY day) AS lag1
+              FROM daily)
+        WHERE lag1 IS NOT NULL),
+      mom AS (
+        SELECT count(*) AS n,
+               CAST(sum(xm) AS BIGINT) AS sx, CAST(sum(ym) AS BIGINT) AS sy,
+               CAST(sum(CAST(xm AS DECIMAL(38,0)) * ym) AS DECIMAL(38,0))
+                 AS sxy,
+               CAST(sum(CAST(xm AS DECIMAL(38,0)) * xm) AS DECIMAL(38,0))
+                 AS sxx
+        FROM feat WHERE u < 0.8),
+      fit AS (
+        SELECT n, CAST(CAST(n AS DECIMAL(38,0)) * sxy
+                 - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)
+               / CAST(CAST(n AS DECIMAL(38,0)) * sxx
+                 - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE) AS b,
+               sx, sy
+        FROM mom),
+      fit2 AS (
+        SELECT n, b,
+               (CAST(sy AS DOUBLE) - b * CAST(sx AS DOUBLE))
+                 / CAST(n AS DOUBLE) AS am
+        FROM fit),
+      tst AS MATERIALIZED (SELECT * FROM feat WHERE u >= 0.8),
+      tmean AS (SELECT count(*) AS nt, CAST(sum(ym) AS BIGINT) AS syt
+                FROM tst),
+      scored AS (
+        SELECT CAST(floor((CAST(ym AS DOUBLE) - (f.am + f.b
+                 * CAST(xm AS DOUBLE))) * 1000 + 0.5) AS BIGINT) AS rq
+        FROM tst, fit2 f),
+      devs AS (
+        SELECT CAST(floor((CAST(ym AS DOUBLE) - CAST(syt AS DOUBLE)
+                 / CAST(nt AS DOUBLE)) * 1000 + 0.5) AS BIGINT) AS dq
+        FROM tst, tmean),
+      sr AS (SELECT CAST(sum(CAST(rq AS DECIMAL(38,0)) * rq)
+               AS DECIMAL(38,0)) AS sr2 FROM scored),
+      sd AS (SELECT CAST(sum(CAST(dq AS DECIMAL(38,0)) * dq)
+               AS DECIMAL(38,0)) AS sd2 FROM devs)
+      SELECT CAST(n AS BIGINT) AS n_train, CAST(nt AS BIGINT) AS n_test,
+             ${sqlR6("b")} AS slope,
+             ${sqlR2("am / 1000e0")} AS intercept,
+             ${sqlR2("CAST(sr2 AS DOUBLE) / (CAST(nt AS DOUBLE) * 1e12)")}
+               AS mse,
+             ${sqlR6("1e0 - CAST(sr2 AS DOUBLE) / CAST(sd2 AS DOUBLE)")}
+               AS r2_score
+      FROM fit2, tmean, sr, sd""")
+  )
+
   val all: Seq[QueryDef] = Seq(m1Ols, m2OlsNextDay, m4Anomalies, m5Ridge,
     m6Cv, m7Mwu, m8Ks, m9Nbayes, m10LogregStep, m11Welch, m12Spearman,
     m13Robust, m14Anova, m15Kendall, m16Cusum, m17TheilSen, m18Pca,
@@ -4348,5 +4490,5 @@ object MiningCatalog {
     m35LjungBox, m36Ransac, m37McNemar, m39PageHinkley, m40CohensD,
     m41WeightedMedian, m42Auc, m43Stump, m44Calibration, m45Kruskal,
     m46PartialCorr, m47FeatureRank, m48Prf, m49Mood, m50Levene,
-    m51Logrank, m52SomersD)
+    m51Logrank, m52SomersD, m53MlE2e)
 }

@@ -162,4 +162,23 @@ class PipelineE2eSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n_full")).sum == nBase - nDel + nIns,
       "merged snapshot lost or invented rows")
   }
+
+  test("q_pipeline_ml_e2e: split partitions the feature table ~80/20, " +
+    "scores are well-formed") {
+    import org.apache.spark.sql.functions._
+    val r = graft.queries.MiningCatalog.m53MlE2e.query(spark, sf)
+      .collect()(0)
+    val (nTr, nTe) = (r.getAs[Long]("n_train"), r.getAs[Long]("n_test"))
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val nFeat = li.select(col("l_returnflag"),
+        date_trunc("day", col("l_shipdate"))).distinct().count() -
+      li.select("l_returnflag").distinct().count() // first day per flag
+    assert(nTr + nTe == nFeat,
+      s"split lost rows: $nTr + $nTe != $nFeat feature rows")
+    val frac = nTr.toDouble / (nTr + nTe)
+    assert(frac > 0.75 && frac < 0.85,
+      s"content-addressed 80/20 split came out at $frac")
+    assert(r.getAs[Double]("mse") >= 0.0)
+    assert(r.getAs[Double]("r2_score") <= 1.0)
+  }
 }
