@@ -45,18 +45,24 @@ object SparkEntry {
     */
   def verifyOrder: Seq[String] = {
     val names = catalogs.map(_.name)
+    // a renamed/removed query must fail loudly, not silently drop out of
+    // the cheap-first ordering (ADVICE r12)
+    val stale = heavyLast -- names.toSet
+    require(stale.isEmpty, s"heavyLast names not in catalogs: $stale")
     val (heavy, cheap) = names.partition(heavyLast)
     cheap ++ heavy
   }
 
   private val heavyLast: Set[String] = Set(
-    // top dump wall-clocks of the r12 profiled sf0.01 Verify runs
-    "q_pipeline_e2e", "q_m23_isotonic", "q_e_left_join_stream",
-    "q_m33_dbscan", "q_m47_feature_rank", "q_e_interval_stream",
-    "q_m13_robust", "q_e_full_join_stream", "q_e_scd_stream",
-    "q_s_pq_topk", "q_g_hits", "q_m2_ols_next", "q_m12_spearman",
-    "q_m50_levene", "q_pipeline_ivfpq_e2e", "q_pipeline_stream_e2e",
-    "q_pipeline_graph_e2e", "q_pipeline_pack_e2e", "q_pipeline_mm_e2e")
+    // top dump wall-clocks of the r13 profiled sf0.01 Verify run
+    // (target/verify_r13.log percentiles; refresh when the heavy set moves)
+    "q_m47_feature_rank", "q_m23_isotonic", "q_pipeline_ivfpq_e2e",
+    "q_pipeline_e2e", "q_e_left_join_stream", "q_e_full_join_stream",
+    "q_e_interval_stream", "q_f_interp", "q_g_hits", "q_g_closeness",
+    "q_e_scd_stream", "q_m13_robust", "q_m33_dbscan", "q_a30_lorenz",
+    "q_s_knn_ivf", "q_pipeline_graph_e2e", "q_w8_rolling_corr",
+    "q_e_hourly_stream", "q_s_pq_topk", "q_m50_levene", "q_m12_spearman",
+    "q_pipeline_stream_e2e", "q_e_restart_stream")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. SQL may
@@ -66,7 +72,7 @@ object SparkEntry {
     catalogs.flatMap(q => q.oracle.map(q.name -> _)).toMap
 
   /** Spark-computed intermediates (LSH signatures/buckets/shingles, IVF
-    * cells/centroids) that Verify writes under `<outDir>/aux/<name>` so the
+    * cells/centroids) that Verify writes under `<outDir>/_aux/<name>` so the
     * engine-specific-hash oracles can replay banding/probing + verification
     * in DuckDB. */
   def auxDumps: Map[String, (SparkSession, String) => DataFrame] =

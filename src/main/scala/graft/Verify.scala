@@ -77,12 +77,14 @@ object Verify {
     // ---- aux dumps BEFORE query dumps ----------------------------------
     // Spark-computed intermediates the LSH oracles replay in DuckDB: if
     // the run is truncated, every oracle whose query DID dump must still
-    // find its aux inputs.
+    // find its aux inputs. The dir is underscore-prefixed so the driver's
+    // result globber skips it — a plain `aux/` dir was hash-scanned as a
+    // query and reported `err: no_oracle` in CORRECTNESS_r12.json.
     spark.conf.set("spark.sql.ansi.enabled", "false")
     SparkEntry.auxDumps.foreach { case (name, fn) =>
       timed(s"aux $name") {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/aux/$name")
+          .parquet(s"$outDir/_aux/$name")
       }
     }
 

@@ -11,7 +11,7 @@ import graft.dedup.Dedup
   * (xxhash64 / seeded hyperplanes) that DuckDB can't recompute — but it CAN
   * re-derive everything downstream of the hashes: Verify dumps the
   * Spark-computed shingles / band buckets / signatures under
-  * `<outDir>/aux/`, and the oracles replay the banding join + exact
+  * `<outDir>/_aux/`, and the oracles replay the banding join + exact
   * verification (Jaccard / bit_count hamming / list dot product) in SQL
   * from those tables. Only the hash values themselves go unchecked (they
   * are pinned by unit specs instead).
@@ -45,7 +45,7 @@ object DedupCatalog {
   private val SemCells = 256
 
   /** Spark-computed intermediates the LSH oracles replay; Verify writes
-    * each to `<outDir>/aux/<name>` and substitutes `__VERIFY_OUT__` in the
+    * each to `<outDir>/_aux/<name>` and substitutes `__VERIFY_OUT__` in the
     * oracle SQL with the absolute outDir. Parameters are the shared
     * constants above — the same values the catalog queries pass.
     */
@@ -219,9 +219,9 @@ object DedupCatalog {
         .orderBy("id1", "id2"),
     Some(s"""
       WITH b AS (SELECT * FROM
-        read_parquet('__VERIFY_OUT__/aux/minhash_buckets/*.parquet')),
+        read_parquet('__VERIFY_OUT__/_aux/minhash_buckets/*.parquet')),
       sh AS (SELECT * FROM
-        read_parquet('__VERIFY_OUT__/aux/doc_shingles/*.parquet')),
+        read_parquet('__VERIFY_OUT__/_aux/doc_shingles/*.parquet')),
       cand AS (
         SELECT DISTINCT a.id AS id1, b2.id AS id2
         FROM b a JOIN b b2
@@ -256,7 +256,7 @@ object DedupCatalog {
         .orderBy("id1", "id2"),
     Some(s"""
       WITH s AS (SELECT id, simhash FROM
-        read_parquet('__VERIFY_OUT__/aux/simhash_sigs/*.parquet')),
+        read_parquet('__VERIFY_OUT__/_aux/simhash_sigs/*.parquet')),
       c AS (
         SELECT id, simhash, r.i AS chunk,
                (simhash >> (r.i * $SimChunkWidth)) & $SimChunkMask AS cv
@@ -299,7 +299,7 @@ object DedupCatalog {
         SELECT id, sig,
                list_transform(v, x ->
                  x / sqrt(list_sum(list_transform(v, y -> y * y)))) AS vn
-        FROM read_parquet('__VERIFY_OUT__/aux/embed_sigs/*.parquet')),
+        FROM read_parquet('__VERIFY_OUT__/_aux/embed_sigs/*.parquet')),
       c AS (
         SELECT id, r.i AS chunk,
                (sig >> (r.i * $EmbedBandBits)) & $EmbedBandMask AS cv
@@ -379,7 +379,7 @@ object DedupCatalog {
     },
     Some(s"""
       WITH cents AS (SELECT cell, c FROM
-        read_parquet('__VERIFY_OUT__/aux/sem_centroids/*.parquet')),
+        read_parquet('__VERIFY_OUT__/_aux/sem_centroids/*.parquet')),
       corpus AS (
         SELECT vec_id AS id,
                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -640,9 +640,9 @@ object DedupCatalog {
         JOIN sizes s2 ON s2.doc_id = id2
         WHERE c / CAST(s1.sz + s2.sz - c AS DOUBLE) >= $JaccardThreshold),
       b AS (SELECT * FROM
-        read_parquet('__VERIFY_OUT__/aux/minhash_buckets/*.parquet')),
+        read_parquet('__VERIFY_OUT__/_aux/minhash_buckets/*.parquet')),
       shx AS (SELECT * FROM
-        read_parquet('__VERIFY_OUT__/aux/doc_shingles/*.parquet')),
+        read_parquet('__VERIFY_OUT__/_aux/doc_shingles/*.parquet')),
       cand AS (
         SELECT DISTINCT a.id AS id1, b2.id AS id2
         FROM b a JOIN b b2
@@ -1029,47 +1029,58 @@ object DedupCatalog {
     * blocks instead of re-running upstream lineage (Verify's clearCaches
     * frees them post-dump).
     */
+  /** Funnel body, threshold-parameterized: the gate below passes the
+    * production defaults; PipelineE2eSpec drives each gate to ZERO
+    * survivors (minTokens past every doc, minDistinct > 1) and asserts
+    * the downstream stage rows report 0 docs instead of erroring — the
+    * trivially-empty-filter trap a fixed-threshold gate can't see.
+    */
+  private[graft] def curationFunnel(s: SparkSession, dir: String,
+      minTokens: Int = E2eMinTokens, maxStopword: Double = E2eMaxStopword,
+      minDistinct: Double = E2eMinDistinct,
+      maxTopBigram: Double = E2eMaxTopBigram): DataFrame = {
+    import graft.text.TextAnalysis
+    // docs IS checkpointed: downstream reads it ≥3 times (dedup window,
+    // shingles, the input stage row) and blocks beat re-scanning +
+    // re-filtering parquet — measured 6.1 s vs 7.6 s at sf0.1 without
+    val docs = t(s, dir, "documents").filter(col("text").isNotNull)
+      .localCheckpoint(true)
+    def stageRow(ord: Int, name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"),
+          sum(TextAnalysis.wsTokenCount(col("text"))).as("n_tokens"))
+        .select(lit(ord).as("stage_ord"), lit(name).as("stage"),
+          col("n_docs"), col("n_tokens"))
+    val exact = Dedup.dropExactDups(docs, "doc_id", "text")
+      .localCheckpoint(true)
+    val pairs = Dedup.jaccardPairs(exact, "doc_id", "text", n = ShingleN,
+      threshold = JaccardThreshold, maxShingleFreq = MaxShingleFreq)
+    val losers = Dedup.connectedComponents(pairs, "id1", "id2")
+      .filter(col("id") =!= col("comp"))
+      .select(col("id").as("doc_id"))
+    val near = exact.join(losers, Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
+    val quality = TextAnalysis.withQuality(near)
+      .filter(col("n_tokens") >= minTokens &&
+        col("stopword_ratio") <= maxStopword)
+      .select(near.columns.map(col): _*)
+      .localCheckpoint(true)
+    val keep = TextAnalysis.repetitionSignals(quality, "doc_id", "text")
+      .filter(col("distinct_token_ratio") >= minDistinct &&
+        (col("top_bigram_ratio").isNull ||
+          col("top_bigram_ratio") <= maxTopBigram))
+      .select("doc_id")
+    val gated = quality.join(keep, Seq("doc_id"))
+    Seq(stageRow(1, "input", docs), stageRow(2, "exact_dedup", exact),
+      stageRow(3, "near_dedup", near),
+      stageRow(4, "quality_gate", quality),
+      stageRow(5, "repetition_gate", gated))
+      .reduce(_ unionByName _)
+      .orderBy("stage_ord")
+  }
+
   val dPipelineE2e = QueryDef(
     "q_pipeline_e2e",
-    (s, dir) => {
-      import graft.text.TextAnalysis
-      // docs IS checkpointed: downstream reads it ≥3 times (dedup window,
-      // shingles, the input stage row) and blocks beat re-scanning +
-      // re-filtering parquet — measured 6.1 s vs 7.6 s at sf0.1 without
-      val docs = t(s, dir, "documents").filter(col("text").isNotNull)
-        .localCheckpoint(true)
-      def stageRow(ord: Int, name: String, df: DataFrame): DataFrame =
-        df.agg(count(lit(1)).as("n_docs"),
-            sum(TextAnalysis.wsTokenCount(col("text"))).as("n_tokens"))
-          .select(lit(ord).as("stage_ord"), lit(name).as("stage"),
-            col("n_docs"), col("n_tokens"))
-      val exact = Dedup.dropExactDups(docs, "doc_id", "text")
-        .localCheckpoint(true)
-      val pairs = Dedup.jaccardPairs(exact, "doc_id", "text", n = ShingleN,
-        threshold = JaccardThreshold, maxShingleFreq = MaxShingleFreq)
-      val losers = Dedup.connectedComponents(pairs, "id1", "id2")
-        .filter(col("id") =!= col("comp"))
-        .select(col("id").as("doc_id"))
-      val near = exact.join(losers, Seq("doc_id"), "left_anti")
-        .localCheckpoint(true)
-      val quality = TextAnalysis.withQuality(near)
-        .filter(col("n_tokens") >= E2eMinTokens &&
-          col("stopword_ratio") <= E2eMaxStopword)
-        .select(near.columns.map(col): _*)
-        .localCheckpoint(true)
-      val keep = TextAnalysis.repetitionSignals(quality, "doc_id", "text")
-        .filter(col("distinct_token_ratio") >= E2eMinDistinct &&
-          (col("top_bigram_ratio").isNull ||
-            col("top_bigram_ratio") <= E2eMaxTopBigram))
-        .select("doc_id")
-      val gated = quality.join(keep, Seq("doc_id"))
-      Seq(stageRow(1, "input", docs), stageRow(2, "exact_dedup", exact),
-        stageRow(3, "near_dedup", near),
-        stageRow(4, "quality_gate", quality),
-        stageRow(5, "repetition_gate", gated))
-        .reduce(_ unionByName _)
-        .orderBy("stage_ord")
-    },
+    (s, dir) => curationFunnel(s, dir),
     Some {
       val stopSum = graft.text.TextAnalysis.Stopwords.map(w =>
         s"len(regexp_extract_all(' ' || lower(nt) || ' ', ' $w ', 0))")

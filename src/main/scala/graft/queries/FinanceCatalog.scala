@@ -416,10 +416,10 @@ object FinanceCatalog {
         FROM kb),
       sg AS (
         SELECT "__ewma_b" AS b, l_returnflag, seed
-        FROM read_parquet('__VERIFY_OUT__/aux/rsi_gain_seeds/*.parquet')),
+        FROM read_parquet('__VERIFY_OUT__/_aux/rsi_gain_seeds/*.parquet')),
       sl AS (
         SELECT "__ewma_b" AS b, l_returnflag, seed
-        FROM read_parquet('__VERIFY_OUT__/aux/rsi_loss_seeds/*.parquet')),
+        FROM read_parquet('__VERIFY_OUT__/_aux/rsi_loss_seeds/*.parquet')),
       rec AS (
         SELECT k.b, k.l_returnflag, k.day, k.rn,
                CASE WHEN g.seed IS NULL THEN k.g
@@ -491,13 +491,13 @@ object FinanceCatalog {
         FROM kb),
       sf AS (
         SELECT "__ewma_b" AS b, l_returnflag, seed
-        FROM read_parquet('__VERIFY_OUT__/aux/macd_fast_seeds/*.parquet')),
+        FROM read_parquet('__VERIFY_OUT__/_aux/macd_fast_seeds/*.parquet')),
       ss AS (
         SELECT "__ewma_b" AS b, l_returnflag, seed
-        FROM read_parquet('__VERIFY_OUT__/aux/macd_slow_seeds/*.parquet')),
+        FROM read_parquet('__VERIFY_OUT__/_aux/macd_slow_seeds/*.parquet')),
       sg AS (
         SELECT "__ewma_b" AS b, l_returnflag, seed
-        FROM read_parquet('__VERIFY_OUT__/aux/macd_sig_seeds/*.parquet')),
+        FROM read_parquet('__VERIFY_OUT__/_aux/macd_sig_seeds/*.parquet')),
       rec AS (
         SELECT k.b, k.l_returnflag, k.day, k.rn,
                CASE WHEN f.seed IS NULL THEN k.close
@@ -1034,7 +1034,7 @@ object FinanceCatalog {
         FROM kb),
       sd AS (
         SELECT "__holt_b" AS b, l_returnflag, seed_l, seed_b
-        FROM read_parquet('__VERIFY_OUT__/aux/holt_seeds/*.parquet')),
+        FROM read_parquet('__VERIFY_OUT__/_aux/holt_seeds/*.parquet')),
       rec AS (
         SELECT k.b, k.l_returnflag, k.day, k.rn,
                CASE WHEN s.seed_l IS NULL THEN k.x

@@ -4353,29 +4353,39 @@ object MiningCatalog {
     * end — bit-exact with no tolerance anywhere. One row: the audit a
     * model registry stores per training run.
     */
-  val m53MlE2e = QueryDef(
-    "q_pipeline_ml_e2e",
-    (s, dir) => {
-      import graft.text.TextAnalysis
+  /** Feature frame for the ML gate — exposed separately so
+    * PipelineE2eSpec can pick a split threshold that leaves exactly ONE
+    * training row (the degenerate-fit property test: a single point has
+    * zero x-variance, the normal equations divide by zero, and the
+    * pipeline must still produce its one audit row instead of erroring).
+    */
+  private[graft] def mlE2eFeat(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import graft.text.TextAnalysis
+    val daily = t(s, dir, "lineitem")
+      .select(col("l_returnflag").as("flag"),
+        date_trunc("day", col("l_shipdate")).as("day"),
+        col("l_extendedprice"))
+      .groupBy("flag", "day")
+      .agg((sum(col("l_extendedprice").cast("decimal(28,6)"))
+        .cast("double") / count(lit(1))).as("y"))
+    val w = Window.partitionBy("flag").orderBy("day")
+    daily
+      .withColumn("lag1", lag(col("y"), 1).over(w))
+      .filter(col("lag1").isNotNull)
+      .withColumn("u", TextAnalysis.contentUniform(
+        concat_ws("#", col("flag"), col("day").cast("date").cast("string"))))
+      .withColumn("xm", floor(col("lag1") * 1000 + lit(0.5)).cast("long"))
+      .withColumn("ym", floor(col("y") * 1000 + lit(0.5)).cast("long"))
+      .localCheckpoint(true)
+  }
+
+  /** Train/score tail of the ML gate over a prebuilt feature frame. */
+  private[graft] def mlE2eFit(feat: org.apache.spark.sql.DataFrame,
+      trainFrac: Double): org.apache.spark.sql.DataFrame = {
       val dec0 = "decimal(38,0)"
-      val daily = t(s, dir, "lineitem")
-        .select(col("l_returnflag").as("flag"),
-          date_trunc("day", col("l_shipdate")).as("day"),
-          col("l_extendedprice"))
-        .groupBy("flag", "day")
-        .agg((sum(col("l_extendedprice").cast("decimal(28,6)"))
-          .cast("double") / count(lit(1))).as("y"))
-      val w = Window.partitionBy("flag").orderBy("day")
-      val feat = daily
-        .withColumn("lag1", lag(col("y"), 1).over(w))
-        .filter(col("lag1").isNotNull)
-        .withColumn("u", TextAnalysis.contentUniform(
-          concat_ws("#", col("flag"), col("day").cast("date").cast("string"))))
-        .withColumn("xm", floor(col("lag1") * 1000 + lit(0.5)).cast("long"))
-        .withColumn("ym", floor(col("y") * 1000 + lit(0.5)).cast("long"))
-        .localCheckpoint(true)
-      val train = feat.filter(col("u") < 0.8)
-      val test = feat.filter(col("u") >= 0.8)
+      val train = feat.filter(col("u") < trainFrac)
+      val test = feat.filter(col("u") >= trainFrac)
       val mom = broadcast(train.agg(
         count(lit(1)).as("n"),
         sum(col("xm")).as("sx"), sum(col("ym")).as("sy"),
@@ -4418,7 +4428,11 @@ object MiningCatalog {
             / (col("nt").cast("double") * lit(1e12))).as("mse"),
           r6(lit(1.0) - col("sr2").cast("double")
             / col("sd2").cast("double")).as("r2_score"))
-    },
+  }
+
+  val m53MlE2e = QueryDef(
+    "q_pipeline_ml_e2e",
+    (s, dir) => mlE2eFit(mlE2eFeat(s, dir), trainFrac = 0.8),
     Some(s"""
       WITH daily AS (
         SELECT l_returnflag AS flag, date_trunc('day', l_shipdate) AS day,

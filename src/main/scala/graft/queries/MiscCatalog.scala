@@ -226,7 +226,7 @@ object MiscCatalog {
                (r - mr) / sr AS rz, (v - mv) / sv AS vz
         FROM f CROSS JOIN stats),
       cents AS (SELECT idx, c1, c2 FROM
-        read_parquet('__VERIFY_OUT__/aux/kmeans_centers/*.parquet')),
+        read_parquet('__VERIFY_OUT__/_aux/kmeans_centers/*.parquet')),
       d AS (
         SELECT z.o_custkey, z.re, z.ve, cents.idx,
                row_number() OVER (PARTITION BY z.o_custkey
@@ -277,7 +277,7 @@ object MiscCatalog {
                (r - mr) / sr AS rz, (v - mv) / sv AS vz
         FROM f CROSS JOIN stats),
       init AS (SELECT idx, c1, c2 FROM
-        read_parquet('__VERIFY_OUT__/aux/kmeans_centers_init/*.parquet')),
+        read_parquet('__VERIFY_OUT__/_aux/kmeans_centers_init/*.parquet')),
       d AS (
         SELECT z.o_custkey, z.rz, z.vz, init.idx,
                row_number() OVER (PARTITION BY z.o_custkey
@@ -3597,8 +3597,13 @@ object MiscCatalog {
         .select(col("c_custkey"), (col("c_acctbal") + 50.0).as("nb"),
           lit("UPSERTED").as("ns"), col("c_acctbal").as("ob"),
           col("c_mktsegment").as("os"))
+      // insert keys live in the NEGATED namespace: base keys are positive
+      // at every scale, so -k can never collide with a real customer key —
+      // a fixed additive offset (the r12 shape) collides once the table
+      // passes the offset (TPC-H SF ≥ ~7) and silently breaks the MERGE's
+      // key-uniqueness contract (ADVICE r12)
       val ins = base.filter(col("c_custkey") % 10 === 0)
-        .select((col("c_custkey") + 1000000L).as("c_custkey"),
+        .select((-col("c_custkey")).as("c_custkey"),
           (col("c_acctbal") + 50.0).as("c_acctbal"),
           lit("UPSERTED").as("c_mktsegment"))
       val del = base.filter(col("c_custkey") % 13 === 0)
@@ -3650,7 +3655,7 @@ object MiscCatalog {
                c_acctbal AS ob, c_mktsegment AS os
         FROM base WHERE c_custkey % 5 = 0 AND c_custkey % 13 <> 0),
       ins AS (
-        SELECT c_custkey + 1000000 AS c_custkey,
+        SELECT -c_custkey AS c_custkey,
                c_acctbal + 50.0 AS c_acctbal, 'UPSERTED' AS c_mktsegment
         FROM base WHERE c_custkey % 10 = 0),
       del AS (

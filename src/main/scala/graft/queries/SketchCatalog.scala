@@ -61,7 +61,7 @@ object SketchCatalog {
     },
     Some(s"""
       WITH hh AS (
-        SELECT * FROM read_parquet('__VERIFY_OUT__/aux/hll_hashes/*.parquet')),
+        SELECT * FROM read_parquet('__VERIFY_OUT__/_aux/hll_hashes/*.parquet')),
       j AS (
         SELECT DISTINCT o.o_orderpriority, hh.h
         FROM orders o JOIN hh ON hh.o_custkey = o.o_custkey),
@@ -123,7 +123,7 @@ object SketchCatalog {
     },
     Some(s"""
       WITH hh AS (
-        SELECT * FROM read_parquet('__VERIFY_OUT__/aux/hll_hashes/*.parquet')),
+        SELECT * FROM read_parquet('__VERIFY_OUT__/_aux/hll_hashes/*.parquet')),
       j AS (
         SELECT DISTINCT o.o_orderpriority, hh.h
         FROM orders o JOIN hh ON hh.o_custkey = o.o_custkey),
@@ -211,7 +211,7 @@ object SketchCatalog {
         SELECT tok, CAST(count(*) AS BIGINT) AS exact_cnt
         FROM tok WHERE length(tok) > 0 GROUP BY 1),
       ax AS (
-        SELECT * FROM read_parquet('__VERIFY_OUT__/aux/cms_hashes/*.parquet')),
+        SELECT * FROM read_parquet('__VERIFY_OUT__/_aux/cms_hashes/*.parquet')),
       ctr AS (
         SELECT i, b, sum(tc.exact_cnt) AS c
         FROM ax JOIN tc USING (tok) GROUP BY 1, 2),
@@ -313,7 +313,7 @@ object SketchCatalog {
     Some(s"""
       WITH hh AS (
         SELECT * FROM
-          read_parquet('__VERIFY_OUT__/aux/hll_event_hashes/*.parquet')),
+          read_parquet('__VERIFY_OUT__/_aux/hll_event_hashes/*.parquet')),
       j AS (
         SELECT DISTINCT e.event_type, hh.h
         FROM events e JOIN hh ON hh.user_id = e.user_id),
@@ -387,7 +387,7 @@ object SketchCatalog {
     Some("""
       WITH ax AS (
         SELECT * FROM
-          read_parquet('__VERIFY_OUT__/aux/cms_user_hashes/*.parquet')),
+          read_parquet('__VERIFY_OUT__/_aux/cms_user_hashes/*.parquet')),
       uc AS (
         SELECT user_id, CAST(count(*) AS BIGINT) AS exact_cnt
         FROM events GROUP BY 1),

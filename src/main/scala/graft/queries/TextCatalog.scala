@@ -722,7 +722,7 @@ object TextCatalog {
         SELECT tok.doc_id, tok.lang, m.b
         FROM tok JOIN (
           SELECT w, b
-          FROM read_parquet('__VERIFY_OUT__/aux/dsir_buckets/*.parquet')) m
+          FROM read_parquet('__VERIFY_OUT__/_aux/dsir_buckets/*.parquet')) m
           USING (w)),
       raw AS (SELECT b, count(*) AS cr FROM bk GROUP BY 1),
       tgt AS (SELECT b, count(*) AS ct

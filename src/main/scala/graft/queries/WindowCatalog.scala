@@ -281,7 +281,7 @@ object WindowCatalog {
   }
 
   /** Spark-computed EWMA segment seeds for the q_w12_ewma oracle replay;
-    * Verify writes this under `<outDir>/aux/ewma_seeds`.
+    * Verify writes this under `<outDir>/_aux/ewma_seeds`.
     */
   val auxDumps: Map[String, (org.apache.spark.sql.SparkSession, String) =>
       org.apache.spark.sql.DataFrame] =
@@ -320,7 +320,7 @@ object WindowCatalog {
         FROM kb),
       sd AS (
         SELECT "__ewma_b" AS b, l_returnflag, seed
-        FROM read_parquet('__VERIFY_OUT__/aux/ewma_seeds/*.parquet')),
+        FROM read_parquet('__VERIFY_OUT__/_aux/ewma_seeds/*.parquet')),
       rec AS (
         SELECT k.b, k.l_returnflag, k.l_shipdate, k.l_orderkey,
                k.l_linenumber, k.rn,

@@ -181,4 +181,66 @@ class PipelineE2eSpec extends SparkSpec {
     assert(r.getAs[Double]("mse") >= 0.0)
     assert(r.getAs[Double]("r2_score") <= 1.0)
   }
+
+  // ---- degenerate-path property tests (r13 verdict order #5): drive
+  // each composed-gate stage to ZERO survivors / a single-row train split
+  // and assert the pipeline still reports instead of erroring — the
+  // trivially-empty-filter trap a fixed-threshold gate never exercises.
+
+  test("q_pipeline_e2e: quality gate driven to zero survivors reports 0 " +
+    "docs downstream without erroring") {
+    val rows = DedupCatalog
+      .curationFunnel(spark, sf, minTokens = Int.MaxValue)
+      .collect()
+    assert(rows.length == 5, "stage rows missing")
+    val byStage = rows.map(r =>
+      r.getAs[String]("stage") -> r.getAs[Long]("n_docs")).toMap
+    assert(byStage("near_dedup") > 0, "upstream emptied unexpectedly")
+    assert(byStage("quality_gate") == 0,
+      s"minTokens=MaxValue should empty the quality gate, " +
+        s"got ${byStage("quality_gate")}")
+    assert(byStage("repetition_gate") == 0,
+      "empty quality stage must flow through as 0, not error")
+    val qRow = rows.find(_.getAs[String]("stage") == "quality_gate").get
+    assert(qRow.isNullAt(qRow.fieldIndex("n_tokens")) ||
+      qRow.getAs[Long]("n_tokens") == 0L,
+      "token sum over zero docs must be null/0")
+  }
+
+  test("q_pipeline_e2e: repetition gate driven to zero survivors " +
+    "reports 0 while quality stage stays populated") {
+    val rows = DedupCatalog
+      .curationFunnel(spark, sf, minDistinct = 1.5) // ratio ≤ 1 by def
+      .collect()
+    val byStage = rows.map(r =>
+      r.getAs[String]("stage") -> r.getAs[Long]("n_docs")).toMap
+    assert(byStage("quality_gate") > 0, "quality gate should still pass docs")
+    assert(byStage("repetition_gate") == 0,
+      "minDistinct>1 must empty the repetition gate without erroring")
+  }
+
+  test("q_pipeline_ml_e2e: single-row train split (zero x-variance) " +
+    "still yields the one audit row") {
+    import org.apache.spark.sql.functions._
+    val feat = graft.queries.MiningCatalog.mlE2eFeat(spark, sf)
+    val us = feat.select("u").orderBy("u").limit(2).collect()
+      .map(_.getDouble(0))
+    assert(us.length == 2 && us(0) < us(1), "need ≥2 distinct u values")
+    val frac = (us(0) + us(1)) / 2 // exactly one row below the split
+    val rows = graft.queries.MiningCatalog.mlE2eFit(feat, frac).collect()
+    assert(rows.length == 1, "degenerate fit must still emit its audit row")
+    val r = rows(0)
+    assert(r.getAs[Long]("n_train") == 1L,
+      s"expected 1 train row, got ${r.getAs[Long]("n_train")}")
+    assert(r.getAs[Long]("n_test") >= 1L)
+    // slope divides by zero x-variance — the collect() above succeeding
+    // is the property under test; NaN/null slope values are acceptable
+  }
+
+  test("q_pipeline_ml_e2e: empty train split still yields the audit row") {
+    val feat = graft.queries.MiningCatalog.mlE2eFeat(spark, sf)
+    val rows = graft.queries.MiningCatalog.mlE2eFit(feat, 0.0).collect()
+    assert(rows.length == 1, "empty train must still emit its audit row")
+    assert(rows(0).getAs[Long]("n_train") == 0L)
+  }
 }

@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Checkpoint-restart gate (q_e_restart_stream) semantics beyond the
+  * oracle hash: the drained aggregate equals the batch GROUP BY exactly
+  * once (no replay, no loss across the stop/restart), and the `resumed`
+  * flag — which is derived from the restarted run's first data batchId —
+  * is TRUE, i.e. the second query object genuinely continued the
+  * checkpoint's batch numbering instead of starting fresh.
+  */
+class StreamRestartSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("q_e_restart_stream: exactly-once across a checkpoint restart") {
+    val rows = graft.queries.EventsCatalog.eRestartStream
+      .query(spark, sf).collect()
+    assert(rows.nonEmpty, "drained sink is empty")
+    assert(rows.forall(_.getAs[Boolean]("resumed")),
+      "restarted query did not resume from the checkpoint (batchId 0)")
+
+    val want = graft.queries.QueryDef.events(spark, sf)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(28,6)")).cast("double").as("total"))
+      .collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n"), r.getAs[Double]("total"))).toMap
+    assert(rows.length == want.size, "event_type cardinality differs")
+    rows.foreach { r =>
+      val et = r.getAs[String]("event_type")
+      val (n, total) = want(et)
+      assert(r.getAs[Long]("n") == n,
+        s"$et count ${r.getAs[Long]("n")} != batch $n (replay or loss)")
+      assert(math.abs(r.getAs[Double]("total") - total) < 1e-9,
+        s"$et sum drifted: ${r.getAs[Double]("total")} vs $total")
+    }
+  }
+}

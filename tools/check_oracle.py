@@ -86,7 +86,7 @@ def main(sf_dir: str, out_dir: str) -> int:
             print(f"ok   {name}" + (f"  [DTYPE {'; '.join(dt)}]" if dt else ""))
     # queries without oracles: just check rows exist
     for d in sorted(Path(out_dir).iterdir()):
-        if d.name == "aux":
+        if d.name in ("aux", "_aux"):
             continue
         if d.is_dir() and d.name not in oracle:
             n = len(pd.read_parquet(d))
