@@ -33,6 +33,12 @@ object Soak {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // engine optimizer rules, exactly like Bench/Verify — without them the
+    // soak times the INTERPRETED higher-order dot-product folds instead of
+    // the codegen'd DotProduct the shipped engine runs (measured 10.7×
+    // on q_s_knn_ivf's in-cell re-rank before this was added)
+    graft.functions.DotProductRewrite.install(spark)
+    graft.functions.Md5ChainRewrite.install(spark)
     val src = "/root/testdata/sf0.1"
 
     // ---- per-copy key stride: DERIVED from the data, not assumed --------
