@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantic invariants of the approximate-then-exact verified top-k
+  * (q_topk_verified) beyond the oracle hash: the published top-k equals
+  * the ground-truth top-k of a full exact aggregation (the claim `proved`
+  * certifies), estimates are one-sided (CMS est ≥ exact), and the proof
+  * bound is self-consistent (kth ≥ max non-candidate estimate whenever
+  * proved is true).
+  */
+class TopkVerifiedSpec extends SparkSpec {
+
+  private def run(sf: String) = {
+    val rows = graft.queries.SketchCatalog.topkVerified.query(spark, sf)
+      .collect()
+    assert(rows.nonEmpty, "no heavy hitters surfaced")
+    // one-sided estimates and descending exact order
+    rows.foreach { r =>
+      assert(r.getAs[Long]("cms_est") >= r.getAs[Long]("exact_cnt"),
+        s"CMS under-estimated ${r.getAs[String]("tok")}")
+    }
+    val cnts = rows.sortBy(_.getAs[Long]("rank")).map(_.getAs[Long]("exact_cnt"))
+    cnts.sliding(2).foreach { case Array(a, b) => assert(a >= b) case _ => () }
+    assert(rows.forall(_.getAs[Boolean]("proved")),
+      "top-k not provably exact at this scale — raise HeavyDen or K")
+    // ground truth: full exact aggregation over every token
+    val truth = spark.read.parquet(s"$sf/documents.parquet")
+      .select(explode(split(
+        graft.text.TextAnalysis.normText(lower(col("text"))), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+      .orderBy(desc("c"), col("tok"))
+      .limit(rows.length)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val got = rows.sortBy(_.getAs[Long]("rank"))
+      .map(r => r.getAs[String]("tok") -> r.getAs[Long]("exact_cnt"))
+    assert(got.toSeq == truth.toSeq,
+      s"verified top-k diverged from ground truth:\n$got\nvs\n${truth.toSeq}")
+    val kth = rows.map(_.getAs[Long]("exact_cnt")).min
+    assert(kth >= rows.head.getAs[Long]("max_noncand_est"),
+      "proved flag inconsistent with its own bound")
+  }
+
+  test("q_topk_verified: provably-exact top-k equals ground truth (sf0.001)") {
+    run(sfSmoke)
+  }
+
+  test("q_topk_verified: provably-exact top-k equals ground truth (sf0.01)") {
+    run(sfCorrect)
+  }
+}
