@@ -2136,7 +2136,18 @@ object EventsCatalog {
           .format("memory").queryName(sink)
           .start()
         try q.processAllAvailable() finally q.stop()
-        q.recentProgress.filter(_.numInputRows > 0).map(_.batchId).min
+        // progress events post asynchronously to the listener bus; on a
+        // loaded host recentProgress can still be empty right after
+        // processAllAvailable returns — wait boundedly for the data batch
+        // instead of flaking the whole gate
+        def dataBatches = q.recentProgress.filter(_.numInputRows > 0)
+        var waited = 0
+        while (dataBatches.isEmpty && waited < 100) {
+          Thread.sleep(100); waited += 1
+        }
+        require(dataBatches.nonEmpty,
+          s"no data batch reported by $sink after 10s")
+        dataBatches.map(_.batchId).min
       }
       try {
         withStatePartitions(s, 8) {
