@@ -62,7 +62,8 @@ object SparkEntry {
     "q_e_scd_stream", "q_m13_robust", "q_m33_dbscan", "q_a30_lorenz",
     "q_s_knn_ivf", "q_pipeline_graph_e2e", "q_w8_rolling_corr",
     "q_e_hourly_stream", "q_s_pq_topk", "q_m50_levene", "q_m12_spearman",
-    "q_pipeline_stream_e2e", "q_e_restart_stream")
+    "q_pipeline_stream_e2e", "q_e_restart_stream",
+    "q_e_restart_window_stream")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. SQL may

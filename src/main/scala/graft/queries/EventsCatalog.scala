@@ -2170,6 +2170,114 @@ object EventsCatalog {
       FROM events GROUP BY 1 ORDER BY 1""")
   )
 
+  /** Checkpoint-restart of a WATERMARKED append-mode window aggregation —
+    * the harder fault-tolerance claim next to q_e_restart_stream's
+    * complete-mode aggregate: here the recovered state includes the
+    * WATERMARK and the open windows, and append mode means every window may
+    * emit exactly once across the whole stop/restart lifetime. The feed
+    * is staged as four TIME-QUARTILE files (strictly increasing ranges,
+    * so the watermark only moves forward and nothing is late), with a
+    * heartbeat pair one day past the data in the last file to close every
+    * real window (its own window never emits — the q_pipeline_stream_e2e
+    * drain pattern). Phase 1 drains the first two quartiles and stops —
+    * early windows have emitted, the boundary window is OPEN in state;
+    * a NEW query restarts from the checkpoint over the remaining files.
+    * The published rows re-read the transactional file sink both phases
+    * appended into: a lost window, a replayed window, or a boundary
+    * window double-emitted (`emitted_once` = exactly one committed row)
+    * all flip the hash
+    * against the plain batch GROUP BY oracle; `resumed` pins that the
+    * restart continued the checkpoint's batch numbering.
+    */
+  val eRestartWindowStream = QueryDef(
+    "q_e_restart_window_stream",
+    (s, dir) => {
+      import java.nio.file.{Files, Paths, StandardCopyOption}
+      val fields = graft.model.Schemas.events.fieldNames.map(col)
+      val ev = t(s, dir, "events").select(fields: _*).localCheckpoint(true)
+      val mm = ev.agg(min(col("ts")).as("lo"), max(col("ts")).as("hi"))
+        .first()
+      val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+      def cut(i: Int): Long = lo + (hi - lo) / 4 * i
+      val hbTs = hi + 86400000000L
+      val hb = s.createDataFrame(
+        java.util.Arrays.asList(
+          org.apache.spark.sql.Row(-1L, hbTs, -1L, "purchase", 0.0, null),
+          org.apache.spark.sql.Row(-2L, hbTs, -1L, "click", 0.0, null)),
+        graft.model.Schemas.events)
+      val stage = Files.createTempDirectory("graft_restart_window")
+      val feed = stage.resolve("feed")
+      val ckpt = stage.resolve("ckpt").toString
+      Files.createDirectories(feed)
+      def landFile(i: Int): Unit = {
+        val slice =
+          if (i < 3) ev.filter(col("ts") >= cut(i) && col("ts") < cut(i + 1))
+          else ev.filter(col("ts") >= cut(3)).unionByName(hb)
+        val tmp = stage.resolve(s"w$i").toString
+        slice.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val st = Files.list(Paths.get(tmp))
+        val part =
+          try st.filter(_.getFileName.toString.endsWith(".parquet"))
+            .findFirst().get()
+          finally st.close()
+        val dst = feed.resolve(f"b$i%02d.parquet")
+        Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
+        Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(1000L * (i + 1)))
+      }
+      // the sink is the transactional FILE sink (append-only parquet +
+      // _spark_metadata commit log) — the ONE built-in sink whose
+      // exactly-once contract survives a restart (a memory sink refuses
+      // to recover a checkpoint in append mode); both phases write into
+      // the same path under the same checkpoint, and the batch read
+      // below sees exactly the committed files
+      val out = stage.resolve("out").toString
+      def runPhase(): Long = {
+        val q = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(feed.toString)
+          .withColumn("tsc", timestamp_micros(col("ts")))
+          .withWatermark("tsc", "1 second")
+          .groupBy(window(col("tsc"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .select(date_format(col("window.start"), "yyyy-MM-dd HH")
+            .as("hour"), col("event_type"), col("n"))
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .format("parquet").option("path", out)
+          .start()
+        try q.processAllAvailable() finally q.stop()
+        def dataBatches = q.recentProgress.filter(_.numInputRows > 0)
+        var waited = 0
+        while (dataBatches.isEmpty && waited < 100) {
+          Thread.sleep(100); waited += 1
+        }
+        require(dataBatches.nonEmpty, "no data batch reported after 10s")
+        dataBatches.map(_.batchId).min
+      }
+      try {
+        withStatePartitions(s, 8) {
+          landFile(0); landFile(1)
+          runPhase()
+          landFile(2); landFile(3)
+          val firstAfterRestart = runPhase()
+          s.read.parquet(out)
+            .groupBy("hour", "event_type")
+            .agg(sum(col("n")).as("n"), count(lit(1)).as("emits"))
+            .select(col("hour"), col("event_type"), col("n"),
+              (col("emits") === 1L).as("emitted_once"),
+              lit(firstAfterRestart > 0L).as("resumed"))
+            .orderBy("hour", "event_type")
+            .localCheckpoint(true) // materialize before the sink is deleted
+        }
+      } finally deleteStagedDir(stage.toString)
+    },
+    Some("""
+      SELECT strftime(ts, '%Y-%m-%d %H') AS hour, event_type,
+             count(*) AS n, TRUE AS emitted_once, TRUE AS resumed
+      FROM events GROUP BY 1, 2 ORDER BY 1, 2""")
+  )
+
   val all: Seq[QueryDef] =
     Seq(eHourly, eSessions, eHourlyStream, eSessionizeStream, ePipelineStream,
       eSessionWindow, eFunnel, eDedup, eDedupStream, eIntervalStream,
@@ -2179,5 +2287,5 @@ object EventsCatalog {
       eSurvival, eScdStream, eAbTest, eCuped, eCusumStream, eFunnelStream,
       eHwStream, eRfm, eSessionWindowStream, eDid, eLateness, eBotFlag,
       eSliding, eSrm, eStickiness, ePowercurve, eChurn, eLtv,
-      eRestartStream)
+      eRestartStream, eRestartWindowStream)
 }

@@ -245,9 +245,13 @@ object SketchCatalog {
     * exact integer arithmetic; the oracle replays candidates, exact
     * counts, the bound, and the proof from the dumped bucket mapping.
     */
-  val topkVerified = QueryDef(
-    "q_topk_verified",
-    (s, dir) => {
+  /** Query body, parameterized so TopkVerifiedSpec can drive the
+    * candidate bar past every token (zero candidates → empty result, no
+    * error) — the degenerate path the fixed production bar never hits.
+    */
+  private[graft] def topkVerifiedRun(s: org.apache.spark.sql.SparkSession,
+      dir: String, k: Int = TopVK,
+      heavyDen: Long = HeavyDen): org.apache.spark.sql.DataFrame = {
       import graft.sketches.CountMin
       val toks = sparkToks(s, dir).localCheckpoint(true) // read 4×
       // d×w counters straight from occurrences — each occurrence adds 1
@@ -273,7 +277,7 @@ object SketchCatalog {
       val est = toks.withColumn("est", estCol).localCheckpoint(true)
       val tot = broadcast(est.agg(count(lit(1)).as("n_tokens")))
       val cand = est.crossJoin(tot)
-        .filter(col("est") * HeavyDen >= col("n_tokens"))
+        .filter(col("est") * heavyDen >= col("n_tokens"))
         .select("tok").distinct()
       val exact = toks.join(broadcast(cand), "tok")
         .groupBy("tok").agg(count(lit(1)).as("exact_cnt"))
@@ -283,9 +287,9 @@ object SketchCatalog {
         .withColumn("rank", row_number().over(
           org.apache.spark.sql.expressions.Window
             .orderBy(desc("exact_cnt"), col("tok"))))
-        .filter(col("rank") <= TopVK)
+        .filter(col("rank") <= k)
       val maxNon = broadcast(est.crossJoin(tot)
-        .filter(col("est") * HeavyDen < col("n_tokens"))
+        .filter(col("est") * heavyDen < col("n_tokens"))
         .agg(coalesce(max(col("est")), lit(0L)).as("max_noncand_est")))
       val nCand = broadcast(cand.agg(count(lit(1)).as("n_candidates")))
       val kth = broadcast(topk.agg(min(col("exact_cnt")).as("kth")))
@@ -295,7 +299,11 @@ object SketchCatalog {
           col("n_candidates"), col("n_tokens"), col("max_noncand_est"),
           (col("kth") >= col("max_noncand_est")).as("proved"))
         .orderBy("rank")
-    },
+  }
+
+  val topkVerified = QueryDef(
+    "q_topk_verified",
+    (s, dir) => topkVerifiedRun(s, dir),
     Some(s"""
       WITH tok AS ($sqlToks),
       tc AS (

@@ -37,4 +37,29 @@ class StreamRestartSpec extends SparkSpec {
         s"$et sum drifted: ${r.getAs[Double]("total")} vs $total")
     }
   }
+
+  test("q_e_restart_window_stream: watermarked append windows emit " +
+    "exactly once across the restart") {
+    val rows = graft.queries.EventsCatalog.eRestartWindowStream
+      .query(spark, sf).collect()
+    assert(rows.nonEmpty, "no windows emitted")
+    assert(rows.forall(_.getAs[Boolean]("emitted_once")),
+      "a window emitted in both phases (state replay) or twice in one")
+    assert(rows.forall(_.getAs[Boolean]("resumed")),
+      "restarted query did not resume from the checkpoint")
+    // totals equal the batch per-hour per-type counts — no loss at the
+    // phase boundary, no late-drop from the time-quartile staging
+    val want = graft.queries.QueryDef.events(spark, sf)
+      .groupBy(date_format(timestamp_micros(col("ts")), "yyyy-MM-dd HH")
+        .as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getAs[String]("hour"), r.getAs[String]("event_type")) ->
+        r.getAs[Long]("n")).toMap
+    assert(rows.length == want.size, "window cardinality differs from batch")
+    rows.foreach { r =>
+      val k = (r.getAs[String]("hour"), r.getAs[String]("event_type"))
+      assert(r.getAs[Long]("n") == want(k), s"window $k count differs")
+    }
+  }
 }

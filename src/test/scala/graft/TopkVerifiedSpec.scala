@@ -49,4 +49,21 @@ class TopkVerifiedSpec extends SparkSpec {
   test("q_topk_verified: provably-exact top-k equals ground truth (sf0.01)") {
     run(sfCorrect)
   }
+
+  test("q_topk_verified: candidate bar past every token yields an empty " +
+    "result without erroring") {
+    // heavyDen = 1 requires est ≥ n_tokens — only possible if one token
+    // IS the whole corpus, so the candidate set (and the result) is empty
+    val rows = graft.queries.SketchCatalog
+      .topkVerifiedRun(spark, sfSmoke, heavyDen = 1L).collect()
+    assert(rows.isEmpty,
+      s"expected zero candidates to yield zero rows, got ${rows.length}")
+  }
+
+  test("q_topk_verified: k=1 degenerates to the single heaviest token") {
+    val one = graft.queries.SketchCatalog
+      .topkVerifiedRun(spark, sfSmoke, k = 1).collect()
+    assert(one.length == 1 && one(0).getAs[Long]("rank") == 1L)
+    assert(one(0).getAs[Boolean]("proved"))
+  }
 }
