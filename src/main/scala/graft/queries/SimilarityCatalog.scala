@@ -73,6 +73,25 @@ object SimilarityCatalog {
         .map { case (m, k, c) => (m, k, c.toSeq) }
         .toDF("m", "k", "c")
     }),
+    // √n-scaled IVF index (q_s_ivf_scaled): cell count derived from the
+    // corpus row count by the integer √n rule, so the dumps and the gated
+    // query can never disagree on the index geometry
+    "ivf_scaled_cells" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val c = scaledCellCount(e.count())
+      assignCells(e, "vec_id", "embedding",
+          hashCentroids(e, "vec_id", "embedding", c))
+        .select("id", "cell")
+    }),
+    "ivf_scaled_centroids" -> ((s, dir) => {
+      val sp = s
+      import sp.implicits._
+      val e = t(s, dir, "embeddings")
+      val c = scaledCellCount(e.count())
+      normalizeCentroids(hashCentroids(e, "vec_id", "embedding", c))
+        .map { case (cell, cv) => (cell, cv.toSeq) }
+        .toDF("cell", "c")
+    }),
     // IVF-PQ: RAW coarse centroids (the gate's residuals subtract these)
     // and the codebooks trained on the residuals — decimal-sum training
     // makes both bit-identical to what the gated query computes
@@ -120,6 +139,19 @@ object SimilarityCatalog {
       ORDER BY query_id, cos DESC, nn_id""")
   )
 
+  /** Smallest power of two c with c² ≥ n — the √n-rule coarse cell count
+    * (IVF standard practice: per-cell list length ≈ √n, so per-query work
+    * nProbe·n/c ≈ nProbe·√n instead of a fixed fraction of the corpus).
+    * Integer arithmetic only, so both the aux dumps and the gated query
+    * derive the identical count from the corpus row count.
+    */
+  private[graft] def scaledCellCount(n: Long): Int = {
+    var c = 1
+    while (c.toLong * c < n) c *= 2
+    c
+  }
+  private val IvfScaledProbe = 4
+
   /** IVF-style bucketed ANN (deterministic hash-seeded coarse cells,
     * nProbe re-rank). The oracle replays, from the aux dumps: (1) probe
     * ranking — dot(query, normalized centroid), top `IvfProbe` cells per
@@ -155,6 +187,73 @@ object SimilarityCatalog {
               FROM q CROSS JOIN cents)),
       pq AS (SELECT query_id, qv, cell FROM probes
              WHERE probe_rank <= $IvfProbe),
+      corpus AS (
+        SELECT e.vec_id AS nn_id,
+               list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS cv,
+               cells.cell
+        FROM embeddings e JOIN cells ON cells.id = e.vec_id),
+      scored AS (
+        SELECT pq.query_id, corpus.nn_id,
+               list_sum(list_transform(list_zip(corpus.cv, pq.qv),
+                 p -> p[1] * p[2]))
+               / (sqrt(list_sum(list_transform(corpus.cv, x -> x * x)))
+                  * sqrt(list_sum(list_transform(pq.qv, x -> x * x)))) AS cos
+        FROM corpus JOIN pq ON corpus.cell = pq.cell),
+      ranked AS (
+        SELECT query_id, nn_id, cos,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos DESC, nn_id) AS rank
+        FROM scored)
+      SELECT query_id, CAST(rank AS BIGINT) AS rank, nn_id,
+             ${sqlR6("cos")} AS cos
+      FROM ranked WHERE rank <= $TopK AND nn_id <> query_id
+      ORDER BY query_id, rank""")
+  )
+
+  /** √n-SCALED IVF ANN — the index geometry production actually deploys
+    * (and the scale answer to the fixed-8-cell gate above): the coarse
+    * cell count is the smallest power of two with c² ≥ corpus size, so
+    * per-cell inverted lists stay ≈ √n long and a fixed-nProbe query
+    * touches ≈ nProbe·√n candidates instead of a constant FRACTION of the
+    * corpus — the property that keeps per-query cost sublinear as the
+    * corpus grows (at sf0.01's 500 vectors c = 32; at a 30× soak's 60k
+    * vectors c = 256, so probe mass falls from 4/32 to 4/256). Same
+    * deterministic hash-seeded centroids, probe ranking, and exact
+    * in-cell re-rank as q_s_ivf_topk; the oracle replays from the
+    * scaled aux dumps, whose cell count derives from the same integer
+    * √n rule.
+    */
+  val sIvfScaled = QueryDef(
+    "q_s_ivf_scaled",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val c = scaledCellCount(e.count())
+      Ann.ivfTopK(e, e.filter(col("vec_id") < QueryIdMax), "vec_id",
+          "embedding", "vec_id", k = TopK, nCells = c,
+          nProbe = IvfScaledProbe)
+        .filter(col("nn_id") =!= col("query_id"))
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("nn_id"), r6(col("cos")).as("cos"))
+        .orderBy("query_id", "rank")
+    },
+    Some(s"""
+      WITH cells AS (SELECT id, cell FROM
+        read_parquet('__VERIFY_OUT__/_aux/ivf_scaled_cells/*.parquet')),
+      cents AS (SELECT cell, c FROM
+        read_parquet('__VERIFY_OUT__/_aux/ivf_scaled_centroids/*.parquet')),
+      q AS (SELECT vec_id AS query_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+            FROM embeddings WHERE vec_id < $QueryIdMax),
+      probes AS (
+        SELECT query_id, qv, cell,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY s DESC, cell) AS probe_rank
+        FROM (SELECT q.query_id, q.qv, cents.cell,
+                     list_sum(list_transform(list_zip(q.qv, cents.c),
+                       p -> p[1] * p[2])) AS s
+              FROM q CROSS JOIN cents)),
+      pq AS (SELECT query_id, qv, cell FROM probes
+             WHERE probe_rank <= $IvfScaledProbe),
       corpus AS (
         SELECT e.vec_id AS nn_id,
                list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS cv,
@@ -1541,7 +1640,7 @@ object SimilarityCatalog {
   )
 
   val all: Seq[QueryDef] =
-    Seq(sBrute, sIvf, sPq, sSq, sSparse, sRecallIvf, sJlProject,
-      sCentroidCos, sMmr, sLshRecall, sMutualNn, sNdcg, sKnn, sKnnIvf,
-      sKcenter, sIvfPq)
+    Seq(sBrute, sIvf, sIvfScaled, sPq, sSq, sSparse, sRecallIvf,
+      sJlProject, sCentroidCos, sMmr, sLshRecall, sMutualNn, sNdcg, sKnn,
+      sKnnIvf, sKcenter, sIvfPq)
 }
