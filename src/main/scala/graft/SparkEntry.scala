@@ -63,7 +63,10 @@ object SparkEntry {
     "q_s_knn_ivf", "q_pipeline_graph_e2e", "q_w8_rolling_corr",
     "q_e_hourly_stream", "q_s_pq_topk", "q_m50_levene", "q_m12_spearman",
     "q_pipeline_stream_e2e", "q_e_restart_stream",
-    "q_e_restart_window_stream")
+    "q_e_restart_window_stream",
+    // r14 additions, heavy by construction: two full stream lifecycles /
+    // an index build + two parquet writes (confirmed in the r14 profile)
+    "q_e_restart_reshuffle_stream", "q_s_ivf_persist")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. SQL may
@@ -73,9 +76,11 @@ object SparkEntry {
     catalogs.flatMap(q => q.oracle.map(q.name -> _)).toMap
 
   /** Spark-computed intermediates (LSH signatures/buckets/shingles, IVF
-    * cells/centroids) that Verify writes under `<outDir>/_aux/<name>` so the
+    * cells/centroids) that Verify writes under `<outDir>_auxdata/<name>` —
+    * a SIBLING of outDir, outside the driver's result glob — so the
     * engine-specific-hash oracles can replay banding/probing + verification
-    * in DuckDB. */
+    * in DuckDB (SQL references them as `__VERIFY_OUT__/_aux/<name>`, which
+    * Verify rewrites to the sibling path). */
   def auxDumps: Map[String, (SparkSession, String) => DataFrame] =
     DedupCatalog.auxDumps ++ SimilarityCatalog.auxDumps ++
       MiscCatalog.auxDumps ++ WindowCatalog.auxDumps ++

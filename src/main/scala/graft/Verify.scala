@@ -39,6 +39,14 @@ object Verify {
     // it is exactly what turned a mid-run driver timeout into an empty
     // correctness artifact in round 11.
     val outAbs = new java.io.File(outDir).getAbsolutePath
+    // Aux dumps live in a SIBLING of outDir, not inside it: the driver
+    // hash-scans every directory under outDir as a query result, so an
+    // in-tree aux dir — even underscore-prefixed — shows up in the
+    // correctness artifact as a pseudo-row with `err: no_oracle`
+    // (CORRECTNESS_r12/_r13 key `_aux`; r13 verdict order #2). Oracle SQL
+    // keeps writing `__VERIFY_OUT__/_aux/...`; the substitution below
+    // points that prefix at this sibling path.
+    val auxAbs = outAbs + "_auxdata"
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -53,7 +61,8 @@ object Verify {
     } + "\""
     val json = SparkEntry.oracleSql
       .map { case (k, v) =>
-        s"${q(k)}: ${q(v.replace("__VERIFY_OUT__", outAbs))}" }
+        s"${q(k)}: ${q(v.replace("__VERIFY_OUT__/_aux", auxAbs)
+          .replace("__VERIFY_OUT__", outAbs))}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
 
@@ -77,14 +86,13 @@ object Verify {
     // ---- aux dumps BEFORE query dumps ----------------------------------
     // Spark-computed intermediates the LSH oracles replay in DuckDB: if
     // the run is truncated, every oracle whose query DID dump must still
-    // find its aux inputs. The dir is underscore-prefixed so the driver's
-    // result globber skips it — a plain `aux/` dir was hash-scanned as a
-    // query and reported `err: no_oracle` in CORRECTNESS_r12.json.
+    // find its aux inputs. Written to the sibling auxAbs dir — provably
+    // outside the driver's result glob (see the auxAbs note above).
     spark.conf.set("spark.sql.ansi.enabled", "false")
     SparkEntry.auxDumps.foreach { case (name, fn) =>
       timed(s"aux $name") {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/_aux/$name")
+          .parquet(s"$auxAbs/$name")
       }
     }
 

@@ -45,9 +45,9 @@ object DedupCatalog {
   private val SemCells = 256
 
   /** Spark-computed intermediates the LSH oracles replay; Verify writes
-    * each to `<outDir>/_aux/<name>` and substitutes `__VERIFY_OUT__` in the
-    * oracle SQL with the absolute outDir. Parameters are the shared
-    * constants above — the same values the catalog queries pass.
+    * each to the `<outDir>_auxdata/<name>` sibling dir and rewrites the
+    * oracle SQL's `__VERIFY_OUT__/_aux` prefix to it. Parameters are the
+    * shared constants above — the same values the catalog queries pass.
     */
   val auxDumps: Map[String, (SparkSession, String) => DataFrame] = Map(
     "doc_shingles" -> ((s, dir) =>

@@ -2135,16 +2135,20 @@ object EventsCatalog {
           .option("checkpointLocation", ckpt)
           .format("memory").queryName(sink)
           .start()
-        try q.processAllAvailable() finally q.stop()
         // progress events post asynchronously to the listener bus; on a
         // loaded host recentProgress can still be empty right after
         // processAllAvailable returns — wait boundedly for the data batch
-        // instead of flaking the whole gate
+        // WHILE THE QUERY IS STILL RUNNING (once stopped, the execution
+        // thread records no further progress, so a post-stop wait could
+        // never observe a late entry — ADVICE r13), then stop
         def dataBatches = q.recentProgress.filter(_.numInputRows > 0)
-        var waited = 0
-        while (dataBatches.isEmpty && waited < 100) {
-          Thread.sleep(100); waited += 1
-        }
+        try {
+          q.processAllAvailable()
+          var waited = 0
+          while (dataBatches.isEmpty && waited < 100) {
+            Thread.sleep(100); waited += 1
+          }
+        } finally q.stop()
         require(dataBatches.nonEmpty,
           s"no data batch reported by $sink after 10s")
         dataBatches.map(_.batchId).min
@@ -2246,12 +2250,16 @@ object EventsCatalog {
           .option("checkpointLocation", ckpt)
           .format("parquet").option("path", out)
           .start()
-        try q.processAllAvailable() finally q.stop()
+        // poll while the query is still running (post-stop, no further
+        // progress can be recorded — ADVICE r13), then stop
         def dataBatches = q.recentProgress.filter(_.numInputRows > 0)
-        var waited = 0
-        while (dataBatches.isEmpty && waited < 100) {
-          Thread.sleep(100); waited += 1
-        }
+        try {
+          q.processAllAvailable()
+          var waited = 0
+          while (dataBatches.isEmpty && waited < 100) {
+            Thread.sleep(100); waited += 1
+          }
+        } finally q.stop()
         require(dataBatches.nonEmpty, "no data batch reported after 10s")
         dataBatches.map(_.batchId).min
       }
@@ -2278,6 +2286,139 @@ object EventsCatalog {
       FROM events GROUP BY 1, 2 ORDER BY 1, 2""")
   )
 
+  /** Checkpoint-restart under CHANGED runtime conditions (r13 verdict
+    * order #5) — the realistic recovery scenario the two gates above
+    * idealize away: the restarted cluster is NOT configured like the one
+    * that crashed. Phase 1 runs the watermarked append-mode window
+    * aggregation with `spark.sql.shuffle.partitions = 8` over the first
+    * two time-quartiles and stops mid-lifecycle (every window still OPEN
+    * in state — the huge watermark delay keeps anything from emitting);
+    * phase 2 restarts from the same checkpoint with the session conf set
+    * to 5 AND with one genuinely LATE-ARRIVING file (a 10% slice of
+    * events spanning the WHOLE time range, landed only after the
+    * restart — admitted because the watermark delay covers the range, the
+    * allowed-lateness case production feeds hit daily). Exactly-once must
+    * still hold: the final file-sink contents equal the batch GROUP BY
+    * over ALL events — recovered state + new quartiles + late rows, no
+    * loss, no replay. Two facts are pinned into the hash: `resumed`
+    * (restart continued the checkpoint's batch numbering) and
+    * `state_parts` — the number of state-store partition directories the
+    * restarted run actually used, which must be the CHECKPOINTED 8, not
+    * the session's 5 (Structured Streaming pins the stateful-shuffle
+    * partition count at the first checkpoint precisely so a reconfigured
+    * restart rehydrates instead of corrupting state; a fresh-start bug
+    * that honored the new conf would write 5 and flip the hash).
+    */
+  val eRestartReshuffleStream = QueryDef(
+    "q_e_restart_reshuffle_stream",
+    (s, dir) => {
+      import java.nio.file.{Files, Paths, StandardCopyOption}
+      val fields = graft.model.Schemas.events.fieldNames.map(col)
+      val ev = t(s, dir, "events").select(fields: _*).localCheckpoint(true)
+      val mm = ev.agg(min(col("ts")).as("lo"), max(col("ts")).as("hi"))
+        .first()
+      val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+      // late slice: 10% of events across the whole range, landed last
+      val isLate = pmod(col("event_id"), lit(10)) === 0
+      val onTime = ev.filter(!isLate)
+      def cut(i: Int): Long = lo + (hi - lo) / 4 * i
+      // delay covers the full data range so the late file is ADMITTED
+      // (allowed lateness), +2 days of margin; windows then only close on
+      // the final heartbeat, whose ts sits one day past hi + delay
+      val delayUs = (hi - lo) + 2L * 86400000000L
+      val hbTs = hi + delayUs + 86400000000L
+      val hb = s.createDataFrame(
+        java.util.Arrays.asList(
+          org.apache.spark.sql.Row(-1L, hbTs, -1L, "purchase", 0.0, null),
+          org.apache.spark.sql.Row(-2L, hbTs, -1L, "click", 0.0, null)),
+        graft.model.Schemas.events)
+      val stage = Files.createTempDirectory("graft_restart_reshuffle")
+      val feed = stage.resolve("feed")
+      val ckpt = stage.resolve("ckpt")
+      Files.createDirectories(feed)
+      def land(i: Int, slice: org.apache.spark.sql.DataFrame): Unit = {
+        val tmp = stage.resolve(s"w$i").toString
+        slice.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val st = Files.list(Paths.get(tmp))
+        val part =
+          try st.filter(_.getFileName.toString.endsWith(".parquet"))
+            .findFirst().get()
+          finally st.close()
+        val dst = feed.resolve(f"b$i%02d.parquet")
+        Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
+        // ascending mtimes pin the FileStreamSource replay order
+        Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(1000L * (i + 1)))
+      }
+      val out = stage.resolve("out").toString
+      def runPhase(): Long = {
+        val q = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(feed.toString)
+          .withColumn("tsc", timestamp_micros(col("ts")))
+          .withWatermark("tsc", s"${delayUs / 1000000L} seconds")
+          .groupBy(window(col("tsc"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .select(date_format(col("window.start"), "yyyy-MM-dd HH")
+            .as("hour"), col("event_type"), col("n"))
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", ckpt.toString)
+          .format("parquet").option("path", out)
+          .start()
+        // poll while the query is still running (post-stop, no further
+        // progress can be recorded — ADVICE r13), then stop
+        def dataBatches = q.recentProgress.filter(_.numInputRows > 0)
+        try {
+          q.processAllAvailable()
+          var waited = 0
+          while (dataBatches.isEmpty && waited < 100) {
+            Thread.sleep(100); waited += 1
+          }
+        } finally q.stop()
+        require(dataBatches.nonEmpty, "no data batch reported after 10s")
+        dataBatches.map(_.batchId).min
+      }
+      try {
+        withStatePartitions(s, 8) {
+          land(0, onTime.filter(col("ts") >= lo && col("ts") < cut(1)))
+          land(1, onTime.filter(col("ts") >= cut(1) && col("ts") < cut(2)))
+          runPhase()
+        }
+        val firstAfterRestart = withStatePartitions(s, 5) {
+          land(2, onTime.filter(col("ts") >= cut(2) && col("ts") < cut(3)))
+          land(3, onTime.filter(col("ts") >= cut(3)))
+          land(4, ev.filter(isLate)) // the late-arriving file
+          land(5, hb)
+          runPhase()
+        }
+        // state-store layout the RESTARTED run used: one directory per
+        // state partition under <ckpt>/state/<operatorId=0>/ — must be
+        // the checkpointed 8, not the reconfigured session's 5
+        val stateParts = {
+          val op0 = ckpt.resolve("state").resolve("0")
+          val st = Files.list(op0)
+          try st.filter(p => Files.isDirectory(p) &&
+              p.getFileName.toString.forall(_.isDigit)).count()
+          finally st.close()
+        }
+        s.read.parquet(out)
+          .groupBy("hour", "event_type")
+          .agg(sum(col("n")).as("n"), count(lit(1)).as("emits"))
+          .select(col("hour"), col("event_type"), col("n"),
+            (col("emits") === 1L).as("emitted_once"),
+            lit(firstAfterRestart > 0L).as("resumed"),
+            lit(stateParts).as("state_parts"))
+          .orderBy("hour", "event_type")
+          .localCheckpoint(true) // materialize before the sink is deleted
+      } finally deleteStagedDir(stage.toString)
+    },
+    Some("""
+      SELECT strftime(ts, '%Y-%m-%d %H') AS hour, event_type,
+             count(*) AS n, TRUE AS emitted_once, TRUE AS resumed,
+             CAST(8 AS BIGINT) AS state_parts
+      FROM events GROUP BY 1, 2 ORDER BY 1, 2""")
+  )
+
   val all: Seq[QueryDef] =
     Seq(eHourly, eSessions, eHourlyStream, eSessionizeStream, ePipelineStream,
       eSessionWindow, eFunnel, eDedup, eDedupStream, eIntervalStream,
@@ -2287,5 +2428,5 @@ object EventsCatalog {
       eSurvival, eScdStream, eAbTest, eCuped, eCusumStream, eFunnelStream,
       eHwStream, eRfm, eSessionWindowStream, eDid, eLateness, eBotFlag,
       eSliding, eSrm, eStickiness, ePowercurve, eChurn, eLtv,
-      eRestartStream, eRestartWindowStream)
+      eRestartStream, eRestartWindowStream, eRestartReshuffleStream)
 }

@@ -223,20 +223,15 @@ object SimilarityCatalog {
     * scaled aux dumps, whose cell count derives from the same integer
     * √n rule.
     */
-  val sIvfScaled = QueryDef(
-    "q_s_ivf_scaled",
-    (s, dir) => {
-      val e = t(s, dir, "embeddings")
-      val c = scaledCellCount(e.count())
-      Ann.ivfTopK(e, e.filter(col("vec_id") < QueryIdMax), "vec_id",
-          "embedding", "vec_id", k = TopK, nCells = c,
-          nProbe = IvfScaledProbe)
-        .filter(col("nn_id") =!= col("query_id"))
-        .select(col("query_id"), col("rank").cast("long").as("rank"),
-          col("nn_id"), r6(col("cos")).as("cos"))
-        .orderBy("query_id", "rank")
-    },
-    Some(s"""
+  /** Oracle shared by q_s_ivf_scaled and q_s_ivf_persist: both gates
+    * publish the SAME answer — the √n-scaled index geometry is
+    * deterministic (decimal-sum centroids, integer cell-count rule) and
+    * doubles round-trip parquet exactly, so building in-query and probing
+    * a persisted on-disk index are observationally equivalent. DuckDB
+    * replays probe ranking + exact in-cell re-rank from the scaled aux
+    * dumps.
+    */
+  private def ivfScaledOracle: String = s"""
       WITH cells AS (SELECT id, cell FROM
         read_parquet('__VERIFY_OUT__/_aux/ivf_scaled_cells/*.parquet')),
       cents AS (SELECT cell, c FROM
@@ -274,7 +269,61 @@ object SimilarityCatalog {
       SELECT query_id, CAST(rank AS BIGINT) AS rank, nn_id,
              ${sqlR6("cos")} AS cos
       FROM ranked WHERE rank <= $TopK AND nn_id <> query_id
-      ORDER BY query_id, rank""")
+      ORDER BY query_id, rank"""
+
+  val sIvfScaled = QueryDef(
+    "q_s_ivf_scaled",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val c = scaledCellCount(e.count())
+      Ann.ivfTopK(e, e.filter(col("vec_id") < QueryIdMax), "vec_id",
+          "embedding", "vec_id", k = TopK, nCells = c,
+          nProbe = IvfScaledProbe)
+        .filter(col("nn_id") =!= col("query_id"))
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("nn_id"), r6(col("cos")).as("cos"))
+        .orderBy("query_id", "rank")
+    },
+    Some(ivfScaledOracle)
+  )
+
+  /** PERSISTED-index lifecycle gate (r13 verdict order #3) — the shape a
+    * 100 TB deployment actually runs: build the √n-scaled IVF index ONCE
+    * (centroids + CELL-PARTITIONED inverted lists written as parquet),
+    * then answer queries from a COLD read of the persisted artifact with
+    * no access to the original corpus DataFrame. The probe-only read is
+    * partition-PRUNED: `cell` is a parquet partition column, so a batch
+    * of queries probing p distinct cells scans only those p directories —
+    * at 1000-executor scale the probe reads nProbe·√n rows per query off
+    * object storage instead of rescanning the corpus (build cost is paid
+    * once and amortized across every query thereafter; PersistedIvfSpec
+    * measures the split and asserts probe ≪ build). Results are
+    * bit-identical to the in-query q_s_ivf_scaled — deterministic
+    * centroids + exact double round-trip through parquet — so the same
+    * DuckDB oracle gates both.
+    */
+  val sIvfPersist = QueryDef(
+    "q_s_ivf_persist",
+    (s, dir) => {
+      import graft.similarity.IvfIndex
+      val e = t(s, dir, "embeddings")
+      val c = scaledCellCount(e.count())
+      val stage = java.nio.file.Files
+        .createTempDirectory("graft_ivf_persist")
+      try {
+        IvfIndex.write(e, "vec_id", "embedding", c, stage.toString)
+        IvfIndex.probe(s, stage.toString,
+            e.filter(col("vec_id") < QueryIdMax), "vec_id", "embedding",
+            k = TopK, nProbe = IvfScaledProbe)
+          .filter(col("nn_id") =!= col("query_id"))
+          .select(col("query_id"), col("rank").cast("long").as("rank"),
+            col("nn_id"), r6(col("cos")).as("cos"))
+          .orderBy("query_id", "rank")
+          // materialize before the persisted index is deleted below
+          .localCheckpoint(true)
+      } finally IvfIndex.deleteDir(stage.toString)
+    },
+    Some(ivfScaledOracle)
   )
 
   /** Product-quantization ADC top-k (similarity.Pq). The oracle replays
@@ -1640,7 +1689,7 @@ object SimilarityCatalog {
   )
 
   val all: Seq[QueryDef] =
-    Seq(sBrute, sIvf, sIvfScaled, sPq, sSq, sSparse, sRecallIvf,
+    Seq(sBrute, sIvf, sIvfScaled, sIvfPersist, sPq, sSq, sSparse, sRecallIvf,
       sJlProject, sCentroidCos, sMmr, sLshRecall, sMutualNn, sNdcg, sKnn,
       sKnnIvf, sKcenter, sIvfPq)
 }

@@ -239,9 +239,12 @@ object SketchCatalog {
     * count ONLY candidate tokens (the one keyed shuffle, restricted to a
     * broadcast-bounded key set) and publish the top-$TopVK. The audit
     * makes the approximation SELF-PROVING: CMS estimates are one-sided
-    * (est ≥ true count), so if the k-th exact candidate count ≥ the max
-    * estimate over NON-candidates, no unseen token can belong in the
-    * top-k — `proved` pins that implication into the hash. Everything is
+    * (est ≥ true count), so if the k-th exact candidate count is STRICTLY
+    * greater than the max estimate over NON-candidates, no unseen token
+    * can belong in the top-k — strict, because at equality a non-candidate
+    * whose true count ties the k-th row could still outrank it under the
+    * (count DESC, tok ASC) tie-break (ADVICE r13) — `proved` pins that
+    * implication into the hash. Everything is
     * exact integer arithmetic; the oracle replays candidates, exact
     * counts, the bound, and the proof from the dumped bucket mapping.
     */
@@ -297,7 +300,7 @@ object SketchCatalog {
         .select(col("rank").cast("long").as("rank"), col("tok"),
           col("exact_cnt"), col("est").as("cms_est"),
           col("n_candidates"), col("n_tokens"), col("max_noncand_est"),
-          (col("kth") >= col("max_noncand_est")).as("proved"))
+          (col("kth") > col("max_noncand_est")).as("proved"))
         .orderBy("rank")
   }
 
@@ -335,7 +338,7 @@ object SketchCatalog {
       kth AS (SELECT min(exact_cnt) AS kth FROM topk WHERE rank <= $TopVK)
       SELECT CAST(t.rank AS BIGINT) AS rank, t.tok, t.exact_cnt,
              t.est AS cms_est, nc.n_candidates, tot.n_tokens,
-             mn.max_noncand_est, (kth.kth >= mn.max_noncand_est) AS proved
+             mn.max_noncand_est, (kth.kth > mn.max_noncand_est) AS proved
       FROM topk t CROSS JOIN nc CROSS JOIN tot CROSS JOIN mn CROSS JOIN kth
       WHERE t.rank <= $TopVK ORDER BY rank""")
   )

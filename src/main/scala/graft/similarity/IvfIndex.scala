@@ -1,0 +1,129 @@
+package graft.similarity
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.functions.VectorFunctions
+
+/** Persisted IVF index lifecycle — build once, probe many (r13 verdict
+  * order #3). Every other ANN entry rebuilds its index inside the query;
+  * a 100 TB corpus builds the index ONCE (a full-scan job, amortized over
+  * every query thereafter) and serves queries from the persisted artifact:
+  *
+  *   - `<path>/centroids`: (cell INT, c ARRAY<DOUBLE>) — the L2-NORMALIZED
+  *     coarse centroids, ≤ nCells rows, read whole and folded into a
+  *     broadcast literal at probe time (the probe ranking is a per-query
+  *     scan of this tiny table, never a shuffle);
+  *   - `<path>/lists`: the inverted lists (id, v) PARTITIONED BY `cell` —
+  *     one parquet directory per coarse cell, so a probe-only reader
+  *     statically PRUNES the scan to exactly the probed cells' files and
+  *     reads ≈ nProbe·√n rows per query off storage instead of rescanning
+  *     the corpus.
+  *
+  * Determinism contract: centroids come from Ann.hashCentroids (exact
+  * decimal component sums) and doubles round-trip parquet bit-exactly, so
+  * probing the persisted index returns results bit-identical to the
+  * in-query Ann.ivfTopK with the same geometry — which is what lets the
+  * q_s_ivf_persist gate share q_s_ivf_scaled's DuckDB oracle.
+  */
+object IvfIndex {
+
+  /** Build + persist the index for `corpus` at `path` (overwrites). */
+  def write(corpus: DataFrame, idCol: String, vecCol: String, nCells: Int,
+      path: String): Unit = {
+    val sp = corpus.sparkSession
+    import sp.implicits._
+    val centroids = Ann.hashCentroids(corpus, idCol, vecCol, nCells)
+    Ann.normalizeCentroids(centroids)
+      .map { case (cell, c) => (cell, c.toSeq) }
+      .toDF("cell", "c")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    // assignCells keeps the cast-to-double vector alongside the cell id;
+    // persisting it makes the probe self-contained (no corpus re-read,
+    // no re-cast) — the inverted-list file IS the search payload
+    Ann.assignCells(corpus, idCol, vecCol, centroids)
+      .select(col("id"), col("v"), col("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$path/lists")
+  }
+
+  /** Probe-only search against a persisted index: rank the broadcast
+    * centroid table per query (top `nProbe` cells by dot product against
+    * the STORED normalized centroids — no re-normalization, so scores
+    * match the build-time ranking bit-for-bit), statically prune the
+    * inverted-list scan to the batch's probed-cell union, and exact-cosine
+    * re-rank inside the probed lists. Never touches the original corpus.
+    */
+  def probe(spark: SparkSession, path: String, queries: DataFrame,
+      qidCol: String, vecCol: String, k: Int, nProbe: Int): DataFrame = {
+    val qCells = queryCells(spark, path, queries, qidCol, vecCol, nProbe)
+    // the batch's probed-cell union is bounded by min(nCells, Q·nProbe)
+    // — a driver collect of at most the coarse-cell count, which becomes
+    // the STATIC partition filter that prunes the inverted-list scan to
+    // the probed directories (PersistedIvfSpec asserts the pruning)
+    val probed = qCells.select("cell").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val lists = prunedLists(spark, path, probed)
+      .select(col("id").as("nn_id"), col("v").as("cv"), col("cell"))
+    val scored = lists.join(broadcast(qCells), Seq("cell"))
+      .withColumn("cos", Dedup.cosine(col("cv"), col("qv")))
+    scored.withColumn("rank",
+        row_number().over(Window.partitionBy("query_id")
+          .orderBy(desc("cos"), col("nn_id"))))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "nn_id", "cos")
+  }
+
+  /** Per-query probed cells: (query_id, qv, cell) — the query batch
+    * scored against the broadcast STORED normalized centroids (no
+    * re-normalization, so the ranking matches build-time bit-for-bit),
+    * top `nProbe` cells each.
+    */
+  def queryCells(spark: SparkSession, path: String, queries: DataFrame,
+      qidCol: String, vecCol: String, nProbe: Int): DataFrame = {
+    VectorFunctions.register(spark)
+    val cents = spark.read.parquet(s"$path/centroids")
+      .select("cell", "c").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1)))
+      .sortBy(_._1).toSeq
+    // one Literal node per list (same rationale as Ann: an element-wise
+    // array(lit…) tree costs cells × dim analysis/codegen nodes)
+    val centLit = typedlit(cents.map(_._2))
+    val cellLit = typedlit(cents.map(_._1))
+    val q = queries.select(col(qidCol).as("query_id"),
+      transform(col(vecCol), _.cast("double")).as("qv"))
+    q.select(col("query_id"), col("qv"),
+        explode(zip_with(centLit, cellLit, (c, cid) => struct(
+          call_function("graft_dot", col("qv"), c).as("s"),
+          cid.as("c")))).as("sc"))
+      .withColumn("probe_rank",
+        row_number().over(Window.partitionBy("query_id")
+          .orderBy(desc("sc.s"), col("sc.c"))))
+      .filter(col("probe_rank") <= nProbe)
+      .select(col("query_id"), col("qv"), col("sc.c").as("cell"))
+  }
+
+  /** The inverted-list scan pruned to `probed` cells — `cell` is a
+    * partition column, so this is static partition pruning, not a
+    * post-scan filter.
+    */
+  def prunedLists(spark: SparkSession, path: String,
+      probed: Seq[Int]): DataFrame =
+    spark.read.parquet(s"$path/lists")
+      .filter(col("cell").isInCollection(probed))
+
+  /** Recursive delete of a staged index dir (children before parents). */
+  def deleteDir(p: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    import java.util.Comparator
+    val root = Paths.get(p)
+    if (Files.exists(root)) {
+      val st = Files.walk(root)
+      try st.sorted(Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => Files.deleteIfExists(f))
+      finally st.close()
+    }
+  }
+}

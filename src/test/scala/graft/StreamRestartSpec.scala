@@ -62,4 +62,35 @@ class StreamRestartSpec extends SparkSpec {
       assert(r.getAs[Long]("n") == want(k), s"window $k count differs")
     }
   }
+
+  test("q_e_restart_reshuffle_stream: exactly-once across a restart with " +
+    "a CHANGED shuffle-partitions conf and a late-arriving file") {
+    val rows = graft.queries.EventsCatalog.eRestartReshuffleStream
+      .query(spark, sf).collect()
+    assert(rows.nonEmpty, "no windows emitted")
+    assert(rows.forall(_.getAs[Boolean]("emitted_once")),
+      "a window emitted twice across the reconfigured restart")
+    assert(rows.forall(_.getAs[Boolean]("resumed")),
+      "restarted query did not resume from the checkpoint")
+    // phase 2 ran with spark.sql.shuffle.partitions = 5, but the state
+    // store must rehydrate the CHECKPOINTED 8-partition layout
+    assert(rows.forall(_.getAs[Long]("state_parts") == 8L),
+      s"restart honored the new conf instead of the checkpointed layout: " +
+        s"state_parts = ${rows.head.getAs[Long]("state_parts")}")
+    // totals equal the batch per-hour per-type counts over ALL events —
+    // the late slice landed after the restart was absorbed, not dropped
+    val want = graft.queries.QueryDef.events(spark, sf)
+      .groupBy(date_format(timestamp_micros(col("ts")), "yyyy-MM-dd HH")
+        .as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getAs[String]("hour"), r.getAs[String]("event_type")) ->
+        r.getAs[Long]("n")).toMap
+    assert(rows.length == want.size, "window cardinality differs from batch")
+    rows.foreach { r =>
+      val k = (r.getAs[String]("hour"), r.getAs[String]("event_type"))
+      assert(r.getAs[Long]("n") == want(k),
+        s"window $k count differs (late rows lost or replayed)")
+    }
+  }
 }

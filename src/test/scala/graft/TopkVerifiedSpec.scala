@@ -6,8 +6,9 @@ import org.apache.spark.sql.functions._
   * (q_topk_verified) beyond the oracle hash: the published top-k equals
   * the ground-truth top-k of a full exact aggregation (the claim `proved`
   * certifies), estimates are one-sided (CMS est ≥ exact), and the proof
-  * bound is self-consistent (kth ≥ max non-candidate estimate whenever
-  * proved is true).
+  * bound is self-consistent (kth STRICTLY above the max non-candidate
+  * estimate whenever proved is true — strict so a non-candidate tying the
+  * kth count can't silently outrank it under the tok tie-break).
   */
 class TopkVerifiedSpec extends SparkSpec {
 
@@ -38,7 +39,7 @@ class TopkVerifiedSpec extends SparkSpec {
     assert(got.toSeq == truth.toSeq,
       s"verified top-k diverged from ground truth:\n$got\nvs\n${truth.toSeq}")
     val kth = rows.map(_.getAs[Long]("exact_cnt")).min
-    assert(kth >= rows.head.getAs[Long]("max_noncand_est"),
+    assert(kth > rows.head.getAs[Long]("max_noncand_est"),
       "proved flag inconsistent with its own bound")
   }
 
