@@ -54,19 +54,20 @@ object SparkEntry {
   }
 
   private val heavyLast: Set[String] = Set(
-    // top dump wall-clocks of the r13 profiled sf0.01 Verify run
-    // (target/verify_r13.log percentiles; refresh when the heavy set moves)
-    "q_m47_feature_rank", "q_m23_isotonic", "q_pipeline_ivfpq_e2e",
-    "q_pipeline_e2e", "q_e_left_join_stream", "q_e_full_join_stream",
-    "q_e_interval_stream", "q_f_interp", "q_g_hits", "q_g_closeness",
-    "q_e_scd_stream", "q_m13_robust", "q_m33_dbscan", "q_a30_lorenz",
-    "q_s_knn_ivf", "q_pipeline_graph_e2e", "q_w8_rolling_corr",
-    "q_e_hourly_stream", "q_s_pq_topk", "q_m50_levene", "q_m12_spearman",
-    "q_pipeline_stream_e2e", "q_e_restart_stream",
-    "q_e_restart_window_stream",
-    // r14 additions, heavy by construction: two full stream lifecycles /
-    // an index build + two parquet writes (confirmed in the r14 profile)
-    "q_e_restart_reshuffle_stream", "q_s_ivf_persist")
+    // top-26 dump wall-clocks of the r14 profiled sf0.01 Verify run
+    // (cutoff 1.68 s; the tail below it is flat ~1.4-1.6 s) plus
+    // q_e_rocksdb_stream (3.5 s, profiled in its own run). Refresh each
+    // round if the heavy tail moves.
+    "q_e_restart_reshuffle_stream", "q_e_restart_window_stream",
+    "q_m23_isotonic", "q_m47_feature_rank", "q_e_restart_stream",
+    "q_pipeline_e2e", "q_s_ivf_persist", "q_g_hits",
+    "q_pipeline_ivfpq_e2e", "q_m13_robust", "q_f_interp",
+    "q_e_full_join_stream", "q_w8_rolling_corr", "q_e_left_join_stream",
+    "q_e_interval_stream", "q_m33_dbscan", "q_e_scd_stream",
+    "q_g_closeness", "q_pipeline_graph_e2e", "q_d_survivorship",
+    "q_m12_spearman", "q_pipeline_pack_e2e", "q_a30_lorenz",
+    "q_g_pagerank", "q_m2_ols_next", "q_e_sessionize_stream",
+    "q_e_rocksdb_stream")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. SQL may
