@@ -1156,9 +1156,253 @@ object DedupCatalog {
     }
   )
 
+  /** INCREMENTAL recompute of the curation funnel (r13 verdict headroom):
+    * the maintenance loop an append-only 100 TB corpus actually runs. A
+    * bounded insert batch (~9% of the corpus, arrival batch 1) lands on a
+    * corpus whose curated view is already materialized; the incremental
+    * path touches ONLY the delta — fingerprint the new docs, drop those
+    * whose fingerprint probes the persisted base fingerprint index (an
+    * fp-keyed join whose stream side is the small batch; at scale the
+    * index is bucketed by fp so the probe is co-located, never a corpus
+    * rescan), run the per-doc quality + repetition gates on the
+    * survivors, and ADD their stage counts to the materialized view. The
+    * full path recomputes the funnel over base∪delta with arrival-order
+    * keep-first (batch, then doc_id — earliest arrival survives, the
+    * online-dedup semantics that make insert-only IVM exact). Each stage
+    * row publishes both results AND their exact-equality flag: counts and
+    * token sums are integers, so consistency is exact, and any error in
+    * the index probe, the within-delta dedup, or the view addition flips
+    * a boolean and the hash.
+    *
+    * The testdata's planted duplicates are NEAR-dups (q_pipeline_e2e's
+    * exact stage drops 0 docs), so the insert batch is SYNTHESIZED to
+    * exercise every incremental mechanism: exact COPIES of base docs
+    * (doc_id%37=1 — must be dropped by the index probe), FRESH docs with
+    * new fingerprints (doc_id%41=1, suffixed text — must pass), TWIN
+    * pairs duplicated inside the delta itself (doc_id%53=1 twice — the
+    * within-delta keep-first must keep exactly one), stopword-spam docs
+    * that must fall at the QUALITY gate (doc_id%43=1), and single-token
+    * spam that must fall at the REPETITION gate (doc_id%47=1) — so every
+    * funnel stage drops delta rows and the equality is never vacuous.
+    * The near-dup
+    * clustering stage is deliberately NOT in this view: a new doc can
+    * bridge two existing clusters and change which BASE docs survive, so
+    * cluster dedup is not incrementally maintainable without merge
+    * propagation — the honest scope is the fingerprint + per-doc-gate
+    * funnel, which is.
+    */
+  val dPipelineIncr = QueryDef(
+    "q_pipeline_incr_e2e",
+    (s, dir) => {
+      import graft.text.TextAnalysis
+      import org.apache.spark.sql.expressions.Window
+      val raw0 = t(s, dir, "documents").filter(col("text").isNotNull)
+        .select("doc_id", "text").localCheckpoint(true) // read 5×
+      def insTxt(m: Int, off: Long, txt: org.apache.spark.sql.Column) =
+        raw0.filter(col("doc_id") % m === 1)
+          .select((col("doc_id") + lit(off)).as("doc_id"), txt.as("text"))
+          .withColumn("batch", lit(1))
+      def ins(m: Int, off: Long, suffix: String) =
+        insTxt(m, off,
+          if (suffix.isEmpty) col("text")
+          else concat(col("text"), lit(suffix)))
+      val docs = raw0.withColumn("batch", lit(0))
+        .unionByName(ins(37, 10000000L, ""))
+        .unionByName(ins(41, 20000000L, " graft fresh insert"))
+        .unionByName(ins(53, 30000000L, " graft twin insert"))
+        .unionByName(ins(53, 40000000L, " graft twin insert"))
+        // stopword spam (10 of 11 tokens are stopword regex hits —
+        // alternating, because the ' w ' match is non-overlapping):
+        // must fall at the QUALITY gate
+        .unionByName(insTxt(43, 50000000L,
+          concat(lit("the a the a the a the a the a doc"), col("doc_id"))))
+        // single-token spam (distinct ratio 2/21 < 0.1): must fall at
+        // the REPETITION gate
+        .unionByName(insTxt(47, 60000000L,
+          concat(lit("spam spam spam spam spam spam spam spam spam spam " +
+            "spam spam spam spam spam spam spam spam spam spam s"),
+            col("doc_id"))))
+        .withColumn("fp", md5(TextAnalysis.normText(col("text"))))
+        .localCheckpoint(true) // read by the full, base, and delta paths
+      def keepFirst(df: org.apache.spark.sql.DataFrame,
+          order: Seq[org.apache.spark.sql.Column]) =
+        df.withColumn("__rn",
+            row_number().over(Window.partitionBy("fp").orderBy(order: _*)))
+          .filter(col("__rn") === 1).drop("__rn")
+      // per-path stage rows: (stage_ord, stage, n_docs, n_tokens) over
+      // input + exact survivors + the two per-doc gates
+      def stages(input: org.apache.spark.sql.DataFrame,
+          exact: org.apache.spark.sql.DataFrame) = {
+        val ex = exact.localCheckpoint(true) // read by 3 downstream stages
+        val quality = TextAnalysis.withQuality(ex)
+          .filter(col("n_tokens") >= E2eMinTokens &&
+            col("stopword_ratio") <= E2eMaxStopword)
+          .select(ex.columns.map(col): _*)
+          .localCheckpoint(true)
+        val keep = TextAnalysis.repetitionSignals(quality, "doc_id", "text")
+          .filter(col("distinct_token_ratio") >= E2eMinDistinct &&
+            (col("top_bigram_ratio").isNull ||
+              col("top_bigram_ratio") <= E2eMaxTopBigram))
+          .select("doc_id")
+        def row(ord: Int, name: String,
+            df: org.apache.spark.sql.DataFrame) =
+          df.agg(count(lit(1)).as("n_docs"),
+              coalesce(sum(TextAnalysis.wsTokenCount(col("text"))), lit(0L))
+                .as("n_tokens"))
+            .select(lit(ord).as("stage_ord"), lit(name).as("stage"),
+              col("n_docs"), col("n_tokens"))
+        Seq(row(1, "input", input), row(2, "exact_dedup", ex),
+          row(3, "quality_gate", quality),
+          row(4, "repetition_gate", quality.join(keep, Seq("doc_id"))))
+          .reduce(_ unionByName _)
+      }
+      val base = docs.filter(col("batch") === 0)
+      val delta = docs.filter(col("batch") === 1)
+      // FULL recompute: arrival-order keep-first over the whole corpus
+      val full = stages(docs, keepFirst(docs,
+        Seq(col("batch"), col("doc_id"))))
+      // INCREMENTAL: materialized base view + delta-only processing —
+      // within-delta keep-first, then the fp-index anti-probe
+      val baseView = stages(base, keepFirst(base, Seq(col("doc_id"))))
+      val deltaOnly = stages(delta,
+        keepFirst(delta, Seq(col("doc_id")))
+          .join(base.select("fp").distinct(), Seq("fp"), "left_anti"))
+      val inc = baseView.unionByName(deltaOnly)
+        .groupBy("stage_ord", "stage")
+        .agg(sum(col("n_docs")).as("n_docs_inc"),
+          sum(col("n_tokens")).as("n_tokens_inc"))
+      full.withColumnRenamed("n_docs", "n_docs_full")
+        .withColumnRenamed("n_tokens", "n_tokens_full")
+        .join(inc, Seq("stage_ord", "stage"))
+        .select(col("stage_ord"), col("stage"),
+          col("n_docs_full"), col("n_docs_inc"),
+          col("n_tokens_full"), col("n_tokens_inc"),
+          (col("n_docs_full") === col("n_docs_inc") &&
+            col("n_tokens_full") === col("n_tokens_inc")).as("consistent"))
+        .orderBy("stage_ord")
+    },
+    Some {
+      val stopSum = graft.text.TextAnalysis.Stopwords.map(w =>
+        s"len(regexp_extract_all(' ' || lower(nt) || ' ', ' $w ', 0))")
+        .mkString("(", " + ", ")")
+      s"""
+      WITH raw AS (
+        SELECT doc_id, 0 AS batch, text
+        FROM documents WHERE text IS NOT NULL
+        UNION ALL
+        SELECT doc_id + 10000000, 1, text
+        FROM documents WHERE text IS NOT NULL AND doc_id % 37 = 1
+        UNION ALL
+        SELECT doc_id + 20000000, 1, text || ' graft fresh insert'
+        FROM documents WHERE text IS NOT NULL AND doc_id % 41 = 1
+        UNION ALL
+        SELECT doc_id + 30000000, 1, text || ' graft twin insert'
+        FROM documents WHERE text IS NOT NULL AND doc_id % 53 = 1
+        UNION ALL
+        SELECT doc_id + 40000000, 1, text || ' graft twin insert'
+        FROM documents WHERE text IS NOT NULL AND doc_id % 53 = 1
+        UNION ALL
+        SELECT doc_id + 50000000, 1,
+               'the a the a the a the a the a doc' || doc_id
+        FROM documents WHERE text IS NOT NULL AND doc_id % 43 = 1
+        UNION ALL
+        SELECT doc_id + 60000000, 1,
+               'spam spam spam spam spam spam spam spam spam spam ' ||
+               'spam spam spam spam spam spam spam spam spam spam s'
+               || doc_id
+        FROM documents WHERE text IS NOT NULL AND doc_id % 47 = 1),
+      d0 AS (
+        SELECT doc_id, batch,
+               trim(regexp_replace(text, '\\s+', ' ', 'g')) AS nt
+        FROM raw),
+      dd AS (
+        SELECT doc_id, batch, nt, md5(nt) AS fp,
+               CASE WHEN length(nt) = 0 THEN 0
+                    ELSE len(string_split(nt, ' ')) END AS n_tok
+        FROM d0),
+      -- FULL path: arrival-order keep-first (batch, then doc_id)
+      fsel AS (SELECT fp, min(batch * 100000000000 + doc_id) AS fkey
+               FROM dd GROUP BY 1),
+      fex AS (SELECT dd.* FROM dd JOIN fsel ON dd.fp = fsel.fp
+              AND dd.batch * 100000000000 + dd.doc_id = fsel.fkey),
+      -- INCREMENTAL path: base keep-first + delta keep-first anti-probed
+      -- against the base fingerprint index
+      bsel AS (SELECT fp, min(doc_id) AS kid FROM dd
+               WHERE batch = 0 GROUP BY 1),
+      bex AS (SELECT dd.* FROM dd JOIN bsel
+              ON dd.fp = bsel.fp AND dd.doc_id = bsel.kid
+              WHERE dd.batch = 0),
+      xsel AS (SELECT fp, min(doc_id) AS kid FROM dd
+               WHERE batch = 1 GROUP BY 1),
+      dex AS (SELECT dd.* FROM dd JOIN xsel
+              ON dd.fp = xsel.fp AND dd.doc_id = xsel.kid
+              WHERE dd.batch = 1
+                AND dd.fp NOT IN (SELECT fp FROM bsel)),
+      iex AS (SELECT * FROM bex UNION ALL SELECT * FROM dex),
+      -- per-doc gate flags are PURE functions of the text — computed once
+      -- over the union of both paths' exact survivors
+      sv AS (SELECT DISTINCT dd.* FROM dd
+             WHERE doc_id IN (SELECT doc_id FROM fex
+                              UNION SELECT doc_id FROM iex)),
+      qf AS (
+        SELECT doc_id FROM sv
+        WHERE n_tok >= $E2eMinTokens
+          AND $stopSum / CAST(n_tok AS DOUBLE) <= $E2eMaxStopword),
+      rtok AS (
+        SELECT doc_id, generate_subscripts(tk, 1) AS pos, unnest(tk) AS w
+        FROM (SELECT doc_id, string_split(nt, ' ') AS tk FROM sv
+              WHERE doc_id IN (SELECT doc_id FROM qf))),
+      c1 AS (
+        SELECT doc_id, count(DISTINCT w) AS dist, count(*) AS total
+        FROM rtok GROUP BY 1),
+      c2c AS (
+        SELECT a.doc_id, a.w || ' ' || b.w AS gram, count(*) AS c
+        FROM rtok a JOIN rtok b
+          ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        GROUP BY 1, 2),
+      c2 AS (SELECT doc_id, max(c) AS topc, sum(c) AS total
+             FROM c2c GROUP BY 1),
+      rf AS (
+        SELECT c1.doc_id FROM c1 LEFT JOIN c2 ON c2.doc_id = c1.doc_id
+        WHERE c1.dist / CAST(c1.total AS DOUBLE) >= $E2eMinDistinct
+          AND (c2.doc_id IS NULL
+            OR c2.topc / CAST(c2.total AS DOUBLE) <= $E2eMaxTopBigram)),
+      stage_f AS (
+        SELECT 1 AS stage_ord, 'input' AS stage, count(*) AS n,
+               CAST(coalesce(sum(n_tok), 0) AS BIGINT) AS tk FROM dd
+        UNION ALL SELECT 2, 'exact_dedup', count(*),
+               CAST(coalesce(sum(n_tok), 0) AS BIGINT) FROM fex
+        UNION ALL SELECT 3, 'quality_gate', count(*),
+               CAST(coalesce(sum(n_tok), 0) AS BIGINT)
+               FROM fex WHERE doc_id IN (SELECT doc_id FROM qf)
+        UNION ALL SELECT 4, 'repetition_gate', count(*),
+               CAST(coalesce(sum(n_tok), 0) AS BIGINT)
+               FROM fex WHERE doc_id IN (SELECT doc_id FROM qf)
+                          AND doc_id IN (SELECT doc_id FROM rf)),
+      stage_i AS (
+        SELECT 1 AS stage_ord, count(*) AS n,
+               CAST(coalesce(sum(n_tok), 0) AS BIGINT) AS tk FROM dd
+        UNION ALL SELECT 2, count(*),
+               CAST(coalesce(sum(n_tok), 0) AS BIGINT) FROM iex
+        UNION ALL SELECT 3, count(*),
+               CAST(coalesce(sum(n_tok), 0) AS BIGINT)
+               FROM iex WHERE doc_id IN (SELECT doc_id FROM qf)
+        UNION ALL SELECT 4, count(*),
+               CAST(coalesce(sum(n_tok), 0) AS BIGINT)
+               FROM iex WHERE doc_id IN (SELECT doc_id FROM qf)
+                          AND doc_id IN (SELECT doc_id FROM rf))
+      SELECT f.stage_ord, f.stage,
+             f.n AS n_docs_full, i.n AS n_docs_inc,
+             f.tk AS n_tokens_full, i.tk AS n_tokens_inc,
+             (f.n = i.n AND f.tk = i.tk) AS consistent
+      FROM stage_f f JOIN stage_i i USING (stage_ord)
+      ORDER BY stage_ord"""
+    }
+  )
+
   val all: Seq[QueryDef] =
     Seq(dExact, dJaccard, dComponents, dClusterSizes, dMinHash, dSimHash,
       dEmbed, dSemantic, dFuzzy, dFellegi, dContainment, dLshRecall,
       dBbitMinhash, dNgramNovelty, dDedupImpact, dSurvivorship, dDamerau,
-      dPipelineE2e)
+      dPipelineE2e, dPipelineIncr)
 }
