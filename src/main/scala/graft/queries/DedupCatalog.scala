@@ -1198,27 +1198,33 @@ object DedupCatalog {
       import org.apache.spark.sql.expressions.Window
       val raw0 = t(s, dir, "documents").filter(col("text").isNotNull)
         .select("doc_id", "text").localCheckpoint(true) // read 5×
-      def insTxt(m: Int, off: Long, txt: org.apache.spark.sql.Column) =
+      // insert ids live in the NEGATED namespace: base doc_ids are
+      // non-negative at EVERY scale, so -(doc_id·10 + class) can never
+      // collide with a real doc — an additive offset (the first draft)
+      // collides with the soak's key-shifted copies the moment the table
+      // passes the offset (the ADVICE-r12 CDC-gate lesson)
+      def insTxt(m: Int, cls: Int, txt: org.apache.spark.sql.Column) =
         raw0.filter(col("doc_id") % m === 1)
-          .select((col("doc_id") + lit(off)).as("doc_id"), txt.as("text"))
+          .select((-(col("doc_id") * 10 + lit(cls))).as("doc_id"),
+            txt.as("text"))
           .withColumn("batch", lit(1))
-      def ins(m: Int, off: Long, suffix: String) =
-        insTxt(m, off,
+      def ins(m: Int, cls: Int, suffix: String) =
+        insTxt(m, cls,
           if (suffix.isEmpty) col("text")
           else concat(col("text"), lit(suffix)))
       val docs = raw0.withColumn("batch", lit(0))
-        .unionByName(ins(37, 10000000L, ""))
-        .unionByName(ins(41, 20000000L, " graft fresh insert"))
-        .unionByName(ins(53, 30000000L, " graft twin insert"))
-        .unionByName(ins(53, 40000000L, " graft twin insert"))
+        .unionByName(ins(37, 1, ""))
+        .unionByName(ins(41, 2, " graft fresh insert"))
+        .unionByName(ins(53, 3, " graft twin insert"))
+        .unionByName(ins(53, 4, " graft twin insert"))
         // stopword spam (10 of 11 tokens are stopword regex hits —
         // alternating, because the ' w ' match is non-overlapping):
         // must fall at the QUALITY gate
-        .unionByName(insTxt(43, 50000000L,
+        .unionByName(insTxt(43, 5,
           concat(lit("the a the a the a the a the a doc"), col("doc_id"))))
         // single-token spam (distinct ratio 2/21 < 0.1): must fall at
         // the REPETITION gate
-        .unionByName(insTxt(47, 60000000L,
+        .unionByName(insTxt(47, 6,
           concat(lit("spam spam spam spam spam spam spam spam spam spam " +
             "spam spam spam spam spam spam spam spam spam spam s"),
             col("doc_id"))))
@@ -1290,23 +1296,23 @@ object DedupCatalog {
         SELECT doc_id, 0 AS batch, text
         FROM documents WHERE text IS NOT NULL
         UNION ALL
-        SELECT doc_id + 10000000, 1, text
+        SELECT -(doc_id * 10 + 1), 1, text
         FROM documents WHERE text IS NOT NULL AND doc_id % 37 = 1
         UNION ALL
-        SELECT doc_id + 20000000, 1, text || ' graft fresh insert'
+        SELECT -(doc_id * 10 + 2), 1, text || ' graft fresh insert'
         FROM documents WHERE text IS NOT NULL AND doc_id % 41 = 1
         UNION ALL
-        SELECT doc_id + 30000000, 1, text || ' graft twin insert'
+        SELECT -(doc_id * 10 + 3), 1, text || ' graft twin insert'
         FROM documents WHERE text IS NOT NULL AND doc_id % 53 = 1
         UNION ALL
-        SELECT doc_id + 40000000, 1, text || ' graft twin insert'
+        SELECT -(doc_id * 10 + 4), 1, text || ' graft twin insert'
         FROM documents WHERE text IS NOT NULL AND doc_id % 53 = 1
         UNION ALL
-        SELECT doc_id + 50000000, 1,
+        SELECT -(doc_id * 10 + 5), 1,
                'the a the a the a the a the a doc' || doc_id
         FROM documents WHERE text IS NOT NULL AND doc_id % 43 = 1
         UNION ALL
-        SELECT doc_id + 60000000, 1,
+        SELECT -(doc_id * 10 + 6), 1,
                'spam spam spam spam spam spam spam spam spam spam ' ||
                'spam spam spam spam spam spam spam spam spam spam s'
                || doc_id
@@ -1320,24 +1326,22 @@ object DedupCatalog {
                CASE WHEN length(nt) = 0 THEN 0
                     ELSE len(string_split(nt, ' ')) END AS n_tok
         FROM d0),
-      -- FULL path: arrival-order keep-first (batch, then doc_id)
-      fsel AS (SELECT fp, min(batch * 100000000000 + doc_id) AS fkey
-               FROM dd GROUP BY 1),
-      fex AS (SELECT dd.* FROM dd JOIN fsel ON dd.fp = fsel.fp
-              AND dd.batch * 100000000000 + dd.doc_id = fsel.fkey),
+      -- FULL path: arrival-order keep-first (batch, then doc_id) — a
+      -- row_number window, NOT a linearized batch·K + doc_id key, which
+      -- silently misorders once ids outgrow K (the soak's shifted copies)
+      fex AS (SELECT doc_id, batch, nt, fp, n_tok FROM (
+        SELECT dd.*, row_number() OVER (PARTITION BY fp
+          ORDER BY batch, doc_id) AS rn FROM dd) WHERE rn = 1),
       -- INCREMENTAL path: base keep-first + delta keep-first anti-probed
       -- against the base fingerprint index
-      bsel AS (SELECT fp, min(doc_id) AS kid FROM dd
-               WHERE batch = 0 GROUP BY 1),
-      bex AS (SELECT dd.* FROM dd JOIN bsel
-              ON dd.fp = bsel.fp AND dd.doc_id = bsel.kid
-              WHERE dd.batch = 0),
-      xsel AS (SELECT fp, min(doc_id) AS kid FROM dd
-               WHERE batch = 1 GROUP BY 1),
-      dex AS (SELECT dd.* FROM dd JOIN xsel
-              ON dd.fp = xsel.fp AND dd.doc_id = xsel.kid
-              WHERE dd.batch = 1
-                AND dd.fp NOT IN (SELECT fp FROM bsel)),
+      bfp AS (SELECT DISTINCT fp FROM dd WHERE batch = 0),
+      bex AS (SELECT doc_id, batch, nt, fp, n_tok FROM (
+        SELECT dd.*, row_number() OVER (PARTITION BY fp
+          ORDER BY doc_id) AS rn FROM dd WHERE batch = 0) WHERE rn = 1),
+      dex AS (SELECT doc_id, batch, nt, fp, n_tok FROM (
+        SELECT dd.*, row_number() OVER (PARTITION BY fp
+          ORDER BY doc_id) AS rn FROM dd WHERE batch = 1)
+        WHERE rn = 1 AND fp NOT IN (SELECT fp FROM bfp)),
       iex AS (SELECT * FROM bex UNION ALL SELECT * FROM dex),
       -- per-doc gate flags are PURE functions of the text — computed once
       -- over the union of both paths' exact survivors
