@@ -67,7 +67,10 @@ object SparkEntry {
     "q_g_closeness", "q_pipeline_graph_e2e", "q_d_survivorship",
     "q_m12_spearman", "q_pipeline_pack_e2e", "q_a30_lorenz",
     "q_g_pagerank", "q_m2_ols_next", "q_e_sessionize_stream",
-    "q_e_rocksdb_stream")
+    "q_e_rocksdb_stream",
+    // r14 late additions, heavy by construction (index build + append +
+    // two parquet writes / three funnel passes)
+    "q_s_ivf_append", "q_pipeline_incr_e2e")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. SQL may

@@ -92,6 +92,32 @@ object SimilarityCatalog {
         .map { case (cell, cv) => (cell, cv.toSeq) }
         .toDF("cell", "c")
     }),
+    // index-APPEND gate (q_s_ivf_append): centroids trained on the 90%
+    // base only, assignment = base via build-time path + the withheld 10%
+    // batch via the frozen-quantizer append path — recomputed here via
+    // the same deterministic functions the gate's persisted index used
+    "ivf_append_cells" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val isDelta = pmod(col("vec_id"), lit(10)) === 7
+      val base = e.filter(!isDelta)
+      val raw = hashCentroids(base, "vec_id", "embedding",
+        scaledCellCount(base.count()))
+      assignCells(base, "vec_id", "embedding", raw)
+        .unionByName(graft.similarity.Ann.assignCellsNormalized(
+          e.filter(isDelta), "vec_id", "embedding",
+          normalizeCentroids(raw)))
+        .select("id", "cell")
+    }),
+    "ivf_base_centroids" -> ((s, dir) => {
+      val sp = s
+      import sp.implicits._
+      val e = t(s, dir, "embeddings")
+      val base = e.filter(pmod(col("vec_id"), lit(10)) =!= 7)
+      normalizeCentroids(hashCentroids(base, "vec_id", "embedding",
+          scaledCellCount(base.count())))
+        .map { case (cell, cv) => (cell, cv.toSeq) }
+        .toDF("cell", "c")
+    }),
     // IVF-PQ: RAW coarse centroids (the gate's residuals subtract these)
     // and the codebooks trained on the residuals — decimal-sum training
     // makes both bit-identical to what the gated query computes
@@ -223,19 +249,20 @@ object SimilarityCatalog {
     * scaled aux dumps, whose cell count derives from the same integer
     * √n rule.
     */
-  /** Oracle shared by q_s_ivf_scaled and q_s_ivf_persist: both gates
-    * publish the SAME answer — the √n-scaled index geometry is
-    * deterministic (decimal-sum centroids, integer cell-count rule) and
-    * doubles round-trip parquet exactly, so building in-query and probing
-    * a persisted on-disk index are observationally equivalent. DuckDB
-    * replays probe ranking + exact in-cell re-rank from the scaled aux
-    * dumps.
+  /** Parameterized IVF replay oracle, shared by q_s_ivf_scaled,
+    * q_s_ivf_persist, and q_s_ivf_append: every one publishes the same
+    * probe-ranking + exact-in-cell-re-rank answer over some deterministic
+    * (cells, centroids) index — decimal-sum centroids and exact double
+    * parquet round-trips make building in-query, probing a persisted
+    * on-disk index, and probing an appended index observationally
+    * equivalent given the same dumps. DuckDB replays probe ranking +
+    * re-rank from the named aux dumps.
     */
-  private def ivfScaledOracle: String = s"""
+  private def ivfReplaySql(cellsAux: String, centsAux: String): String = s"""
       WITH cells AS (SELECT id, cell FROM
-        read_parquet('__VERIFY_OUT__/_aux/ivf_scaled_cells/*.parquet')),
+        read_parquet('__VERIFY_OUT__/_aux/$cellsAux/*.parquet')),
       cents AS (SELECT cell, c FROM
-        read_parquet('__VERIFY_OUT__/_aux/ivf_scaled_centroids/*.parquet')),
+        read_parquet('__VERIFY_OUT__/_aux/$centsAux/*.parquet')),
       q AS (SELECT vec_id AS query_id,
                    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
             FROM embeddings WHERE vec_id < $QueryIdMax),
@@ -284,7 +311,7 @@ object SimilarityCatalog {
           col("nn_id"), r6(col("cos")).as("cos"))
         .orderBy("query_id", "rank")
     },
-    Some(ivfScaledOracle)
+    Some(ivfReplaySql("ivf_scaled_cells", "ivf_scaled_centroids"))
   )
 
   /** PERSISTED-index lifecycle gate (r13 verdict order #3) — the shape a
@@ -323,7 +350,51 @@ object SimilarityCatalog {
           .localCheckpoint(true)
       } finally IvfIndex.deleteDir(stage.toString)
     },
-    Some(ivfScaledOracle)
+    Some(ivfReplaySql("ivf_scaled_cells", "ivf_scaled_centroids"))
+  )
+
+  /** INDEX-APPEND lifecycle gate (r14): incremental maintenance of the
+    * persisted IVF index — the daily-ingest path of a growing corpus. A
+    * 10% vector batch (vec_id % 10 == 7) is withheld from the build: the
+    * index is trained and persisted on the other 90%, then the batch is
+    * APPENDED — each new vector assigned to its nearest FROZEN stored
+    * centroid, its row landing as a new file in that cell's existing
+    * partition dir (ingest cost ∝ batch, never corpus; the standard
+    * static-coarse-quantizer practice, retraining on a slow cadence).
+    * The probe then answers from the appended index and must rank the
+    * new vectors alongside the old ones exactly: the oracle replays
+    * probe + re-rank in DuckDB from aux dumps of the BASE-trained
+    * centroids and the combined assignment, both recomputed
+    * independently via the same deterministic (decimal-sum, frozen-
+    * quantizer) functions. AppendIvfSpec additionally proves
+    * append ≡ rebuild-with-frozen-quantizer bit-for-bit and that an
+    * appended vector is findable at rank 1 by its own query.
+    */
+  val sIvfAppend = QueryDef(
+    "q_s_ivf_append",
+    (s, dir) => {
+      import graft.similarity.IvfIndex
+      val e = t(s, dir, "embeddings")
+      val isDelta = pmod(col("vec_id"), lit(10)) === 7
+      val base = e.filter(!isDelta)
+      val c = scaledCellCount(base.count())
+      val stage = java.nio.file.Files
+        .createTempDirectory("graft_ivf_append")
+      try {
+        IvfIndex.write(base, "vec_id", "embedding", c, stage.toString)
+        IvfIndex.append(s, stage.toString, e.filter(isDelta),
+          "vec_id", "embedding")
+        IvfIndex.probe(s, stage.toString,
+            e.filter(col("vec_id") < QueryIdMax), "vec_id", "embedding",
+            k = TopK, nProbe = IvfScaledProbe)
+          .filter(col("nn_id") =!= col("query_id"))
+          .select(col("query_id"), col("rank").cast("long").as("rank"),
+            col("nn_id"), r6(col("cos")).as("cos"))
+          .orderBy("query_id", "rank")
+          .localCheckpoint(true)
+      } finally IvfIndex.deleteDir(stage.toString)
+    },
+    Some(ivfReplaySql("ivf_append_cells", "ivf_base_centroids"))
   )
 
   /** Product-quantization ADC top-k (similarity.Pq). The oracle replays
@@ -1689,7 +1760,8 @@ object SimilarityCatalog {
   )
 
   val all: Seq[QueryDef] =
-    Seq(sBrute, sIvf, sIvfScaled, sIvfPersist, sPq, sSq, sSparse, sRecallIvf,
+    Seq(sBrute, sIvf, sIvfScaled, sIvfPersist, sIvfAppend, sPq, sSq,
+      sSparse, sRecallIvf,
       sJlProject, sCentroidCos, sMmr, sLshRecall, sMutualNn, sNdcg, sKnn,
       sKnnIvf, sKcenter, sIvfPq)
 }

@@ -80,11 +80,21 @@ object Ann {
     * the max(struct(score, −cell)) ordering.
     */
   def assignCells(vecs: DataFrame, idCol: String, vecCol: String,
-      centroids: Seq[(Int, Array[Double])]): DataFrame = {
+      centroids: Seq[(Int, Array[Double])]): DataFrame =
+    assignCellsNormalized(vecs, idCol, vecCol, normalizeCentroids(centroids))
+
+  /** Assignment against ALREADY-normalized centroids — the entry point an
+    * index-append path uses with centroids read back from a persisted
+    * artifact: renormalizing a stored unit vector divides by a norm that
+    * is 1 ± ulp, which can flip the last bit of a score and break the
+    * bit-parity contract between build-time and append-time assignment.
+    */
+  def assignCellsNormalized(vecs: DataFrame, idCol: String, vecCol: String,
+      normCents: Seq[(Int, Array[Double])]): DataFrame = {
     VectorFunctions.register(vecs.sparkSession)
     val sp = vecs.sparkSession
     import sp.implicits._
-    val cents = normalizeCentroids(centroids)
+    val cents = normCents
       .map { case (cid, c) => (cid, c.toSeq) }.toDF("__cell", "__c")
     val v = vecs.select(col(idCol).as("id"),
       transform(col(vecCol), _.cast("double")).as("v"))

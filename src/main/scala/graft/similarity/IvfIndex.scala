@@ -30,12 +30,18 @@ import graft.functions.VectorFunctions
   */
 object IvfIndex {
 
-  /** Build + persist the index for `corpus` at `path` (overwrites). */
+  /** Build + persist the index for `corpus` at `path` (overwrites).
+    * `pretrained` supplies RAW (unnormalized) coarse centroids instead of
+    * training on `corpus` — the rebuild-with-frozen-quantizer path
+    * AppendIvfSpec uses to prove append ≡ rebuild.
+    */
   def write(corpus: DataFrame, idCol: String, vecCol: String, nCells: Int,
-      path: String): Unit = {
+      path: String,
+      pretrained: Option[Seq[(Int, Array[Double])]] = None): Unit = {
     val sp = corpus.sparkSession
     import sp.implicits._
-    val centroids = Ann.hashCentroids(corpus, idCol, vecCol, nCells)
+    val centroids = pretrained.getOrElse(
+      Ann.hashCentroids(corpus, idCol, vecCol, nCells))
     Ann.normalizeCentroids(centroids)
       .map { case (cell, c) => (cell, c.toSeq) }
       .toDF("cell", "c")
@@ -46,6 +52,29 @@ object IvfIndex {
     Ann.assignCells(corpus, idCol, vecCol, centroids)
       .select(col("id"), col("v"), col("cell"))
       .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$path/lists")
+  }
+
+  /** APPEND a vector batch to a persisted index WITHOUT retraining: each
+    * new vector is assigned to its nearest STORED centroid (the static
+    * coarse quantizer practice — a deployment trains the quantizer once
+    * and retrains on a slow cadence, because reassigning the whole corpus
+    * on every ingest would be a full rebuild) and its row lands as a new
+    * file inside that cell's existing partition directory. Probe-time
+    * readers see base + appended rows with no index rewrite — ingest cost
+    * is proportional to the BATCH, never the corpus. Assignment goes
+    * through Ann.assignCellsNormalized on the stored normalized centroids,
+    * bit-matching the build-time assignment (see that method's note).
+    */
+  def append(spark: SparkSession, path: String, delta: DataFrame,
+      idCol: String, vecCol: String): Unit = {
+    val cents = spark.read.parquet(s"$path/centroids")
+      .select("cell", "c").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1).toSeq
+    Ann.assignCellsNormalized(delta, idCol, vecCol, cents)
+      .select(col("id"), col("v"), col("cell"))
+      .write.mode("append").partitionBy("cell")
       .parquet(s"$path/lists")
   }
 
