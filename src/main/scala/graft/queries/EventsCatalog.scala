@@ -2164,6 +2164,104 @@ object EventsCatalog {
     * a silently-fresh start would flip it (and a fresh start that
     * reprocessed everything would still show batchId 0, not pass).
     */
+  /** RocksDB-provider checkpoint-restart gate (r14) — completes the
+    * {state store} × {lifecycle} matrix: q_e_rocksdb_stream proves the
+    * RocksDB provider computes correctly in one lifecycle,
+    * q_e_restart_stream proves the default store recovers across a
+    * restart; this proves RECOVERY FROM ROCKSDB SNAPSHOTS — the restarted
+    * query must rehydrate its state from the uploaded `<version>.zip`
+    * snapshots (+ the file-sink/offset commit logs), the recovery path a
+    * 100 TB deployment with heap-exceeding state actually exercises after
+    * every executor loss. Same staged-feed shape as q_e_restart_stream
+    * (complete-mode per-type aggregate, two files per phase), with the
+    * provider pinned to RocksDB for BOTH phases; `resumed` pins the
+    * continued batch numbering and `rocksdb_state` pins that snapshots
+    * exist in the checkpoint, so a silent fall-back to the default store
+    * or a fresh start both flip the hash against the batch oracle.
+    */
+  val eRocksdbRestartStream = QueryDef(
+    "q_e_rocksdb_restart_stream",
+    (s, dir) => {
+      import java.nio.file.{Files, Paths, StandardCopyOption}
+      val ev = t(s, dir, "events")
+        .select(graft.model.Schemas.events.fieldNames.map(col): _*)
+      val stage = Files.createTempDirectory("graft_rocksdb_restart")
+      val feed = stage.resolve("feed")
+      val ckpt = stage.resolve("ckpt")
+      Files.createDirectories(feed)
+      def landFile(i: Int): Unit = {
+        val tmp = stage.resolve(s"w$i").toString
+        ev.filter(pmod(col("event_id"), lit(4)) === i)
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val st = Files.list(Paths.get(tmp))
+        val part =
+          try st.filter(_.getFileName.toString.endsWith(".parquet"))
+            .findFirst().get()
+          finally st.close()
+        val dst = feed.resolve(f"b$i%02d.parquet")
+        Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
+        Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(1000L * (i + 1)))
+      }
+      def runPhase(sink: String): Long = {
+        s.catalog.dropTempView(sink)
+        val q = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(feed.toString)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sumE(col("value")).as("total"))
+          .writeStream.outputMode("complete")
+          .option("checkpointLocation", ckpt.toString)
+          .format("memory").queryName(sink)
+          .start()
+        def dataBatches = q.recentProgress.filter(_.numInputRows > 0)
+        try {
+          q.processAllAvailable()
+          var waited = 0
+          while (dataBatches.isEmpty && waited < 100) {
+            Thread.sleep(100); waited += 1
+          }
+        } finally q.stop()
+        require(dataBatches.nonEmpty,
+          s"no data batch reported by $sink after 10s")
+        dataBatches.map(_.batchId).min
+      }
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key, "org.apache.spark.sql.execution.streaming.state" +
+        ".RocksDBStateStoreProvider")
+      try {
+        withStatePartitions(s, 8) {
+          landFile(0); landFile(1)
+          runPhase("graft_rocksdb_restart_phase1")
+          landFile(2); landFile(3)
+          val firstAfterRestart = runPhase("graft_rocksdb_restart_sink")
+          val zips = {
+            val st = Files.walk(ckpt.resolve("state"))
+            try st.filter(_.getFileName.toString.endsWith(".zip")).count()
+            finally st.close()
+          }
+          s.table("graft_rocksdb_restart_sink")
+            .withColumn("resumed", lit(firstAfterRestart > 0L))
+            .withColumn("rocksdb_state", lit(zips > 0))
+            .orderBy("event_type")
+            .localCheckpoint(true)
+        }
+      } finally {
+        prev match {
+          case Some(v) => s.conf.set(key, v)
+          case None    => s.conf.unset(key)
+        }
+        deleteStagedDir(stage.toString)
+      }
+    },
+    Some(s"""
+      SELECT event_type, count(*) AS n,
+             ${sqlSumE("value")} AS total, TRUE AS resumed,
+             TRUE AS rocksdb_state
+      FROM events GROUP BY 1 ORDER BY 1""")
+  )
+
   val eRestartStream = QueryDef(
     "q_e_restart_stream",
     (s, dir) => {
@@ -2497,5 +2595,5 @@ object EventsCatalog {
       eHwStream, eRfm, eSessionWindowStream, eDid, eLateness, eBotFlag,
       eSliding, eSrm, eStickiness, ePowercurve, eChurn, eLtv,
       eRestartStream, eRestartWindowStream, eRestartReshuffleStream,
-      eRocksdbStream)
+      eRocksdbStream, eRocksdbRestartStream)
 }

@@ -63,6 +63,33 @@ class StreamRestartSpec extends SparkSpec {
     }
   }
 
+  test("q_e_rocksdb_restart_stream: exactly-once recovery from RocksDB " +
+    "snapshots across a checkpoint restart") {
+    val rows = graft.queries.EventsCatalog.eRocksdbRestartStream
+      .query(spark, sf).collect()
+    assert(rows.nonEmpty, "drained sink is empty")
+    assert(rows.forall(_.getAs[Boolean]("resumed")),
+      "restarted query did not resume from the checkpoint")
+    assert(rows.forall(_.getAs[Boolean]("rocksdb_state")),
+      "no RocksDB snapshot zips in the checkpoint — default store ran")
+    val want = graft.queries.QueryDef.events(spark, sf)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(28,6)")).cast("double").as("total"))
+      .collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n"), r.getAs[Double]("total"))).toMap
+    assert(rows.length == want.size, "event_type cardinality differs")
+    rows.foreach { r =>
+      val et = r.getAs[String]("event_type")
+      val (n, total) = want(et)
+      assert(r.getAs[Long]("n") == n,
+        s"$et count ${r.getAs[Long]("n")} != batch $n (replay or loss)")
+      assert(math.abs(r.getAs[Double]("total") - total) < 1e-9,
+        s"$et sum drifted after RocksDB recovery")
+    }
+  }
+
   test("q_e_restart_reshuffle_stream: exactly-once across a restart with " +
     "a CHANGED shuffle-partitions conf and a late-arriving file") {
     val rows = graft.queries.EventsCatalog.eRestartReshuffleStream
