@@ -89,6 +89,11 @@ object Verify {
     // find its aux inputs. Written to the sibling auxAbs dir — provably
     // outside the driver's result glob (see the auxAbs note above).
     spark.conf.set("spark.sql.ansi.enabled", "false")
+    // clear the aux sibling first (ADVICE r14): individual dumps overwrite
+    // their own subdirs, but a RENAMED/REMOVED aux entry would otherwise
+    // leave a stale dump that an oracle still referencing the old name
+    // silently replays against outdated data instead of failing loudly
+    graft.similarity.IvfIndex.deleteDir(auxAbs)
     SparkEntry.auxDumps.foreach { case (name, fn) =>
       timed(s"aux $name") {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -87,7 +87,12 @@ object IvfIndex {
     */
   def probe(spark: SparkSession, path: String, queries: DataFrame,
       qidCol: String, vecCol: String, k: Int, nProbe: Int): DataFrame = {
+    // materialize the probed-cell ranking ONCE (ADVICE r14): qCells is
+    // consumed twice — collected for the pruning list and broadcast into
+    // the re-rank join — and without this the centroids parquet read and
+    // the probe-ranking window would re-run on the second consumption
     val qCells = queryCells(spark, path, queries, qidCol, vecCol, nProbe)
+      .localCheckpoint(true)
     // the batch's probed-cell union is bounded by min(nCells, Q·nProbe)
     // — a driver collect of at most the coarse-cell count, which becomes
     // the STATIC partition filter that prunes the inverted-list scan to
@@ -143,7 +148,11 @@ object IvfIndex {
     spark.read.parquet(s"$path/lists")
       .filter(col("cell").isInCollection(probed))
 
-  /** Recursive delete of a staged index dir (children before parents). */
+  /** Recursive delete of a staged index dir (children before parents).
+    * Per-file failures are swallowed (ADVICE r14): this runs from `finally`
+    * blocks in gated queries, where a stray file landing between walk and
+    * delete must not mask the query's real result or exception.
+    */
   def deleteDir(p: String): Unit = {
     import java.nio.file.{Files, Paths}
     import java.util.Comparator
@@ -151,7 +160,10 @@ object IvfIndex {
     if (Files.exists(root)) {
       val st = Files.walk(root)
       try st.sorted(Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(f => Files.deleteIfExists(f))
+        .forEach { f =>
+          try Files.deleteIfExists(f)
+          catch { case _: java.io.IOException => () }
+        }
       finally st.close()
     }
   }

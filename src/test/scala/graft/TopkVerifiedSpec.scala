@@ -38,9 +38,15 @@ class TopkVerifiedSpec extends SparkSpec {
       .map(r => r.getAs[String]("tok") -> r.getAs[Long]("exact_cnt"))
     assert(got.toSeq == truth.toSeq,
       s"verified top-k diverged from ground truth:\n$got\nvs\n${truth.toSeq}")
-    val kth = rows.map(_.getAs[Long]("exact_cnt")).min
-    assert(kth > rows.head.getAs[Long]("max_noncand_est"),
-      "proved flag inconsistent with its own bound")
+    // the strict bound is the self-consistency claim of `proved` — only
+    // meaningful when proved is true (asserted above for THIS dataset; a
+    // future dataset where the kth count ties the max non-candidate
+    // estimate would correctly report proved=false instead)
+    if (rows.forall(_.getAs[Boolean]("proved"))) {
+      val kth = rows.map(_.getAs[Long]("exact_cnt")).min
+      assert(kth > rows.head.getAs[Long]("max_noncand_est"),
+        "proved flag inconsistent with its own bound")
+    }
   }
 
   test("q_topk_verified: provably-exact top-k equals ground truth (sf0.001)") {
