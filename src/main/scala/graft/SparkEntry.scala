@@ -70,7 +70,11 @@ object SparkEntry {
     "q_e_rocksdb_stream",
     // r14 late additions, heavy by construction (index build + append +
     // two parquet writes / three funnel passes)
-    "q_s_ivf_append", "q_pipeline_incr_e2e", "q_e_rocksdb_restart_stream")
+    "q_s_ivf_append", "q_pipeline_incr_e2e", "q_e_rocksdb_restart_stream",
+    // r15 additions, heavy by construction (two streaming lifecycles /
+    // index build + append + compaction rewrite / persisted-artifact
+    // builds + staged deltas)
+    "q_e_rocksdb_changelog_stream")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. SQL may

@@ -2262,6 +2262,116 @@ object EventsCatalog {
       FROM events GROUP BY 1 ORDER BY 1""")
   )
 
+  /** RocksDB CHANGELOG-checkpointing restart gate (r15, verdict order #5)
+    * — completes the {snapshot, changelog} × {restart} recovery matrix.
+    * q_e_rocksdb_restart_stream recovers from `<version>.zip` snapshots
+    * (each commit uploads a full snapshot); production deployments run
+    * CHANGELOG checkpointing instead, where each batch uploads only a
+    * small `<version>.changelog` of that batch's puts/deletes and full
+    * snapshots are taken lazily by the maintenance thread — so restart
+    * recovery REPLAYS changelogs on top of the latest snapshot, a
+    * different code path from snapshot-only recovery (and the one that
+    * bounds per-batch checkpoint cost by the batch's state delta instead
+    * of the full state size — the knob that matters when state is large
+    * and churn is small). Same staged-feed shape as the snapshot gate,
+    * with the changelog conf pinned for BOTH phases; `resumed` pins the
+    * continued batch numbering and `changelog_state` pins that changelog
+    * files actually exist in the checkpoint — a silent fall-back to
+    * snapshot-per-commit mode writes zips but no changelogs and flips
+    * the hash.
+    */
+  val eRocksdbChangelogStream = QueryDef(
+    "q_e_rocksdb_changelog_stream",
+    (s, dir) => {
+      import java.nio.file.{Files, Paths, StandardCopyOption}
+      val ev = t(s, dir, "events")
+        .select(graft.model.Schemas.events.fieldNames.map(col): _*)
+      val stage = Files.createTempDirectory("graft_rocksdb_changelog")
+      val feed = stage.resolve("feed")
+      val ckpt = stage.resolve("ckpt")
+      Files.createDirectories(feed)
+      def landFile(i: Int): Unit = {
+        val tmp = stage.resolve(s"w$i").toString
+        ev.filter(pmod(col("event_id"), lit(4)) === i)
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val st = Files.list(Paths.get(tmp))
+        val part =
+          try st.filter(_.getFileName.toString.endsWith(".parquet"))
+            .findFirst().get()
+          finally st.close()
+        val dst = feed.resolve(f"b$i%02d.parquet")
+        Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
+        Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(1000L * (i + 1)))
+      }
+      def runPhase(sink: String): Long = {
+        s.catalog.dropTempView(sink)
+        val q = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(feed.toString)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sumE(col("value")).as("total"))
+          .writeStream.outputMode("complete")
+          .option("checkpointLocation", ckpt.toString)
+          .format("memory").queryName(sink)
+          .start()
+        def dataBatches = q.recentProgress.filter(_.numInputRows > 0)
+        try {
+          q.processAllAvailable()
+          var waited = 0
+          while (dataBatches.isEmpty && waited < 100) {
+            Thread.sleep(100); waited += 1
+          }
+        } finally q.stop()
+        require(dataBatches.nonEmpty,
+          s"no data batch reported by $sink after 10s")
+        dataBatches.map(_.batchId).min
+      }
+      val provKey = "spark.sql.streaming.stateStore.providerClass"
+      val logKey = "spark.sql.streaming.stateStore.rocksdb" +
+        ".changelogCheckpointing.enabled"
+      val prevProv = s.conf.getOption(provKey)
+      val prevLog = s.conf.getOption(logKey)
+      s.conf.set(provKey, "org.apache.spark.sql.execution.streaming.state" +
+        ".RocksDBStateStoreProvider")
+      s.conf.set(logKey, "true")
+      try {
+        withStatePartitions(s, 8) {
+          landFile(0); landFile(1)
+          runPhase("graft_rocksdb_changelog_phase1")
+          landFile(2); landFile(3)
+          val firstAfterRestart = runPhase("graft_rocksdb_changelog_sink")
+          val changelogs = {
+            val st = Files.walk(ckpt.resolve("state"))
+            try st.filter(_.getFileName.toString.endsWith(".changelog"))
+              .count()
+            finally st.close()
+          }
+          s.table("graft_rocksdb_changelog_sink")
+            .withColumn("resumed", lit(firstAfterRestart > 0L))
+            .withColumn("changelog_state", lit(changelogs > 0))
+            .orderBy("event_type")
+            .localCheckpoint(true)
+        }
+      } finally {
+        prevProv match {
+          case Some(v) => s.conf.set(provKey, v)
+          case None    => s.conf.unset(provKey)
+        }
+        prevLog match {
+          case Some(v) => s.conf.set(logKey, v)
+          case None    => s.conf.unset(logKey)
+        }
+        deleteStagedDir(stage.toString)
+      }
+    },
+    Some(s"""
+      SELECT event_type, count(*) AS n,
+             ${sqlSumE("value")} AS total, TRUE AS resumed,
+             TRUE AS changelog_state
+      FROM events GROUP BY 1 ORDER BY 1""")
+  )
+
   val eRestartStream = QueryDef(
     "q_e_restart_stream",
     (s, dir) => {
@@ -2595,5 +2705,5 @@ object EventsCatalog {
       eHwStream, eRfm, eSessionWindowStream, eDid, eLateness, eBotFlag,
       eSliding, eSrm, eStickiness, ePowercurve, eChurn, eLtv,
       eRestartStream, eRestartWindowStream, eRestartReshuffleStream,
-      eRocksdbStream, eRocksdbRestartStream)
+      eRocksdbStream, eRocksdbRestartStream, eRocksdbChangelogStream)
 }

@@ -35,4 +35,39 @@ class RocksdbStateSpec extends SparkSpec {
         s"provider-dependent result at $k")
     }
   }
+
+  test("q_e_rocksdb_changelog_stream: changelog files exist, restart " +
+    "resumed, and results match the batch aggregate") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.queries.EventsCatalog.eRocksdbChangelogStream
+      .query(spark, sfSmoke).collect()
+    assert(rows.nonEmpty, "drained sink is empty")
+    assert(rows.forall(_.getAs[Boolean]("changelog_state")),
+      "no .changelog files in the checkpoint — changelog mode did not run")
+    assert(rows.forall(_.getAs[Boolean]("resumed")),
+      "restarted query did not continue the checkpoint's batch numbering")
+    // conf restoration: neither the provider nor the changelog flag leaks
+    assert(!spark.conf
+      .getOption("spark.sql.streaming.stateStore.providerClass")
+      .exists(_.contains("RocksDB")),
+      "gate leaked the RocksDB provider conf into the session")
+    assert(!spark.conf
+      .getOption("spark.sql.streaming.stateStore.rocksdb" +
+        ".changelogCheckpointing.enabled").contains("true"),
+      "gate leaked the changelog-checkpointing conf into the session")
+    // exactly-once across the restart: equals the batch GROUP BY
+    val want = graft.queries.QueryDef.events(spark, sfSmoke)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        graft.queries.QueryDef.sumE(col("value")).as("total"))
+      .collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n"), r.getAs[Double]("total"))).toMap
+    assert(rows.length == want.size, "per-type cardinality differs")
+    rows.foreach { r =>
+      val (n, tot) = want(r.getAs[String]("event_type"))
+      assert(r.getAs[Long]("n") == n && r.getAs[Double]("total") == tot,
+        s"restart lost or replayed rows for ${r.getAs[String]("event_type")}")
+    }
+  }
 }
