@@ -397,6 +397,51 @@ object SimilarityCatalog {
     Some(ivfReplaySql("ivf_append_cells", "ivf_base_centroids"))
   )
 
+  /** INDEX-COMPACTION lifecycle gate (r15, verdict order #2): the
+    * maintenance step between append and probe that keeps a long-lived
+    * index fast. Same build/append shape as q_s_ivf_append — train on the
+    * 90% base, append the withheld 10% batch under the frozen quantizer
+    * (which lands one EXTRA file in every touched cell) — then
+    * `IvfIndex.compact` rewrites exactly the fragmented cells back to one
+    * file each (partition-pruned read, cell-local rewrite, directory
+    * swap). The probe answers from the compacted index and must return
+    * results bit-identical to the uncompacted one — compaction is a
+    * physical-layout operation with zero logical effect — so the gate
+    * shares q_s_ivf_append's oracle replay. CompactIvfSpec additionally
+    * asserts files-per-cell == 1 after compaction, pre/post probe
+    * bit-equality, and untouched-cell no-op.
+    */
+  val sIvfCompact = QueryDef(
+    "q_s_ivf_compact",
+    (s, dir) => {
+      import graft.similarity.IvfIndex
+      val e = t(s, dir, "embeddings")
+      val isDelta = pmod(col("vec_id"), lit(10)) === 7
+      val base = e.filter(!isDelta)
+      val c = scaledCellCount(base.count())
+      val stage = java.nio.file.Files
+        .createTempDirectory("graft_ivf_compact")
+      try {
+        IvfIndex.write(base, "vec_id", "embedding", c, stage.toString)
+        IvfIndex.append(s, stage.toString, e.filter(isDelta),
+          "vec_id", "embedding")
+        val compacted = IvfIndex.compact(s, stage.toString)
+        // the append must actually have fragmented something, or the
+        // gate silently degenerates to a re-run of q_s_ivf_append
+        require(compacted > 0, "append left no fragmented cells")
+        IvfIndex.probe(s, stage.toString,
+            e.filter(col("vec_id") < QueryIdMax), "vec_id", "embedding",
+            k = TopK, nProbe = IvfScaledProbe)
+          .filter(col("nn_id") =!= col("query_id"))
+          .select(col("query_id"), col("rank").cast("long").as("rank"),
+            col("nn_id"), r6(col("cos")).as("cos"))
+          .orderBy("query_id", "rank")
+          .localCheckpoint(true)
+      } finally IvfIndex.deleteDir(stage.toString)
+    },
+    Some(ivfReplaySql("ivf_append_cells", "ivf_base_centroids"))
+  )
+
   /** Product-quantization ADC top-k (similarity.Pq). The oracle replays
     * THE WHOLE SEARCH in DuckDB from the dumped codebooks and the raw
     * embeddings: (1) per-(vector, subspace, code) squared distances —
@@ -1760,7 +1805,8 @@ object SimilarityCatalog {
   )
 
   val all: Seq[QueryDef] =
-    Seq(sBrute, sIvf, sIvfScaled, sIvfPersist, sIvfAppend, sPq, sSq,
+    Seq(sBrute, sIvf, sIvfScaled, sIvfPersist, sIvfAppend, sIvfCompact,
+      sPq, sSq,
       sSparse, sRecallIvf,
       sJlProject, sCentroidCos, sMmr, sLshRecall, sMutualNn, sNdcg, sKnn,
       sKnnIvf, sKcenter, sIvfPq)
