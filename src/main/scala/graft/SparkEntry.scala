@@ -74,7 +74,7 @@ object SparkEntry {
     // r15 additions, heavy by construction (two streaming lifecycles /
     // index build + append + compaction rewrite / persisted-artifact
     // builds + staged deltas)
-    "q_e_rocksdb_changelog_stream", "q_s_ivf_compact")
+    "q_e_rocksdb_changelog_stream", "q_s_ivf_compact", "q_s_ivfpq_persist")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. SQL may

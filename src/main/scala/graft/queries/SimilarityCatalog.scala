@@ -1641,6 +1641,10 @@ object SimilarityCatalog {
   // Search", TPAMI 2011 — the FAISS IndexIVFPQ shape) ----
 
   private val IpProbe = 3
+  // refine factor for the persisted IVF-PQ gate: exact re-rank sees 3× the
+  // published k (self-matches consume ADC candidate slots, exactly like
+  // the in-query gate's ranking)
+  private val IpRefine = 3 * TopK
 
   /** Shared by the gate and its two aux dumps: RAW coarse centroids
     * (residuals subtract these — the normalized variants are only for
@@ -1729,7 +1733,19 @@ object SimilarityCatalog {
         .orderBy("query_id", "rank")
     },
     Some(s"""
-      WITH cents AS MATERIALIZED (SELECT cell, c FROM
+      WITH $ivfPqReplayCtes
+      SELECT query_id, CAST(rank AS BIGINT) AS rank, nn_id,
+             ${sqlR6("adc")} AS adc
+      FROM ranked WHERE rank <= $TopK AND nn_id <> query_id
+      ORDER BY query_id, rank""")
+  )
+
+  /** The full IVF-PQ lifecycle replay, shared by q_pipeline_ivfpq_e2e and
+    * q_s_ivfpq_persist: normalization, assignment, residuals, codebook
+    * encoding, probe ranking, per-cell ADC tables, and the ordered lookup
+    * fold, ending at `ranked` (per-query ADC ranks, self included).
+    */
+  private def ivfPqReplayCtes: String = s"""cents AS MATERIALIZED (SELECT cell, c FROM
         read_parquet('__VERIFY_OUT__/_aux/ivfpq_centroids/*.parquet')),
       cn AS (SELECT cell, list_transform(c, x -> x /
                sqrt(list_sum(list_transform(c, y -> y * y)))) AS cnorm
@@ -1797,10 +1813,64 @@ object SimilarityCatalog {
         SELECT query_id, nn_id, adc,
                row_number() OVER (PARTITION BY query_id
                  ORDER BY adc, nn_id) AS rank
-        FROM adc)
+        FROM adc)"""
+
+  /** PERSISTED IVF-PQ lifecycle gate (r15, verdict order #3): the plain
+    * persisted index (q_s_ivf_persist) stores RAW vectors in its inverted
+    * lists — at 100 TB a full second copy of the corpus. This gate runs
+    * the storage-bounded layout end-to-end from a COLD persisted artifact:
+    * codes-only lists (8 bytes/vector) partition-pruned to the probed
+    * cells, ADC over codes to a bounded top-`IpRefine` candidate set per
+    * query, then exact-cosine re-rank of JUST those candidates fetched
+    * from the id-keyed raw side table (IVFADC-with-refine). The oracle
+    * replays the entire lifecycle in DuckDB — shared CTEs with
+    * q_pipeline_ivfpq_e2e up to the ADC ranking, then the refine tail:
+    * candidates = adc-rank ≤ $IpRefine (self included, exactly like the
+    * Spark plan), exact cosine from raw embeddings, self dropped BEFORE
+    * the final ranking. PersistedIvfPqSpec additionally asserts the
+    * codes-only schema, bytes(lists) ≪ bytes(raw), partition pruning, and
+    * bit-equality of each returned cosine against a direct recompute.
+    */
+  val sIvfPqPersist = QueryDef(
+    "q_s_ivfpq_persist",
+    (s, dir) => {
+      import graft.similarity.IvfPqIndex
+      val e = t(s, dir, "embeddings")
+      val stage = java.nio.file.Files
+        .createTempDirectory("graft_ivfpq_persist")
+      try {
+        IvfPqIndex.write(e, "vec_id", "embedding", IvfCells,
+          PqDim, PqM, PqK, stage.toString)
+        IvfPqIndex.probe(s, stage.toString,
+            e.filter(col("vec_id") < QueryIdMax), "vec_id", "embedding",
+            k = TopK, nProbe = IpProbe, refine = IpRefine)
+          .select(col("query_id"), col("rank").cast("long").as("rank"),
+            col("nn_id"), r6(col("cos")).as("cos"))
+          .orderBy("query_id", "rank")
+          .localCheckpoint(true)
+      } finally graft.similarity.IvfIndex.deleteDir(stage.toString)
+    },
+    Some(s"""
+      WITH $ivfPqReplayCtes,
+      cands AS (
+        SELECT query_id, nn_id FROM ranked WHERE rank <= $IpRefine),
+      rer AS (
+        SELECT c.query_id, c.nn_id,
+               list_sum(list_transform(list_zip(a.v, q.v),
+                 p -> p[1] * p[2]))
+               / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+                  * sqrt(list_sum(list_transform(q.v, x -> x * x)))) AS cos
+        FROM cands c JOIN corpus a ON a.vec_id = c.nn_id
+             JOIN corpus q ON q.vec_id = c.query_id
+        WHERE c.nn_id <> c.query_id),
+      rr AS (
+        SELECT query_id, nn_id, cos,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos DESC, nn_id) AS rank
+        FROM rer)
       SELECT query_id, CAST(rank AS BIGINT) AS rank, nn_id,
-             ${sqlR6("adc")} AS adc
-      FROM ranked WHERE rank <= $TopK AND nn_id <> query_id
+             ${sqlR6("cos")} AS cos
+      FROM rr WHERE rank <= $TopK
       ORDER BY query_id, rank""")
   )
 
@@ -1809,5 +1879,5 @@ object SimilarityCatalog {
       sPq, sSq,
       sSparse, sRecallIvf,
       sJlProject, sCentroidCos, sMmr, sLshRecall, sMutualNn, sNdcg, sKnn,
-      sKnnIvf, sKcenter, sIvfPq)
+      sKnnIvf, sKcenter, sIvfPq, sIvfPqPersist)
 }
