@@ -1191,6 +1191,72 @@ object DedupCatalog {
     * propagation — the honest scope is the fingerprint + per-doc-gate
     * funnel, which is.
     */
+  /** The synthesized insert batch shared by the incremental-funnel gates
+    * (q_pipeline_incr_e2e, q_pipeline_incr_mv, q_pipeline_incr_delete):
+    * exercises every incremental mechanism — see dPipelineIncr's scaladoc
+    * for the per-class rationale. Insert ids live in the NEGATED
+    * namespace: base doc_ids are non-negative at EVERY scale, so
+    * -(doc_id·10 + class) can never collide with a real doc — an additive
+    * offset (the first draft) collides with the soak's key-shifted copies
+    * the moment the table passes the offset (the ADVICE-r12 CDC-gate
+    * lesson). Returns (doc_id, text).
+    */
+  private def incrInsertBatch(raw0: DataFrame): DataFrame = {
+    def insTxt(m: Int, cls: Int, txt: org.apache.spark.sql.Column) =
+      raw0.filter(col("doc_id") % m === 1)
+        .select((-(col("doc_id") * 10 + lit(cls))).as("doc_id"),
+          txt.as("text"))
+    def ins(m: Int, cls: Int, suffix: String) =
+      insTxt(m, cls,
+        if (suffix.isEmpty) col("text")
+        else concat(col("text"), lit(suffix)))
+    ins(37, 1, "")
+      .unionByName(ins(41, 2, " graft fresh insert"))
+      .unionByName(ins(53, 3, " graft twin insert"))
+      .unionByName(ins(53, 4, " graft twin insert"))
+      // stopword spam (10 of 11 tokens are stopword regex hits —
+      // alternating, because the ' w ' match is non-overlapping):
+      // must fall at the QUALITY gate
+      .unionByName(insTxt(43, 5,
+        concat(lit("the a the a the a the a the a doc"), col("doc_id"))))
+      // single-token spam (distinct ratio 2/21 < 0.1): must fall at
+      // the REPETITION gate
+      .unionByName(insTxt(47, 6,
+        concat(lit("spam spam spam spam spam spam spam spam spam spam " +
+          "spam spam spam spam spam spam spam spam spam spam s"),
+          col("doc_id"))))
+  }
+
+  /** DuckDB spelling of [[incrInsertBatch]] ∪ the base corpus, shared by
+    * the incremental gates' oracles so the synthesized batch can never
+    * drift between the Spark queries and their replays.
+    */
+  private val incrInsertRawSql = """raw AS (
+        SELECT doc_id, 0 AS batch, text
+        FROM documents WHERE text IS NOT NULL
+        UNION ALL
+        SELECT -(doc_id * 10 + 1), 1, text
+        FROM documents WHERE text IS NOT NULL AND doc_id % 37 = 1
+        UNION ALL
+        SELECT -(doc_id * 10 + 2), 1, text || ' graft fresh insert'
+        FROM documents WHERE text IS NOT NULL AND doc_id % 41 = 1
+        UNION ALL
+        SELECT -(doc_id * 10 + 3), 1, text || ' graft twin insert'
+        FROM documents WHERE text IS NOT NULL AND doc_id % 53 = 1
+        UNION ALL
+        SELECT -(doc_id * 10 + 4), 1, text || ' graft twin insert'
+        FROM documents WHERE text IS NOT NULL AND doc_id % 53 = 1
+        UNION ALL
+        SELECT -(doc_id * 10 + 5), 1,
+               'the a the a the a the a the a doc' || doc_id
+        FROM documents WHERE text IS NOT NULL AND doc_id % 43 = 1
+        UNION ALL
+        SELECT -(doc_id * 10 + 6), 1,
+               'spam spam spam spam spam spam spam spam spam spam ' ||
+               'spam spam spam spam spam spam spam spam spam spam s'
+               || doc_id
+        FROM documents WHERE text IS NOT NULL AND doc_id % 47 = 1)"""
+
   val dPipelineIncr = QueryDef(
     "q_pipeline_incr_e2e",
     (s, dir) => {
@@ -1198,36 +1264,8 @@ object DedupCatalog {
       import org.apache.spark.sql.expressions.Window
       val raw0 = t(s, dir, "documents").filter(col("text").isNotNull)
         .select("doc_id", "text").localCheckpoint(true) // read 5×
-      // insert ids live in the NEGATED namespace: base doc_ids are
-      // non-negative at EVERY scale, so -(doc_id·10 + class) can never
-      // collide with a real doc — an additive offset (the first draft)
-      // collides with the soak's key-shifted copies the moment the table
-      // passes the offset (the ADVICE-r12 CDC-gate lesson)
-      def insTxt(m: Int, cls: Int, txt: org.apache.spark.sql.Column) =
-        raw0.filter(col("doc_id") % m === 1)
-          .select((-(col("doc_id") * 10 + lit(cls))).as("doc_id"),
-            txt.as("text"))
-          .withColumn("batch", lit(1))
-      def ins(m: Int, cls: Int, suffix: String) =
-        insTxt(m, cls,
-          if (suffix.isEmpty) col("text")
-          else concat(col("text"), lit(suffix)))
       val docs = raw0.withColumn("batch", lit(0))
-        .unionByName(ins(37, 1, ""))
-        .unionByName(ins(41, 2, " graft fresh insert"))
-        .unionByName(ins(53, 3, " graft twin insert"))
-        .unionByName(ins(53, 4, " graft twin insert"))
-        // stopword spam (10 of 11 tokens are stopword regex hits —
-        // alternating, because the ' w ' match is non-overlapping):
-        // must fall at the QUALITY gate
-        .unionByName(insTxt(43, 5,
-          concat(lit("the a the a the a the a the a doc"), col("doc_id"))))
-        // single-token spam (distinct ratio 2/21 < 0.1): must fall at
-        // the REPETITION gate
-        .unionByName(insTxt(47, 6,
-          concat(lit("spam spam spam spam spam spam spam spam spam spam " +
-            "spam spam spam spam spam spam spam spam spam spam s"),
-            col("doc_id"))))
+        .unionByName(incrInsertBatch(raw0).withColumn("batch", lit(1)))
         .withColumn("fp", md5(TextAnalysis.normText(col("text"))))
         .localCheckpoint(true) // read by the full, base, and delta paths
       def keepFirst(df: org.apache.spark.sql.DataFrame,
@@ -1292,31 +1330,7 @@ object DedupCatalog {
         s"len(regexp_extract_all(' ' || lower(nt) || ' ', ' $w ', 0))")
         .mkString("(", " + ", ")")
       s"""
-      WITH raw AS (
-        SELECT doc_id, 0 AS batch, text
-        FROM documents WHERE text IS NOT NULL
-        UNION ALL
-        SELECT -(doc_id * 10 + 1), 1, text
-        FROM documents WHERE text IS NOT NULL AND doc_id % 37 = 1
-        UNION ALL
-        SELECT -(doc_id * 10 + 2), 1, text || ' graft fresh insert'
-        FROM documents WHERE text IS NOT NULL AND doc_id % 41 = 1
-        UNION ALL
-        SELECT -(doc_id * 10 + 3), 1, text || ' graft twin insert'
-        FROM documents WHERE text IS NOT NULL AND doc_id % 53 = 1
-        UNION ALL
-        SELECT -(doc_id * 10 + 4), 1, text || ' graft twin insert'
-        FROM documents WHERE text IS NOT NULL AND doc_id % 53 = 1
-        UNION ALL
-        SELECT -(doc_id * 10 + 5), 1,
-               'the a the a the a the a the a doc' || doc_id
-        FROM documents WHERE text IS NOT NULL AND doc_id % 43 = 1
-        UNION ALL
-        SELECT -(doc_id * 10 + 6), 1,
-               'spam spam spam spam spam spam spam spam spam spam ' ||
-               'spam spam spam spam spam spam spam spam spam spam s'
-               || doc_id
-        FROM documents WHERE text IS NOT NULL AND doc_id % 47 = 1),
+      WITH $incrInsertRawSql,
       d0 AS (
         SELECT doc_id, batch,
                trim(regexp_replace(text, '\\s+', ' ', 'g')) AS nt
@@ -1404,9 +1418,110 @@ object DedupCatalog {
     }
   )
 
+  /** PERSISTED-materialized-view incremental funnel (r14 verdict order
+    * #1): q_pipeline_incr_e2e proves insert-only IVM semantics but
+    * recomputes the base side in-query to self-verify; this gate runs the
+    * PRODUCTION shape — the same split q_s_ivf_persist proved for ANN.
+    * Build step (insert-time, amortized): dedup.FunnelMv materializes the
+    * base corpus's four funnel-stage counters and its fingerprint index
+    * as parquet, and the arriving insert batch (the same synthesized
+    * classes as the in-query gate — every stage drops delta rows, so the
+    * equality is never vacuous) is staged as files. Incremental step: a
+    * pure consumer of PERSISTED state — reads the view + fp index + the
+    * staged batch, NEVER the base documents (IncrMvSpec asserts every
+    * file scan in the plan), and emits the updated view. The oracle is
+    * the FULL RECOMPUTE over base ∪ batch with arrival-order keep-first:
+    * the gate passes only if maintaining the view incrementally lands on
+    * exactly the counters a from-scratch rebuild produces — "a 1% delta
+    * reprocesses ~1%" as an artifact lifecycle, not an in-query
+    * demonstration.
+    */
+  val dPipelineIncrMv = QueryDef(
+    "q_pipeline_incr_mv",
+    (s, dir) => {
+      import graft.dedup.FunnelMv
+      val raw0 = t(s, dir, "documents").filter(col("text").isNotNull)
+        .select("doc_id", "text").localCheckpoint(true)
+      val stage = java.nio.file.Files.createTempDirectory("graft_incr_mv")
+      try {
+        // BUILD: persist the base view + fp index; stage the batch as
+        // files (in production it lands from ingestion — reading it back
+        // keeps the incremental path a pure consumer of persisted state)
+        FunnelMv.write(raw0, stage.toString, E2eMinTokens, E2eMaxStopword,
+          E2eMinDistinct, E2eMaxTopBigram)
+        incrInsertBatch(raw0).coalesce(1)
+          .write.mode("overwrite").parquet(s"$stage/batch")
+        // INCREMENTAL: persisted view + fp index + staged batch ONLY
+        FunnelMv.applyInserts(s, stage.toString,
+            s.read.parquet(s"$stage/batch"),
+            E2eMinTokens, E2eMaxStopword, E2eMinDistinct, E2eMaxTopBigram)
+          .orderBy("stage_ord")
+          // materialize before the staged artifacts are deleted below
+          .localCheckpoint(true)
+      } finally graft.similarity.IvfIndex.deleteDir(stage.toString)
+    },
+    Some {
+      val stopSum = graft.text.TextAnalysis.Stopwords.map(w =>
+        s"len(regexp_extract_all(' ' || lower(nt) || ' ', ' $w ', 0))")
+        .mkString("(", " + ", ")")
+      s"""
+      WITH $incrInsertRawSql,
+      d0 AS (
+        SELECT doc_id, batch,
+               trim(regexp_replace(text, '\\s+', ' ', 'g')) AS nt
+        FROM raw),
+      dd AS (
+        SELECT doc_id, batch, nt, md5(nt) AS fp,
+               CASE WHEN length(nt) = 0 THEN 0
+                    ELSE len(string_split(nt, ' ')) END AS n_tok
+        FROM d0),
+      -- FULL recompute: arrival-order keep-first over base ∪ batch — the
+      -- ground truth the incrementally-maintained view must land on
+      fex AS (SELECT doc_id, batch, nt, fp, n_tok FROM (
+        SELECT dd.*, row_number() OVER (PARTITION BY fp
+          ORDER BY batch, doc_id) AS rn FROM dd) WHERE rn = 1),
+      qf AS (
+        SELECT doc_id FROM fex
+        WHERE n_tok >= $E2eMinTokens
+          AND $stopSum / CAST(n_tok AS DOUBLE) <= $E2eMaxStopword),
+      rtok AS (
+        SELECT doc_id, generate_subscripts(tk, 1) AS pos, unnest(tk) AS w
+        FROM (SELECT doc_id, string_split(nt, ' ') AS tk FROM fex
+              WHERE doc_id IN (SELECT doc_id FROM qf))),
+      c1 AS (
+        SELECT doc_id, count(DISTINCT w) AS dist, count(*) AS total
+        FROM rtok GROUP BY 1),
+      c2c AS (
+        SELECT a.doc_id, a.w || ' ' || b.w AS gram, count(*) AS c
+        FROM rtok a JOIN rtok b
+          ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        GROUP BY 1, 2),
+      c2 AS (SELECT doc_id, max(c) AS topc, sum(c) AS total
+             FROM c2c GROUP BY 1),
+      rf AS (
+        SELECT c1.doc_id FROM c1 LEFT JOIN c2 ON c2.doc_id = c1.doc_id
+        WHERE c1.dist / CAST(c1.total AS DOUBLE) >= $E2eMinDistinct
+          AND (c2.doc_id IS NULL
+            OR c2.topc / CAST(c2.total AS DOUBLE) <= $E2eMaxTopBigram))
+      SELECT * FROM (
+        SELECT 1 AS stage_ord, 'input' AS stage, count(*) AS n_docs,
+               CAST(coalesce(sum(n_tok), 0) AS BIGINT) AS n_tokens FROM dd
+        UNION ALL SELECT 2, 'exact_dedup', count(*),
+               CAST(coalesce(sum(n_tok), 0) AS BIGINT) FROM fex
+        UNION ALL SELECT 3, 'quality_gate', count(*),
+               CAST(coalesce(sum(n_tok), 0) AS BIGINT)
+               FROM fex WHERE doc_id IN (SELECT doc_id FROM qf)
+        UNION ALL SELECT 4, 'repetition_gate', count(*),
+               CAST(coalesce(sum(n_tok), 0) AS BIGINT)
+               FROM fex WHERE doc_id IN (SELECT doc_id FROM qf)
+                          AND doc_id IN (SELECT doc_id FROM rf))
+      ORDER BY stage_ord"""
+    }
+  )
+
   val all: Seq[QueryDef] =
     Seq(dExact, dJaccard, dComponents, dClusterSizes, dMinHash, dSimHash,
       dEmbed, dSemantic, dFuzzy, dFellegi, dContainment, dLshRecall,
       dBbitMinhash, dNgramNovelty, dDedupImpact, dSurvivorship, dDamerau,
-      dPipelineE2e, dPipelineIncr)
+      dPipelineE2e, dPipelineIncr, dPipelineIncrMv)
 }
