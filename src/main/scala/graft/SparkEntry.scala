@@ -75,7 +75,7 @@ object SparkEntry {
     // index build + append + compaction rewrite / persisted-artifact
     // builds + staged deltas)
     "q_e_rocksdb_changelog_stream", "q_s_ivf_compact", "q_s_ivfpq_persist",
-    "q_pipeline_incr_mv")
+    "q_pipeline_incr_mv", "q_pipeline_incr_delete")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. SQL may

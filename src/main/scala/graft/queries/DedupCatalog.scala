@@ -1519,9 +1519,262 @@ object DedupCatalog {
     }
   )
 
+  /** TOMBSTONE DELETES in the funnel IVM (r14 verdict order #4) — the
+    * other half of the maintenance loop: GDPR-style removals from a
+    * curated corpus whose view was built by keep-first dedup. The
+    * insert-time state is a delete-capable fingerprint index with one row
+    * per ABSORBED doc — (doc_id, batch, fp, n_tok, q, qr), the per-doc
+    * gate flags being pure functions computed once at ingest — and the
+    * delete path touches ONLY that index plus the tombstone batch, never
+    * any text. Update rule per affected fingerprint group: recompute the
+    * keeper among survivors (arrival order), subtract the OLD keeper's
+    * per-stage contributions and add the NEW keeper's; the input stage
+    * subtracts every deleted doc. The tombstone batch plants all four
+    * delete shapes:
+    *   - RESURFACE (the subtle case): delete a BASE original whose fp had
+    *     suppressed a batch-1 exact copy (doc_id%37=1 ∧ %2=0) — the copy
+    *     must become the keeper, so the exact/quality/repetition counts
+    *     must NOT drop (keep-first under deletion);
+    *   - plain decrement: delete a fresh batch-1 doc (%41=1 ∧ %3=0) —
+    *     every stage it passed decrements;
+    *   - suppressed-duplicate delete: delete a batch-1 COPY (%37=1 ∧
+    *     %5=0) — a no-op beyond the input stage, the keeper is untouched;
+    *   - group-vanish: where %2=0 ∧ %5=0 overlap, BOTH members die and
+    *     the group leaves every stage.
+    * The full path recomputes keepers from scratch over the index minus
+    * tombstones; each stage row publishes both results and their exact
+    * integer equality flag, so any error in keeper succession, the
+    * anti-probe, or the contribution arithmetic flips a boolean and the
+    * hash. (IncrDeleteSpec additionally pins keeper IDENTITY — counts
+    * alone cannot distinguish "copy resurfaced" from "original
+    * retained".)
+    */
+  val dPipelineIncrDelete = QueryDef(
+    "q_pipeline_incr_delete",
+    (s, dir) => {
+      import graft.text.TextAnalysis
+      import org.apache.spark.sql.expressions.Window
+      val raw0 = t(s, dir, "documents").filter(col("text").isNotNull)
+        .select("doc_id", "text").localCheckpoint(true)
+      val docs = raw0.withColumn("batch", lit(0))
+        .unionByName(incrInsertBatch(raw0).withColumn("batch", lit(1)))
+        .localCheckpoint(true)
+      // insert-time per-doc state (the delete-capable index): flags are
+      // pure functions of the text, computed once at ingest
+      val qual = TextAnalysis.withQuality(docs)
+        .select(col("doc_id"), col("batch"),
+          md5(TextAnalysis.normText(col("text"))).as("fp"),
+          col("n_tokens").as("n_tok"),
+          (col("n_tokens") >= E2eMinTokens &&
+            col("stopword_ratio") <= E2eMaxStopword).as("q"))
+      val rep = TextAnalysis.repetitionSignals(docs, "doc_id", "text")
+        .select(col("doc_id"),
+          (col("distinct_token_ratio") >= E2eMinDistinct &&
+            (col("top_bigram_ratio").isNull ||
+              col("top_bigram_ratio") <= E2eMaxTopBigram)).as("r"))
+      val idx = qual.join(rep, Seq("doc_id"))
+        .select(col("doc_id"), col("batch"), col("fp"), col("n_tok"),
+          col("q"), (col("q") && coalesce(col("r"), lit(false))).as("qr"))
+        .localCheckpoint(true)
+      // the tombstone batch (doc_ids only — deletes arrive as ids)
+      val del = raw0
+        .filter(col("doc_id") % 37 === 1 && col("doc_id") % 2 === 0)
+        .select(col("doc_id"))
+        .unionByName(raw0
+          .filter(col("doc_id") % 41 === 1 && col("doc_id") % 3 === 0)
+          .select((-(col("doc_id") * 10 + lit(2))).as("doc_id")))
+        .unionByName(raw0
+          .filter(col("doc_id") % 37 === 1 && col("doc_id") % 5 === 0)
+          .select((-(col("doc_id") * 10 + lit(1))).as("doc_id")))
+        .localCheckpoint(true)
+      def keepers(df: DataFrame) =
+        df.withColumn("__rn", row_number().over(Window.partitionBy("fp")
+            .orderBy(col("batch"), col("doc_id"))))
+          .filter(col("__rn") === 1).drop("__rn")
+      def stages(input: DataFrame, keep: DataFrame) = {
+        def row(ord: Int, name: String, df: DataFrame) =
+          df.agg(count(lit(1)).as("n_docs"),
+              coalesce(sum(col("n_tok")), lit(0L)).as("n_tokens"))
+            .select(lit(ord).as("stage_ord"), lit(name).as("stage"),
+              col("n_docs"), col("n_tokens"))
+        Seq(row(1, "input", input), row(2, "exact_dedup", keep),
+          row(3, "quality_gate", keep.filter(col("q"))),
+          row(4, "repetition_gate", keep.filter(col("qr"))))
+          .reduce(_ unionByName _)
+      }
+      // FULL recompute: keepers from scratch over index minus tombstones
+      val fsurv = idx.join(del, Seq("doc_id"), "left_anti")
+        .localCheckpoint(true)
+      val full = stages(fsurv, keepers(fsurv))
+      // INCREMENTAL: pre-delete view + per-affected-group keeper
+      // succession, from the index and the tombstones ONLY
+      val pre = stages(idx, keepers(idx))
+      val aff = idx.join(del, Seq("doc_id")).select("fp").distinct()
+      // bounded by the deleted groups — at scale a co-located fp-bucketed
+      // probe, never a corpus rescan
+      val affRows = idx.join(aff, Seq("fp")).localCheckpoint(true)
+      val affOld = keepers(affRows).localCheckpoint(true)
+      val affNew = keepers(affRows.join(del, Seq("doc_id"), "left_anti"))
+        .localCheckpoint(true)
+      val deld = idx.join(del, Seq("doc_id"))
+      def agg1(df: DataFrame) =
+        df.agg(count(lit(1)).as("n"),
+          coalesce(sum(col("n_tok")), lit(0L)).as("tk"))
+      val dIn = agg1(deld)
+        .select(lit(1).as("stage_ord"), (-col("n")).as("dn"),
+          (-col("tk")).as("dtk"))
+      def dStage(ord: Int, f: DataFrame => DataFrame) =
+        agg1(f(affNew)).select(col("n").as("nn"), col("tk").as("ntk"))
+          .crossJoin(broadcast(agg1(f(affOld))
+            .select(col("n").as("kn"), col("tk").as("ktk"))))
+          .select(lit(ord).as("stage_ord"),
+            (col("nn") - col("kn")).as("dn"),
+            (col("ntk") - col("ktk")).as("dtk"))
+      val deltas = dIn
+        .unionByName(dStage(2, identity))
+        .unionByName(dStage(3, _.filter(col("q"))))
+        .unionByName(dStage(4, _.filter(col("qr"))))
+      val inc = pre.join(deltas, Seq("stage_ord"))
+        .select(col("stage_ord"),
+          (col("n_docs") + col("dn")).as("n_docs_inc"),
+          (col("n_tokens") + col("dtk")).as("n_tokens_inc"))
+      full.withColumnRenamed("n_docs", "n_docs_full")
+        .withColumnRenamed("n_tokens", "n_tokens_full")
+        .join(inc, Seq("stage_ord"))
+        .select(col("stage_ord"), col("stage"),
+          col("n_docs_full"), col("n_docs_inc"),
+          col("n_tokens_full"), col("n_tokens_inc"),
+          (col("n_docs_full") === col("n_docs_inc") &&
+            col("n_tokens_full") === col("n_tokens_inc")).as("consistent"))
+        .orderBy("stage_ord")
+    },
+    Some {
+      val stopSum = graft.text.TextAnalysis.Stopwords.map(w =>
+        s"len(regexp_extract_all(' ' || lower(nt) || ' ', ' $w ', 0))")
+        .mkString("(", " + ", ")")
+      s"""
+      WITH $incrInsertRawSql,
+      d0 AS (
+        SELECT doc_id, batch,
+               trim(regexp_replace(text, '\\s+', ' ', 'g')) AS nt
+        FROM raw),
+      dd AS (
+        SELECT doc_id, batch, nt, md5(nt) AS fp,
+               CASE WHEN length(nt) = 0 THEN 0
+                    ELSE len(string_split(nt, ' ')) END AS n_tok
+        FROM d0),
+      del AS (
+        SELECT doc_id FROM documents
+        WHERE text IS NOT NULL AND doc_id % 37 = 1 AND doc_id % 2 = 0
+        UNION ALL
+        SELECT -(doc_id * 10 + 2) FROM documents
+        WHERE text IS NOT NULL AND doc_id % 41 = 1 AND doc_id % 3 = 0
+        UNION ALL
+        SELECT -(doc_id * 10 + 1) FROM documents
+        WHERE text IS NOT NULL AND doc_id % 37 = 1 AND doc_id % 5 = 0),
+      -- per-doc gate flags, pure functions of the text (insert-time state)
+      qf AS (
+        SELECT doc_id FROM dd
+        WHERE n_tok >= $E2eMinTokens
+          AND $stopSum / CAST(n_tok AS DOUBLE) <= $E2eMaxStopword),
+      rtok AS (
+        SELECT doc_id, generate_subscripts(tk, 1) AS pos, unnest(tk) AS w
+        FROM (SELECT doc_id, string_split(nt, ' ') AS tk FROM dd
+              WHERE doc_id IN (SELECT doc_id FROM qf))),
+      c1 AS (
+        SELECT doc_id, count(DISTINCT w) AS dist, count(*) AS total
+        FROM rtok GROUP BY 1),
+      c2c AS (
+        SELECT a.doc_id, a.w || ' ' || b.w AS gram, count(*) AS c
+        FROM rtok a JOIN rtok b
+          ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        GROUP BY 1, 2),
+      c2 AS (SELECT doc_id, max(c) AS topc, sum(c) AS total
+             FROM c2c GROUP BY 1),
+      rf AS (
+        SELECT c1.doc_id FROM c1 LEFT JOIN c2 ON c2.doc_id = c1.doc_id
+        WHERE c1.dist / CAST(c1.total AS DOUBLE) >= $E2eMinDistinct
+          AND (c2.doc_id IS NULL
+            OR c2.topc / CAST(c2.total AS DOUBLE) <= $E2eMaxTopBigram)),
+      flags AS MATERIALIZED (
+        SELECT doc_id, batch, fp, n_tok,
+               doc_id IN (SELECT doc_id FROM qf) AS q,
+               doc_id IN (SELECT doc_id FROM qf)
+                 AND doc_id IN (SELECT doc_id FROM rf) AS qr
+        FROM dd),
+      -- FULL: keepers recomputed from scratch over index minus tombstones
+      fsurv AS (SELECT * FROM flags
+                WHERE doc_id NOT IN (SELECT doc_id FROM del)),
+      fkeep AS (SELECT doc_id, batch, fp, n_tok, q, qr FROM (
+        SELECT f.*, row_number() OVER (PARTITION BY fp
+          ORDER BY batch, doc_id) AS rn FROM fsurv f) WHERE rn = 1),
+      stage_f AS (
+        SELECT 1 AS stage_ord, 'input' AS stage, count(*) AS n,
+               CAST(coalesce(sum(n_tok), 0) AS BIGINT) AS tk FROM fsurv
+        UNION ALL SELECT 2, 'exact_dedup', count(*),
+               CAST(coalesce(sum(n_tok), 0) AS BIGINT) FROM fkeep
+        UNION ALL SELECT 3, 'quality_gate', count(*),
+               CAST(coalesce(sum(n_tok), 0) AS BIGINT) FROM fkeep WHERE q
+        UNION ALL SELECT 4, 'repetition_gate', count(*),
+               CAST(coalesce(sum(n_tok), 0) AS BIGINT) FROM fkeep WHERE qr),
+      -- INCREMENTAL: pre-delete view + affected-group keeper succession
+      pk AS MATERIALIZED (SELECT doc_id, batch, fp, n_tok, q, qr FROM (
+        SELECT f.*, row_number() OVER (PARTITION BY fp
+          ORDER BY batch, doc_id) AS rn FROM flags f) WHERE rn = 1),
+      pre AS (
+        SELECT 1 AS stage_ord, count(*) AS n,
+               CAST(coalesce(sum(n_tok), 0) AS BIGINT) AS tk FROM flags
+        UNION ALL SELECT 2, count(*),
+               CAST(coalesce(sum(n_tok), 0) AS BIGINT) FROM pk
+        UNION ALL SELECT 3, count(*),
+               CAST(coalesce(sum(n_tok), 0) AS BIGINT) FROM pk WHERE q
+        UNION ALL SELECT 4, count(*),
+               CAST(coalesce(sum(n_tok), 0) AS BIGINT) FROM pk WHERE qr),
+      aff AS (SELECT DISTINCT fp FROM flags
+              WHERE doc_id IN (SELECT doc_id FROM del)),
+      affold AS (SELECT pk.* FROM pk JOIN aff USING (fp)),
+      affnew AS (SELECT doc_id, batch, fp, n_tok, q, qr FROM (
+        SELECT f.*, row_number() OVER (PARTITION BY fp
+          ORDER BY batch, doc_id) AS rn
+        FROM flags f JOIN aff USING (fp)
+        WHERE doc_id NOT IN (SELECT doc_id FROM del)) WHERE rn = 1),
+      deld AS (SELECT * FROM flags
+               WHERE doc_id IN (SELECT doc_id FROM del)),
+      delta AS (
+        SELECT 1 AS stage_ord, -count(*) AS dn,
+               -CAST(coalesce(sum(n_tok), 0) AS BIGINT) AS dtk FROM deld
+        UNION ALL SELECT 2,
+               (SELECT count(*) FROM affnew)
+                 - (SELECT count(*) FROM affold),
+               CAST((SELECT coalesce(sum(n_tok), 0) FROM affnew)
+                 - (SELECT coalesce(sum(n_tok), 0) FROM affold) AS BIGINT)
+        UNION ALL SELECT 3,
+               (SELECT count(*) FROM affnew WHERE q)
+                 - (SELECT count(*) FROM affold WHERE q),
+               CAST((SELECT coalesce(sum(n_tok), 0) FROM affnew WHERE q)
+                 - (SELECT coalesce(sum(n_tok), 0) FROM affold WHERE q)
+                 AS BIGINT)
+        UNION ALL SELECT 4,
+               (SELECT count(*) FROM affnew WHERE qr)
+                 - (SELECT count(*) FROM affold WHERE qr),
+               CAST((SELECT coalesce(sum(n_tok), 0) FROM affnew WHERE qr)
+                 - (SELECT coalesce(sum(n_tok), 0) FROM affold WHERE qr)
+                 AS BIGINT)),
+      stage_i AS (
+        SELECT pre.stage_ord, pre.n + delta.dn AS n, pre.tk + delta.dtk AS tk
+        FROM pre JOIN delta USING (stage_ord))
+      SELECT f.stage_ord, f.stage,
+             f.n AS n_docs_full, i.n AS n_docs_inc,
+             f.tk AS n_tokens_full, i.tk AS n_tokens_inc,
+             (f.n = i.n AND f.tk = i.tk) AS consistent
+      FROM stage_f f JOIN stage_i i USING (stage_ord)
+      ORDER BY stage_ord"""
+    }
+  )
+
   val all: Seq[QueryDef] =
     Seq(dExact, dJaccard, dComponents, dClusterSizes, dMinHash, dSimHash,
       dEmbed, dSemantic, dFuzzy, dFellegi, dContainment, dLshRecall,
       dBbitMinhash, dNgramNovelty, dDedupImpact, dSurvivorship, dDamerau,
-      dPipelineE2e, dPipelineIncr, dPipelineIncrMv)
+      dPipelineE2e, dPipelineIncr, dPipelineIncrMv, dPipelineIncrDelete)
 }
