@@ -54,28 +54,20 @@ object SparkEntry {
   }
 
   private val heavyLast: Set[String] = Set(
-    // top-26 dump wall-clocks of the r14 profiled sf0.01 Verify run
-    // (cutoff 1.68 s; the tail below it is flat ~1.4-1.6 s) plus
-    // q_e_rocksdb_stream (3.5 s, profiled in its own run). Refresh each
-    // round if the heavy tail moves.
-    "q_e_restart_reshuffle_stream", "q_e_restart_window_stream",
-    "q_m23_isotonic", "q_m47_feature_rank", "q_e_restart_stream",
-    "q_pipeline_e2e", "q_s_ivf_persist", "q_g_hits",
-    "q_pipeline_ivfpq_e2e", "q_m13_robust", "q_f_interp",
-    "q_e_full_join_stream", "q_w8_rolling_corr", "q_e_left_join_stream",
-    "q_e_interval_stream", "q_m33_dbscan", "q_e_scd_stream",
-    "q_g_closeness", "q_pipeline_graph_e2e", "q_d_survivorship",
-    "q_m12_spearman", "q_pipeline_pack_e2e", "q_a30_lorenz",
-    "q_g_pagerank", "q_m2_ols_next", "q_e_sessionize_stream",
-    "q_e_rocksdb_stream",
-    // r14 late additions, heavy by construction (index build + append +
-    // two parquet writes / three funnel passes)
-    "q_s_ivf_append", "q_pipeline_incr_e2e", "q_e_rocksdb_restart_stream",
-    // r15 additions, heavy by construction (two streaming lifecycles /
-    // index build + append + compaction rewrite / persisted-artifact
-    // builds + staged deltas)
-    "q_e_rocksdb_changelog_stream", "q_s_ivf_compact", "q_s_ivfpq_persist",
-    "q_pipeline_incr_mv", "q_pipeline_incr_delete")
+    // top-30 dump wall-clocks of the r15 profiled sf0.01 full Verify run
+    // (354 queries, local[16]; cutoff 1.91 s — the tail below is flat
+    // ~1.4-1.9 s). Refresh each round if the heavy tail moves.
+    "q_e_restart_reshuffle_stream", "q_s_ivfpq_persist",
+    "q_e_restart_window_stream", "q_pipeline_incr_e2e", "q_m23_isotonic",
+    "q_s_ivf_compact", "q_pipeline_incr_mv", "q_s_ivf_persist",
+    "q_e_rocksdb_restart_stream", "q_pipeline_e2e", "q_f_interp",
+    "q_s_ivf_append", "q_e_restart_stream", "q_m13_robust",
+    "q_m47_feature_rank", "q_m32_conformal", "q_e_interval_stream",
+    "q_e_left_join_stream", "q_pipeline_ivfpq_e2e",
+    "q_pipeline_incr_delete", "q_e_full_join_stream", "q_m19_bootstrap",
+    "q_w8_rolling_corr", "q_e_rocksdb_changelog_stream", "q_d_semantic",
+    "q_pipeline_stream_e2e", "q_a29_boxplot", "q_e_rocksdb_stream",
+    "q_e_scd_stream", "q_s_pq_topk")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. SQL may
