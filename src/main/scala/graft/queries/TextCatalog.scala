@@ -624,13 +624,19 @@ object TextCatalog {
     * is also the RANKING key in both engines (raw-double ranking could
     * flip near-ties across engines).
     */
-  val tBm25 = QueryDef(
-    "q_t_bm25",
-    (s, dir) =>
-      graft.text.Bm25.topK(t(s, dir, "documents"), "doc_id", "text",
-          Seq("join", "vector", "stream"), k = 15)
-        .orderBy("rank"),
-    Some(s"""
+  // the fixed probe every BM25 gate (in-query, persisted, appended) runs
+  private val Bm25Terms = Seq("join", "vector", "stream")
+  private val Bm25K = 15
+
+  /** Shared by q_t_bm25, q_t_bm25_persist, and q_t_bm25_append: the
+    * persisted-index probes are bit-identical to the in-query path over
+    * the same corpus (integer tf/dl/df/stats round-trip parquet exactly
+    * and all three paths score through Bm25.rankTopK), so one DuckDB
+    * recompute over the full `documents` table gates them all — for the
+    * append gate that means the oracle independently verifies that
+    * base-build + batch-append reconstructs the FULL corpus's ranking.
+    */
+  private val bm25OracleSql: String = s"""
       WITH t AS (
         SELECT doc_id, lower($sqlNorm) AS nt
         FROM documents WHERE length($sqlNorm) > 0),
@@ -640,7 +646,8 @@ object TextCatalog {
                     CAST(sum(dl) AS BIGINT) AS total_dl FROM dl),
       tf AS (
         SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
-        FROM tok WHERE w IN ('join', 'vector', 'stream') GROUP BY 1, 2),
+        FROM tok WHERE w IN (${Bm25Terms.map(w => s"'$w'").mkString(", ")})
+        GROUP BY 1, 2),
       dfq AS (SELECT w, CAST(count(*) AS BIGINT) AS dfc FROM tf GROUP BY 1),
       sc AS (
         SELECT tf.doc_id,
@@ -659,7 +666,87 @@ object TextCatalog {
                row_number() OVER (ORDER BY score DESC, doc_id) AS rank
         FROM agg)
       SELECT CAST(rank AS BIGINT) AS rank, doc_id, score
-      FROM rk WHERE rank <= 15 ORDER BY rank""")
+      FROM rk WHERE rank <= $Bm25K ORDER BY rank"""
+
+  val tBm25 = QueryDef(
+    "q_t_bm25",
+    (s, dir) =>
+      graft.text.Bm25.topK(t(s, dir, "documents"), "doc_id", "text",
+          Bm25Terms, k = Bm25K)
+        .orderBy("rank"),
+    Some(bm25OracleSql)
+  )
+
+  /** PERSISTED-postings-index lifecycle gate — the lexical-retrieval twin
+    * of q_s_ivf_persist: build the term-bucket-partitioned inverted index
+    * ONCE (postings + 1-row corpus stats written as parquet), then answer
+    * the q_t_bm25 probe from a COLD read of the persisted artifact with no
+    * access to the corpus text. The probe-only read is partition-PRUNED:
+    * `tb` is a parquet partition column, so a |q|-term query scans at most
+    * |q| of the index's bucket directories — at 1000-executor scale a
+    * probe reads a handful of postings files off object storage instead of
+    * re-tokenizing 100 TB of text (build cost is paid once and amortized;
+    * PostingsIndexSpec measures the split). Results are bit-identical to
+    * the in-query q_t_bm25 — integer tf/dl/df/stats round-trip parquet
+    * exactly and both paths score through Bm25.rankTopK — so the same
+    * DuckDB oracle gates both.
+    */
+  val tBm25Persist = QueryDef(
+    "q_t_bm25_persist",
+    (s, dir) => {
+      import graft.text.PostingsIndex
+      val stage = java.nio.file.Files
+        .createTempDirectory("graft_bm25_persist")
+      try {
+        PostingsIndex.write(t(s, dir, "documents"), "doc_id", "text",
+          nBuckets = 16, stage.toString)
+        PostingsIndex.probe(s, stage.toString, Bm25Terms, "doc_id",
+            k = Bm25K)
+          .orderBy("rank")
+          // materialize before the persisted index is deleted below
+          .localCheckpoint(true)
+      } finally graft.similarity.IvfIndex.deleteDir(stage.toString)
+    },
+    Some(bm25OracleSql)
+  )
+
+  /** INDEX-APPEND + COMPACTION lifecycle gate for the postings index (the
+    * daily-ingest path of a growing text corpus): a third of the documents
+    * (doc_id % 3 == 0) is withheld from the build — the index is persisted
+    * on the other two thirds, the withheld batch is APPENDED (its postings
+    * land as new files in the existing bucket dirs; the 1-row stats table
+    * advances by the batch's own counts — ingest ∝ batch, never corpus),
+    * the fragmented buckets are COMPACTED back to one file each, and the
+    * probe answers from the maintained index. The oracle recomputes BM25
+    * over the FULL corpus, so it independently verifies that
+    * base-build + append + compact reconstructs the exact full-corpus
+    * ranking — any error in bucket routing, the stats arithmetic, or
+    * compaction's rewrite flips the hash.
+    */
+  val tBm25Append = QueryDef(
+    "q_t_bm25_append",
+    (s, dir) => {
+      import graft.text.PostingsIndex
+      val docs = t(s, dir, "documents")
+      val isDelta = pmod(col("doc_id"), lit(3)) === 0
+      val stage = java.nio.file.Files
+        .createTempDirectory("graft_bm25_append")
+      try {
+        PostingsIndex.write(docs.filter(!isDelta), "doc_id", "text",
+          nBuckets = 16, stage.toString)
+        PostingsIndex.append(s, stage.toString, docs.filter(isDelta),
+          "doc_id", "text")
+        // the append must actually have fragmented something, or the
+        // compaction leg silently degenerates to a no-op
+        val compacted = PostingsIndex.compact(s, stage.toString)
+        require(compacted > 0, "append left no fragmented buckets")
+        PostingsIndex.probe(s, stage.toString, Bm25Terms, "doc_id",
+            k = Bm25K)
+          .orderBy("rank")
+          .localCheckpoint(true)
+      } finally graft.similarity.IvfIndex.deleteDir(stage.toString)
+    },
+    Some(bm25OracleSql)
   )
 
   // q_t_dsir parameters — shared by the Spark query, the aux dump, and the
@@ -2507,7 +2594,8 @@ object TextCatalog {
     Seq(tQuality, tTokens, tFingerprint, tLangId, tExplode,
       tRepetition, tLmScore, tSplit, tStratSample, tTfIdf, tPmi,
       tPii, tVocab, tComposition, tPack, tShuffle, tDecontaminate,
-      tLineDedup, tBm25, tDsir, tWsample, tVocabOverlap, tMixture, tJsd,
+      tLineDedup, tBm25, tBm25Persist, tBm25Append, tDsir, tWsample,
+      tVocabOverlap, tMixture, tJsd,
       tFeatHash, tDupSpans, tZipf, tLangConfusion, tBpeStep, tBpeTrain5,
       tBpeEncode, tBleu, tChunkOverlap, tRrf, tRbo, tTempMixture, tRouge,
       tTokenBudget, tCdcChunks, tKappa, tFunnel, tBigramLm, tShards, tTtr,

@@ -93,32 +93,41 @@ object IvfIndex {
     * immaterial; doubles round-trip parquet exactly — CompactIvfSpec
     * asserts both). Returns the number of compacted cells.
     */
-  def compact(spark: SparkSession, path: String): Int = {
+  def compact(spark: SparkSession, path: String): Int =
+    compactPartitions(spark, s"$path/lists", "cell")
+
+  /** The generic form of `compact`, shared with the persisted BM25
+    * postings index (text.PostingsIndex): compacts any parquet dataset
+    * laid out as `<dataDir>/<partCol>=<int>/…` by rewriting exactly the
+    * multi-file partitions to one file each.
+    */
+  def compactPartitions(spark: SparkSession, dataDir: String,
+      partCol: String): Int = {
     import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._
-    val listsDir = Paths.get(path, "lists")
+    val rootDir = Paths.get(dataDir)
     def ls(d: java.nio.file.Path): Seq[java.nio.file.Path] = {
       val st = Files.list(d)
       try st.iterator().asScala.toList finally st.close()
     }
-    val fragmented = ls(listsDir)
+    val fragmented = ls(rootDir)
       .filter(d => Files.isDirectory(d) &&
-        d.getFileName.toString.startsWith("cell="))
+        d.getFileName.toString.startsWith(s"$partCol="))
       .filter(d => ls(d).count(_.getFileName.toString.endsWith(".parquet")) > 1)
-      .map(_.getFileName.toString.stripPrefix("cell=").toInt)
+      .map(_.getFileName.toString.stripPrefix(s"$partCol=").toInt)
     if (fragmented.isEmpty) return 0
-    // scratch space lives OUTSIDE lists/ so partition discovery on a
-    // concurrent read never sees a half-written or oddly-named cell dir
-    val tmp = s"$path/lists_compacting"
-    spark.read.parquet(s"$path/lists")
-      .filter(col("cell").isInCollection(fragmented)) // static pruning
-      .repartition(col("cell")) // one task owns a whole cell ⇒ one file
-      .write.mode("overwrite").partitionBy("cell").parquet(tmp)
+    // scratch space lives OUTSIDE the dataset dir so partition discovery
+    // on a concurrent read never sees a half-written or oddly-named dir
+    val tmp = s"${dataDir}_compacting"
+    spark.read.parquet(dataDir)
+      .filter(col(partCol).isInCollection(fragmented)) // static pruning
+      .repartition(col(partCol)) // one task owns a partition ⇒ one file
+      .write.mode("overwrite").partitionBy(partCol).parquet(tmp)
     fragmented.foreach { c =>
-      val dst = listsDir.resolve(s"cell=$c")
-      val retired = Paths.get(tmp, s"cell=$c.retired")
+      val dst = rootDir.resolve(s"$partCol=$c")
+      val retired = Paths.get(tmp, s"$partCol=$c.retired")
       Files.move(dst, retired)
-      Files.move(Paths.get(tmp, s"cell=$c"), dst)
+      Files.move(Paths.get(tmp, s"$partCol=$c"), dst)
     }
     deleteDir(tmp)
     fragmented.size

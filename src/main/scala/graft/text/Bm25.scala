@@ -17,6 +17,18 @@ import org.apache.spark.sql.functions._
   */
 object Bm25 {
 
+  /** The shared tokenization (lowercase whitespace words over normalized
+    * text): (idCol, w) with empty tokens dropped — documents whose text is
+    * empty/whitespace-only contribute no rows, so they are outside the
+    * corpus statistics in BOTH the in-query and the persisted-index paths.
+    */
+  def tokens(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol),
+        explode(split(TextAnalysis.normText(lower(col(textCol))), " "))
+          .as("w"))
+      .filter(length(col("w")) > 0)
+
   /** Top-`k` documents for `queryTerms` by BM25(k1, b): (rank, idCol,
     * score). Token = lowercase whitespace word; ties break by document id
     * ascending. Only documents containing ≥1 query term are candidates.
@@ -30,21 +42,31 @@ object Bm25 {
       k1: Double = 1.2,
       b: Double = 0.75): DataFrame = {
     require(queryTerms.nonEmpty, "empty query")
-    val toks = docs
-      .select(col(idCol),
-        explode(split(TextAnalysis.normText(lower(col(textCol))), " "))
-          .as("w"))
-      .filter(length(col("w")) > 0)
+    val toks = tokens(docs, idCol, textCol)
     val dl = toks.groupBy(idCol).agg(count(lit(1)).as("dl"))
     val stats = dl.agg(count(lit(1)).as("n_docs"),
       sum("dl").as("total_dl"))
     val qtoks = toks.filter(col("w").isin(queryTerms: _*))
     val tf = qtoks.groupBy(idCol, "w").agg(count(lit(1)).as("tf"))
     val dfq = tf.groupBy("w").agg(count(lit(1)).as("dfc"))
-    val scored = tf
+    val perTerm = tf
       .join(dl, idCol)
       .join(broadcast(dfq), "w")
       .crossJoin(broadcast(stats))
+    rankTopK(perTerm, idCol, k, k1, b)
+  }
+
+  /** The scoring tail, shared by `topK` and PostingsIndex.probe so the
+    * persisted-index path is STRUCTURALLY bit-identical to the in-query
+    * one: `perTerm` carries one row per (document, matched query term)
+    * with integer columns (idCol, tf, dl, dfc, n_docs, total_dl) — given
+    * identical integers, the double expression tree below produces
+    * identical doubles in both paths, and the DECIMAL per-doc sum is
+    * order-independent, so the ranking cannot diverge.
+    */
+  def rankTopK(perTerm: DataFrame, idCol: String, k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val scored = perTerm
       .withColumn("avgdl",
         col("total_dl").cast("double") / col("n_docs"))
       .withColumn("idf",
