@@ -89,6 +89,49 @@ object FunnelMv {
       .write.mode("overwrite").parquet(s"$path/fpindex")
   }
 
+  /** Persist the DELETE-CAPABLE per-doc index at `path` (overwrites):
+    * `idx` rows (doc_id, batch, fp, n_tok, q, qr — per-doc gate flags
+    * computed once at ingest) PARTITIONED BY `fpb`, the fingerprint's
+    * hash bucket, so tombstone vacuuming later rewrites only the buckets
+    * holding deleted docs instead of the whole index. The funnel view is
+    * recomputable from this artifact alone — flags are insert-time state,
+    * so no maintenance operation ever re-reads corpus text.
+    */
+  def writeDocIndex(idx: DataFrame, path: String, nBuckets: Int): Unit =
+    idx
+      .withColumn("fpb",
+        pmod(xxhash64(col("fp")), lit(nBuckets.toLong)).cast("int"))
+      .repartition(col("fpb")) // one task owns a bucket ⇒ one file each
+      .write.mode("overwrite").partitionBy("fpb").parquet(s"$path/docindex")
+
+  /** VACUUM a tombstone batch out of the persisted index: physically
+    * rewrite ONLY the fp-buckets holding deleted docs (GDPR-style removal
+    * — a logical tombstone list is not deletion; the bytes must go). The
+    * affected-bucket discovery is a column-pruned (doc_id, fpb) scan
+    * joined to the tombstones — at cluster scale a doc_id-keyed sidecar
+    * or fp-carrying delete feed makes even that probe-local — and the
+    * rewrite is IvfIndex.rewritePartitions' partition-pruned anti-join
+    * swap: untouched buckets' files are never opened, a fully-tombstoned
+    * bucket's directory is retired outright, and keep-first succession
+    * needs no special casing because dead rows are physically gone from
+    * every later read. Returns the number of rows purged.
+    */
+  def vacuum(spark: SparkSession, path: String,
+      tombstones: DataFrame): Long = {
+    import graft.similarity.IvfIndex
+    val ts = tombstones.select("doc_id").localCheckpoint(true)
+    val dead = spark.read.parquet(s"$path/docindex")
+      .select("doc_id", "fpb") // column-pruned: never reads fp/flags
+      .join(broadcast(ts), Seq("doc_id"))
+      .localCheckpoint(true) // consumed twice (bucket list + purge count)
+    val affected = dead.select("fpb").distinct()
+      .collect().map(_.getInt(0)).toSeq // bounded by the delete batch
+    if (affected.isEmpty) return 0L
+    IvfIndex.rewritePartitions(spark, s"$path/docindex", "fpb", affected,
+      df => df.join(broadcast(ts), Seq("doc_id"), "left_anti"))
+    dead.count()
+  }
+
   /** Apply an insert batch: within-batch keep-first, anti-probe against
     * the PERSISTED fingerprint index, per-doc gates on the survivors, add
     * the batch's stage counts to the PERSISTED view. Reads only `path`

@@ -1549,111 +1549,87 @@ object DedupCatalog {
     * alone cannot distinguish "copy resurfaced" from "original
     * retained".)
     */
-  val dPipelineIncrDelete = QueryDef(
-    "q_pipeline_incr_delete",
-    (s, dir) => {
-      import graft.text.TextAnalysis
-      import org.apache.spark.sql.expressions.Window
-      val raw0 = t(s, dir, "documents").filter(col("text").isNotNull)
-        .select("doc_id", "text").localCheckpoint(true)
-      val docs = raw0.withColumn("batch", lit(0))
-        .unionByName(incrInsertBatch(raw0).withColumn("batch", lit(1)))
-        .localCheckpoint(true)
-      // insert-time per-doc state (the delete-capable index): flags are
-      // pure functions of the text, computed once at ingest
-      val qual = TextAnalysis.withQuality(docs)
-        .select(col("doc_id"), col("batch"),
-          md5(TextAnalysis.normText(col("text"))).as("fp"),
-          col("n_tokens").as("n_tok"),
-          (col("n_tokens") >= E2eMinTokens &&
-            col("stopword_ratio") <= E2eMaxStopword).as("q"))
-      val rep = TextAnalysis.repetitionSignals(docs, "doc_id", "text")
-        .select(col("doc_id"),
-          (col("distinct_token_ratio") >= E2eMinDistinct &&
-            (col("top_bigram_ratio").isNull ||
-              col("top_bigram_ratio") <= E2eMaxTopBigram)).as("r"))
-      val idx = qual.join(rep, Seq("doc_id"))
-        .select(col("doc_id"), col("batch"), col("fp"), col("n_tok"),
-          col("q"), (col("q") && coalesce(col("r"), lit(false))).as("qr"))
-        .localCheckpoint(true)
-      // the tombstone batch (doc_ids only — deletes arrive as ids)
-      val del = raw0
-        .filter(col("doc_id") % 37 === 1 && col("doc_id") % 2 === 0)
-        .select(col("doc_id"))
-        .unionByName(raw0
-          .filter(col("doc_id") % 41 === 1 && col("doc_id") % 3 === 0)
-          .select((-(col("doc_id") * 10 + lit(2))).as("doc_id")))
-        .unionByName(raw0
-          .filter(col("doc_id") % 37 === 1 && col("doc_id") % 5 === 0)
-          .select((-(col("doc_id") * 10 + lit(1))).as("doc_id")))
-        .localCheckpoint(true)
-      def keepers(df: DataFrame) =
-        df.withColumn("__rn", row_number().over(Window.partitionBy("fp")
-            .orderBy(col("batch"), col("doc_id"))))
-          .filter(col("__rn") === 1).drop("__rn")
-      def stages(input: DataFrame, keep: DataFrame) = {
-        def row(ord: Int, name: String, df: DataFrame) =
-          df.agg(count(lit(1)).as("n_docs"),
-              coalesce(sum(col("n_tok")), lit(0L)).as("n_tokens"))
-            .select(lit(ord).as("stage_ord"), lit(name).as("stage"),
-              col("n_docs"), col("n_tokens"))
-        Seq(row(1, "input", input), row(2, "exact_dedup", keep),
-          row(3, "quality_gate", keep.filter(col("q"))),
-          row(4, "repetition_gate", keep.filter(col("qr"))))
-          .reduce(_ unionByName _)
-      }
-      // FULL recompute: keepers from scratch over index minus tombstones
-      val fsurv = idx.join(del, Seq("doc_id"), "left_anti")
-        .localCheckpoint(true)
-      val full = stages(fsurv, keepers(fsurv))
-      // INCREMENTAL: pre-delete view + per-affected-group keeper
-      // succession, from the index and the tombstones ONLY
-      val pre = stages(idx, keepers(idx))
-      val aff = idx.join(del, Seq("doc_id")).select("fp").distinct()
-      // bounded by the deleted groups — at scale a co-located fp-bucketed
-      // probe, never a corpus rescan
-      val affRows = idx.join(aff, Seq("fp")).localCheckpoint(true)
-      val affOld = keepers(affRows).localCheckpoint(true)
-      val affNew = keepers(affRows.join(del, Seq("doc_id"), "left_anti"))
-        .localCheckpoint(true)
-      val deld = idx.join(del, Seq("doc_id"))
-      def agg1(df: DataFrame) =
-        df.agg(count(lit(1)).as("n"),
-          coalesce(sum(col("n_tok")), lit(0L)).as("tk"))
-      val dIn = agg1(deld)
-        .select(lit(1).as("stage_ord"), (-col("n")).as("dn"),
-          (-col("tk")).as("dtk"))
-      def dStage(ord: Int, f: DataFrame => DataFrame) =
-        agg1(f(affNew)).select(col("n").as("nn"), col("tk").as("ntk"))
-          .crossJoin(broadcast(agg1(f(affOld))
-            .select(col("n").as("kn"), col("tk").as("ktk"))))
-          .select(lit(ord).as("stage_ord"),
-            (col("nn") - col("kn")).as("dn"),
-            (col("ntk") - col("ktk")).as("dtk"))
-      val deltas = dIn
-        .unionByName(dStage(2, identity))
-        .unionByName(dStage(3, _.filter(col("q"))))
-        .unionByName(dStage(4, _.filter(col("qr"))))
-      val inc = pre.join(deltas, Seq("stage_ord"))
-        .select(col("stage_ord"),
-          (col("n_docs") + col("dn")).as("n_docs_inc"),
-          (col("n_tokens") + col("dtk")).as("n_tokens_inc"))
-      full.withColumnRenamed("n_docs", "n_docs_full")
-        .withColumnRenamed("n_tokens", "n_tokens_full")
-        .join(inc, Seq("stage_ord"))
-        .select(col("stage_ord"), col("stage"),
-          col("n_docs_full"), col("n_docs_inc"),
-          col("n_tokens_full"), col("n_tokens_inc"),
-          (col("n_docs_full") === col("n_docs_inc") &&
-            col("n_tokens_full") === col("n_tokens_inc")).as("consistent"))
-        .orderBy("stage_ord")
-    },
-    Some {
-      val stopSum = graft.text.TextAnalysis.Stopwords.map(w =>
-        s"len(regexp_extract_all(' ' || lower(nt) || ' ', ' $w ', 0))")
-        .mkString("(", " + ", ")")
-      s"""
-      WITH $incrInsertRawSql,
+  /** Insert-time per-doc state (the delete-capable index) over
+    * base ∪ insert batch — (doc_id, batch, fp, n_tok, q, qr), the gate
+    * flags being pure functions of the text computed once at ingest —
+    * plus the tombstone batch planting all four delete shapes (see
+    * dPipelineIncrDelete's scaladoc). Shared by q_pipeline_incr_delete
+    * (in-query IVM) and q_pipeline_incr_vacuum (persisted-artifact
+    * vacuum) so the two gates can never drift.
+    */
+  private def deleteCapableIndex(s: SparkSession,
+      dir: String): (DataFrame, DataFrame) = {
+    import graft.text.TextAnalysis
+    val raw0 = t(s, dir, "documents").filter(col("text").isNotNull)
+      .select("doc_id", "text").localCheckpoint(true)
+    val docs = raw0.withColumn("batch", lit(0))
+      .unionByName(incrInsertBatch(raw0).withColumn("batch", lit(1)))
+      .localCheckpoint(true)
+    val qual = TextAnalysis.withQuality(docs)
+      .select(col("doc_id"), col("batch"),
+        md5(TextAnalysis.normText(col("text"))).as("fp"),
+        col("n_tokens").as("n_tok"),
+        (col("n_tokens") >= E2eMinTokens &&
+          col("stopword_ratio") <= E2eMaxStopword).as("q"))
+    val rep = TextAnalysis.repetitionSignals(docs, "doc_id", "text")
+      .select(col("doc_id"),
+        (col("distinct_token_ratio") >= E2eMinDistinct &&
+          (col("top_bigram_ratio").isNull ||
+            col("top_bigram_ratio") <= E2eMaxTopBigram)).as("r"))
+    val idx = qual.join(rep, Seq("doc_id"))
+      .select(col("doc_id"), col("batch"), col("fp"), col("n_tok"),
+        col("q"), (col("q") && coalesce(col("r"), lit(false))).as("qr"))
+      .localCheckpoint(true)
+    // the tombstone batch (doc_ids only — deletes arrive as ids)
+    val del = raw0
+      .filter(col("doc_id") % 37 === 1 && col("doc_id") % 2 === 0)
+      .select(col("doc_id"))
+      .unionByName(raw0
+        .filter(col("doc_id") % 41 === 1 && col("doc_id") % 3 === 0)
+        .select((-(col("doc_id") * 10 + lit(2))).as("doc_id")))
+      .unionByName(raw0
+        .filter(col("doc_id") % 37 === 1 && col("doc_id") % 5 === 0)
+        .select((-(col("doc_id") * 10 + lit(1))).as("doc_id")))
+      .localCheckpoint(true)
+    (idx, del)
+  }
+
+  /** Keep-first exact dedup over the delete-capable index: one keeper per
+    * fingerprint, earliest by (batch, doc_id) — arrival order.
+    */
+  private def delKeepers(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    df.withColumn("__rn", row_number().over(Window.partitionBy("fp")
+        .orderBy(col("batch"), col("doc_id"))))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** The four funnel-stage counters computed from index rows alone (flags
+    * are insert-time state — no text access).
+    */
+  private def delStages(input: DataFrame, keep: DataFrame): DataFrame = {
+    def row(ord: Int, name: String, df: DataFrame) =
+      df.agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(col("n_tok")), lit(0L)).as("n_tokens"))
+        .select(lit(ord).as("stage_ord"), lit(name).as("stage"),
+          col("n_docs"), col("n_tokens"))
+    Seq(row(1, "input", input), row(2, "exact_dedup", keep),
+      row(3, "quality_gate", keep.filter(col("q"))),
+      row(4, "repetition_gate", keep.filter(col("qr"))))
+      .reduce(_ unionByName _)
+  }
+
+  /** Shared oracle CTE prefix for the delete-capable-index gates
+    * (q_pipeline_incr_delete, q_pipeline_incr_vacuum): base ∪ insert
+    * batch, the per-doc flags relation (insert-time state), and the
+    * tombstone batch — the independently-recomputed twins of
+    * [[deleteCapableIndex]]'s two frames.
+    */
+  private val delIndexCtes: String = {
+    val stopSum = graft.text.TextAnalysis.Stopwords.map(w =>
+      s"len(regexp_extract_all(' ' || lower(nt) || ' ', ' $w ', 0))")
+      .mkString("(", " + ", ")")
+    s"""$incrInsertRawSql,
       d0 AS (
         SELECT doc_id, batch,
                trim(regexp_replace(text, '\\s+', ' ', 'g')) AS nt
@@ -1701,7 +1677,64 @@ object DedupCatalog {
                doc_id IN (SELECT doc_id FROM qf) AS q,
                doc_id IN (SELECT doc_id FROM qf)
                  AND doc_id IN (SELECT doc_id FROM rf) AS qr
-        FROM dd),
+        FROM dd)"""
+  }
+
+  val dPipelineIncrDelete = QueryDef(
+    "q_pipeline_incr_delete",
+    (s, dir) => {
+      val (idx, del) = deleteCapableIndex(s, dir)
+      def keepers(df: DataFrame) = delKeepers(df)
+      def stages(input: DataFrame, keep: DataFrame) = delStages(input, keep)
+      // FULL recompute: keepers from scratch over index minus tombstones
+      val fsurv = idx.join(del, Seq("doc_id"), "left_anti")
+        .localCheckpoint(true)
+      val full = stages(fsurv, keepers(fsurv))
+      // INCREMENTAL: pre-delete view + per-affected-group keeper
+      // succession, from the index and the tombstones ONLY
+      val pre = stages(idx, keepers(idx))
+      val aff = idx.join(del, Seq("doc_id")).select("fp").distinct()
+      // bounded by the deleted groups — at scale a co-located fp-bucketed
+      // probe, never a corpus rescan
+      val affRows = idx.join(aff, Seq("fp")).localCheckpoint(true)
+      val affOld = keepers(affRows).localCheckpoint(true)
+      val affNew = keepers(affRows.join(del, Seq("doc_id"), "left_anti"))
+        .localCheckpoint(true)
+      val deld = idx.join(del, Seq("doc_id"))
+      def agg1(df: DataFrame) =
+        df.agg(count(lit(1)).as("n"),
+          coalesce(sum(col("n_tok")), lit(0L)).as("tk"))
+      val dIn = agg1(deld)
+        .select(lit(1).as("stage_ord"), (-col("n")).as("dn"),
+          (-col("tk")).as("dtk"))
+      def dStage(ord: Int, f: DataFrame => DataFrame) =
+        agg1(f(affNew)).select(col("n").as("nn"), col("tk").as("ntk"))
+          .crossJoin(broadcast(agg1(f(affOld))
+            .select(col("n").as("kn"), col("tk").as("ktk"))))
+          .select(lit(ord).as("stage_ord"),
+            (col("nn") - col("kn")).as("dn"),
+            (col("ntk") - col("ktk")).as("dtk"))
+      val deltas = dIn
+        .unionByName(dStage(2, identity))
+        .unionByName(dStage(3, _.filter(col("q"))))
+        .unionByName(dStage(4, _.filter(col("qr"))))
+      val inc = pre.join(deltas, Seq("stage_ord"))
+        .select(col("stage_ord"),
+          (col("n_docs") + col("dn")).as("n_docs_inc"),
+          (col("n_tokens") + col("dtk")).as("n_tokens_inc"))
+      full.withColumnRenamed("n_docs", "n_docs_full")
+        .withColumnRenamed("n_tokens", "n_tokens_full")
+        .join(inc, Seq("stage_ord"))
+        .select(col("stage_ord"), col("stage"),
+          col("n_docs_full"), col("n_docs_inc"),
+          col("n_tokens_full"), col("n_tokens_inc"),
+          (col("n_docs_full") === col("n_docs_inc") &&
+            col("n_tokens_full") === col("n_tokens_inc")).as("consistent"))
+        .orderBy("stage_ord")
+    },
+    Some {
+      s"""
+      WITH $delIndexCtes,
       -- FULL: keepers recomputed from scratch over index minus tombstones
       fsurv AS (SELECT * FROM flags
                 WHERE doc_id NOT IN (SELECT doc_id FROM del)),
@@ -1772,9 +1805,82 @@ object DedupCatalog {
     }
   )
 
+  /** PHYSICAL tombstone VACUUM of the persisted funnel index — the
+    * artifact-lifecycle completion of q_pipeline_incr_delete: that gate
+    * proves the IVM arithmetic under deletes; this one proves the BYTES
+    * go away (GDPR-style removal — a logical tombstone list is not
+    * deletion). The delete-capable per-doc index is persisted PARTITIONED
+    * BY fingerprint hash bucket, the tombstone batch (all four delete
+    * shapes, including the keeper-succession resurface case) is vacuumed
+    * by rewriting ONLY the affected buckets (partition-pruned anti-join
+    * swap via IvfIndex.rewritePartitions — untouched buckets' files are
+    * never opened), and the funnel stages are then recomputed from the
+    * VACUUMED artifact alone — keep-first succession needs no special
+    * casing because dead rows are physically gone from every later read.
+    * The oracle recomputes the post-delete funnel from raw tables, so any
+    * row the vacuum wrongly kept or dropped flips a stage count; the
+    * pinned `purged` boolean (no tombstoned row readable ∧ row delta ==
+    * purge count) makes a silent no-op vacuum flip the hash too.
+    * IncrVacuumSpec additionally asserts unaffected buckets' files are
+    * untouched on disk.
+    */
+  val dPipelineIncrVacuum = QueryDef(
+    "q_pipeline_incr_vacuum",
+    (s, dir) => {
+      import graft.dedup.FunnelMv
+      val (idx, del) = deleteCapableIndex(s, dir)
+      val stage = java.nio.file.Files
+        .createTempDirectory("graft_funnel_vacuum")
+      try {
+        FunnelMv.writeDocIndex(idx, stage.toString, nBuckets = 16)
+        val before = s.read.parquet(s"${stage.toString}/docindex").count()
+        val purged = FunnelMv.vacuum(s, stage.toString, del)
+        val vac = s.read.parquet(s"${stage.toString}/docindex")
+          .localCheckpoint(true) // materialize before the index is deleted
+        val after = vac.count()
+        val remaining = vac.join(del, Seq("doc_id")).count()
+        // rows_after is replayed by the oracle from raw tables; purged is
+        // the physical-deletion claim (no tombstoned row readable ∧ row
+        // delta == purge count) — deterministically TRUE, so the oracle's
+        // literal makes a silent no-op vacuum flip the hash
+        val book = s.range(1).select(
+          lit(after).as("rows_after"),
+          lit(remaining == 0L && before - after == purged).as("purged"))
+        delStages(vac, delKeepers(vac))
+          .crossJoin(broadcast(book))
+          .orderBy("stage_ord")
+          .localCheckpoint(true)
+      } finally graft.similarity.IvfIndex.deleteDir(stage.toString)
+    },
+    Some(s"""
+      WITH $delIndexCtes,
+      fsurv AS (SELECT * FROM flags
+                WHERE doc_id NOT IN (SELECT doc_id FROM del)),
+      fkeep AS (SELECT doc_id, batch, fp, n_tok, q, qr FROM (
+        SELECT f.*, row_number() OVER (PARTITION BY fp
+          ORDER BY batch, doc_id) AS rn FROM fsurv f) WHERE rn = 1),
+      book AS (SELECT CAST(count(*) AS BIGINT) AS rows_after,
+                      TRUE AS purged FROM fsurv)
+      SELECT st.stage_ord, st.stage, st.n_docs, st.n_tokens,
+             book.rows_after, book.purged
+      FROM (
+        SELECT 1 AS stage_ord, 'input' AS stage, count(*) AS n_docs,
+               CAST(coalesce(sum(n_tok), 0) AS BIGINT) AS n_tokens
+        FROM fsurv
+        UNION ALL SELECT 2, 'exact_dedup', count(*),
+               CAST(coalesce(sum(n_tok), 0) AS BIGINT) FROM fkeep
+        UNION ALL SELECT 3, 'quality_gate', count(*),
+               CAST(coalesce(sum(n_tok), 0) AS BIGINT) FROM fkeep WHERE q
+        UNION ALL SELECT 4, 'repetition_gate', count(*),
+               CAST(coalesce(sum(n_tok), 0) AS BIGINT) FROM fkeep WHERE qr
+      ) st CROSS JOIN book
+      ORDER BY stage_ord""")
+  )
+
   val all: Seq[QueryDef] =
     Seq(dExact, dJaccard, dComponents, dClusterSizes, dMinHash, dSimHash,
       dEmbed, dSemantic, dFuzzy, dFellegi, dContainment, dLshRecall,
       dBbitMinhash, dNgramNovelty, dDedupImpact, dSurvivorship, dDamerau,
-      dPipelineE2e, dPipelineIncr, dPipelineIncrMv, dPipelineIncrDelete)
+      dPipelineE2e, dPipelineIncr, dPipelineIncrMv, dPipelineIncrDelete,
+      dPipelineIncrVacuum)
 }

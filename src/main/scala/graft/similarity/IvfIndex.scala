@@ -103,34 +103,53 @@ object IvfIndex {
     */
   def compactPartitions(spark: SparkSession, dataDir: String,
       partCol: String): Int = {
-    import java.nio.file.{Files, Paths}
+    import java.nio.file.Files
     import scala.jdk.CollectionConverters._
-    val rootDir = Paths.get(dataDir)
     def ls(d: java.nio.file.Path): Seq[java.nio.file.Path] = {
       val st = Files.list(d)
       try st.iterator().asScala.toList finally st.close()
     }
-    val fragmented = ls(rootDir)
+    val fragmented = ls(java.nio.file.Paths.get(dataDir))
       .filter(d => Files.isDirectory(d) &&
         d.getFileName.toString.startsWith(s"$partCol="))
       .filter(d => ls(d).count(_.getFileName.toString.endsWith(".parquet")) > 1)
       .map(_.getFileName.toString.stripPrefix(s"$partCol=").toInt)
-    if (fragmented.isEmpty) return 0
-    // scratch space lives OUTSIDE the dataset dir so partition discovery
-    // on a concurrent read never sees a half-written or oddly-named dir
-    val tmp = s"${dataDir}_compacting"
-    spark.read.parquet(dataDir)
-      .filter(col(partCol).isInCollection(fragmented)) // static pruning
+    if (fragmented.nonEmpty)
+      rewritePartitions(spark, dataDir, partCol, fragmented, identity)
+    fragmented.size
+  }
+
+  /** Rewrite exactly the `values` partitions of a `<dataDir>/<partCol>=N/`
+    * parquet dataset through `transform` — the shared partition-local
+    * maintenance primitive behind IVF/postings compaction (identity
+    * transform) and the funnel index's tombstone vacuum (anti-join
+    * transform). Partition-PRUNED read of only the named partitions,
+    * `repartition(partCol)` so each lands as one file, staged write OUTSIDE
+    * the dataset dir (partition discovery on a concurrent read never sees a
+    * half-written or oddly-named dir), then per-partition directory swap.
+    * Rows never move across partitions: `transform` must be
+    * partition-local (filters/projections), which every caller's is.
+    */
+  def rewritePartitions(spark: SparkSession, dataDir: String,
+      partCol: String, values: Seq[Int],
+      transform: DataFrame => DataFrame): Unit = {
+    import java.nio.file.{Files, Paths}
+    val rootDir = Paths.get(dataDir)
+    val tmp = s"${dataDir}_rewriting"
+    transform(spark.read.parquet(dataDir)
+        .filter(col(partCol).isInCollection(values))) // static pruning
       .repartition(col(partCol)) // one task owns a partition ⇒ one file
       .write.mode("overwrite").partitionBy(partCol).parquet(tmp)
-    fragmented.foreach { c =>
+    values.foreach { c =>
       val dst = rootDir.resolve(s"$partCol=$c")
       val retired = Paths.get(tmp, s"$partCol=$c.retired")
       Files.move(dst, retired)
-      Files.move(Paths.get(tmp, s"$partCol=$c"), dst)
+      // a transform may legitimately empty a partition (e.g. vacuum of a
+      // fully-tombstoned bucket): the swap then just retires the old dir
+      if (Files.exists(Paths.get(tmp, s"$partCol=$c")))
+        Files.move(Paths.get(tmp, s"$partCol=$c"), dst)
     }
     deleteDir(tmp)
-    fragmented.size
   }
 
   /** Probe-only search against a persisted index: rank the broadcast
