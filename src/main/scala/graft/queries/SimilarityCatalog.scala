@@ -442,6 +442,82 @@ object SimilarityCatalog {
     Some(ivfReplaySql("ivf_append_cells", "ivf_base_centroids"))
   )
 
+  /** STREAMING INGEST into the persisted IVF index — the composition a
+    * live corpus actually runs: vectors arrive as a stream, and each
+    * micro-batch is appended to the on-disk index under the frozen coarse
+    * quantizer (readStream over the staged delta files,
+    * maxFilesPerTrigger=1 so the 3 files arrive as ordered micro-batches,
+    * foreachBatch → IvfIndex.append — ingest ∝ batch, no index rewrite),
+    * followed by the maintenance compaction a deployment schedules, then
+    * the probe. Because per-vector assignment under a frozen quantizer is
+    * batch-INDEPENDENT, the final index is bit-identical to the one-shot
+    * append — so the gate shares q_s_ivf_append's oracle replay, with a
+    * pinned `multi_batch` boolean (≥2 micro-batches actually flowed
+    * through the streaming engine) so a silent single-batch degeneration
+    * flips the hash.
+    */
+  val sIvfStreamIngest = QueryDef(
+    "q_s_ivf_stream_ingest",
+    (s, dir) => {
+      import java.nio.file.{Files, Paths, StandardCopyOption}
+      import graft.similarity.IvfIndex
+      val e = t(s, dir, "embeddings")
+      val isDelta = pmod(col("vec_id"), lit(10)) === 7
+      val base = e.filter(!isDelta)
+      val delta = e.filter(isDelta)
+      val c = scaledCellCount(base.count())
+      val stage = Files.createTempDirectory("graft_ivf_stream")
+      val feed = stage.resolve("feed")
+      Files.createDirectories(feed)
+      try {
+        IvfIndex.write(base, "vec_id", "embedding", c,
+          s"${stage.toString}/index")
+        // three arrival slices staged with ascending mtimes, pinning the
+        // FileStreamSource replay order (the q_e_scd_stream pattern)
+        (0 until 3).foreach { i =>
+          val tmp = stage.resolve(s"w$i").toString
+          delta.filter(pmod(col("vec_id"), lit(3)) === i)
+            .coalesce(1).write.mode("overwrite").parquet(tmp)
+          val part = Files.list(Paths.get(tmp)).filter(
+            _.getFileName.toString.endsWith(".parquet")).findFirst().get()
+          val dst = feed.resolve(f"b$i%02d.parquet")
+          Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
+          Files.setLastModifiedTime(dst,
+            java.nio.file.attribute.FileTime.fromMillis(1000L * (i + 1)))
+        }
+        var batches = 0
+        val q = s.readStream.schema(delta.schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(feed.toString)
+          .writeStream.foreachBatch { (b: DataFrame, _: Long) =>
+            if (!b.isEmpty) {
+              IvfIndex.append(s, s"${stage.toString}/index", b,
+                "vec_id", "embedding")
+              batches += 1
+            }
+          }.start()
+        try q.processAllAvailable() finally q.stop()
+        require(batches >= 2,
+          s"streaming ingest coalesced to $batches micro-batches")
+        val compacted = IvfIndex.compact(s, s"${stage.toString}/index")
+        require(compacted > 0, "ingest left no fragmented cells")
+        IvfIndex.probe(s, s"${stage.toString}/index",
+            e.filter(col("vec_id") < QueryIdMax), "vec_id", "embedding",
+            k = TopK, nProbe = IvfScaledProbe)
+          .filter(col("nn_id") =!= col("query_id"))
+          .select(col("query_id"), col("rank").cast("long").as("rank"),
+            col("nn_id"), r6(col("cos")).as("cos"))
+          .withColumn("multi_batch", lit(batches >= 2))
+          .orderBy("query_id", "rank")
+          .localCheckpoint(true)
+      } finally IvfIndex.deleteDir(stage.toString)
+    },
+    Some(s"""
+      SELECT r.*, TRUE AS multi_batch
+      FROM (${ivfReplaySql("ivf_append_cells", "ivf_base_centroids")}) r
+      ORDER BY query_id, rank""")
+  )
+
   /** Product-quantization ADC top-k (similarity.Pq). The oracle replays
     * THE WHOLE SEARCH in DuckDB from the dumped codebooks and the raw
     * embeddings: (1) per-(vector, subspace, code) squared distances —
@@ -1876,7 +1952,7 @@ object SimilarityCatalog {
 
   val all: Seq[QueryDef] =
     Seq(sBrute, sIvf, sIvfScaled, sIvfPersist, sIvfAppend, sIvfCompact,
-      sPq, sSq,
+      sIvfStreamIngest, sPq, sSq,
       sSparse, sRecallIvf,
       sJlProject, sCentroidCos, sMmr, sLshRecall, sMutualNn, sNdcg, sKnn,
       sKnnIvf, sKcenter, sIvfPq, sIvfPqPersist)
