@@ -141,15 +141,27 @@ object FunnelMv {
     */
   def applyInserts(spark: SparkSession, path: String, delta: DataFrame,
       minTokens: Int, maxStopword: Double, minDistinct: Double,
+      maxTopBigram: Double): DataFrame =
+    applyInsertsTo(spark.read.parquet(s"$path/view"),
+      spark.read.parquet(s"$path/fpindex"), delta,
+      minTokens, maxStopword, minDistinct, maxTopBigram)
+
+  /** The insert-application core over explicit view/index frames — shared
+    * by [[applyInserts]] (plain persisted layout) and the
+    * versioned-manifest gate, where the view frame comes from a
+    * VersionedView snapshot read instead of a fixed directory.
+    */
+  def applyInsertsTo(view: DataFrame, fpIndex: DataFrame, delta: DataFrame,
+      minTokens: Int, maxStopword: Double, minDistinct: Double,
       maxTopBigram: Double): DataFrame = {
     val withFp = delta.select(col("doc_id"), col("text"))
       .withColumn("fp", md5(TextAnalysis.normText(col("text"))))
       .localCheckpoint(true)
     val survivors = keepFirst(withFp, Seq(col("doc_id")))
-      .join(spark.read.parquet(s"$path/fpindex"), Seq("fp"), "left_anti")
+      .join(fpIndex, Seq("fp"), "left_anti")
     val deltaStages = stageCounts(withFp, survivors,
       minTokens, maxStopword, minDistinct, maxTopBigram)
-    spark.read.parquet(s"$path/view")
+    view
       .unionByName(deltaStages)
       .groupBy("stage_ord", "stage")
       .agg(sum(col("n_docs")).as("n_docs"),

@@ -1805,6 +1805,100 @@ object DedupCatalog {
     }
   )
 
+  /** VERSIONED MANIFEST COMMITS + TIME TRAVEL for the persisted funnel
+    * view (sources.VersionedView) — the commit protocol a materialized
+    * view needs on object storage, where a maintenance job can die
+    * mid-write and directory renames are not atomic across files. The
+    * gate runs the full protocol lifecycle: the base view is committed as
+    * v1 (data files first, marker last — the marker IS the commit point),
+    * the insert batch is applied against the SNAPSHOT read of v1 and
+    * committed as v2, and then a TORN v3 is planted — data files with
+    * corrupt numbers and no marker, the exact crash shape. The published
+    * result reads v2 through the latest-committed resolution (so a torn
+    * tip leaking through would surface corrupt counts and flip the hash),
+    * time-travels back to v1 under the torn tip, and pins
+    * `torn_invisible` (latest committed == 2). The oracle independently
+    * recomputes BOTH snapshots from raw tables: v1 = the base-only
+    * funnel, v2 = the full base ∪ batch recompute the IVM must land on.
+    */
+  val dPipelineMvTimetravel = QueryDef(
+    "q_pipeline_mv_timetravel",
+    (s, dir) => {
+      import graft.dedup.FunnelMv
+      import graft.sources.VersionedView
+      val raw0 = t(s, dir, "documents").filter(col("text").isNotNull)
+        .select("doc_id", "text").localCheckpoint(true)
+      val stage = java.nio.file.Files.createTempDirectory("graft_mv_tt")
+      try {
+        // BUILD: base view + fp index via the production build step
+        FunnelMv.write(raw0, s"$stage/mv", E2eMinTokens, E2eMaxStopword,
+          E2eMinDistinct, E2eMaxTopBigram)
+        val vpath = s"$stage/versioned"
+        VersionedView.commit(s.read.parquet(s"$stage/mv/view"), vpath, 1L)
+        incrInsertBatch(raw0).coalesce(1)
+          .write.mode("overwrite").parquet(s"$stage/batch")
+        // v2 = the insert batch applied against the SNAPSHOT read of v1
+        val updated = FunnelMv.applyInsertsTo(
+          VersionedView.read(s, vpath),
+          s.read.parquet(s"$stage/mv/fpindex"),
+          s.read.parquet(s"$stage/batch"),
+          E2eMinTokens, E2eMaxStopword, E2eMinDistinct, E2eMaxTopBigram)
+        VersionedView.commit(updated, vpath, 2L)
+        // TORN v3: a job that died after its data write but before its
+        // marker — corrupt numbers that must stay invisible to readers
+        VersionedView.read(s, vpath)
+          .withColumn("n_docs", col("n_docs") + 1)
+          .write.mode("overwrite").parquet(s"$vpath/v=3")
+        val latest = VersionedView.latestVersion(vpath)
+        val v2r = VersionedView.read(s, vpath) // latest-committed = v2
+          .withColumn("version", lit(2L))
+        val v1r = VersionedView.readVersion(s, vpath, 1L) // time travel
+          .withColumn("version", lit(1L))
+        v1r.unionByName(v2r)
+          .withColumn("torn_invisible", lit(latest.contains(2L)))
+          .select(col("version"), col("stage_ord"), col("stage"),
+            col("n_docs"), col("n_tokens"), col("torn_invisible"))
+          .orderBy("version", "stage_ord")
+          .localCheckpoint(true)
+      } finally graft.similarity.IvfIndex.deleteDir(stage.toString)
+    },
+    Some(s"""
+      WITH $delIndexCtes,
+      b0 AS (SELECT * FROM flags WHERE batch = 0),
+      k1 AS (SELECT doc_id, fp, n_tok, q, qr FROM (
+        SELECT f.*, row_number() OVER (PARTITION BY fp
+          ORDER BY batch, doc_id) AS rn FROM b0 f) WHERE rn = 1),
+      k2 AS (SELECT doc_id, fp, n_tok, q, qr FROM (
+        SELECT f.*, row_number() OVER (PARTITION BY fp
+          ORDER BY batch, doc_id) AS rn FROM flags f) WHERE rn = 1),
+      s1 AS (
+        SELECT 1 AS stage_ord, 'input' AS stage, count(*) AS n_docs,
+               CAST(coalesce(sum(n_tok), 0) AS BIGINT) AS n_tokens FROM b0
+        UNION ALL SELECT 2, 'exact_dedup', count(*),
+               CAST(coalesce(sum(n_tok), 0) AS BIGINT) FROM k1
+        UNION ALL SELECT 3, 'quality_gate', count(*),
+               CAST(coalesce(sum(n_tok), 0) AS BIGINT) FROM k1 WHERE q
+        UNION ALL SELECT 4, 'repetition_gate', count(*),
+               CAST(coalesce(sum(n_tok), 0) AS BIGINT) FROM k1 WHERE qr),
+      s2 AS (
+        SELECT 1 AS stage_ord, 'input' AS stage, count(*) AS n_docs,
+               CAST(coalesce(sum(n_tok), 0) AS BIGINT) AS n_tokens
+        FROM flags
+        UNION ALL SELECT 2, 'exact_dedup', count(*),
+               CAST(coalesce(sum(n_tok), 0) AS BIGINT) FROM k2
+        UNION ALL SELECT 3, 'quality_gate', count(*),
+               CAST(coalesce(sum(n_tok), 0) AS BIGINT) FROM k2 WHERE q
+        UNION ALL SELECT 4, 'repetition_gate', count(*),
+               CAST(coalesce(sum(n_tok), 0) AS BIGINT) FROM k2 WHERE qr)
+      SELECT * FROM (
+        SELECT CAST(1 AS BIGINT) AS version, stage_ord, stage, n_docs,
+               n_tokens, TRUE AS torn_invisible FROM s1
+        UNION ALL
+        SELECT CAST(2 AS BIGINT), stage_ord, stage, n_docs, n_tokens, TRUE
+        FROM s2)
+      ORDER BY version, stage_ord""")
+  )
+
   /** PHYSICAL tombstone VACUUM of the persisted funnel index — the
     * artifact-lifecycle completion of q_pipeline_incr_delete: that gate
     * proves the IVM arithmetic under deletes; this one proves the BYTES
@@ -1882,5 +1976,5 @@ object DedupCatalog {
       dEmbed, dSemantic, dFuzzy, dFellegi, dContainment, dLshRecall,
       dBbitMinhash, dNgramNovelty, dDedupImpact, dSurvivorship, dDamerau,
       dPipelineE2e, dPipelineIncr, dPipelineIncrMv, dPipelineIncrDelete,
-      dPipelineIncrVacuum)
+      dPipelineIncrVacuum, dPipelineMvTimetravel)
 }

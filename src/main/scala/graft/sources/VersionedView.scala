@@ -1,0 +1,79 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Versioned, atomically-committed parquet views — the commit protocol a
+  * persisted materialized view needs on object storage, where a job can
+  * die mid-write and "directory rename" is not atomic across files:
+  *
+  *   - data for version v lands under `<path>/v=<v>/` FIRST;
+  *   - the zero-byte marker `<path>/_commits/<v>` is written LAST, staged
+  *     as a dotfile and moved into place atomically — the marker IS the
+  *     commit point;
+  *   - readers resolve `latestVersion` from the marker directory ONLY, so
+  *     a torn write (data files present, no marker — the crash shape) is
+  *     invisible, and any still-visible older version remains readable
+  *     (time travel / snapshot isolation for long-running jobs).
+  *
+  * This is the single-table core of a manifest-based table format (same
+  * commit-point discipline as Delta/Iceberg's log append); compaction of
+  * old versions is the caller's retention policy. VersionedViewSpec pins
+  * torn-commit invisibility, marker atomicity, and crashed-commit
+  * completion (re-committing a staged version makes it visible).
+  */
+object VersionedView {
+
+  /** Commit `df` as version `v` of the view at `path`: data first, marker
+    * last. Re-running a crashed commit is safe — the data write is an
+    * idempotent overwrite of `v=<v>` and the marker move replaces.
+    */
+  def commit(df: DataFrame, path: String, v: Long): Unit = {
+    df.write.mode("overwrite").parquet(s"$path/v=$v")
+    mark(path, v)
+  }
+
+  /** Write version `v`'s marker alone — the second half of a commit,
+    * usable to complete a crashed one whose data files already landed.
+    */
+  def mark(path: String, v: Long): Unit = {
+    val commits = Paths.get(path, "_commits")
+    Files.createDirectories(commits)
+    val staging = commits.resolve(s".$v.staging")
+    Files.writeString(staging, v.toString)
+    Files.move(staging, commits.resolve(v.toString),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** The newest COMMITTED version (marker-backed only; staged dotfiles and
+    * torn data dirs are invisible). None if nothing committed yet.
+    */
+  def latestVersion(path: String): Option[Long] = {
+    import scala.jdk.CollectionConverters._
+    val commits = Paths.get(path, "_commits")
+    if (!Files.isDirectory(commits)) return None
+    val st = Files.list(commits)
+    val vs = try st.iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(_.matches("\\d+"))
+      .map(_.toLong).toSeq
+    finally st.close()
+    if (vs.isEmpty) None else Some(vs.max)
+  }
+
+  /** Snapshot read of one committed version. */
+  def readVersion(spark: SparkSession, path: String, v: Long): DataFrame = {
+    require(latestVersion(path).exists(_ >= v) &&
+      Files.exists(Paths.get(path, "_commits", v.toString)),
+      s"version $v of $path is not committed")
+    spark.read.parquet(s"$path/v=$v")
+  }
+
+  /** Read the latest committed version (the production entry point). */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val v = latestVersion(path).getOrElse(
+      throw new IllegalStateException(s"no committed version at $path"))
+    spark.read.parquet(s"$path/v=$v")
+  }
+}
