@@ -130,6 +130,21 @@ object SimilarityCatalog {
       ivfPqParts(s, dir)._5
         .map { case (m, k, c) => (m, k, c.toSeq) }
         .toDF("m", "k", "c")
+    }),
+    // IVF-PQ append gate: centroids + codebooks trained on the 90% base
+    // only (the frozen parts its persisted index was built from) — the
+    // replay assigns/encodes ALL vectors against them, which IS the
+    // frozen-quantizer append semantics
+    "ivfpq_base_centroids" -> ((s, dir) =>
+      ivfPqPartsOf(s, t(s, dir, "embeddings")
+        .filter(pmod(col("vec_id"), lit(10)) =!= 7))._3),
+    "ivfpq_base_codebooks" -> ((s, dir) => {
+      val sp = s
+      import sp.implicits._
+      ivfPqPartsOf(s, t(s, dir, "embeddings")
+          .filter(pmod(col("vec_id"), lit(10)) =!= 7))._5
+        .map { case (m, k, c) => (m, k, c.toSeq) }
+        .toDF("m", "k", "c")
     }))
 
   /** Exact top-3 neighbors (excluding self) for query vectors vec_id < 5. */
@@ -1728,10 +1743,16 @@ object SimilarityCatalog {
     * trained on the RESIDUALS (the defining IVF-PQ property: quantization
     * error is measured around each cell's centroid, not the origin).
     */
-  private def ivfPqParts(s: SparkSession, dir: String) = {
+  private def ivfPqParts(s: SparkSession, dir: String) =
+    ivfPqPartsOf(s, t(s, dir, "embeddings"))
+
+  /** Same training pipeline over an explicit corpus frame — the append
+    * gate's aux dumps train on the 90% base split only.
+    */
+  private def ivfPqPartsOf(s: SparkSession,
+      e: org.apache.spark.sql.DataFrame) = {
     val sp = s
     import sp.implicits._
-    val e = t(s, dir, "embeddings")
     val cents = hashCentroids(e, "vec_id", "embedding", IvfCells)
     val centDf = cents.map { case (cid, c) => (cid, c.toSeq) }
       .toDF("cell", "c")
@@ -1821,8 +1842,18 @@ object SimilarityCatalog {
     * encoding, probe ranking, per-cell ADC tables, and the ordered lookup
     * fold, ending at `ranked` (per-query ADC ranks, self included).
     */
-  private def ivfPqReplayCtes: String = s"""cents AS MATERIALIZED (SELECT cell, c FROM
-        read_parquet('__VERIFY_OUT__/_aux/ivfpq_centroids/*.parquet')),
+  private def ivfPqReplayCtes: String = ivfPqReplayCtesFrom(
+    "ivfpq_centroids", "ivfpq_codebooks")
+
+  /** The same replay parameterized by dump names: the append gate replays
+    * from BASE-trained centroids/codebooks — assignment and encoding in
+    * the CTEs below are per-vector functions of those frozen artifacts,
+    * so replaying ALL corpus vectors against the base-trained parts is
+    * exactly the frozen-quantizer append semantics.
+    */
+  private def ivfPqReplayCtesFrom(centsAux: String,
+      cbAux: String): String = s"""cents AS MATERIALIZED (SELECT cell, c FROM
+        read_parquet('__VERIFY_OUT__/_aux/$centsAux/*.parquet')),
       cn AS (SELECT cell, list_transform(c, x -> x /
                sqrt(list_sum(list_transform(c, y -> y * y)))) AS cnorm
              FROM cents),
@@ -1846,7 +1877,7 @@ object SimilarityCatalog {
         FROM corpus JOIN assign a USING (vec_id)
         JOIN cents ON cents.cell = a.cell),
       cb AS MATERIALIZED (SELECT m, k, c FROM
-        read_parquet('__VERIFY_OUT__/_aux/ivfpq_codebooks/*.parquet')),
+        read_parquet('__VERIFY_OUT__/_aux/$cbAux/*.parquet')),
       rd AS MATERIALIZED (
         SELECT res.vec_id, res.cell, cb.m, cb.k,
                list_sum(list_transform(
@@ -1928,7 +1959,14 @@ object SimilarityCatalog {
     },
     Some(s"""
       WITH $ivfPqReplayCtes,
-      cands AS (
+      $ivfPqRefineTail""")
+  )
+
+  /** The exact-re-rank oracle tail shared by q_s_ivfpq_persist and
+    * q_s_ivfpq_append: top-`IpRefine` ADC candidates → exact cosine from
+    * raw embeddings → top-`TopK`.
+    */
+  private def ivfPqRefineTail: String = s"""cands AS (
         SELECT query_id, nn_id FROM ranked WHERE rank <= $IpRefine),
       rer AS (
         SELECT c.query_id, c.nn_id,
@@ -1947,7 +1985,54 @@ object SimilarityCatalog {
       SELECT query_id, CAST(rank AS BIGINT) AS rank, nn_id,
              ${sqlR6("cos")} AS cos
       FROM rr WHERE rank <= $TopK
-      ORDER BY query_id, rank""")
+      ORDER BY query_id, rank"""
+
+  /** IVF-PQ INDEX-APPEND lifecycle gate — the PQ twin of q_s_ivf_append,
+    * completing the storage-bounded index's maintenance loop: the 10%
+    * batch (vec_id % 10 == 7) is withheld, the index is built and
+    * persisted on the 90% base (coarse quantizer AND residual codebooks
+    * trained there), then the batch is APPENDED — assigned to its nearest
+    * FROZEN stored centroid, its residual encoded with the FROZEN stored
+    * codebooks, codes landing as new files in existing cell dirs and the
+    * exact vectors appending to the raw side table (ingest ∝ batch; both
+    * trained artifacts retrain on a slow cadence, never per ingest). The
+    * fragmented cells are COMPACTED, and the probe must rank appended
+    * vectors alongside base ones exactly: the oracle replays
+    * assignment/encoding/ADC/refine of ALL vectors from BASE-trained
+    * centroid/codebook dumps — per-vector functions of frozen state, so
+    * the replay IS the frozen-parts append semantics. AppendIvfPqSpec
+    * additionally pins that an appended vector is findable at rank 1 and
+    * that compaction leaves probes bit-identical.
+    */
+  val sIvfPqAppend = QueryDef(
+    "q_s_ivfpq_append",
+    (s, dir) => {
+      import graft.similarity.{IvfIndex, IvfPqIndex}
+      val e = t(s, dir, "embeddings")
+      val isDelta = pmod(col("vec_id"), lit(10)) === 7
+      val stage = java.nio.file.Files
+        .createTempDirectory("graft_ivfpq_append")
+      try {
+        IvfPqIndex.write(e.filter(!isDelta), "vec_id", "embedding",
+          IvfCells, PqDim, PqM, PqK, stage.toString)
+        IvfPqIndex.append(s, stage.toString, e.filter(isDelta),
+          "vec_id", "embedding")
+        val compacted = IvfIndex.compactPartitions(s,
+          s"${stage.toString}/lists", "cell")
+        require(compacted > 0, "append left no fragmented cells")
+        IvfPqIndex.probe(s, stage.toString,
+            e.filter(col("vec_id") < QueryIdMax), "vec_id", "embedding",
+            k = TopK, nProbe = IpProbe, refine = IpRefine)
+          .select(col("query_id"), col("rank").cast("long").as("rank"),
+            col("nn_id"), r6(col("cos")).as("cos"))
+          .orderBy("query_id", "rank")
+          .localCheckpoint(true)
+      } finally graft.similarity.IvfIndex.deleteDir(stage.toString)
+    },
+    Some(s"""
+      WITH ${ivfPqReplayCtesFrom("ivfpq_base_centroids",
+        "ivfpq_base_codebooks")},
+      $ivfPqRefineTail""")
   )
 
   val all: Seq[QueryDef] =
@@ -1955,5 +2040,5 @@ object SimilarityCatalog {
       sIvfStreamIngest, sPq, sSq,
       sSparse, sRecallIvf,
       sJlProject, sCentroidCos, sMmr, sLshRecall, sMutualNn, sNdcg, sKnn,
-      sKnnIvf, sKcenter, sIvfPq, sIvfPqPersist)
+      sKnnIvf, sKcenter, sIvfPq, sIvfPqPersist, sIvfPqAppend)
 }

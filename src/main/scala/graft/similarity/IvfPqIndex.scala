@@ -71,6 +71,48 @@ object IvfPqIndex {
       .write.mode("overwrite").parquet(s"$path/raw")
   }
 
+  /** APPEND a vector batch WITHOUT retraining — the PQ twin of
+    * IvfIndex.append, freezing BOTH trained artifacts: each new vector is
+    * assigned to its nearest STORED centroid (via the stored normalized
+    * copies — see Ann.assignCellsNormalized on why renormalizing would
+    * break bit-parity), its residual against the STORED raw centroid is
+    * encoded with the STORED codebooks, and the (id, codes) row lands as
+    * a new file in that cell's existing partition dir while the exact
+    * vector appends to the raw side table. Ingest cost ∝ batch; the
+    * quantizer AND codebooks retrain on a slow cadence, never per ingest.
+    * Because assignment + encoding are per-vector functions of frozen
+    * state, the appended index is bit-identical to a rebuild over
+    * base ∪ batch with the same frozen parts — which is what lets
+    * q_s_ivfpq_append's oracle replay from base-trained dumps.
+    */
+  def append(spark: SparkSession, path: String, delta: DataFrame,
+      idCol: String, vecCol: String): Unit = {
+    val sp = spark
+    import sp.implicits._
+    val centRows = readCentroids(spark, path)
+    val dim = centRows.head._2.length
+    val cDf = centRows.map { case (cell, c, _) => (cell, c) }
+      .toDF("cell", "c")
+    val cb = spark.read.parquet(s"$path/codebooks")
+      .select("m", "k", "c").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val m = cb.map(_._1).max + 1
+    val res = Ann.assignCellsNormalized(delta, idCol, vecCol,
+        centRows.map { case (cell, _, cn) => (cell, cn.toArray) })
+      .join(broadcast(cDf), "cell")
+      .select(col("id"), col("cell"),
+        zip_with(col("v"), col("c"), (x, y) => x - y).as("r"))
+      .localCheckpoint(true) // feeds both the encode and the cell re-join
+    Pq.encode(res, "id", "r", dim, cb, m)
+      .join(res.select("id", "cell"), "id")
+      .select(col("id"), col("codes"), col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(s"$path/lists")
+    delta.select(col(idCol).as("id"),
+        transform(col(vecCol), _.cast("double")).as("v"))
+      .write.mode("append").parquet(s"$path/raw")
+  }
+
   /** Probe-only search: coarse-rank the stored normalized centroids per
     * query, prune the codes scan to the probed cells, ADC-score the codes,
     * keep the top `refine` candidates per query by approximate distance,
