@@ -54,20 +54,21 @@ object SparkEntry {
   }
 
   private val heavyLast: Set[String] = Set(
-    // top-30 dump wall-clocks of the r15 profiled sf0.01 full Verify run
-    // (354 queries, local[16]; cutoff 1.91 s — the tail below is flat
-    // ~1.4-1.9 s). Refresh each round if the heavy tail moves.
-    "q_e_restart_reshuffle_stream", "q_s_ivfpq_persist",
-    "q_e_restart_window_stream", "q_pipeline_incr_e2e", "q_m23_isotonic",
-    "q_s_ivf_compact", "q_pipeline_incr_mv", "q_s_ivf_persist",
-    "q_e_rocksdb_restart_stream", "q_pipeline_e2e", "q_f_interp",
-    "q_s_ivf_append", "q_e_restart_stream", "q_m13_robust",
-    "q_m47_feature_rank", "q_m32_conformal", "q_e_interval_stream",
-    "q_e_left_join_stream", "q_pipeline_ivfpq_e2e",
-    "q_pipeline_incr_delete", "q_e_full_join_stream", "q_m19_bootstrap",
-    "q_w8_rolling_corr", "q_e_rocksdb_changelog_stream", "q_d_semantic",
-    "q_pipeline_stream_e2e", "q_a29_boxplot", "q_e_rocksdb_stream",
-    "q_e_scd_stream", "q_s_pq_topk")
+    // top-32 dump wall-clocks of the r15 end-of-round profiled sf0.01
+    // full Verify run (360 queries, local[16]; cutoff 2.05 s — the tail
+    // below is flat ~1.3-2.0 s). Refresh each round if the tail moves.
+    "q_pipeline_mv_timetravel", "q_pipeline_incr_mv",
+    "q_s_ivf_stream_ingest", "q_e_restart_reshuffle_stream",
+    "q_s_ivfpq_append", "q_s_ivfpq_persist", "q_e_restart_window_stream",
+    "q_pipeline_incr_vacuum", "q_s_pq_topk", "q_e_rocksdb_restart_stream",
+    "q_s_ivf_compact", "q_e_rocksdb_changelog_stream", "q_e_rocksdb_stream",
+    "q_e_restart_stream", "q_f_interp", "q_pipeline_incr_e2e",
+    "q_m33_dbscan", "q_s_ivf_append", "q_t_bm25_append", "q_s_knn_ivf",
+    "q_m23_isotonic", "q_m34_chow", "q_s_ivf_persist",
+    "q_pipeline_ivfpq_e2e", "q_m13_robust", "q_m47_feature_rank",
+    "q_pipeline_e2e", "q_e_interval_stream", "q_a29_boxplot",
+    "q_pipeline_incr_delete", "q_e_left_join_stream",
+    "q_e_full_join_stream")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. SQL may
