@@ -68,7 +68,10 @@ object SparkEntry {
     "q_pipeline_ivfpq_e2e", "q_m13_robust", "q_m47_feature_rank",
     "q_pipeline_e2e", "q_e_interval_stream", "q_a29_boxplot",
     "q_pipeline_incr_delete", "q_e_left_join_stream",
-    "q_e_full_join_stream")
+    "q_e_full_join_stream",
+    // the two index-delete gates added after the profile run: both are
+    // build + vacuum + probe lifecycles, measured 2.7-2.9 s at local[4]
+    "q_t_bm25_delete", "q_s_ivf_delete")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. SQL may

@@ -273,7 +273,8 @@ object SimilarityCatalog {
     * equivalent given the same dumps. DuckDB replays probe ranking +
     * re-rank from the named aux dumps.
     */
-  private def ivfReplaySql(cellsAux: String, centsAux: String): String = s"""
+  private def ivfReplaySql(cellsAux: String, centsAux: String,
+      corpusWhere: String = ""): String = s"""
       WITH cells AS (SELECT id, cell FROM
         read_parquet('__VERIFY_OUT__/_aux/$cellsAux/*.parquet')),
       cents AS (SELECT cell, c FROM
@@ -295,7 +296,7 @@ object SimilarityCatalog {
         SELECT e.vec_id AS nn_id,
                list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS cv,
                cells.cell
-        FROM embeddings e JOIN cells ON cells.id = e.vec_id),
+        FROM embeddings e JOIN cells ON cells.id = e.vec_id $corpusWhere),
       scored AS (
         SELECT pq.query_id, corpus.nn_id,
                list_sum(list_transform(list_zip(corpus.cv, pq.qv),
@@ -455,6 +456,48 @@ object SimilarityCatalog {
       } finally IvfIndex.deleteDir(stage.toString)
     },
     Some(ivfReplaySql("ivf_append_cells", "ivf_base_centroids"))
+  )
+
+  /** INDEX-DELETE lifecycle gate for the persisted IVF index — the GDPR
+    * leg (build / probe / append / compact / DELETE completes the ANN
+    * family): a ninth of the vectors (vec_id % 9 == 4) is tombstoned out
+    * of the full-corpus √n-scaled index — only the cells holding them are
+    * rewritten (partition-local anti-join swap; an emptied cell's
+    * directory is retired) and the bytes are gone, not masked. The probe
+    * then answers from the vacuumed artifact; note query vector 4 is
+    * itself deleted, making it an out-of-index query — the realistic
+    * "search with a removed user's vector" shape. The oracle replays
+    * probe + re-rank from the full-corpus dumps with the tombstoned slice
+    * filtered out of the corpus side, so a deleted vector still ranked —
+    * or a live one wrongly vacuumed — flips the hash. IvfDeleteSpec pins
+    * physical absence and untouched-cell file identity.
+    */
+  val sIvfDelete = QueryDef(
+    "q_s_ivf_delete",
+    (s, dir) => {
+      import graft.similarity.IvfIndex
+      val e = t(s, dir, "embeddings")
+      val c = scaledCellCount(e.count())
+      val stage = java.nio.file.Files
+        .createTempDirectory("graft_ivf_delete")
+      try {
+        IvfIndex.write(e, "vec_id", "embedding", c, stage.toString)
+        val purged = IvfIndex.delete(s, stage.toString,
+          e.filter(pmod(col("vec_id"), lit(9)) === 4)
+            .select(col("vec_id").as("id")))
+        require(purged > 0, "tombstone batch purged nothing")
+        IvfIndex.probe(s, stage.toString,
+            e.filter(col("vec_id") < QueryIdMax), "vec_id", "embedding",
+            k = TopK, nProbe = IvfScaledProbe)
+          .filter(col("nn_id") =!= col("query_id"))
+          .select(col("query_id"), col("rank").cast("long").as("rank"),
+            col("nn_id"), r6(col("cos")).as("cos"))
+          .orderBy("query_id", "rank")
+          .localCheckpoint(true)
+      } finally IvfIndex.deleteDir(stage.toString)
+    },
+    Some(ivfReplaySql("ivf_scaled_cells", "ivf_scaled_centroids",
+      "WHERE e.vec_id % 9 <> 4"))
   )
 
   /** STREAMING INGEST into the persisted IVF index — the composition a
@@ -2037,7 +2080,7 @@ object SimilarityCatalog {
 
   val all: Seq[QueryDef] =
     Seq(sBrute, sIvf, sIvfScaled, sIvfPersist, sIvfAppend, sIvfCompact,
-      sIvfStreamIngest, sPq, sSq,
+      sIvfStreamIngest, sIvfDelete, sPq, sSq,
       sSparse, sRecallIvf,
       sJlProject, sCentroidCos, sMmr, sLshRecall, sMutualNn, sNdcg, sKnn,
       sKnnIvf, sKcenter, sIvfPq, sIvfPqPersist, sIvfPqAppend)

@@ -636,10 +636,10 @@ object TextCatalog {
     * append gate that means the oracle independently verifies that
     * base-build + batch-append reconstructs the FULL corpus's ranking.
     */
-  private val bm25OracleSql: String = s"""
+  private def bm25OracleSql(docWhere: String = ""): String = s"""
       WITH t AS (
         SELECT doc_id, lower($sqlNorm) AS nt
-        FROM documents WHERE length($sqlNorm) > 0),
+        FROM documents WHERE length($sqlNorm) > 0$docWhere),
       tok AS (SELECT doc_id, unnest(string_split(nt, ' ')) AS w FROM t),
       dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY 1),
       st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
@@ -674,7 +674,7 @@ object TextCatalog {
       graft.text.Bm25.topK(t(s, dir, "documents"), "doc_id", "text",
           Bm25Terms, k = Bm25K)
         .orderBy("rank"),
-    Some(bm25OracleSql)
+    Some(bm25OracleSql())
   )
 
   /** PERSISTED-postings-index lifecycle gate — the lexical-retrieval twin
@@ -707,7 +707,7 @@ object TextCatalog {
           .localCheckpoint(true)
       } finally graft.similarity.IvfIndex.deleteDir(stage.toString)
     },
-    Some(bm25OracleSql)
+    Some(bm25OracleSql())
   )
 
   /** INDEX-APPEND + COMPACTION lifecycle gate for the postings index (the
@@ -746,7 +746,41 @@ object TextCatalog {
           .localCheckpoint(true)
       } finally graft.similarity.IvfIndex.deleteDir(stage.toString)
     },
-    Some(bm25OracleSql)
+    Some(bm25OracleSql())
+  )
+
+  /** INDEX-DELETE lifecycle gate for the postings index — the GDPR leg
+    * (build / probe / append / compact / DELETE completes the family): a
+    * seventh of the documents (doc_id % 7 == 0) is tombstoned out of the
+    * full-corpus index — only the buckets holding their postings are
+    * rewritten (partition-local anti-join swap) and the 1-row stats table
+    * is decremented by exactly the deleted documents' counts, so the next
+    * probe's idf/avgdl reflect the post-delete corpus. The oracle
+    * recomputes BM25 over `documents` MINUS the tombstoned slice, so a
+    * row the vacuum wrongly kept (a deleted doc still ranked), wrongly
+    * dropped, or a stale statistic (every score depends on n_docs/df)
+    * flips the hash.
+    */
+  val tBm25Delete = QueryDef(
+    "q_t_bm25_delete",
+    (s, dir) => {
+      import graft.text.PostingsIndex
+      val docs = t(s, dir, "documents")
+      val stage = java.nio.file.Files
+        .createTempDirectory("graft_bm25_delete")
+      try {
+        PostingsIndex.write(docs, "doc_id", "text", nBuckets = 16,
+          stage.toString)
+        val purged = PostingsIndex.delete(s, stage.toString,
+          docs.filter(pmod(col("doc_id"), lit(7)) === 0).select("doc_id"))
+        require(purged > 0, "tombstone batch purged nothing")
+        PostingsIndex.probe(s, stage.toString, Bm25Terms, "doc_id",
+            k = Bm25K)
+          .orderBy("rank")
+          .localCheckpoint(true)
+      } finally graft.similarity.IvfIndex.deleteDir(stage.toString)
+    },
+    Some(bm25OracleSql(" AND doc_id % 7 <> 0"))
   )
 
   // q_t_dsir parameters — shared by the Spark query, the aux dump, and the
@@ -2594,7 +2628,8 @@ object TextCatalog {
     Seq(tQuality, tTokens, tFingerprint, tLangId, tExplode,
       tRepetition, tLmScore, tSplit, tStratSample, tTfIdf, tPmi,
       tPii, tVocab, tComposition, tPack, tShuffle, tDecontaminate,
-      tLineDedup, tBm25, tBm25Persist, tBm25Append, tDsir, tWsample,
+      tLineDedup, tBm25, tBm25Persist, tBm25Append, tBm25Delete, tDsir,
+      tWsample,
       tVocabOverlap, tMixture, tJsd,
       tFeatHash, tDupSpans, tZipf, tLangConfusion, tBpeStep, tBpeTrain5,
       tBpeEncode, tBleu, tChunkOverlap, tRrf, tRbo, tTempMixture, tRouge,

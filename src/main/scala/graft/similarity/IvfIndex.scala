@@ -152,6 +152,31 @@ object IvfIndex {
     deleteDir(tmp)
   }
 
+  /** DELETE a tombstone batch (vector ids) from the persisted index — the
+    * GDPR leg of the ANN lifecycle: the affected cells are discovered by
+    * a column-pruned (id, cell) scan joined to the tombstones, and ONLY
+    * those cells are rewritten through the partition-local anti-join swap
+    * (untouched cells' files are never opened; a fully-emptied cell's
+    * directory is retired). Probes afterwards can never return a deleted
+    * vector — the bytes are gone, not masked. The coarse quantizer is
+    * untouched (centroids retrain on a slow cadence, exactly like
+    * append's frozen-quantizer contract). Returns the rows purged.
+    */
+  def delete(spark: SparkSession, path: String,
+      tombstones: DataFrame): Long = {
+    val ts = tombstones.select("id").localCheckpoint(true)
+    val dead = spark.read.parquet(s"$path/lists")
+      .select("id", "cell") // column-pruned: never reads the vectors
+      .join(broadcast(ts), Seq("id"))
+      .localCheckpoint(true) // cell list + purge count
+    val affected = dead.select("cell").distinct()
+      .collect().map(_.getInt(0)).toSeq // bounded by the delete batch
+    if (affected.isEmpty) return 0L
+    rewritePartitions(spark, s"$path/lists", "cell", affected,
+      df => df.join(broadcast(ts), Seq("id"), "left_anti"))
+    dead.count()
+  }
+
   /** Probe-only search against a persisted index: rank the broadcast
     * centroid table per query (top `nProbe` cells by dot product against
     * the STORED normalized centroids — no re-normalization, so scores

@@ -88,11 +88,54 @@ object PostingsIndex {
     val posts = withBucket(postings(delta, idCol, textCol), nBuckets)
       .localCheckpoint(true)
     posts.write.mode("append").partitionBy("tb").parquet(s"$path/postings")
-    posts.groupBy("id").agg(min("dl").as("dl"))
-      .agg((count(lit(1)) + lit(nDocs)).as("n_docs"),
-        (coalesce(sum("dl"), lit(0L)) + lit(totalDl)).as("total_dl"))
-      .withColumn("n_buckets", lit(nBuckets))
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats_staged")
+    swapStats(spark, path,
+      posts.groupBy("id").agg(min("dl").as("dl"))
+        .agg((count(lit(1)) + lit(nDocs)).as("n_docs"),
+          (coalesce(sum("dl"), lit(0L)) + lit(totalDl)).as("total_dl"))
+        .withColumn("n_buckets", lit(nBuckets)))
+  }
+
+  /** DELETE a tombstone batch (doc ids) from the index — the GDPR leg of
+    * the postings lifecycle, mirroring the funnel index's vacuum: the
+    * affected buckets are discovered by a column-pruned (id, tb) scan
+    * joined to the tombstones, ONLY those buckets are rewritten through
+    * the shared partition-local anti-join swap (untouched buckets' files
+    * are never opened), and the stats row is decremented by exactly the
+    * deleted documents' own (n_docs, total_dl) — so idf/avgdl at the next
+    * probe reflect the post-delete corpus. Returns the number of posting
+    * rows purged; unmatched tombstones are ignored.
+    */
+  def delete(spark: SparkSession, path: String,
+      tombstones: DataFrame): Long = {
+    val ts = tombstones.select("doc_id").localCheckpoint(true)
+    val dead = spark.read.parquet(s"$path/postings")
+      .select("id", "tb", "dl") // column-pruned: never reads w/tf
+      .join(broadcast(ts), col("id") === col("doc_id"))
+      .localCheckpoint(true) // buckets + purge count + stats decrement
+    val affected = dead.select("tb").distinct()
+      .collect().map(_.getInt(0)).toSeq // bounded by the delete batch
+    if (affected.isEmpty) return 0L
+    IvfIndex.rewritePartitions(spark, s"$path/postings", "tb", affected,
+      df => df.join(broadcast(ts), df("id") === ts("doc_id"), "left_anti"))
+    val st = spark.read.parquet(s"$path/stats").collect()(0)
+    swapStats(spark, path,
+      dead.groupBy("id").agg(min("dl").as("dl"))
+        .agg((lit(st.getLong(st.fieldIndex("n_docs"))) - count(lit(1)))
+            .as("n_docs"),
+          (lit(st.getLong(st.fieldIndex("total_dl")))
+            - coalesce(sum("dl"), lit(0L))).as("total_dl"))
+        .withColumn("n_buckets", lit(st.getInt(st.fieldIndex("n_buckets")))))
+    dead.count()
+  }
+
+  /** Staged-then-moved stats replacement (append/delete share it): a
+    * concurrent reader sees either the old or the new row, never a
+    * half-written directory.
+    */
+  private def swapStats(spark: SparkSession, path: String,
+      stats: DataFrame): Unit = {
+    import java.nio.file.{Files, Paths}
+    stats.coalesce(1).write.mode("overwrite").parquet(s"$path/stats_staged")
     val retired = Paths.get(s"$path/stats_retired")
     Files.move(Paths.get(s"$path/stats"), retired)
     Files.move(Paths.get(s"$path/stats_staged"), Paths.get(s"$path/stats"))

@@ -135,4 +135,46 @@ class PostingsIndexSpec extends SparkSpec {
       IvfIndex.deleteDir(inc.toString)
     }
   }
+
+  test("postings delete: equals a build over the remaining docs " +
+    "bit-for-bit, stats decrement exactly, bytes gone") {
+    val docs = spark.read.parquet(s"$sfCorrect/documents.parquet")
+    val isDel = pmod(col("doc_id"), lit(7)) === 0
+    val full = Files.createTempDirectory("graft_postings_del")
+    val rest = Files.createTempDirectory("graft_postings_rest")
+    try {
+      PostingsIndex.write(docs, "doc_id", "text", nBuckets, full.toString)
+      PostingsIndex.write(docs.filter(!isDel), "doc_id", "text",
+        nBuckets, rest.toString)
+      val ts = docs.filter(isDel).select("doc_id").localCheckpoint(true)
+      val posts = spark.read.parquet(s"${full.toString}/postings")
+      val deadRows = posts.join(ts, posts("id") === ts("doc_id")).count()
+      val purged = PostingsIndex.delete(spark, full.toString, ts)
+      assert(purged == deadRows && purged > 0,
+        s"purged $purged rows, expected $deadRows")
+
+      // bytes gone: no posting row of a deleted doc remains
+      val tsIds = ts.collect().map(_.getLong(0)).toSet
+      assert(spark.read.parquet(s"${full.toString}/postings")
+        .filter(col("id").isInCollection(tsIds)).count() == 0)
+
+      // stats decremented to exactly the build-over-remaining stats
+      val sFull = spark.read.parquet(s"${full.toString}/stats").collect()(0)
+      val sRest = spark.read.parquet(s"${rest.toString}/stats").collect()(0)
+      assert(sFull.getLong(0) == sRest.getLong(0) &&
+        sFull.getLong(1) == sRest.getLong(1),
+        s"post-delete stats $sFull != rebuild stats $sRest")
+
+      // probe bit-identical to the build over remaining docs
+      def run(path: String) = PostingsIndex
+        .probe(spark, path, terms, "doc_id", k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(_._1).toSeq
+      assert(run(full.toString) == run(rest.toString),
+        "post-delete probe diverged from the rebuild over remaining docs")
+    } finally {
+      IvfIndex.deleteDir(full.toString)
+      IvfIndex.deleteDir(rest.toString)
+    }
+  }
 }
