@@ -91,18 +91,25 @@ object FunnelMv {
 
   /** Persist the DELETE-CAPABLE per-doc index at `path` (overwrites):
     * `idx` rows (doc_id, batch, fp, n_tok, q, qr — per-doc gate flags
-    * computed once at ingest) PARTITIONED BY `fpb`, the fingerprint's
-    * hash bucket, so tombstone vacuuming later rewrites only the buckets
-    * holding deleted docs instead of the whole index. The funnel view is
-    * recomputable from this artifact alone — flags are insert-time state,
-    * so no maintenance operation ever re-reads corpus text.
+    * computed once at ingest) laid out as manifest-committed generations
+    * per `fpb`, the fingerprint's hash bucket
+    * (sources.ManifestedPartitions), so tombstone vacuuming later
+    * rewrites only the buckets holding deleted docs instead of the whole
+    * index — and a crash mid-vacuum leaves the previous snapshot fully
+    * live (r15 verdict order #1). The funnel view is recomputable from
+    * this artifact alone — flags are insert-time state, so no maintenance
+    * operation ever re-reads corpus text.
     */
   def writeDocIndex(idx: DataFrame, path: String, nBuckets: Int): Unit =
-    idx
-      .withColumn("fpb",
-        pmod(xxhash64(col("fp")), lit(nBuckets.toLong)).cast("int"))
-      .repartition(col("fpb")) // one task owns a bucket ⇒ one file each
-      .write.mode("overwrite").partitionBy("fpb").parquet(s"$path/docindex")
+    graft.sources.ManifestedPartitions.init(
+      idx.withColumn("fpb",
+        pmod(xxhash64(col("fp")), lit(nBuckets.toLong)).cast("int")),
+      path, "docindex", "fpb")
+
+  /** The latest committed snapshot of the per-doc index. */
+  def readDocIndex(spark: SparkSession, path: String): DataFrame =
+    graft.sources.ManifestedPartitions.readLatest(
+      spark, path, "docindex", "fpb")
 
   /** VACUUM a tombstone batch out of the persisted index: physically
     * rewrite ONLY the fp-buckets holding deleted docs (GDPR-style removal
@@ -110,24 +117,30 @@ object FunnelMv {
     * affected-bucket discovery is a column-pruned (doc_id, fpb) scan
     * joined to the tombstones — at cluster scale a doc_id-keyed sidecar
     * or fp-carrying delete feed makes even that probe-local — and the
-    * rewrite is IvfIndex.rewritePartitions' partition-pruned anti-join
-    * swap: untouched buckets' files are never opened, a fully-tombstoned
-    * bucket's directory is retired outright, and keep-first succession
-    * needs no special casing because dead rows are physically gone from
-    * every later read. Returns the number of rows purged.
+    * rewrite is ManifestedPartitions' partition-pruned anti-join into a
+    * fresh generation under a marker-last manifest commit: untouched
+    * buckets' files are never opened, a fully-tombstoned bucket simply
+    * drops out of the manifest, a crash at any point leaves the
+    * pre-vacuum snapshot intact, and keep-first succession needs no
+    * special casing because dead rows are gone from every later
+    * snapshot read (their bytes are removed once retention GC passes
+    * the time-travel horizon). Returns the number of rows purged.
     */
   def vacuum(spark: SparkSession, path: String,
       tombstones: DataFrame): Long = {
-    import graft.similarity.IvfIndex
-    val ts = tombstones.select("doc_id").localCheckpoint(true)
-    val dead = spark.read.parquet(s"$path/docindex")
+    import graft.sources.ManifestedPartitions
+    // deduplicate first: a repeated doc_id in the batch must not inflate
+    // the purge count (ADVICE r15 — q_pipeline_incr_vacuum pins
+    // before - after == purged)
+    val ts = tombstones.select("doc_id").distinct().localCheckpoint(true)
+    val dead = readDocIndex(spark, path)
       .select("doc_id", "fpb") // column-pruned: never reads fp/flags
       .join(broadcast(ts), Seq("doc_id"))
       .localCheckpoint(true) // consumed twice (bucket list + purge count)
     val affected = dead.select("fpb").distinct()
       .collect().map(_.getInt(0)).toSeq // bounded by the delete batch
     if (affected.isEmpty) return 0L
-    IvfIndex.rewritePartitions(spark, s"$path/docindex", "fpb", affected,
+    ManifestedPartitions.rewrite(spark, path, "docindex", "fpb", affected,
       df => df.join(broadcast(ts), Seq("doc_id"), "left_anti"))
     dead.count()
   }

@@ -1907,7 +1907,7 @@ object DedupCatalog {
     * BY fingerprint hash bucket, the tombstone batch (all four delete
     * shapes, including the keeper-succession resurface case) is vacuumed
     * by rewriting ONLY the affected buckets (partition-pruned anti-join
-    * swap via IvfIndex.rewritePartitions — untouched buckets' files are
+    * commit via ManifestedPartitions — untouched buckets' files are
     * never opened), and the funnel stages are then recomputed from the
     * VACUUMED artifact alone — keep-first succession needs no special
     * casing because dead rows are physically gone from every later read.
@@ -1927,9 +1927,9 @@ object DedupCatalog {
         .createTempDirectory("graft_funnel_vacuum")
       try {
         FunnelMv.writeDocIndex(idx, stage.toString, nBuckets = 16)
-        val before = s.read.parquet(s"${stage.toString}/docindex").count()
+        val before = FunnelMv.readDocIndex(s, stage.toString).count()
         val purged = FunnelMv.vacuum(s, stage.toString, del)
-        val vac = s.read.parquet(s"${stage.toString}/docindex")
+        val vac = FunnelMv.readDocIndex(s, stage.toString)
           .localCheckpoint(true) // materialize before the index is deleted
         val after = vac.count()
         val remaining = vac.join(del, Seq("doc_id")).count()

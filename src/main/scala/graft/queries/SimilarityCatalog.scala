@@ -2060,9 +2060,8 @@ object SimilarityCatalog {
           IvfCells, PqDim, PqM, PqK, stage.toString)
         IvfPqIndex.append(s, stage.toString, e.filter(isDelta),
           "vec_id", "embedding")
-        val compacted = IvfIndex.compactPartitions(s,
-          s"${stage.toString}/lists", "cell")
-        require(compacted > 0, "append left no fragmented cells")
+        val compacted = IvfPqIndex.compact(s, stage.toString)
+        require(compacted > 0, "append left no fragmented partitions")
         IvfPqIndex.probe(s, stage.toString,
             e.filter(col("vec_id") < QueryIdMax), "vec_id", "embedding",
             k = TopK, nProbe = IpProbe, refine = IpRefine)

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.dedup.Dedup
 import graft.functions.VectorFunctions
+import graft.sources.ManifestedPartitions
 
 /** Persisted IVF index lifecycle — build once, probe many (r13 verdict
   * order #3). Every other ANN entry rebuilds its index inside the query;
@@ -15,12 +16,20 @@ import graft.functions.VectorFunctions
   *   - `<path>/centroids`: (cell INT, c ARRAY<DOUBLE>) — the L2-NORMALIZED
   *     coarse centroids, ≤ nCells rows, read whole and folded into a
   *     broadcast literal at probe time (the probe ranking is a per-query
-  *     scan of this tiny table, never a shuffle);
-  *   - `<path>/lists`: the inverted lists (id, v) PARTITIONED BY `cell` —
-  *     one parquet directory per coarse cell, so a probe-only reader
-  *     statically PRUNES the scan to exactly the probed cells' files and
-  *     reads ≈ nProbe·√n rows per query off storage instead of rescanning
-  *     the corpus.
+  *     scan of this tiny table, never a shuffle); written once at build —
+  *     the frozen coarse quantizer (append assigns against it, retraining
+  *     is a scheduled rebuild);
+  *   - `<path>/lists`: the inverted lists (id, v) laid out as
+  *     MANIFEST-COMMITTED generations per coarse cell
+  *     (sources.ManifestedPartitions, r15 verdict order #1): append and
+  *     maintenance write NEW immutable `g=<v>/cell=<n>/` directories and
+  *     flip a marker-last manifest commit — a crash mid-maintenance
+  *     leaves the previous snapshot fully intact (no two-move window in
+  *     which a probe sees a cell missing), a probe pinned to version v
+  *     keeps serving v bit-exactly while maintenance commits v+1, and a
+  *     probe-only reader statically PRUNES the scan to exactly the probed
+  *     cells' live directories (≈ nProbe·√n rows per query off storage
+  *     instead of rescanning the corpus).
   *
   * Determinism contract: centroids come from Ann.hashCentroids (exact
   * decimal component sums) and doubles round-trip parquet bit-exactly, so
@@ -30,6 +39,9 @@ import graft.functions.VectorFunctions
   */
 object IvfIndex {
 
+  private val Lists = "lists"
+  private val Cell = "cell"
+
   /** Build + persist the index for `corpus` at `path` (overwrites).
     * `pretrained` supplies RAW (unnormalized) coarse centroids instead of
     * training on `corpus` — the rebuild-with-frozen-quantizer path
@@ -38,6 +50,7 @@ object IvfIndex {
   def write(corpus: DataFrame, idCol: String, vecCol: String, nCells: Int,
       path: String,
       pretrained: Option[Seq[(Int, Array[Double])]] = None): Unit = {
+    deleteDir(path) // overwrite contract: no stale generations or markers
     val sp = corpus.sparkSession
     import sp.implicits._
     val centroids = pretrained.getOrElse(
@@ -48,23 +61,24 @@ object IvfIndex {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
     // assignCells keeps the cast-to-double vector alongside the cell id;
     // persisting it makes the probe self-contained (no corpus re-read,
-    // no re-cast) — the inverted-list file IS the search payload
-    Ann.assignCells(corpus, idCol, vecCol, centroids)
-      .select(col("id"), col("v"), col("cell"))
-      .write.mode("overwrite").partitionBy("cell")
-      .parquet(s"$path/lists")
+    // no re-cast) — the inverted-list generation IS the search payload
+    ManifestedPartitions.init(
+      Ann.assignCells(corpus, idCol, vecCol, centroids)
+        .select(col("id"), col("v"), col(Cell)),
+      path, Lists, Cell)
   }
 
   /** APPEND a vector batch to a persisted index WITHOUT retraining: each
     * new vector is assigned to its nearest STORED centroid (the static
     * coarse quantizer practice — a deployment trains the quantizer once
     * and retrains on a slow cadence, because reassigning the whole corpus
-    * on every ingest would be a full rebuild) and its row lands as a new
-    * file inside that cell's existing partition directory. Probe-time
-    * readers see base + appended rows with no index rewrite — ingest cost
-    * is proportional to the BATCH, never the corpus. Assignment goes
-    * through Ann.assignCellsNormalized on the stored normalized centroids,
-    * bit-matching the build-time assignment (see that method's note).
+    * on every ingest would be a full rebuild) and the batch lands as a
+    * NEW manifest-committed generation — probe-time readers see
+    * base + appended rows the instant the marker flips, with no rewrite
+    * of live data; ingest cost is proportional to the BATCH, never the
+    * corpus. Assignment goes through Ann.assignCellsNormalized on the
+    * stored normalized centroids, bit-matching the build-time assignment
+    * (see that method's note).
     */
   def append(spark: SparkSession, path: String, delta: DataFrame,
       idCol: String, vecCol: String): Unit = {
@@ -72,110 +86,69 @@ object IvfIndex {
       .select("cell", "c").collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1).toSeq
-    Ann.assignCellsNormalized(delta, idCol, vecCol, cents)
-      .select(col("id"), col("v"), col("cell"))
-      .write.mode("append").partitionBy("cell")
-      .parquet(s"$path/lists")
+    ManifestedPartitions.append(spark, path, Lists, Cell,
+      Ann.assignCellsNormalized(delta, idCol, vecCol, cents)
+        .select(col("id"), col("v"), col(Cell)))
   }
 
-  /** COMPACT fragmented inverted lists (r14 verdict order #2): `append`
-    * lands one parquet file per batch per cell, so at daily-ingest cadence
-    * a hot cell accumulates K small files and probe latency decays (K
-    * footer reads + K tiny row groups instead of one sequential scan).
-    * This is the maintenance operator a deployment schedules: find the
-    * cells holding more than one file, rewrite ONLY those — a
-    * partition-PRUNED read of the fragmented cells, `repartition(cell)`
-    * so each cell's rows land in one task and therefore ONE output file —
-    * and swap each rewritten cell directory into place. Cell-local by
-    * construction: rows never move across cells, untouched cells are
-    * never read, and probe results are bit-identical before/after (the
-    * probe re-ranks with a deterministic tie-break, so file order is
-    * immaterial; doubles round-trip parquet exactly — CompactIvfSpec
-    * asserts both). Returns the number of compacted cells.
+  /** COMPACT fragmented inverted lists (r14 verdict order #2): each
+    * `append` commits one generation, so at daily-ingest cadence a hot
+    * cell's live rows spread over K generation files and probe latency
+    * decays (K footer reads + K tiny row groups instead of one sequential
+    * scan). This is the maintenance operator a deployment schedules: find
+    * the cells whose live rows span more than one file, rewrite ONLY
+    * those into a fresh single-file generation (a partition-PRUNED read
+    * of just the fragmented cells), and commit the manifest that retires
+    * the old generations — marker-last, so a crash at ANY point leaves
+    * the pre-compaction snapshot fully live (the r15 two-move window is
+    * gone). Cell-local by construction: rows never move across cells,
+    * untouched cells' files are never opened, and probe results are
+    * bit-identical before/after (deterministic tie-break + exact double
+    * round-trip make file order immaterial — CompactIvfSpec asserts
+    * both). Returns the number of compacted cells.
     */
   def compact(spark: SparkSession, path: String): Int =
-    compactPartitions(spark, s"$path/lists", "cell")
-
-  /** The generic form of `compact`, shared with the persisted BM25
-    * postings index (text.PostingsIndex): compacts any parquet dataset
-    * laid out as `<dataDir>/<partCol>=<int>/…` by rewriting exactly the
-    * multi-file partitions to one file each.
-    */
-  def compactPartitions(spark: SparkSession, dataDir: String,
-      partCol: String): Int = {
-    import java.nio.file.Files
-    import scala.jdk.CollectionConverters._
-    def ls(d: java.nio.file.Path): Seq[java.nio.file.Path] = {
-      val st = Files.list(d)
-      try st.iterator().asScala.toList finally st.close()
-    }
-    val fragmented = ls(java.nio.file.Paths.get(dataDir))
-      .filter(d => Files.isDirectory(d) &&
-        d.getFileName.toString.startsWith(s"$partCol="))
-      .filter(d => ls(d).count(_.getFileName.toString.endsWith(".parquet")) > 1)
-      .map(_.getFileName.toString.stripPrefix(s"$partCol=").toInt)
-    if (fragmented.nonEmpty)
-      rewritePartitions(spark, dataDir, partCol, fragmented, identity)
-    fragmented.size
-  }
-
-  /** Rewrite exactly the `values` partitions of a `<dataDir>/<partCol>=N/`
-    * parquet dataset through `transform` — the shared partition-local
-    * maintenance primitive behind IVF/postings compaction (identity
-    * transform) and the funnel index's tombstone vacuum (anti-join
-    * transform). Partition-PRUNED read of only the named partitions,
-    * `repartition(partCol)` so each lands as one file, staged write OUTSIDE
-    * the dataset dir (partition discovery on a concurrent read never sees a
-    * half-written or oddly-named dir), then per-partition directory swap.
-    * Rows never move across partitions: `transform` must be
-    * partition-local (filters/projections), which every caller's is.
-    */
-  def rewritePartitions(spark: SparkSession, dataDir: String,
-      partCol: String, values: Seq[Int],
-      transform: DataFrame => DataFrame): Unit = {
-    import java.nio.file.{Files, Paths}
-    val rootDir = Paths.get(dataDir)
-    val tmp = s"${dataDir}_rewriting"
-    transform(spark.read.parquet(dataDir)
-        .filter(col(partCol).isInCollection(values))) // static pruning
-      .repartition(col(partCol)) // one task owns a partition ⇒ one file
-      .write.mode("overwrite").partitionBy(partCol).parquet(tmp)
-    values.foreach { c =>
-      val dst = rootDir.resolve(s"$partCol=$c")
-      val retired = Paths.get(tmp, s"$partCol=$c.retired")
-      Files.move(dst, retired)
-      // a transform may legitimately empty a partition (e.g. vacuum of a
-      // fully-tombstoned bucket): the swap then just retires the old dir
-      if (Files.exists(Paths.get(tmp, s"$partCol=$c")))
-        Files.move(Paths.get(tmp, s"$partCol=$c"), dst)
-    }
-    deleteDir(tmp)
-  }
+    ManifestedPartitions.compact(spark, path, Lists, Cell)
 
   /** DELETE a tombstone batch (vector ids) from the persisted index — the
     * GDPR leg of the ANN lifecycle: the affected cells are discovered by
-    * a column-pruned (id, cell) scan joined to the tombstones, and ONLY
-    * those cells are rewritten through the partition-local anti-join swap
-    * (untouched cells' files are never opened; a fully-emptied cell's
-    * directory is retired). Probes afterwards can never return a deleted
-    * vector — the bytes are gone, not masked. The coarse quantizer is
-    * untouched (centroids retrain on a slow cadence, exactly like
-    * append's frozen-quantizer contract). Returns the rows purged.
+    * a column-pruned (id, cell) scan joined to the (deduplicated)
+    * tombstones, and ONLY those cells are rewritten — anti-join into a
+    * fresh generation, manifest commit retires the old one (untouched
+    * cells' files are never opened; a fully-emptied cell simply drops out
+    * of the manifest). Probes afterwards can never return a deleted
+    * vector — the new snapshot has no such row, and the dead generations'
+    * bytes are physically removed by the retention GC ([[expire]]; a
+    * deployment runs it after its time-travel horizon passes). The coarse
+    * quantizer is untouched (centroids retrain on a slow cadence, exactly
+    * like append's frozen-quantizer contract). Returns the rows purged —
+    * tombstones are deduplicated first so a repeated id in the batch
+    * cannot inflate the count (ADVICE r15).
     */
   def delete(spark: SparkSession, path: String,
       tombstones: DataFrame): Long = {
-    val ts = tombstones.select("id").localCheckpoint(true)
-    val dead = spark.read.parquet(s"$path/lists")
-      .select("id", "cell") // column-pruned: never reads the vectors
+    val ts = tombstones.select("id").distinct().localCheckpoint(true)
+    val dead = ManifestedPartitions.readLatest(spark, path, Lists, Cell)
+      .select("id", Cell) // column-pruned: never reads the vectors
       .join(broadcast(ts), Seq("id"))
       .localCheckpoint(true) // cell list + purge count
-    val affected = dead.select("cell").distinct()
+    val affected = dead.select(Cell).distinct()
       .collect().map(_.getInt(0)).toSeq // bounded by the delete batch
     if (affected.isEmpty) return 0L
-    rewritePartitions(spark, s"$path/lists", "cell", affected,
+    ManifestedPartitions.rewrite(spark, path, Lists, Cell, affected,
       df => df.join(broadcast(ts), Seq("id"), "left_anti"))
     dead.count()
   }
+
+  /** RETENTION GC: expire manifest versions below the keep-horizon and
+    * physically delete the generations no retained version references —
+    * where a deleted vector's bytes actually go away. Below-horizon
+    * time travel fails loudly (marker-first expiry). Returns
+    * (expired versions, deleted generation count).
+    */
+  def expire(spark: SparkSession, path: String,
+      keepLast: Int): (Seq[Long], Int) =
+    ManifestedPartitions.expire(spark, path, Seq((Lists, Cell)), keepLast)
 
   /** Probe-only search against a persisted index: rank the broadcast
     * centroid table per query (top `nProbe` cells by dot product against
@@ -183,9 +156,13 @@ object IvfIndex {
     * match the build-time ranking bit-for-bit), statically prune the
     * inverted-list scan to the batch's probed-cell union, and exact-cosine
     * re-rank inside the probed lists. Never touches the original corpus.
+    * `version` pins the manifest snapshot (r15 verdict order #3): a
+    * pinned probe keeps serving version v bit-exactly while maintenance
+    * commits v+1; None reads the latest committed snapshot.
     */
   def probe(spark: SparkSession, path: String, queries: DataFrame,
-      qidCol: String, vecCol: String, k: Int, nProbe: Int): DataFrame = {
+      qidCol: String, vecCol: String, k: Int, nProbe: Int,
+      version: Option[Long] = None): DataFrame = {
     // materialize the probed-cell ranking ONCE (ADVICE r14): qCells is
     // consumed twice — collected for the pruning list and broadcast into
     // the re-rank join — and without this the centroids parquet read and
@@ -194,13 +171,13 @@ object IvfIndex {
       .localCheckpoint(true)
     // the batch's probed-cell union is bounded by min(nCells, Q·nProbe)
     // — a driver collect of at most the coarse-cell count, which becomes
-    // the STATIC partition filter that prunes the inverted-list scan to
-    // the probed directories (PersistedIvfSpec asserts the pruning)
+    // the STATIC pruning list: only the probed cells' live directories
+    // are handed to the scan (PersistedIvfSpec asserts the pruning)
     val probed = qCells.select("cell").distinct()
       .collect().map(_.getInt(0)).toSeq
-    val lists = prunedLists(spark, path, probed)
-      .select(col("id").as("nn_id"), col("v").as("cv"), col("cell"))
-    val scored = lists.join(broadcast(qCells), Seq("cell"))
+    val lists = prunedLists(spark, path, probed, version)
+      .select(col("id").as("nn_id"), col("v").as("cv"), col(Cell))
+    val scored = lists.join(broadcast(qCells), Seq(Cell))
       .withColumn("cos", Dedup.cosine(col("cv"), col("qv")))
     scored.withColumn("rank",
         row_number().over(Window.partitionBy("query_id")
@@ -238,14 +215,26 @@ object IvfIndex {
       .select(col("query_id"), col("qv"), col("sc.c").as("cell"))
   }
 
-  /** The inverted-list scan pruned to `probed` cells — `cell` is a
-    * partition column, so this is static partition pruning, not a
-    * post-scan filter.
+  /** The inverted-list scan pruned to `probed` cells at the pinned (or
+    * latest) manifest version — only those cells' live generation
+    * directories are opened (static pruning by path construction). If no
+    * probed cell holds live rows (legal after deletes), returns an empty
+    * frame with the lists schema.
     */
-  def prunedLists(spark: SparkSession, path: String,
-      probed: Seq[Int]): DataFrame =
-    spark.read.parquet(s"$path/lists")
-      .filter(col("cell").isInCollection(probed))
+  def prunedLists(spark: SparkSession, path: String, probed: Seq[Int],
+      version: Option[Long] = None): DataFrame = {
+    val entries = ManifestedPartitions.prunedEntries(
+      spark, path, Lists, probed, version)
+    if (entries.nonEmpty)
+      ManifestedPartitions.read(spark, path, Lists, Cell, entries)
+    else {
+      // schema-only: read one live entry of the snapshot, filter to none
+      val v = version.orElse(ManifestedPartitions.latestVersion(path)).get
+      val any = ManifestedPartitions.readEntries(spark, path, Lists, v)
+      ManifestedPartitions.read(spark, path, Lists, Cell, any.take(1))
+        .filter(lit(false))
+    }
+  }
 
   /** Recursive delete of a staged index dir (children before parents).
     * Per-file failures are swallowed (ADVICE r14): this runs from `finally`

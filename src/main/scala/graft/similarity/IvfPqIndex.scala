@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.dedup.Dedup
+import graft.sources.ManifestedPartitions
 
 /** Persisted IVF-PQ index with exact re-rank (r14 verdict order #3) — the
   * storage-bounded ANN layout a 100 TB corpus actually deploys. The plain
@@ -17,19 +18,26 @@ import graft.dedup.Dedup
   * structure of Jégou, Douze & Schmid, TPAMI 2011 — FAISS
   * IndexIVFPQ + refine).
   *
-  * Layout at `<path>`:
+  * Layout at `<path>` (both datasets manifest-committed under ONE version
+  * counter — sources.ManifestedPartitions, r15 verdict orders #1/#2 — so
+  * a maintenance op that touches codes AND raw vectors commits atomically
+  * or not at all, and a crash leaves the previous snapshot of both):
   *   - `centroids`: (cell, c RAW, cn L2-NORMALIZED) — raw centroids feed
   *     residual subtraction, normalized ones probe ranking; both stored so
   *     probe-time arithmetic bit-matches build-time (renormalizing a
   *     stored unit vector is 1 ± ulp — see Ann.assignCellsNormalized);
+  *     written once at build — the frozen coarse quantizer;
   *   - `codebooks`: (m, k, c) — per-subspace PQ codebooks trained on the
   *     RESIDUALS (quantization error measured around each cell's centroid,
-  *     the defining IVF-PQ property);
-  *   - `lists`: (id, codes) PARTITIONED BY `cell` — the probe scan reads
-  *     codes only, partition-pruned to the probed cells;
-  *   - `raw`: (id, v) — the exact-vector side table; at cluster scale this
-  *     is bucketed by id so the re-rank fetch is a co-located point
-  *     lookup; the probe only ever asks it for ≤ queries·refine rows.
+  *     the defining IVF-PQ property); frozen like the quantizer;
+  *   - `lists`: (id, codes) in generations per `cell` — the probe scan
+  *     reads codes only, pruned to the probed cells' live directories;
+  *   - `raw`: (id, v) in generations per `rb`, the id's hash bucket — the
+  *     exact-vector side table; bucketing gives a GDPR delete a BOUNDED
+  *     rewrite (only the tombstoned ids' buckets are touched — the r15
+  *     verdict's named gap for this family) and at cluster scale makes
+  *     the re-rank fetch a co-located point lookup; the probe only ever
+  *     asks it for ≤ queries·refine rows.
   *
   * Probe = coarse rank (broadcast centroids) → pruned codes-only ADC scan
   * → top-`refine` candidates per query by approximate distance → exact
@@ -41,9 +49,25 @@ import graft.dedup.Dedup
   */
 object IvfPqIndex {
 
-  /** Build + persist the index for `corpus` at `path` (overwrites). */
+  private val Lists = "lists"
+  private val Raw = "raw"
+
+  /** Raw-side bucket count: bounds a tombstone batch's rewrite to its
+    * ids' buckets. A deployment sizes this so a bucket's exact vectors
+    * fit one maintenance task; the testdata corpus needs only a handful.
+    */
+  val RawBuckets = 16
+
+  private def withRawBucket(df: DataFrame): DataFrame =
+    df.withColumn("rb",
+      pmod(xxhash64(col("id")), lit(RawBuckets.toLong)).cast("int"))
+
+  /** Build + persist the index for `corpus` at `path` (overwrites): codes
+    * and raw generations land first, one marker commits both manifests.
+    */
   def write(corpus: DataFrame, idCol: String, vecCol: String, nCells: Int,
       dim: Int, m: Int, k: Int, path: String): Unit = {
+    IvfIndex.deleteDir(path) // overwrite contract
     val sp = corpus.sparkSession
     import sp.implicits._
     val cents = Ann.hashCentroids(corpus, idCol, vecCol, nCells)
@@ -62,13 +86,18 @@ object IvfPqIndex {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
     // the inverted lists carry CODES ONLY — the 8-byte payload is the
     // entire point; the exact vector is written once, to the side table
-    Pq.encode(res, "id", "r", dim, cb, m)
-      .join(res.select("id", "cell"), "id")
-      .select(col("id"), col("codes"), col("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/lists")
-    corpus.select(col(idCol).as("id"),
-        transform(col(vecCol), _.cast("double")).as("v"))
-      .write.mode("overwrite").parquet(s"$path/raw")
+    val listParts = ManifestedPartitions.writeGen(
+      Pq.encode(res, "id", "r", dim, cb, m)
+        .join(res.select("id", "cell"), "id")
+        .select(col("id"), col("codes"), col("cell")),
+      path, Lists, "cell", 1L)
+    val rawParts = ManifestedPartitions.writeGen(
+      withRawBucket(corpus.select(col(idCol).as("id"),
+        transform(col(vecCol), _.cast("double")).as("v"))),
+      path, Raw, "rb", 1L)
+    ManifestedPartitions.commitManifests(sp, path, 1L,
+      Map(Lists -> listParts.map(p => (p, 1L)),
+        Raw -> rawParts.map(p => (p, 1L))))
   }
 
   /** APPEND a vector batch WITHOUT retraining — the PQ twin of
@@ -76,9 +105,9 @@ object IvfPqIndex {
     * assigned to its nearest STORED centroid (via the stored normalized
     * copies — see Ann.assignCellsNormalized on why renormalizing would
     * break bit-parity), its residual against the STORED raw centroid is
-    * encoded with the STORED codebooks, and the (id, codes) row lands as
-    * a new file in that cell's existing partition dir while the exact
-    * vector appends to the raw side table. Ingest cost ∝ batch; the
+    * encoded with the STORED codebooks, and the batch lands as one new
+    * generation in each dataset — codes into `lists`, exact vectors into
+    * `raw` — committed under ONE marker. Ingest cost ∝ batch; the
     * quantizer AND codebooks retrain on a slow cadence, never per ingest.
     * Because assignment + encoding are per-vector functions of frozen
     * state, the appended index is bit-identical to a rebuild over
@@ -93,10 +122,7 @@ object IvfPqIndex {
     val dim = centRows.head._2.length
     val cDf = centRows.map { case (cell, c, _) => (cell, c) }
       .toDF("cell", "c")
-    val cb = spark.read.parquet(s"$path/codebooks")
-      .select("m", "k", "c").collect()
-      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
-      .sortBy(t => (t._1, t._2)).toSeq
+    val cb = readCodebooks(spark, path)
     val m = cb.map(_._1).max + 1
     val res = Ann.assignCellsNormalized(delta, idCol, vecCol,
         centRows.map { case (cell, _, cn) => (cell, cn.toArray) })
@@ -104,21 +130,104 @@ object IvfPqIndex {
       .select(col("id"), col("cell"),
         zip_with(col("v"), col("c"), (x, y) => x - y).as("r"))
       .localCheckpoint(true) // feeds both the encode and the cell re-join
-    Pq.encode(res, "id", "r", dim, cb, m)
-      .join(res.select("id", "cell"), "id")
-      .select(col("id"), col("codes"), col("cell"))
-      .write.mode("append").partitionBy("cell").parquet(s"$path/lists")
-    delta.select(col(idCol).as("id"),
-        transform(col(vecCol), _.cast("double")).as("v"))
-      .write.mode("append").parquet(s"$path/raw")
+    val (gen, listsMerged) = ManifestedPartitions.stageAppend(
+      spark, path, Lists, "cell",
+      Pq.encode(res, "id", "r", dim, cb, m)
+        .join(res.select("id", "cell"), "id")
+        .select(col("id"), col("codes"), col("cell")))
+    val (_, rawMerged) = ManifestedPartitions.stageAppend(
+      spark, path, Raw, "rb",
+      withRawBucket(delta.select(col(idCol).as("id"),
+        transform(col(vecCol), _.cast("double")).as("v"))))
+    ManifestedPartitions.commitManifests(spark, path, gen,
+      Map(Lists -> listsMerged, Raw -> rawMerged))
   }
 
+  /** DELETE a tombstone batch (vector ids) — the GDPR leg that completes
+    * the PQ family's lifecycle (r15 verdict order #2), purging the
+    * tombstones from BOTH the coded lists AND the raw side table in one
+    * atomic commit: affected cells/buckets are discovered by
+    * column-pruned (id, cell) / (id, rb) scans joined to the
+    * (deduplicated) tombstones, only those partitions are rewritten
+    * (anti-join into fresh generations; untouched partitions' files are
+    * never opened), and ONE marker commits both new manifests — a probe
+    * can never observe codes purged but raw not (or vice versa), and a
+    * crash at any point leaves the pre-delete snapshot of both. The
+    * frozen quantizer and codebooks are untouched. Returns the number of
+    * list rows purged.
+    */
+  def delete(spark: SparkSession, path: String,
+      tombstones: DataFrame): Long = {
+    val ts = tombstones.select("id").distinct().localCheckpoint(true)
+    val deadLists = ManifestedPartitions.readLatest(spark, path, Lists, "cell")
+      .select("id", "cell") // column-pruned: never reads the codes
+      .join(broadcast(ts), Seq("id"))
+      .localCheckpoint(true)
+    val affCells = deadLists.select("cell").distinct()
+      .collect().map(_.getInt(0)).toSeq // bounded by the delete batch
+    if (affCells.isEmpty) return 0L
+    val affBuckets = ManifestedPartitions.readLatest(spark, path, Raw, "rb")
+      .select("id", "rb")
+      .join(broadcast(ts), Seq("id"))
+      .select("rb").distinct().collect().map(_.getInt(0)).toSeq
+    val anti = (df: DataFrame) =>
+      df.join(broadcast(ts), Seq("id"), "left_anti")
+    val (gen, listsMerged) = ManifestedPartitions.stageRewrite(
+      spark, path, Lists, "cell", affCells, anti)
+    val (_, rawMerged) = ManifestedPartitions.stageRewrite(
+      spark, path, Raw, "rb", affBuckets, anti)
+    ManifestedPartitions.commitManifests(spark, path, gen,
+      Map(Lists -> listsMerged, Raw -> rawMerged))
+    deadLists.count()
+  }
+
+  /** COMPACT fragmented partitions in both datasets (each append commits
+    * one generation per dataset): rewrite exactly the cells/buckets whose
+    * live rows span several files back to one file each, committing both
+    * new manifests under one marker — partition-local, crash-safe, probe
+    * results bit-identical before/after. Returns the number of compacted
+    * partitions across both datasets.
+    */
+  def compact(spark: SparkSession, path: String): Int = {
+    val fragLists = ManifestedPartitions.fragmentedParts(
+      spark, path, Lists, "cell")
+    val fragRaw = ManifestedPartitions.fragmentedParts(
+      spark, path, Raw, "rb")
+    if (fragLists.isEmpty && fragRaw.isEmpty) return 0
+    val v = ManifestedPartitions.latestVersion(path).get
+    val gen = v + 1
+    val listsMerged =
+      if (fragLists.nonEmpty)
+        ManifestedPartitions.stageRewrite(
+          spark, path, Lists, "cell", fragLists, identity)._2
+      else ManifestedPartitions.readEntries(spark, path, Lists, v)
+    val rawMerged =
+      if (fragRaw.nonEmpty)
+        ManifestedPartitions.stageRewrite(
+          spark, path, Raw, "rb", fragRaw, identity)._2
+      else ManifestedPartitions.readEntries(spark, path, Raw, v)
+    ManifestedPartitions.commitManifests(spark, path, gen,
+      Map(Lists -> listsMerged, Raw -> rawMerged))
+    fragLists.size + fragRaw.size
+  }
+
+  /** RETENTION GC over both datasets: expire below-horizon manifest
+    * versions (marker-first — stale time travel fails loudly) and delete
+    * unreferenced generations — where tombstoned vectors' bytes (codes
+    * AND exact values) actually go away. Returns (expired versions,
+    * deleted generation count).
+    */
+  def expire(spark: SparkSession, path: String,
+      keepLast: Int): (Seq[Long], Int) =
+    ManifestedPartitions.expire(spark, path,
+      Seq((Lists, "cell"), (Raw, "rb")), keepLast)
+
   /** Probe-only search: coarse-rank the stored normalized centroids per
-    * query, prune the codes scan to the probed cells, ADC-score the codes,
-    * keep the top `refine` candidates per query by approximate distance,
-    * then exact-cosine re-rank JUST those candidates from the raw side
-    * table (self-matches dropped before the final ranking). Returns
-    * (query_id, rank, nn_id, cos).
+    * query, prune the codes scan to the probed cells' live directories,
+    * ADC-score the codes, keep the top `refine` candidates per query by
+    * approximate distance, then exact-cosine re-rank JUST those
+    * candidates from the raw side table (self-matches dropped before the
+    * final ranking). Returns (query_id, rank, nn_id, cos).
     */
   def probe(spark: SparkSession, path: String, queries: DataFrame,
       qidCol: String, vecCol: String, k: Int, nProbe: Int,
@@ -129,10 +238,7 @@ object IvfPqIndex {
     val dim = centRows.head._2.length
     val cDf = centRows.map { case (cell, c, _) => (cell, c) }
       .toDF("cell", "c")
-    val cb = spark.read.parquet(s"$path/codebooks")
-      .select("m", "k", "c").collect()
-      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
-      .sortBy(t => (t._1, t._2)).toSeq
+    val cb = readCodebooks(spark, path)
     val m = cb.map(_._1).max + 1
     val sub = dim / m
     // probe ranking materialized once (it feeds both the pruning collect
@@ -152,9 +258,19 @@ object IvfPqIndex {
           transform(element_at(lit_, mi + 1),
             cc => Pq.sqDist(slice(col("qr"), mi * sub + 1, sub), cc))
         }: _*).as("dtab"))
-    // codes-only scan, statically pruned to the probed partitions
-    val cands = spark.read.parquet(s"$path/lists")
-      .filter(col("cell").isInCollection(probed))
+    // codes-only scan over exactly the probed cells' live generations
+    val entries = ManifestedPartitions.prunedEntries(
+      spark, path, Lists, probed)
+    val lists =
+      if (entries.nonEmpty)
+        ManifestedPartitions.read(spark, path, Lists, "cell", entries)
+      else {
+        val v = ManifestedPartitions.latestVersion(path).get
+        val any = ManifestedPartitions.readEntries(spark, path, Lists, v)
+        ManifestedPartitions.read(spark, path, Lists, "cell", any.take(1))
+          .filter(lit(false))
+      }
+    val cands = lists
       .select(col("id").as("nn_id"), col("codes"), col("cell"))
       .join(broadcast(qtab), Seq("cell"))
       .withColumn("adc", aggregate(
@@ -167,7 +283,7 @@ object IvfPqIndex {
       .select("query_id", "qv", "nn_id")
     // exact re-rank: fetch ONLY the ≤ queries·refine candidate vectors
     // from the side table (broadcast the candidates, never the table)
-    spark.read.parquet(s"$path/raw")
+    ManifestedPartitions.readLatest(spark, path, Raw, "rb")
       .select(col("id").as("nn_id"), col("v").as("cv"))
       .join(broadcast(cands), Seq("nn_id"))
       .filter(col("nn_id") =!= col("query_id"))
@@ -206,4 +322,11 @@ object IvfPqIndex {
       .select("cell", "c", "cn").collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1), r.getSeq[Double](2)))
       .sortBy(_._1).toSeq
+
+  private def readCodebooks(spark: SparkSession,
+      path: String): Seq[(Int, Int, Array[Double])] =
+    spark.read.parquet(s"$path/codebooks")
+      .select("m", "k", "c").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+      .sortBy(t => (t._1, t._2)).toSeq
 }

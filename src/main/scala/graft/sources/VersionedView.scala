@@ -34,6 +34,90 @@ object VersionedView {
     mark(path, v)
   }
 
+  /** Commit SEVERAL named tables as one version under ONE marker — the
+    * multi-table form a persisted index needs (its partition manifest and
+    * its statistics sidecar must never diverge: r15 verdict order #1 named
+    * exactly that two-move window in the postings stats swap). Each table
+    * lands at `<path>/<name>/v=<v>` first; the single marker commits them
+    * all atomically. Same idempotent-recommit contract as [[commit]].
+    */
+  def commitTables(tables: Map[String, DataFrame], path: String,
+      v: Long): Unit = {
+    tables.foreach { case (name, df) =>
+      df.write.mode("overwrite").parquet(s"$path/$name/v=$v")
+    }
+    mark(path, v)
+  }
+
+  /** Snapshot read of one table of a [[commitTables]] version. */
+  def readTable(spark: SparkSession, path: String, name: String,
+      v: Long): DataFrame = {
+    require(Files.exists(Paths.get(path, "_commits", v.toString)),
+      s"version $v of $path is not committed")
+    spark.read.parquet(s"$path/$name/v=$v")
+  }
+
+  /** All COMMITTED versions, ascending (marker-backed only). */
+  def committedVersions(path: String): Seq[Long] = {
+    import scala.jdk.CollectionConverters._
+    val commits = Paths.get(path, "_commits")
+    if (!Files.isDirectory(commits)) return Nil
+    val st = Files.list(commits)
+    val vs = try st.iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(_.matches("\\d+"))
+      .map(_.toLong).toSeq
+    finally st.close()
+    vs.sorted
+  }
+
+  /** RETENTION GC (r15 verdict order #5): keep the newest `keepLast`
+    * committed versions, physically delete everything below the horizon.
+    * Order is marker FIRST, data second — the marker delete is the
+    * "retire" point, so a reader racing the expiry (or arriving after a
+    * crash mid-expiry) fails the [[readVersion]]/[[readTable]] commit
+    * check LOUDLY instead of silently serving a half-deleted snapshot.
+    * Data dirs are removed for both layouts: `<path>/v=<k>` (single-table
+    * [[commit]]) and `<path>/<table>/v=<k>` ([[commitTables]]). Returns
+    * the expired versions, ascending.
+    */
+  def expire(path: String, keepLast: Int): Seq[Long] = {
+    import scala.jdk.CollectionConverters._
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    val dead = committedVersions(path).dropRight(keepLast)
+    if (dead.isEmpty) return Nil
+    // table dirs of the commitTables layout: any child that is neither a
+    // version dir nor the marker dir
+    val tableDirs = {
+      val st = Files.list(Paths.get(path))
+      try st.iterator().asScala.toList
+        .filter(d => Files.isDirectory(d) &&
+          !d.getFileName.toString.startsWith("v=") &&
+          d.getFileName.toString != "_commits")
+      finally st.close()
+    }
+    dead.foreach { v =>
+      Files.deleteIfExists(Paths.get(path, "_commits", v.toString))
+      deleteDir(Paths.get(path, s"v=$v"))
+      tableDirs.foreach(t => deleteDir(t.resolve(s"v=$v")))
+    }
+    dead
+  }
+
+  /** Recursive delete, children before parents; missing roots are a no-op. */
+  private[sources] def deleteDir(root: java.nio.file.Path): Unit = {
+    import java.util.Comparator
+    if (Files.exists(root)) {
+      val st = Files.walk(root)
+      try st.sorted(Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach { f =>
+          try Files.deleteIfExists(f)
+          catch { case _: java.io.IOException => () }
+        }
+      finally st.close()
+    }
+  }
+
   /** Write version `v`'s marker alone — the second half of a commit,
     * usable to complete a crashed one whose data files already landed.
     */

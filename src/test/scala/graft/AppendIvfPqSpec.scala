@@ -24,11 +24,13 @@ class AppendIvfPqSpec extends SparkSpec {
     try {
       IvfPqIndex.write(e.filter(!isDelta), "vec_id", "embedding",
         nCells = 8, dim = 64, m = 8, k = 16, stage.toString)
-      val rawBefore = spark.read.parquet(s"${stage.toString}/raw").count()
+      def rawCount() = graft.sources.ManifestedPartitions.readLatest(
+        spark, stage.toString, "raw", "rb").count()
+      val rawBefore = rawCount()
       val delta = e.filter(isDelta).localCheckpoint(true)
       IvfPqIndex.append(spark, stage.toString, delta,
         "vec_id", "embedding")
-      val rawAfter = spark.read.parquet(s"${stage.toString}/raw").count()
+      val rawAfter = rawCount()
       assert(rawAfter - rawBefore == delta.count(),
         "raw side table did not grow by the batch")
 
@@ -55,9 +57,8 @@ class AppendIvfPqSpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
           r.getDouble(3))).sortBy(x => (x._1, x._2)).toSeq
       val pre = run()
-      val compacted = IvfIndex.compactPartitions(spark,
-        s"${stage.toString}/lists", "cell")
-      assert(compacted > 0, "append left no fragmented cells")
+      val compacted = IvfPqIndex.compact(spark, stage.toString)
+      assert(compacted > 0, "append left no fragmented partitions")
       assert(run() == pre, "compaction changed probe results")
     } finally IvfIndex.deleteDir(stage.toString)
   }

@@ -7,18 +7,22 @@ import org.apache.spark.sql.functions._
 
 import graft.dedup.FunnelMv
 import graft.similarity.IvfIndex
+import graft.sources.ManifestedPartitions
 
 /** Physical tombstone vacuum of the persisted funnel index
   * (q_pipeline_incr_vacuum). The gate pins the funnel arithmetic against
   * the DuckDB oracle; this spec pins the PHYSICAL claims on a hand-planted
-  * index whose rows cover the delete shapes:
-  *   - tombstoned rows are gone from every later read (and the purge
-  *     count is exact, unmatched tombstones ignored);
+  * index whose rows cover the delete shapes, under the manifest-committed
+  * layout (r16):
+  *   - tombstoned rows are gone from every later snapshot read (and the
+  *     purge count is exact, unmatched tombstones ignored);
   *   - keep-first succession falls out for free — after vacuuming an
   *     original whose fp had suppressed a later copy, the copy IS the
   *     keeper of its group;
-  *   - only the affected fp-buckets are rewritten: unaffected bucket
-  *     directories keep the identical parquet files on disk.
+  *   - only the affected fp-buckets are rewritten: unaffected buckets
+  *     keep the identical live files on disk;
+  *   - a fully-tombstoned bucket drops out of the manifest, and its dead
+  *     bytes are physically removed once retention GC passes the horizon.
   */
 class IncrVacuumSpec extends SparkSpec {
 
@@ -39,30 +43,18 @@ class IncrVacuumSpec extends SparkSpec {
   // 999 matches nothing: vacuum must count only rows actually purged
   private def tombstones = Seq(1L, 2L, 999L).toDF("doc_id")
 
-  private def bucketFiles(path: String): Map[String, Set[String]] = {
-    import scala.jdk.CollectionConverters._
-    val st = Files.list(java.nio.file.Paths.get(s"$path/docindex"))
-    val dirs = try st.iterator().asScala.toList.filter(d =>
-      Files.isDirectory(d) && d.getFileName.toString.startsWith("fpb="))
-    finally st.close()
-    dirs.map { d =>
-      val fs = Files.list(d)
-      d.getFileName.toString -> (try fs.iterator().asScala
-        .map(_.getFileName.toString).toSet finally fs.close())
-    }.toMap
-  }
-
   test("vacuum purges exactly the tombstoned rows, resurfaces the " +
     "suppressed keeper, and rewrites only the affected buckets") {
     val stage = Files.createTempDirectory("graft_vacuum_spec")
     try {
       FunnelMv.writeDocIndex(idx, stage.toString, nBuckets)
-      val before = bucketFiles(stage.toString)
+      val before = ManifestedPartitions.liveFiles(
+        spark, stage.toString, "docindex", "fpb")
 
       val purged = FunnelMv.vacuum(spark, stage.toString, tombstones)
       assert(purged == 2L, s"purged $purged rows, expected 2")
 
-      val vac = spark.read.parquet(s"${stage.toString}/docindex")
+      val vac = FunnelMv.readDocIndex(spark, stage.toString)
       val ids = vac.select("doc_id").collect().map(_.getLong(0)).toSet
       assert(ids == Set(101L, 3L, 4L, 5L),
         s"post-vacuum ids $ids != expected")
@@ -79,12 +71,12 @@ class IncrVacuumSpec extends SparkSpec {
         s"keepers $keepers != expected")
 
       // physical locality: buckets holding no tombstoned fp keep the
-      // IDENTICAL files; affected buckets were swapped to new files
+      // IDENTICAL live files; affected buckets moved to a new generation
       val affected = idx.filter(col("doc_id").isin(1L, 2L))
         .select(pmod(xxhash64(col("fp")), lit(nBuckets.toLong))
-          .cast("int")).distinct().collect().map(r => s"fpb=${r.getInt(0)}")
-        .toSet
-      val after = bucketFiles(stage.toString)
+          .cast("int")).distinct().collect().map(_.getInt(0)).toSet
+      val after = ManifestedPartitions.liveFiles(
+        spark, stage.toString, "docindex", "fpb")
       before.keySet.filterNot(affected).foreach { b =>
         assert(after.get(b).contains(before(b)),
           s"unaffected bucket $b was rewritten: ${before(b)} -> ${after.get(b)}")
@@ -96,7 +88,8 @@ class IncrVacuumSpec extends SparkSpec {
     } finally IvfIndex.deleteDir(stage.toString)
   }
 
-  test("vacuuming a fully-tombstoned bucket retires its directory") {
+  test("vacuuming a fully-tombstoned bucket drops it from the manifest " +
+    "and GC removes its bytes") {
     val stage = Files.createTempDirectory("graft_vacuum_spec_empty")
     try {
       // one single-row group per bucket value so one bucket empties out
@@ -112,11 +105,24 @@ class IncrVacuumSpec extends SparkSpec {
       val expected = ts.count()
       val purged = FunnelMv.vacuum(spark, stage.toString, ts)
       assert(purged == expected)
-      assert(!Files.exists(java.nio.file.Paths.get(
-          s"${stage.toString}/docindex/fpb=$dBucket")),
-        "emptied bucket directory still exists")
-      val rest = spark.read.parquet(s"${stage.toString}/docindex")
+      // the emptied bucket is gone from the live manifest...
+      val live = ManifestedPartitions.liveFiles(
+        spark, stage.toString, "docindex", "fpb")
+      assert(!live.contains(dBucket),
+        s"emptied bucket $dBucket still has live manifest entries")
+      val rest = FunnelMv.readDocIndex(spark, stage.toString)
       assert(rest.count() == 6 - expected)
+      // ...its old bytes remain until GC (time travel to the pre-vacuum
+      // snapshot stays legal), then are physically removed
+      val oldDir = stage.resolve("docindex").resolve("g=1")
+        .resolve(s"fpb=$dBucket")
+      assert(Files.isDirectory(oldDir))
+      ManifestedPartitions.expire(spark, stage.toString,
+        Seq(("docindex", "fpb")), keepLast = 1)
+      assert(!Files.exists(oldDir),
+        "tombstoned bucket's bytes survived retention GC")
+      assert(FunnelMv.readDocIndex(spark, stage.toString).count()
+        == 6 - expected)
     } finally IvfIndex.deleteDir(stage.toString)
   }
 }

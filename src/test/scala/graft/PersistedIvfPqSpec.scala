@@ -47,7 +47,8 @@ class PersistedIvfPqSpec extends SparkSpec {
         stage.toString)
 
       // 1a. the lists carry codes only — no vector column
-      val lists = spark.read.parquet(s"$stage/lists")
+      val lists = graft.sources.ManifestedPartitions.readLatest(
+        spark, stage.toString, "lists", "cell")
       assert(lists.schema.fieldNames.sorted.toSeq == Seq("cell", "codes", "id"),
         s"unexpected list schema: ${lists.schema.fieldNames.toSeq}")
       // 1b. bytes(codes lists) ≪ bytes(raw side table): 8 int codes vs 64
@@ -58,12 +59,16 @@ class PersistedIvfPqSpec extends SparkSpec {
       assert(listsB * 4 < rawB,
         s"codes lists $listsB B not ≪ raw $rawB B — PQ compression lost")
 
-      // 2. pruning: the codes scan touches only probed partitions
+      // 2. pruning: the codes scan touches only probed partitions — the
+      // probe constructs exactly the probed cells' live paths, so the
+      // unlisted directories are never opened
       val probed = IvfPqIndex
         .queryCells(spark, stage.toString, q, "vec_id", "embedding", nProbe)
         .select("cell").distinct().collect().map(_.getInt(0)).toSet
-      val filesRead = lists
-        .filter(col("cell").isInCollection(probed.toSeq))
+      val filesRead = graft.sources.ManifestedPartitions.read(
+          spark, stage.toString, "lists", "cell",
+          graft.sources.ManifestedPartitions.prunedEntries(
+            spark, stage.toString, "lists", probed.toSeq))
         .select(input_file_name().as("f"))
         .collect().map(_.getString(0)).toSet
       val cellsRead = filesRead.flatMap { f =>

@@ -5,18 +5,21 @@ import java.nio.file.Files
 import org.apache.spark.sql.functions._
 
 import graft.similarity.IvfIndex
+import graft.sources.ManifestedPartitions
 import graft.text.{Bm25, PostingsIndex}
 
 /** Persisted BM25 postings index (q_t_bm25_persist / q_t_bm25_append) —
-  * beyond the shared DuckDB oracle, this pins the four lifecycle claims:
+  * beyond the shared DuckDB oracle, this pins the four lifecycle claims
+  * under the manifest-committed layout (r16 — postings manifest and stats
+  * sidecar commit under ONE marker):
   *   1. PARITY — probing the persisted index is bit-identical to the
   *      in-query Bm25.topK over the same corpus (integer tf/dl/df/stats
   *      round-trip parquet exactly; both paths score via Bm25.rankTopK);
-  *   2. PRUNING — the probe scan reads ONLY the query terms' bucket
-  *      directories, never the whole postings file set;
+  *   2. PRUNING — the probe scan reads ONLY the query terms' buckets'
+  *      live directories, never the whole postings file set;
   *   3. MAINTENANCE — base-build + append + compact ≡ full build
-  *      bit-for-bit, compaction leaves one file per bucket, and the stats
-  *      row advances exactly by the batch;
+  *      bit-for-bit, compaction leaves one live file per bucket, and the
+  *      stats row advances exactly by the batch;
   *   4. AMORTIZATION — probe-only wall-clock is well under build+persist.
   */
 class PostingsIndexSpec extends SparkSpec {
@@ -88,17 +91,16 @@ class PostingsIndexSpec extends SparkSpec {
       PostingsIndex.write(docs, "doc_id", "text", nBuckets, full.toString)
       PostingsIndex.write(docs.filter(!isDelta), "doc_id", "text",
         nBuckets, inc.toString)
-      val statsBase = spark.read.parquet(s"${inc.toString}/stats")
-        .collect()(0)
+      val statsBase = PostingsIndex.readStats(spark, inc.toString)
       PostingsIndex.append(spark, inc.toString, docs.filter(isDelta),
         "doc_id", "text")
 
       // the stats row advanced EXACTLY by the batch: post-append stats
-      // equal the full build's (disjoint id sets, same tokenization)
-      val statsFull = spark.read.parquet(s"${full.toString}/stats")
-        .collect()(0)
-      val statsInc = spark.read.parquet(s"${inc.toString}/stats")
-        .collect()(0)
+      // equal the full build's (disjoint id sets, same tokenization) —
+      // and it was committed under the SAME marker as the postings
+      // manifest (same version resolves both)
+      val statsFull = PostingsIndex.readStats(spark, full.toString)
+      val statsInc = PostingsIndex.readStats(spark, inc.toString)
       assert(statsInc.getLong(0) == statsFull.getLong(0) &&
         statsInc.getLong(1) == statsFull.getLong(1),
         s"appended stats $statsInc != full-build stats $statsFull")
@@ -107,20 +109,12 @@ class PostingsIndexSpec extends SparkSpec {
 
       val compacted = PostingsIndex.compact(spark, inc.toString)
       assert(compacted > 0, "append left no fragmented buckets")
-      // one parquet file per bucket after compaction
-      import scala.jdk.CollectionConverters._
-      val bucketDirs = {
-        val st = Files.list(java.nio.file.Paths.get(s"${inc.toString}/postings"))
-        try st.iterator().asScala.toList.filter(d =>
-          Files.isDirectory(d) && d.getFileName.toString.startsWith("tb="))
-        finally st.close()
-      }
-      assert(bucketDirs.nonEmpty)
-      bucketDirs.foreach { d =>
-        val st = Files.list(d)
-        val n = try st.iterator().asScala.count(
-          _.getFileName.toString.endsWith(".parquet")) finally st.close()
-        assert(n == 1, s"bucket $d holds $n files after compaction")
+      // one live parquet file per bucket after compaction
+      val live = ManifestedPartitions.liveFiles(
+        spark, inc.toString, "postings", "tb")
+      assert(live.nonEmpty)
+      live.foreach { case (tb, fs) =>
+        assert(fs.size == 1, s"bucket tb=$tb holds ${fs.size} live files")
       }
 
       // maintained index ≡ full build, bit-for-bit
@@ -147,20 +141,23 @@ class PostingsIndexSpec extends SparkSpec {
       PostingsIndex.write(docs.filter(!isDel), "doc_id", "text",
         nBuckets, rest.toString)
       val ts = docs.filter(isDel).select("doc_id").localCheckpoint(true)
-      val posts = spark.read.parquet(s"${full.toString}/postings")
+      val posts = ManifestedPartitions.readLatest(
+        spark, full.toString, "postings", "tb")
       val deadRows = posts.join(ts, posts("id") === ts("doc_id")).count()
       val purged = PostingsIndex.delete(spark, full.toString, ts)
       assert(purged == deadRows && purged > 0,
         s"purged $purged rows, expected $deadRows")
 
-      // bytes gone: no posting row of a deleted doc remains
+      // gone from every later snapshot read: no posting row of a deleted
+      // doc remains live (the retired generation's bytes go at GC)
       val tsIds = ts.collect().map(_.getLong(0)).toSet
-      assert(spark.read.parquet(s"${full.toString}/postings")
+      assert(ManifestedPartitions.readLatest(
+          spark, full.toString, "postings", "tb")
         .filter(col("id").isInCollection(tsIds)).count() == 0)
 
       // stats decremented to exactly the build-over-remaining stats
-      val sFull = spark.read.parquet(s"${full.toString}/stats").collect()(0)
-      val sRest = spark.read.parquet(s"${rest.toString}/stats").collect()(0)
+      val sFull = PostingsIndex.readStats(spark, full.toString)
+      val sRest = PostingsIndex.readStats(spark, rest.toString)
       assert(sFull.getLong(0) == sRest.getLong(0) &&
         sFull.getLong(1) == sRest.getLong(1),
         s"post-delete stats $sFull != rebuild stats $sRest")
@@ -172,6 +169,13 @@ class PostingsIndexSpec extends SparkSpec {
         .sortBy(_._1).toSeq
       assert(run(full.toString) == run(rest.toString),
         "post-delete probe diverged from the rebuild over remaining docs")
+
+      // GC: the tombstoned bytes are physically removed past the horizon
+      val (expired, removed) = PostingsIndex.expire(spark, full.toString, 1)
+      assert(expired.nonEmpty && removed >= 1,
+        s"expire removed $expired versions / $removed partition dirs")
+      assert(run(full.toString) == run(rest.toString),
+        "retention GC changed live probe results")
     } finally {
       IvfIndex.deleteDir(full.toString)
       IvfIndex.deleteDir(rest.toString)
