@@ -500,6 +500,143 @@ object SimilarityCatalog {
       "WHERE e.vec_id % 9 <> 4"))
   )
 
+  /** TORN-MAINTENANCE gate (r16, verdict order #1): the crash-shape proof
+    * for manifest-committed index maintenance. Build on the 90% base,
+    * append the withheld batch, then run a compaction that DIES between
+    * its two halves — the rewritten generation is fully staged on disk
+    * but the marker is never written (ManifestedPartitions.stageRewrite
+    * without the commit, exactly the q_pipeline_mv_timetravel torn-v3
+    * discipline applied to index maintenance). The published probe runs
+    * against the index in that torn state and must serve the
+    * PRE-MAINTENANCE snapshot bit-exactly — the oracle replays the
+    * appended index, so a probe that saw the half-committed generation
+    * (or, as the old two-move swap could, a MISSING cell) flips the
+    * hash. `torn_invisible` pins that the committed version is still the
+    * append's, and `healed_equal` pins that re-running the maintenance
+    * to completion (the recovery story: staged generation overwritten,
+    * marker lands) leaves probe results bit-identical. TornMaintSpec
+    * additionally pins the staged bytes' presence and the live-file-set
+    * invariance under the torn run.
+    */
+  val sIvfTornCompact = QueryDef(
+    "q_s_ivf_torn_compact",
+    (s, dir) => {
+      import graft.similarity.IvfIndex
+      import graft.sources.ManifestedPartitions
+      val e = t(s, dir, "embeddings")
+      val isDelta = pmod(col("vec_id"), lit(10)) === 7
+      val base = e.filter(!isDelta)
+      val c = scaledCellCount(base.count())
+      val stage = java.nio.file.Files
+        .createTempDirectory("graft_ivf_torn")
+      try {
+        IvfIndex.write(base, "vec_id", "embedding", c, stage.toString)
+        IvfIndex.append(s, stage.toString, e.filter(isDelta),
+          "vec_id", "embedding")
+        def probeRows() = IvfIndex.probe(s, stage.toString,
+            e.filter(col("vec_id") < QueryIdMax), "vec_id", "embedding",
+            k = TopK, nProbe = IvfScaledProbe)
+          .filter(col("nn_id") =!= col("query_id"))
+          .select(col("query_id"), col("rank").cast("long").as("rank"),
+            col("nn_id"), r6(col("cos")).as("cos"))
+          .orderBy("query_id", "rank")
+          .localCheckpoint(true)
+        // TORN compaction: new generation staged, marker never written
+        val frag = ManifestedPartitions.fragmentedParts(
+          s, stage.toString, "lists", "cell")
+        require(frag.nonEmpty, "append left no fragmented cells")
+        ManifestedPartitions.stageRewrite(
+          s, stage.toString, "lists", "cell", frag, identity)
+        val tornInvisible =
+          ManifestedPartitions.latestVersion(stage.toString).contains(2L)
+        val torn = probeRows()
+        val tornVals = torn.collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getLong(2), r.getDouble(3))).toSeq
+        // HEAL: the re-run overwrites the staged generation and commits
+        val (gen, merged) = ManifestedPartitions.stageRewrite(
+          s, stage.toString, "lists", "cell", frag, identity)
+        ManifestedPartitions.commitManifests(s, stage.toString, gen,
+          Map("lists" -> merged))
+        val healedVals = probeRows().collect().map(r => (r.getLong(0),
+          r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+        torn
+          .withColumn("torn_invisible", lit(tornInvisible))
+          .withColumn("healed_equal", lit(tornVals == healedVals))
+          .localCheckpoint(true)
+      } finally IvfIndex.deleteDir(stage.toString)
+    },
+    Some(s"""
+      SELECT r.*, TRUE AS torn_invisible, TRUE AS healed_equal
+      FROM (${ivfReplaySql("ivf_append_cells", "ivf_base_centroids")}) r
+      ORDER BY query_id, rank""")
+  )
+
+  /** SNAPSHOT-ISOLATED (version-pinned) probe gate (r16, verdict order
+    * #3): the read-side half of the commit protocol. A long-running probe
+    * opens the manifest at version 1 (the base-only index) and keeps
+    * serving exactly that snapshot while a maintenance job commits
+    * version 2 (the appended batch) — the pinned plan's directory list
+    * was resolved at open time and the committed generations are
+    * immutable, so its results cannot change under it ("isolated" pins
+    * the before/after collect equality). A FRESH probe resolves latest
+    * and sees the appended vectors. The oracle recomputes BOTH snapshots
+    * independently: version 1 = the replay with the batch filtered off
+    * the corpus side, version 2 = the full frozen-quantizer append
+    * replay.
+    */
+  val sIvfSnapshotProbe = QueryDef(
+    "q_s_ivf_snapshot_probe",
+    (s, dir) => {
+      import graft.similarity.IvfIndex
+      val e = t(s, dir, "embeddings")
+      val isDelta = pmod(col("vec_id"), lit(10)) === 7
+      val base = e.filter(!isDelta)
+      val c = scaledCellCount(base.count())
+      val q = e.filter(col("vec_id") < QueryIdMax).localCheckpoint(true)
+      val stage = java.nio.file.Files
+        .createTempDirectory("graft_ivf_snapshot")
+      try {
+        IvfIndex.write(base, "vec_id", "embedding", c, stage.toString) // v1
+        def shape(df: DataFrame) = df
+          .filter(col("nn_id") =!= col("query_id"))
+          .select(col("query_id"), col("rank").cast("long").as("rank"),
+            col("nn_id"), r6(col("cos")).as("cos"))
+          .orderBy("query_id", "rank")
+        // the long-running probe OPENS v1 now: its pruned directory list
+        // is resolved against v1's manifest at construction
+        val pinned = shape(IvfIndex.probe(s, stage.toString, q,
+          "vec_id", "embedding", k = TopK, nProbe = IvfScaledProbe,
+          version = Some(1L)))
+        val preVals = pinned.collect().map(r => (r.getLong(0),
+          r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+        // maintenance commits v2 while the probe is "running"
+        IvfIndex.append(s, stage.toString, e.filter(isDelta),
+          "vec_id", "embedding")
+        // the pinned probe finishes AFTER the commit: same results
+        val postVals = pinned.collect().map(r => (r.getLong(0),
+          r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+        val fresh = shape(IvfIndex.probe(s, stage.toString, q,
+          "vec_id", "embedding", k = TopK, nProbe = IvfScaledProbe))
+        pinned.withColumn("version", lit(1L))
+          .unionByName(fresh.withColumn("version", lit(2L)))
+          .withColumn("isolated", lit(preVals == postVals))
+          .select(col("version"), col("query_id"), col("rank"),
+            col("nn_id"), col("cos"), col("isolated"))
+          .orderBy("version", "query_id", "rank")
+          .localCheckpoint(true)
+      } finally IvfIndex.deleteDir(stage.toString)
+    },
+    Some(s"""
+      SELECT * FROM (
+        SELECT CAST(1 AS BIGINT) AS version, r1.*, TRUE AS isolated
+        FROM (${ivfReplaySql("ivf_append_cells", "ivf_base_centroids",
+          "WHERE e.vec_id % 10 <> 7")}) r1
+        UNION ALL
+        SELECT CAST(2 AS BIGINT), r2.*, TRUE
+        FROM (${ivfReplaySql("ivf_append_cells", "ivf_base_centroids")}) r2)
+      ORDER BY version, query_id, rank""")
+  )
+
   /** STREAMING INGEST into the persisted IVF index — the composition a
     * live corpus actually runs: vectors arrive as a stream, and each
     * micro-batch is appended to the on-disk index under the frozen coarse
@@ -1892,10 +2029,13 @@ object SimilarityCatalog {
     * from BASE-trained centroids/codebooks — assignment and encoding in
     * the CTEs below are per-vector functions of those frozen artifacts,
     * so replaying ALL corpus vectors against the base-trained parts is
-    * exactly the frozen-quantizer append semantics.
+    * exactly the frozen-quantizer append semantics. `resWhere` filters
+    * the CORPUS side of the residual/codes CTEs (the delete gate's
+    * tombstoned slice) while the query side stays unfiltered — a deleted
+    * query vector becomes an out-of-index query, exactly like the probe.
     */
   private def ivfPqReplayCtesFrom(centsAux: String,
-      cbAux: String): String = s"""cents AS MATERIALIZED (SELECT cell, c FROM
+      cbAux: String, resWhere: String = ""): String = s"""cents AS MATERIALIZED (SELECT cell, c FROM
         read_parquet('__VERIFY_OUT__/_aux/$centsAux/*.parquet')),
       cn AS (SELECT cell, list_transform(c, x -> x /
                sqrt(list_sum(list_transform(c, y -> y * y)))) AS cnorm
@@ -1918,7 +2058,7 @@ object SimilarityCatalog {
                list_transform(list_zip(corpus.v, cents.c),
                  p -> p[1] - p[2]) AS r
         FROM corpus JOIN assign a USING (vec_id)
-        JOIN cents ON cents.cell = a.cell),
+        JOIN cents ON cents.cell = a.cell $resWhere),
       cb AS MATERIALIZED (SELECT m, k, c FROM
         read_parquet('__VERIFY_OUT__/_aux/$cbAux/*.parquet')),
       rd AS MATERIALIZED (
@@ -2005,11 +2145,14 @@ object SimilarityCatalog {
       $ivfPqRefineTail""")
   )
 
-  /** The exact-re-rank oracle tail shared by q_s_ivfpq_persist and
-    * q_s_ivfpq_append: top-`IpRefine` ADC candidates → exact cosine from
-    * raw embeddings → top-`TopK`.
+  /** The exact-re-rank oracle tail shared by the persisted IVF-PQ gates:
+    * top-`IpRefine` ADC candidates → exact cosine from raw embeddings →
+    * top-`TopK`. `extraSelect` appends pinned literal columns (the
+    * lifecycle gates' boolean claims).
     */
-  private def ivfPqRefineTail: String = s"""cands AS (
+  private def ivfPqRefineTail: String = ivfPqRefineTailWith("")
+
+  private def ivfPqRefineTailWith(extraSelect: String): String = s"""cands AS (
         SELECT query_id, nn_id FROM ranked WHERE rank <= $IpRefine),
       rer AS (
         SELECT c.query_id, c.nn_id,
@@ -2026,7 +2169,7 @@ object SimilarityCatalog {
                  ORDER BY cos DESC, nn_id) AS rank
         FROM rer)
       SELECT query_id, CAST(rank AS BIGINT) AS rank, nn_id,
-             ${sqlR6("cos")} AS cos
+             ${sqlR6("cos")} AS cos$extraSelect
       FROM rr WHERE rank <= $TopK
       ORDER BY query_id, rank"""
 
@@ -2036,21 +2179,22 @@ object SimilarityCatalog {
     * persisted on the 90% base (coarse quantizer AND residual codebooks
     * trained there), then the batch is APPENDED — assigned to its nearest
     * FROZEN stored centroid, its residual encoded with the FROZEN stored
-    * codebooks, codes landing as new files in existing cell dirs and the
-    * exact vectors appending to the raw side table (ingest ∝ batch; both
-    * trained artifacts retrain on a slow cadence, never per ingest). The
-    * fragmented cells are COMPACTED, and the probe must rank appended
-    * vectors alongside base ones exactly: the oracle replays
-    * assignment/encoding/ADC/refine of ALL vectors from BASE-trained
-    * centroid/codebook dumps — per-vector functions of frozen state, so
-    * the replay IS the frozen-parts append semantics. AppendIvfPqSpec
-    * additionally pins that an appended vector is findable at rank 1 and
-    * that compaction leaves probes bit-identical.
+    * codebooks, codes landing as a new generation alongside the raw
+    * vectors' (one atomic manifest commit; ingest ∝ batch; both trained
+    * artifacts retrain on a slow cadence, never per ingest), and the
+    * probe must rank appended vectors alongside base ones exactly: the
+    * oracle replays assignment/encoding/ADC/refine of ALL vectors from
+    * BASE-trained centroid/codebook dumps — per-vector functions of
+    * frozen state, so the replay IS the frozen-parts append semantics.
+    * (Scheduled compaction is its own gate since r16, q_s_ivfpq_compact,
+    * mirroring the plain-IVF family.) AppendIvfPqSpec additionally pins
+    * that an appended vector is findable at rank 1 and that compaction
+    * leaves probes bit-identical.
     */
   val sIvfPqAppend = QueryDef(
     "q_s_ivfpq_append",
     (s, dir) => {
-      import graft.similarity.{IvfIndex, IvfPqIndex}
+      import graft.similarity.IvfPqIndex
       val e = t(s, dir, "embeddings")
       val isDelta = pmod(col("vec_id"), lit(10)) === 7
       val stage = java.nio.file.Files
@@ -2060,8 +2204,6 @@ object SimilarityCatalog {
           IvfCells, PqDim, PqM, PqK, stage.toString)
         IvfPqIndex.append(s, stage.toString, e.filter(isDelta),
           "vec_id", "embedding")
-        val compacted = IvfPqIndex.compact(s, stage.toString)
-        require(compacted > 0, "append left no fragmented partitions")
         IvfPqIndex.probe(s, stage.toString,
             e.filter(col("vec_id") < QueryIdMax), "vec_id", "embedding",
             k = TopK, nProbe = IpProbe, refine = IpRefine)
@@ -2077,10 +2219,113 @@ object SimilarityCatalog {
       $ivfPqRefineTail""")
   )
 
+  /** IVF-PQ COMPACTION gate (r16, verdict order #2) — the scheduled
+    * maintenance step for the storage-bounded family: after the
+    * frozen-parts append fragments both datasets (a new generation each
+    * for the coded lists AND the raw side table), IvfPqIndex.compact
+    * rewrites exactly the fragmented cells/buckets back to one file each
+    * and commits BOTH new manifests under one marker. Physical layout
+    * only: the probe answers from the compacted index and must be
+    * bit-identical to the uncompacted append — the gate shares
+    * q_s_ivfpq_append's oracle replay, with `compacted_both` pinning
+    * that the maintenance really touched both datasets (a silent
+    * one-sided compaction flips the hash).
+    */
+  val sIvfPqCompact = QueryDef(
+    "q_s_ivfpq_compact",
+    (s, dir) => {
+      import graft.similarity.IvfPqIndex
+      import graft.sources.ManifestedPartitions
+      val e = t(s, dir, "embeddings")
+      val isDelta = pmod(col("vec_id"), lit(10)) === 7
+      val stage = java.nio.file.Files
+        .createTempDirectory("graft_ivfpq_compact")
+      try {
+        IvfPqIndex.write(e.filter(!isDelta), "vec_id", "embedding",
+          IvfCells, PqDim, PqM, PqK, stage.toString)
+        IvfPqIndex.append(s, stage.toString, e.filter(isDelta),
+          "vec_id", "embedding")
+        val fragLists = ManifestedPartitions.fragmentedParts(
+          s, stage.toString, "lists", "cell").nonEmpty
+        val fragRaw = ManifestedPartitions.fragmentedParts(
+          s, stage.toString, "raw", "rb").nonEmpty
+        val compacted = IvfPqIndex.compact(s, stage.toString)
+        require(compacted > 0, "append left no fragmented partitions")
+        IvfPqIndex.probe(s, stage.toString,
+            e.filter(col("vec_id") < QueryIdMax), "vec_id", "embedding",
+            k = TopK, nProbe = IpProbe, refine = IpRefine)
+          .select(col("query_id"), col("rank").cast("long").as("rank"),
+            col("nn_id"), r6(col("cos")).as("cos"))
+          .withColumn("compacted_both", lit(fragLists && fragRaw))
+          .orderBy("query_id", "rank")
+          .localCheckpoint(true)
+      } finally graft.similarity.IvfIndex.deleteDir(stage.toString)
+    },
+    Some(s"""
+      WITH ${ivfPqReplayCtesFrom("ivfpq_base_centroids",
+        "ivfpq_base_codebooks")},
+      ${ivfPqRefineTailWith(", TRUE AS compacted_both")}""")
+  )
+
+  /** IVF-PQ DELETE gate (r16, verdict order #2) — the GDPR leg that
+    * completes the storage-bounded family's lifecycle, with the wrinkle
+    * that made it worth its own gate: the tombstones must be purged from
+    * BOTH the coded lists AND the raw exact-vector side table, and the
+    * raw table's hash-bucket layout (new in r16) bounds that rewrite to
+    * the tombstoned ids' buckets. The same ninth of the corpus as
+    * q_s_ivf_delete (vec_id % 9 == 4) is tombstoned out of the
+    * full-corpus index in ONE atomic commit across both datasets; the
+    * probe then answers from the vacuumed artifact (query vector 4 is
+    * itself deleted — the out-of-index query shape). The oracle replays
+    * the full IVF-PQ lifecycle with the tombstoned slice filtered off
+    * the corpus side of the residual/codes CTEs, so a deleted vector
+    * still ranked — or a live one wrongly vacuumed — flips the hash;
+    * `purged` pins physical absence from both datasets' live snapshots.
+    * IvfPqDeleteSpec additionally pins untouched-partition file identity
+    * and byte removal at GC.
+    */
+  val sIvfPqDelete = QueryDef(
+    "q_s_ivfpq_delete",
+    (s, dir) => {
+      import graft.similarity.IvfPqIndex
+      import graft.sources.ManifestedPartitions
+      val e = t(s, dir, "embeddings")
+      val stage = java.nio.file.Files
+        .createTempDirectory("graft_ivfpq_delete")
+      try {
+        IvfPqIndex.write(e, "vec_id", "embedding", IvfCells,
+          PqDim, PqM, PqK, stage.toString)
+        val ts = e.filter(pmod(col("vec_id"), lit(9)) === 4)
+          .select(col("vec_id").as("id")).localCheckpoint(true)
+        val purged = IvfPqIndex.delete(s, stage.toString, ts)
+        require(purged > 0, "tombstone batch purged nothing")
+        // physical absence from BOTH live snapshots (codes and raw)
+        val deadLive = ManifestedPartitions.readLatest(
+            s, stage.toString, "lists", "cell")
+          .select("id").join(broadcast(ts), Seq("id")).count() +
+          ManifestedPartitions.readLatest(s, stage.toString, "raw", "rb")
+            .select("id").join(broadcast(ts), Seq("id")).count()
+        IvfPqIndex.probe(s, stage.toString,
+            e.filter(col("vec_id") < QueryIdMax), "vec_id", "embedding",
+            k = TopK, nProbe = IpProbe, refine = IpRefine)
+          .select(col("query_id"), col("rank").cast("long").as("rank"),
+            col("nn_id"), r6(col("cos")).as("cos"))
+          .withColumn("purged", lit(deadLive == 0L))
+          .orderBy("query_id", "rank")
+          .localCheckpoint(true)
+      } finally graft.similarity.IvfIndex.deleteDir(stage.toString)
+    },
+    Some(s"""
+      WITH ${ivfPqReplayCtesFrom("ivfpq_centroids", "ivfpq_codebooks",
+        "WHERE corpus.vec_id % 9 <> 4")},
+      ${ivfPqRefineTailWith(", TRUE AS purged")}""")
+  )
+
   val all: Seq[QueryDef] =
     Seq(sBrute, sIvf, sIvfScaled, sIvfPersist, sIvfAppend, sIvfCompact,
-      sIvfStreamIngest, sIvfDelete, sPq, sSq,
-      sSparse, sRecallIvf,
+      sIvfStreamIngest, sIvfDelete, sIvfTornCompact, sIvfSnapshotProbe,
+      sPq, sSq, sSparse, sRecallIvf,
       sJlProject, sCentroidCos, sMmr, sLshRecall, sMutualNn, sNdcg, sKnn,
-      sKnnIvf, sKcenter, sIvfPq, sIvfPqPersist, sIvfPqAppend)
+      sKnnIvf, sKcenter, sIvfPq, sIvfPqPersist, sIvfPqAppend,
+      sIvfPqCompact, sIvfPqDelete)
 }
