@@ -1460,11 +1460,21 @@ object DedupCatalog {
           .localCheckpoint(true)
       } finally graft.similarity.IvfIndex.deleteDir(stage.toString)
     },
-    Some {
-      val stopSum = graft.text.TextAnalysis.Stopwords.map(w =>
-        s"len(regexp_extract_all(' ' || lower(nt) || ' ', ' $w ', 0))")
-        .mkString("(", " + ", ")")
-      s"""
+    Some(incrMvFullRecomputeSql(""))
+  )
+
+  /** The full-recompute oracle over base ∪ insert batch with
+    * arrival-order keep-first — the ground truth every incrementally- or
+    * stream-maintained view must land on. Shared by q_pipeline_incr_mv
+    * and q_pipeline_mv_stream_ingest (the latter appends pinned literal
+    * columns via `extraCols`) so the two gates' ground truth can never
+    * drift.
+    */
+  private def incrMvFullRecomputeSql(extraCols: String): String = {
+    val stopSum = graft.text.TextAnalysis.Stopwords.map(w =>
+      s"len(regexp_extract_all(' ' || lower(nt) || ' ', ' $w ', 0))")
+      .mkString("(", " + ", ")")
+    s"""
       WITH $incrInsertRawSql,
       d0 AS (
         SELECT doc_id, batch,
@@ -1503,7 +1513,7 @@ object DedupCatalog {
         WHERE c1.dist / CAST(c1.total AS DOUBLE) >= $E2eMinDistinct
           AND (c2.doc_id IS NULL
             OR c2.topc / CAST(c2.total AS DOUBLE) <= $E2eMaxTopBigram))
-      SELECT * FROM (
+      SELECT u.*$extraCols FROM (
         SELECT 1 AS stage_ord, 'input' AS stage, count(*) AS n_docs,
                CAST(coalesce(sum(n_tok), 0) AS BIGINT) AS n_tokens FROM dd
         UNION ALL SELECT 2, 'exact_dedup', count(*),
@@ -1514,10 +1524,9 @@ object DedupCatalog {
         UNION ALL SELECT 4, 'repetition_gate', count(*),
                CAST(coalesce(sum(n_tok), 0) AS BIGINT)
                FROM fex WHERE doc_id IN (SELECT doc_id FROM qf)
-                          AND doc_id IN (SELECT doc_id FROM rf))
+                          AND doc_id IN (SELECT doc_id FROM rf)) u
       ORDER BY stage_ord"""
-    }
-  )
+  }
 
   /** TOMBSTONE DELETES in the funnel IVM (r14 verdict order #4) — the
     * other half of the maintenance loop: GDPR-style removals from a
@@ -1971,10 +1980,206 @@ object DedupCatalog {
       ORDER BY stage_ord""")
   )
 
+  /** STREAMING INGEST into the persisted funnel MV with EXACTLY-ONCE
+    * versioned commits (r16, verdict order #4) — the arrival path of a
+    * live curation pipeline: the insert batch lands as a stream of three
+    * arrival slices (doc_id-ascending ranges, mtime-pinned replay order,
+    * maxFilesPerTrigger=1) and each micro-batch b runs the insert-only
+    * IVM against the VERSIONED view — read view + fp-deltas at version
+    * b+1, apply the batch, commit {updated view, batch's fp delta} as
+    * version b+2 under ONE marker (VersionedView.commitTables). Because
+    * the input version is a pure function of the BATCH ID, a re-delivered
+    * batch recomputes from the same snapshot and its recommit REPLACES
+    * version b+2 — never double-counts — which is the foreachBatch
+    * exactly-once discipline (idempotent writes keyed by batchId). The
+    * gate proves it twice: a genuine checkpoint RESTART mid-feed
+    * (`resumed` pins that post-restart batches continued, not re-started,
+    * from the checkpoint) and an explicit re-delivery of an
+    * already-committed batch (`replay_idempotent` pins that its version's
+    * rows recompute identically and the final view is untouched). The
+    * published view must land on the FULL-RECOMPUTE oracle over
+    * base ∪ batch — stream-maintained ≡ from-scratch. Slicing by
+    * ascending doc_id ranges makes cross-slice keep-first equal global
+    * keep-first by doc_id, so the oracle is exactly q_pipeline_incr_mv's.
+    */
+  val dPipelineMvStreamIngest = QueryDef(
+    "q_pipeline_mv_stream_ingest",
+    (s, dir) => {
+      import java.nio.file.{Files, Paths, StandardCopyOption}
+      import org.apache.spark.sql.expressions.Window
+      import graft.dedup.FunnelMv
+      import graft.sources.VersionedView
+      import graft.text.TextAnalysis
+      val raw0 = t(s, dir, "documents").filter(col("text").isNotNull)
+        .select("doc_id", "text").localCheckpoint(true)
+      val stage = Files.createTempDirectory("graft_mv_stream")
+      val vroot = s"$stage/versioned"
+      val feed = stage.resolve("feed")
+      val ckpt = stage.resolve("ckpt")
+      Files.createDirectories(feed)
+      try {
+        // BUILD: base view + base fp index committed as version 1
+        FunnelMv.write(raw0, s"$stage/mv", E2eMinTokens, E2eMaxStopword,
+          E2eMinDistinct, E2eMaxTopBigram)
+        VersionedView.commitTables(Map(
+          "view" -> s.read.parquet(s"$stage/mv/view"),
+          "fpdelta" -> s.read.parquet(s"$stage/mv/fpindex")), vroot, 1L)
+        // three arrival slices: ascending doc_id ranges (ntile), staged
+        // with ascending mtimes to pin FileStreamSource replay order
+        val sliced = incrInsertBatch(raw0)
+          .withColumn("slice",
+            ntile(3).over(Window.orderBy("doc_id")) - 1)
+          .localCheckpoint(true)
+        (0 until 3).foreach { i =>
+          val tmp = stage.resolve(s"w$i").toString
+          sliced.filter(col("slice") === i).drop("slice")
+            .coalesce(1).write.mode("overwrite").parquet(tmp)
+          val st = Files.list(Paths.get(tmp))
+          val part = try st.filter(
+              _.getFileName.toString.endsWith(".parquet")).findFirst().get()
+            finally st.close()
+          Files.move(part, stage.resolve(f"slice$i%02d.parquet"),
+            StandardCopyOption.REPLACE_EXISTING)
+        }
+        def land(i: Int): Unit = {
+          val dst = feed.resolve(f"b$i%02d.parquet")
+          Files.copy(stage.resolve(f"slice$i%02d.parquet"), dst,
+            StandardCopyOption.REPLACE_EXISTING)
+          Files.setLastModifiedTime(dst,
+            java.nio.file.attribute.FileTime.fromMillis(1000L * (i + 1)))
+        }
+        // the IVM step for micro-batch `batchId`: version b+1 in,
+        // version b+2 out — one marker commits view AND fp delta
+        def applyBatch(b: DataFrame, batchId: Long): Unit = {
+          if (b.isEmpty) return
+          val inV = batchId + 1
+          val fpIndex = (1L to inV)
+            .map(v => VersionedView.readTable(s, vroot, "fpdelta", v))
+            .reduce(_ unionByName _)
+          val updated = FunnelMv.applyInsertsTo(
+              VersionedView.readTable(s, vroot, "view", inV), fpIndex, b,
+              E2eMinTokens, E2eMaxStopword, E2eMinDistinct, E2eMaxTopBigram)
+            .localCheckpoint(true)
+          val newFps = b.select(col("doc_id"), col("text"))
+            .withColumn("fp", md5(TextAnalysis.normText(col("text"))))
+            .select("fp").distinct().localCheckpoint(true)
+          VersionedView.commitTables(Map("view" -> updated.coalesce(1),
+            "fpdelta" -> newFps.coalesce(1)), vroot, inV + 1)
+        }
+        val schema = sliced.drop("slice").schema
+        val seen = scala.collection.mutable.ArrayBuffer[Long]()
+        def runPhase(): Unit = {
+          val q = s.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed.toString)
+            .writeStream
+            .option("checkpointLocation", ckpt.toString)
+            .foreachBatch { (b: DataFrame, batchId: Long) =>
+              if (!b.isEmpty) {
+                applyBatch(b, batchId)
+                seen += batchId
+                ()
+              }
+            }.start()
+          try q.processAllAvailable() finally q.stop()
+        }
+        land(0); runPhase()
+        val phase1Max = seen.max
+        land(1); land(2); runPhase() // RESTART from the checkpoint
+        val resumed = seen.size >= 3 &&
+          seen.drop(1).forall(_ > phase1Max)
+        require(VersionedView.latestVersion(vroot).contains(4L),
+          s"expected 4 committed versions, got " +
+            s"${VersionedView.latestVersion(vroot)}")
+        def viewRows(v: Long) = VersionedView.readTable(s, vroot, "view", v)
+          .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2),
+            r.getLong(3))).sortBy(_._1).toSeq
+        // EXPLICIT RE-DELIVERY of the already-committed batch 1 (the
+        // crash-between-commit-and-checkpoint shape): same batchId ⇒ same
+        // input snapshot ⇒ identical recompute, recommit replaces
+        val v3Before = viewRows(3L)
+        val finalBefore = viewRows(4L)
+        applyBatch(s.read.parquet(feed.resolve("b01.parquet").toString), 1L)
+        val replayIdempotent = viewRows(3L) == v3Before &&
+          viewRows(4L) == finalBefore &&
+          VersionedView.latestVersion(vroot).contains(4L)
+        VersionedView.readTable(s, vroot, "view", 4L)
+          .withColumn("resumed", lit(resumed))
+          .withColumn("replay_idempotent", lit(replayIdempotent))
+          .orderBy("stage_ord")
+          .localCheckpoint(true)
+      } finally graft.similarity.IvfIndex.deleteDir(stage.toString)
+    },
+    Some(incrMvFullRecomputeSql(
+      ", TRUE AS resumed, TRUE AS replay_idempotent"))
+  )
+
+  /** RETENTION GC for versioned views (r16, verdict order #5):
+    * VersionedView accumulates every version forever — `expire` is the
+    * retention policy. The gate commits the base funnel view as v1 and
+    * the IVM-updated view as v2, expires to keepLast=1, and pins the
+    * three safety claims: the latest snapshot is bit-identical before and
+    * after GC (`latest_unaffected`), time travel below the horizon fails
+    * LOUDLY instead of serving a half-deleted snapshot — the marker is
+    * removed FIRST, so the commit check rejects the read
+    * (`below_horizon_loud`) — and v1's data directory and marker are
+    * physically gone (`bytes_gone`). The published rows are the surviving
+    * v2 view, replayed by the oracle as the full recompute over
+    * base ∪ batch.
+    */
+  val dPipelineMvExpire = QueryDef(
+    "q_pipeline_mv_expire",
+    (s, dir) => {
+      import java.nio.file.{Files, Paths}
+      import graft.dedup.FunnelMv
+      import graft.sources.VersionedView
+      val raw0 = t(s, dir, "documents").filter(col("text").isNotNull)
+        .select("doc_id", "text").localCheckpoint(true)
+      val stage = Files.createTempDirectory("graft_mv_expire")
+      val vroot = s"$stage/versioned"
+      try {
+        FunnelMv.write(raw0, s"$stage/mv", E2eMinTokens, E2eMaxStopword,
+          E2eMinDistinct, E2eMaxTopBigram)
+        VersionedView.commit(s.read.parquet(s"$stage/mv/view"), vroot, 1L)
+        incrInsertBatch(raw0).coalesce(1)
+          .write.mode("overwrite").parquet(s"$stage/batch")
+        val updated = FunnelMv.applyInsertsTo(
+          VersionedView.read(s, vroot),
+          s.read.parquet(s"$stage/mv/fpindex"),
+          s.read.parquet(s"$stage/batch"),
+          E2eMinTokens, E2eMaxStopword, E2eMinDistinct, E2eMaxTopBigram)
+        VersionedView.commit(updated, vroot, 2L)
+        def latestRows() = VersionedView.read(s, vroot)
+          .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2),
+            r.getLong(3))).sortBy(_._1).toSeq
+        val preRows = latestRows()
+        val expired = VersionedView.expire(vroot, keepLast = 1)
+        val latestUnaffected = expired == Seq(1L) &&
+          VersionedView.latestVersion(vroot).contains(2L) &&
+          latestRows() == preRows
+        val belowHorizonLoud =
+          try { VersionedView.readVersion(s, vroot, 1L); false }
+          catch { case _: IllegalArgumentException => true }
+        val bytesGone = !Files.exists(Paths.get(s"$vroot/v=1")) &&
+          !Files.exists(Paths.get(s"$vroot/_commits/1"))
+        VersionedView.read(s, vroot)
+          .withColumn("latest_unaffected", lit(latestUnaffected))
+          .withColumn("below_horizon_loud", lit(belowHorizonLoud))
+          .withColumn("bytes_gone", lit(bytesGone))
+          .orderBy("stage_ord")
+          .localCheckpoint(true)
+      } finally graft.similarity.IvfIndex.deleteDir(stage.toString)
+    },
+    Some(incrMvFullRecomputeSql(
+      ", TRUE AS latest_unaffected, TRUE AS below_horizon_loud" +
+        ", TRUE AS bytes_gone"))
+  )
+
   val all: Seq[QueryDef] =
     Seq(dExact, dJaccard, dComponents, dClusterSizes, dMinHash, dSimHash,
       dEmbed, dSemantic, dFuzzy, dFellegi, dContainment, dLshRecall,
       dBbitMinhash, dNgramNovelty, dDedupImpact, dSurvivorship, dDamerau,
       dPipelineE2e, dPipelineIncr, dPipelineIncrMv, dPipelineIncrDelete,
-      dPipelineIncrVacuum, dPipelineMvTimetravel)
+      dPipelineIncrVacuum, dPipelineMvTimetravel, dPipelineMvStreamIngest,
+      dPipelineMvExpire)
 }
