@@ -71,7 +71,14 @@ object SparkEntry {
     "q_e_full_join_stream",
     // the two index-delete gates added after the profile run: both are
     // build + vacuum + probe lifecycles, measured 2.7-2.9 s at local[4]
-    "q_t_bm25_delete", "q_s_ivf_delete")
+    "q_t_bm25_delete", "q_s_ivf_delete",
+    // r16 lifecycle gates, measured at their first sf0.01 Verify runs
+    // (local[4]): the streaming-MV ingest runs two stream phases + a
+    // replay (16.9 s); the others are build + maintain + probe cycles
+    // in the 4-8 s band
+    "q_pipeline_mv_stream_ingest", "q_pipeline_mv_expire",
+    "q_s_ivf_torn_compact", "q_s_ivf_snapshot_probe",
+    "q_s_ivfpq_compact", "q_s_ivfpq_delete", "q_s_ivf_occ_maint")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. SQL may

@@ -637,6 +637,92 @@ object SimilarityCatalog {
       ORDER BY version, query_id, rank""")
   )
 
+  /** OPTIMISTIC-CONCURRENCY maintenance gate (r16): TWO maintenance
+    * writers race from the same snapshot — the compactor and a GDPR
+    * delete both stage new generations against version 2 (writer-unique
+    * generation ids, so their staged files can't clobber each other),
+    * then race the version-3 commit. The marker is installed by an
+    * atomic link-if-absent CAS carrying the manifest IN its body
+    * (ManifestedPartitions.tryCommitManifests), so exactly one writer
+    * wins; the loser's commit returns false — the LOST-UPDATE shape a
+    * replace-marker would have silently swallowed — and it re-stages
+    * its delete against the winner's committed snapshot and lands as
+    * version 4. The probe answers from v4 and must show BOTH effects:
+    * the oracle replays the appended index minus the tombstoned slice
+    * (compaction is logically inert, so delete-only replay IS the
+    * both-effects answer), `conflict_detected` pins the exact
+    * win/lose/retry sequence, and `compaction_survived` pins that the
+    * winner's rewrite is still live after the loser's retry (no
+    * fragmented cell remains). OccMaintSpec additionally pins that v3's
+    * committed manifest is the WINNER's and the abandoned staged
+    * generation is unreferenced garbage collected by expire.
+    */
+  val sIvfOccMaint = QueryDef(
+    "q_s_ivf_occ_maint",
+    (s, dir) => {
+      import graft.similarity.IvfIndex
+      import graft.sources.ManifestedPartitions
+      val e = t(s, dir, "embeddings")
+      val isDelta = pmod(col("vec_id"), lit(10)) === 7
+      val base = e.filter(!isDelta)
+      val c = scaledCellCount(base.count())
+      val stage = java.nio.file.Files
+        .createTempDirectory("graft_ivf_occ")
+      val root = stage.toString
+      try {
+        IvfIndex.write(base, "vec_id", "embedding", c, root) // v1
+        IvfIndex.append(s, root, e.filter(isDelta),
+          "vec_id", "embedding") // v2
+        // writer 1 (compactor) and writer 2 (delete) both read v2
+        val frag = ManifestedPartitions.fragmentedParts(
+          s, root, "lists", "cell")
+        require(frag.nonEmpty, "append left no fragmented cells")
+        val ts = e.filter(pmod(col("vec_id"), lit(9)) === 4)
+          .select(col("vec_id").as("id")).localCheckpoint(true)
+        val affected = ManifestedPartitions.read(s, root, "lists", "cell",
+            ManifestedPartitions.readEntries(s, root, "lists", 2L))
+          .select("id", "cell").join(broadcast(ts), Seq("id"))
+          .select("cell").distinct().collect().map(_.getInt(0)).toSeq
+        require(affected.nonEmpty, "tombstones hit no cell")
+        val anti = (df: DataFrame) =>
+          df.join(broadcast(ts), Seq("id"), "left_anti")
+        // both stage against snapshot v2, writer-unique generations
+        val w1 = ManifestedPartitions.stageRewriteAt(s, root, "lists",
+          "cell", frag, identity, snapshotV = 2L, gen = 101L)
+        val w2 = ManifestedPartitions.stageRewriteAt(s, root, "lists",
+          "cell", affected, anti, snapshotV = 2L, gen = 102L)
+        // the race: one CAS wins version 3, the other detects conflict
+        val w1Won = ManifestedPartitions.tryCommitManifests(root, 3L,
+          Map("lists" -> w1))
+        val w2Lost = !ManifestedPartitions.tryCommitManifests(root, 3L,
+          Map("lists" -> w2))
+        // loser retries: re-stage the delete on the WINNER's snapshot
+        val w2Retry = ManifestedPartitions.stageRewriteAt(s, root, "lists",
+          "cell", affected, anti, snapshotV = 3L, gen = 103L)
+        val w2Won = ManifestedPartitions.tryCommitManifests(root, 4L,
+          Map("lists" -> w2Retry))
+        require(w1Won && w2Lost && w2Won, "OCC race did not serialize")
+        val compactionSurvived = ManifestedPartitions.fragmentedParts(
+          s, root, "lists", "cell").isEmpty
+        IvfIndex.probe(s, root,
+            e.filter(col("vec_id") < QueryIdMax), "vec_id", "embedding",
+            k = TopK, nProbe = IvfScaledProbe)
+          .filter(col("nn_id") =!= col("query_id"))
+          .select(col("query_id"), col("rank").cast("long").as("rank"),
+            col("nn_id"), r6(col("cos")).as("cos"))
+          .withColumn("conflict_detected", lit(w1Won && w2Lost && w2Won))
+          .withColumn("compaction_survived", lit(compactionSurvived))
+          .orderBy("query_id", "rank")
+          .localCheckpoint(true)
+      } finally IvfIndex.deleteDir(root)
+    },
+    Some(s"""
+      SELECT r.*, TRUE AS conflict_detected, TRUE AS compaction_survived
+      FROM (${ivfReplaySql("ivf_append_cells", "ivf_base_centroids",
+        "WHERE e.vec_id % 9 <> 4")}) r
+      ORDER BY query_id, rank""")
+  )
+
   /** STREAMING INGEST into the persisted IVF index — the composition a
     * live corpus actually runs: vectors arrive as a stream, and each
     * micro-batch is appended to the on-disk index under the frozen coarse
@@ -2324,6 +2410,7 @@ object SimilarityCatalog {
   val all: Seq[QueryDef] =
     Seq(sBrute, sIvf, sIvfScaled, sIvfPersist, sIvfAppend, sIvfCompact,
       sIvfStreamIngest, sIvfDelete, sIvfTornCompact, sIvfSnapshotProbe,
+      sIvfOccMaint,
       sPq, sSq, sSparse, sRecallIvf,
       sJlProject, sCentroidCos, sMmr, sLshRecall, sMutualNn, sNdcg, sKnn,
       sKnnIvf, sKcenter, sIvfPq, sIvfPqPersist, sIvfPqAppend,

@@ -85,13 +85,55 @@ object ManifestedPartitions {
   }
 
   /** The committed manifest of `dataName` at version `v` — driver-side,
-    * bounded by |partitions| × live generations.
+    * bounded by |partitions| × live generations. Two storage forms: the
+    * single-writer path commits the manifest as a parquet table beside
+    * the data, while the OCC path ([[tryCommitManifests]]) embeds it in
+    * the marker body itself — readers handle both, so probes are
+    * agnostic to which writer discipline produced a version.
     */
   def readEntries(spark: SparkSession, root: String, dataName: String,
-      v: Long): Seq[(Int, Long)] =
-    VersionedView.readTable(spark, root, manifestTable(dataName), v)
-      .select("part", "gen").collect()
-      .map(r => (r.getInt(0), r.getLong(1))).toSeq.sortBy(identity)
+      v: Long): Seq[(Int, Long)] = {
+    val body = VersionedView.markerBody(root, v)
+    if (body.startsWith("{")) {
+      val pat = ("\"" + java.util.regex.Pattern.quote(dataName) +
+        "\":\"([^\"]*)\"").r
+      pat.findFirstMatchIn(body) match {
+        case Some(m) =>
+          val s = m.group(1)
+          if (s.isEmpty) Nil
+          else s.split(";").toSeq.map { e =>
+            val Array(p, g) = e.split(":")
+            (p.toInt, g.toLong)
+          }.sortBy(identity)
+        case None => throw new IllegalStateException(
+          s"version $v marker at $root has no manifest for $dataName")
+      }
+    } else
+      VersionedView.readTable(spark, root, manifestTable(dataName), v)
+        .select("part", "gen").collect()
+        .map(r => (r.getInt(0), r.getLong(1))).toSeq.sortBy(identity)
+  }
+
+  /** OPTIMISTIC-CONCURRENCY commit (r16): serialize the manifests INTO
+    * the version marker — `{"<dataName>":"part:gen;part:gen;…", …}` —
+    * and install it with [[VersionedView.tryMark]]'s atomic
+    * link-if-absent. The marker IS both the commit point and the
+    * data-pointer set, so two writers racing to version `v` cannot
+    * interleave: exactly one link succeeds, the loser gets `false`,
+    * re-reads the winner's snapshot, re-stages its maintenance on a
+    * fresh generation ([[stageRewriteAt]] with a writer-unique gen),
+    * and retries at v+1. Sidecar tables are not supported on this path
+    * (a sidecar-carrying family serializes its sidecar into the body
+    * the same way if it needs OCC).
+    */
+  def tryCommitManifests(root: String, v: Long,
+      manifests: Map[String, Seq[(Int, Long)]]): Boolean = {
+    val body = manifests.toSeq.sortBy(_._1).map { case (dn, es) =>
+      "\"" + dn + "\":\"" + es.sortBy(identity)
+        .map { case (p, g) => s"$p:$g" }.mkString(";") + "\""
+    }.mkString("{", ",", "}")
+    VersionedView.tryMark(root, v, body)
+  }
 
   /** Latest committed manifest version of the root (shared by every
     * dataset and sidecar committed under it).
@@ -205,15 +247,32 @@ object ManifestedPartitions {
       transform: DataFrame => DataFrame): (Long, Seq[(Int, Long)]) = {
     val v = latestVersion(root).getOrElse(
       throw new IllegalStateException(s"no committed version at $root"))
-    val gen = v + 1
-    val old = readEntries(spark, root, dataName, v)
+    (v + 1,
+      stageRewriteAt(spark, root, dataName, partCol, parts, transform,
+        v, v + 1))
+  }
+
+  /** The explicit-snapshot form of [[stageRewrite]] for CONCURRENT
+    * writers: reads `parts` as of `snapshotV` (not latest — a racing
+    * writer may commit between a writer's read and its own commit) and
+    * stages the rewrite as generation `gen`, which the caller must make
+    * writer-unique (racing writers staging into the same generation
+    * directory would clobber each other's files before either commits).
+    * Returns the merged entry list to pass to [[tryCommitManifests]];
+    * a lost race abandons the staged generation (dead until [[expire]])
+    * and re-stages from the winner's snapshot.
+    */
+  def stageRewriteAt(spark: SparkSession, root: String, dataName: String,
+      partCol: String, parts: Seq[Int], transform: DataFrame => DataFrame,
+      snapshotV: Long, gen: Long): Seq[(Int, Long)] = {
+    val old = readEntries(spark, root, dataName, snapshotV)
     val ps = parts.toSet
     val touched = old.filter(e => ps.contains(e._1))
-    require(touched.nonEmpty, s"none of $parts is live in $dataName@$v")
+    require(touched.nonEmpty, s"none of $parts is live in $dataName@$snapshotV")
     val written = writeGen(
       transform(read(spark, root, dataName, partCol, touched)),
       root, dataName, partCol, gen)
-    (gen, old.filterNot(e => ps.contains(e._1)) ++ written.map(p => (p, gen)))
+    old.filterNot(e => ps.contains(e._1)) ++ written.map(p => (p, gen))
   }
 
   /** REWRITE: staged rewrite + manifest commit. Returns the new version. */

@@ -130,6 +130,45 @@ object VersionedView {
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
+  /** COMPARE-AND-SWAP marker write — the optimistic-concurrency commit
+    * point for RACING writers (two maintenance jobs staging against the
+    * same snapshot must not lose either's update; marker-replace would
+    * silently drop the first winner's commit). The marker is staged as a
+    * dotfile and installed with `Files.createLink` — the POSIX link(2)
+    * call fails ATOMICALLY with EEXIST if the target exists, the
+    * classic lockfile CAS (an object-store deployment uses
+    * put-if-absent the same way). Returns true iff THIS writer won
+    * version `v`; on false the caller re-reads the new snapshot,
+    * re-stages its maintenance on top of it, and retries at v+1 — its
+    * staged generation is simply garbage until then. `body` lets an
+    * index commit embed its manifest IN the marker, making
+    * {data-pointer set, commit point} one atomic object.
+    */
+  def tryMark(path: String, v: Long, body: String = ""): Boolean = {
+    val commits = Paths.get(path, "_commits")
+    Files.createDirectories(commits)
+    val staging = commits.resolve(s".$v.occ.staging")
+    Files.writeString(staging, if (body.isEmpty) v.toString else body)
+    try {
+      Files.createLink(commits.resolve(v.toString), staging)
+      Files.deleteIfExists(staging)
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        Files.deleteIfExists(staging)
+        false
+    }
+  }
+
+  /** The committed marker's content (empty-bodied markers carry the
+    * version number; OCC index commits carry their manifest).
+    */
+  def markerBody(path: String, v: Long): String = {
+    val marker = Paths.get(path, "_commits", v.toString)
+    require(Files.exists(marker), s"version $v of $path is not committed")
+    Files.readString(marker)
+  }
+
   /** The newest COMMITTED version (marker-backed only; staged dotfiles and
     * torn data dirs are invisible). None if nothing committed yet.
     */
