@@ -78,7 +78,13 @@ object SparkEntry {
     // in the 4-8 s band
     "q_pipeline_mv_stream_ingest", "q_pipeline_mv_expire",
     "q_s_ivf_torn_compact", "q_s_ivf_snapshot_probe",
-    "q_s_ivfpq_compact", "q_s_ivfpq_delete", "q_s_ivf_occ_maint")
+    "q_s_ivfpq_compact", "q_s_ivfpq_delete", "q_s_ivf_occ_maint",
+    // r17 lifecycle gates, measured at their first sf0.01 Verify runs
+    // (local[4]): PQ snapshot probe = build + delete + three probes
+    // (~14 s); BM25 stream ingest runs two stream phases + a replay;
+    // the OCC race is two staged rewrites + retry + probe
+    "q_s_ivfpq_snapshot_probe", "q_t_bm25_stream_ingest",
+    "q_t_bm25_occ_maint")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. SQL may

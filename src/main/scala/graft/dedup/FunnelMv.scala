@@ -180,4 +180,125 @@ object FunnelMv {
       .agg(sum(col("n_docs")).as("n_docs"),
         sum(col("n_tokens")).as("n_tokens"))
   }
+
+  // ------------------------------------------------------------------
+  // VERSIONED STREAMING LIFECYCLE (r17, verdict order #1). The r16
+  // streaming ingest committed each micro-batch's fingerprints as a NEW
+  // VersionedView table and re-assembled the full fp index by unioning
+  // versions 1..V per batch — O(V) table opens per batch, O(V²) over the
+  // stream: a real outage at 10k micro-batches. Here the fp index is ONE
+  // fp-bucketed ManifestedPartitions dataset: a batch's fps land as one
+  // GENERATION under the same marker as the updated view (+ the applied-
+  // batches ledger), the anti-probe statically prunes to the batch's fp
+  // buckets, and scheduled compaction folds the generations — per-batch
+  // cost depends on the compaction cadence, never on stream age.
+  // ------------------------------------------------------------------
+
+  /** Dataset name of the fp-bucketed fingerprint index. */
+  val FpsData = "fps"
+
+  private def withFpb(df: DataFrame, nBuckets: Int): DataFrame =
+    df.withColumn("fpb",
+      pmod(xxhash64(col("fp")), lit(nBuckets.toLong)).cast("int"))
+
+  private def appliedDf(spark: SparkSession,
+      rows: Seq[(Long, Long, Long)]): DataFrame = {
+    val sp = spark
+    import sp.implicits._
+    rows.toDF("batch_id", "in_v", "out_v")
+  }
+
+  /** Materialize base view + fp-bucketed fp index + empty applied-batches
+    * ledger at `root` as version 1 — ONE marker commits all three
+    * (overwrites any prior state at the root).
+    */
+  def writeVersioned(base: DataFrame, root: String, nBuckets: Int,
+      minTokens: Int, maxStopword: Double, minDistinct: Double,
+      maxTopBigram: Double): Unit = {
+    val spark = base.sparkSession
+    val withFp = base.select(col("doc_id"), col("text"))
+      .withColumn("fp", md5(TextAnalysis.normText(col("text"))))
+      .localCheckpoint(true)
+    val view = stageCounts(withFp, keepFirst(withFp, Seq(col("doc_id"))),
+      minTokens, maxStopword, minDistinct, maxTopBigram)
+    graft.sources.ManifestedPartitions.init(
+      withFpb(withFp.select("fp").distinct(), nBuckets),
+      root, FpsData, "fpb",
+      sidecars = Map("view" -> view.coalesce(1),
+        "applied" -> appliedDf(spark, Nil).coalesce(1)))
+  }
+
+  /** Ingest micro-batch `batchId` EXACTLY ONCE. The applied-batches
+    * ledger (one coalesced file, one row per ingested batch, carried
+    * under every marker) maps batchId → (input version, output version):
+    * a batch seen for the first time reads the LATEST snapshot and
+    * commits latest+1; a RE-DELIVERED batch (the crash-between-commit-
+    * and-checkpoint shape) finds its recorded versions, recomputes from
+    * the SAME input snapshot, and its recommit REPLACES its version —
+    * never double-counts — while later versions (including interleaved
+    * compactions) stay untouched. The ledger decouples exactly-once from
+    * "version = f(batchId)", which is what lets maintenance commits
+    * interleave with the stream. Per-batch reads are BOUNDED: the view
+    * (1 file), the ledger (1 file), the manifest (marker/driver rows),
+    * and the batch's fp buckets' live generations — never versions 1..V.
+    * Returns the committed (or re-committed) version.
+    */
+  def ingestBatch(spark: SparkSession, root: String, batch: DataFrame,
+      batchId: Long, nBuckets: Int, minTokens: Int, maxStopword: Double,
+      minDistinct: Double, maxTopBigram: Double): Long = {
+    import graft.sources.{ManifestedPartitions => MP, VersionedView}
+    val latest = MP.latestVersion(root).getOrElse(
+      throw new IllegalStateException(s"no committed MV at $root"))
+    val prior = VersionedView.readTable(spark, root, "applied", latest)
+      .filter(col("batch_id") === batchId).collect()
+    val (inV, outV) =
+      if (prior.nonEmpty)
+        (prior(0).getAs[Long]("in_v"), prior(0).getAs[Long]("out_v"))
+      else (latest, latest + 1)
+    val withFp = batch.select(col("doc_id"), col("text"))
+      .withColumn("fp", md5(TextAnalysis.normText(col("text"))))
+      .localCheckpoint(true)
+    val newFps = withFpb(withFp.select("fp").distinct(), nBuckets)
+      .localCheckpoint(true) // probed buckets + the staged generation
+    // the anti-probe prunes to the BATCH's fp buckets — fps outside them
+    // cannot collide with the batch, so the unlisted directories are
+    // never opened
+    val buckets = newFps.select("fpb").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val fpIndex = MP.read(spark, root, FpsData, "fpb",
+      MP.prunedEntries(spark, root, FpsData, buckets, Some(inV)))
+      .select("fp")
+    val updated = applyInsertsTo(
+      VersionedView.readTable(spark, root, "view", inV), fpIndex, batch,
+      minTokens, maxStopword, minDistinct, maxTopBigram)
+      .localCheckpoint(true)
+    // the batch's fps land as generation `outV` — on re-delivery the
+    // idempotent overwrite reproduces the identical generation
+    val written = MP.writeGen(newFps, root, FpsData, "fpb", outV)
+    val merged = MP.readEntries(spark, root, FpsData, inV) ++ written
+    val appliedOut = VersionedView.readTable(spark, root, "applied", inV)
+      .unionByName(appliedDf(spark, Seq((batchId, inV, outV))))
+    MP.commitManifests(spark, root, outV, Map(FpsData -> merged),
+      sidecars = Map("view" -> updated.coalesce(1),
+        "applied" -> appliedOut.coalesce(1)))
+    outV
+  }
+
+  /** Scheduled compaction of the fp index: fold the fragmented buckets'
+    * generations to one file each, carrying view and ledger unchanged
+    * under the new marker. Physical layout only — probes and ingests are
+    * value-identical before/after; this is what keeps per-batch fp reads
+    * BOUNDED as the stream ages. Returns the number of compacted buckets.
+    */
+  def compactFps(spark: SparkSession, root: String): Int = {
+    import graft.sources.{ManifestedPartitions => MP, VersionedView}
+    val latest = MP.latestVersion(root).getOrElse(
+      throw new IllegalStateException(s"no committed MV at $root"))
+    MP.compact(spark, root, FpsData, "fpb",
+      sidecars = Map(
+        "view" -> VersionedView.readTable(spark, root, "view", latest)
+          .coalesce(1),
+        "applied" -> VersionedView.readTable(spark, root, "applied", latest)
+          .coalesce(1)))
+  }
 }

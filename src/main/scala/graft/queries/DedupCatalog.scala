@@ -1009,6 +1009,9 @@ object DedupCatalog {
   private val E2eMaxStopword = 0.9
   private val E2eMinDistinct = 0.1
   private val E2eMaxTopBigram = 0.9
+  // fp-bucket count of the streaming MV's manifested fp index (r17): a
+  // deployment sizes this so one bucket's fps fit one maintenance task
+  private val MvFpBuckets = 16
 
   /** End-to-end curation funnel — the composed pipeline gate: exact dedup
     * (keep-first per content fingerprint) → n-gram-Jaccard near-dup
@@ -1981,26 +1984,34 @@ object DedupCatalog {
   )
 
   /** STREAMING INGEST into the persisted funnel MV with EXACTLY-ONCE
-    * versioned commits (r16, verdict order #4) — the arrival path of a
-    * live curation pipeline: the insert batch lands as a stream of three
-    * arrival slices (doc_id-ascending ranges, mtime-pinned replay order,
-    * maxFilesPerTrigger=1) and each micro-batch b runs the insert-only
-    * IVM against the VERSIONED view — read view + fp-deltas at version
-    * b+1, apply the batch, commit {updated view, batch's fp delta} as
-    * version b+2 under ONE marker (VersionedView.commitTables). Because
-    * the input version is a pure function of the BATCH ID, a re-delivered
-    * batch recomputes from the same snapshot and its recommit REPLACES
-    * version b+2 — never double-counts — which is the foreachBatch
-    * exactly-once discipline (idempotent writes keyed by batchId). The
+    * versioned commits (r16 verdict order #4; reworked r17 order #1) —
+    * the arrival path of a live curation pipeline: the insert batch
+    * lands as a stream of three arrival slices (doc_id-ascending ranges,
+    * mtime-pinned replay order, maxFilesPerTrigger=1) and each
+    * micro-batch runs the insert-only IVM against the MANIFESTED
+    * versioned MV (FunnelMv.ingestBatch): the batch's fps land as ONE
+    * new generation of the fp-BUCKETED fp index, the anti-probe prunes
+    * to the batch's buckets, and {updated view, fp generation, applied-
+    * batches ledger} commit under ONE marker. The r16 layout re-unioned
+    * EVERY fp-delta version per batch — O(V) per batch, O(V²) over the
+    * stream (the r16 verdict's one scale-killer); now per-batch input
+    * assembly reads a BOUNDED set: the view (1 file), the ledger
+    * (1 file), and the probed buckets' live generations, which the
+    * IN-STREAM scheduled compaction (every 2 batches, inside
+    * foreachBatch) keeps folded — `bounded_reads` pins that no fp bucket
+    * ends the run with more than compaction-cadence+1 live files.
+    * Exactly-once is keyed by the LEDGER, not by version arithmetic, so
+    * maintenance versions interleave freely with batch versions: a
+    * re-delivered batch finds its recorded (in, out) versions, recomputes
+    * from the same snapshot, and its recommit REPLACES its version. The
     * gate proves it twice: a genuine checkpoint RESTART mid-feed
-    * (`resumed` pins that post-restart batches continued, not re-started,
-    * from the checkpoint) and an explicit re-delivery of an
-    * already-committed batch (`replay_idempotent` pins that its version's
-    * rows recompute identically and the final view is untouched). The
-    * published view must land on the FULL-RECOMPUTE oracle over
-    * base ∪ batch — stream-maintained ≡ from-scratch. Slicing by
-    * ascending doc_id ranges makes cross-slice keep-first equal global
-    * keep-first by doc_id, so the oracle is exactly q_pipeline_incr_mv's.
+    * (`resumed`) and an explicit re-delivery of an already-committed
+    * batch (`replay_idempotent` pins that its version's rows recompute
+    * identically and the final view is untouched). The published view
+    * must land on the FULL-RECOMPUTE oracle over base ∪ batch —
+    * stream-maintained ≡ from-scratch. Slicing by ascending doc_id
+    * ranges makes cross-slice keep-first equal global keep-first by
+    * doc_id, so the oracle is exactly q_pipeline_incr_mv's.
     */
   val dPipelineMvStreamIngest = QueryDef(
     "q_pipeline_mv_stream_ingest",
@@ -2008,22 +2019,19 @@ object DedupCatalog {
       import java.nio.file.{Files, Paths, StandardCopyOption}
       import org.apache.spark.sql.expressions.Window
       import graft.dedup.FunnelMv
-      import graft.sources.VersionedView
-      import graft.text.TextAnalysis
+      import graft.sources.{ManifestedPartitions, VersionedView}
       val raw0 = t(s, dir, "documents").filter(col("text").isNotNull)
         .select("doc_id", "text").localCheckpoint(true)
       val stage = Files.createTempDirectory("graft_mv_stream")
       val vroot = s"$stage/versioned"
       val feed = stage.resolve("feed")
       val ckpt = stage.resolve("ckpt")
+      val compactEvery = 2
       Files.createDirectories(feed)
       try {
-        // BUILD: base view + base fp index committed as version 1
-        FunnelMv.write(raw0, s"$stage/mv", E2eMinTokens, E2eMaxStopword,
-          E2eMinDistinct, E2eMaxTopBigram)
-        VersionedView.commitTables(Map(
-          "view" -> s.read.parquet(s"$stage/mv/view"),
-          "fpdelta" -> s.read.parquet(s"$stage/mv/fpindex")), vroot, 1L)
+        // BUILD: base view + fp-bucketed fp index + empty ledger as v1
+        FunnelMv.writeVersioned(raw0, vroot, MvFpBuckets, E2eMinTokens,
+          E2eMaxStopword, E2eMinDistinct, E2eMaxTopBigram)
         // three arrival slices: ascending doc_id ranges (ntile), staged
         // with ascending mtimes to pin FileStreamSource replay order
         val sliced = incrInsertBatch(raw0)
@@ -2048,23 +2056,17 @@ object DedupCatalog {
           Files.setLastModifiedTime(dst,
             java.nio.file.attribute.FileTime.fromMillis(1000L * (i + 1)))
         }
-        // the IVM step for micro-batch `batchId`: version b+1 in,
-        // version b+2 out — one marker commits view AND fp delta
+        // the IVM step for one micro-batch: ledger-keyed exactly-once
+        // ingest, then the SCHEDULED compaction — only when this call
+        // advanced the head (a re-delivered batch must not re-compact)
         def applyBatch(b: DataFrame, batchId: Long): Unit = {
           if (b.isEmpty) return
-          val inV = batchId + 1
-          val fpIndex = (1L to inV)
-            .map(v => VersionedView.readTable(s, vroot, "fpdelta", v))
-            .reduce(_ unionByName _)
-          val updated = FunnelMv.applyInsertsTo(
-              VersionedView.readTable(s, vroot, "view", inV), fpIndex, b,
-              E2eMinTokens, E2eMaxStopword, E2eMinDistinct, E2eMaxTopBigram)
-            .localCheckpoint(true)
-          val newFps = b.select(col("doc_id"), col("text"))
-            .withColumn("fp", md5(TextAnalysis.normText(col("text"))))
-            .select("fp").distinct().localCheckpoint(true)
-          VersionedView.commitTables(Map("view" -> updated.coalesce(1),
-            "fpdelta" -> newFps.coalesce(1)), vroot, inV + 1)
+          val outV = FunnelMv.ingestBatch(s, vroot, b, batchId,
+            MvFpBuckets, E2eMinTokens, E2eMaxStopword, E2eMinDistinct,
+            E2eMaxTopBigram)
+          if (ManifestedPartitions.latestVersion(vroot).contains(outV) &&
+            batchId % compactEvery == compactEvery - 1)
+            FunnelMv.compactFps(s, vroot)
         }
         val schema = sliced.drop("slice").schema
         val seen = scala.collection.mutable.ArrayBuffer[Long]()
@@ -2088,30 +2090,43 @@ object DedupCatalog {
         land(1); land(2); runPhase() // RESTART from the checkpoint
         val resumed = seen.size >= 3 &&
           seen.drop(1).forall(_ > phase1Max)
-        require(VersionedView.latestVersion(vroot).contains(4L),
-          s"expected 4 committed versions, got " +
-            s"${VersionedView.latestVersion(vroot)}")
+        // v1 base, v2=b0, v3=b1, v4=compaction (after b1), v5=b2
+        val head = ManifestedPartitions.latestVersion(vroot)
+        require(head.contains(5L),
+          s"expected 5 committed versions (3 batches + 1 compaction), " +
+            s"got $head")
         def viewRows(v: Long) = VersionedView.readTable(s, vroot, "view", v)
           .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2),
             r.getLong(3))).sortBy(_._1).toSeq
         // EXPLICIT RE-DELIVERY of the already-committed batch 1 (the
-        // crash-between-commit-and-checkpoint shape): same batchId ⇒ same
-        // input snapshot ⇒ identical recompute, recommit replaces
+        // crash-between-commit-and-checkpoint shape): the ledger maps it
+        // back to (in=2, out=3) ⇒ identical recompute, recommit replaces
+        // v3; the later compaction (v4) and batch 2 (v5) stay untouched
         val v3Before = viewRows(3L)
-        val finalBefore = viewRows(4L)
+        val finalBefore = viewRows(5L)
+        val fpsBefore = ManifestedPartitions.readEntries(
+          s, vroot, FunnelMv.FpsData, 3L)
         applyBatch(s.read.parquet(feed.resolve("b01.parquet").toString), 1L)
         val replayIdempotent = viewRows(3L) == v3Before &&
-          viewRows(4L) == finalBefore &&
-          VersionedView.latestVersion(vroot).contains(4L)
-        VersionedView.readTable(s, vroot, "view", 4L)
+          viewRows(5L) == finalBefore &&
+          ManifestedPartitions.readEntries(
+            s, vroot, FunnelMv.FpsData, 3L) == fpsBefore &&
+          ManifestedPartitions.latestVersion(vroot).contains(5L)
+        // the scale invariant: per-batch fp assembly is BOUNDED — no
+        // bucket's live rows span more than cadence+1 files at the head
+        val boundedReads = ManifestedPartitions
+          .liveStats(s, vroot, FunnelMv.FpsData)
+          .values.forall(_._1 <= compactEvery + 1)
+        VersionedView.readTable(s, vroot, "view", 5L)
           .withColumn("resumed", lit(resumed))
           .withColumn("replay_idempotent", lit(replayIdempotent))
+          .withColumn("bounded_reads", lit(boundedReads))
           .orderBy("stage_ord")
           .localCheckpoint(true)
       } finally graft.similarity.IvfIndex.deleteDir(stage.toString)
     },
     Some(incrMvFullRecomputeSql(
-      ", TRUE AS resumed, TRUE AS replay_idempotent"))
+      ", TRUE AS resumed, TRUE AS replay_idempotent, TRUE AS bounded_reads"))
   )
 
   /** RETENTION GC for versioned views (r16, verdict order #5):

@@ -2407,6 +2407,82 @@ object SimilarityCatalog {
       ${ivfPqRefineTailWith(", TRUE AS purged")}""")
   )
 
+  /** SNAPSHOT-ISOLATED (version-pinned) IVF-PQ probe gate (r17, verdict
+    * order #2): the PQ family was the one persisted index whose probe
+    * could not pin a snapshot — worse, it resolved "latest" TWICE
+    * (once for the coded lists, once for the raw re-rank side table), so
+    * a delete committing between the two resolutions produced a TORN
+    * cross-dataset read: ADC candidates from version v whose exact
+    * vectors were already purged at v+1 silently dropped from the
+    * re-rank (ADVICE r16). Now the probe resolves ONE version serving
+    * both datasets. The gate mirrors q_s_ivf_snapshot_probe with the
+    * extra bite that the concurrent maintenance is a DELETE touching
+    * BOTH datasets: a long-running probe opens version 1 (the
+    * full-corpus index) and keeps serving it bit-exactly while the
+    * GDPR delete commits version 2; a fresh probe sees the vacuumed
+    * index. The oracle replays BOTH snapshots independently — version 1
+    * is q_s_ivfpq_persist's full replay, version 2 is q_s_ivfpq_delete's
+    * tombstone-filtered replay — and `isolated` pins the before/after
+    * collect equality of the pinned probe.
+    */
+  val sIvfPqSnapshotProbe = QueryDef(
+    "q_s_ivfpq_snapshot_probe",
+    (s, dir) => {
+      import graft.similarity.IvfPqIndex
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < QueryIdMax).localCheckpoint(true)
+      val stage = java.nio.file.Files
+        .createTempDirectory("graft_ivfpq_snapshot")
+      try {
+        IvfPqIndex.write(e, "vec_id", "embedding", IvfCells,
+          PqDim, PqM, PqK, stage.toString) // v1
+        def shape(df: DataFrame) = df
+          .select(col("query_id"), col("rank").cast("long").as("rank"),
+            col("nn_id"), r6(col("cos")).as("cos"))
+          .orderBy("query_id", "rank")
+        // the long-running probe OPENS v1 now: its pruned directory
+        // lists — codes AND raw — are resolved against v1's manifest
+        val pinned = shape(IvfPqIndex.probe(s, stage.toString, q,
+          "vec_id", "embedding", k = TopK, nProbe = IpProbe,
+          refine = IpRefine, version = Some(1L)))
+        val preVals = pinned.collect().map(r => (r.getLong(0),
+          r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+        // the GDPR delete commits v2 (both datasets) while the probe is
+        // "running"
+        val purged = IvfPqIndex.delete(s, stage.toString,
+          e.filter(pmod(col("vec_id"), lit(9)) === 4)
+            .select(col("vec_id").as("id")))
+        require(purged > 0, "tombstone batch purged nothing")
+        // the pinned probe finishes AFTER the commit: same results —
+        // including candidates whose raw vectors v2 no longer holds
+        val postVals = pinned.collect().map(r => (r.getLong(0),
+          r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+        val fresh = shape(IvfPqIndex.probe(s, stage.toString, q,
+          "vec_id", "embedding", k = TopK, nProbe = IpProbe,
+          refine = IpRefine))
+        pinned.withColumn("version", lit(1L))
+          .unionByName(fresh.withColumn("version", lit(2L)))
+          .withColumn("isolated", lit(preVals == postVals))
+          .select(col("version"), col("query_id"), col("rank"),
+            col("nn_id"), col("cos"), col("isolated"))
+          .orderBy("version", "query_id", "rank")
+          .localCheckpoint(true)
+      } finally graft.similarity.IvfIndex.deleteDir(stage.toString)
+    },
+    Some(s"""
+      SELECT * FROM (
+        SELECT CAST(1 AS BIGINT) AS version, r1.*, TRUE AS isolated
+        FROM (WITH ${ivfPqReplayCtesFrom("ivfpq_centroids",
+          "ivfpq_codebooks")},
+          $ivfPqRefineTail) r1
+        UNION ALL
+        SELECT CAST(2 AS BIGINT), r2.*, TRUE
+        FROM (WITH ${ivfPqReplayCtesFrom("ivfpq_centroids",
+          "ivfpq_codebooks", "WHERE corpus.vec_id % 9 <> 4")},
+          $ivfPqRefineTail) r2)
+      ORDER BY version, query_id, rank""")
+  )
+
   val all: Seq[QueryDef] =
     Seq(sBrute, sIvf, sIvfScaled, sIvfPersist, sIvfAppend, sIvfCompact,
       sIvfStreamIngest, sIvfDelete, sIvfTornCompact, sIvfSnapshotProbe,
@@ -2414,5 +2490,5 @@ object SimilarityCatalog {
       sPq, sSq, sSparse, sRecallIvf,
       sJlProject, sCentroidCos, sMmr, sLshRecall, sMutualNn, sNdcg, sKnn,
       sKnnIvf, sKcenter, sIvfPq, sIvfPqPersist, sIvfPqAppend,
-      sIvfPqCompact, sIvfPqDelete)
+      sIvfPqCompact, sIvfPqDelete, sIvfPqSnapshotProbe)
 }

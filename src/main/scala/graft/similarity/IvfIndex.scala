@@ -218,23 +218,15 @@ object IvfIndex {
   /** The inverted-list scan pruned to `probed` cells at the pinned (or
     * latest) manifest version — only those cells' live generation
     * directories are opened (static pruning by path construction). If no
-    * probed cell holds live rows (legal after deletes), returns an empty
-    * frame with the lists schema.
+    * probed cell holds live rows (legal after deletes — including a
+    * fully-vacuumed snapshot), the read returns an empty frame with the
+    * dataset's persisted schema (ADVICE r16: the old take(1) fallback
+    * crashed when deletes had emptied the entire manifest).
     */
   def prunedLists(spark: SparkSession, path: String, probed: Seq[Int],
-      version: Option[Long] = None): DataFrame = {
-    val entries = ManifestedPartitions.prunedEntries(
-      spark, path, Lists, probed, version)
-    if (entries.nonEmpty)
-      ManifestedPartitions.read(spark, path, Lists, Cell, entries)
-    else {
-      // schema-only: read one live entry of the snapshot, filter to none
-      val v = version.orElse(ManifestedPartitions.latestVersion(path)).get
-      val any = ManifestedPartitions.readEntries(spark, path, Lists, v)
-      ManifestedPartitions.read(spark, path, Lists, Cell, any.take(1))
-        .filter(lit(false))
-    }
-  }
+      version: Option[Long] = None): DataFrame =
+    ManifestedPartitions.read(spark, path, Lists, Cell,
+      ManifestedPartitions.prunedEntries(spark, path, Lists, probed, version))
 
   /** Recursive delete of a staged index dir (children before parents).
     * Per-file failures are swallowed (ADVICE r14): this runs from `finally`

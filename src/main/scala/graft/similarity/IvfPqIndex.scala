@@ -86,18 +86,17 @@ object IvfPqIndex {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
     // the inverted lists carry CODES ONLY — the 8-byte payload is the
     // entire point; the exact vector is written once, to the side table
-    val listParts = ManifestedPartitions.writeGen(
+    val listEntries = ManifestedPartitions.writeGen(
       Pq.encode(res, "id", "r", dim, cb, m)
         .join(res.select("id", "cell"), "id")
         .select(col("id"), col("codes"), col("cell")),
       path, Lists, "cell", 1L)
-    val rawParts = ManifestedPartitions.writeGen(
+    val rawEntries = ManifestedPartitions.writeGen(
       withRawBucket(corpus.select(col(idCol).as("id"),
         transform(col(vecCol), _.cast("double")).as("v"))),
       path, Raw, "rb", 1L)
     ManifestedPartitions.commitManifests(sp, path, 1L,
-      Map(Lists -> listParts.map(p => (p, 1L)),
-        Raw -> rawParts.map(p => (p, 1L))))
+      Map(Lists -> listEntries, Raw -> rawEntries))
   }
 
   /** APPEND a vector batch WITHOUT retraining — the PQ twin of
@@ -228,12 +227,25 @@ object IvfPqIndex {
     * approximate distance, then exact-cosine re-rank JUST those
     * candidates from the raw side table (self-matches dropped before the
     * final ranking). Returns (query_id, rank, nn_id, cos).
+    *
+    * `version` pins the manifest snapshot (r16 verdict order #2, mirror
+    * of IvfIndex.probe): the version is resolved ONCE at probe start and
+    * BOTH datasets — the coded lists and the raw exact-vector side table
+    * — are read at that same snapshot. (ADVICE r16: the old probe
+    * resolved latest twice independently; a delete committing between
+    * the two resolutions produced a torn cross-dataset read where
+    * candidates' raw vectors were missing and silently dropped from the
+    * exact re-rank.) None pins the latest committed version, once.
     */
   def probe(spark: SparkSession, path: String, queries: DataFrame,
       qidCol: String, vecCol: String, k: Int, nProbe: Int,
-      refine: Int): DataFrame = {
+      refine: Int, version: Option[Long] = None): DataFrame = {
     val sp = spark
     import sp.implicits._
+    // ONE version resolution serving both datasets' reads below
+    val v = version.orElse(ManifestedPartitions.latestVersion(path))
+      .getOrElse(throw new IllegalStateException(
+        s"no committed version at $path"))
     val centRows = readCentroids(spark, path)
     val dim = centRows.head._2.length
     val cDf = centRows.map { case (cell, c, _) => (cell, c) }
@@ -258,18 +270,10 @@ object IvfPqIndex {
           transform(element_at(lit_, mi + 1),
             cc => Pq.sqDist(slice(col("qr"), mi * sub + 1, sub), cc))
         }: _*).as("dtab"))
-    // codes-only scan over exactly the probed cells' live generations
-    val entries = ManifestedPartitions.prunedEntries(
-      spark, path, Lists, probed)
-    val lists =
-      if (entries.nonEmpty)
-        ManifestedPartitions.read(spark, path, Lists, "cell", entries)
-      else {
-        val v = ManifestedPartitions.latestVersion(path).get
-        val any = ManifestedPartitions.readEntries(spark, path, Lists, v)
-        ManifestedPartitions.read(spark, path, Lists, "cell", any.take(1))
-          .filter(lit(false))
-      }
+    // codes-only scan over exactly the probed cells' live generations at
+    // the pinned snapshot (empty after a full vacuum → schema'd empty)
+    val lists = ManifestedPartitions.read(spark, path, Lists, "cell",
+      ManifestedPartitions.prunedEntries(spark, path, Lists, probed, Some(v)))
     val cands = lists
       .select(col("id").as("nn_id"), col("codes"), col("cell"))
       .join(broadcast(qtab), Seq("cell"))
@@ -282,8 +286,10 @@ object IvfPqIndex {
       .filter(col("crank") <= refine)
       .select("query_id", "qv", "nn_id")
     // exact re-rank: fetch ONLY the ≤ queries·refine candidate vectors
-    // from the side table (broadcast the candidates, never the table)
-    ManifestedPartitions.readLatest(spark, path, Raw, "rb")
+    // from the side table AT THE SAME PINNED SNAPSHOT as the codes scan
+    // (broadcast the candidates, never the table)
+    ManifestedPartitions.read(spark, path, Raw, "rb",
+        ManifestedPartitions.readEntries(spark, path, Raw, v))
       .select(col("id").as("nn_id"), col("v").as("cv"))
       .join(broadcast(cands), Seq("nn_id"))
       .filter(col("nn_id") =!= col("query_id"))

@@ -147,17 +147,23 @@ object VersionedView {
   def tryMark(path: String, v: Long, body: String = ""): Boolean = {
     val commits = Paths.get(path, "_commits")
     Files.createDirectories(commits)
-    val staging = commits.resolve(s".$v.occ.staging")
+    // WRITER-UNIQUE staging file (ADVICE r16): with a single shared
+    // staging path, the committed marker is a hard link to the staging
+    // INODE — a losing racer's truncating rewrite of that shared path
+    // would silently replace the winner's already-committed body (on the
+    // OCC path the body IS the manifest: the exact lost update the CAS
+    // exists to prevent), and its cleanup delete could race the winner
+    // between write and link. Each writer stages under its own nonce and
+    // deletes only its own file; the marker name stays the CAS point.
+    val staging = commits.resolve(
+      s".$v.${java.util.UUID.randomUUID()}.occ.staging")
     Files.writeString(staging, if (body.isEmpty) v.toString else body)
     try {
       Files.createLink(commits.resolve(v.toString), staging)
-      Files.deleteIfExists(staging)
       true
     } catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        Files.deleteIfExists(staging)
-        false
-    }
+      case _: java.nio.file.FileAlreadyExistsException => false
+    } finally Files.deleteIfExists(staging)
   }
 
   /** The committed marker's content (empty-bodied markers carry the

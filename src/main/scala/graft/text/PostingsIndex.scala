@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.sources.{ManifestedPartitions, VersionedView}
@@ -38,7 +38,23 @@ object PostingsIndex {
 
   private val Postings = "postings"
   private val Tb = "tb"
-  private val Stats = "stats"
+  private val StatsName = "stats"
+
+  /** The 1-row corpus statistics BM25 scoring needs. Committed either as
+    * a parquet sidecar table under the postings manifest's marker
+    * (single-writer path) or serialized INTO an OCC marker body
+    * ([[statsScalars]] — r16 verdict order #3, so racing maintenance
+    * writers can carry the stats through the same atomic CAS as the
+    * manifest).
+    */
+  case class Stats(nDocs: Long, totalDl: Long, nBuckets: Int)
+
+  /** Marker-body encoding of a stats row for
+    * ManifestedPartitions.tryCommitManifests' `sidecarScalars`.
+    */
+  def statsScalars(st: Stats): Seq[(String, Long)] =
+    Seq("n_docs" -> st.nDocs, "total_dl" -> st.totalDl,
+      "n_buckets" -> st.nBuckets.toLong)
 
   /** The (id, w, tf, dl) posting rows for `docs` — tokenization shared
     * with Bm25.topK (empty/whitespace-only documents contribute nothing,
@@ -66,7 +82,7 @@ object PostingsIndex {
     val posts = withBucket(postings(docs, idCol, textCol), nBuckets)
       .localCheckpoint(true) // feeds both the postings write and the stats
     ManifestedPartitions.init(posts, path, Postings, Tb,
-      Map(Stats -> statsOf(posts, nBuckets)))
+      Map(StatsName -> statsOf(posts, nBuckets)))
   }
 
   /** n_docs/total_dl derive from the DISTINCT documents (dl is constant
@@ -79,15 +95,36 @@ object PostingsIndex {
       .withColumn("n_buckets", lit(nBuckets))
       .coalesce(1)
 
-  /** The committed (n_docs, total_dl, n_buckets) row at the latest (or
-    * pinned) version.
+  /** The committed corpus statistics at the latest (or pinned) version.
+    * Resolves BOTH storage forms: the parquet sidecar table of a
+    * single-writer commit, and the marker-body scalars of an OCC commit;
+    * an OCC marker that omitted the stats carries forward the previous
+    * version's (the manifest carry-forward discipline, ADVICE r16).
     */
   def readStats(spark: SparkSession, path: String,
-      version: Option[Long] = None): Row = {
+      version: Option[Long] = None): Stats = {
     val v = version.orElse(VersionedView.latestVersion(path)).getOrElse(
       throw new IllegalStateException(s"no committed index at $path"))
-    VersionedView.readTable(spark, path, Stats, v).collect()(0)
+    statsAt(spark, path, v)
   }
+
+  private def statsAt(spark: SparkSession, path: String, v: Long): Stats =
+    if (ManifestedPartitions.isOccVersion(path, v))
+      ManifestedPartitions.readSidecarScalars(path, StatsName, v) match {
+        case Some(m) =>
+          Stats(m("n_docs"), m("total_dl"), m("n_buckets").toInt)
+        case None =>
+          val prev = VersionedView.committedVersions(path).filter(_ < v)
+          require(prev.nonEmpty,
+            s"version $v at $path has no stats and no prior version")
+          statsAt(spark, path, prev.max)
+      }
+    else {
+      val r = VersionedView.readTable(spark, path, StatsName, v).collect()(0)
+      Stats(r.getLong(r.fieldIndex("n_docs")),
+        r.getLong(r.fieldIndex("total_dl")),
+        r.getInt(r.fieldIndex("n_buckets")))
+    }
 
   /** APPEND a document batch WITHOUT rebuilding: the batch's postings are
     * bucketed with the STORED n_buckets and land as a new
@@ -101,21 +138,36 @@ object PostingsIndex {
     */
   def append(spark: SparkSession, path: String, delta: DataFrame,
       idCol: String, textCol: String): Unit = {
-    val st = readStats(spark, path)
-    val (nDocs, totalDl, nBuckets) =
-      (st.getLong(st.fieldIndex("n_docs")),
-        st.getLong(st.fieldIndex("total_dl")),
-        st.getInt(st.fieldIndex("n_buckets")))
-    val posts = withBucket(postings(delta, idCol, textCol), nBuckets)
+    val v = VersionedView.latestVersion(path).getOrElse(
+      throw new IllegalStateException(s"no committed index at $path"))
+    appendAt(spark, path, delta, idCol, textCol, v)
+  }
+
+  /** The explicit-snapshot form of [[append]] for EXACTLY-ONCE streaming
+    * ingest (r16 verdict order #5): reads stats and manifest at `inV` and
+    * commits the batch as version `inV+1` with the staged generation id
+    * equal to that output version — both pure functions of the input
+    * version, so a foreachBatch caller keying `inV` off the batchId can
+    * re-deliver a crashed batch and the recommit REPLACES its version
+    * (identical recompute from the identical snapshot) instead of
+    * double-counting. Returns the committed version.
+    */
+  def appendAt(spark: SparkSession, path: String, delta: DataFrame,
+      idCol: String, textCol: String, inV: Long): Long = {
+    val st = statsAt(spark, path, inV)
+    val posts = withBucket(postings(delta, idCol, textCol), st.nBuckets)
       .localCheckpoint(true)
-    val (gen, merged) =
-      ManifestedPartitions.stageAppend(spark, path, Postings, Tb, posts)
+    val gen = inV + 1
+    val written = ManifestedPartitions.writeGen(posts, path, Postings, Tb, gen)
+    val merged =
+      ManifestedPartitions.readEntries(spark, path, Postings, inV) ++ written
     ManifestedPartitions.commitManifests(spark, path, gen,
       Map(Postings -> merged),
-      Map(Stats -> posts.groupBy("id").agg(min("dl").as("dl"))
-        .agg((count(lit(1)) + lit(nDocs)).as("n_docs"),
-          (coalesce(sum("dl"), lit(0L)) + lit(totalDl)).as("total_dl"))
-        .withColumn("n_buckets", lit(nBuckets)).coalesce(1)))
+      Map(StatsName -> posts.groupBy("id").agg(min("dl").as("dl"))
+        .agg((count(lit(1)) + lit(st.nDocs)).as("n_docs"),
+          (coalesce(sum("dl"), lit(0L)) + lit(st.totalDl)).as("total_dl"))
+        .withColumn("n_buckets", lit(st.nBuckets)).coalesce(1)))
+    gen
   }
 
   /** DELETE a tombstone batch (doc ids) from the index — the GDPR leg of
@@ -148,14 +200,24 @@ object PostingsIndex {
       df => df.join(broadcast(ts), df("id") === ts("doc_id"), "left_anti"))
     ManifestedPartitions.commitManifests(spark, path, gen,
       Map(Postings -> merged),
-      Map(Stats -> dead.groupBy("id").agg(min("dl").as("dl"))
-        .agg((lit(st.getLong(st.fieldIndex("n_docs"))) - count(lit(1)))
-            .as("n_docs"),
-          (lit(st.getLong(st.fieldIndex("total_dl")))
-            - coalesce(sum("dl"), lit(0L))).as("total_dl"))
-        .withColumn("n_buckets", lit(st.getInt(st.fieldIndex("n_buckets"))))
+      Map(StatsName -> dead.groupBy("id").agg(min("dl").as("dl"))
+        .agg((lit(st.nDocs) - count(lit(1))).as("n_docs"),
+          (lit(st.totalDl) - coalesce(sum("dl"), lit(0L))).as("total_dl"))
+        .withColumn("n_buckets", lit(st.nBuckets))
         .coalesce(1)))
     dead.count()
+  }
+
+  /** The deleted documents' own (n_docs, total_dl) decrement applied to
+    * `st` — shared by [[delete]]'s sidecar and the OCC delete writer
+    * (which must recompute the decrement against ITS snapshot). `dead`
+    * is the (id, dl) posting rows being purged.
+    */
+  def decrementStats(st: Stats, dead: DataFrame): Stats = {
+    val r = dead.groupBy("id").agg(min("dl").as("dl"))
+      .agg(count(lit(1)).as("nd"), coalesce(sum("dl"), lit(0L)).as("tdl"))
+      .collect()(0)
+    Stats(st.nDocs - r.getLong(0), st.totalDl - r.getLong(1), st.nBuckets)
   }
 
   /** COMPACT fragmented bucket partitions (append lands one generation per
@@ -167,14 +229,16 @@ object PostingsIndex {
     */
   def compact(spark: SparkSession, path: String): Int = {
     val st = readStats(spark, path)
-    val spark2 = spark
-    import spark2.implicits._
-    val carried = Seq((st.getLong(st.fieldIndex("n_docs")),
-        st.getLong(st.fieldIndex("total_dl")),
-        st.getInt(st.fieldIndex("n_buckets"))))
-      .toDF("n_docs", "total_dl", "n_buckets").coalesce(1)
     ManifestedPartitions.compact(spark, path, Postings, Tb,
-      Map(Stats -> carried))
+      Map(StatsName -> statsDf(spark, st)))
+  }
+
+  /** `st` as the 1-row sidecar DataFrame a single-writer commit carries. */
+  def statsDf(spark: SparkSession, st: Stats): DataFrame = {
+    val sp = spark
+    import sp.implicits._
+    Seq((st.nDocs, st.totalDl, st.nBuckets))
+      .toDF("n_docs", "total_dl", "n_buckets").coalesce(1)
   }
 
   /** RETENTION GC: expire manifest versions below the keep-horizon and
@@ -206,18 +270,12 @@ object PostingsIndex {
   def prunedPostings(spark: SparkSession, path: String, terms: Seq[String],
       nBuckets: Int, version: Option[Long] = None): DataFrame = {
     val probed = termBuckets(spark, terms, nBuckets)
-    val entries = ManifestedPartitions.prunedEntries(
-      spark, path, Postings, probed, version)
-    val scan =
-      if (entries.nonEmpty)
-        ManifestedPartitions.read(spark, path, Postings, Tb, entries)
-      else {
-        val v = version.orElse(VersionedView.latestVersion(path)).get
-        val any = ManifestedPartitions.readEntries(spark, path, Postings, v)
-        ManifestedPartitions.read(spark, path, Postings, Tb, any.take(1))
-          .filter(lit(false))
-      }
-    scan.filter(col("w").isin(terms: _*))
+    // empty entries (every probed bucket vacuumed — or the whole corpus
+    // deleted) read as a schema'd empty frame, never a crash (ADVICE r16)
+    ManifestedPartitions.read(spark, path, Postings, Tb,
+        ManifestedPartitions.prunedEntries(
+          spark, path, Postings, probed, version))
+      .filter(col("w").isin(terms: _*))
   }
 
   /** Probe-only BM25 top-`k` against a persisted index: (rank, idCol,
@@ -226,20 +284,23 @@ object PostingsIndex {
     * never the corpus text.
     */
   def probe(spark: SparkSession, path: String, queryTerms: Seq[String],
-      idCol: String, k: Int, k1: Double = 1.2,
-      b: Double = 0.75): DataFrame = {
+      idCol: String, k: Int, k1: Double = 1.2, b: Double = 0.75,
+      version: Option[Long] = None): DataFrame = {
     require(queryTerms.nonEmpty, "empty query")
-    val st = readStats(spark, path)
-    val nBuckets = st.getInt(st.fieldIndex("n_buckets"))
+    // ONE version resolution serving stats AND postings (the snapshot-
+    // pinned probe discipline — scores can never mix one version's idf
+    // with another's postings)
+    val v = version.orElse(VersionedView.latestVersion(path)).getOrElse(
+      throw new IllegalStateException(s"no committed index at $path"))
+    val st = statsAt(spark, path, v)
     // consumed twice (as the tf rows and for the per-term df counts) —
     // materialize once so the pruned scan doesn't re-run (ADVICE r14
     // pattern)
-    val posts = prunedPostings(spark, path, queryTerms, nBuckets)
+    val posts = prunedPostings(spark, path, queryTerms, st.nBuckets, Some(v))
       .localCheckpoint(true)
     val dfq = posts.groupBy("w").agg(count(lit(1)).as("dfc"))
     val stats = spark.range(1)
-      .select(lit(st.getLong(st.fieldIndex("n_docs"))).as("n_docs"),
-        lit(st.getLong(st.fieldIndex("total_dl"))).as("total_dl"))
+      .select(lit(st.nDocs).as("n_docs"), lit(st.totalDl).as("total_dl"))
     val perTerm = posts
       .join(broadcast(dfq), "w")
       .crossJoin(broadcast(stats))

@@ -155,4 +155,122 @@ class ManifestedPartitionsSpec extends SparkSpec {
       }
     } finally IvfIndex.deleteDir(root)
   }
+
+  test("manifest entries carry exact file/row statistics and planning " +
+    "performs ZERO filesystem access on data directories") {
+    val stage = Files.createTempDirectory("graft_mp_stats")
+    val root = stage.toString
+    try {
+      MP.init(df(1 -> 0, 2 -> 0, 3 -> 1), root, "d", "p")
+      MP.append(spark, root, "d", "p", df(4 -> 0, 5 -> 2)) // p=0 fragments
+      // the manifest's per-entry statistics agree with the physical truth
+      val entries = MP.readEntries(spark, root, "d", 2L)
+      assert(entries.map(_.rows).sum == 5, s"row stats wrong: $entries")
+      assert(entries.forall(_.files == 1),
+        s"repartition(partCol) should give 1 file per (gen, part): $entries")
+      val stats = MP.liveStats(spark, root, "d")
+      assert(stats == Map(0 -> (2, 3L), 1 -> (1, 1L), 2 -> (1, 1L)),
+        s"liveStats wrong: $stats")
+      val live = MP.liveFiles(spark, root, "d", "p")
+      assert(stats.map { case (p, (f, _)) => p -> f } ==
+        live.map { case (p, fs) => p -> fs.size },
+        "manifest file counts diverge from the listed files")
+
+      // planning is PURE manifest arithmetic (r16 verdict order #4): hide
+      // the entire data directory — fragmentation discovery and stats
+      // still answer identically, proving no Files.list on data dirs
+      val frag = MP.fragmentedParts(spark, root, "d", "p")
+      assert(frag == Seq(0))
+      Files.move(stage.resolve("d"), stage.resolve("d__hidden"))
+      try {
+        assert(MP.fragmentedParts(spark, root, "d", "p") == frag,
+          "fragmentedParts touched the (hidden) data directories")
+        assert(MP.liveStats(spark, root, "d") == stats,
+          "liveStats touched the (hidden) data directories")
+      } finally Files.move(stage.resolve("d__hidden"), stage.resolve("d"))
+      // and the planned compaction then actually runs
+      MP.compact(spark, root, "d", "p")
+      assert(MP.liveStats(spark, root, "d").forall(_._2._1 == 1),
+        "compaction left a fragmented partition")
+      assert(MP.readLatest(spark, root, "d", "p")
+        .select("x").collect().map(_.getInt(0)).sorted.toSeq
+        == Seq(1, 2, 3, 4, 5))
+    } finally IvfIndex.deleteDir(root)
+  }
+
+  test("a fully-vacuumed snapshot stays readable: empty manifest reads " +
+    "as a schema'd empty frame (ADVICE r16)") {
+    val stage = Files.createTempDirectory("graft_mp_empty")
+    val root = stage.toString
+    try {
+      MP.init(df(1 -> 0, 2 -> 1), root, "d", "p")
+      // GDPR-delete EVERY row: both partitions empty out and drop from
+      // the manifest — a legal, fully-vacuumed snapshot
+      MP.rewrite(spark, root, "d", "p", Seq(0, 1),
+        _.filter(col("x") < 0))
+      assert(MP.readEntries(spark, root, "d", 2L).isEmpty)
+      val empty = MP.readLatest(spark, root, "d", "p")
+      assert(empty.columns.toSeq == Seq("x", "p"),
+        s"empty read lost the schema: ${empty.columns.toSeq}")
+      assert(empty.count() == 0)
+      // pruned probes of the vacuumed snapshot are empty too, not a crash
+      assert(MP.read(spark, root, "d", "p",
+        MP.prunedEntries(spark, root, "d", Seq(0))).count() == 0)
+    } finally IvfIndex.deleteDir(root)
+  }
+
+  test("an OCC marker omitting a dataset CARRIES FORWARD the previous " +
+    "version's entries — reads and retention GC keep working (ADVICE r16)") {
+    val stage = Files.createTempDirectory("graft_mp_carry")
+    val root = stage.toString
+    try {
+      // two datasets committed under one v1 marker
+      val e1 = MP.writeGen(df(1 -> 0, 2 -> 1), root, "a", "p", 1L)
+      val e2 = MP.writeGen(df(7 -> 0), root, "b", "p", 1L)
+      MP.commitManifests(spark, root, 1L, Map("a" -> e1, "b" -> e2))
+      // an OCC commit touching ONLY dataset a (tryCommitManifests accepts
+      // any subset — the shape that used to poison readEntries/expire)
+      val e1b = MP.stageRewriteAt(spark, root, "a", "p", Seq(0),
+        identity, snapshotV = 1L, gen = 2L)
+      assert(MP.tryCommitManifests(root, 2L, Map("a" -> e1b)))
+      // dataset b at v2 = its v1 entries, carried forward
+      assert(MP.readEntries(spark, root, "b", 2L) == e2,
+        "carry-forward read of the omitted dataset failed")
+      assert(MP.readLatest(spark, root, "b", "p")
+        .select("x").collect().map(_.getInt(0)).toSeq == Seq(7))
+      // retention GC over BOTH datasets survives the subset marker and
+      // keeps b's (still-live) generation
+      val (expired, _) = MP.expire(spark, root,
+        Seq(("a", "p"), ("b", "p")), keepLast = 1)
+      assert(expired == Seq(1L))
+      assert(MP.readLatest(spark, root, "b", "p").count() == 1,
+        "GC deleted the carried-forward dataset's live generation")
+      assert(MP.readLatest(spark, root, "a", "p").count() == 2)
+    } finally IvfIndex.deleteDir(root)
+  }
+
+  test("expire shields a staged-but-uncommitted generation inside the " +
+    "in-flight grace window (ADVICE r16)") {
+    val stage = Files.createTempDirectory("graft_mp_grace")
+    val root = stage.toString
+    try {
+      MP.init(df(1 -> 0, 2 -> 1), root, "d", "p")
+      MP.append(spark, root, "d", "p", df(3 -> 0)) // v2
+      // a concurrent writer's IN-FLIGHT stage: generation written, commit
+      // not yet landed — exactly what GC must not eat
+      val (gen, merged) = MP.stageAppend(spark, root, "d", "p", df(4 -> 1))
+      val g3p1 = stage.resolve("d").resolve(s"g=$gen").resolve("p=1")
+      assert(Files.isDirectory(g3p1))
+      val (expired, _) = MP.expire(spark, root, Seq(("d", "p")), 1)
+      assert(expired == Seq(1L))
+      assert(Files.isDirectory(g3p1),
+        "GC deleted an in-flight staged generation — the writer's " +
+          "imminent commit would point at missing directories")
+      // the writer's commit lands and the staged bytes are all there
+      MP.commitManifests(spark, root, gen, Map("d" -> merged))
+      assert(MP.readLatest(spark, root, "d", "p")
+        .select("x").collect().map(_.getInt(0)).sorted.toSeq
+        == Seq(1, 2, 3, 4))
+    } finally IvfIndex.deleteDir(root)
+  }
 }

@@ -49,7 +49,7 @@ class OccMaintSpec extends SparkSpec {
 
       // v3 is the WINNER's manifest: references gen 101, never 102
       val v3 = MP.readEntries(spark, root, "d", 3L)
-      assert(v3.exists(_._2 == 101L) && !v3.exists(_._2 == 102L),
+      assert(v3.exists(_.gen == 101L) && !v3.exists(_.gen == 102L),
         s"v3 manifest $v3 is not the winner's")
       assert(MP.readLatest(spark, root, "d", "p")
         .select("x").collect().map(_.getInt(0)).sorted.toSeq
@@ -69,11 +69,20 @@ class OccMaintSpec extends SparkSpec {
       val g102 = stage.resolve("d").resolve("g=102")
       assert(Files.isDirectory(g102), "loser staged nothing — vacuous")
       (1L to 4L).foreach { v =>
-        assert(!MP.readEntries(spark, root, "d", v).exists(_._2 == 102L),
+        assert(!MP.readEntries(spark, root, "d", v).exists(_.gen == 102L),
           s"version $v references the abandoned generation")
       }
-      // …and expire removes it while the live snapshot is untouched
+      // …but a never-committed generation could equally be a concurrent
+      // writer's IN-FLIGHT stage (ADVICE r16): with the default grace
+      // window the fresh directory SURVIVES GC…
       MP.expire(spark, root, Seq(("d", "p")), keepLast = 1)
+      assert(Files.isDirectory(g102),
+        "GC deleted a fresh never-committed generation inside the " +
+          "in-flight grace window")
+      // …and is collected once the horizon passes (grace 0 here — this
+      // test provably has no concurrent writer)
+      MP.expire(spark, root, Seq(("d", "p")), keepLast = 1,
+        inFlightGraceMs = 0L)
       assert(!Files.exists(g102), "abandoned generation survived GC")
       assert(MP.readLatest(spark, root, "d", "p")
         .select("x").collect().map(_.getInt(0)).sorted.toSeq
@@ -82,6 +91,51 @@ class OccMaintSpec extends SparkSpec {
       intercept[IllegalArgumentException] {
         VersionedView.markerBody(root, 2L)
       }
+    } finally IvfIndex.deleteDir(root)
+  }
+
+  test("tryMark CAS under a real multi-threaded race: exactly one winner " +
+    "per version, the winner's body survives INTACT, no staging litter") {
+    // ADVICE r16: the old shared staging path let a loser rewrite the
+    // winner's just-linked marker body in place (hard link = same inode)
+    // or delete the winner's staged file between write and link. This
+    // races 8 threads through a barrier per version so the overlap is
+    // real, then checks the committed body is bit-exactly ONE writer's.
+    import java.util.concurrent.{Callable, CyclicBarrier, Executors, TimeUnit}
+    val stage = Files.createTempDirectory("graft_trymark_race")
+    val root = stage.toString
+    try {
+      def bodyOf(i: Int, v: Long) = s"""{"writer":"$i","v":"$v","pad":"${"x" * 256}"}"""
+      (1L to 8L).foreach { v =>
+        val writers = 8
+        val pool = Executors.newFixedThreadPool(writers)
+        val gate = new CyclicBarrier(writers)
+        val futures = (0 until writers).map { i =>
+          pool.submit(new Callable[(Int, Boolean)] {
+            def call(): (Int, Boolean) = {
+              gate.await(20, TimeUnit.SECONDS)
+              (i, VersionedView.tryMark(root, v, bodyOf(i, v)))
+            }
+          })
+        }
+        pool.shutdown()
+        val done = futures.map(_.get(30, TimeUnit.SECONDS))
+        val winners = done.filter(_._2)
+        assert(winners.size == 1,
+          s"v$v: expected exactly one CAS winner, got $winners")
+        // the committed body is the winner's, UNTRUNCATED and UNREPLACED
+        assert(VersionedView.markerBody(root, v) == bodyOf(winners.head._1, v),
+          s"v$v: committed marker body is not the winner's intact body")
+      }
+      assert(VersionedView.committedVersions(root) == (1L to 8L),
+        "race left a version uncommitted")
+      // every loser cleaned up its own staging file; none touched another's
+      import scala.jdk.CollectionConverters._
+      val st = Files.list(stage.resolve("_commits"))
+      val litter = try st.iterator().asScala
+        .map(_.getFileName.toString).filter(_.startsWith(".")).toList
+      finally st.close()
+      assert(litter.isEmpty, s"staging litter left behind: $litter")
     } finally IvfIndex.deleteDir(root)
   }
 }

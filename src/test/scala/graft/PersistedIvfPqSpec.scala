@@ -116,4 +116,43 @@ class PersistedIvfPqSpec extends SparkSpec {
       }
     } finally graft.similarity.IvfIndex.deleteDir(stage.toString)
   }
+
+  test("version-pinned probe reads codes AND raw at ONE snapshot — a " +
+    "racing delete cannot tear the cross-dataset read (ADVICE r16)") {
+    val e = spark.read.parquet(s"$sfCorrect/embeddings.parquet")
+      .localCheckpoint(true)
+    val q = e.filter(col("vec_id") < 5).localCheckpoint(true)
+    val stage = Files.createTempDirectory("graft_ivfpq_pin")
+    try {
+      IvfPqIndex.write(e, "vec_id", "embedding", nCells, 64, 8, 16,
+        stage.toString) // v1
+      def vals(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+        .sortBy(t => (t._1, t._2)).toSeq
+      val pinned = IvfPqIndex.probe(spark, stage.toString, q,
+        "vec_id", "embedding", k, nProbe, refine, version = Some(1L))
+      val before = vals(pinned)
+      // the delete purges a slice from BOTH datasets as version 2 — the
+      // old probe's second "latest" resolution would now fetch raw
+      // vectors from v2 and silently drop v1 candidates from the re-rank
+      val purged = IvfPqIndex.delete(spark, stage.toString,
+        e.filter(pmod(col("vec_id"), lit(9)) === 4)
+          .select(col("vec_id").as("id")))
+      assert(purged > 0, "delete purged nothing — test is vacuous")
+      assert(vals(pinned) == before,
+        "pinned probe's results changed under a concurrent delete commit")
+      // the pinned snapshot still ranks TOMBSTONED vectors (they were
+      // live at v1) — proof the raw fetch really reads v1, not latest
+      val deadIds = e.filter(pmod(col("vec_id"), lit(9)) === 4)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      assert(before.exists(t => deadIds.contains(t._3)),
+        "pinned v1 probe returned no tombstoned vector — cannot tell " +
+          "v1 raw reads from latest; strengthen the fixture")
+      // a fresh (latest) probe serves the vacuumed index: none of them
+      val fresh = vals(IvfPqIndex.probe(spark, stage.toString, q,
+        "vec_id", "embedding", k, nProbe, refine))
+      assert(!fresh.exists(t => deadIds.contains(t._3)),
+        "fresh probe returned a deleted vector")
+    } finally graft.similarity.IvfIndex.deleteDir(stage.toString)
+  }
 }

@@ -101,10 +101,10 @@ class PostingsIndexSpec extends SparkSpec {
       // manifest (same version resolves both)
       val statsFull = PostingsIndex.readStats(spark, full.toString)
       val statsInc = PostingsIndex.readStats(spark, inc.toString)
-      assert(statsInc.getLong(0) == statsFull.getLong(0) &&
-        statsInc.getLong(1) == statsFull.getLong(1),
+      assert(statsInc.nDocs == statsFull.nDocs &&
+        statsInc.totalDl == statsFull.totalDl,
         s"appended stats $statsInc != full-build stats $statsFull")
-      assert(statsInc.getLong(0) > statsBase.getLong(0),
+      assert(statsInc.nDocs > statsBase.nDocs,
         "append did not grow n_docs")
 
       val compacted = PostingsIndex.compact(spark, inc.toString)
@@ -158,8 +158,8 @@ class PostingsIndexSpec extends SparkSpec {
       // stats decremented to exactly the build-over-remaining stats
       val sFull = PostingsIndex.readStats(spark, full.toString)
       val sRest = PostingsIndex.readStats(spark, rest.toString)
-      assert(sFull.getLong(0) == sRest.getLong(0) &&
-        sFull.getLong(1) == sRest.getLong(1),
+      assert(sFull.nDocs == sRest.nDocs &&
+        sFull.totalDl == sRest.totalDl,
         s"post-delete stats $sFull != rebuild stats $sRest")
 
       // probe bit-identical to the build over remaining docs
@@ -180,5 +180,70 @@ class PostingsIndexSpec extends SparkSpec {
       IvfIndex.deleteDir(full.toString)
       IvfIndex.deleteDir(rest.toString)
     }
+  }
+
+  test("OCC commit carries the stats sidecar IN the marker body: one " +
+    "atomic object, mixed history interops, probes score with it") {
+    // r16 verdict order #3: the postings family could not race two
+    // maintenance writers because its stats rode a parquet sidecar the
+    // OCC path had no channel for. The gate proves the full race; this
+    // pins the storage protocol on a hand-checkable corpus.
+    val sp = spark
+    import sp.implicits._
+    val docs = Seq(
+      (1L, "join vector join stream"),
+      (2L, "vector stream table"),
+      (3L, "join table scan"),
+      (4L, "stream stream stream join")).toDF("doc_id", "text")
+    val stage = Files.createTempDirectory("graft_postings_occ")
+    val root = stage.toString
+    try {
+      PostingsIndex.write(docs, "doc_id", "text", nBuckets, root) // v1
+      val st1 = PostingsIndex.readStats(spark, root)
+      assert(st1 == PostingsIndex.Stats(4L, 14L, nBuckets))
+      val before = PostingsIndex.probe(spark, root, terms, "doc_id", k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSeq
+      // an OCC maintenance commit: delete doc 4, stats decremented in
+      // the MARKER BODY (no parquet stats table at v2)
+      val ts = Seq(4L).toDF("doc_id").localCheckpoint(true)
+      val dead = ManifestedPartitions.readLatest(spark, root,
+          "postings", "tb")
+        .select("id", "tb", "dl")
+        .join(broadcast(ts), col("id") === col("doc_id"))
+        .localCheckpoint(true)
+      val affected = dead.select("tb").distinct()
+        .collect().map(_.getInt(0)).toSeq
+      val merged = ManifestedPartitions.stageRewriteAt(spark, root,
+        "postings", "tb", affected,
+        df => df.join(broadcast(ts), df("id") === ts("doc_id"),
+          "left_anti"),
+        snapshotV = 1L, gen = 2L)
+      val st2 = PostingsIndex.decrementStats(st1, dead)
+      assert(ManifestedPartitions.tryCommitManifests(root, 2L,
+        Map("postings" -> merged),
+        Map("stats" -> PostingsIndex.statsScalars(st2))))
+      // no parquet stats table exists for v2, yet readStats resolves it
+      assert(!Files.exists(stage.resolve("stats").resolve("v=2")))
+      assert(PostingsIndex.readStats(spark, root)
+        == PostingsIndex.Stats(3L, 10L, nBuckets),
+        "marker-body stats did not resolve")
+      // and the probe's idf/avgdl really use the body stats: doc 4 gone,
+      // scores equal a fresh build over the remaining docs
+      val rebuilt = Files.createTempDirectory("graft_postings_occ_rb")
+      PostingsIndex.write(docs.filter(col("doc_id") =!= 4L),
+        "doc_id", "text", nBuckets, rebuilt.toString)
+      def vals(p: String, v: Option[Long] = None) =
+        PostingsIndex.probe(spark, p, terms, "doc_id", k, version = v)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+          .toSeq
+      assert(vals(root) == vals(rebuilt.toString),
+        "OCC-committed probe diverged from the rebuild")
+      IvfIndex.deleteDir(rebuilt.toString)
+      // the version-PINNED probe still serves v1 (parquet-stats form) —
+      // the two storage forms interoperate in one history
+      assert(vals(root, Some(1L)) == before,
+        "pinned v1 probe changed after the OCC commit")
+    } finally IvfIndex.deleteDir(root)
   }
 }
