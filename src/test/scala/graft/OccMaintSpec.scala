@@ -94,6 +94,66 @@ class OccMaintSpec extends SparkSpec {
     } finally IvfIndex.deleteDir(root)
   }
 
+  test("END-TO-END concurrent maintenance: two threads stage AND commit " +
+    "in parallel; exactly one wins the version, the loser retries, and " +
+    "the final snapshot holds BOTH effects") {
+    // the gate replays the race sequentially (deterministic values for
+    // the oracle); this drives the same protocol with REAL overlap —
+    // both writers read snapshot v2, stage writer-unique generations,
+    // and race the v3 CAS from separate threads.
+    import java.util.concurrent.{CyclicBarrier, Executors, TimeUnit}
+    val stage = Files.createTempDirectory("graft_occ_threads")
+    val root = stage.toString
+    try {
+      MP.init(df(1 -> 0, 2 -> 0, 3 -> 1), root, "d", "p") // v1
+      MP.append(spark, root, "d", "p", df(4 -> 0))        // v2
+      val gate = new CyclicBarrier(2)
+      val pool = Executors.newFixedThreadPool(2)
+      // writer A: compaction of p=0; writer B: GDPR delete of x=2. Each
+      // stages against v2, races v3, and on loss re-stages from v3.
+      def writer(gen1: Long, gen2: Long,
+          transform: org.apache.spark.sql.DataFrame =>
+            org.apache.spark.sql.DataFrame): java.util.concurrent
+          .Future[Boolean] =
+        pool.submit(new java.util.concurrent.Callable[Boolean] {
+          def call(): Boolean = {
+            val staged = MP.stageRewriteAt(spark, root, "d", "p", Seq(0),
+              transform, snapshotV = 2L, gen = gen1)
+            gate.await(30, TimeUnit.SECONDS)
+            val won = MP.tryCommitManifests(root, 3L, Map("d" -> staged))
+            if (!won) {
+              val restaged = MP.stageRewriteAt(spark, root, "d", "p",
+                Seq(0), transform, snapshotV = 3L, gen = gen2)
+              require(MP.tryCommitManifests(root, 4L, Map("d" -> restaged)),
+                "loser's retry at v4 failed — a third writer?")
+            }
+            won
+          }
+        })
+      val fa = writer(201L, 203L, identity)
+      val fb = writer(202L, 204L, _.filter(col("x") =!= 2))
+      pool.shutdown()
+      val (aWon, bWon) = (fa.get(120, TimeUnit.SECONDS),
+        fb.get(120, TimeUnit.SECONDS))
+      assert(aWon ^ bWon, s"expected exactly one v3 winner, got ($aWon,$bWon)")
+      assert(MP.latestVersion(root).contains(4L))
+      // BOTH effects landed regardless of who won: x=2 deleted, p=0 in
+      // one file (the retry re-applied the loser's transform on the
+      // winner's snapshot; identity ∘ delete == delete ∘ identity here)
+      assert(MP.readLatest(spark, root, "d", "p")
+        .select("x").collect().map(_.getInt(0)).sorted.toSeq
+        == Seq(1, 3, 4), "an effect was lost in the concurrent race")
+      assert(MP.liveStats(spark, root, "d").forall(_._2._1 == 1),
+        "final snapshot left p=0 fragmented")
+      // v3's manifest is exactly the winner's staged generation
+      val v3gens = MP.readEntries(spark, root, "d", 3L).map(_.gen).toSet
+      val winnerGen = if (aWon) 201L else 202L
+      val loserGen = if (aWon) 202L else 201L
+      assert(v3gens.contains(winnerGen) && !v3gens.contains(loserGen),
+        s"v3 references $v3gens — not the winner's manifest")
+    } finally IvfIndex.deleteDir(root)
+  }
+
   test("tryMark CAS under a real multi-threaded race: exactly one winner " +
     "per version, the winner's body survives INTACT, no staging litter") {
     // ADVICE r16: the old shared staging path let a loser rewrite the
