@@ -94,16 +94,35 @@ object ManifestedPartitions {
     // a rewrite that empties every touched partition writes no partition
     // directories at all — those partitions drop out of the manifest,
     // which is the contract
-    listParts(dir, partCol).map { p =>
+    val partFiles = listParts(dir, partCol).map { p =>
       val pdir = Paths.get(dir, s"$partCol=$p")
       val st = Files.list(pdir)
       val files = try st.iterator().asScala
         .filter(_.getFileName.toString.endsWith(".parquet"))
         .toList
       finally st.close()
-      Entry(p, gen, files.size, files.map(parquetRowCount).sum)
+      p -> files
+    }
+    // footer reads fan out over a small driver pool: each open pays
+    // Hadoop local-FS fixed costs (~50 ms), so a serial loop over the
+    // batch's files would dominate small maintenance commits
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(8, math.max(1, partFiles.map(_._2.size).sum)))
+    try partFiles.map { case (p, files) =>
+      val counts = files.map { f =>
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          def call(): Long = parquetRowCount(f)
+        })
+      }
+      Entry(p, gen, files.size, counts.map(_.get()).sum)
     }.sorted
+    finally pool.shutdown()
   }
+
+  // one Configuration for every footer read — constructing one per file
+  // re-parses the Hadoop XML defaults each time (tens of ms), which
+  // dominates the ~1 ms footer read itself
+  private lazy val hadoopConf = new org.apache.hadoop.conf.Configuration()
 
   /** Row count from a parquet file's footer (sum of row-group counts) —
     * a ~1 ms driver read, no Spark job.
@@ -111,8 +130,7 @@ object ManifestedPartitions {
   private def parquetRowCount(f: java.nio.file.Path): Long = {
     val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
       org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-        new org.apache.hadoop.fs.Path(f.toUri),
-        new org.apache.hadoop.conf.Configuration()))
+        new org.apache.hadoop.fs.Path(f.toUri), hadoopConf))
     try rd.getRecordCount finally rd.close()
   }
 
