@@ -1011,7 +1011,10 @@ object DedupCatalog {
   private val E2eMaxTopBigram = 0.9
   // fp-bucket count of the streaming MV's manifested fp index (r17): a
   // deployment sizes this so one bucket's fps fit one maintenance task
-  private val MvFpBuckets = 16
+  // (thousands at 100 TB); at gate scale 8 keeps the per-generation file
+  // count — and thus the fixed lifecycle cost of 6 commits — small while
+  // still exercising bucket pruning and bounded-file compaction
+  private val MvFpBuckets = 8
 
   /** End-to-end curation funnel — the composed pipeline gate: exact dedup
     * (keep-first per content fingerprint) → n-gram-Jaccard near-dup
