@@ -228,33 +228,46 @@ object FunnelMv {
         "applied" -> appliedDf(spark, Nil).coalesce(1)))
   }
 
+  /** Snapshot read of the funnel view at version `v` (marker-body table
+    * reference or legacy layout — sources.ManifestedPartitions resolves).
+    */
+  def readView(spark: SparkSession, root: String, v: Long): DataFrame =
+    graft.sources.ManifestedPartitions.readSidecarTable(
+      spark, root, "view", v)
+
+  /** Snapshot read of the applied-batches ledger at version `v`. */
+  def readApplied(spark: SparkSession, root: String, v: Long): DataFrame =
+    graft.sources.ManifestedPartitions.readSidecarTable(
+      spark, root, "applied", v)
+
   /** Ingest micro-batch `batchId` EXACTLY ONCE. The applied-batches
     * ledger (one coalesced file, one row per ingested batch, carried
     * under every marker) maps batchId → (input version, output version):
     * a batch seen for the first time reads the LATEST snapshot and
-    * commits latest+1; a RE-DELIVERED batch (the crash-between-commit-
-    * and-checkpoint shape) finds its recorded versions, recomputes from
-    * the SAME input snapshot, and its recommit REPLACES its version —
-    * never double-counts — while later versions (including interleaved
-    * compactions) stay untouched. The ledger decouples exactly-once from
-    * "version = f(batchId)", which is what lets maintenance commits
-    * interleave with the stream. Per-batch reads are BOUNDED: the view
-    * (1 file), the ledger (1 file), the manifest (marker/driver rows),
-    * and the batch's fp buckets' live generations — never versions 1..V.
-    * Returns the committed (or re-committed) version.
+    * CAS-commits latest+1, retrying on a lost race (an independent
+    * compactor — or any maintenance job — may take the version first; the
+    * batch re-stages against the winner's snapshot, r18 order #1/#3). A
+    * RE-DELIVERED batch (the crash-between-commit-and-checkpoint shape)
+    * finds its ledger row and SKIPS — its output version is already
+    * committed and immutable, and rewriting a committed generation in
+    * place would transiently break the immutable-generation invariant
+    * for concurrent snapshot readers (ADVICE r17). The ledger decouples
+    * exactly-once from "version = f(batchId)", which is what lets
+    * maintenance commits interleave with the stream. Per-batch reads are
+    * BOUNDED: the view (1 file), the ledger (1 file), the manifest
+    * (marker/driver rows), and the batch's fp buckets' live generations
+    * — never versions 1..V. Returns the committed (or already-committed)
+    * version.
     */
   def ingestBatch(spark: SparkSession, root: String, batch: DataFrame,
       batchId: Long, nBuckets: Int, minTokens: Int, maxStopword: Double,
       minDistinct: Double, maxTopBigram: Double): Long = {
-    import graft.sources.{ManifestedPartitions => MP, VersionedView}
+    import graft.sources.{ManifestedPartitions => MP}
     val latest = MP.latestVersion(root).getOrElse(
       throw new IllegalStateException(s"no committed MV at $root"))
-    val prior = VersionedView.readTable(spark, root, "applied", latest)
+    val prior = readApplied(spark, root, latest)
       .filter(col("batch_id") === batchId).collect()
-    val (inV, outV) =
-      if (prior.nonEmpty)
-        (prior(0).getAs[Long]("in_v"), prior(0).getAs[Long]("out_v"))
-      else (latest, latest + 1)
+    if (prior.nonEmpty) return prior(0).getAs[Long]("out_v")
     val withFp = batch.select(col("doc_id"), col("text"))
       .withColumn("fp", md5(TextAnalysis.normText(col("text"))))
       .localCheckpoint(true)
@@ -265,40 +278,37 @@ object FunnelMv {
     // never opened
     val buckets = newFps.select("fpb").distinct()
       .collect().map(_.getInt(0)).toSeq
-    val fpIndex = MP.read(spark, root, FpsData, "fpb",
-      MP.prunedEntries(spark, root, FpsData, buckets, Some(inV)))
-      .select("fp")
-    val updated = applyInsertsTo(
-      VersionedView.readTable(spark, root, "view", inV), fpIndex, batch,
-      minTokens, maxStopword, minDistinct, maxTopBigram)
-      .localCheckpoint(true)
-    // the batch's fps land as generation `outV` — on re-delivery the
-    // idempotent overwrite reproduces the identical generation
-    val written = MP.writeGen(newFps, root, FpsData, "fpb", outV)
-    val merged = MP.readEntries(spark, root, FpsData, inV) ++ written
-    val appliedOut = VersionedView.readTable(spark, root, "applied", inV)
-      .unionByName(appliedDf(spark, Seq((batchId, inV, outV))))
-    MP.commitManifests(spark, root, outV, Map(FpsData -> merged),
-      sidecars = Map("view" -> updated.coalesce(1),
-        "applied" -> appliedOut.coalesce(1)))
-    outV
+    // the batch's fps land ONCE as a writer-unique generation; a lost
+    // version race re-merges the immutable entries (append shape) but
+    // must RECOMPUTE the anti-probe and view update against the winner's
+    // snapshot — another writer may have absorbed colliding fps
+    val written = MP.writeGen(newFps, root, FpsData, "fpb", MP.freshGen())
+    MP.retryingCommit(root) { (inV, outV) =>
+      val fpIndex = MP.read(spark, root, FpsData, "fpb",
+        MP.prunedEntries(spark, root, FpsData, buckets, Some(inV)))
+        .select("fp")
+      val updated = applyInsertsTo(
+        readView(spark, root, inV), fpIndex, batch,
+        minTokens, maxStopword, minDistinct, maxTopBigram)
+      val appliedOut = readApplied(spark, root, inV)
+        .unionByName(appliedDf(spark, Seq((batchId, inV, outV))))
+      MP.commitManifestsCas(spark, root, outV,
+        Map(FpsData -> (MP.readEntries(spark, root, FpsData, inV)
+          ++ written)),
+        sidecarTables = Map("view" -> updated.coalesce(1),
+          "applied" -> appliedOut.coalesce(1)))
+    }
   }
 
   /** Scheduled compaction of the fp index: fold the fragmented buckets'
-    * generations to one file each, carrying view and ledger unchanged
-    * under the new marker. Physical layout only — probes and ingests are
+    * generations to one file each. The view and ledger ride the new
+    * marker UNCHANGED via the commit path's auto-carry-forward (their
+    * body references are copied from the snapshot each CAS attempt
+    * re-reads — so racing an ingest can never install a stale view, r18
+    * order #3). Physical layout only — probes and ingests are
     * value-identical before/after; this is what keeps per-batch fp reads
     * BOUNDED as the stream ages. Returns the number of compacted buckets.
     */
-  def compactFps(spark: SparkSession, root: String): Int = {
-    import graft.sources.{ManifestedPartitions => MP, VersionedView}
-    val latest = MP.latestVersion(root).getOrElse(
-      throw new IllegalStateException(s"no committed MV at $root"))
-    MP.compact(spark, root, FpsData, "fpb",
-      sidecars = Map(
-        "view" -> VersionedView.readTable(spark, root, "view", latest)
-          .coalesce(1),
-        "applied" -> VersionedView.readTable(spark, root, "applied", latest)
-          .coalesce(1)))
-  }
+  def compactFps(spark: SparkSession, root: String): Int =
+    graft.sources.ManifestedPartitions.compact(spark, root, FpsData, "fpb")
 }

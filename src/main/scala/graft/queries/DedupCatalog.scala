@@ -2098,7 +2098,7 @@ object DedupCatalog {
         require(head.contains(5L),
           s"expected 5 committed versions (3 batches + 1 compaction), " +
             s"got $head")
-        def viewRows(v: Long) = VersionedView.readTable(s, vroot, "view", v)
+        def viewRows(v: Long) = FunnelMv.readView(s, vroot, v)
           .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2),
             r.getLong(3))).sortBy(_._1).toSeq
         // EXPLICIT RE-DELIVERY of the already-committed batch 1 (the
@@ -2120,7 +2120,7 @@ object DedupCatalog {
         val boundedReads = ManifestedPartitions
           .liveStats(s, vroot, FunnelMv.FpsData)
           .values.forall(_._1 <= compactEvery + 1)
-        VersionedView.readTable(s, vroot, "view", 5L)
+        FunnelMv.readView(s, vroot, 5L)
           .withColumn("resumed", lit(resumed))
           .withColumn("replay_idempotent", lit(replayIdempotent))
           .withColumn("bounded_reads", lit(boundedReads))
@@ -2193,11 +2193,106 @@ object DedupCatalog {
         ", TRUE AS bytes_gone"))
   )
 
+  /** RACEABLE funnel MV (r18, verdict order #3): the stream-writer and a
+    * scheduled compactor deployed as TWO INDEPENDENT JOBS, racing through
+    * the DEFAULT APIs — no stageRewriteAt choreography. Under the r17
+    * protocol this was the headline `weak`: FunnelMv.ingestBatch and
+    * compactFps both committed through the REPLACE_EXISTING marker path,
+    * so whichever job acknowledged version v+1 first was silently
+    * clobbered by the other (and the MV's view/ledger sidecars — parquet
+    * TABLES, too rich for the scalar marker channel — were staged at a
+    * SHARED path both writers overwrote before either marked). Now every
+    * default commit stages sidecar tables writer-unique (version-nonce
+    * directories referenced from the marker body), installs the marker
+    * with the link(2) CAS, and retries from the winner's snapshot on a
+    * lost race; compaction carries view and ledger via the commit path's
+    * auto-carry-forward, so it can never install a stale view over an
+    * interleaved ingest. The gate ingests the lower half-batch, then
+    * races ingestBatch(upper half) against compactFps on two barrier-
+    * aligned threads. Pins: both jobs commit (head = v4 — one winner PER
+    * version, no lost update), the ledger holds each batch EXACTLY once,
+    * the fp index stays compaction-bounded, and the published view lands
+    * on the FULL-RECOMPUTE oracle over base ∪ batch — racing maintenance
+    * is logically inert. (Ascending doc_id half-batches make cross-batch
+    * keep-first equal global keep-first, so the oracle is exactly
+    * q_pipeline_incr_mv's.)
+    */
+  val dPipelineMvOcc = QueryDef(
+    "q_pipeline_mv_occ",
+    (s, dir) => {
+      import java.nio.file.Files
+      import org.apache.spark.sql.expressions.Window
+      import graft.dedup.FunnelMv
+      import graft.sources.{ManifestedPartitions => MP}
+      val raw0 = t(s, dir, "documents").filter(col("text").isNotNull)
+        .select("doc_id", "text").localCheckpoint(true)
+      val stage = Files.createTempDirectory("graft_mv_occ")
+      val vroot = s"$stage/versioned"
+      try {
+        FunnelMv.writeVersioned(raw0, vroot, MvFpBuckets, E2eMinTokens,
+          E2eMaxStopword, E2eMinDistinct, E2eMaxTopBigram) // v1
+        val sliced = incrInsertBatch(raw0)
+          .withColumn("slice", ntile(2).over(Window.orderBy("doc_id")) - 1)
+          .localCheckpoint(true)
+        val lower = sliced.filter(col("slice") === 0).drop("slice")
+          .localCheckpoint(true)
+        val upper = sliced.filter(col("slice") === 1).drop("slice")
+          .localCheckpoint(true)
+        // batch 0 lands sequentially (v2) and fragments the fp buckets
+        FunnelMv.ingestBatch(s, vroot, lower, 0L, MvFpBuckets,
+          E2eMinTokens, E2eMaxStopword, E2eMinDistinct, E2eMaxTopBigram)
+        require(MP.fragmentedParts(s, vroot, FunnelMv.FpsData, "fpb")
+          .nonEmpty, "batch 0 left nothing to compact")
+        // THE RACE: stream-writer (batch 1) and compactor start together
+        // and go through the default APIs only — each CAS-retries
+        // internally on a lost version race
+        val barrier = new java.util.concurrent.CyclicBarrier(2)
+        val errs =
+          new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+        def job(body: () => Unit) = new Thread(() =>
+          try { barrier.await(); body() }
+          catch { case t: Throwable => errs.add(t) })
+        val ingester = job(() => {
+          FunnelMv.ingestBatch(s, vroot, upper, 1L, MvFpBuckets,
+            E2eMinTokens, E2eMaxStopword, E2eMinDistinct, E2eMaxTopBigram)
+          ()
+        })
+        val compactor = job(() => { FunnelMv.compactFps(s, vroot); () })
+        ingester.start(); compactor.start()
+        ingester.join(300000); compactor.join(300000)
+        require(errs.isEmpty, s"a racing default-API writer failed: " +
+          s"${errs.peek()}")
+        // one winner per version, no lost update: v1 + batch0 + the two
+        // racers = exactly 4 committed versions, gapless
+        val noLostUpdate = graft.sources.VersionedView
+          .committedVersions(vroot) == Seq(1L, 2L, 3L, 4L)
+        val head = MP.latestVersion(vroot).get
+        // the ledger holds each batch exactly once — a lost-then-retried
+        // ingest must not double-record, a clobbered one would be missing
+        val ledger = FunnelMv.readApplied(s, vroot, head)
+          .groupBy("batch_id").count().collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val exactlyOnce = ledger == Map(0L -> 1L, 1L -> 1L)
+        // compaction survived the race logically inert + bounded layout
+        val bounded = MP.liveStats(s, vroot, FunnelMv.FpsData)
+          .values.forall(_._1 <= 2)
+        FunnelMv.readView(s, vroot, head)
+          .withColumn("no_lost_update", lit(noLostUpdate))
+          .withColumn("exactly_once", lit(exactlyOnce))
+          .withColumn("bounded", lit(bounded))
+          .orderBy("stage_ord")
+          .localCheckpoint(true)
+      } finally graft.similarity.IvfIndex.deleteDir(stage.toString)
+    },
+    Some(incrMvFullRecomputeSql(
+      ", TRUE AS no_lost_update, TRUE AS exactly_once, TRUE AS bounded"))
+  )
+
   val all: Seq[QueryDef] =
     Seq(dExact, dJaccard, dComponents, dClusterSizes, dMinHash, dSimHash,
       dEmbed, dSemantic, dFuzzy, dFellegi, dContainment, dLshRecall,
       dBbitMinhash, dNgramNovelty, dDedupImpact, dSurvivorship, dDamerau,
       dPipelineE2e, dPipelineIncr, dPipelineIncrMv, dPipelineIncrDelete,
       dPipelineIncrVacuum, dPipelineMvTimetravel, dPipelineMvStreamIngest,
-      dPipelineMvExpire)
+      dPipelineMvExpire, dPipelineMvOcc)
 }

@@ -3711,6 +3711,84 @@ object MiscCatalog {
       ORDER BY seg""")
   )
 
+  /** CAS-BY-DEFAULT substrate gate (r18, verdict order #1): two
+    * OUT-OF-PROCESS-shaped writers — independent jobs that share nothing
+    * but the index root, the exact deployment of a stream-writer beside
+    * a scheduled maintenance job — race the DEFAULT lifecycle APIs, with
+    * no stageRewriteAt choreography. Under the r17 protocol this lost
+    * data: commitManifests installed its marker with REPLACE_EXISTING,
+    * so both jobs "succeeded" at version v+1 and the first acknowledged
+    * commit silently vanished (the headline r17 `weak`). Now every
+    * default commit stages a WRITER-UNIQUE generation, installs its
+    * marker through the link(2) CAS, and on a lost race re-reads the
+    * winner's snapshot and retries at the next version. The gate runs
+    * two barrier-aligned threads, each appending three disjoint slices
+    * through ManifestedPartitions.append, then one default-API
+    * compaction. Pins: the committed version chain is GAPLESS with one
+    * winner per version (`one_winner_per_version`), every append landed
+    * (`no_lost_update` — versions 1..7 before compaction), and the final
+    * snapshot's per-partition contents equal the full table — the
+    * DuckDB oracle recomputes them from the raw parquet, so a single
+    * lost row flips the hash.
+    */
+  val qMpCasDefault = QueryDef(
+    "q_mp_cas_default",
+    (s, dir) => {
+      import graft.sources.{ManifestedPartitions => MP, VersionedView}
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"),
+          pmod(col("doc_id"), lit(8)).cast("int").as("part"))
+        .localCheckpoint(true)
+      val stage = java.nio.file.Files
+        .createTempDirectory("graft_cas_default")
+      val root = stage.toString
+      try {
+        MP.init(docs.filter(pmod(col("doc_id"), lit(7)) === 0),
+          root, "d", "part") // v1
+        // six disjoint slices tile the remaining rows: writer A ingests
+        // slices 1-3, writer B slices 4-6, barrier-aligned so each round
+        // both jobs read the same latest version and race its successor
+        val slices = (1 to 6).map(i =>
+          docs.filter(pmod(col("doc_id"), lit(7)) === i)
+            .localCheckpoint(true))
+        val barrier = new java.util.concurrent.CyclicBarrier(2)
+        val errs =
+          new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+        def writer(mine: Seq[org.apache.spark.sql.DataFrame]) =
+          new Thread(() =>
+            try mine.foreach { d =>
+              barrier.await(120, java.util.concurrent.TimeUnit.SECONDS)
+              MP.append(s, root, "d", "part", d)
+              ()
+            } catch { case t: Throwable => errs.add(t) })
+        val a = writer(slices.take(3))
+        val b = writer(slices.drop(3))
+        a.start(); b.start()
+        a.join(300000); b.join(300000)
+        require(errs.isEmpty,
+          s"a racing default-API writer failed: ${errs.peek()}")
+        val noLostUpdate =
+          VersionedView.committedVersions(root) == (1L to 7L)
+        // scheduled maintenance through the same default API
+        val compacted = MP.compact(s, root, "d", "part")
+        val oneWinnerPerVersion = compacted > 0 &&
+          VersionedView.committedVersions(root) == (1L to 8L)
+        MP.readLatest(s, root, "d", "part")
+          .groupBy("part")
+          .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("sum_ids"))
+          .withColumn("no_lost_update", lit(noLostUpdate))
+          .withColumn("one_winner_per_version", lit(oneWinnerPerVersion))
+          .orderBy("part")
+          .localCheckpoint(true)
+      } finally graft.similarity.IvfIndex.deleteDir(root)
+    },
+    Some("""
+      SELECT CAST(doc_id % 8 AS INT) AS part, count(*) AS n_docs,
+             CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+             TRUE AS no_lost_update, TRUE AS one_winner_per_version
+      FROM documents GROUP BY 1 ORDER BY part""")
+  )
+
   val all: Seq[QueryDef] = Seq(oTopK, aSpikeSummary, eJson, aSummary,
     mKmeans, mLloydStep, qAsof, qRange, qRollup, qCube, qGroupingSets,
     qPercentile, qHistogram, qZOrder, qHilbert, qCompactPlan, qScd2, qScd1,
@@ -3723,6 +3801,6 @@ object MiscCatalog {
     qIqrOutliers, qSkyline, qUnpivot, qPsi, qOrcScan, qCramersV,
     qCsvCorrupt, qClustCoef, qKanon, qMergeSchema, qModularity,
     qJsonl, qCsvGzip, qTreeDepth, qBoxplot, qLdiversity, qCloseness,
-    qLorenz, qPareto, qTheil, qGraphE2e, qCdcE2e)
+    qLorenz, qPareto, qTheil, qGraphE2e, qCdcE2e, qMpCasDefault)
 }
 

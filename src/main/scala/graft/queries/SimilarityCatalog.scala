@@ -2483,6 +2483,125 @@ object SimilarityCatalog {
       ORDER BY version, query_id, rank""")
   )
 
+  /** OPTIMISTIC-CONCURRENCY maintenance for the TWO-DATASET IVF-PQ
+    * family (r18, verdict order #2): the storage-bounded index is the
+    * one whose maintenance must keep a PAIR of datasets — the coded
+    * lists and the raw exact-vector side table — atomic under racing
+    * writers: a version where they disagree is precisely the torn
+    * cross-dataset state the version-pinned probe (r17) exists to
+    * prevent. The gate replays q_t_bm25_occ_maint's protocol on the
+    * pair: after the frozen-parts append fragments BOTH datasets, a
+    * compactor and a GDPR delete each stage NEW generations for BOTH
+    * datasets against version 2 (writer-unique generation ids) and race
+    * the version-3 CAS, whose ONE marker body carries BOTH manifests —
+    * the compactor wins; the delete's rejected commit carried both of
+    * its rewrites, so neither half can land alone. The loser re-discovers
+    * affected cells AND buckets on the winner's snapshot (the compaction
+    * moved rows between generations) and retries as version 4. The probe
+    * answers from v4 and must equal the append+delete oracle replay
+    * (compaction is logically inert); `atomic_pair` pins that at EVERY
+    * committed version the lists' id set equals the raw table's id set —
+    * no version exists where the two datasets disagree.
+    */
+  val sIvfPqOccMaint = QueryDef(
+    "q_s_ivfpq_occ_maint",
+    (s, dir) => {
+      import graft.similarity.IvfPqIndex
+      import graft.sources.ManifestedPartitions
+      val e = t(s, dir, "embeddings")
+      val isDelta = pmod(col("vec_id"), lit(10)) === 7
+      val stage = java.nio.file.Files
+        .createTempDirectory("graft_ivfpq_occ")
+      val root = stage.toString
+      try {
+        IvfPqIndex.write(e.filter(!isDelta), "vec_id", "embedding",
+          IvfCells, PqDim, PqM, PqK, root) // v1
+        IvfPqIndex.append(s, root, e.filter(isDelta),
+          "vec_id", "embedding") // v2 — fragments BOTH datasets
+        def entriesAt(dn: String, v: Long) =
+          ManifestedPartitions.readEntries(s, root, dn, v)
+        def liveAt(dn: String, pc: String, v: Long) =
+          ManifestedPartitions.read(s, root, dn, pc, entriesAt(dn, v))
+        // writer 1 (compactor) and writer 2 (GDPR delete) both read v2
+        val fragLists = ManifestedPartitions.fragmentedParts(
+          s, root, "lists", "cell")
+        val fragRaw = ManifestedPartitions.fragmentedParts(
+          s, root, "raw", "rb")
+        require(fragLists.nonEmpty && fragRaw.nonEmpty,
+          "append left a dataset unfragmented")
+        val ts = e.filter(pmod(col("vec_id"), lit(9)) === 4)
+          .select(col("vec_id").as("id")).localCheckpoint(true)
+        def plan(v: Long): (Seq[Int], Seq[Int]) = (
+          liveAt("lists", "cell", v).select("id", "cell")
+            .join(broadcast(ts), Seq("id"))
+            .select("cell").distinct().collect().map(_.getInt(0)).toSeq,
+          liveAt("raw", "rb", v).select("id", "rb")
+            .join(broadcast(ts), Seq("id"))
+            .select("rb").distinct().collect().map(_.getInt(0)).toSeq)
+        val (affCells2, affBuckets2) = plan(2L)
+        require(affCells2.nonEmpty && affBuckets2.nonEmpty,
+          "tombstones hit no partition")
+        val anti = (df: DataFrame) =>
+          df.join(broadcast(ts), Seq("id"), "left_anti")
+        // both writers stage BOTH datasets against snapshot v2,
+        // writer-unique generations
+        val w1Lists = ManifestedPartitions.stageRewriteAt(s, root,
+          "lists", "cell", fragLists, identity, snapshotV = 2L, gen = 201L)
+        val w1Raw = ManifestedPartitions.stageRewriteAt(s, root,
+          "raw", "rb", fragRaw, identity, snapshotV = 2L, gen = 202L)
+        val w2Lists = ManifestedPartitions.stageRewriteAt(s, root,
+          "lists", "cell", affCells2, anti, snapshotV = 2L, gen = 203L)
+        val w2Raw = ManifestedPartitions.stageRewriteAt(s, root,
+          "raw", "rb", affBuckets2, anti, snapshotV = 2L, gen = 204L)
+        // the race: ONE marker carries BOTH manifests — the compactor's
+        // CAS wins version 3; the delete's pair is rejected WHOLE
+        val w1Won = ManifestedPartitions.tryCommitManifests(root, 3L,
+          Map("lists" -> w1Lists, "raw" -> w1Raw))
+        val w2Lost = !ManifestedPartitions.tryCommitManifests(root, 3L,
+          Map("lists" -> w2Lists, "raw" -> w2Raw))
+        // loser retries: re-discover cells AND buckets on the winner's
+        // snapshot, re-stage both rewrites, commit as version 4
+        val (affCells3, affBuckets3) = plan(3L)
+        val w2ListsR = ManifestedPartitions.stageRewriteAt(s, root,
+          "lists", "cell", affCells3, anti, snapshotV = 3L, gen = 205L)
+        val w2RawR = ManifestedPartitions.stageRewriteAt(s, root,
+          "raw", "rb", affBuckets3, anti, snapshotV = 3L, gen = 206L)
+        val w2Won = ManifestedPartitions.tryCommitManifests(root, 4L,
+          Map("lists" -> w2ListsR, "raw" -> w2RawR))
+        require(w1Won && w2Lost && w2Won, "OCC race did not serialize")
+        val compactionSurvived =
+          ManifestedPartitions.fragmentedParts(s, root, "lists", "cell")
+            .isEmpty &&
+          ManifestedPartitions.fragmentedParts(s, root, "raw", "rb")
+            .isEmpty
+        // the two-dataset atomicity pin: NO committed version exists
+        // where the coded lists and the raw side table disagree
+        val atomicPair = (1L to 4L).forall { v =>
+          val lids = liveAt("lists", "cell", v).select(col("id"))
+            .collect().map(_.getLong(0)).sorted.toSeq
+          val rids = liveAt("raw", "rb", v).select(col("id"))
+            .collect().map(_.getLong(0)).sorted.toSeq
+          lids == rids
+        }
+        IvfPqIndex.probe(s, root,
+            e.filter(col("vec_id") < QueryIdMax), "vec_id", "embedding",
+            k = TopK, nProbe = IpProbe, refine = IpRefine)
+          .select(col("query_id"), col("rank").cast("long").as("rank"),
+            col("nn_id"), r6(col("cos")).as("cos"))
+          .withColumn("conflict_detected", lit(w1Won && w2Lost && w2Won))
+          .withColumn("compaction_survived", lit(compactionSurvived))
+          .withColumn("atomic_pair", lit(atomicPair))
+          .orderBy("query_id", "rank")
+          .localCheckpoint(true)
+      } finally graft.similarity.IvfIndex.deleteDir(root)
+    },
+    Some(s"""
+      WITH ${ivfPqReplayCtesFrom("ivfpq_base_centroids",
+        "ivfpq_base_codebooks", "WHERE corpus.vec_id % 9 <> 4")},
+      ${ivfPqRefineTailWith(", TRUE AS conflict_detected" +
+        ", TRUE AS compaction_survived, TRUE AS atomic_pair")}""")
+  )
+
   val all: Seq[QueryDef] =
     Seq(sBrute, sIvf, sIvfScaled, sIvfPersist, sIvfAppend, sIvfCompact,
       sIvfStreamIngest, sIvfDelete, sIvfTornCompact, sIvfSnapshotProbe,
@@ -2490,5 +2609,5 @@ object SimilarityCatalog {
       sPq, sSq, sSparse, sRecallIvf,
       sJlProject, sCentroidCos, sMmr, sLshRecall, sMutualNn, sNdcg, sKnn,
       sKnnIvf, sKcenter, sIvfPq, sIvfPqPersist, sIvfPqAppend,
-      sIvfPqCompact, sIvfPqDelete, sIvfPqSnapshotProbe)
+      sIvfPqCompact, sIvfPqDelete, sIvfPqSnapshotProbe, sIvfPqOccMaint)
 }

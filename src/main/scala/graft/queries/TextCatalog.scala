@@ -949,11 +949,15 @@ object TextCatalog {
           Files.setLastModifiedTime(dst,
             java.nio.file.attribute.FileTime.fromMillis(1000L * (i + 1)))
         }
-        // batch-keyed exactly-once: batch b reads version b+1, commits b+2
+        // ledger-keyed exactly-once (ADVICE r17: the old batch-keyed
+        // appendAt replace-committed version batchId+2, clobbering any
+        // interleaved maintenance commit): a first delivery CAS-commits
+        // latest+1 and records itself in the applied-batches ledger; a
+        // re-delivery finds its ledger row and SKIPS — the committed
+        // version is immutable
         def applyBatch(b: DataFrame, batchId: Long): Unit = {
           if (!b.isEmpty) {
-            PostingsIndex.appendAt(s, idx, b, "doc_id", "text",
-              inV = batchId + 1)
+            PostingsIndex.ingestBatch(s, idx, b, "doc_id", "text", batchId)
             ()
           }
         }

@@ -129,17 +129,26 @@ object IvfPqIndex {
       .select(col("id"), col("cell"),
         zip_with(col("v"), col("c"), (x, y) => x - y).as("r"))
       .localCheckpoint(true) // feeds both the encode and the cell re-join
-    val (gen, listsMerged) = ManifestedPartitions.stageAppend(
-      spark, path, Lists, "cell",
+    // both datasets stage ONCE under writer-unique generations; a lost
+    // version race (r18 order #1) re-merges the immutable entries onto
+    // the winner's snapshot — ONE CAS marker still commits both
+    val listsWritten = ManifestedPartitions.writeGen(
       Pq.encode(res, "id", "r", dim, cb, m)
         .join(res.select("id", "cell"), "id")
-        .select(col("id"), col("codes"), col("cell")))
-    val (_, rawMerged) = ManifestedPartitions.stageAppend(
-      spark, path, Raw, "rb",
+        .select(col("id"), col("codes"), col("cell")),
+      path, Lists, "cell", ManifestedPartitions.freshGen())
+    val rawWritten = ManifestedPartitions.writeGen(
       withRawBucket(delta.select(col(idCol).as("id"),
-        transform(col(vecCol), _.cast("double")).as("v"))))
-    ManifestedPartitions.commitManifests(spark, path, gen,
-      Map(Lists -> listsMerged, Raw -> rawMerged))
+        transform(col(vecCol), _.cast("double")).as("v"))),
+      path, Raw, "rb", ManifestedPartitions.freshGen())
+    ManifestedPartitions.retryingCommit(path) { (inV, outV) =>
+      ManifestedPartitions.commitManifestsCas(spark, path, outV, Map(
+        Lists -> (ManifestedPartitions.readEntries(spark, path, Lists, inV)
+          ++ listsWritten),
+        Raw -> (ManifestedPartitions.readEntries(spark, path, Raw, inV)
+          ++ rawWritten)))
+    }
+    ()
   }
 
   /** DELETE a tombstone batch (vector ids) — the GDPR leg that completes
@@ -158,26 +167,44 @@ object IvfPqIndex {
   def delete(spark: SparkSession, path: String,
       tombstones: DataFrame): Long = {
     val ts = tombstones.select("id").distinct().localCheckpoint(true)
-    val deadLists = ManifestedPartitions.readLatest(spark, path, Lists, "cell")
-      .select("id", "cell") // column-pruned: never reads the codes
-      .join(broadcast(ts), Seq("id"))
-      .localCheckpoint(true)
-    val affCells = deadLists.select("cell").distinct()
-      .collect().map(_.getInt(0)).toSeq // bounded by the delete batch
-    if (affCells.isEmpty) return 0L
-    val affBuckets = ManifestedPartitions.readLatest(spark, path, Raw, "rb")
-      .select("id", "rb")
-      .join(broadcast(ts), Seq("id"))
-      .select("rb").distinct().collect().map(_.getInt(0)).toSeq
-    val anti = (df: DataFrame) =>
-      df.join(broadcast(ts), Seq("id"), "left_anti")
-    val (gen, listsMerged) = ManifestedPartitions.stageRewrite(
-      spark, path, Lists, "cell", affCells, anti)
-    val (_, rawMerged) = ManifestedPartitions.stageRewrite(
-      spark, path, Raw, "rb", affBuckets, anti)
-    ManifestedPartitions.commitManifests(spark, path, gen,
-      Map(Lists -> listsMerged, Raw -> rawMerged))
-    deadLists.count()
+    var tries = 0
+    while (tries < ManifestedPartitions.MaxCommitRetries) {
+      // the whole plan — affected cells AND buckets, both rewrites — is a
+      // function of the input snapshot: every CAS attempt (r18 order #2)
+      // re-discovers against the then-latest version (a racing compactor
+      // moves rows between generations)
+      val inV = ManifestedPartitions.latestVersion(path).getOrElse(
+        throw new IllegalStateException(s"no committed version at $path"))
+      def at(dn: String, pc: String) = ManifestedPartitions.read(
+        spark, path, dn, pc,
+        ManifestedPartitions.readEntries(spark, path, dn, inV))
+      val deadLists = at(Lists, "cell")
+        .select("id", "cell") // column-pruned: never reads the codes
+        .join(broadcast(ts), Seq("id"))
+        .localCheckpoint(true)
+      val affCells = deadLists.select("cell").distinct()
+        .collect().map(_.getInt(0)).toSeq // bounded by the delete batch
+      if (affCells.isEmpty) return 0L
+      val affBuckets = at(Raw, "rb")
+        .select("id", "rb")
+        .join(broadcast(ts), Seq("id"))
+        .select("rb").distinct().collect().map(_.getInt(0)).toSeq
+      val anti = (df: DataFrame) =>
+        df.join(broadcast(ts), Seq("id"), "left_anti")
+      val listsMerged = ManifestedPartitions.stageRewriteAt(
+        spark, path, Lists, "cell", affCells, anti, inV,
+        ManifestedPartitions.freshGen())
+      val rawMerged = ManifestedPartitions.stageRewriteAt(
+        spark, path, Raw, "rb", affBuckets, anti, inV,
+        ManifestedPartitions.freshGen())
+      if (ManifestedPartitions.commitManifestsCas(spark, path, inV + 1,
+          Map(Lists -> listsMerged, Raw -> rawMerged)))
+        return deadLists.count()
+      tries += 1
+    }
+    throw new graft.sources.ConcurrentCommitException(
+      s"$path: delete lost the version race " +
+        s"${ManifestedPartitions.MaxCommitRetries} times")
   }
 
   /** COMPACT fragmented partitions in both datasets (each append commits
@@ -188,26 +215,36 @@ object IvfPqIndex {
     * partitions across both datasets.
     */
   def compact(spark: SparkSession, path: String): Int = {
-    val fragLists = ManifestedPartitions.fragmentedParts(
-      spark, path, Lists, "cell")
-    val fragRaw = ManifestedPartitions.fragmentedParts(
-      spark, path, Raw, "rb")
-    if (fragLists.isEmpty && fragRaw.isEmpty) return 0
-    val v = ManifestedPartitions.latestVersion(path).get
-    val gen = v + 1
-    val listsMerged =
-      if (fragLists.nonEmpty)
-        ManifestedPartitions.stageRewrite(
-          spark, path, Lists, "cell", fragLists, identity)._2
-      else ManifestedPartitions.readEntries(spark, path, Lists, v)
-    val rawMerged =
-      if (fragRaw.nonEmpty)
-        ManifestedPartitions.stageRewrite(
-          spark, path, Raw, "rb", fragRaw, identity)._2
-      else ManifestedPartitions.readEntries(spark, path, Raw, v)
-    ManifestedPartitions.commitManifests(spark, path, gen,
-      Map(Lists -> listsMerged, Raw -> rawMerged))
-    fragLists.size + fragRaw.size
+    var tries = 0
+    while (tries < ManifestedPartitions.MaxCommitRetries) {
+      // fragmentation is re-discovered per CAS attempt against that
+      // attempt's snapshot (a racing writer may already have compacted —
+      // or vacuumed — some of the planned partitions)
+      val inV = ManifestedPartitions.latestVersion(path).getOrElse(
+        throw new IllegalStateException(s"no committed version at $path"))
+      val fragLists = ManifestedPartitions.fragmentedParts(
+        spark, path, Lists, "cell", Some(inV))
+      val fragRaw = ManifestedPartitions.fragmentedParts(
+        spark, path, Raw, "rb", Some(inV))
+      if (fragLists.isEmpty && fragRaw.isEmpty) return 0
+      val listsMerged =
+        if (fragLists.nonEmpty)
+          ManifestedPartitions.stageRewriteAt(spark, path, Lists, "cell",
+            fragLists, identity, inV, ManifestedPartitions.freshGen())
+        else ManifestedPartitions.readEntries(spark, path, Lists, inV)
+      val rawMerged =
+        if (fragRaw.nonEmpty)
+          ManifestedPartitions.stageRewriteAt(spark, path, Raw, "rb",
+            fragRaw, identity, inV, ManifestedPartitions.freshGen())
+        else ManifestedPartitions.readEntries(spark, path, Raw, inV)
+      if (ManifestedPartitions.commitManifestsCas(spark, path, inV + 1,
+          Map(Lists -> listsMerged, Raw -> rawMerged)))
+        return fragLists.size + fragRaw.size
+      tries += 1
+    }
+    throw new graft.sources.ConcurrentCommitException(
+      s"$path: compact lost the version race " +
+        s"${ManifestedPartitions.MaxCommitRetries} times")
   }
 
   /** RETENTION GC over both datasets: expire below-horizon manifest

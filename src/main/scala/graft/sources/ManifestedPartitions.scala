@@ -53,6 +53,15 @@ import org.apache.spark.sql.types.StructType
   * against billions of data rows, read once per probe and folded into
   * driver-side path construction.
   */
+/** A writer lost the optimistic version race more times than
+  * [[ManifestedPartitions.MaxCommitRetries]] — thrown by the default
+  * lifecycle APIs instead of EVER replacing an already-acknowledged
+  * commit (r17 verdict order #1: the single-writer REPLACE_EXISTING
+  * marker path silently lost the first winner's commit when two
+  * independent jobs raced the same version).
+  */
+class ConcurrentCommitException(msg: String) extends RuntimeException(msg)
+
 object ManifestedPartitions {
 
   /** One live manifest entry: partition `part`'s rows in generation
@@ -62,6 +71,22 @@ object ManifestedPartitions {
     * directories.
     */
   case class Entry(part: Int, gen: Long, files: Int, rows: Long)
+
+  /** Bound on CAS retry loops in the default lifecycle APIs. */
+  val MaxCommitRetries = 12
+
+  /** A WRITER-UNIQUE generation id for the default (concurrent-safe)
+    * lifecycle APIs: two jobs staging against the same snapshot must
+    * never write the same `g=<gen>` directory (mode("overwrite") would
+    * delete the other's in-flight files BEFORE either commits — a
+    * corruption no CAS can repair). Milliseconds << 20 bits of entropy
+    * keeps ids roughly time-ordered for debuggability, far above the
+    * small sequential ids of init (g=1) and the explicit staging APIs,
+    * and collision-free in practice (~1e-6 per same-millisecond pair).
+    */
+  def freshGen(): Long =
+    (System.currentTimeMillis() << 20) |
+      java.util.concurrent.ThreadLocalRandom.current().nextLong(1L << 20)
 
   private implicit val entryOrdering: Ordering[Entry] =
     Ordering.by(e => (e.part, e.gen))
@@ -89,8 +114,21 @@ object ManifestedPartitions {
     df.repartition(col(partCol))
       .write.mode("overwrite").partitionBy(partCol).parquet(dir)
     val schemaFile = Paths.get(root, dataName, "_schema")
-    if (!Files.exists(schemaFile))
-      Files.writeString(schemaFile, df.schema.toDDL)
+    if (!Files.exists(schemaFile)) {
+      // staged + ATOMIC_MOVE (ADVICE r17): a reader racing the first
+      // write (or two racing writers both passing the exists check) must
+      // never observe a partially-written DDL; first mover wins, the
+      // loser's identical content is discarded
+      val tmp = Paths.get(root, dataName,
+        s"._schema.${java.util.UUID.randomUUID()}")
+      Files.writeString(tmp, df.schema.toDDL)
+      try Files.move(tmp, schemaFile,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          Files.deleteIfExists(tmp)
+      }
+    }
     // a rewrite that empties every touched partition writes no partition
     // directories at all — those partitions drop out of the manifest,
     // which is the contract
@@ -105,18 +143,24 @@ object ManifestedPartitions {
     }
     // footer reads fan out over a small driver pool: each open pays
     // Hadoop local-FS fixed costs (~50 ms), so a serial loop over the
-    // batch's files would dominate small maintenance commits
+    // batch's files would dominate small maintenance commits. Two-phase
+    // (ADVICE r17): ALL partitions' futures are submitted before any
+    // get() blocks — a per-partition submit-then-collect loop degrades to
+    // serial when each partition holds one file (the common layout).
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
       math.min(8, math.max(1, partFiles.map(_._2.size).sum)))
-    try partFiles.map { case (p, files) =>
-      val counts = files.map { f =>
-        pool.submit(new java.util.concurrent.Callable[Long] {
-          def call(): Long = parquetRowCount(f)
+    try {
+      val submitted = partFiles.map { case (p, files) =>
+        (p, files.size, files.map { f =>
+          pool.submit(new java.util.concurrent.Callable[Long] {
+            def call(): Long = parquetRowCount(f)
+          })
         })
       }
-      Entry(p, gen, files.size, counts.map(_.get()).sum)
-    }.sorted
-    finally pool.shutdown()
+      submitted.map { case (p, nFiles, counts) =>
+        Entry(p, gen, nFiles, counts.map(_.get()).sum)
+      }.sorted
+    } finally pool.shutdown()
   }
 
   // one Configuration for every footer read — constructing one per file
@@ -228,18 +272,121 @@ object ManifestedPartitions {
   def tryCommitManifests(root: String, v: Long,
       manifests: Map[String, Seq[Entry]],
       sidecarScalars: Map[String, Seq[(String, Long)]] = Map.empty)
+      : Boolean =
+    VersionedView.tryMark(root, v, bodyOf(
+      manifests.map { case (dn, es) => dn -> entryStr(es) } ++
+        sidecarScalars.map { case (n, kvs) => s"~$n" -> scalarStr(kvs) }))
+
+  private def entryStr(es: Seq[Entry]): String =
+    es.sorted.map(e => s"${e.part}:${e.gen}:${e.files}:${e.rows}")
+      .mkString(";")
+
+  private def scalarStr(kvs: Seq[(String, Long)]): String =
+    kvs.map { case (k, x) => s"$k:$x" }.mkString(";")
+
+  /** Flat key→value marker-body serialization. Key namespaces: a bare
+    * identifier is a dataset's manifest entries, `~<name>` a scalar
+    * sidecar's fields, `@<name>` a sidecar TABLE's version-nonce
+    * directory (relative to `<root>/<name>/`).
+    */
+  private def bodyOf(pairs: Iterable[(String, String)]): String =
+    pairs.toSeq.sortBy(_._1)
+      .map { case (k, value) => "\"" + k + "\":\"" + value + "\"" }
+      .mkString("{", ",", "}")
+
+  private def parseBody(body: String): Seq[(String, String)] =
+    "\"([^\"]+)\":\"([^\"]*)\"".r.findAllMatchIn(body)
+      .map(m => (m.group(1), m.group(2))).toSeq
+
+  /** CAS-BY-DEFAULT commit (r18, verdict order #1) — the commit point of
+    * EVERY default lifecycle API. Like [[tryCommitManifests]] the marker
+    * is installed with VersionedView.tryMark's atomic link-if-absent, so
+    * two independent jobs racing version `v` serialize: exactly one wins,
+    * the loser re-reads the winner's snapshot and retries at v+1 — an
+    * acknowledged commit can never be silently replaced. Two additions
+    * over the raw API:
+    *
+    *   - sidecar TABLES (multi-row / non-numeric state the scalar channel
+    *     can't carry — the funnel MV's view and applied-batches ledger)
+    *     are staged WRITER-UNIQUE at `<root>/<name>/v=<v>-<nonce>` and
+    *     referenced from the marker body (`"@<name>":"v=<v>-<nonce>"`),
+    *     so two racing stagers cannot clobber each other's table files
+    *     before either marks — a loser's staged directory is garbage
+    *     until [[expire]]'s grace window passes;
+    *   - AUTO-CARRY-FORWARD: every dataset / scalar / table key of the
+    *     previous committed version's body that this commit does not
+    *     override is copied verbatim into the new body. A commit touching
+    *     one dataset of a multi-dataset root therefore yields a version
+    *     whose body is still COMPLETE — reads never walk a carry-forward
+    *     chain of markers (r17 verdict order #5: the walk was unbounded
+    *     over single-dataset-touching histories; now it is 0 hops for any
+    *     version committed through this path).
+    */
+  def commitManifestsCas(spark: SparkSession, root: String, v: Long,
+      manifests: Map[String, Seq[Entry]],
+      sidecarTables: Map[String, DataFrame] = Map.empty,
+      sidecarScalars: Map[String, Seq[(String, Long)]] = Map.empty)
       : Boolean = {
-    val mparts = manifests.toSeq.sortBy(_._1).map { case (dn, es) =>
-      "\"" + dn + "\":\"" + es.sorted
-        .map(e => s"${e.part}:${e.gen}:${e.files}:${e.rows}")
-        .mkString(";") + "\""
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    val tableRefs = sidecarTables.map { case (name, df) =>
+      val ref = s"v=$v-$nonce"
+      df.write.mode("overwrite").parquet(s"$root/$name/$ref")
+      name -> ref
     }
-    val sparts = sidecarScalars.toSeq.sortBy(_._1).map { case (name, kvs) =>
-      "\"~" + name + "\":\"" +
-        kvs.map { case (k, x) => s"$k:$x" }.mkString(";") + "\""
+    val own: Map[String, String] =
+      manifests.map { case (dn, es) => dn -> entryStr(es) } ++
+        sidecarScalars.map { case (n, kvs) => s"~$n" -> scalarStr(kvs) } ++
+        tableRefs.map { case (n, ref) => s"@$n" -> ref }
+    val carried = VersionedView.latestVersion(root).filter(_ < v).toSeq
+      .flatMap { pv =>
+        val b = VersionedView.markerBody(root, pv)
+        if (b.startsWith("{"))
+          parseBody(b).filterNot { case (k, _) => own.contains(k) }
+        else Nil
+      }
+    VersionedView.tryMark(root, v, bodyOf(own ++ carried))
+  }
+
+  /** Resolve one sidecar TABLE at version `v` — the three storage forms
+    * in age order: a `@<name>` version-nonce reference in the marker body
+    * (every [[commitManifestsCas]] commit), carry-forward to the previous
+    * version when an OCC body omits it (raw [[tryCommitManifests]]
+    * commits; bounded — auto-carry keeps default-API chains at 0 hops),
+    * and the legacy `<root>/<name>/v=<v>` table of a pre-CAS marker.
+    */
+  def readSidecarTable(spark: SparkSession, root: String, name: String,
+      v: Long): DataFrame = {
+    val body = VersionedView.markerBody(root, v)
+    if (!body.startsWith("{"))
+      return VersionedView.readTable(spark, root, name, v)
+    parseBody(body).collectFirst {
+      case (k, ref) if k == s"@$name" => ref
+    } match {
+      case Some(ref) => spark.read.parquet(s"$root/$name/$ref")
+      case None =>
+        val prev = VersionedView.committedVersions(root).filter(_ < v)
+        if (prev.nonEmpty) readSidecarTable(spark, root, name, prev.max)
+        else VersionedView.readTable(spark, root, name, v)
     }
-    val body = (mparts ++ sparts).mkString("{", ",", "}")
-    VersionedView.tryMark(root, v, body)
+  }
+
+  /** Run `attempt(inV, outV)` against the latest snapshot until its CAS
+    * lands — the retry loop every default lifecycle API wraps around
+    * [[commitManifestsCas]]. Bounded by [[MaxCommitRetries]]; exhaustion
+    * throws [[ConcurrentCommitException]] LOUDLY rather than ever
+    * falling back to a replacing commit.
+    */
+  def retryingCommit(root: String)(attempt: (Long, Long) => Boolean)
+      : Long = {
+    var tries = 0
+    while (tries < MaxCommitRetries) {
+      val inV = latestVersion(root).getOrElse(
+        throw new IllegalStateException(s"no committed version at $root"))
+      if (attempt(inV, inV + 1)) return inV + 1
+      tries += 1
+    }
+    throw new ConcurrentCommitException(
+      s"$root: lost the optimistic version race $MaxCommitRetries times")
   }
 
   /** The body-embedded scalar sidecar of an OCC commit: Some(fields) if
@@ -327,31 +474,36 @@ object ManifestedPartitions {
   }
 
   /** INIT: write `df` as generation 1 and commit manifest version 1
-    * (plus `sidecars`) under one marker. Overwrites any prior index at
-    * the root (markers included), matching the families' write()
-    * overwrite contract.
+    * (plus sidecar tables/scalars) under one marker. Overwrites any prior
+    * index at the root (markers included), matching the families'
+    * write() overwrite contract.
     */
   def init(df: DataFrame, root: String, dataName: String, partCol: String,
-      sidecars: Map[String, DataFrame] = Map.empty): Unit = {
+      sidecars: Map[String, DataFrame] = Map.empty,
+      sidecarScalars: Map[String, Seq[(String, Long)]] = Map.empty)
+      : Unit = {
     VersionedView.deleteDir(Paths.get(root, "_commits"))
     Files.deleteIfExists(Paths.get(root, dataName, "_schema"))
     val spark = df.sparkSession
     val entries = writeGen(df, root, dataName, partCol, 1L)
-    commitManifests(spark, root, 1L, Map(dataName -> entries), sidecars)
+    require(commitManifestsCas(spark, root, 1L, Map(dataName -> entries),
+      sidecars, sidecarScalars), s"init lost a version-1 race at $root")
   }
 
   /** Commit one or more datasets' manifests (+ sidecar tables) as version
-    * `v` under a single marker — the only mutation point in the whole
-    * layout, and it is VersionedView's marker-last atomic move.
+    * `v` under a single marker — [[commitManifestsCas]] with the CAS loss
+    * surfaced as a LOUD [[ConcurrentCommitException]] (r18 order #1: the
+    * pre-CAS path replaced an existing marker, silently losing whichever
+    * independent job committed `v` first). Single-writer callers keep the
+    * old contract; potentially-racing callers use [[retryingCommit]] or
+    * their own re-stage loop instead of catching this.
     */
   def commitManifests(spark: SparkSession, root: String, v: Long,
       manifests: Map[String, Seq[Entry]],
-      sidecars: Map[String, DataFrame] = Map.empty): Unit = {
-    val tables = manifests.map { case (name, es) =>
-      manifestTable(name) -> entriesDf(spark, es).coalesce(1)
-    } ++ sidecars
-    VersionedView.commitTables(tables, root, v)
-  }
+      sidecars: Map[String, DataFrame] = Map.empty): Unit =
+    if (!commitManifestsCas(spark, root, v, manifests, sidecars))
+      throw new ConcurrentCommitException(
+        s"$root: version $v was committed concurrently by another writer")
 
   /** STAGE an append: write `delta` as generation `latest+1` and return
     * (newVersion, merged entries) WITHOUT committing — the torn-run shape
@@ -367,17 +519,29 @@ object ManifestedPartitions {
     (gen, readEntries(spark, root, dataName, v) ++ written)
   }
 
-  /** APPEND: new generation + manifest commit. Ingest cost ∝ batch (one
-    * generation write, no rewrite of live data); re-running a crashed
-    * append is safe (the generation write is an idempotent overwrite of
-    * `g=<latest+1>` and the commit replaces). Returns the new version.
+  /** APPEND: new generation + CAS manifest commit with retry. Ingest cost
+    * ∝ batch (one generation write, no rewrite of live data). The
+    * generation is staged ONCE under a writer-unique id; losing the
+    * version race re-merges the immutable staged entries onto the
+    * winner's snapshot and retries — append results are
+    * snapshot-independent, so no re-write is needed. A crashed append
+    * (staged, never committed) leaves an orphan generation for
+    * [[expire]]'s grace window. Returns the committed version.
+    *
+    * `sidecars` tables are re-staged verbatim per attempt — a caller
+    * whose sidecar DEPENDS on the input snapshot (e.g. advancing corpus
+    * statistics) must run its own [[retryingCommit]] loop recomputing
+    * them per attempt instead.
     */
   def append(spark: SparkSession, root: String, dataName: String,
       partCol: String, delta: DataFrame,
       sidecars: Map[String, DataFrame] = Map.empty): Long = {
-    val (gen, merged) = stageAppend(spark, root, dataName, partCol, delta)
-    commitManifests(spark, root, gen, Map(dataName -> merged), sidecars)
-    gen
+    val written = writeGen(delta, root, dataName, partCol, freshGen())
+    retryingCommit(root) { (inV, outV) =>
+      commitManifestsCas(spark, root, outV,
+        Map(dataName -> (readEntries(spark, root, dataName, inV) ++ written)),
+        sidecars)
+    }
   }
 
   /** STAGE a rewrite of exactly `parts` through `transform` (must be
@@ -422,15 +586,21 @@ object ManifestedPartitions {
     old.filterNot(e => ps.contains(e.part)) ++ written
   }
 
-  /** REWRITE: staged rewrite + manifest commit. Returns the new version. */
+  /** REWRITE: staged rewrite + CAS manifest commit with retry. A lost
+    * race RE-STAGES the transform on the winner's snapshot (a rewrite's
+    * result depends on its input — the staged generation of a lost
+    * attempt is abandoned to [[expire]]'s grace window). Same `sidecars`
+    * caveat as [[append]]. Returns the committed version.
+    */
   def rewrite(spark: SparkSession, root: String, dataName: String,
       partCol: String, parts: Seq[Int], transform: DataFrame => DataFrame,
-      sidecars: Map[String, DataFrame] = Map.empty): Long = {
-    val (gen, merged) =
-      stageRewrite(spark, root, dataName, partCol, parts, transform)
-    commitManifests(spark, root, gen, Map(dataName -> merged), sidecars)
-    gen
-  }
+      sidecars: Map[String, DataFrame] = Map.empty): Long =
+    retryingCommit(root) { (inV, outV) =>
+      commitManifestsCas(spark, root, outV,
+        Map(dataName -> stageRewriteAt(spark, root, dataName, partCol,
+          parts, transform, inV, freshGen())),
+        sidecars)
+    }
 
   /** Partitions that are FRAGMENTED at the latest (or pinned) committed
     * version — live rows spread over more than one parquet file (several
@@ -441,8 +611,8 @@ object ManifestedPartitions {
     * (r16 verdict order #4).
     */
   def fragmentedParts(spark: SparkSession, root: String, dataName: String,
-      partCol: String): Seq[Int] = {
-    val v = latestVersion(root).getOrElse(
+      partCol: String, version: Option[Long] = None): Seq[Int] = {
+    val v = version.orElse(latestVersion(root)).getOrElse(
       throw new IllegalStateException(s"no committed version at $root"))
     readEntries(spark, root, dataName, v)
       .groupBy(_.part)
@@ -496,15 +666,30 @@ object ManifestedPartitions {
 
   /** COMPACT: rewrite exactly the fragmented partitions to one file each
     * (identity transform — physical layout only, zero logical effect).
-    * Returns the number of compacted partitions.
+    * The fragmentation discovery runs PER CAS ATTEMPT against that
+    * attempt's snapshot — a racing writer may have compacted (or
+    * vacuumed) some of the planned partitions, and a stale plan would
+    * fail stageRewriteAt's liveness check. Returns the number of
+    * compacted partitions (0 if nothing was fragmented).
     */
   def compact(spark: SparkSession, root: String, dataName: String,
       partCol: String,
       sidecars: Map[String, DataFrame] = Map.empty): Int = {
-    val frag = fragmentedParts(spark, root, dataName, partCol)
-    if (frag.nonEmpty)
-      rewrite(spark, root, dataName, partCol, frag, identity, sidecars)
-    frag.size
+    var tries = 0
+    while (tries < MaxCommitRetries) {
+      val inV = latestVersion(root).getOrElse(
+        throw new IllegalStateException(s"no committed version at $root"))
+      val frag = fragmentedParts(spark, root, dataName, partCol, Some(inV))
+      if (frag.isEmpty) return 0
+      val merged = stageRewriteAt(spark, root, dataName, partCol, frag,
+        identity, inV, freshGen())
+      if (commitManifestsCas(spark, root, inV + 1,
+          Map(dataName -> merged), sidecars))
+        return frag.size
+      tries += 1
+    }
+    throw new ConcurrentCommitException(
+      s"$root: compact lost the version race $MaxCommitRetries times")
   }
 
   /** Grace window shielding freshly staged, not-yet-committed generations
@@ -556,19 +741,49 @@ object ManifestedPartitions {
         dn -> keptPlan.flatMap(v => readEntries(spark, root, dn, v))
           .map(e => (e.gen, e.part)).toSet
       }.toMap
-    // the OLDEST retained version anchors every later carry-forward: if
-    // its OCC marker omits a dataset, materialize the resolved entries as
-    // its parquet manifest table so reads keep working after the prior
-    // markers are gone
+    // the OLDEST retained version anchors every later carry-forward:
+    // ENRICH its marker body with every dataset / scalar-sidecar /
+    // table-sidecar key an older (about-to-be-expired) version carries
+    // that it omits, so reads at and above the new horizon never need
+    // the expired markers. This generalizes the old manifest-table
+    // materialization to ALL sidecar kinds (ADVICE r17: an OCC marker
+    // omitting the stats scalars was poisoned-after-expire exactly like
+    // the r16 manifest case) — the rewrite is semantically inert (the
+    // enriched body resolves to the same snapshot) and atomic.
     keptPlan.headOption.foreach { v0 =>
-      val body = VersionedView.markerBody(root, v0)
-      if (body.startsWith("{")) dataNames.foreach { case (dn, _) =>
-        if (!body.contains("\"" + dn + "\":\""))
-          entriesDf(spark, readEntries(spark, root, dn, v0)).coalesce(1)
-            .write.mode("overwrite")
-            .parquet(s"$root/${manifestTable(dn)}/v=$v0")
+      val body0 = VersionedView.markerBody(root, v0)
+      if (body0.startsWith("{")) {
+        val own = parseBody(body0).toMap
+        val carried = scala.collection.mutable.LinkedHashMap[String, String]()
+        allVersions.filter(_ < v0).reverse.foreach { pv =>
+          val b = VersionedView.markerBody(root, pv)
+          if (b.startsWith("{"))
+            parseBody(b).foreach { case (k, value) =>
+              if (!own.contains(k) && !carried.contains(k))
+                carried += k -> value
+            }
+        }
+        // a dataset whose chain below v0 is legacy TABLE-form is
+        // invisible in the bodies — resolve it through readEntries
+        dataNames.foreach { case (dn, _) =>
+          if (!own.contains(dn) && !carried.contains(dn))
+            carried += dn -> entryStr(readEntries(spark, root, dn, v0))
+        }
+        if (carried.nonEmpty)
+          VersionedView.rewriteMarker(root, v0, bodyOf(own ++ carried))
       }
     }
+    // sidecar-table directories a RETAINED marker references (possibly
+    // staged under an expired version's number — `@` refs survive
+    // carry-forward) must outlive the GC below
+    val protectedRefs: Set[(String, String)] = keptPlan.flatMap { v =>
+      val b = VersionedView.markerBody(root, v)
+      if (b.startsWith("{"))
+        parseBody(b).collect {
+          case (k, ref) if k.startsWith("@") => (k.stripPrefix("@"), ref)
+        }
+      else Nil
+    }.toSet
     val dead = VersionedView.expire(root, keepLast)
     val horizon = System.currentTimeMillis() - inFlightGraceMs
     var removed = 0
@@ -596,6 +811,31 @@ object ManifestedPartitions {
           if (listParts(d.toString, partCol).isEmpty)
             VersionedView.deleteDir(d)
         }
+      }
+    }
+    // GC version-nonce sidecar-table directories: expired versions'
+    // tables and OCC losers' abandoned stages — everything no retained
+    // marker references, aged past the grace window so an IN-FLIGHT
+    // commit's freshly staged table survives (same shield as staged
+    // generations above). Plain legacy `v=<n>` table dirs were already
+    // removed by VersionedView.expire for dead versions.
+    val rootSt = Files.list(Paths.get(root))
+    val sidecarDirs = try rootSt.iterator().asScala.toList
+      .filter(d => Files.isDirectory(d) &&
+        !d.getFileName.toString.startsWith("v=") &&
+        d.getFileName.toString != "_commits")
+    finally rootSt.close()
+    sidecarDirs.foreach { d =>
+      val name = d.getFileName.toString
+      val st = Files.list(d)
+      val nonceDirs = try st.iterator().asScala.toList
+        .filter(c => Files.isDirectory(c) &&
+          c.getFileName.toString.matches("v=\\d+-.+"))
+      finally st.close()
+      nonceDirs.foreach { c =>
+        if (!protectedRefs.contains((name, c.getFileName.toString)) &&
+          Files.getLastModifiedTime(c).toMillis < horizon)
+          VersionedView.deleteDir(c)
       }
     }
     (dead, removed)

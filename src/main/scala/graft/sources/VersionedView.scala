@@ -166,6 +166,25 @@ object VersionedView {
     } finally Files.deleteIfExists(staging)
   }
 
+  /** Atomically REPLACE an existing committed marker's body — retention
+    * GC's enrichment step only (pinning carry-forward state into the
+    * oldest retained version before the older markers are deleted). The
+    * replacement must be semantically inert: it resolves to the same
+    * snapshot the original did. Never a commit path — commits go through
+    * [[mark]]/[[tryMark]].
+    */
+  def rewriteMarker(path: String, v: Long, body: String): Unit = {
+    val commits = Paths.get(path, "_commits")
+    val marker = commits.resolve(v.toString)
+    require(Files.exists(marker),
+      s"cannot rewrite uncommitted version $v at $path")
+    val staging = commits.resolve(
+      s".$v.${java.util.UUID.randomUUID()}.enrich.staging")
+    Files.writeString(staging, body)
+    Files.move(staging, marker,
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
   /** The committed marker's content (empty-bodied markers carry the
     * version number; OCC index commits carry their manifest).
     */

@@ -74,26 +74,43 @@ object PostingsIndex {
       pmod(xxhash64(col("w")), lit(nBuckets.toLong)).cast("int"))
 
   /** Build + persist the index for `docs` at `path` (overwrites): the
-    * initial postings generation and the stats sidecar land under ONE
+    * initial postings generation, the stats (as marker-body scalars —
+    * since r18 EVERY commit carries them there, so single-writer and OCC
+    * paths share one storage form), and an empty applied-batches ledger
+    * (the streaming exactly-once channel, [[ingestBatch]]) land under ONE
     * manifest commit.
     */
   def write(docs: DataFrame, idCol: String, textCol: String,
       nBuckets: Int, path: String): Unit = {
+    val spark = docs.sparkSession
     val posts = withBucket(postings(docs, idCol, textCol), nBuckets)
       .localCheckpoint(true) // feeds both the postings write and the stats
     ManifestedPartitions.init(posts, path, Postings, Tb,
-      Map(StatsName -> statsOf(posts, nBuckets)))
+      sidecars = Map(Applied -> appliedDf(spark, Nil).coalesce(1)),
+      sidecarScalars = Map(
+        StatsName -> statsScalars(statsOf(posts, nBuckets))))
   }
 
   /** n_docs/total_dl derive from the DISTINCT documents (dl is constant
-    * within a document's postings, so min == the value).
+    * within a document's postings, so min == the value). A bounded
+    * driver-side aggregate (2 longs).
     */
-  private def statsOf(posts: DataFrame, nBuckets: Int): DataFrame =
-    posts.groupBy("id").agg(min("dl").as("dl"))
+  private def statsOf(posts: DataFrame, nBuckets: Int): Stats = {
+    val r = posts.groupBy("id").agg(min("dl").as("dl"))
       .agg(count(lit(1)).as("n_docs"),
         coalesce(sum("dl"), lit(0L)).as("total_dl"))
-      .withColumn("n_buckets", lit(nBuckets))
-      .coalesce(1)
+      .collect()(0)
+    Stats(r.getLong(0), r.getLong(1), nBuckets)
+  }
+
+  private val Applied = "applied"
+
+  private def appliedDf(spark: SparkSession,
+      rows: Seq[(Long, Long, Long)]): DataFrame = {
+    val sp = spark
+    import sp.implicits._
+    rows.toDF("batch_id", "in_v", "out_v")
+  }
 
   /** The committed corpus statistics at the latest (or pinned) version.
     * Resolves BOTH storage forms: the parquet sidecar table of a
@@ -115,59 +132,96 @@ object PostingsIndex {
           Stats(m("n_docs"), m("total_dl"), m("n_buckets").toInt)
         case None =>
           val prev = VersionedView.committedVersions(path).filter(_ < v)
-          require(prev.nonEmpty,
-            s"version $v at $path has no stats and no prior version")
-          statsAt(spark, path, prev.max)
+          if (prev.nonEmpty) statsAt(spark, path, prev.max)
+          else statsTableAt(spark, path, v) // legacy / GC-materialized
       }
-    else {
-      val r = VersionedView.readTable(spark, path, StatsName, v).collect()(0)
-      Stats(r.getLong(r.fieldIndex("n_docs")),
-        r.getLong(r.fieldIndex("total_dl")),
-        r.getInt(r.fieldIndex("n_buckets")))
-    }
+    else statsTableAt(spark, path, v)
 
-  /** APPEND a document batch WITHOUT rebuilding: the batch's postings are
-    * bucketed with the STORED n_buckets and land as a new
-    * manifest-committed generation; the stats sidecar is advanced by the
-    * batch's own (n_docs, total_dl) — exact because append's contract is
-    * NEW document ids (the standard ingest shape; an updated document is
-    * a delete + insert) — and commits UNDER THE SAME MARKER as the
-    * postings manifest, so scores can never run on stats that diverged
-    * from the postings they describe. Ingest cost is proportional to the
-    * BATCH, never the corpus.
-    */
-  def append(spark: SparkSession, path: String, delta: DataFrame,
-      idCol: String, textCol: String): Unit = {
-    val v = VersionedView.latestVersion(path).getOrElse(
-      throw new IllegalStateException(s"no committed index at $path"))
-    appendAt(spark, path, delta, idCol, textCol, v)
+  private def statsTableAt(spark: SparkSession, path: String,
+      v: Long): Stats = {
+    val r = VersionedView.readTable(spark, path, StatsName, v).collect()(0)
+    Stats(r.getLong(r.fieldIndex("n_docs")),
+      r.getLong(r.fieldIndex("total_dl")),
+      r.getInt(r.fieldIndex("n_buckets")))
   }
 
-  /** The explicit-snapshot form of [[append]] for EXACTLY-ONCE streaming
-    * ingest (r16 verdict order #5): reads stats and manifest at `inV` and
-    * commits the batch as version `inV+1` with the staged generation id
-    * equal to that output version — both pure functions of the input
-    * version, so a foreachBatch caller keying `inV` off the batchId can
-    * re-deliver a crashed batch and the recommit REPLACES its version
-    * (identical recompute from the identical snapshot) instead of
-    * double-counting. Returns the committed version.
+  /** APPEND a document batch WITHOUT rebuilding: the batch's postings are
+    * bucketed with the STORED n_buckets (frozen at build) and land ONCE
+    * as a writer-unique manifest-committed generation; the stats scalars
+    * advance by the batch's own (n_docs, total_dl) — exact because
+    * append's contract is NEW document ids (the standard ingest shape;
+    * an updated document is a delete + insert) — and commit IN THE SAME
+    * MARKER BODY as the postings manifest, so scores can never run on
+    * stats that diverged from the postings they describe. The commit is
+    * the CAS-with-retry default (r18 order #1): a lost version race
+    * re-reads the winner's stats and manifest and retries — the stats
+    * advance is recomputed per attempt, so an interleaved delete's
+    * decrement is never clobbered. Ingest cost ∝ batch, never the
+    * corpus. Returns the committed version.
     */
-  def appendAt(spark: SparkSession, path: String, delta: DataFrame,
-      idCol: String, textCol: String, inV: Long): Long = {
-    val st = statsAt(spark, path, inV)
-    val posts = withBucket(postings(delta, idCol, textCol), st.nBuckets)
+  def append(spark: SparkSession, path: String, delta: DataFrame,
+      idCol: String, textCol: String): Long = {
+    val nBuckets = readStats(spark, path).nBuckets
+    val posts = withBucket(postings(delta, idCol, textCol), nBuckets)
       .localCheckpoint(true)
-    val gen = inV + 1
-    val written = ManifestedPartitions.writeGen(posts, path, Postings, Tb, gen)
-    val merged =
-      ManifestedPartitions.readEntries(spark, path, Postings, inV) ++ written
-    ManifestedPartitions.commitManifests(spark, path, gen,
-      Map(Postings -> merged),
-      Map(StatsName -> posts.groupBy("id").agg(min("dl").as("dl"))
-        .agg((count(lit(1)) + lit(st.nDocs)).as("n_docs"),
-          (coalesce(sum("dl"), lit(0L)) + lit(st.totalDl)).as("total_dl"))
-        .withColumn("n_buckets", lit(st.nBuckets)).coalesce(1)))
-    gen
+    val batch = statsOf(posts, nBuckets)
+    val written =
+      ManifestedPartitions.writeGen(posts, path, Postings, Tb,
+        ManifestedPartitions.freshGen())
+    ManifestedPartitions.retryingCommit(path) { (inV, outV) =>
+      val st = statsAt(spark, path, inV)
+      ManifestedPartitions.commitManifestsCas(spark, path, outV,
+        Map(Postings ->
+          (ManifestedPartitions.readEntries(spark, path, Postings, inV)
+            ++ written)),
+        sidecarScalars = Map(StatsName -> statsScalars(Stats(
+          st.nDocs + batch.nDocs, st.totalDl + batch.totalDl,
+          st.nBuckets))))
+    }
+  }
+
+  /** Ingest micro-batch `batchId` EXACTLY ONCE — the streaming form of
+    * [[append]], ledger-keyed like the funnel MV's (ADVICE r17: the old
+    * batch-keyed `appendAt` derived its version from the batchId and
+    * commitManifests REPLACE-overwrote the marker, so a maintenance
+    * commit interleaving with the stream was silently clobbered — a lost
+    * update; and a re-delivered batch physically rewrote an
+    * already-committed generation in place). The applied-batches ledger
+    * rides every marker (auto-carried through maintenance commits): a
+    * batch seen before SKIPS — its version is committed and immutable —
+    * and a first delivery CAS-commits latest+1 with retry, so
+    * maintenance versions interleave freely. Returns the committed (or
+    * already-committed) version.
+    */
+  def ingestBatch(spark: SparkSession, path: String, delta: DataFrame,
+      idCol: String, textCol: String, batchId: Long): Long = {
+    val latest = VersionedView.latestVersion(path).getOrElse(
+      throw new IllegalStateException(s"no committed index at $path"))
+    val prior = ManifestedPartitions
+      .readSidecarTable(spark, path, Applied, latest)
+      .filter(col("batch_id") === batchId).collect()
+    if (prior.nonEmpty) return prior(0).getAs[Long]("out_v")
+    val nBuckets = readStats(spark, path).nBuckets
+    val posts = withBucket(postings(delta, idCol, textCol), nBuckets)
+      .localCheckpoint(true)
+    val batch = statsOf(posts, nBuckets)
+    val written =
+      ManifestedPartitions.writeGen(posts, path, Postings, Tb,
+        ManifestedPartitions.freshGen())
+    ManifestedPartitions.retryingCommit(path) { (inV, outV) =>
+      val st = statsAt(spark, path, inV)
+      val appliedOut = ManifestedPartitions
+        .readSidecarTable(spark, path, Applied, inV)
+        .unionByName(appliedDf(spark, Seq((batchId, inV, outV))))
+      ManifestedPartitions.commitManifestsCas(spark, path, outV,
+        Map(Postings ->
+          (ManifestedPartitions.readEntries(spark, path, Postings, inV)
+            ++ written)),
+        sidecarTables = Map(Applied -> appliedOut.coalesce(1)),
+        sidecarScalars = Map(StatsName -> statsScalars(Stats(
+          st.nDocs + batch.nDocs, st.totalDl + batch.totalDl,
+          st.nBuckets))))
+    }
   }
 
   /** DELETE a tombstone batch (doc ids) from the index — the GDPR leg of
@@ -186,26 +240,38 @@ object PostingsIndex {
     */
   def delete(spark: SparkSession, path: String,
       tombstones: DataFrame): Long = {
+    import ManifestedPartitions.{MaxCommitRetries => MaxTries}
     val ts = tombstones.select("doc_id").distinct().localCheckpoint(true)
-    val dead = ManifestedPartitions.readLatest(spark, path, Postings, Tb)
-      .select("id", Tb, "dl") // column-pruned: never reads w/tf
-      .join(broadcast(ts), col("id") === col("doc_id"))
-      .localCheckpoint(true) // buckets + purge count + stats decrement
-    val affected = dead.select(Tb).distinct()
-      .collect().map(_.getInt(0)).toSeq // bounded by the delete batch
-    if (affected.isEmpty) return 0L
-    val st = readStats(spark, path)
-    val (gen, merged) = ManifestedPartitions.stageRewrite(
-      spark, path, Postings, Tb, affected,
-      df => df.join(broadcast(ts), df("id") === ts("doc_id"), "left_anti"))
-    ManifestedPartitions.commitManifests(spark, path, gen,
-      Map(Postings -> merged),
-      Map(StatsName -> dead.groupBy("id").agg(min("dl").as("dl"))
-        .agg((lit(st.nDocs) - count(lit(1))).as("n_docs"),
-          (lit(st.totalDl) - coalesce(sum("dl"), lit(0L))).as("total_dl"))
-        .withColumn("n_buckets", lit(st.nBuckets))
-        .coalesce(1)))
-    dead.count()
+    var tries = 0
+    while (tries < MaxTries) {
+      // the whole plan — affected buckets, rewrite, stats decrement — is
+      // a function of the input snapshot, so every CAS attempt recomputes
+      // it against the then-latest version (a racing compactor moves rows
+      // between generations; a racing append changes the stats base)
+      val inV = ManifestedPartitions.latestVersion(path).getOrElse(
+        throw new IllegalStateException(s"no committed index at $path"))
+      val dead = ManifestedPartitions.read(spark, path, Postings, Tb,
+          ManifestedPartitions.readEntries(spark, path, Postings, inV))
+        .select("id", Tb, "dl") // column-pruned: never reads w/tf
+        .join(broadcast(ts), col("id") === col("doc_id"))
+        .localCheckpoint(true) // buckets + purge count + stats decrement
+      val affected = dead.select(Tb).distinct()
+        .collect().map(_.getInt(0)).toSeq // bounded by the delete batch
+      if (affected.isEmpty) return 0L
+      val st = statsAt(spark, path, inV)
+      val merged = ManifestedPartitions.stageRewriteAt(
+        spark, path, Postings, Tb, affected,
+        df => df.join(broadcast(ts), df("id") === ts("doc_id"), "left_anti"),
+        inV, ManifestedPartitions.freshGen())
+      if (ManifestedPartitions.commitManifestsCas(spark, path, inV + 1,
+          Map(Postings -> merged),
+          sidecarScalars =
+            Map(StatsName -> statsScalars(decrementStats(st, dead)))))
+        return dead.count()
+      tries += 1
+    }
+    throw new graft.sources.ConcurrentCommitException(
+      s"$path: delete lost the version race $MaxTries times")
   }
 
   /** The deleted documents' own (n_docs, total_dl) decrement applied to
@@ -227,11 +293,12 @@ object PostingsIndex {
     * The stats sidecar is carried over unchanged under the new marker.
     * Returns the number of compacted buckets.
     */
-  def compact(spark: SparkSession, path: String): Int = {
-    val st = readStats(spark, path)
-    ManifestedPartitions.compact(spark, path, Postings, Tb,
-      Map(StatsName -> statsDf(spark, st)))
-  }
+  def compact(spark: SparkSession, path: String): Int =
+    // stats and ledger ride each CAS attempt's marker UNCHANGED via the
+    // commit path's auto-carry-forward — compaction is physical only, so
+    // re-reading them here would only risk installing a stale copy under
+    // a race (the exact lost update r18 order #1 closes)
+    ManifestedPartitions.compact(spark, path, Postings, Tb)
 
   /** `st` as the 1-row sidecar DataFrame a single-writer commit carries. */
   def statsDf(spark: SparkSession, st: Stats): DataFrame = {

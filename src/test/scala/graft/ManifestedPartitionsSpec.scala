@@ -100,27 +100,30 @@ class ManifestedPartitionsSpec extends SparkSpec {
     try {
       MP.init(df(1 -> 0, 2 -> 1), root, "d", "p",
         sidecars = Map("stats" -> Seq(2L).toDF("n")))
-      // staged v2: manifest AND sidecar data written, marker withheld
-      val (gen, merged) = MP.stageAppend(spark, root, "d", "p", df(3 -> 1))
-      MP.entriesDf(spark, merged).write.mode("overwrite")
-        .parquet(s"$root/d_manifest/v=$gen")
-      Seq(3L).toDF("n").write.mode("overwrite").parquet(s"$root/stats/v=$gen")
-      // a reader resolves ONE committed version for both tables: v1
-      val v = VersionedView.latestVersion(root).get
-      assert(v == 1L)
-      assert(VersionedView.readTable(spark, root, "stats", v)
+      assert(MP.readSidecarTable(spark, root, "stats", 1L)
         .collect()(0).getLong(0) == 2L)
-      // and cannot read the uncommitted v2 sidecar
-      intercept[IllegalArgumentException] {
-        VersionedView.readTable(spark, root, "stats", gen)
-      }
-      // marker lands → both flip together
-      VersionedView.mark(root, gen)
-      val v2 = VersionedView.latestVersion(root).get
-      assert(v2 == gen)
-      assert(VersionedView.readTable(spark, root, "stats", v2)
+      // staged v2: a new generation written, marker withheld — a reader
+      // resolves ONE committed version for manifest AND sidecar: v1
+      val (gen, merged) = MP.stageAppend(spark, root, "d", "p", df(3 -> 1))
+      assert(VersionedView.latestVersion(root).contains(1L))
+      // the CAS commit stages the updated sidecar WRITER-UNIQUE
+      // (version-nonce dir referenced from the marker body) and lands
+      // manifest + sidecar under one marker → both flip together
+      assert(MP.commitManifestsCas(spark, root, gen, Map("d" -> merged),
+        sidecarTables = Map("stats" -> Seq(3L).toDF("n"))))
+      assert(VersionedView.latestVersion(root).contains(gen))
+      assert(MP.readSidecarTable(spark, root, "stats", gen)
         .collect()(0).getLong(0) == 3L)
+      // a reader pinned to v1 keeps its sidecar snapshot bit-exactly
+      assert(MP.readSidecarTable(spark, root, "stats", 1L)
+        .collect()(0).getLong(0) == 2L)
       assert(MP.readLatest(spark, root, "d", "p").count() == 3)
+      // and a second writer racing the SAME version cannot clobber the
+      // committed sidecar: its CAS fails and its staged table is garbage
+      assert(!MP.commitManifestsCas(spark, root, gen, Map("d" -> merged),
+        sidecarTables = Map("stats" -> Seq(99L).toDF("n"))))
+      assert(MP.readSidecarTable(spark, root, "stats", gen)
+        .collect()(0).getLong(0) == 3L)
     } finally IvfIndex.deleteDir(root)
   }
 
@@ -130,17 +133,21 @@ class ManifestedPartitionsSpec extends SparkSpec {
     try {
       MP.init(df(1 -> 0, 2 -> 1), root, "d", "p")
       MP.append(spark, root, "d", "p", df(3 -> 0)) // v2: p=0 fragments
-      MP.compact(spark, root, "d", "p") // v3: p=0 rewritten to gen 3
+      // the appended generation carries a writer-unique id (r18)
+      val appendGen = MP.readEntries(spark, root, "d", 2L)
+        .map(_.gen).filter(_ != 1L).head
+      MP.compact(spark, root, "d", "p") // v3: p=0 rewritten to a new gen
       val latest = MP.readLatest(spark, root, "d", "p")
         .select("x").collect().map(_.getInt(0)).sorted.toSeq
       assert(latest == Seq(1, 2, 3))
 
       val (expired, removed) = MP.expire(spark, root, Seq(("d", "p")), 1)
       assert(expired == Seq(1L, 2L))
-      // p=0's dead bytes in gens 1 and 2 are gone; p=1 still lives in gen
-      // 1 (partially-referenced generation kept at partition granularity)
+      // p=0's dead bytes in gen 1 and the appended gen are gone; p=1
+      // still lives in gen 1 (partially-referenced generation kept at
+      // partition granularity)
       assert(!Files.exists(stage.resolve("d").resolve("g=1").resolve("p=0")))
-      assert(!Files.exists(stage.resolve("d").resolve("g=2")))
+      assert(!Files.exists(stage.resolve("d").resolve(s"g=$appendGen")))
       assert(Files.isDirectory(stage.resolve("d").resolve("g=1").resolve("p=1")))
       assert(removed == 2)
       // the live snapshot is unaffected

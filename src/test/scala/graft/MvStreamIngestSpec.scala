@@ -78,7 +78,7 @@ class MvStreamIngestSpec extends SparkSpec {
       // and the maintained view is still exactly the full recompute
       import graft.sources.VersionedView
       val v = MP.latestVersion(root).get
-      val maintained = VersionedView.readTable(spark, root, "view", v)
+      val maintained = FunnelMv.readView(spark, root, v)
         .collect().map(r => (r.getInt(0), r.getLong(2), r.getLong(3)))
         .sortBy(_._1).toSeq
       val all = docs.unionByName((0 until batches).map { b =>
@@ -89,7 +89,7 @@ class MvStreamIngestSpec extends SparkSpec {
       val scratch = java.nio.file.Files
         .createTempDirectory("graft_mv_vaxis_full").toString
       FunnelMv.writeVersioned(all, scratch, nBuckets, 8, 0.9, 0.1, 0.9)
-      val recomputed = VersionedView.readTable(spark, scratch, "view", 1L)
+      val recomputed = FunnelMv.readView(spark, scratch, 1L)
         .collect().map(r => (r.getInt(0), r.getLong(2), r.getLong(3)))
         .sortBy(_._1).toSeq
       graft.similarity.IvfIndex.deleteDir(scratch)
