@@ -283,21 +283,37 @@ object FunnelMv {
     // must RECOMPUTE the anti-probe and view update against the winner's
     // snapshot — another writer may have absorbed colliding fps
     val written = MP.writeGen(newFps, root, FpsData, "fpb", MP.freshGen())
-    MP.retryingCommit(root) { (inV, outV) =>
+    var tries = 0
+    while (tries < MP.MaxCommitRetries) {
+      val inV = MP.latestVersion(root).get
+      val outV = inV + 1
+      // RE-CHECK the ledger at this attempt's snapshot: if a second
+      // writer delivered the SAME batch and won the race (split-brain
+      // checkpoint — two stream writers on one MV), retrying blind would
+      // commit the batch TWICE; its ledger row at the winner's snapshot
+      // is the abort signal
+      val applied = readApplied(spark, root, inV).localCheckpoint(true)
+      val prior2 = applied.filter(col("batch_id") === batchId).collect()
+      if (prior2.nonEmpty) return prior2(0).getAs[Long]("out_v")
       val fpIndex = MP.read(spark, root, FpsData, "fpb",
         MP.prunedEntries(spark, root, FpsData, buckets, Some(inV)))
         .select("fp")
       val updated = applyInsertsTo(
         readView(spark, root, inV), fpIndex, batch,
         minTokens, maxStopword, minDistinct, maxTopBigram)
-      val appliedOut = readApplied(spark, root, inV)
+      val appliedOut = applied
         .unionByName(appliedDf(spark, Seq((batchId, inV, outV))))
-      MP.commitManifestsCas(spark, root, outV,
-        Map(FpsData -> (MP.readEntries(spark, root, FpsData, inV)
-          ++ written)),
-        sidecarTables = Map("view" -> updated.coalesce(1),
-          "applied" -> appliedOut.coalesce(1)))
+      if (MP.commitManifestsCas(spark, root, outV,
+          Map(FpsData -> (MP.readEntries(spark, root, FpsData, inV)
+            ++ written)),
+          sidecarTables = Map("view" -> updated.coalesce(1),
+            "applied" -> appliedOut.coalesce(1))))
+        return outV
+      tries += 1
     }
+    throw new graft.sources.ConcurrentCommitException(
+      s"$root: ingestBatch($batchId) lost the version race " +
+        s"${MP.MaxCommitRetries} times")
   }
 
   /** Scheduled compaction of the fp index: fold the fragmented buckets'

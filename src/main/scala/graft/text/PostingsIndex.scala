@@ -208,20 +208,35 @@ object PostingsIndex {
     val written =
       ManifestedPartitions.writeGen(posts, path, Postings, Tb,
         ManifestedPartitions.freshGen())
-    ManifestedPartitions.retryingCommit(path) { (inV, outV) =>
+    var tries = 0
+    while (tries < ManifestedPartitions.MaxCommitRetries) {
+      val inV = VersionedView.latestVersion(path).get
+      val outV = inV + 1
+      // RE-CHECK the ledger at this attempt's snapshot: if a second
+      // writer delivered the SAME batch and won the race (split-brain
+      // checkpoint), retrying blind would double-count it — its ledger
+      // row at the winner's snapshot is the abort signal
+      val applied = ManifestedPartitions
+        .readSidecarTable(spark, path, Applied, inV).localCheckpoint(true)
+      val prior2 = applied.filter(col("batch_id") === batchId).collect()
+      if (prior2.nonEmpty) return prior2(0).getAs[Long]("out_v")
       val st = statsAt(spark, path, inV)
-      val appliedOut = ManifestedPartitions
-        .readSidecarTable(spark, path, Applied, inV)
+      val appliedOut = applied
         .unionByName(appliedDf(spark, Seq((batchId, inV, outV))))
-      ManifestedPartitions.commitManifestsCas(spark, path, outV,
-        Map(Postings ->
-          (ManifestedPartitions.readEntries(spark, path, Postings, inV)
-            ++ written)),
-        sidecarTables = Map(Applied -> appliedOut.coalesce(1)),
-        sidecarScalars = Map(StatsName -> statsScalars(Stats(
-          st.nDocs + batch.nDocs, st.totalDl + batch.totalDl,
-          st.nBuckets))))
+      if (ManifestedPartitions.commitManifestsCas(spark, path, outV,
+          Map(Postings ->
+            (ManifestedPartitions.readEntries(spark, path, Postings, inV)
+              ++ written)),
+          sidecarTables = Map(Applied -> appliedOut.coalesce(1)),
+          sidecarScalars = Map(StatsName -> statsScalars(Stats(
+            st.nDocs + batch.nDocs, st.totalDl + batch.totalDl,
+            st.nBuckets)))))
+        return outV
+      tries += 1
     }
+    throw new graft.sources.ConcurrentCommitException(
+      s"$path: ingestBatch($batchId) lost the version race " +
+        s"${ManifestedPartitions.MaxCommitRetries} times")
   }
 
   /** DELETE a tombstone batch (doc ids) from the index — the GDPR leg of

@@ -106,6 +106,54 @@ class CasDefaultSpec extends SparkSpec {
     } finally IvfIndex.deleteDir(root)
   }
 
+  test("dual delivery of the SAME batch by two racing writers commits " +
+    "it exactly once: the loser re-checks the ledger and aborts") {
+    import org.apache.spark.sql.functions._
+    import graft.dedup.FunnelMv
+    val stage = Files.createTempDirectory("graft_cas_dual")
+    val root = stage.toString
+    try {
+      val base = Seq((1L, "the quick brown fox jumps over a lazy dog " +
+          "and keeps on running far away"),
+        (2L, "an entirely different document with plenty of distinct " +
+          "words to pass every quality gate easily"))
+        .toDF("doc_id", "text")
+      val batch = Seq((3L, "a third document whose tokens are again " +
+          "fresh and varied enough to survive the funnel stages"))
+        .toDF("doc_id", "text")
+      FunnelMv.writeVersioned(base, root, 8, 3, 0.9, 0.1, 0.9)
+      // split-brain checkpoint shape: TWO writers deliver batch 7
+      val barrier = new java.util.concurrent.CyclicBarrier(2)
+      val outs = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      def writer() = new Thread(() =>
+        try {
+          barrier.await(120, java.util.concurrent.TimeUnit.SECONDS)
+          outs.add(FunnelMv.ingestBatch(spark, root, batch, 7L, 8,
+            3, 0.9, 0.1, 0.9))
+          ()
+        } catch { case t: Throwable => errs.add(t) })
+      val a = writer(); val b = writer()
+      a.start(); b.start(); a.join(240000); b.join(240000)
+      assert(errs.isEmpty, s"a dual-delivery writer failed: ${errs.peek()}")
+      // both writers return THE SAME committed version, the batch is in
+      // the ledger exactly once, and the view counted it exactly once
+      import scala.jdk.CollectionConverters._
+      assert(outs.asScala.toSet.size == 1,
+        s"dual delivery committed twice: ${outs.asScala.toSeq}")
+      val head = graft.sources.ManifestedPartitions.latestVersion(root).get
+      assert(head == 2L, s"expected exactly one batch commit, head=$head")
+      val ledger = FunnelMv.readApplied(spark, root, head)
+        .filter(col("batch_id") === 7L).count()
+      assert(ledger == 1L, s"ledger holds the batch $ledger times")
+      val inputDocs = FunnelMv.readView(spark, root, head)
+        .filter(col("stage") === "input")
+        .collect()(0).getAs[Long]("n_docs")
+      assert(inputDocs == 3L,
+        s"dual delivery double-counted the batch: input n_docs=$inputDocs")
+    } finally IvfIndex.deleteDir(root)
+  }
+
   test("expire ENRICHES the horizon marker: scalar sidecars committed " +
     "only below the horizon survive GC (ADVICE r17)") {
     val stage = Files.createTempDirectory("graft_cas_enrich")
