@@ -193,13 +193,6 @@ object ManifestedPartitions {
     finally st.close()
   }
 
-  /** Entries → the manifest DataFrame committed through VersionedView. */
-  def entriesDf(spark: SparkSession, entries: Seq[Entry]): DataFrame = {
-    import spark.implicits._
-    entries.map(e => (e.part, e.gen, e.files, e.rows))
-      .toDF("part", "gen", "files", "rows")
-  }
-
   /** The committed manifest of `dataName` at version `v` — driver-side,
     * bounded by |partitions| × live generations. Two storage forms: the
     * single-writer path commits the manifest as a parquet table beside

@@ -315,14 +315,6 @@ object PostingsIndex {
     // a race (the exact lost update r18 order #1 closes)
     ManifestedPartitions.compact(spark, path, Postings, Tb)
 
-  /** `st` as the 1-row sidecar DataFrame a single-writer commit carries. */
-  def statsDf(spark: SparkSession, st: Stats): DataFrame = {
-    val sp = spark
-    import sp.implicits._
-    Seq((st.nDocs, st.totalDl, st.nBuckets))
-      .toDF("n_docs", "total_dl", "n_buckets").coalesce(1)
-  }
-
   /** RETENTION GC: expire manifest versions below the keep-horizon and
     * delete unreferenced postings generations — where deleted documents'
     * bytes actually go away. Returns (expired versions, deleted
