@@ -80,6 +80,8 @@ object SparkEntry {
     "q_s_ivf_torn_compact", "q_s_ivf_snapshot_probe",
     // r18 OCC/race gates: build + racing maintenance + probe lifecycles
     "q_mp_cas_default", "q_s_ivfpq_occ_maint", "q_pipeline_mv_occ",
+    // r18 profile refresh: crossed the ~2.4 s dump tail at sf0.01
+    "q_pipeline_stream_e2e",
     "q_s_ivfpq_compact", "q_s_ivfpq_delete", "q_s_ivf_occ_maint",
     // r17 lifecycle gates, measured at their first sf0.01 Verify runs
     // (local[4]): PQ snapshot probe = build + delete + three probes
