@@ -283,10 +283,8 @@ object FunnelMv {
     // must RECOMPUTE the anti-probe and view update against the winner's
     // snapshot — another writer may have absorbed colliding fps
     val written = MP.writeGen(newFps, root, FpsData, "fpb", MP.freshGen())
-    var tries = 0
-    while (tries < MP.MaxCommitRetries) {
-      val inV = MP.latestVersion(root).get
-      val outV = inV + 1
+    val bucketSet = buckets.toSet
+    MP.retrying(root) { (inV, outV) =>
       // RE-CHECK the ledger at this attempt's snapshot: if a second
       // writer delivered the SAME batch and won the race (split-brain
       // checkpoint — two stream writers on one MV), retrying blind would
@@ -294,26 +292,27 @@ object FunnelMv {
       // is the abort signal
       val applied = readApplied(spark, root, inV).localCheckpoint(true)
       val prior2 = applied.filter(col("batch_id") === batchId).collect()
-      if (prior2.nonEmpty) return prior2(0).getAs[Long]("out_v")
-      val fpIndex = MP.read(spark, root, FpsData, "fpb",
-        MP.prunedEntries(spark, root, FpsData, buckets, Some(inV)))
-        .select("fp")
-      val updated = applyInsertsTo(
-        readView(spark, root, inV), fpIndex, batch,
-        minTokens, maxStopword, minDistinct, maxTopBigram)
-      val appliedOut = applied
-        .unionByName(appliedDf(spark, Seq((batchId, inV, outV))))
-      if (MP.commitManifestsCas(spark, root, outV,
-          Map(FpsData -> (MP.readEntries(spark, root, FpsData, inV)
-            ++ written)),
-          sidecarTables = Map("view" -> updated.coalesce(1),
-            "applied" -> appliedOut.coalesce(1))))
-        return outV
-      tries += 1
+      if (prior2.nonEmpty) Some(prior2(0).getAs[Long]("out_v"))
+      else {
+        // ONE manifest resolution per attempt serves both the pruned
+        // anti-probe and the commit's entry merge
+        val entries = MP.readEntries(spark, root, FpsData, inV)
+        val fpIndex = MP.read(spark, root, FpsData, "fpb",
+          entries.filter(e => bucketSet.contains(e.part)))
+          .select("fp")
+        val updated = applyInsertsTo(
+          readView(spark, root, inV), fpIndex, batch,
+          minTokens, maxStopword, minDistinct, maxTopBigram)
+        val appliedOut = applied
+          .unionByName(appliedDf(spark, Seq((batchId, inV, outV))))
+        if (MP.commitManifestsCas(spark, root, outV,
+            Map(FpsData -> (entries ++ written)),
+            sidecarTables = Map("view" -> updated.coalesce(1),
+              "applied" -> appliedOut.coalesce(1))))
+          Some(outV)
+        else None
+      }
     }
-    throw new graft.sources.ConcurrentCommitException(
-      s"$root: ingestBatch($batchId) lost the version race " +
-        s"${MP.MaxCommitRetries} times")
   }
 
   /** Scheduled compaction of the fp index: fold the fragmented buckets'

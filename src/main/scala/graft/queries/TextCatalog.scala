@@ -892,22 +892,24 @@ object TextCatalog {
       ORDER BY rank""")
   )
 
-  /** STREAMING INGEST into the persisted postings index (r17, verdict
-    * order #5) — completing the {IVF index, funnel MV, postings index} ×
-    * streaming matrix: a third of the documents arrives as a stream of
-    * three mtime-pinned slices (maxFilesPerTrigger=1) and each
-    * micro-batch is appended through PostingsIndex.appendAt under
-    * BATCH-KEYED versions — input version = batchId+1, so a re-delivered
-    * batch recomputes its postings generation AND its stats advance from
-    * the SAME snapshot and the recommit REPLACES its version (stats
-    * recommitted per batch under the same marker as the postings
-    * manifest — never double-counted). The gate proves a genuine
-    * checkpoint RESTART mid-feed (`resumed`) and an explicit re-delivery
-    * of an already-committed batch (`replay_idempotent`: that version's
-    * manifest, stats, and pinned probe recompute identically; the head
-    * version is untouched). The final probe must hash identically to the
-    * one-shot q_t_bm25 oracle over the FULL corpus — stream-maintained ≡
-    * from-scratch.
+  /** STREAMING INGEST into the persisted postings index (r17 order #5;
+    * protocol reworked r18) — completing the {IVF index, funnel MV,
+    * postings index} × streaming matrix: a third of the documents
+    * arrives as a stream of three mtime-pinned slices
+    * (maxFilesPerTrigger=1) and each micro-batch lands through
+    * PostingsIndex.ingestBatch, LEDGER-KEYED exactly-once like the
+    * funnel MV's (the r17 batch-keyed appendAt derived versions from the
+    * batchId and replace-committed, which silently clobbered any
+    * interleaved maintenance commit — ADVICE r17): a first delivery
+    * CAS-commits latest+1 with the batch recorded in the applied-batches
+    * ledger and its stats advance in the same marker body; a
+    * RE-DELIVERED batch finds its ledger row and SKIPS — its committed
+    * version is immutable. The gate proves a genuine checkpoint RESTART
+    * mid-feed (`resumed`) and an explicit re-delivery of an
+    * already-committed batch (`replay_idempotent`: that version's
+    * manifest, stats, and pinned probe are untouched, as is the head).
+    * The final probe must hash identically to the one-shot q_t_bm25
+    * oracle over the FULL corpus — stream-maintained ≡ from-scratch.
     */
   val tBm25StreamIngest = QueryDef(
     "q_t_bm25_stream_ingest",

@@ -167,14 +167,11 @@ object IvfPqIndex {
   def delete(spark: SparkSession, path: String,
       tombstones: DataFrame): Long = {
     val ts = tombstones.select("id").distinct().localCheckpoint(true)
-    var tries = 0
-    while (tries < ManifestedPartitions.MaxCommitRetries) {
-      // the whole plan — affected cells AND buckets, both rewrites — is a
-      // function of the input snapshot: every CAS attempt (r18 order #2)
-      // re-discovers against the then-latest version (a racing compactor
-      // moves rows between generations)
-      val inV = ManifestedPartitions.latestVersion(path).getOrElse(
-        throw new IllegalStateException(s"no committed version at $path"))
+    // the whole plan — affected cells AND buckets, both rewrites — is a
+    // function of the input snapshot: every CAS attempt (r18 order #2)
+    // re-discovers against the then-latest version (a racing compactor
+    // moves rows between generations)
+    ManifestedPartitions.retrying(path) { (inV, outV) =>
       def at(dn: String, pc: String) = ManifestedPartitions.read(
         spark, path, dn, pc,
         ManifestedPartitions.readEntries(spark, path, dn, inV))
@@ -184,27 +181,26 @@ object IvfPqIndex {
         .localCheckpoint(true)
       val affCells = deadLists.select("cell").distinct()
         .collect().map(_.getInt(0)).toSeq // bounded by the delete batch
-      if (affCells.isEmpty) return 0L
-      val affBuckets = at(Raw, "rb")
-        .select("id", "rb")
-        .join(broadcast(ts), Seq("id"))
-        .select("rb").distinct().collect().map(_.getInt(0)).toSeq
-      val anti = (df: DataFrame) =>
-        df.join(broadcast(ts), Seq("id"), "left_anti")
-      val listsMerged = ManifestedPartitions.stageRewriteAt(
-        spark, path, Lists, "cell", affCells, anti, inV,
-        ManifestedPartitions.freshGen())
-      val rawMerged = ManifestedPartitions.stageRewriteAt(
-        spark, path, Raw, "rb", affBuckets, anti, inV,
-        ManifestedPartitions.freshGen())
-      if (ManifestedPartitions.commitManifestsCas(spark, path, inV + 1,
-          Map(Lists -> listsMerged, Raw -> rawMerged)))
-        return deadLists.count()
-      tries += 1
+      if (affCells.isEmpty) Some(0L)
+      else {
+        val affBuckets = at(Raw, "rb")
+          .select("id", "rb")
+          .join(broadcast(ts), Seq("id"))
+          .select("rb").distinct().collect().map(_.getInt(0)).toSeq
+        val anti = (df: DataFrame) =>
+          df.join(broadcast(ts), Seq("id"), "left_anti")
+        val listsMerged = ManifestedPartitions.stageRewriteAt(
+          spark, path, Lists, "cell", affCells, anti, inV,
+          ManifestedPartitions.freshGen())
+        val rawMerged = ManifestedPartitions.stageRewriteAt(
+          spark, path, Raw, "rb", affBuckets, anti, inV,
+          ManifestedPartitions.freshGen())
+        if (ManifestedPartitions.commitManifestsCas(spark, path, outV,
+            Map(Lists -> listsMerged, Raw -> rawMerged)))
+          Some(deadLists.count())
+        else None
+      }
     }
-    throw new graft.sources.ConcurrentCommitException(
-      s"$path: delete lost the version race " +
-        s"${ManifestedPartitions.MaxCommitRetries} times")
   }
 
   /** COMPACT fragmented partitions in both datasets (each append commits
@@ -214,38 +210,33 @@ object IvfPqIndex {
     * results bit-identical before/after. Returns the number of compacted
     * partitions across both datasets.
     */
-  def compact(spark: SparkSession, path: String): Int = {
-    var tries = 0
-    while (tries < ManifestedPartitions.MaxCommitRetries) {
-      // fragmentation is re-discovered per CAS attempt against that
-      // attempt's snapshot (a racing writer may already have compacted —
-      // or vacuumed — some of the planned partitions)
-      val inV = ManifestedPartitions.latestVersion(path).getOrElse(
-        throw new IllegalStateException(s"no committed version at $path"))
+  def compact(spark: SparkSession, path: String): Int =
+    // fragmentation is re-discovered per CAS attempt against that
+    // attempt's snapshot (a racing writer may already have compacted —
+    // or vacuumed — some of the planned partitions)
+    ManifestedPartitions.retrying(path) { (inV, outV) =>
       val fragLists = ManifestedPartitions.fragmentedParts(
         spark, path, Lists, "cell", Some(inV))
       val fragRaw = ManifestedPartitions.fragmentedParts(
         spark, path, Raw, "rb", Some(inV))
-      if (fragLists.isEmpty && fragRaw.isEmpty) return 0
-      val listsMerged =
-        if (fragLists.nonEmpty)
-          ManifestedPartitions.stageRewriteAt(spark, path, Lists, "cell",
-            fragLists, identity, inV, ManifestedPartitions.freshGen())
-        else ManifestedPartitions.readEntries(spark, path, Lists, inV)
-      val rawMerged =
-        if (fragRaw.nonEmpty)
-          ManifestedPartitions.stageRewriteAt(spark, path, Raw, "rb",
-            fragRaw, identity, inV, ManifestedPartitions.freshGen())
-        else ManifestedPartitions.readEntries(spark, path, Raw, inV)
-      if (ManifestedPartitions.commitManifestsCas(spark, path, inV + 1,
-          Map(Lists -> listsMerged, Raw -> rawMerged)))
-        return fragLists.size + fragRaw.size
-      tries += 1
+      if (fragLists.isEmpty && fragRaw.isEmpty) Some(0)
+      else {
+        val listsMerged =
+          if (fragLists.nonEmpty)
+            ManifestedPartitions.stageRewriteAt(spark, path, Lists, "cell",
+              fragLists, identity, inV, ManifestedPartitions.freshGen())
+          else ManifestedPartitions.readEntries(spark, path, Lists, inV)
+        val rawMerged =
+          if (fragRaw.nonEmpty)
+            ManifestedPartitions.stageRewriteAt(spark, path, Raw, "rb",
+              fragRaw, identity, inV, ManifestedPartitions.freshGen())
+          else ManifestedPartitions.readEntries(spark, path, Raw, inV)
+        if (ManifestedPartitions.commitManifestsCas(spark, path, outV,
+            Map(Lists -> listsMerged, Raw -> rawMerged)))
+          Some(fragLists.size + fragRaw.size)
+        else None
+      }
     }
-    throw new graft.sources.ConcurrentCommitException(
-      s"$path: compact lost the version race " +
-        s"${ManifestedPartitions.MaxCommitRetries} times")
-  }
 
   /** RETENTION GC over both datasets: expire below-horizon manifest
     * versions (marker-first — stale time travel fails loudly) and delete

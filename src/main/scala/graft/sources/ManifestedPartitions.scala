@@ -8,6 +8,15 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
+/** A writer lost the optimistic version race more times than
+  * [[ManifestedPartitions.MaxCommitRetries]] — thrown by the default
+  * lifecycle APIs instead of EVER replacing an already-acknowledged
+  * commit (r17 verdict order #1: the single-writer REPLACE_EXISTING
+  * marker path silently lost the first winner's commit when two
+  * independent jobs raced the same version).
+  */
+class ConcurrentCommitException(msg: String) extends RuntimeException(msg)
+
 /** MANIFEST-COMMITTED partitioned datasets — the crash-atomic maintenance
   * substrate for every persisted index family (r15 verdict order #1). The
   * previous maintenance primitive swapped live partition directories with
@@ -53,15 +62,6 @@ import org.apache.spark.sql.types.StructType
   * against billions of data rows, read once per probe and folded into
   * driver-side path construction.
   */
-/** A writer lost the optimistic version race more times than
-  * [[ManifestedPartitions.MaxCommitRetries]] — thrown by the default
-  * lifecycle APIs instead of EVER replacing an already-acknowledged
-  * commit (r17 verdict order #1: the single-writer REPLACE_EXISTING
-  * marker path silently lost the first winner's commit when two
-  * independent jobs raced the same version).
-  */
-class ConcurrentCommitException(msg: String) extends RuntimeException(msg)
-
 object ManifestedPartitions {
 
   /** One live manifest entry: partition `part`'s rows in generation
@@ -115,19 +115,19 @@ object ManifestedPartitions {
       .write.mode("overwrite").partitionBy(partCol).parquet(dir)
     val schemaFile = Paths.get(root, dataName, "_schema")
     if (!Files.exists(schemaFile)) {
-      // staged + ATOMIC_MOVE (ADVICE r17): a reader racing the first
+      // staged + link(2) install (ADVICE r17): a reader racing the first
       // write (or two racing writers both passing the exists check) must
-      // never observe a partially-written DDL; first mover wins, the
-      // loser's identical content is discarded
+      // never observe a partially-written DDL. createLink fails with
+      // EEXIST atomically — genuine first-mover-wins (a rename(2) would
+      // silently REPLACE an existing target on POSIX, making the loser's
+      // discard path dead code); the loser's identical staged content is
+      // simply dropped.
       val tmp = Paths.get(root, dataName,
         s"._schema.${java.util.UUID.randomUUID()}")
       Files.writeString(tmp, df.schema.toDDL)
-      try Files.move(tmp, schemaFile,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
-          Files.deleteIfExists(tmp)
-      }
+      try Files.createLink(schemaFile, tmp)
+      catch { case _: java.nio.file.FileAlreadyExistsException => () }
+      finally Files.deleteIfExists(tmp)
     }
     // a rewrite that empties every touched partition writes no partition
     // directories at all — those partitions drop out of the manifest,
@@ -363,24 +363,37 @@ object ManifestedPartitions {
     }
   }
 
-  /** Run `attempt(inV, outV)` against the latest snapshot until its CAS
-    * lands — the retry loop every default lifecycle API wraps around
-    * [[commitManifestsCas]]. Bounded by [[MaxCommitRetries]]; exhaustion
-    * throws [[ConcurrentCommitException]] LOUDLY rather than ever
-    * falling back to a replacing commit.
+  /** THE CAS retry loop every default lifecycle API wraps around
+    * [[commitManifestsCas]]: run `attempt(inV, outV)` against the latest
+    * snapshot until it finishes — `Some(result)` ends the loop (either
+    * the attempt's CAS landed, or it discovered there is nothing to do /
+    * an idempotence-ledger hit and finished WITHOUT committing); `None`
+    * means it lost the version race and is re-run against the winner's
+    * snapshot. Bounded by [[MaxCommitRetries]]; exhaustion throws
+    * [[ConcurrentCommitException]] LOUDLY rather than ever falling back
+    * to a replacing commit.
     */
-  def retryingCommit(root: String)(attempt: (Long, Long) => Boolean)
-      : Long = {
+  def retrying[T](root: String)(attempt: (Long, Long) => Option[T]): T = {
     var tries = 0
     while (tries < MaxCommitRetries) {
       val inV = latestVersion(root).getOrElse(
         throw new IllegalStateException(s"no committed version at $root"))
-      if (attempt(inV, inV + 1)) return inV + 1
-      tries += 1
+      attempt(inV, inV + 1) match {
+        case Some(t) => return t
+        case None => tries += 1
+      }
     }
     throw new ConcurrentCommitException(
       s"$root: lost the optimistic version race $MaxCommitRetries times")
   }
+
+  /** [[retrying]] for the common attempt shape that just commits:
+    * true = CAS landed (returns the committed version), false = retry.
+    */
+  def retryingCommit(root: String)(attempt: (Long, Long) => Boolean)
+      : Long =
+    retrying(root)((inV, outV) =>
+      if (attempt(inV, outV)) Some(outV) else None)
 
   /** The body-embedded scalar sidecar of an OCC commit: Some(fields) if
     * version `v`'s marker carries `"~<name>"`, None if the version was
@@ -667,23 +680,18 @@ object ManifestedPartitions {
     */
   def compact(spark: SparkSession, root: String, dataName: String,
       partCol: String,
-      sidecars: Map[String, DataFrame] = Map.empty): Int = {
-    var tries = 0
-    while (tries < MaxCommitRetries) {
-      val inV = latestVersion(root).getOrElse(
-        throw new IllegalStateException(s"no committed version at $root"))
+      sidecars: Map[String, DataFrame] = Map.empty): Int =
+    retrying(root) { (inV, outV) =>
       val frag = fragmentedParts(spark, root, dataName, partCol, Some(inV))
-      if (frag.isEmpty) return 0
-      val merged = stageRewriteAt(spark, root, dataName, partCol, frag,
-        identity, inV, freshGen())
-      if (commitManifestsCas(spark, root, inV + 1,
-          Map(dataName -> merged), sidecars))
-        return frag.size
-      tries += 1
+      if (frag.isEmpty) Some(0)
+      else {
+        val merged = stageRewriteAt(spark, root, dataName, partCol, frag,
+          identity, inV, freshGen())
+        if (commitManifestsCas(spark, root, outV,
+            Map(dataName -> merged), sidecars)) Some(frag.size)
+        else None
+      }
     }
-    throw new ConcurrentCommitException(
-      s"$root: compact lost the version race $MaxCommitRetries times")
-  }
 
   /** Grace window shielding freshly staged, not-yet-committed generations
     * from [[expire]] (ADVICE r16: GC racing an in-flight stageAppend/
@@ -762,6 +770,50 @@ object ManifestedPartitions {
           if (!own.contains(dn) && !carried.contains(dn))
             carried += dn -> entryStr(readEntries(spark, root, dn, v0))
         }
+        // LEGACY sidecar TABLES (pre-CAS layout `<name>/v=<k>`, written
+        // by VersionedView.commitTables) that v0's carry-forward walk
+        // resolves to a BELOW-HORIZON version: readSidecarTable/statsAt
+        // advertise resolving them, but the marker deletion below would
+        // destroy their bytes — migrate the resolved table directory
+        // into the anchor under an `@` reference first.
+        val deadSet = allVersions.dropRight(keepLast).toSet
+        val rootSt0 = Files.list(Paths.get(root))
+        val legacyDirs = try rootSt0.iterator().asScala.toList
+          .filter(d => Files.isDirectory(d) &&
+            d.getFileName.toString != "_commits" &&
+            !d.getFileName.toString.endsWith("_manifest"))
+          .map { d =>
+            val st = Files.list(d)
+            val legacyVs = try st.iterator().asScala
+              .map(_.getFileName.toString).filter(_.matches("v=\\d+"))
+              .map(_.stripPrefix("v=").toLong).toSet
+            finally st.close()
+            d -> legacyVs
+          }.filter(_._2.nonEmpty)
+        finally rootSt0.close()
+        legacyDirs.foreach { case (d, legacyVs) =>
+          val name = d.getFileName.toString
+          // emulate readSidecarTable's walk from v0: the first OCC body
+          // carrying `@name` ends it (that ref is protected below); the
+          // first LEGACY body is where the legacy read would land
+          var target: Option[Long] = None
+          var stop = false
+          allVersions.filter(_ <= v0).reverse.foreach { v =>
+            if (!stop) {
+              val b = VersionedView.markerBody(root, v)
+              if (b.startsWith("{")) {
+                if (parseBody(b).exists(_._1 == s"@$name")) stop = true
+              } else { target = Some(v); stop = true }
+            }
+          }
+          target.filter(deadSet.contains).filter(legacyVs.contains)
+            .foreach { k =>
+              val ref = s"v=$v0-gcleg" +
+                java.util.UUID.randomUUID().toString.take(8)
+              Files.move(d.resolve(s"v=$k"), d.resolve(ref))
+              carried += s"@$name" -> ref
+            }
+        }
         if (carried.nonEmpty)
           VersionedView.rewriteMarker(root, v0, bodyOf(own ++ carried))
       }
@@ -777,7 +829,11 @@ object ManifestedPartitions {
         }
       else Nil
     }.toSet
-    val dead = VersionedView.expire(root, keepLast)
+    // delete EXACTLY the versions this plan was computed from — a
+    // re-derived horizon would race a concurrent commit and could expire
+    // the just-enriched anchor itself (one snapshot for plan + deletion)
+    val dead = VersionedView.expireExact(root,
+      allVersions.dropRight(keepLast))
     val horizon = System.currentTimeMillis() - inFlightGraceMs
     var removed = 0
     dataNames.foreach { case (dn, partCol) =>

@@ -34,12 +34,17 @@ object VersionedView {
     mark(path, v)
   }
 
-  /** Commit SEVERAL named tables as one version under ONE marker — the
-    * multi-table form a persisted index needs (its partition manifest and
-    * its statistics sidecar must never diverge: r15 verdict order #1 named
-    * exactly that two-move window in the postings stats swap). Each table
-    * lands at `<path>/<name>/v=<v>` first; the single marker commits them
-    * all atomically. Same idempotent-recommit contract as [[commit]].
+  /** Commit SEVERAL named tables as one version under ONE marker — each
+    * table lands at `<path>/<name>/v=<v>` first; the single marker
+    * commits them all atomically. Since r18 this is the FROZEN
+    * LEGACY-format writer: the default lifecycle path stages sidecar
+    * tables writer-unique and references them from the CAS marker body
+    * instead (ManifestedPartitions.commitManifestsCas), because two
+    * racing commitTables stagers clobber each other's `v=<v>` files
+    * before either marks. Retained for pre-CAS artifacts: readers
+    * (readTable / ManifestedPartitions.readSidecarTable) still resolve
+    * this layout, and retention GC migrates reachable legacy tables into
+    * its enrichment anchor before deleting their versions.
     */
   def commitTables(tables: Map[String, DataFrame], path: String,
       v: Long): Unit = {
@@ -82,9 +87,19 @@ object VersionedView {
     * the expired versions, ascending.
     */
   def expire(path: String, keepLast: Int): Seq[Long] = {
-    import scala.jdk.CollectionConverters._
     require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
-    val dead = committedVersions(path).dropRight(keepLast)
+    expireExact(path, committedVersions(path).dropRight(keepLast))
+  }
+
+  /** Expire an EXPLICIT version list — the form a caller that planned its
+    * GC against a captured snapshot must use: recomputing the horizon
+    * here from `committedVersions` would race a concurrent writer's
+    * commit, shifting the horizon past the version the caller just
+    * pinned carry-forward state into (ManifestedPartitions.expire's
+    * enrichment anchor). Plan and deletion share ONE snapshot.
+    */
+  def expireExact(path: String, dead: Seq[Long]): Seq[Long] = {
+    import scala.jdk.CollectionConverters._
     if (dead.isEmpty) return Nil
     // table dirs of the commitTables layout: any child that is neither a
     // version dir nor the marker dir

@@ -208,10 +208,7 @@ object PostingsIndex {
     val written =
       ManifestedPartitions.writeGen(posts, path, Postings, Tb,
         ManifestedPartitions.freshGen())
-    var tries = 0
-    while (tries < ManifestedPartitions.MaxCommitRetries) {
-      val inV = VersionedView.latestVersion(path).get
-      val outV = inV + 1
+    ManifestedPartitions.retrying(path) { (inV, outV) =>
       // RE-CHECK the ledger at this attempt's snapshot: if a second
       // writer delivered the SAME batch and won the race (split-brain
       // checkpoint), retrying blind would double-count it — its ledger
@@ -219,24 +216,23 @@ object PostingsIndex {
       val applied = ManifestedPartitions
         .readSidecarTable(spark, path, Applied, inV).localCheckpoint(true)
       val prior2 = applied.filter(col("batch_id") === batchId).collect()
-      if (prior2.nonEmpty) return prior2(0).getAs[Long]("out_v")
-      val st = statsAt(spark, path, inV)
-      val appliedOut = applied
-        .unionByName(appliedDf(spark, Seq((batchId, inV, outV))))
-      if (ManifestedPartitions.commitManifestsCas(spark, path, outV,
-          Map(Postings ->
-            (ManifestedPartitions.readEntries(spark, path, Postings, inV)
-              ++ written)),
-          sidecarTables = Map(Applied -> appliedOut.coalesce(1)),
-          sidecarScalars = Map(StatsName -> statsScalars(Stats(
-            st.nDocs + batch.nDocs, st.totalDl + batch.totalDl,
-            st.nBuckets)))))
-        return outV
-      tries += 1
+      if (prior2.nonEmpty) Some(prior2(0).getAs[Long]("out_v"))
+      else {
+        val st = statsAt(spark, path, inV)
+        val appliedOut = applied
+          .unionByName(appliedDf(spark, Seq((batchId, inV, outV))))
+        if (ManifestedPartitions.commitManifestsCas(spark, path, outV,
+            Map(Postings ->
+              (ManifestedPartitions.readEntries(spark, path, Postings,
+                inV) ++ written)),
+            sidecarTables = Map(Applied -> appliedOut.coalesce(1)),
+            sidecarScalars = Map(StatsName -> statsScalars(Stats(
+              st.nDocs + batch.nDocs, st.totalDl + batch.totalDl,
+              st.nBuckets)))))
+          Some(outV)
+        else None
+      }
     }
-    throw new graft.sources.ConcurrentCommitException(
-      s"$path: ingestBatch($batchId) lost the version race " +
-        s"${ManifestedPartitions.MaxCommitRetries} times")
   }
 
   /** DELETE a tombstone batch (doc ids) from the index — the GDPR leg of
@@ -255,16 +251,12 @@ object PostingsIndex {
     */
   def delete(spark: SparkSession, path: String,
       tombstones: DataFrame): Long = {
-    import ManifestedPartitions.{MaxCommitRetries => MaxTries}
     val ts = tombstones.select("doc_id").distinct().localCheckpoint(true)
-    var tries = 0
-    while (tries < MaxTries) {
-      // the whole plan — affected buckets, rewrite, stats decrement — is
-      // a function of the input snapshot, so every CAS attempt recomputes
-      // it against the then-latest version (a racing compactor moves rows
-      // between generations; a racing append changes the stats base)
-      val inV = ManifestedPartitions.latestVersion(path).getOrElse(
-        throw new IllegalStateException(s"no committed index at $path"))
+    // the whole plan — affected buckets, rewrite, stats decrement — is a
+    // function of the input snapshot, so every CAS attempt recomputes it
+    // against the then-latest version (a racing compactor moves rows
+    // between generations; a racing append changes the stats base)
+    ManifestedPartitions.retrying(path) { (inV, outV) =>
       val dead = ManifestedPartitions.read(spark, path, Postings, Tb,
           ManifestedPartitions.readEntries(spark, path, Postings, inV))
         .select("id", Tb, "dl") // column-pruned: never reads w/tf
@@ -272,21 +264,22 @@ object PostingsIndex {
         .localCheckpoint(true) // buckets + purge count + stats decrement
       val affected = dead.select(Tb).distinct()
         .collect().map(_.getInt(0)).toSeq // bounded by the delete batch
-      if (affected.isEmpty) return 0L
-      val st = statsAt(spark, path, inV)
-      val merged = ManifestedPartitions.stageRewriteAt(
-        spark, path, Postings, Tb, affected,
-        df => df.join(broadcast(ts), df("id") === ts("doc_id"), "left_anti"),
-        inV, ManifestedPartitions.freshGen())
-      if (ManifestedPartitions.commitManifestsCas(spark, path, inV + 1,
-          Map(Postings -> merged),
-          sidecarScalars =
-            Map(StatsName -> statsScalars(decrementStats(st, dead)))))
-        return dead.count()
-      tries += 1
+      if (affected.isEmpty) Some(0L)
+      else {
+        val st = statsAt(spark, path, inV)
+        val merged = ManifestedPartitions.stageRewriteAt(
+          spark, path, Postings, Tb, affected,
+          df => df.join(broadcast(ts), df("id") === ts("doc_id"),
+            "left_anti"),
+          inV, ManifestedPartitions.freshGen())
+        if (ManifestedPartitions.commitManifestsCas(spark, path, outV,
+            Map(Postings -> merged),
+            sidecarScalars =
+              Map(StatsName -> statsScalars(decrementStats(st, dead)))))
+          Some(dead.count())
+        else None
+      }
     }
-    throw new graft.sources.ConcurrentCommitException(
-      s"$path: delete lost the version race $MaxTries times")
   }
 
   /** The deleted documents' own (n_docs, total_dl) decrement applied to

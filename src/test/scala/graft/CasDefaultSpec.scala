@@ -179,6 +179,39 @@ class CasDefaultSpec extends SparkSpec {
     } finally IvfIndex.deleteDir(root)
   }
 
+  test("retention GC MIGRATES carry-forward-reachable LEGACY sidecar " +
+    "tables into the anchor before deleting their versions") {
+    val stage = Files.createTempDirectory("graft_cas_legacy")
+    val root = stage.toString
+    try {
+      // a PRE-CAS history: v1 committed through the frozen legacy writer
+      // (manifest as a parquet table + a sidecar table at `view/v=1`)
+      val e1 = MP.writeGen(df(1 -> 0), root, "d", "p", 1L)
+      VersionedView.commitTables(Map(
+        "d_manifest" -> e1.map(e => (e.part, e.gen, e.files, e.rows))
+          .toDF("part", "gen", "files", "rows").coalesce(1),
+        "view" -> Seq(42L).toDF("n").coalesce(1)), root, 1L)
+      // one r18 CAS commit touching only the dataset: its body cannot
+      // auto-carry from the body-less legacy v1, so `view` stays
+      // reachable ONLY via the carry-forward walk to v1
+      val e2 = MP.stageRewriteAt(spark, root, "d", "p", Seq(0),
+        identity, snapshotV = 1L, gen = 2L)
+      MP.commitManifests(spark, root, 2L, Map("d" -> e2))
+      assert(MP.readSidecarTable(spark, root, "view", 2L)
+        .collect()(0).getLong(0) == 42L, "pre-GC legacy walk broken")
+      // GC to keepLast=1: without migration this deletes view/v=1 while
+      // v2 still resolves to it — permanent data loss + poisoned reads
+      MP.expire(spark, root, Seq(("d", "p")), keepLast = 1,
+        inFlightGraceMs = 0L)
+      assert(VersionedView.markerBody(root, 2L).contains("\"@view\":\""),
+        "enrichment did not install the migrated table reference")
+      assert(MP.readSidecarTable(spark, root, "view", 2L)
+        .collect()(0).getLong(0) == 42L,
+        "legacy sidecar table unreachable after GC")
+      assert(MP.readLatest(spark, root, "d", "p").count() == 1)
+    } finally IvfIndex.deleteDir(root)
+  }
+
   test("sidecar-table GC: unreferenced version-nonce dirs are removed, " +
     "dirs a retained marker references survive — even across expired " +
     "version numbers") {
