@@ -13,6 +13,7 @@ object Bench {
     // engine optimizer rules (HOF dot-product fusion) — config-free install
     graft.functions.DotProductRewrite.install(spark)
     graft.functions.Md5ChainRewrite.install(spark)
+    graft.functions.PqFoldRewrite.install(spark)
     // optional comma-separated filter for targeted iteration
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     // deterministic order: hash-Map iteration reshuffles whenever an entry

@@ -15,5 +15,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => graft.functions.DotProductRewrite)
     ext.injectOptimizerRule(_ => graft.functions.Md5ChainRewrite)
+    ext.injectOptimizerRule(_ => graft.functions.PqFoldRewrite)
   }
 }

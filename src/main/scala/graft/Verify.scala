@@ -31,6 +31,7 @@ object Verify {
     // engine optimizer rules (HOF dot-product fusion) — config-free install
     graft.functions.DotProductRewrite.install(spark)
     graft.functions.Md5ChainRewrite.install(spark)
+    graft.functions.PqFoldRewrite.install(spark)
     new java.io.File(outDir).mkdirs()
 
     // ---- oracle_sql.json FIRST ----------------------------------------

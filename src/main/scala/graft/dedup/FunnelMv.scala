@@ -166,10 +166,22 @@ object FunnelMv {
     */
   def applyInsertsTo(view: DataFrame, fpIndex: DataFrame, delta: DataFrame,
       minTokens: Int, maxStopword: Double, minDistinct: Double,
-      maxTopBigram: Double): DataFrame = {
-    val withFp = delta.select(col("doc_id"), col("text"))
-      .withColumn("fp", md5(TextAnalysis.normText(col("text"))))
-      .localCheckpoint(true)
+      maxTopBigram: Double): DataFrame =
+    applyInsertsFp(view, fpIndex,
+      delta.select(col("doc_id"), col("text"))
+        .withColumn("fp", md5(TextAnalysis.normText(col("text"))))
+        .localCheckpoint(true),
+      minTokens, maxStopword, minDistinct, maxTopBigram)
+
+  /** [[applyInsertsTo]] over an ALREADY-fingerprinted (and materialized)
+    * batch — the streaming ingest computes (doc_id, text, fp) once for
+    * its bucket probe and passes it here instead of re-fingerprinting
+    * and re-checkpointing the same rows per CAS attempt (r18
+    * optimization: one fewer eager materialization job per micro-batch).
+    */
+  def applyInsertsFp(view: DataFrame, fpIndex: DataFrame,
+      withFp: DataFrame, minTokens: Int, maxStopword: Double,
+      minDistinct: Double, maxTopBigram: Double): DataFrame = {
     val survivors = keepFirst(withFp, Seq(col("doc_id")))
       .join(fpIndex, Seq("fp"), "left_anti")
     val deltaStages = stageCounts(withFp, survivors,
@@ -263,45 +275,51 @@ object FunnelMv {
       batchId: Long, nBuckets: Int, minTokens: Int, maxStopword: Double,
       minDistinct: Double, maxTopBigram: Double): Long = {
     import graft.sources.{ManifestedPartitions => MP}
-    val latest = MP.latestVersion(root).getOrElse(
-      throw new IllegalStateException(s"no committed MV at $root"))
-    val prior = readApplied(spark, root, latest)
-      .filter(col("batch_id") === batchId).collect()
-    if (prior.nonEmpty) return prior(0).getAs[Long]("out_v")
-    val withFp = batch.select(col("doc_id"), col("text"))
-      .withColumn("fp", md5(TextAnalysis.normText(col("text"))))
-      .localCheckpoint(true)
-    val newFps = withFpb(withFp.select("fp").distinct(), nBuckets)
-      .localCheckpoint(true) // probed buckets + the staged generation
-    // the anti-probe prunes to the BATCH's fp buckets — fps outside them
-    // cannot collide with the batch, so the unlisted directories are
-    // never opened
-    val buckets = newFps.select("fpb").distinct()
-      .collect().map(_.getInt(0)).toSeq
-    // the batch's fps land ONCE as a writer-unique generation; a lost
-    // version race re-merges the immutable entries (append shape) but
-    // must RECOMPUTE the anti-probe and view update against the winner's
-    // snapshot — another writer may have absorbed colliding fps
-    val written = MP.writeGen(newFps, root, FpsData, "fpb", MP.freshGen())
-    val bucketSet = buckets.toSet
+    // fingerprint + stage LAZILY, inside the retry loop: the loop's
+    // first attempt already reads the ledger at the latest snapshot, so a
+    // separate up-front replay check paid one extra sidecar read + collect
+    // per batch (r18 optimization) — a RE-DELIVERED batch still returns
+    // from the ledger before any fingerprinting or staging happens
+    var stagedFp: Option[(DataFrame, Set[Int], Seq[MP.Entry])] = None
+    def stage(): (DataFrame, Set[Int], Seq[MP.Entry]) = stagedFp.getOrElse {
+      val withFp = batch.select(col("doc_id"), col("text"))
+        .withColumn("fp", md5(TextAnalysis.normText(col("text"))))
+        .localCheckpoint(true)
+      val newFps = withFpb(withFp.select("fp").distinct(), nBuckets)
+        .localCheckpoint(true) // probed buckets + the staged generation
+      // the anti-probe prunes to the BATCH's fp buckets — fps outside
+      // them cannot collide with the batch, so the unlisted directories
+      // are never opened
+      val buckets = newFps.select("fpb").distinct()
+        .collect().map(_.getInt(0)).toSet
+      // the batch's fps land ONCE as a writer-unique generation; a lost
+      // version race re-merges the immutable entries (append shape) but
+      // must RECOMPUTE the anti-probe and view update against the
+      // winner's snapshot — another writer may have absorbed colliding fps
+      val written = MP.writeGen(newFps, root, FpsData, "fpb", MP.freshGen())
+      val t = (withFp, buckets, written)
+      stagedFp = Some(t)
+      t
+    }
     MP.retrying(root) { (inV, outV) =>
-      // RE-CHECK the ledger at this attempt's snapshot: if a second
-      // writer delivered the SAME batch and won the race (split-brain
-      // checkpoint — two stream writers on one MV), retrying blind would
-      // commit the batch TWICE; its ledger row at the winner's snapshot
-      // is the abort signal
+      // CHECK the ledger at this attempt's snapshot: a RE-DELIVERED batch
+      // (crash-between-commit-and-checkpoint), or one a second writer
+      // delivered and won the race with (split-brain checkpoint — two
+      // stream writers on one MV), finds its ledger row and SKIPS — its
+      // output version is already committed and immutable
       val applied = readApplied(spark, root, inV).localCheckpoint(true)
       val prior2 = applied.filter(col("batch_id") === batchId).collect()
       if (prior2.nonEmpty) Some(prior2(0).getAs[Long]("out_v"))
       else {
+        val (withFp, bucketSet, written) = stage()
         // ONE manifest resolution per attempt serves both the pruned
         // anti-probe and the commit's entry merge
         val entries = MP.readEntries(spark, root, FpsData, inV)
         val fpIndex = MP.read(spark, root, FpsData, "fpb",
           entries.filter(e => bucketSet.contains(e.part)))
           .select("fp")
-        val updated = applyInsertsTo(
-          readView(spark, root, inV), fpIndex, batch,
+        val updated = applyInsertsFp(
+          readView(spark, root, inV), fpIndex, withFp,
           minTokens, maxStopword, minDistinct, maxTopBigram)
         val appliedOut = applied
           .unionByName(appliedDf(spark, Seq((batchId, inV, outV))))

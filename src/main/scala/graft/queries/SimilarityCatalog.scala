@@ -2057,9 +2057,9 @@ object SimilarityCatalog {
       val sp = s
       import sp.implicits._
       val (e, cents, centDf, res, cb) = ivfPqParts(s, dir)
-      val inv = graft.similarity.Pq.encode(res, "id", "r", PqDim, cb, PqM)
+      val inv = graft.similarity.Pq
+        .encode(res, "id", "r", PqDim, cb, PqM, keep = Seq("cell"))
         .withColumnRenamed("id", "nn_id")
-        .join(res.select(col("id").as("nn_id"), col("cell")), "nn_id")
         .localCheckpoint(true)
       val cn = normalizeCentroids(cents)
         .map { case (cid, c) => (cid, c.toSeq) }.toDF("cell", "cn")
@@ -2531,13 +2531,19 @@ object SimilarityCatalog {
           "append left a dataset unfragmented")
         val ts = e.filter(pmod(col("vec_id"), lit(9)) === 4)
           .select(col("vec_id").as("id")).localCheckpoint(true)
-        def plan(v: Long): (Seq[Int], Seq[Int]) = (
-          liveAt("lists", "cell", v).select("id", "cell")
+        // ONE job discovers both datasets' affected partitions (r18
+        // optimization: the two per-dataset distinct+collect actions each
+        // paid full plan+broadcast overhead; a tagged union halves that)
+        def plan(v: Long): (Seq[Int], Seq[Int]) = {
+          val tagged = liveAt("lists", "cell", v)
+            .select(lit("l").as("side"), col("id"), col("cell").as("part"))
+            .unionByName(liveAt("raw", "rb", v)
+              .select(lit("r").as("side"), col("id"), col("rb").as("part")))
             .join(broadcast(ts), Seq("id"))
-            .select("cell").distinct().collect().map(_.getInt(0)).toSeq,
-          liveAt("raw", "rb", v).select("id", "rb")
-            .join(broadcast(ts), Seq("id"))
-            .select("rb").distinct().collect().map(_.getInt(0)).toSeq)
+            .select("side", "part").distinct().collect()
+          (tagged.filter(_.getString(0) == "l").map(_.getInt(1)).toSeq.sorted,
+            tagged.filter(_.getString(0) == "r").map(_.getInt(1)).toSeq.sorted)
+        }
         val (affCells2, affBuckets2) = plan(2L)
         require(affCells2.nonEmpty && affBuckets2.nonEmpty,
           "tombstones hit no partition")
@@ -2575,14 +2581,22 @@ object SimilarityCatalog {
           ManifestedPartitions.fragmentedParts(s, root, "raw", "rb")
             .isEmpty
         // the two-dataset atomicity pin: NO committed version exists
-        // where the coded lists and the raw side table disagree
-        val atomicPair = (1L to 4L).forall { v =>
-          val lids = liveAt("lists", "cell", v).select(col("id"))
-            .collect().map(_.getLong(0)).sorted.toSeq
-          val rids = liveAt("raw", "rb", v).select(col("id"))
-            .collect().map(_.getLong(0)).sorted.toSeq
-          lids == rids
-        }
+        // where the coded lists and the raw side table disagree. ONE job
+        // proves all four versions (r18 optimization: the previous
+        // 8-collect loop — 2 datasets × 4 versions — paid eight full
+        // plan+action overheads to compare id multisets the engine can
+        // diff in a single aggregation): per (version, id), the lists'
+        // and raw's multiplicities must match, so the union-tagged count
+        // diff has zero violating rows iff every version's id multisets
+        // are equal — the same predicate the sorted-Seq equality checked.
+        val atomicPair = (1L to 4L).map { v =>
+          liveAt("lists", "cell", v).select(col("id"))
+            .withColumn("version", lit(v)).withColumn("w", lit(1))
+            .unionByName(liveAt("raw", "rb", v).select(col("id"))
+              .withColumn("version", lit(v)).withColumn("w", lit(-1)))
+        }.reduce(_ unionByName _)
+          .groupBy("version", "id").agg(sum(col("w")).as("d"))
+          .filter(col("d") =!= 0).isEmpty
         IvfPqIndex.probe(s, root,
             e.filter(col("vec_id") < QueryIdMax), "vec_id", "embedding",
             k = TopK, nProbe = IpProbe, refine = IpRefine)

@@ -118,11 +118,14 @@ object Ann {
     * gated query compute them independently).
     */
   def hashCentroids(vecs: DataFrame, idCol: String, vecCol: String,
-      nCells: Int): Seq[(Int, Array[Double])] = {
+      nCells: Int, dimHint: Option[Int] = None): Seq[(Int, Array[Double])] = {
     val v = vecs.select(col(idCol).as("id"),
       transform(col(vecCol), _.cast("double")).as("v"))
       .withColumn("cell", pmod(xxhash64(col("id")), lit(nCells)).cast("int"))
-    val dim = v.select(size(col("v"))).first().getInt(0)
+    // dimHint skips a whole Spark job whose only output is the vector
+    // length — callers that already know the dimensionality (the PQ
+    // family takes it as a parameter) pass it through
+    val dim = dimHint.getOrElse(v.select(size(col("v"))).first().getInt(0))
     val sums = v.groupBy("cell").agg(
       count(lit(1)).as("n"),
       (0 until dim).map(i =>

@@ -70,26 +70,32 @@ object IvfPqIndex {
     IvfIndex.deleteDir(path) // overwrite contract
     val sp = corpus.sparkSession
     import sp.implicits._
-    val cents = Ann.hashCentroids(corpus, idCol, vecCol, nCells)
+    val cents = ManifestedPartitions.labeled(sp, "ivfpq:hashCentroids") {
+      Ann.hashCentroids(corpus, idCol, vecCol, nCells, dimHint = Some(dim))
+    }
     val cn = Ann.normalizeCentroids(cents)
-    cents.zip(cn).map { case ((cell, c), (_, n)) => (cell, c.toSeq, n.toSeq) }
-      .toDF("cell", "c", "cn")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    ManifestedPartitions.labeled(sp, "ivfpq:centroids") {
+      cents.zip(cn).map { case ((cell, c), (_, n)) => (cell, c.toSeq, n.toSeq) }
+        .toDF("cell", "c", "cn")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    }
     val centDf = cents.map { case (cell, c) => (cell, c.toSeq) }
       .toDF("cell", "c")
     val res = Ann.assignCells(corpus, idCol, vecCol, cents)
       .join(broadcast(centDf), "cell")
       .select(col("id"), col("cell"),
         zip_with(col("v"), col("c"), (x, y) => x - y).as("r"))
-    val cb = Pq.trainCodebooks(res, "id", "r", dim, m, k)
-    cb.map { case (mi, ki, c) => (mi, ki, c.toSeq) }.toDF("m", "k", "c")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+    val cb = ManifestedPartitions.labeled(sp, "ivfpq:trainCodebooks") {
+      Pq.trainCodebooks(res, "id", "r", dim, m, k)
+    }
+    ManifestedPartitions.labeled(sp, "ivfpq:codebooks") {
+      cb.map { case (mi, ki, c) => (mi, ki, c.toSeq) }.toDF("m", "k", "c")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+    }
     // the inverted lists carry CODES ONLY — the 8-byte payload is the
     // entire point; the exact vector is written once, to the side table
     val listEntries = ManifestedPartitions.writeGen(
-      Pq.encode(res, "id", "r", dim, cb, m)
-        .join(res.select("id", "cell"), "id")
-        .select(col("id"), col("codes"), col("cell")),
+      Pq.encode(res, "id", "r", dim, cb, m, keep = Seq("cell")),
       path, Lists, "cell", 1L)
     val rawEntries = ManifestedPartitions.writeGen(
       withRawBucket(corpus.select(col(idCol).as("id"),
@@ -133,9 +139,7 @@ object IvfPqIndex {
     // version race (r18 order #1) re-merges the immutable entries onto
     // the winner's snapshot — ONE CAS marker still commits both
     val listsWritten = ManifestedPartitions.writeGen(
-      Pq.encode(res, "id", "r", dim, cb, m)
-        .join(res.select("id", "cell"), "id")
-        .select(col("id"), col("codes"), col("cell")),
+      Pq.encode(res, "id", "r", dim, cb, m, keep = Seq("cell")),
       path, Lists, "cell", ManifestedPartitions.freshGen())
     val rawWritten = ManifestedPartitions.writeGen(
       withRawBucket(delta.select(col(idCol).as("id"),

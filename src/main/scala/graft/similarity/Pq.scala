@@ -83,28 +83,42 @@ object Pq {
   /** Codebook as one literal: array(subspace → array(code → centroid)).
     * Public so composed indexes (IVF-PQ) can build query ADC tables from
     * an externally trained codebook.
+    *
+    * typedlit packs the whole nested structure into ONE Literal node —
+    * the element-wise array(array(array(lit…))) tree costs m×k×sub
+    * expression nodes (1k+ at the catalog parameters), and since the
+    * literal is re-referenced once per subspace the encode/ADC plans
+    * carried m copies of it, blowing up analysis and codegen time (the
+    * same lesson as Ann.normalizedCentroidLit, measured there at 12.7 s →
+    * 3.4 s; here it is pure driver-side planning cost per action).
     */
   def codebookLit(cb: Seq[(Int, Int, Array[Double])], m: Int): Column =
-    array((0 until m).map { mi =>
-      array(cb.filter(_._1 == mi).sortBy(_._2)
-        .map { case (_, _, c) => array(c.map(lit): _*) }: _*)
-    }: _*)
+    typedlit((0 until m).map { mi =>
+      cb.filter(_._1 == mi).sortBy(_._2)
+        .map { case (_, _, c) => c.toSeq }
+    })
 
   /** Encode every vector as `m` code indices (argmin subspace centroid,
     * ties to the lowest index — DuckDB's `row_number ORDER BY d, k`).
-    * Pure projection, no shuffle.
+    * Pure projection, no shuffle. `keep` passes extra input columns
+    * through the same projection — callers that previously re-attached
+    * columns with `encode(df).join(df.select("id", c), "id")` paid a full
+    * corpus self-join (shuffle both sides + recompute the input plan) for
+    * values already present on the row being encoded (guide §2.4: remove
+    * shuffles outright).
     */
   def encode(vecs: DataFrame, idCol: String, vecCol: String, dim: Int,
-      cb: Seq[(Int, Int, Array[Double])], m: Int): DataFrame = {
+      cb: Seq[(Int, Int, Array[Double])], m: Int,
+      keep: Seq[String] = Nil): DataFrame = {
     val sub = dim / m
     val lit_ = codebookLit(cb, m)
     val v = transform(col(vecCol), _.cast("double"))
-    vecs.select(col(idCol).as("id"),
+    vecs.select((col(idCol).as("id") +:
       array((0 until m).map { mi =>
         val dists = transform(element_at(lit_, mi + 1),
           c => sqDist(slice(v, mi * sub + 1, sub), c))
         (array_position(dists, array_min(dists)) - 1).cast("int")
-      }: _*).as("codes"))
+      }: _*).as("codes") +: keep.map(col)): _*)
   }
 
   /** ADC top-k: per query, precompute the m×k distance table, score each

@@ -94,6 +94,18 @@ object ManifestedPartitions {
   /** Manifest table name for a dataset. */
   def manifestTable(dataName: String): String = s"${dataName}_manifest"
 
+  /** Run `body` with a Spark job description (guide §1.5 — labelled jobs
+    * make the UI and job-level profiles attributable), restoring the
+    * caller's description after. Thread-local, so concurrent writers'
+    * labels don't cross.
+    */
+  def labeled[T](spark: SparkSession, desc: String)(body: => T): T = {
+    val sc = spark.sparkContext
+    val prev = sc.getLocalProperty("spark.job.description")
+    sc.setJobDescription(desc)
+    try body finally sc.setJobDescription(prev)
+  }
+
   /** Write `df` as generation `gen` of the dataset — a NEW immutable
     * directory tree; nothing live is touched. `repartition(partCol)` so
     * one task owns a partition ⇒ one file per partition per generation
@@ -111,8 +123,10 @@ object ManifestedPartitions {
   def writeGen(df: DataFrame, root: String, dataName: String,
       partCol: String, gen: Long): Seq[Entry] = {
     val dir = s"$root/$dataName/g=$gen"
-    df.repartition(col(partCol))
-      .write.mode("overwrite").partitionBy(partCol).parquet(dir)
+    labeled(df.sparkSession, s"writeGen $dataName") {
+      df.repartition(col(partCol))
+        .write.mode("overwrite").partitionBy(partCol).parquet(dir)
+    }
     val schemaFile = Paths.get(root, dataName, "_schema")
     if (!Files.exists(schemaFile)) {
       // staged + link(2) install (ADVICE r17): a reader racing the first
@@ -323,7 +337,9 @@ object ManifestedPartitions {
     val nonce = java.util.UUID.randomUUID().toString.take(8)
     val tableRefs = sidecarTables.map { case (name, df) =>
       val ref = s"v=$v-$nonce"
-      df.write.mode("overwrite").parquet(s"$root/$name/$ref")
+      labeled(spark, s"sidecar $name") {
+        df.write.mode("overwrite").parquet(s"$root/$name/$ref")
+      }
       name -> ref
     }
     val own: Map[String, String] =

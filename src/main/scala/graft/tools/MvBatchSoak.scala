@@ -35,6 +35,7 @@ object MvBatchSoak {
     spark.sparkContext.setLogLevel("ERROR")
     graft.functions.DotProductRewrite.install(spark)
     graft.functions.Md5ChainRewrite.install(spark)
+    graft.functions.PqFoldRewrite.install(spark)
 
     val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
       .filter(col("text").isNotNull)

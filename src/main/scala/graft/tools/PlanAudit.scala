@@ -29,6 +29,11 @@ object PlanAudit {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // engine optimizer rules — the audited plans must be the plans the
+    // bench actually runs
+    graft.functions.DotProductRewrite.install(spark)
+    graft.functions.Md5ChainRewrite.install(spark)
+    graft.functions.PqFoldRewrite.install(spark)
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     names.foreach { n =>
       println(s"\n========== $n ==========")

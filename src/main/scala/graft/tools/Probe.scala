@@ -19,6 +19,11 @@ object Probe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // engine optimizer rules — probe timings must measure the same plans
+    // the bench runs
+    graft.functions.DotProductRewrite.install(spark)
+    graft.functions.Md5ChainRewrite.install(spark)
+    graft.functions.PqFoldRewrite.install(spark)
     names.foreach { name =>
       val fn = graft.SparkEntry.queries(name)
       val times = (1 to reps).map { _ =>

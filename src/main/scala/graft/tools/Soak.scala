@@ -39,6 +39,7 @@ object Soak {
     // on q_s_knn_ivf's in-cell re-rank before this was added)
     graft.functions.DotProductRewrite.install(spark)
     graft.functions.Md5ChainRewrite.install(spark)
+    graft.functions.PqFoldRewrite.install(spark)
     val src = "/root/testdata/sf0.1"
 
     // ---- per-copy key stride: DERIVED from the data, not assumed --------

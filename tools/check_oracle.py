@@ -62,8 +62,12 @@ def main(sf_dir: str, out_dir: str) -> int:
     oracle = json.loads((Path(out_dir) / "oracle_sql.json").read_text())
     n_ok = n_bad = 0
     timings = []  # (seconds, name) — surfaces the oracles worth cheapening
+    import os
+    only_present = bool(os.environ.get("ORACLE_ONLY_PRESENT"))
     for name, sql in sorted(oracle.items()):
         pq = Path(out_dir) / name
+        if only_present and not pq.exists():
+            continue  # focused Verify run: compare only the dumped subset
         t0 = time.monotonic()
         try:
             spark_df = pd.read_parquet(pq)
