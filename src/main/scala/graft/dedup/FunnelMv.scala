@@ -307,7 +307,10 @@ object FunnelMv {
       // delivered and won the race with (split-brain checkpoint — two
       // stream writers on one MV), finds its ledger row and SKIPS — its
       // output version is already committed and immutable
-      val applied = readApplied(spark, root, inV).localCheckpoint(true)
+      // no materialization: the ledger is one coalesced file, so the
+      // replay-check filter and the commit's union re-read it for less
+      // than an eager localCheckpoint job costs
+      val applied = readApplied(spark, root, inV)
       val prior2 = applied.filter(col("batch_id") === batchId).collect()
       if (prior2.nonEmpty) Some(prior2(0).getAs[Long]("out_v"))
       else {

@@ -42,6 +42,8 @@ object PageRank {
       .localCheckpoint(true) // joined per iteration — compute once
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(true) // joined per iteration — without this the
+      // final K-round plan recomputes the union+distinct shuffle K times
     val n = nodes.count() // bounded driver scalar: one long
     require(n > 0, "PageRank over an empty edge set")
     val base = scale * 15L / (n * 100L)

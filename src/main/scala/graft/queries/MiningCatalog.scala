@@ -3637,35 +3637,47 @@ object MiningCatalog {
     "q_m47_feature_rank",
     (s, dir) => {
       import graft.plans.SequenceOps
-      val scans = StumpFeatures.map { case (name, fe) =>
-        val h = t(s, dir, "orders")
-          .select(expr(fe).as("f"),
-            when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("pos"))
-          .groupBy("f")
-          .agg(sum(col("pos")).as("p"), count(lit(1)).as("n"))
-        val c = SequenceOps.runningSum(
-          SequenceOps.runningSum(h, Nil, Seq("f"), "p", "cp"),
-          Nil, Seq("f"), "n", "cn")
-        val tot = h.agg(sum(col("p")).as("tp"), sum(col("n")).as("tn"))
-        val sc = c.crossJoin(broadcast(tot))
-          .filter(col("cn") < col("tn"))
-          .withColumn("s",
-            (col("cp") * col("cp")
-              + (col("cn") - col("cp")) * (col("cn") - col("cp")))
-              .cast("double") / col("cn").cast("double")
-              + ((col("tp") - col("cp")) * (col("tp") - col("cp"))
-                + (col("tn") - col("cn") - (col("tp") - col("cp")))
-                  * (col("tn") - col("cn") - (col("tp") - col("cp"))))
-                .cast("double") / (col("tn") - col("cn")).cast("double"))
-        val parent = (col("tp") * col("tp")
-          + (col("tn") - col("tp")) * (col("tn") - col("tp")))
-          .cast("double") / col("tn").cast("double")
-        sc.orderBy(desc("s"), col("f")).limit(1)
-          .select(lit(name).as("feature"), col("f").as("split_value"),
-            col("cn").as("n_left"), (col("tn") - col("cn")).as("n_right"),
-            ((col("s") - parent) / col("tn").cast("double")).as("gain"))
-      }
-      scans.reduce(_ unionByName _)
+      import org.apache.spark.sql.expressions.Window
+      // ONE tagged pass for all features (r18 optimization: the previous
+      // per-feature loop ran 3 separate scans of orders and 6 runningSum
+      // stitches — one explode shares the scan, one (feature)-grouped
+      // prefix-sum pair replaces six, and the per-feature top-1 becomes a
+      // window instead of three orderBy/limit subtrees; per-feature
+      // histogram, cumulative counts, and gain arithmetic are the
+      // IDENTICAL expressions, so values are unchanged)
+      val h = t(s, dir, "orders")
+        .select(explode(array(StumpFeatures.map { case (name, fe) =>
+            struct(lit(name).as("feature"), expr(fe).as("f"))
+          }: _*)).as("x"),
+          when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("pos"))
+        .select(col("x.feature").as("feature"), col("x.f").as("f"),
+          col("pos"))
+        .groupBy("feature", "f")
+        .agg(sum(col("pos")).as("p"), count(lit(1)).as("n"))
+      val c = SequenceOps.runningSum(
+        SequenceOps.runningSum(h, Seq("feature"), Seq("f"), "p", "cp"),
+        Seq("feature"), Seq("f"), "n", "cn")
+      val tot = h.groupBy("feature")
+        .agg(sum(col("p")).as("tp"), sum(col("n")).as("tn"))
+      val sc = c.join(broadcast(tot), "feature")
+        .filter(col("cn") < col("tn"))
+        .withColumn("s",
+          (col("cp") * col("cp")
+            + (col("cn") - col("cp")) * (col("cn") - col("cp")))
+            .cast("double") / col("cn").cast("double")
+            + ((col("tp") - col("cp")) * (col("tp") - col("cp"))
+              + (col("tn") - col("cn") - (col("tp") - col("cp")))
+                * (col("tn") - col("cn") - (col("tp") - col("cp"))))
+              .cast("double") / (col("tn") - col("cn")).cast("double"))
+      val parent = (col("tp") * col("tp")
+        + (col("tn") - col("tp")) * (col("tn") - col("tp")))
+        .cast("double") / col("tn").cast("double")
+      sc.withColumn("__rk", row_number().over(Window
+          .partitionBy("feature").orderBy(desc("s"), col("f"))))
+        .filter(col("__rk") === 1)
+        .select(col("feature"), col("f").as("split_value"),
+          col("cn").as("n_left"), (col("tn") - col("cn")).as("n_right"),
+          ((col("s") - parent) / col("tn").cast("double")).as("gain"))
         .orderBy(desc("gain"), col("feature"))
     },
     Some {

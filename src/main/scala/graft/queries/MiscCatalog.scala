@@ -3257,7 +3257,12 @@ object MiscCatalog {
           .distinct()
           .join(levels.select("src", "c"), Seq("src", "c"), "left_anti")
           .localCheckpoint(false)
-        levels = levels.unionByName(frontier).localCheckpoint(false)
+        // levels stays a LAZY union over the per-round checkpointed
+        // frontiers: re-checkpointing the whole visited set each round
+        // copied O(V) rows per round — O(V·depth) total — where the union
+        // only rescans the already-materialized round frames (r18
+        // optimization; values identical)
+        levels = levels.unionByName(frontier)
         round += 1
       }
       levels.where(col("d") > 0L)

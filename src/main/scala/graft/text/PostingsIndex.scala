@@ -195,29 +195,34 @@ object PostingsIndex {
     */
   def ingestBatch(spark: SparkSession, path: String, delta: DataFrame,
       idCol: String, textCol: String, batchId: Long): Long = {
-    val latest = VersionedView.latestVersion(path).getOrElse(
-      throw new IllegalStateException(s"no committed index at $path"))
-    val prior = ManifestedPartitions
-      .readSidecarTable(spark, path, Applied, latest)
-      .filter(col("batch_id") === batchId).collect()
-    if (prior.nonEmpty) return prior(0).getAs[Long]("out_v")
-    val nBuckets = readStats(spark, path).nBuckets
-    val posts = withBucket(postings(delta, idCol, textCol), nBuckets)
-      .localCheckpoint(true)
-    val batch = statsOf(posts, nBuckets)
-    val written =
-      ManifestedPartitions.writeGen(posts, path, Postings, Tb,
-        ManifestedPartitions.freshGen())
+    // tokenize + stage LAZILY, inside the retry loop: the loop's first
+    // attempt already reads the ledger at the latest snapshot, so a
+    // separate up-front replay check paid one extra sidecar read +
+    // collect per batch (r18 optimization) — a RE-DELIVERED batch still
+    // returns from the ledger before any tokenization or staging happens
+    var staged: Option[(Stats, Seq[ManifestedPartitions.Entry])] = None
+    def stage(): (Stats, Seq[ManifestedPartitions.Entry]) =
+      staged.getOrElse {
+        val nBuckets = readStats(spark, path).nBuckets
+        val posts = withBucket(postings(delta, idCol, textCol), nBuckets)
+          .localCheckpoint(true)
+        val t = (statsOf(posts, nBuckets),
+          ManifestedPartitions.writeGen(posts, path, Postings, Tb,
+            ManifestedPartitions.freshGen()))
+        staged = Some(t)
+        t
+      }
     ManifestedPartitions.retrying(path) { (inV, outV) =>
-      // RE-CHECK the ledger at this attempt's snapshot: if a second
-      // writer delivered the SAME batch and won the race (split-brain
-      // checkpoint), retrying blind would double-count it — its ledger
-      // row at the winner's snapshot is the abort signal
+      // CHECK the ledger at this attempt's snapshot: a RE-DELIVERED batch
+      // (crash-between-commit-and-checkpoint), or one a second writer
+      // delivered and won the race with (split-brain checkpoint), finds
+      // its ledger row and SKIPS — retrying blind would double-count it
       val applied = ManifestedPartitions
-        .readSidecarTable(spark, path, Applied, inV).localCheckpoint(true)
+        .readSidecarTable(spark, path, Applied, inV)
       val prior2 = applied.filter(col("batch_id") === batchId).collect()
       if (prior2.nonEmpty) Some(prior2(0).getAs[Long]("out_v"))
       else {
+        val (batch, written) = stage()
         val st = statsAt(spark, path, inV)
         val appliedOut = applied
           .unionByName(appliedDf(spark, Seq((batchId, inV, outV))))
@@ -317,16 +322,22 @@ object PostingsIndex {
       keepLast: Int): (Seq[Long], Int) =
     ManifestedPartitions.expire(spark, path, Seq((Postings, Tb)), keepLast)
 
-  /** The hash buckets `terms` probe — computed through the same Spark
-    * expression that bucketed the postings at write time, collected on
-    * the driver (≤ |terms| rows) to become the STATIC pruning list.
+  /** The hash buckets `terms` probe — the SAME Catalyst expression that
+    * bucketed the postings at write time (`pmod(xxhash64(w), n)`),
+    * evaluated on the driver: ≤ |terms| interpreted evals against
+    * literals, identical bit-for-bit to the executor codepath, without
+    * paying a whole Spark job per probe (r18 optimization — this ran as
+    * a toDF/distinct/collect action on every probe of every BM25 gate).
     */
   def termBuckets(spark: SparkSession, terms: Seq[String],
       nBuckets: Int): Seq[Int] = {
-    import spark.implicits._
-    terms.toDF("w")
-      .select(pmod(xxhash64(col("w")), lit(nBuckets.toLong)).cast("int"))
-      .distinct().collect().map(_.getInt(0)).toSeq
+    import org.apache.spark.sql.catalyst.expressions.{Literal, Pmod, XxHash64}
+    terms.map { t =>
+      Pmod(new XxHash64(Seq(Literal(
+          org.apache.spark.unsafe.types.UTF8String.fromString(t)))),
+          Literal(nBuckets.toLong))
+        .eval(null).asInstanceOf[Long].toInt
+    }.distinct
   }
 
   /** The postings scan pruned to `terms`' buckets — only the probed
