@@ -162,7 +162,7 @@ object ManifestedPartitions {
     // get() blocks — a per-partition submit-then-collect loop degrades to
     // serial when each partition holds one file (the common layout).
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      math.min(8, math.max(1, partFiles.map(_._2.size).sum)))
+      math.min(16, math.max(1, partFiles.map(_._2.size).sum)))
     try {
       val submitted = partFiles.map { case (p, files) =>
         (p, files.size, files.map { f =>
