@@ -2041,17 +2041,8 @@ object DedupCatalog {
           .withColumn("slice",
             ntile(3).over(Window.orderBy("doc_id")) - 1)
           .localCheckpoint(true)
-        (0 until 3).foreach { i =>
-          val tmp = stage.resolve(s"w$i").toString
-          sliced.filter(col("slice") === i).drop("slice")
-            .coalesce(1).write.mode("overwrite").parquet(tmp)
-          val st = Files.list(Paths.get(tmp))
-          val part = try st.filter(
-              _.getFileName.toString.endsWith(".parquet")).findFirst().get()
-            finally st.close()
-          Files.move(part, stage.resolve(f"slice$i%02d.parquet"),
-            StandardCopyOption.REPLACE_EXISTING)
-        }
+        QueryDef.stageSlices(sliced, "slice", 3, stage,
+          i => stage.resolve(f"slice$i%02d.parquet"))
         def land(i: Int): Unit = {
           val dst = feed.resolve(f"b$i%02d.parquet")
           Files.copy(stage.resolve(f"slice$i%02d.parquet"), dst,

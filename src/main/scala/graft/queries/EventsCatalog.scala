@@ -995,15 +995,16 @@ object EventsCatalog {
       val feed = stage.resolve("feed")
       Files.createDirectories(feed)
       try {
-        batches.zipWithIndex.foreach { case (b, i) =>
-          val tmp = stage.resolve(s"w$i").toString
-          b.coalesce(1).write.mode("overwrite").parquet(tmp)
-          val part = Files.list(Paths.get(tmp)).filter(
-            _.getFileName.toString.endsWith(".parquet")).findFirst().get()
-          val dst = feed.resolve(f"b$i%02d.parquet")
-          Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
-          // ascending mtimes pin the FileStreamSource replay order
-          Files.setLastModifiedTime(dst,
+        // one partitioned write stages all three batch files
+        // (QueryDef.stageSlices); ascending mtimes pin the
+        // FileStreamSource replay order
+        QueryDef.stageSlices(
+          batches.zipWithIndex
+            .map { case (b, i) => b.withColumn("slice", lit(i)) }
+            .reduce(_ unionByName _),
+          "slice", 3, stage, i => feed.resolve(f"b$i%02d.parquet"))
+        (0 until 3).foreach { i =>
+          Files.setLastModifiedTime(feed.resolve(f"b$i%02d.parquet"),
             java.nio.file.attribute.FileTime.fromMillis(1000L * (i + 1)))
         }
         var state = dim0.localCheckpoint()
@@ -2189,17 +2190,16 @@ object EventsCatalog {
       val feed = stage.resolve("feed")
       val ckpt = stage.resolve("ckpt")
       Files.createDirectories(feed)
+      // all four slices pre-staged with ONE partitioned write (one events
+      // scan + one commit instead of four of each — QueryDef.stageSlices);
+      // landFile stays the phase-boundary move into the watched feed dir
+      QueryDef.stageSlices(
+        ev.withColumn("slice", pmod(col("event_id"), lit(4))),
+        "slice", 4, stage, i => stage.resolve(f"slice$i%02d.parquet"))
       def landFile(i: Int): Unit = {
-        val tmp = stage.resolve(s"w$i").toString
-        ev.filter(pmod(col("event_id"), lit(4)) === i)
-          .coalesce(1).write.mode("overwrite").parquet(tmp)
-        val st = Files.list(Paths.get(tmp))
-        val part =
-          try st.filter(_.getFileName.toString.endsWith(".parquet"))
-            .findFirst().get()
-          finally st.close()
         val dst = feed.resolve(f"b$i%02d.parquet")
-        Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
+        Files.move(stage.resolve(f"slice$i%02d.parquet"), dst,
+          StandardCopyOption.REPLACE_EXISTING)
         Files.setLastModifiedTime(dst,
           java.nio.file.attribute.FileTime.fromMillis(1000L * (i + 1)))
       }
@@ -2290,17 +2290,14 @@ object EventsCatalog {
       val feed = stage.resolve("feed")
       val ckpt = stage.resolve("ckpt")
       Files.createDirectories(feed)
+      // one partitioned write pre-stages all four slices (stageSlices)
+      QueryDef.stageSlices(
+        ev.withColumn("slice", pmod(col("event_id"), lit(4))),
+        "slice", 4, stage, i => stage.resolve(f"slice$i%02d.parquet"))
       def landFile(i: Int): Unit = {
-        val tmp = stage.resolve(s"w$i").toString
-        ev.filter(pmod(col("event_id"), lit(4)) === i)
-          .coalesce(1).write.mode("overwrite").parquet(tmp)
-        val st = Files.list(Paths.get(tmp))
-        val part =
-          try st.filter(_.getFileName.toString.endsWith(".parquet"))
-            .findFirst().get()
-          finally st.close()
         val dst = feed.resolve(f"b$i%02d.parquet")
-        Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
+        Files.move(stage.resolve(f"slice$i%02d.parquet"), dst,
+          StandardCopyOption.REPLACE_EXISTING)
         Files.setLastModifiedTime(dst,
           java.nio.file.attribute.FileTime.fromMillis(1000L * (i + 1)))
       }
@@ -2383,17 +2380,14 @@ object EventsCatalog {
       val feed = stage.resolve("feed")
       val ckpt = stage.resolve("ckpt").toString
       Files.createDirectories(feed)
+      // one partitioned write pre-stages all four slices (stageSlices)
+      QueryDef.stageSlices(
+        ev.withColumn("slice", pmod(col("event_id"), lit(4))),
+        "slice", 4, stage, i => stage.resolve(f"slice$i%02d.parquet"))
       def landFile(i: Int): Unit = {
-        val tmp = stage.resolve(s"w$i").toString
-        ev.filter(pmod(col("event_id"), lit(4)) === i)
-          .coalesce(1).write.mode("overwrite").parquet(tmp)
-        val st = Files.list(Paths.get(tmp))
-        val part =
-          try st.filter(_.getFileName.toString.endsWith(".parquet"))
-            .findFirst().get()
-          finally st.close()
         val dst = feed.resolve(f"b$i%02d.parquet")
-        Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
+        Files.move(stage.resolve(f"slice$i%02d.parquet"), dst,
+          StandardCopyOption.REPLACE_EXISTING)
         // ascending mtimes pin the FileStreamSource replay order
         Files.setLastModifiedTime(dst,
           java.nio.file.attribute.FileTime.fromMillis(1000L * (i + 1)))
@@ -2489,19 +2483,20 @@ object EventsCatalog {
       val feed = stage.resolve("feed")
       val ckpt = stage.resolve("ckpt").toString
       Files.createDirectories(feed)
+      // one partitioned write pre-stages all four time-quartile slices
+      // (heartbeat pair unioned into the last — same rows per file as the
+      // old per-slice writes; QueryDef.stageSlices)
+      QueryDef.stageSlices(
+        ev.withColumn("slice",
+            when(col("ts") < cut(1), 0)
+              .when(col("ts") < cut(2), 1)
+              .when(col("ts") < cut(3), 2).otherwise(3))
+          .unionByName(hb.withColumn("slice", lit(3))),
+        "slice", 4, stage, i => stage.resolve(f"slice$i%02d.parquet"))
       def landFile(i: Int): Unit = {
-        val slice =
-          if (i < 3) ev.filter(col("ts") >= cut(i) && col("ts") < cut(i + 1))
-          else ev.filter(col("ts") >= cut(3)).unionByName(hb)
-        val tmp = stage.resolve(s"w$i").toString
-        slice.coalesce(1).write.mode("overwrite").parquet(tmp)
-        val st = Files.list(Paths.get(tmp))
-        val part =
-          try st.filter(_.getFileName.toString.endsWith(".parquet"))
-            .findFirst().get()
-          finally st.close()
         val dst = feed.resolve(f"b$i%02d.parquet")
-        Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
+        Files.move(stage.resolve(f"slice$i%02d.parquet"), dst,
+          StandardCopyOption.REPLACE_EXISTING)
         Files.setLastModifiedTime(dst,
           java.nio.file.attribute.FileTime.fromMillis(1000L * (i + 1)))
       }
@@ -2612,16 +2607,21 @@ object EventsCatalog {
       val feed = stage.resolve("feed")
       val ckpt = stage.resolve("ckpt")
       Files.createDirectories(feed)
-      def land(i: Int, slice: org.apache.spark.sql.DataFrame): Unit = {
-        val tmp = stage.resolve(s"w$i").toString
-        slice.coalesce(1).write.mode("overwrite").parquet(tmp)
-        val st = Files.list(Paths.get(tmp))
-        val part =
-          try st.filter(_.getFileName.toString.endsWith(".parquet"))
-            .findFirst().get()
-          finally st.close()
+      // one partitioned write pre-stages all six slices — the four on-time
+      // quartiles, the late 10%, the heartbeat pair (QueryDef.stageSlices;
+      // same rows per file as the old six per-slice writes)
+      QueryDef.stageSlices(
+        ev.withColumn("slice",
+            when(isLate, 4)
+              .when(col("ts") < cut(1), 0)
+              .when(col("ts") < cut(2), 1)
+              .when(col("ts") < cut(3), 2).otherwise(3))
+          .unionByName(hb.withColumn("slice", lit(5))),
+        "slice", 6, stage, i => stage.resolve(f"slice$i%02d.parquet"))
+      def land(i: Int): Unit = {
         val dst = feed.resolve(f"b$i%02d.parquet")
-        Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
+        Files.move(stage.resolve(f"slice$i%02d.parquet"), dst,
+          StandardCopyOption.REPLACE_EXISTING)
         // ascending mtimes pin the FileStreamSource replay order
         Files.setLastModifiedTime(dst,
           java.nio.file.attribute.FileTime.fromMillis(1000L * (i + 1)))
@@ -2656,15 +2656,13 @@ object EventsCatalog {
       }
       try {
         withStatePartitions(s, 8) {
-          land(0, onTime.filter(col("ts") >= lo && col("ts") < cut(1)))
-          land(1, onTime.filter(col("ts") >= cut(1) && col("ts") < cut(2)))
+          land(0); land(1)
           runPhase()
         }
         val firstAfterRestart = withStatePartitions(s, 5) {
-          land(2, onTime.filter(col("ts") >= cut(2) && col("ts") < cut(3)))
-          land(3, onTime.filter(col("ts") >= cut(3)))
-          land(4, ev.filter(isLate)) // the late-arriving file
-          land(5, hb)
+          land(2); land(3)
+          land(4) // the late-arriving file
+          land(5) // the heartbeat pair
           runPhase()
         }
         // state-store layout the RESTARTED run used: one directory per

@@ -86,6 +86,44 @@ object QueryDef {
   def sqlDecD(e: String): String =
     s"(CAST(floor($e) AS DOUBLE) + CAST(($e) - floor($e) AS DOUBLE))"
 
+  /** Stage the `n` arrival slices of a streaming-gate feed with ONE
+    * partitioned write instead of `n` sequential `coalesce(1)` writes
+    * (r18 optimization: one source scan and one write commit instead of
+    * `n` of each): `df` carries an integer `sliceCol` in [0, n), the
+    * files land WITHOUT the slice column (partitionBy drops it), and each
+    * slice's single part file is moved to `dest(i)`. Row ORDER within a
+    * slice file may differ from the per-slice writes, but every consumer
+    * of these feeds is row-order-insensitive by construction — the ingest
+    * operators bucket/aggregate rows through their own repartition, and
+    * the probes rank with deterministic tie-breaks — and the slice's row
+    * SET is identical. A slice that holds no rows (possible at tiny scale
+    * factors) falls back to the old per-slice write so the feed still
+    * receives a schema-only parquet file, exactly as before.
+    */
+  def stageSlices(df: DataFrame, sliceCol: String, n: Int,
+      tmpDir: java.nio.file.Path, dest: Int => java.nio.file.Path): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    def movePart(dir: java.nio.file.Path, to: java.nio.file.Path): Unit = {
+      val st = Files.list(dir)
+      val part = try st.filter(_.getFileName.toString.endsWith(".parquet"))
+        .findFirst().get() finally st.close()
+      Files.move(part, to, StandardCopyOption.REPLACE_EXISTING)
+    }
+    val tmp = tmpDir.resolve("__slices")
+    df.coalesce(1).write.mode("overwrite")
+      .partitionBy(sliceCol).parquet(tmp.toString)
+    (0 until n).foreach { i =>
+      val d = tmp.resolve(s"$sliceCol=$i")
+      if (Files.isDirectory(d)) movePart(d, dest(i))
+      else {
+        val fb = tmpDir.resolve(s"__slice_empty_$i")
+        df.filter(col(sliceCol) === i).drop(sliceCol)
+          .coalesce(1).write.mode("overwrite").parquet(fb.toString)
+        movePart(fb, dest(i))
+      }
+    }
+  }
+
   /** A Scala double as a DuckDB literal that parses to the IDENTICAL
     * double. A bare decimal literal like `0.15384615384615385` parses as
     * DECIMAL(18,17) in DuckDB, and its decimal→double conversion goes

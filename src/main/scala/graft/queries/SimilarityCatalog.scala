@@ -754,16 +754,13 @@ object SimilarityCatalog {
         IvfIndex.write(base, "vec_id", "embedding", c,
           s"${stage.toString}/index")
         // three arrival slices staged with ascending mtimes, pinning the
-        // FileStreamSource replay order (the q_e_scd_stream pattern)
+        // FileStreamSource replay order (the q_e_scd_stream pattern) —
+        // one partitioned write stages all three (QueryDef.stageSlices)
+        QueryDef.stageSlices(
+          delta.withColumn("slice", pmod(col("vec_id"), lit(3))),
+          "slice", 3, stage, i => feed.resolve(f"b$i%02d.parquet"))
         (0 until 3).foreach { i =>
-          val tmp = stage.resolve(s"w$i").toString
-          delta.filter(pmod(col("vec_id"), lit(3)) === i)
-            .coalesce(1).write.mode("overwrite").parquet(tmp)
-          val part = Files.list(Paths.get(tmp)).filter(
-            _.getFileName.toString.endsWith(".parquet")).findFirst().get()
-          val dst = feed.resolve(f"b$i%02d.parquet")
-          Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
-          Files.setLastModifiedTime(dst,
+          Files.setLastModifiedTime(feed.resolve(f"b$i%02d.parquet"),
             java.nio.file.attribute.FileTime.fromMillis(1000L * (i + 1)))
         }
         var batches = 0

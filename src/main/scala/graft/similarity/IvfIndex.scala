@@ -82,10 +82,8 @@ object IvfIndex {
     */
   def append(spark: SparkSession, path: String, delta: DataFrame,
       idCol: String, vecCol: String): Unit = {
-    val cents = spark.read.parquet(s"$path/centroids")
-      .select("cell", "c").collect()
-      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
-      .sortBy(_._1).toSeq
+    val cents = readCentroids(spark, path)
+      .map { case (cell, c) => (cell, c.toArray) }
     ManifestedPartitions.append(spark, path, Lists, Cell,
       Ann.assignCellsNormalized(delta, idCol, vecCol, cents)
         .select(col("id"), col("v"), col(Cell)))
@@ -194,10 +192,7 @@ object IvfIndex {
   def queryCells(spark: SparkSession, path: String, queries: DataFrame,
       qidCol: String, vecCol: String, nProbe: Int): DataFrame = {
     VectorFunctions.register(spark)
-    val cents = spark.read.parquet(s"$path/centroids")
-      .select("cell", "c").collect()
-      .map(r => (r.getInt(0), r.getSeq[Double](1)))
-      .sortBy(_._1).toSeq
+    val cents = readCentroids(spark, path)
     // one Literal node per list (same rationale as Ann: an element-wise
     // array(lit…) tree costs cells × dim analysis/codegen nodes)
     val centLit = typedlit(cents.map(_._2))
@@ -214,6 +209,21 @@ object IvfIndex {
       .filter(col("probe_rank") <= nProbe)
       .select(col("query_id"), col("qv"), col("sc.c").as("cell"))
   }
+
+  // the stored (cell, normalized centroid) rows, driver-cached per fileset
+  // identity (sources.ArtifactCache): the centroids table is written once
+  // at build and frozen thereafter, yet append and every probe re-ran a
+  // whole Spark collect job to fetch its few KB — a rebuild (new
+  // mtime/len) re-reads, so the cached rows are always bit-identical to
+  // an uncached collect
+  private def readCentroids(spark: SparkSession,
+      path: String): Seq[(Int, Seq[Double])] =
+    graft.sources.ArtifactCache.collected(s"$path/centroids") {
+      spark.read.parquet(s"$path/centroids")
+        .select("cell", "c").collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1)))
+        .sortBy(_._1).toSeq
+    }
 
   /** The inverted-list scan pruned to `probed` cells at the pinned (or
     * latest) manifest version — only those cells' live generation

@@ -354,17 +354,27 @@ object IvfPqIndex {
       .select("query_id", "qv", "cell")
   }
 
+  // both trained artifacts are written once at build and frozen (append,
+  // delete, compact never touch them), yet probe re-collected the
+  // centroids TWICE (directly + via queryCells) and the codebooks once —
+  // three Spark jobs per probe for a few KB. Driver-cached per fileset
+  // identity (sources.ArtifactCache): any rebuild re-reads, cached rows
+  // are bit-identical to an uncached collect.
   private def readCentroids(spark: SparkSession,
       path: String): Seq[(Int, Seq[Double], Seq[Double])] =
-    spark.read.parquet(s"$path/centroids")
-      .select("cell", "c", "cn").collect()
-      .map(r => (r.getInt(0), r.getSeq[Double](1), r.getSeq[Double](2)))
-      .sortBy(_._1).toSeq
+    graft.sources.ArtifactCache.collected(s"$path/centroids") {
+      spark.read.parquet(s"$path/centroids")
+        .select("cell", "c", "cn").collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1), r.getSeq[Double](2)))
+        .sortBy(_._1).toSeq
+    }
 
   private def readCodebooks(spark: SparkSession,
       path: String): Seq[(Int, Int, Array[Double])] =
-    spark.read.parquet(s"$path/codebooks")
-      .select("m", "k", "c").collect()
-      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
-      .sortBy(t => (t._1, t._2)).toSeq
+    graft.sources.ArtifactCache.collected(s"$path/codebooks") {
+      spark.read.parquet(s"$path/codebooks")
+        .select("m", "k", "c").collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+        .sortBy(t => (t._1, t._2)).toSeq
+    }
 }
